@@ -1,0 +1,248 @@
+package graft.ops
+
+import graft.functions.SimHash64.simhash64
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over the `documents` and `embeddings` tables —
+  * the training-data-pipeline operators the north star mandates beyond
+  * the reference surface (SURVEY.md §2.3).
+  *
+  * Scale design: nothing here is O(n²) over the corpus. Exact dedup is
+  * a hash aggregate; MinHash/SimHash generate candidates by banding
+  * (shuffle on a band key, pairs only within buckets); the one
+  * relational all-pairs join (d4) is blocked on (lang, shingle), so
+  * work is proportional to shared-shingle co-occurrence, not to n².
+  */
+object Dedup {
+
+  /** Tokens of the space-separated text column. */
+  private def toks: Column = split(col("text"), " ")
+
+  /** Distinct word n-gram shingles of `text` as an array column. */
+  private def shingleCol(n: Int): Column = {
+    val parts = (0 until n).map(j => s"toks[i + $j]").mkString(", ")
+    array_distinct(
+      expr(s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', $parts))"))
+  }
+
+  private def docsWithShingles(s: SparkSession, dir: String, n: Int): DataFrame =
+    Tables
+      .documents(s, dir)
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("lang"), shingleCol(n).as("shingles"))
+
+  /** d1 — exact dedup by content fingerprint: canonical hash-groupBy
+    * shape (this is what `dropDuplicates` compiles to, made
+    * deterministic by keeping min doc_id as the representative).
+    */
+  def d1ExactDedup(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(
+        min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies")
+      )
+      .orderBy("fp")
+
+  /** d2 — MinHash + LSH near-dup detection with exact verification.
+    *
+    * 3-gram shingles → 32 minhashes (xxhash64 seeded 0..31) → 16 bands
+    * of 2 rows → candidate pairs = docs sharing any band bucket →
+    * exact-Jaccard verify ≥ 0.5. The band self-join shuffles on the
+    * band key, so candidate generation is linear in bucket
+    * co-occupancy, never all-pairs. With r=2/b=16 the miss probability
+    * at the 0.5 threshold is 1-(1-0.25)^16 ≈ 0.99 recall, and ≈ 1-3e-12
+    * for the ≥0.9-Jaccard pairs this corpus plants, so the exact-verify
+    * output equals the ground-truth oracle.
+    */
+  def d2MinHashLsh(s: SparkSession, dir: String): DataFrame = {
+    val numHashes = 32
+    val rowsPerBand = 2
+    val numBands = numHashes / rowsPerBand
+
+    val sh = docsWithShingles(s, dir, 3)
+
+    val sig = sh.select(
+      col("doc_id") +: col("shingles") +:
+        (0 until numHashes).map(seed =>
+          array_min(transform(col("shingles"), x => xxhash64(lit(seed), x)))
+            .as(s"h$seed")): _*
+    )
+
+    val bandStructs = array((0 until numBands).map { b =>
+      struct(
+        lit(b).as("band"),
+        col(s"h${rowsPerBand * b}").as("h1"),
+        col(s"h${rowsPerBand * b + 1}").as("h2")
+      )
+    }: _*)
+
+    val banded = sig
+      .select(col("doc_id"), explode(bandStructs).as("bk"))
+
+    val candidates = banded
+      .as("a")
+      .join(banded.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+
+    val sets = sh.select(col("doc_id"), col("shingles"))
+    candidates
+      .join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sa"), "id_a")
+      .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sb"), "id_b")
+      .withColumn("shared", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .withColumn(
+        "jac",
+        col("shared") / (size(col("sa")) + size(col("sb")) - col("shared")))
+      .filter(col("jac") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** d3 — SimHash near-dup detection via the native
+    * [[graft.functions.SimHash64]] expression: 64-bit sketch per doc,
+    * 4×16-bit band blocking (pigeonhole: Hamming ≤ 3 ⇒ at least one of
+    * 4 bands identical), Hamming-distance filter. Hash-dependent →
+    * rows-only driver check; planted near-dup pairs surface here, and
+    * the unit spec pins behavior on controlled inputs.
+    */
+  def d3SimHash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), simhash64(split(col("text"), " ")).as("sh"))
+
+    val banded = docs.select(
+      col("doc_id"),
+      col("sh"),
+      explode(
+        array((0 until 4).map(b =>
+          struct(lit(b).as("band"), shiftright(col("sh"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bits"))): _*)
+      ).as("bk")
+    )
+
+    banded
+      .as("a")
+      .join(banded.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"),
+        col("b.doc_id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming")
+      )
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** d4 — exact n-gram Jaccard near-dup, fully relational shape:
+    * explode 2-gram shingles, self-join blocked on (lang, shingle),
+    * count co-occurrences, Jaccard from set sizes. This is the shape
+    * that scales when shingle arrays are too wide for array ops — all
+    * heavy lifting is shuffle joins and partial aggregates.
+    */
+  def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = docsWithShingles(s, dir, 2)
+    val ex = sh.select(col("doc_id"), col("lang"), explode(col("shingles")).as("s"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+
+    val shared = ex
+      .as("a")
+      .join(
+        ex.as("b"),
+        col("a.s") === col("b.s") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("a.lang").as("lang"))
+      .agg(count(lit(1)).as("shared"))
+
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("jac", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jac") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("lang"), round(col("jac"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** d5 — embedding near-dup: cosine-threshold self-join in exact
+    * double arithmetic (`zip_with` + `aggregate` fold left-to-right,
+    * matching the oracle's list_inner_product order bit-for-bit).
+    * All-pairs here because the corpus's embedding table is a small
+    * dimension (≤ thousands); the scale path for billions of vectors
+    * is the LSH bucketing in [[Similarity.s2KnnLsh]].
+    */
+  def d5EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(Similarity.dot(col("v"), col("v"))))
+
+    e.as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", Similarity.dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
+      .filter(col("cos") >= 0.4)
+      .select(
+        col("a.vec_id").as("id_a"),
+        col("b.vec_id").as("id_b"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_dedup_exact" -> d1ExactDedup,
+    "d2_dedup_minhash" -> d2MinHashLsh,
+    "d3_dedup_simhash" -> d3SimHash,
+    "d4_ngram_jaccard" -> d4NgramJaccard,
+    "d5_embed_neardup" -> d5EmbedNearDup
+  )
+
+  /** Shared ground-truth SQL for shingle-Jaccard near-dup pairs. */
+  private def jaccardOracle(n: Int, langBlocked: Boolean, extraCols: String): String = {
+    val parts = (0 until n).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+    val langJoin = if (langBlocked) " AND a.lang = b.lang" else ""
+    val langSel = if (langBlocked) ", a.lang AS lang" else ""
+    val langGrp = if (langBlocked) ", a.lang" else ""
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, lang,
+       |    list_distinct([$parts FOR i IN range(1, len(t) - ${n - 2})]) AS shingles
+       |  FROM tok WHERE len(t) >= $n),
+       |ex AS (SELECT doc_id, lang, unnest(shingles) AS s FROM sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b$langSel, count(*) AS shared
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id$langJoin
+       |  GROUP BY a.doc_id, b.doc_id$langGrp),
+       |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+       |SELECT id_a, id_b$extraCols,
+       |  round(shared::DOUBLE / (sa.n + sb.n - shared), 4) AS jaccard
+       |FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+       |           JOIN sizes sb ON id_b = sb.doc_id
+       |WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY fp""".stripMargin,
+    // d2's LSH candidates are exact-verified, so its output equals the
+    // ground-truth full Jaccard join at the same threshold.
+    "d2_dedup_minhash" -> jaccardOracle(3, langBlocked = false, extraCols = ""),
+    // d3 is hash-function-dependent (SimHash bits) — no SQL oracle;
+    // driver records the rows-only check, unit spec pins semantics.
+    "d4_ngram_jaccard" -> jaccardOracle(2, langBlocked = true, extraCols = ", lang"),
+    "d5_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm FROM e)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_inner_product(a.v, b.v) / (a.norm * b.norm), 4) AS cosine
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_inner_product(a.v, b.v) / (a.norm * b.norm) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin
+  )
+}

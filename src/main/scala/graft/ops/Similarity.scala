@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`array<float>`,
+  * dim 64).
+  *
+  * Two paths, per the north star: brute-force cosine top-k as the
+  * exact baseline, and a random-hyperplane-LSH bucketed variant as the
+  * scale path (bucket-local search → work per query proportional to
+  * bucket size, not corpus size).
+  */
+object Similarity {
+
+  /** Left-to-right double dot product via codegen'd higher-order
+    * functions — same fold order as DuckDB's list_inner_product, so
+    * oracle values match bit-for-bit before rounding.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+
+  /** s1 — brute-force cosine top-k: a fixed query set (vec_id < 20)
+    * broadcast against the full corpus, ranked per query with a
+    * row_number window (per-partition top-k heaps, no global sort).
+    */
+  def s1KnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val queries = all
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+
+    val w = Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+
+    all
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), round(col("cos"), 4).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Multi-table random-hyperplane LSH: L tables × k planes each.
+    * Per-table collision prob for angle θ is (1-θ/π)^k; union over L
+    * tables gives recall 1-(1-p)^L. k=4/L=12 ⇒ ~0.83 expected
+    * recall@5 on this corpus's top-neighbor cosines (~0.33) while each
+    * table still prunes to 1/16 of the corpus per bucket.
+    */
+  private val PlanesPerTable = 4
+  private val NumTables = 12
+  private val Dim = 64
+
+  /** Deterministic pseudo-random hyperplanes from a fixed 64-bit LCG —
+    * no RNG state, reproducible across runs and engines.
+    */
+  private[ops] lazy val hyperplanes: Array[Array[Array[Double]]] = {
+    var state = 0x9E3779B97F4A7C15L // golden-ratio seed
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      // top 53 bits → [0,1) → [-1,1)
+      ((state >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+    Array.fill(NumTables, PlanesPerTable, Dim)(next())
+  }
+
+  /** Sign-bucket of a vector in LSH table `t`. */
+  private def bucketCol(v: Column, t: Int): Column =
+    (0 until PlanesPerTable)
+      .map(j => when(dot(v, typedlit(hyperplanes(t)(j).toSeq)) > 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** All (table, bucket) keys of a vector as an array column. */
+  private def tableBuckets(v: Column): Column =
+    array((0 until NumTables).map(t =>
+      struct(lit(t).as("t"), bucketCol(v, t).as("b"))): _*)
+
+  /** s2 — LSH-bucketed approximate top-k: queries probe only the union
+    * of their L sign buckets. At 100 TB this is the shape that works —
+    * the corpus is hash-partitioned by (table, bucket); each query
+    * touches L buckets instead of the full table, and the candidate
+    * union is deduped before scoring so each survivor is scored once.
+    * Approximate (hash-dependent recall) → rows-only driver check; the
+    * unit spec pins recall ≥ 0.6 vs brute force on the fixture corpus.
+    */
+  def s2KnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val banded = all
+      .select(col("vec_id"), col("v"), col("norm"), explode(tableBuckets(col("v"))).as("tb"))
+    val queries = banded
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"), col("tb"))
+
+    val w = Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+
+    banded
+      .join(broadcast(queries), Seq("tb"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("qv"), col("qnorm"), col("vec_id"), col("v"), col("norm"))
+      .dropDuplicates("q_id", "vec_id")
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), round(col("cos"), 4).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_knn_bruteforce" -> s1KnnBruteForce,
+    "s2_knn_lsh" -> s2KnnLsh
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_knn_bruteforce" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm FROM e),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+        |    list_inner_product(q.v, c.v) / (q.norm * c.norm) AS cos,
+        |    row_number() OVER (
+        |      PARTITION BY q.vec_id
+        |      ORDER BY list_inner_product(q.v, c.v) / (q.norm * c.norm) DESC,
+        |               c.vec_id ASC) AS rank
+        |  FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
+        |SELECT q_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+        |  round(cos, 4) AS cosine
+        |FROM scored
+        |WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin
+    // s2 is approximate/hash-dependent — rows-only driver check.
+  )
+}

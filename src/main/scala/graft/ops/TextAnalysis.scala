@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token statistics,
+  * per-document quality scoring, heuristic language ID, content
+  * fingerprinting (SURVEY.md §2.3 / north-star text ops).
+  *
+  * Everything is built from codegen'd builtins (split / higher-order
+  * array functions / aggregates) — no UDFs in the hot path. Ratios are
+  * rounded at scale 4, which is exact-boundary-safe for token-count
+  * denominators ≤ 99 (see Relational's rounding note).
+  */
+object TextAnalysis {
+
+  /** Function words present in this corpus's vocabulary; used for the
+    * stopword-ratio and language-ID heuristics.
+    */
+  val FunctionWords: Seq[String] = Seq("the", "a")
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** t1 — corpus token statistics per language: doc counts, token
+    * sums/averages, distinct vocabulary size. Two partial aggregates
+    * (per-doc stats + exploded distinct words) joined on the group key.
+    */
+  def t1TokenStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).withColumn("nt", size(toks))
+    val perLang = docs
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt").cast("long")).as("total_tokens"),
+        round(avg(col("nt")), 2).as("avg_tokens")
+      )
+    val vocab = Tables
+      .documents(s, dir)
+      .select(col("lang"), explode(toks).as("w"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("w")).as("n_distinct_words"))
+    perLang.join(vocab, "lang").orderBy("lang")
+  }
+
+  /** t2 — per-document quality scoring: token count, type-token ratio,
+    * average word length, stopword ratio, and a bucketed quality label.
+    * The length identity `chars = length(text) - (n_tokens - 1)` holds
+    * because the corpus is single-space separated.
+    */
+  def t2QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(FunctionWords.map(lit): _*)
+    Tables
+      .documents(s, dir)
+      .withColumn("t", toks)
+      .withColumn("n_tokens", size(col("t")))
+      .withColumn("n_distinct", size(array_distinct(col("t"))))
+      .withColumn("n_stop", size(filter(col("t"), w => array_contains(stopArr, w))))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 4).as("ttr"),
+        round(
+          (length(col("text")) - col("n_tokens") + 1).cast("double") / col("n_tokens"),
+          4).as("avg_word_len"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stopword_ratio"),
+        when(col("n_tokens") >= 60 && col("n_distinct") >= 25, "high")
+          .when(col("n_tokens") >= 25, "medium")
+          .otherwise("low")
+          .as("quality")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** t3 — heuristic language ID (function-word ratio) scored against
+    * the labeled `lang` column as a confusion matrix. The corpus draws
+    * all languages from one vocabulary, so the honest heuristic output
+    * is 'en' vs 'und'; the operator shape (per-doc classify → confusion
+    * agg) is what the pipeline needs.
+    */
+  def t3LangId(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(FunctionWords.map(lit): _*)
+    Tables
+      .documents(s, dir)
+      .withColumn("t", toks)
+      .withColumn(
+        "ratio",
+        size(filter(col("t"), w => array_contains(stopArr, w))).cast("double") / size(col("t")))
+      .withColumn("pred_lang", when(col("ratio") >= 0.05, "en").otherwise("und"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** t4 — content fingerprinting: md5 fingerprint plus a 2-hex-char
+    * shard key (the partition key a 100 TB dedup store would bucket
+    * by), with copy counts per fingerprint.
+    */
+  def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .withColumn("shard", substring(col("fp"), 1, 2))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct")
+      )
+      .orderBy("shard")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_token_stats" -> t1TokenStats,
+    "t2_quality_score" -> t2QualityScore,
+    "t3_lang_id" -> t3LangId,
+    "t4_fingerprint" -> t4Fingerprint
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t1_token_stats" ->
+      """WITH per AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |    round(avg(len(string_split(text, ' '))), 2) AS avg_tokens
+        |  FROM documents GROUP BY lang),
+        |voc AS (
+        |  SELECT lang, count(DISTINCT w) AS n_distinct_words
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY lang)
+        |SELECT per.lang, n_docs, total_tokens, avg_tokens, n_distinct_words
+        |FROM per JOIN voc ON per.lang = voc.lang
+        |ORDER BY per.lang""".stripMargin,
+    "t2_quality_score" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS INTEGER) AS n_tokens,
+        |    len(list_distinct(t)) AS n_distinct,
+        |    len(list_filter(t, w -> w IN ('the', 'a'))) AS n_stop,
+        |    length(text) AS chars
+        |  FROM d)
+        |SELECT doc_id, n_tokens,
+        |  round(n_distinct::DOUBLE / n_tokens, 4) AS ttr,
+        |  round((chars - n_tokens + 1)::DOUBLE / n_tokens, 4) AS avg_word_len,
+        |  round(n_stop::DOUBLE / n_tokens, 4) AS stopword_ratio,
+        |  CASE WHEN n_tokens >= 60 AND n_distinct >= 25 THEN 'high'
+        |       WHEN n_tokens >= 25 THEN 'medium'
+        |       ELSE 'low' END AS quality
+        |FROM m
+        |ORDER BY doc_id""".stripMargin,
+    "t3_lang_id" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))::DOUBLE
+        |      / len(string_split(text, ' ')) AS ratio
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'und' END AS pred_lang,
+        |  count(*) AS n_docs
+        |FROM d
+        |GROUP BY 1, 2
+        |ORDER BY lang, pred_lang""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT substring(md5(text), 1, 2) AS shard,
+        |  count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_distinct
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY shard""".stripMargin
+  )
+}

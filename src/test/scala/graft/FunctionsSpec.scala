@@ -1,0 +1,76 @@
+package graft
+
+import graft.functions.GraftFunctions.decodeByteArray
+import graft.functions.SimHash64.simhash64
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Native Catalyst expressions: byte-array decode and SimHash64.
+  * Exercised through real plans so both interpreted eval and
+  * whole-stage codegen paths are covered.
+  */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def checkProp(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("decode_byte_array round-trips arbitrary unicode strings (property)") {
+    // string -> UTF-8 bytes -> Seq[Long] -> decode == identity
+    val gen = Gen.listOfN(20, Gen.asciiPrintableChar).map(_.mkString) flatMap { ascii =>
+      Gen.oneOf(ascii, ascii + "é☕𝄞", "Olá " + ascii)
+    }
+    checkProp(Prop.forAllNoShrink(Gen.listOfN(8, gen)) { strs =>
+      val rows = strs.map(s => Tuple1(s.getBytes("UTF-8").map(b => (b & 0xFF).toLong).toSeq))
+      val out = rows.toDF("bs").select(decodeByteArray($"bs")).as[String].collect()
+      out.toSeq == strs
+    })
+  }
+
+  test("decode_byte_array handles double-typed byte arrays") {
+    val bytes = "abc".getBytes("UTF-8").map(b => (b & 0xFF).toDouble).toSeq
+    val out = Seq(Tuple1(bytes)).toDF("bs").select(decodeByteArray($"bs")).as[String].head()
+    assert(out == "abc")
+  }
+
+  test("decode_byte_array: null array yields null") {
+    val out = Seq(Tuple1(Option.empty[Seq[Long]])).toDF("bs")
+      .select(decodeByteArray($"bs")).collect().head
+    assert(out.isNullAt(0))
+  }
+
+  test("simhash64: identical token arrays hash identically") {
+    val df = Seq(
+      ("a", Seq("the", "quick", "brown", "fox")),
+      ("b", Seq("the", "quick", "brown", "fox"))
+    ).toDF("id", "toks").select(simhash64($"toks").as("h"))
+    val hs = df.as[Long].collect()
+    assert(hs(0) == hs(1))
+  }
+
+  test("simhash64: near-identical docs are close in Hamming distance, unrelated far") {
+    val base = (1 to 60).map(i => s"tok$i")
+    val near = base.updated(5, "CHANGED")
+    val far = (1 to 60).map(i => s"other$i")
+    val hs = Seq(Tuple1(base), Tuple1(near), Tuple1(far))
+      .toDF("toks").select(simhash64($"toks")).as[Long].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(0), hs(1)) <= 12, s"near pair hamming ${ham(hs(0), hs(1))}")
+    assert(ham(hs(0), hs(2)) > 12, s"far pair hamming ${ham(hs(0), hs(2))}")
+  }
+
+  test("simhash64: null array yields null; null tokens skipped") {
+    val df = Seq(
+      (1, Some(Seq(Some("a"), None, Some("b")))),
+      (2, Some(Seq(Some("a"), Some("b")))),
+      (3, None: Option[Seq[Option[String]]])
+    ).toDF("id", "toks")
+      .select($"id", simhash64($"toks".cast("array<string>")).as("h"))
+      .orderBy("id")
+      .collect()
+    assert(df(0).getLong(1) == df(1).getLong(1), "null tokens must be skipped")
+    assert(df(2).isNullAt(1))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+/** Operator-level invariants on the sf0.001 fixture tables. The DuckDB
+  * oracle (driver + tools/check_oracle.py) pins exact values at sf0.01;
+  * these specs pin semantic invariants and the approximate operators'
+  * recall, which the oracle can't.
+  */
+class OpsSpec extends SparkSpec {
+
+  test("every SparkEntry query runs and is non-degenerate on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, Sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(df.head(1).nonEmpty, s"$name returned zero rows")
+    }
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).head(1).nonEmpty)
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracles without queries: $extra")
+  }
+
+  test("d1 exact dedup: fingerprint groups partition the corpus") {
+    val docs = Tables.documents(spark, Sf).count()
+    val agg = Dedup.d1ExactDedup(spark, Sf).agg(sum("n_copies")).head().getLong(0)
+    assert(agg == docs, "copy counts must sum to corpus size")
+  }
+
+  test("d2 minhash-LSH finds every >=0.9-Jaccard pair found exactly (recall on planted dups)") {
+    // ground truth: exact pairwise Jaccard on 3-gram shingles at >= 0.9
+    val sh = Tables
+      .documents(spark, Sf)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(
+        col("doc_id"),
+        array_distinct(expr(
+          "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+          .as("s"))
+    val truth = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("shared", size(array_intersect(col("a.s"), col("b.s"))).cast("double"))
+      .withColumn("jac", col("shared") / (size(col("a.s")) + size(col("b.s")) - col("shared")))
+      .filter(col("jac") >= 0.9)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture corpus must contain planted near-dups")
+    val found = Dedup.d2MinHashLsh(spark, Sf)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(found), s"missed planted pairs: ${truth -- found}")
+  }
+
+  test("d3 simhash: every reported pair is within the Hamming threshold; self-dup corpus found") {
+    val rows = Dedup.d3SimHash(spark, Sf).collect()
+    assert(rows.forall(_.getAs[Number]("hamming").longValue <= 3))
+    assert(rows.nonEmpty, "planted near-dups should collide in at least one band")
+  }
+
+  test("s2 LSH top-k achieves >=60% recall of the brute-force top-5 at rank<=5") {
+    val exact = Similarity.s1KnnBruteForce(spark, Sf)
+      .select("q_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.s2KnnLsh(spark, Sf)
+      .select("q_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, f"LSH recall $recall%.2f below 0.6")
+  }
+
+  test("t2 quality: ratios in [0,1] range where applicable, labels from the fixed set") {
+    val rows = TextAnalysis.t2QualityScore(spark, Sf).collect()
+    assert(rows.forall { r =>
+      val ttr = r.getAs[Double]("ttr")
+      val sr = r.getAs[Double]("stopword_ratio")
+      ttr >= 0 && ttr <= 1 && sr >= 0 && sr <= 1
+    })
+    assert(rows.map(_.getAs[String]("quality")).toSet.subsetOf(Set("low", "medium", "high")))
+  }
+
+  test("q16/q17 events queries agree on total event count") {
+    val daily = Relational.q16DailyEvents(spark, Sf).agg(sum("n")).head().getLong(0)
+    val raw = Tables.events(spark, Sf).count()
+    assert(daily == raw)
+  }
+}
