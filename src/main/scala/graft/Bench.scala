@@ -12,15 +12,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Full materialization via the noop sink — count() would let
+    // Catalyst prune final projections out of the measurement.
+    def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      (System.nanoTime() - t0) / 1e9
     }
+    // Pass 1 (untimed): JVM JIT + whole-stage-codegen compilation +
+    // shuffle-service warmup. Pass 2: steady-state timing — the number
+    // that reflects throughput on a long-lived cluster.
+    val cold = SparkEntry.queries.map { case (n, f) => n -> run(n, f) }
+    val results = SparkEntry.queries.map { case (n, f) => n -> run(n, f) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

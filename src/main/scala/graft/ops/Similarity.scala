@@ -14,16 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right double dot product via codegen'd higher-order
-    * functions — same fold order as DuckDB's list_inner_product, so
-    * oracle values match bit-for-bit before rounding.
+  /** Left-to-right double dot product via the native fused-loop
+    * [[graft.functions.DotProductDouble]] expression — same fold order
+    * as DuckDB's list_inner_product (and as the builtin
+    * `aggregate(zip_with(...))` composition it replaced), so oracle
+    * values match bit-for-bit before rounding.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorOps.dotProduct(a, b)
 
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables
-      .embeddings(s, dir)
+      .spread(Tables.embeddings(s, dir))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
 

@@ -35,4 +35,18 @@ object Tables {
 
   private def read(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Round-robin spread of a COMPACT derived table across the cluster.
+    *
+    * The fixture tables arrive as one single-row-group parquet file, so
+    * every pre-shuffle stage (signature computation, pair enumeration)
+    * would otherwise run as ONE task no matter how many cores exist.
+    * Production-scale inputs arrive pre-split, where this becomes a
+    * cheap rebalance of small feature rows. Call it on the compact
+    * per-entity projection (ids + signatures/vectors), never on a raw
+    * corpus scan — the point is to parallelize downstream compute, not
+    * to shuffle bulk data.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }
