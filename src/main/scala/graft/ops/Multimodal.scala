@@ -1,0 +1,186 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators: image/audio/video as opaque `binary`
+  * payloads with typed metadata structs (north-star mandate; the
+  * reference's data plane is JSON→Parquet only, so this is pure
+  * extension surface).
+  *
+  * Design for 100 TB: payloads stay `BinaryType` end-to-end (no
+  * base64 strings), metadata travels in a sibling struct so pruning a
+  * metadata-only query never touches payload bytes in the parquet
+  * scan, and decode/feature-extraction runs as `mapPartitions` over a
+  * typed Dataset — one codec handle per PARTITION, not per row, which
+  * is the batch shape that matters when the decoder is an expensive
+  * native library. The decode step itself is STUBBED
+  * ([[FakeImageDecoder]]): this container has no image/audio codecs,
+  * so a deterministic fake stands in behind the same interface, and
+  * everything around it (schema, partitioning, batch iteration,
+  * feature output) is real and oracle-/spec-tested.
+  *
+  * The fixture corpus has no binary table, so payloads are derived
+  * deterministically from `documents.text` (UTF-8 bytes) — which keeps
+  * the DuckDB oracle applicable to the metadata/plumbing queries (m1,
+  * m2).
+  */
+object Multimodal {
+
+  /** One media row: payload + typed metadata, the storage schema a
+    * multimodal training corpus would use.
+    */
+  final case class MediaRow(
+      doc_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      payload: Array[Byte]
+  )
+
+  /** Extracted per-image features (stub-decoded). */
+  final case class ImageFeatures(
+      doc_id: Long,
+      format: String,
+      n_bytes: Int,
+      mean_byte: Double,
+      fingerprint: Long
+  )
+
+  private val Formats = Seq("jpeg", "png", "webp")
+
+  /** The `media` view: documents dressed as a multimodal table —
+    * binary payload (UTF-8 text bytes) + deterministic image-ish
+    * metadata. At scale this is the parquet layout: payload column
+    * last, metadata first, so metadata-only scans prune the bytes.
+    */
+  def media(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .spread(Tables.documents(s, dir))
+      .select(
+        col("doc_id"),
+        element_at(
+          array(Formats.map(lit): _*),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
+        (lit(64) + pmod(col("doc_id") * 7, lit(193))).cast("int").as("width"),
+        (lit(64) + pmod(col("doc_id") * 13, lit(129))).cast("int").as("height"),
+        encode(col("text"), "UTF-8").as("payload"))
+
+  /** m1 — metadata-plane statistics per format: row counts, payload
+    * byte totals, average megapixels. Everything here should come from
+    * metadata and payload LENGTH only — a plan that decodes payloads
+    * to answer it is wrong at any scale.
+    */
+  def m1MediaStats(s: SparkSession, dir: String): DataFrame =
+    media(s, dir)
+      .groupBy(col("format"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(length(col("payload")).cast("long")).as("total_bytes"),
+        round(avg(col("width") * col("height")) / 1e6, 6).as("avg_megapixels"))
+      .orderBy("format")
+
+  /** m2 — frame sampling plumbing for video-shaped media: every media
+    * row fans out to its sampled frame timeline (1 fps over a
+    * duration derived from payload size, sampled every 5th frame) —
+    * the explode-to-frames shape a video pipeline uses before per-frame
+    * decode. Output is one row per sampled frame with its timestamp
+    * offset; the per-frame decode itself would be the m3 mapPartitions
+    * stage.
+    */
+  def m2FrameSample(s: SparkSession, dir: String): DataFrame =
+    media(s, dir)
+      .withColumn("duration_s", expr("length(payload) div 32").cast("int"))
+      .select(
+        col("doc_id"),
+        col("duration_s"),
+        explode(sequence(lit(0), col("duration_s"), lit(5))).as("frame_s"))
+      .orderBy("doc_id", "frame_s")
+
+  /** m3 — stub-decoded image features via typed `mapPartitions`: the
+    * Scala analog of a vectorized Python UDF. One decoder handle per
+    * partition; rows stream through it as a batch iterator. Features
+    * are deterministic functions of the payload bytes, pinned by the
+    * unit spec; rows-only driver check (byte-fold features are not
+    * reasonably SQL-expressible in the oracle).
+    */
+  def m3ImageFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds: Dataset[MediaRow] = media(s, dir).as[MediaRow]
+    ds.mapPartitions { rows =>
+      // one (expensive, in real life) codec per partition, closed with it
+      val decoder = FakeImageDecoder.open()
+      rows.map { m =>
+        val d = decoder.decode(m.payload)
+        ImageFeatures(m.doc_id, m.format, d.nBytes, d.meanByte, d.fingerprint)
+      }
+    }.toDF()
+      .select(
+        col("doc_id"),
+        col("format"),
+        col("n_bytes"),
+        round(col("mean_byte"), 4).as("mean_byte"),
+        col("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_media_stats" -> m1MediaStats,
+    "m2_frame_sample" -> m2FrameSample,
+    "m3_image_features" -> m3ImageFeatures
+  )
+
+  val oracles: Map[String, String] = Map(
+    "m1_media_stats" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    ['jpeg','png','webp'][(doc_id % 3 + 1)::INT] AS format,
+        |    64 + (doc_id * 7) % 193 AS width,
+        |    64 + (doc_id * 13) % 129 AS height,
+        |    encode(text) AS payload
+        |  FROM documents)
+        |SELECT format, count(*) AS n_media,
+        |  CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+        |  round(avg(width * height) / 1e6, 6) AS avg_megapixels
+        |FROM m GROUP BY format ORDER BY format""".stripMargin,
+    "m2_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (octet_length(encode(text)) // 32)::INT AS duration_s
+        |  FROM documents)
+        |SELECT doc_id, duration_s,
+        |  CAST(unnest(range(0, duration_s + 1, 5)) AS INTEGER) AS frame_s
+        |FROM m
+        |ORDER BY doc_id, frame_s""".stripMargin
+    // m3 is mapPartitions over the stub decoder — rows-only check,
+    // features pinned by MultimodalSpec.
+  )
+}
+
+/** STUB: stands in for a real image decoder (libjpeg-turbo / ffmpeg
+  * bindings) that this container cannot provide. Deterministic on the
+  * payload bytes so specs can pin outputs. The interface — open once
+  * per partition, decode per row, stateless output — is the real
+  * contract a native codec would implement.
+  */
+final class FakeImageDecoder private () {
+
+  final case class Decoded(nBytes: Int, meanByte: Double, fingerprint: Long)
+
+  def decode(payload: Array[Byte]): Decoded = {
+    var sum = 0L
+    var fp = 1469598103934665603L // FNV-1a 64 offset basis
+    var i = 0
+    while (i < payload.length) {
+      sum += payload(i) & 0xFF
+      fp = (fp ^ (payload(i) & 0xFF)) * 1099511628211L
+      i += 1
+    }
+    val mean = if (payload.length == 0) 0.0 else sum.toDouble / payload.length
+    Decoded(payload.length, mean, fp)
+  }
+}
+
+object FakeImageDecoder {
+  def open(): FakeImageDecoder = new FakeImageDecoder()
+}

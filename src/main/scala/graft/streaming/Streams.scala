@@ -1,0 +1,141 @@
+package graft.streaming
+
+import graft.etl.Normalize
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface: the reference's batch pipeline
+  * re-expressed incrementally, plus the watermark/window/stateful
+  * operators a continuous training-data feed needs.
+  *
+  * The reference has no stream processing (its "Streaming IO",
+  * reference: README.md:9, is a buffered file download,
+  * reference: src/api.rs:103-107); this module is the north-star
+  * extension. Scale posture: file-source streams bound per-trigger
+  * work with `maxFilesPerTrigger`; every aggregation carries a
+  * watermark so state is evicted instead of growing without bound;
+  * sessionization keeps one small state row per active key.
+  */
+object Streams {
+
+  /** Incremental ingestion: the streaming version of the reference's
+    * staged-JSON → normalize → parquet pipeline
+    * (reference: src/processor.rs:17-97). New JSON envelope files
+    * dropped into `stagingDir` are picked up per trigger, normalized
+    * with the SAME batch transform (Normalize is plan-level, so it
+    * applies unchanged to a streaming frame), and appended to the
+    * parquet sink exactly-once via the checkpoint.
+    *
+    * File streams require an explicit schema (no inference at stream
+    * start); callers pass the envelope schema, e.g. from a one-file
+    * batch read of the first staged file.
+    */
+  def incrementalIngest(
+      spark: SparkSession,
+      stagingDir: String,
+      schema: StructType,
+      rootPath: Option[String],
+      outPath: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 16
+  ): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(schema)
+      .option("multiLine", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .json(stagingDir)
+    Normalize
+      .normalize(raw, rootPath)
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
+  /** Watermarked tumbling-window event counts: the canonical streaming
+    * aggregate. Late rows beyond the watermark are dropped and their
+    * window state evicted — bounded state at any scale.
+    */
+  def windowedEventCounts(
+      events: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      windowLength: String = "1 hour"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("n"),
+        col("sum_value"))
+
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String)
+
+  final case class SessionState(start: Long, last: Long, n: Int)
+
+  final case class Session(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Int
+  )
+
+  /** Gap-based sessionization via `flatMapGroupsWithState`: one small
+    * state row per active user; a session closes when the event-time
+    * watermark passes its last event + gap, at which point it is
+    * emitted and the state freed. This is the custom-state shape that
+    * windowed aggregates can't express (variable-length sessions).
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMinutes: Int = 30,
+      watermarkDelay: String = "10 minutes"
+  ): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(
+              Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

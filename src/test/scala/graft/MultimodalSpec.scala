@@ -1,0 +1,68 @@
+package graft
+
+import graft.ops.{FakeImageDecoder, Multimodal, Tables}
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing: binary payload schema, metadata-only pruning,
+  * frame fan-out, and the mapPartitions decode stage with pinned stub
+  * features.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  test("media view: payload is binary, metadata typed, one row per doc") {
+    val m = Multimodal.media(spark, Sf)
+    assert(m.schema("payload").dataType.typeName == "binary")
+    assert(m.schema("width").dataType.typeName == "integer")
+    assert(m.count() == Tables.documents(spark, Sf).count())
+  }
+
+  test("m1 reads no payload bytes: plan prunes payload for metadata-only aggregates") {
+    // metadata-only query over the media view must not carry payload
+    // into the aggregate
+    val metaOnly = Multimodal
+      .media(spark, Sf)
+      .groupBy(col("format"))
+      .agg(avg(col("width") * col("height")).as("avg_px"))
+    val plan = metaOnly.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("payload"), s"payload survived pruning:\n$plan")
+  }
+
+  test("m2 frame sampling: every 5th second from 0 to duration inclusive") {
+    val rows = Multimodal.m2FrameSample(spark, Sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, fs) =>
+      val dur = fs.head.getInt(1)
+      val expected = (0 to dur by 5).toSeq
+      assert(fs.map(_.getInt(2)).toSeq.sorted == expected)
+    }
+  }
+
+  test("stub decoder is deterministic and pins known values") {
+    val d = FakeImageDecoder.open()
+    val out = d.decode("abc".getBytes("UTF-8"))
+    assert(out.nBytes == 3)
+    assert(math.abs(out.meanByte - (97 + 98 + 99) / 3.0) < 1e-9)
+    // FNV-1a 64 of "abc"
+    assert(out.fingerprint == -2204510569963675907L)
+    assert(d.decode("abc".getBytes("UTF-8")).fingerprint == out.fingerprint)
+  }
+
+  test("m3 features agree with a local decode of the same payloads") {
+    val feats = Multimodal
+      .m3ImageFeatures(spark, Sf)
+      .limit(50)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getLong(4)))
+      .toMap
+    val local = Tables
+      .documents(spark, Sf)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map { r =>
+        val d = FakeImageDecoder.open().decode(r.getString(1).getBytes("UTF-8"))
+        r.getLong(0) -> (d.nBytes, d.fingerprint)
+      }
+      .toMap
+    feats.foreach { case (id, f) => assert(local(id) == f, s"doc $id") }
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{Event, Session}
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming behavior: incremental ingest parity with the
+  * batch pipeline, watermarked window finalization + late-data drop,
+  * and gap sessionization via flatMapGroupsWithState.
+  */
+class StreamsSpec extends SparkSpec {
+
+  private def ts(minutes: Int): Timestamp =
+    new Timestamp(1700000000000L + minutes * 60000L)
+
+  test("incremental ingest: staged envelope files stream through normalize exactly once") {
+    val staging = Files.createTempDirectory("graft-staging")
+    val out = Files.createTempDirectory("graft-stream-out").resolve("data")
+    val ckpt = Files.createTempDirectory("graft-ckpt")
+
+    def stage(name: String, rows: String): Unit =
+      Files.writeString(
+        staging.resolve(name),
+        s"""{"resultado":[$rows],"totalRegistros":9,"links":["self"]}""")
+
+    stage("a.json", """{"id":1,"v":"x"},{"id":2,"v":"y"}""")
+    stage("b.json", """{"id":3,"v":"z"}""")
+
+    val schema = graft.etl.Normalize
+      .readEnvelope(spark, staging.resolve("a.json").toString)
+      .schema
+
+    def runOnce(): Unit = {
+      val q = Streams.incrementalIngest(
+        spark, staging.toString, schema, Some("resultado"),
+        out.toString, ckpt.toString)
+      q.awaitTermination()
+    }
+    runOnce()
+    val first = spark.read.parquet(out.toString)
+    assert(first.columns.sorted.toSeq == Seq("id", "v"))
+    assert(first.count() == 3)
+
+    // a third file arrives; only IT should be appended on the next run
+    stage("c.json", """{"id":4,"v":"w"},{"id":5,"v":"q"}""")
+    runOnce()
+    val second = spark.read.parquet(out.toString)
+    assert(second.count() == 5)
+    assert(second.select(sum("id")).head().getLong(0) == 15L)
+  }
+
+  test("windowed counts: watermark finalizes windows and drops late data") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streams.windowedEventCounts(
+      in.toDF().toDF("ts", "event_type", "value"),
+      watermarkDelay = "10 minutes",
+      windowLength = "1 hour")
+    val q = agg.writeStream
+      .format("memory")
+      .queryName("win_counts")
+      .outputMode("append")
+      .start()
+    try {
+      // two events in the 00:00-01:00 window
+      in.addData((ts(5), "click", 1.0), (ts(20), "click", 2.0))
+      q.processAllAvailable()
+      // nothing finalized yet (watermark still inside the window)
+      assert(spark.table("win_counts").count() == 0)
+
+      // an event far ahead advances the watermark past the first window
+      in.addData((ts(180), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[String]("event_type") == "click")
+      assert(rows.head.getAs[Long]("n") == 2L)
+
+      // a late event behind the watermark is dropped, not re-emitted
+      in.addData((ts(25), "click", 9.0))
+      q.processAllAvailable()
+      assert(spark.table("win_counts").count() == 1)
+    } finally q.stop()
+  }
+
+  test("sessionization: gap closes a session, state emits once, new session opens") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams
+      .sessionize(in.toDS(), gapMinutes = 30, watermarkDelay = "5 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("sessions")
+      .outputMode("append")
+      .start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 60-min gap
+      in.addData(
+        Event(1L, ts(0), "click"),
+        Event(1L, ts(10), "view"),
+        Event(1L, ts(70), "click"))
+      q.processAllAvailable()
+      // second batch far ahead advances watermark → first session times out
+      in.addData(Event(2L, ts(300), "click"))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").as[Session].collect()
+      val u1 = sessions.filter(_.user_id == 1L)
+      assert(u1.exists(s =>
+        s.session_start == ts(0) && s.session_end == ts(10) && s.n_events == 2),
+        s"got ${u1.mkString(", ")}")
+    } finally q.stop()
+  }
+}
