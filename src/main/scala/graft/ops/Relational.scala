@@ -320,6 +320,56 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** As-of join (attribution): each purchase event matched to the same
+    * user's most recent click at-or-before it. Spark has no native
+    * ASOF JOIN; the scalable shape is union-merge — tag both streams,
+    * sort within user by time, and carry the last click forward with
+    * `last(_, ignoreNulls)` over a running window. One shuffle + one
+    * sort, linear in events; the naive range-join + row_number
+    * alternative explodes quadratically per user. Ties (click and
+    * purchase at the same instant) resolve click-first via the kind
+    * column in the sort, matching the oracle's `<=`.
+    */
+  def q18AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(
+        col("user_id"),
+        col("ts"),
+        lit(0).as("kind"),
+        col("event_id").as("click_id"),
+        col("ts").as("click_ts"),
+        lit(null).cast("long").as("purchase_id"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("ts"),
+        lit(1).as("kind"),
+        lit(null).cast("long").as("click_id"),
+        lit(null).cast("timestamp").as("click_ts"),
+        col("event_id").as("purchase_id"))
+
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("kind").asc, col("click_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    clicks
+      .unionByName(purchases)
+      .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(
+        col("purchase_id"),
+        col("user_id"),
+        col("ts").as("purchase_ts"),
+        col("last_click_id").as("click_id"),
+        col("last_click_ts").as("click_ts"))
+      .orderBy("purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -337,7 +387,8 @@ object Relational {
     "q14_date_funcs" -> q14DateFuncs,
     "q15_json_extract" -> q15JsonExtract,
     "q16_daily_events" -> q16DailyEvents,
-    "q17_sessionize" -> q17Sessionize
+    "q17_sessionize" -> q17Sessionize,
+    "q18_asof_join" -> q18AsofJoin
   )
 
   val oracles: Map[String, String] = Map(
@@ -483,6 +534,23 @@ object Relational {
         | count(*) AS n_events
         |FROM seq
         |GROUP BY user_id
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+    "q18_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_id, c.click_ts,
+        |    row_number() OVER (
+        |      PARTITION BY p.purchase_id
+        |      ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+        |  FROM p LEFT JOIN c
+        |    ON p.user_id = c.user_id AND c.click_ts <= p.purchase_ts)
+        |SELECT purchase_id, user_id, purchase_ts, click_id, click_ts
+        |FROM j WHERE rn = 1
+        |ORDER BY purchase_id""".stripMargin
   )
 }

@@ -107,11 +107,56 @@ object TextAnalysis {
       )
       .orderBy("shard")
 
+  /** t5 — TF-IDF distinctive term per document: term frequencies per
+    * doc, document frequencies per (lang, term), then each document's
+    * most distinctive term. Two partial-aggregate shuffles plus a
+    * broadcast-able df join — the standard scalable TF-IDF shape (no
+    * all-pairs, no driver state). Ranking is integer-only
+    * (tf desc, df asc, term asc) so engines can't disagree on float
+    * ulps; the tfidf score itself is emitted rounded.
+    */
+  def t5Tfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val tf = Tables
+      .spread(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"), explode(toks).as("w"))
+      .groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+
+    val df = tf
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("df"))
+
+    val nDocs = Tables
+      .documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
+    val rank = Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("w").asc)
+
+    tf.join(broadcast(df), Seq("lang", "w"))
+      .join(broadcast(nDocs), Seq("lang"))
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") === 1)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("w").as("term"),
+        col("tf"),
+        col("df"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4).as("tfidf"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats" -> t1TokenStats,
     "t2_quality_score" -> t2QualityScore,
     "t3_lang_id" -> t3LangId,
-    "t4_fingerprint" -> t4Fingerprint
+    "t4_fingerprint" -> t4Fingerprint,
+    "t5_tfidf" -> t5Tfidf
   )
 
   val oracles: Map[String, String] = Map(
@@ -165,6 +210,27 @@ object TextAnalysis {
         |  count(DISTINCT md5(text)) AS n_distinct
         |FROM documents
         |GROUP BY 1
-        |ORDER BY shard""".stripMargin
+        |ORDER BY shard""".stripMargin,
+    "t5_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, lang, w, count(*) AS tf
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY doc_id, lang, w),
+        |df AS (
+        |  SELECT lang, w, count(*) AS df FROM tf GROUP BY lang, w),
+        |nd AS (
+        |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |ranked AS (
+        |  SELECT tf.doc_id, tf.lang, tf.w, tf.tf, df.df, nd.n_docs,
+        |    row_number() OVER (
+        |      PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, tf.w ASC) AS rn
+        |  FROM tf JOIN df ON tf.lang = df.lang AND tf.w = df.w
+        |          JOIN nd ON tf.lang = nd.lang)
+        |SELECT doc_id, lang, w AS term, tf, df,
+        |  round(tf * ln(n_docs::DOUBLE / df), 4) AS tfidf
+        |FROM ranked WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin
   )
 }

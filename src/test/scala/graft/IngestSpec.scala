@@ -1,0 +1,45 @@
+package graft
+
+import graft.etl.ApiError
+import graft.ingest.Http
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ingestion gates (HTTPS-only, fail-soft error mapping) and the CSV
+  * source path (SURVEY.md §2.2: CSV read is in scope alongside
+  * JSON-in / parquet-out).
+  */
+class IngestSpec extends SparkSpec {
+
+  test("HTTPS-only gate rejects plain http and non-URLs") {
+    assert(Http.validateHttps("http://example.gov/x") ==
+      Left(ApiError.InsecureUrl("http://example.gov/x")))
+    assert(Http.validateHttps("ftp://example.gov/x").isLeft)
+    assert(Http.validateHttps("https://example.gov/x").isRight)
+  }
+
+  test("fetchToDisk is fail-soft on unreachable hosts: Left(NetworkError), no staged file") {
+    val dest = Files.createTempDirectory("graft-http").resolve("x.json")
+    Http.fetchToDisk("https://localhost:1/unroutable", dest) match {
+      case Left(_: ApiError.NetworkError) => ()
+      case other                          => fail(s"expected NetworkError, got $other")
+    }
+    assert(!Files.exists(dest), "failed fetch must not leave a staging file")
+  }
+
+  test("csv round-trip: header + inferred schema reads back the written frame") {
+    val dir = Files.createTempDirectory("graft-csv").resolve("part").toString
+    val src = graft.ops.Tables.documents(spark, Sf).select("doc_id", "lang")
+    src.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(dir)
+    assert(back.schema("doc_id").dataType.typeName == "integer" ||
+      back.schema("doc_id").dataType.typeName == "long")
+    assert(back.count() == src.count())
+    assert(back.agg(sum("doc_id")).head().getLong(0) ==
+      src.agg(sum("doc_id")).head().getLong(0))
+  }
+}
