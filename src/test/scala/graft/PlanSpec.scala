@@ -1,0 +1,84 @@
+package graft
+
+import graft.ops.{Multimodal, Relational, Similarity, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: the properties that matter at 100 TB, pinned
+  * so a refactor can't silently regress them — filters reach the
+  * parquet scan, projections prune the read schema, dimension joins
+  * broadcast, and pair-enumeration stages parallelize.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def formatted(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def explainFormatted(df: DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("q02 filter pushdown: quantity/discount predicates reach the parquet scan") {
+    val plan = explainFormatted(Relational.q02FilterProject(spark, Sf))
+    assert(plan.contains("PushedFilters:"), "no pushdown section in scan")
+    assert(
+      plan.contains("LessThan(l_quantity") || plan.contains("l_quantity,5"),
+      s"quantity filter not pushed:\n${plan.take(2000)}")
+  }
+
+  test("q02 column pruning: scan reads only the projected columns") {
+    val plan = explainFormatted(Relational.q02FilterProject(spark, Sf))
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("l_orderkey"))
+    assert(!readSchema.contains("l_comment"), s"scan reads unneeded columns: $readSchema")
+    assert(!readSchema.contains("l_shipmode"), s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("q03 star join: dimension tables join via broadcast, not shuffle") {
+    val plan = formatted(Relational.q03RevenueByNation(spark, Sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n${plan.take(1500)}")
+  }
+
+  test("s1 top-k: per-query ranking uses row_number window, no global sort before filter") {
+    val plan = formatted(Similarity.s1KnnBruteForce(spark, Sf))
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      "expected window operator")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "query set should broadcast against the corpus")
+  }
+
+  test("m1 metadata query: payload column absent from the media scan") {
+    val plan = explainFormatted(
+      Multimodal.media(spark, Sf).groupBy(col("format")).agg(count(lit(1))))
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("text"), s"payload source column read unnecessarily: $readSchema")
+  }
+
+  test("whole-stage codegen covers the native expressions (no interpreted fallback)") {
+    // codegen.fallback=false makes a failed compile throw instead of
+    // silently interpreting
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val dot = Tables
+        .spread(Tables.embeddings(spark, Sf))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .select(graft.functions.VectorOps.dotProduct(col("v"), col("v")).as("d"))
+      assert(dot.agg(sum("d")).head().getDouble(0) > 0.0)
+
+      val sh = graft.ops.Dedup.d3SimHash(spark, Sf)
+      assert(sh.head(1).nonEmpty)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
+  test("spread parallelizes derived compute beyond the single input split") {
+    val parts = Tables
+      .spread(Tables.documents(spark, Sf))
+      .rdd
+      .getNumPartitions
+    assert(parts == spark.sparkContext.defaultParallelism, s"spread yielded $parts partitions")
+  }
+}
