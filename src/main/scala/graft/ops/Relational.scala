@@ -370,6 +370,58 @@ object Relational {
       .orderBy("purchase_id")
   }
 
+  /** Explicit GROUPING SETS through the engine's SQL surface: the
+    * parquet tables registered as temp views and queried with
+    * `spark.sql` — rollup/cube's general form, plus proof that the
+    * full SQL entry point works against the same catalog.
+    */
+  def q19GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderpriority, o_orderstatus,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+        |                        (o_orderpriority, o_orderstatus))
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+        |""".stripMargin)
+  }
+
+  /** Range (interval) join: pairs of events by the same user within 90
+    * seconds of each other. The scalable shape is bin-bucketing — each
+    * event lands in a 90s bin, candidates come from equi-joining
+    * (user, bin) against bin and bin+1, and the exact interval filter
+    * prunes; work is proportional to bucket co-occupancy, never the
+    * naive |events|² per user of an unbounded theta join.
+    */
+  def q20RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val binUs = 90L * 1000000L
+    val ev = Tables
+      .events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("bin", expr(s"us div $binUs"))
+    // probe adjacent bins both ways — the partner may sit on either
+    // side of a bin boundary
+    val left = ev.withColumn(
+      "probe",
+      explode(array(col("bin") - 1, col("bin"), col("bin") + 1)))
+    left
+      .as("a")
+      .join(
+        ev.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.probe") === col("b.bin") &&
+          col("a.event_id") < col("b.event_id"))
+      .filter(abs(col("b.us") - col("a.us")) <= binUs)
+      .select(
+        col("a.event_id").as("id_a"),
+        col("b.event_id").as("id_b"),
+        col("a.user_id").as("user_id"),
+        (col("b.us") - col("a.us")).as("delta_us"))
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -388,7 +440,9 @@ object Relational {
     "q15_json_extract" -> q15JsonExtract,
     "q16_daily_events" -> q16DailyEvents,
     "q17_sessionize" -> q17Sessionize,
-    "q18_asof_join" -> q18AsofJoin
+    "q18_asof_join" -> q18AsofJoin,
+    "q19_grouping_sets" -> q19GroupingSets,
+    "q20_range_join" -> q20RangeJoin
   )
 
   val oracles: Map[String, String] = Map(
@@ -551,6 +605,23 @@ object Relational {
         |    ON p.user_id = c.user_id AND c.click_ts <= p.purchase_ts)
         |SELECT purchase_id, user_id, purchase_ts, click_id, click_ts
         |FROM j WHERE rn = 1
-        |ORDER BY purchase_id""".stripMargin
+        |ORDER BY purchase_id""".stripMargin,
+    "q19_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+        |                        (o_orderpriority, o_orderstatus))
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "q20_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+        |SELECT a.event_id AS id_a, b.event_id AS id_b,
+        |  a.user_id AS user_id, b.us - a.us AS delta_us
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(b.us - a.us) <= 90000000
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }
