@@ -1,0 +1,74 @@
+package graft
+
+import graft.ops.Tables
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Storage-layout techniques for 100 TB: partitioned layouts pruning
+  * at the scan, and bucketed tables co-locating joins so the shuffle
+  * disappears.
+  */
+class ScaleSpec extends SparkSpec {
+
+  test("partitioned parquet write: predicate prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("graft-part").resolve("orders").toString
+    Tables
+      .orders(spark, Sf)
+      .write
+      .mode("overwrite")
+      .partitionBy("o_orderstatus")
+      .parquet(dir)
+
+    val statuses = new java.io.File(dir).list().count(_.startsWith("o_orderstatus="))
+    assert(statuses >= 2, "expected multiple partition directories")
+
+    val filtered = spark.read.parquet(dir).filter(col("o_orderstatus") === "F")
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("o_orderstatus"),
+      s"partition filter missing from scan:\n${scan.take(1200)}")
+    // pruned scan must agree with the unpartitioned filter
+    assert(filtered.count() ==
+      Tables.orders(spark, Sf).filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("bucketed tables: equi-join on the bucket key plans without a shuffle") {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    assert(warehouse.nonEmpty)
+    spark.sql("DROP TABLE IF EXISTS cust_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    Tables
+      .customer(spark, Sf)
+      .select("c_custkey", "c_name", "c_nationkey")
+      .write
+      .bucketBy(4, "c_custkey")
+      .sortBy("c_custkey")
+      .saveAsTable("cust_b")
+    Tables
+      .orders(spark, Sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write
+      .bucketBy(4, "o_custkey")
+      .sortBy("o_custkey")
+      .saveAsTable("ord_b")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark
+        .table("cust_b")
+        .join(spark.table("ord_b"), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_custkey"))
+        .agg(sum(col("o_totalprice")).as("spend"))
+      val plan = joined.queryExecution.executedPlan.toString
+      val joinSection = plan.split("HashAggregate").last
+      assert(joinSection.contains("SortMergeJoin"), s"expected SMJ:\n${plan.take(1500)}")
+      assert(!joinSection.contains("Exchange"),
+        s"bucketed join still shuffles:\n${plan.take(1500)}")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS cust_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+}
