@@ -1,0 +1,102 @@
+package graft.plans
+
+import graft.functions.{DecodeLongArrayToUtf8, DotProductDouble, MinHashSignature, SimHash64}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Catalyst session extensions for the graft engine:
+  *
+  *  - [[RewriteDotProduct]], an optimizer rule that recognizes the
+  *    declarative dot-product idiom
+  *    `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,v) -> acc+v)`
+  *    and replaces it with the fused native
+  *    [[graft.functions.DotProductDouble]] loop — users writing plain
+  *    builtin compositions get the codegen'd kernel for free, the same
+  *    fold order bit-for-bit.
+  *  - SQL registration of the engine's native functions
+  *    (`dot_product`, `simhash64`, `minhash_signature`,
+  *    `decode_byte_array`) so the pure-SQL surface reaches them too.
+  *
+  * Activate cluster-wide with
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`, or on a
+  * live session with [[GraftExtensions.install]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => RewriteDotProduct)
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      e.injectFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+         new ExpressionInfo("graft.functions", name),
+         builder))
+    }
+  }
+}
+
+object GraftExtensions {
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "dot_product" -> { es => DotProductDouble(es.head, es(1)) },
+    "simhash64" -> { es => SimHash64(es.head) },
+    "minhash_signature" -> { es =>
+      MinHashSignature(
+        es.head,
+        es(1).eval().asInstanceOf[Number].intValue)
+    },
+    "decode_byte_array" -> { es => DecodeLongArrayToUtf8(es.head) }
+  )
+
+  /** Install on an already-built session: the rewrite rule goes into
+    * `experimental.extraOptimizations` (the sanctioned post-hoc hook),
+    * functions into the session registry.
+    */
+  def install(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteDotProduct
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}
+
+/** `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v)`
+  * over `array<double>` → [[DotProductDouble]] — identical semantics
+  * (left fold, null on null/length-mismatch input) in one fused loop.
+  */
+object RewriteDotProduct extends Rule[LogicalPlan] {
+
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _                        => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+            ZipWith(
+              a,
+              b,
+              LambdaFunction(
+                Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _),
+                Seq(xd: NamedLambdaVariable, yd: NamedLambdaVariable),
+                _)),
+            Literal(zero, DoubleType),
+            LambdaFunction(
+              Add(acc: NamedLambdaVariable, v: NamedLambdaVariable, _),
+              Seq(accd: NamedLambdaVariable, vd: NamedLambdaVariable),
+              _),
+            LambdaFunction(fin: NamedLambdaVariable, Seq(find: NamedLambdaVariable), _))
+          if zero == 0.0 &&
+            x.exprId == xd.exprId && y.exprId == yd.exprId &&
+            acc.exprId == accd.exprId && v.exprId == vd.exprId &&
+            fin.exprId == find.exprId &&
+            isDoubleArray(a) && isDoubleArray(b) =>
+        DotProductDouble(a, b)
+    }
+}
