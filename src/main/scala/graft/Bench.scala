@@ -15,6 +15,7 @@ object Bench {
     // Full materialization via the noop sink — count() would let
     // Catalyst prune final projections out of the measurement.
     def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      System.gc() // JMH-style: keep accumulated garbage out of the next measurement
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }

@@ -19,19 +19,22 @@ object Dedup {
   /** Tokens of the space-separated text column. */
   private def toks: Column = split(col("text"), " ")
 
-  /** Distinct word n-gram shingles of `text` as an array column. */
-  private def shingleCol(n: Int): Column = {
-    val parts = (0 until n).map(j => s"toks[i + $j]").mkString(", ")
-    array_distinct(
-      expr(s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', $parts))"))
-  }
-
+  /** Docs with their n-gram shingle sets as sorted distinct 64-bit
+    * hashes (`array<long>`), via the one-pass native
+    * [[graft.functions.WordNgramHashes]] — strings never materialize;
+    * all downstream set algebra (minhash, banding, intersect counts)
+    * runs on the hashes. Equal to string-shingle set algebra up to
+    * 64-bit collisions (negligible; see the expression's scaladoc).
+    */
   private def docsWithShingles(s: SparkSession, dir: String, n: Int): DataFrame =
     Tables
       .spread(Tables.documents(s, dir))
       .withColumn("toks", toks)
       .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), col("lang"), shingleCol(n).as("shingles"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        graft.functions.WordNgramHashes.wordNgramHashes(col("toks"), n).as("hs"))
 
   /** d1 — exact dedup by content fingerprint: canonical hash-groupBy
     * shape (this is what `dropDuplicates` compiles to, made
@@ -65,13 +68,12 @@ object Dedup {
 
     val sh = docsWithShingles(s, dir, 3)
 
-    // One-pass native signature (array<long>, length 32) instead of 32
-    // separate transform+array_min traversals of the shingle array.
+    // One-pass native signature (array<long>, length 32) derived from
+    // the pre-hashed shingles — no string re-reads.
     val sig = sh.select(
       col("doc_id"),
-      col("shingles"),
-      graft.functions.MinHashSignature
-        .minhashSignature(col("shingles"), numHashes)
+      graft.functions.MinHashFromHashes
+        .minhashFromHashes(col("hs"), numHashes)
         .as("sig"))
 
     val bandStructs = array((0 until numBands).map { b =>
@@ -91,14 +93,28 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
 
-    val sets = sh.select(col("doc_id"), col("shingles"))
+    // exact-verify on the sorted hash sets with the native merge count
+    val sets = sh.select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
     candidates
-      .join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sa"), "id_a")
-      .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sb"), "id_b")
-      .withColumn("shared", size(array_intersect(col("sa"), col("sb"))).cast("double"))
-      .withColumn(
-        "jac",
-        col("shared") / (size(col("sa")) + size(col("sb")) - col("shared")))
+      .join(
+        sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("hs", "sa")
+          .withColumnRenamed("n", "na"),
+        "id_a")
+      .join(
+        sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("hs", "sb")
+          .withColumnRenamed("n", "nb"),
+        "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        col("na"),
+        col("nb"),
+        explode(
+          array(
+            graft.functions.SortedArrayIntersectCount
+              .sortedIntersectCount(col("sa"), col("sb"))
+              .cast("double"))).as("shared"))
+      .withColumn("jac", col("shared") / (col("na") + col("nb") - col("shared")))
       .filter(col("jac") >= 0.5)
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
@@ -169,8 +185,8 @@ object Dedup {
     val sets = sh.select(
       col("doc_id"),
       col("lang"),
-      sort_array(transform(col("shingles"), x => xxhash64(x))).as("hs"),
-      size(col("shingles")).as("n"))
+      col("hs"), // already sorted distinct hashes from WordNgramHashes
+      size(col("hs")).as("n"))
 
     sets
       .as("a")

@@ -74,3 +74,45 @@ class FunctionsSpec extends SparkSpec {
     assert(df(2).isNullAt(1))
   }
 }
+
+/** Hashed-shingle front-end: set semantics must match the string path. */
+class WordNgramHashesSpec extends SparkSpec {
+  import graft.functions.WordNgramHashes.wordNgramHashes
+  import graft.functions.MinHashFromHashes.minhashFromHashes
+  import spark.implicits._
+
+  test("hash-set size equals distinct string-shingle count; output sorted ascending") {
+    val df = Seq(
+      Tuple1(Seq("a", "b", "a", "b", "c")), // 2-grams: "a b","b a","a b","b c" → 3 distinct
+      Tuple1(Seq("x", "y")),
+      Tuple1(Seq("only"))                    // fewer than n → empty
+    ).toDF("toks").select(wordNgramHashes($"toks", 2).as("hs"))
+    val rows = df.collect().map(_.getSeq[Long](0))
+    assert(rows(0).size == 3)
+    assert(rows(0) == rows(0).sorted)
+    assert(rows(1).size == 1)
+    assert(rows(2).isEmpty)
+  }
+
+  test("identical token arrays hash identically; one-token change is a small set delta") {
+    val base = (1 to 50).map(i => s"t$i")
+    val near = base.updated(25, "CHANGED")
+    val rows = Seq(Tuple1(base), Tuple1(base), Tuple1(near))
+      .toDF("toks").select(wordNgramHashes($"toks", 3).as("hs"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert(rows(0) == rows(1))
+    val overlap = (rows(0) & rows(2)).size.toDouble / rows(0).size
+    assert(overlap > 0.9 && overlap < 1.0, s"overlap $overlap")
+  }
+
+  test("minhash_from_hashes: k minima, equal sets give equal signatures") {
+    val rows = Seq(
+      Tuple1(Seq("a", "b", "c", "d")),
+      Tuple1(Seq("a", "b", "c", "d"))
+    ).toDF("toks")
+      .select(minhashFromHashes(wordNgramHashes($"toks", 2), 16).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(rows(0).size == 16)
+    assert(rows(0) == rows(1))
+  }
+}
