@@ -118,9 +118,73 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** s3 — IVF (inverted-file) approximate top-k: the coarse-quantizer
+    * scale path. Every corpus vector is assigned to its nearest of K
+    * centroid cells; a query scores only the vectors in its `nprobe`
+    * closest cells. At 100 TB the corpus is hash-partitioned by cell,
+    * so a query touches nprobe partitions instead of the full table —
+    * same contract as s2 but with data-adaptive cells instead of
+    * oblivious hyperplanes.
+    *
+    * Centroids here are K deterministic corpus samples (every
+    * (N/K)-th vector) rather than trained k-means — centroid quality
+    * affects recall, not the operator shape, and keeps the op
+    * dependency-free. Rows-only driver check; recall pinned vs s1 in
+    * the unit spec.
+    */
+  def s3KnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val nprobe = 4
+    val all = vecs(s, dir)
+    // deterministic coarse centroids: every (N/K)-th vector (N=2000 fixture)
+    val centroids = all
+      .filter(pmod(col("vec_id"), lit(125)) === 0)
+      .withColumn("cell", (col("vec_id") / 125).cast("int"))
+      .filter(col("cell") < k)
+      .select(col("cell"), col("v").as("cv"), col("norm").as("cnorm"))
+
+    // assign each vector to its nearest centroid cell (argmax cosine)
+    val byVec = Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val assigned = all
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+      .withColumn("crn", row_number().over(byVec))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+
+    // queries probe their nprobe closest cells
+    val queries = all
+      .filter(col("vec_id") < 20)
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+      .withColumn("crn", row_number().over(byVec))
+      .filter(col("crn") <= nprobe)
+      .select(
+        col("vec_id").as("q_id"),
+        col("v").as("qv"),
+        col("norm").as("qnorm"),
+        col("cell"))
+
+    val w = Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+
+    assigned
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), round(col("cos"), 4).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_bruteforce" -> s1KnnBruteForce,
-    "s2_knn_lsh" -> s2KnnLsh
+    "s2_knn_lsh" -> s2KnnLsh,
+    "s3_knn_ivf" -> s3KnnIvf
   )
 
   val oracles: Map[String, String] = Map(

@@ -63,15 +63,19 @@ class OpsSpec extends SparkSpec {
     assert(rows.nonEmpty, "planted near-dups should collide in at least one band")
   }
 
-  test("s2 LSH top-k achieves >=60% recall of the brute-force top-5 at rank<=5") {
+  test("s2 LSH and s3 IVF top-k achieve >=60% recall of the brute-force top-5") {
     val exact = Similarity.s1KnnBruteForce(spark, Sf)
       .select("q_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Similarity.s2KnnLsh(spark, Sf)
-      .select("q_id", "neighbor_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.6, f"LSH recall $recall%.2f below 0.6")
+    for ((name, fn) <- Seq(
+        "LSH" -> Similarity.s2KnnLsh _,
+        "IVF" -> Similarity.s3KnnIvf _)) {
+      val approx = fn(spark, Sf)
+        .select("q_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact & approx).size.toDouble / exact.size
+      assert(recall >= 0.6, f"$name recall $recall%.2f below 0.6")
+    }
   }
 
   test("t2 quality: ratios in [0,1] range where applicable, labels from the fixed set") {
