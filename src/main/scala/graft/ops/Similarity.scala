@@ -181,10 +181,34 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** s4 — per-cell vector centroids via the typed
+    * [[graft.functions.VectorMean]] `Aggregator` (the engine's UDAF
+    * surface): exactly the training step an IVF index runs per
+    * k-means iteration, as a partial+final aggregation with map-side
+    * combine. Cells here are a deterministic mod-partition so the
+    * oracle can reproduce the grouping.
+    */
+  def s4CellCentroids(s: SparkSession, dir: String): DataFrame = {
+    val vectorMean = udaf(graft.functions.VectorMean)
+    Tables
+      .spread(Tables.embeddings(s, dir))
+      .select(
+        pmod(col("vec_id"), lit(8)).cast("int").as("cell"),
+        col("embedding").cast("array<double>").as("v"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), vectorMean(col("v")).as("centroid"))
+      .select(
+        col("cell"),
+        col("n"),
+        transform(col("centroid"), x => round(x, 4)).as("centroid"))
+      .orderBy("cell")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_bruteforce" -> s1KnnBruteForce,
     "s2_knn_lsh" -> s2KnnLsh,
-    "s3_knn_ivf" -> s3KnnIvf
+    "s3_knn_ivf" -> s3KnnIvf,
+    "s4_cell_centroids" -> s4CellCentroids
   )
 
   val oracles: Map[String, String] = Map(
@@ -204,7 +228,22 @@ object Similarity {
         |  round(cos, 4) AS cosine
         |FROM scored
         |WHERE rank <= 5
-        |ORDER BY q_id, rank""".stripMargin
-    // s2 is approximate/hash-dependent — rows-only driver check.
+        |ORDER BY q_id, rank""".stripMargin,
+    // s2/s3 are approximate/hash-dependent — rows-only driver checks.
+    "s4_cell_centroids" ->
+      """WITH e AS (
+        |  SELECT CAST(vec_id % 8 AS INTEGER) AS cell,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |per_dim AS (
+        |  SELECT cell, t.i AS idx, avg(v[t.i]) AS m
+        |  FROM e, range(1, 65) t(i)
+        |  GROUP BY cell, t.i),
+        |cnt AS (SELECT cell, count(*) AS n FROM e GROUP BY cell)
+        |SELECT cnt.cell, cnt.n,
+        |  (SELECT list(round(m, 4) ORDER BY idx)
+        |   FROM per_dim p WHERE p.cell = cnt.cell) AS centroid
+        |FROM cnt
+        |ORDER BY cnt.cell""".stripMargin
   )
 }
