@@ -116,3 +116,53 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+/** Streaming-vs-batch consistency on the real events table: the same
+  * windowed aggregate over a bounded file stream (AvailableNow) must
+  * account for every batch row.
+  */
+class StreamBatchParitySpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("windowed counts over a file stream equal the batch totals") {
+    val batch = graft.ops.Tables.events(spark, Sf)
+    val schema = spark.read
+      .option("mergeSchema", "false")
+      .parquet(s"$Sf/events.parquet")
+      .schema
+
+    // file streams require a directory source
+    val dir = java.nio.file.Files.createTempDirectory("graft-parity")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf/events.parquet"),
+      dir.resolve("events.parquet"))
+
+    val raw = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val events =
+      if (schema("ts").dataType.typeName == "long")
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+
+    val q = graft.streaming.Streams
+      .windowedEventCounts(events, watermarkDelay = "1 minute", windowLength = "1 hour")
+      .writeStream
+      .format("memory")
+      .queryName("parity_counts")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("parity_counts")
+    assert(streamed.agg(sum("n")).head().getLong(0) == batch.count())
+    // per-type totals agree with the batch group-by
+    val sTypes = streamed.groupBy("event_type").agg(sum("n").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bTypes = batch.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sTypes == bTypes)
+  }
+}
