@@ -28,6 +28,26 @@ class IngestSpec extends SparkSpec {
     assert(!Files.exists(dest), "failed fetch must not leave a staging file")
   }
 
+  test("Pipeline.run is fail-soft: every route fails individually, none aborts the run") {
+    val cfg = graft.config.Config
+      .loadFromString(
+        """{"apis":{"a":{
+          |  "base_url":"https://localhost:1",
+          |  "endpoints":{"g":{
+          |     "root_path":"resultado",
+          |     "r1":"/unreachable1",
+          |     "r2":"/unreachable2",
+          |     "tmpl":"/x/{id}"
+          |}}}}}""".stripMargin)
+      .toOption.get
+    val out = Files.createTempDirectory("graft-pipe").toString
+    val results = graft.etl.Pipeline.run(spark, cfg, out)
+    assert(results.size == 3)
+    assert(results.forall(_.outcome.isLeft), "unreachable routes must all fail")
+    val tmpl = results.find(_.key == "tmpl").get
+    assert(tmpl.outcome.left.exists(_.message.contains("templated")))
+  }
+
   test("csv round-trip: header + inferred schema reads back the written frame") {
     val dir = Files.createTempDirectory("graft-csv").resolve("part").toString
     val src = graft.ops.Tables.documents(spark, Sf).select("doc_id", "lang")

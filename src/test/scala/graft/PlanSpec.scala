@@ -50,6 +50,12 @@ class PlanSpec extends SparkSpec {
       "query set should broadcast against the corpus")
   }
 
+  test("q06 per-group top-k: WindowGroupLimit prunes before the full window sort") {
+    val plan = formatted(Relational.q06TopOrdersPerCustomer(spark, Sf))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter not pushed into the window:\n${plan.take(1200)}")
+  }
+
   test("m1 metadata query: payload column absent from the media scan") {
     val plan = explainFormatted(
       Multimodal.media(spark, Sf).groupBy(col("format")).agg(count(lit(1))))
