@@ -422,6 +422,19 @@ object Relational {
       .orderBy("id_a", "id_b")
   }
 
+  /** Pivot: daily event counts spread into one column per event type.
+    * The value list is explicit — at scale an implicit pivot means a
+    * distinct-scan of the pivot column before planning.
+    */
+  def q21Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("day")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -442,7 +455,8 @@ object Relational {
     "q17_sessionize" -> q17Sessionize,
     "q18_asof_join" -> q18AsofJoin,
     "q19_grouping_sets" -> q19GroupingSets,
-    "q20_range_join" -> q20RangeJoin
+    "q20_range_join" -> q20RangeJoin,
+    "q21_pivot" -> q21Pivot
   )
 
   val oracles: Map[String, String] = Map(
@@ -622,6 +636,16 @@ object Relational {
         |FROM e a JOIN e b
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
         | AND abs(b.us - a.us) <= 90000000
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q21_pivot" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY day""".stripMargin
   )
 }
