@@ -110,6 +110,11 @@ object Similarity {
       .join(broadcast(queries), Seq("tb"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("qv"), col("qnorm"), col("vec_id"), col("v"), col("norm"))
+      // one hash exchange on q_id serves BOTH the pair dedup and the
+      // ranking window: HashPartitioning(q_id) satisfies the
+      // (q_id, vec_id) clustering dropDuplicates needs, so
+      // EnsureRequirements inserts no second shuffle
+      .repartition(col("q_id"))
       .dropDuplicates("q_id", "vec_id")
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
       .withColumn("rank", row_number().over(w))
