@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, MapType, StringType}
 
 /** Relational query surface: filter/project/join/agg/window/sort/set-op/
   * scalar-function coverage over the harness star schema.
@@ -435,6 +436,28 @@ object Relational {
       .na.fill(0L)
       .orderBy("day")
 
+  /** Map-typed column functions: the props JSON payload parsed into a
+    * real `map<string,bigint>` (`from_json`), exploded to key/value
+    * rows by the map generator, with `map_keys` driving a per-row key
+    * count. Schema-free by construction — no key name is hardcoded, so
+    * the same plan handles heterogeneous per-row payloads, the shape a
+    * metadata/props column takes in a real training-data corpus.
+    */
+  def q22MapFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .withColumn("m", from_json(col("props"), MapType(StringType, LongType)))
+      .select(
+        col("event_type"),
+        explode(col("m")).as(Seq("key", "value")),
+        size(map_keys(col("m"))).as("nkeys"))
+      .groupBy(col("event_type"), col("key"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value")).as("sum_val"),
+        max(col("nkeys")).as("max_keys"))
+      .orderBy("event_type", "key")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -456,7 +479,8 @@ object Relational {
     "q18_asof_join" -> q18AsofJoin,
     "q19_grouping_sets" -> q19GroupingSets,
     "q20_range_join" -> q20RangeJoin,
-    "q21_pivot" -> q21Pivot
+    "q21_pivot" -> q21Pivot,
+    "q22_map_funcs" -> q22MapFuncs
   )
 
   val oracles: Map[String, String] = Map(
@@ -646,6 +670,17 @@ object Relational {
         |  count(*) FILTER (event_type = 'view') AS view
         |FROM events
         |GROUP BY 1
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+    "q22_map_funcs" ->
+      """WITH kv AS (
+        |  SELECT event_type, unnest(json_keys(props)) AS key, props
+        |  FROM events)
+        |SELECT event_type, key, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.' || key) AS BIGINT))
+        |       AS BIGINT) AS sum_val,
+        |  CAST(max(len(json_keys(props))) AS INTEGER) AS max_keys
+        |FROM kv
+        |GROUP BY 1, 2
+        |ORDER BY event_type, key""".stripMargin
   )
 }
