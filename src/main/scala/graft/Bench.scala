@@ -24,8 +24,11 @@ object Bench {
     // Pass 1 (untimed): JVM JIT + whole-stage-codegen compilation +
     // shuffle-service warmup. Pass 2: steady-state timing — the number
     // that reflects throughput on a long-lived cluster.
-    val cold = SparkEntry.queries.map { case (n, f) => n -> run(n, f) }
-    val results = SparkEntry.queries.map { case (n, f) => n -> run(n, f) }
+    // Optional comma-separated filter for fast single-query iteration.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val cold = selected.map { case (n, f) => n -> run(n, f) }
+    val results = selected.map { case (n, f) => n -> run(n, f) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -114,17 +114,27 @@ object TextAnalysis {
     * all-pairs, no driver state). Ranking is integer-only
     * (tf desc, df asc, term asc) so engines can't disagree on float
     * ulps; the tfidf score itself is emitted rounded.
+    *
+    * The top-1 term is an argmax via `min(struct(-tf, df, w))` rather
+    * than a `row_number` window: struct ordering is lexicographic, so
+    * the min struct IS the best-ranked row, and the aggregate
+    * partial-combines map-side — one row per doc crosses the final
+    * shuffle instead of the whole tf table being re-shuffled and sorted
+    * per doc, which is what a rank window costs at corpus scale.
     */
   def t5Tfidf(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-
     val tf = Tables
       .spread(Tables.documents(s, dir))
       .select(col("doc_id"), col("lang"), explode(toks).as("w"))
       .groupBy(col("doc_id"), col("lang"), col("w"))
       .agg(count(lit(1)).as("tf"))
 
+    // The always-true filter keeps `tf` referenced in this branch, so
+    // Catalyst cannot prune the count out of the shared aggregate —
+    // both consumers then sit on canonically-equal exchanges and the
+    // explode+shuffle runs once (ReusedExchange) instead of twice.
     val df = tf
+      .filter(col("tf") >= 1)
       .groupBy(col("lang"), col("w"))
       .agg(count(lit(1)).as("df"))
 
@@ -133,21 +143,22 @@ object TextAnalysis {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"))
 
-    val rank = Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("tf").desc, col("df").asc, col("w").asc)
-
     tf.join(broadcast(df), Seq("lang", "w"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(struct(
+        (-col("tf")).as("ntf"),
+        col("df").as("df"),
+        col("w").as("w"))).as("best"))
       .join(broadcast(nDocs), Seq("lang"))
-      .withColumn("rn", row_number().over(rank))
-      .filter(col("rn") === 1)
       .select(
         col("doc_id"),
         col("lang"),
-        col("w").as("term"),
-        col("tf"),
-        col("df"),
-        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4).as("tfidf"))
+        col("best.w").as("term"),
+        (-col("best.ntf")).as("tf"),
+        col("best.df").as("df"),
+        round(
+          -col("best.ntf") * log(col("n_docs").cast("double") / col("best.df")),
+          4).as("tfidf"))
       .orderBy("doc_id")
   }
 
