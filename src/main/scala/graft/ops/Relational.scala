@@ -67,19 +67,29 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber")
 
   /** Star join: two fact-fact shuffle joins + one broadcast dimension
-    * join (nation is tiny at any scale factor).
+    * join (nation is tiny at any scale factor; customer/orders scale
+    * with SF, so those stay shuffle joins).
+    *
+    * Lineitem — the biggest table by an order of magnitude — is
+    * aggregated to per-order revenue BEFORE any join: the map-side
+    * combine collapses ~4 line items per order ahead of the orderkey
+    * exchange, and downstream joins move one row per order instead of
+    * one per line item. Since orderkey is then unique, the per-nation
+    * distinct-order count degenerates to a plain count(1) — no Expand
+    * / two-phase distinct aggregation at all.
     */
   def q03RevenueByNation(s: SparkSession, dir: String): DataFrame =
     Tables
-      .customer(s, dir)
-      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
-      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("o_rev"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"),
-        countDistinct(col("o_orderkey")).as("n_orders")
+        round(sum(col("o_rev")), 2).as("revenue"),
+        count(lit(1)).as("n_orders")
       )
       .orderBy("n_name")
 

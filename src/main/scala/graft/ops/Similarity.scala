@@ -23,9 +23,15 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     graft.functions.VectorOps.dotProduct(a, b)
 
+  /** No `Tables.spread` here: hashing/scoring a 64-dim vector is a few
+    * thousand FLOPs per row, so even the single-split fixture scan is
+    * compute-trivial, and at production scale the corpus arrives
+    * pre-split — the repartition would only add an exchange ahead of
+    * every similarity query.
+    */
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables
-      .spread(Tables.embeddings(s, dir))
+      .embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
 

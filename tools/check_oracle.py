@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [name,name,...]
+
+The optional third arg restricts checking to the named queries (matches
+Verify's SPARK_GRAFT_ONLY filter for single-query iteration).
 
 Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the
 matching SQL from oracle_sql.json in DuckDB with views over the sfDir
@@ -24,13 +27,16 @@ def canon(df):
     return df
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
+    if only:
+        names = set(only.split(","))
+        oracle = {k: v for k, v in oracle.items() if k in names}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -78,4 +84,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
