@@ -456,7 +456,12 @@ object Relational {
   def q22MapFuncs(s: SparkSession, dir: String): DataFrame =
     Tables
       .events(s, dir)
-      .withColumn("m", from_json(col("props"), MapType(StringType, LongType)))
+      // Generate barrier: explode(array(..)) materializes the parsed map
+      // as a real attribute; a plain withColumn lets CollapseProject
+      // inline from_json into every consumer and parse the JSON 3x/row.
+      .select(
+        col("event_type"),
+        explode(array(from_json(col("props"), MapType(StringType, LongType)))).as("m"))
       .select(
         col("event_type"),
         explode(col("m")).as(Seq("key", "value")),
@@ -467,6 +472,64 @@ object Relational {
         sum(col("value")).as("sum_val"),
         max(col("nkeys")).as("max_keys"))
       .orderBy("event_type", "key")
+
+  /** Correlated scalar subquery through the SQL surface: parts larger
+    * than their brand's average size. Catalyst decorrelates the
+    * subquery into an aggregate + join
+    * (RewriteCorrelatedScalarSubquery) — the plan never executes
+    * per-row. The comparison is on integer sums (avg of ints is an
+    * exact-integer division in both engines), so no float-boundary
+    * drift against the oracle.
+    */
+  def q23ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("part_q23")
+    s.sql("""
+      SELECT p_brand, count(*) AS n_above, max(p_size) AS max_size
+      FROM part_q23 p
+      WHERE p_size > (SELECT avg(p2.p_size) FROM part_q23 p2
+                      WHERE p2.p_brand = p.p_brand)
+      GROUP BY p_brand
+      ORDER BY p_brand""")
+  }
+
+  /** Interval-overlap self-join (theta join beyond equality): each
+    * order's fulfillment window is [orderdate, max shipdate]; count
+    * same-customer order pairs whose windows overlap. The equi-key on
+    * custkey blocks the pairwise predicate — work is bounded by
+    * orders-per-customer, never corpus², which is how an interval join
+    * stays tractable at 100 TB (block key first, range predicate
+    * inside the block). Overlap length is integer days, so the oracle
+    * compare has no float surface.
+    */
+  def q24IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val win = Tables
+      .lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("we_ts"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("o_orderkey").as("ok"),
+        col("o_custkey").as("ck"),
+        to_date(col("o_orderdate")).as("ws"),
+        to_date(col("we_ts")).as("we"))
+
+    win
+      .as("a")
+      .join(
+        win.as("b"),
+        col("a.ck") === col("b.ck") && col("a.ok") < col("b.ok") &&
+          col("a.ws") <= col("b.we") && col("b.ws") <= col("a.we"))
+      .select(
+        col("a.ck").as("custkey"),
+        datediff(
+          least(col("a.we"), col("b.we")),
+          greatest(col("a.ws"), col("b.ws"))).as("overlap_days"))
+      .groupBy(col("custkey"))
+      .agg(
+        count(lit(1)).as("n_overlaps"),
+        max(col("overlap_days")).as("max_overlap_days"))
+      .orderBy("custkey")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
@@ -490,7 +553,9 @@ object Relational {
     "q19_grouping_sets" -> q19GroupingSets,
     "q20_range_join" -> q20RangeJoin,
     "q21_pivot" -> q21Pivot,
-    "q22_map_funcs" -> q22MapFuncs
+    "q22_map_funcs" -> q22MapFuncs,
+    "q23_scalar_subquery" -> q23ScalarSubquery,
+    "q24_interval_join" -> q24IntervalJoin
   )
 
   val oracles: Map[String, String] = Map(
@@ -691,6 +756,31 @@ object Relational {
         |  CAST(max(len(json_keys(props))) AS INTEGER) AS max_keys
         |FROM kv
         |GROUP BY 1, 2
-        |ORDER BY event_type, key""".stripMargin
+        |ORDER BY event_type, key""".stripMargin,
+    "q23_scalar_subquery" ->
+      """SELECT p_brand, count(*) AS n_above,
+        |  CAST(max(p_size) AS INTEGER) AS max_size
+        |FROM part p
+        |WHERE p_size > (SELECT avg(p2.p_size) FROM part p2
+        |                WHERE p2.p_brand = p.p_brand)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "q24_interval_join" ->
+      """WITH mx AS (
+        |  SELECT l_orderkey, max(l_shipdate) AS we_ts
+        |  FROM lineitem GROUP BY l_orderkey),
+        |w AS (
+        |  SELECT o_orderkey AS ok, o_custkey AS ck,
+        |    CAST(o_orderdate AS DATE) AS ws, CAST(we_ts AS DATE) AS we
+        |  FROM orders JOIN mx ON l_orderkey = o_orderkey)
+        |SELECT a.ck AS custkey, count(*) AS n_overlaps,
+        |  CAST(max(date_diff('day', greatest(a.ws, b.ws),
+        |                     least(a.we, b.we))) AS INTEGER)
+        |    AS max_overlap_days
+        |FROM w a JOIN w b
+        |  ON a.ck = b.ck AND a.ok < b.ok
+        |  AND a.ws <= b.we AND b.ws <= a.we
+        |GROUP BY 1
+        |ORDER BY custkey""".stripMargin
   )
 }
