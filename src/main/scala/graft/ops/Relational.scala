@@ -502,6 +502,13 @@ object Relational {
     * compare has no float surface.
     */
   def q24IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    // The explicit ck repartition + merge hint make both self-join
+    // sides consume ONE shared shuffle, so the lineitem aggregation —
+    // the expensive shared subtree — runs once instead of per side
+    // (AQE would otherwise broadcast side b and recompute it). Worth
+    // it only because the shared work is heavy; for cheap subtrees the
+    // forced sort-merge join loses to broadcast (see d2/d3, which
+    // deliberately DON'T do this).
     val win = Tables
       .lineitem(s, dir)
       .groupBy(col("l_orderkey"))
@@ -512,11 +519,12 @@ object Relational {
         col("o_custkey").as("ck"),
         to_date(col("o_orderdate")).as("ws"),
         to_date(col("we_ts")).as("we"))
+      .repartition(col("ck"))
 
     win
       .as("a")
       .join(
-        win.as("b"),
+        win.as("b").hint("merge"),
         col("a.ck") === col("b.ck") && col("a.ok") < col("b.ok") &&
           col("a.ws") <= col("b.we") && col("b.ws") <= col("a.we"))
       .select(
