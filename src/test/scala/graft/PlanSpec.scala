@@ -80,6 +80,21 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("q24 interval self-join: both sides consume one shared custkey exchange") {
+    // Must inspect the EXECUTED plan: AQE stage reuse is a runtime
+    // decision, and the pre-execution toString always shows the initial
+    // plan with both subtrees expanded. (A `.write` probe is also
+    // wrong — it builds its own QueryExecution and leaves this one
+    // unexecuted.)
+    val q = Relational.q24IntervalJoin(spark, Sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), "AQE final plan not materialized")
+    assert(
+      plan.contains("ReusedQueryStage") || plan.contains("ReusedExchange"),
+      s"lineitem-window subtree computed per join side:\n${plan.take(1500)}")
+  }
+
   test("spread parallelizes derived compute beyond the single input split") {
     val parts = Tables
       .spread(Tables.documents(spark, Sf))
