@@ -115,14 +115,23 @@ object Similarity {
     banded
       .join(broadcast(queries), Seq("tb"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("qv"), col("qnorm"), col("vec_id"), col("v"), col("norm"))
+      // Score BEFORE the q_id exchange: a candidate surviving in L
+      // buckets is scored L times (a few hundred extra FLOPs), but the
+      // shuffle then carries (q_id, vec_id, cos) — ~24 bytes — instead
+      // of both 64-dim double vectors per row. At corpus scale the
+      // narrow exchange is the win; the duplicate scores are bit-equal
+      // (same expression, same inputs), so the dedup after the
+      // exchange is unaffected.
+      .select(
+        col("q_id"),
+        col("vec_id"),
+        (dot(col("qv"), col("v")) / (col("qnorm") * col("norm"))).as("cos"))
       // one hash exchange on q_id serves BOTH the pair dedup and the
       // ranking window: HashPartitioning(q_id) satisfies the
       // (q_id, vec_id) clustering dropDuplicates needs, so
       // EnsureRequirements inserts no second shuffle
       .repartition(col("q_id"))
       .dropDuplicates("q_id", "vec_id")
-      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), round(col("cos"), 4).as("cosine"))
