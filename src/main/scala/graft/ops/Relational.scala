@@ -539,6 +539,67 @@ object Relational {
       .orderBy("custkey")
   }
 
+  /** Full outer join: high-balance customers against customers with at
+    * least one very large order — both single-sided legs are non-empty,
+    * so all three null patterns flow through the join. Shuffle
+    * hash/SMJ on custkey; outer joins can't broadcast the preserved
+    * side, so at scale this is the one join shape that always pays the
+    * full exchange — which is exactly why it gets its own audit query.
+    */
+  def q25OuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val rich = Tables
+      .customer(s, dir)
+      .filter(col("c_acctbal") > 8000)
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"))
+    val big = Tables
+      .orders(s, dir)
+      .filter(col("o_totalprice") > 400000)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_big_orders"),
+        round(sum("o_totalprice"), 2).as("big_total"))
+    rich
+      .join(big, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        when(col("c_custkey").isNull, "big_only")
+          .when(col("o_custkey").isNull, "rich_only")
+          .otherwise("both")
+          .as("status"),
+        col("acctbal"),
+        coalesce(col("n_big_orders"), lit(0L)).as("n_big_orders"),
+        col("big_total"))
+      .orderBy("custkey")
+  }
+
+  /** Window value functions + explicit frames: ntile quartiles, lead
+    * (null at partition end), first_value over a prefix frame, and a
+    * 3-row sliding sum. One shuffle + one sort serves all four — they
+    * share the (custkey, orderdate, orderkey) window, so Catalyst
+    * plans a single Window node. Frame sums stay exact at 2 decimals
+    * (inputs carry exactly 2), so the oracle compare has no float
+    * boundary.
+    */
+  def q26WindowFrames(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables
+      .orders(s, dir)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+        round(
+          first(col("o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+          2).as("first_price"),
+        round(sum(col("o_totalprice")).over(w.rowsBetween(-2, Window.currentRow)), 2)
+          .as("sum_last3"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -563,7 +624,9 @@ object Relational {
     "q21_pivot" -> q21Pivot,
     "q22_map_funcs" -> q22MapFuncs,
     "q23_scalar_subquery" -> q23ScalarSubquery,
-    "q24_interval_join" -> q24IntervalJoin
+    "q24_interval_join" -> q24IntervalJoin,
+    "q25_outer_join" -> q25OuterJoin,
+    "q26_window_frames" -> q26WindowFrames
   )
 
   val oracles: Map[String, String] = Map(
@@ -789,6 +852,41 @@ object Relational {
         |  ON a.ck = b.ck AND a.ok < b.ok
         |  AND a.ws <= b.we AND b.ws <= a.we
         |GROUP BY 1
-        |ORDER BY custkey""".stripMargin
+        |ORDER BY custkey""".stripMargin,
+    "q25_outer_join" ->
+      """WITH rich AS (
+        |  SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        |  FROM customer WHERE c_acctbal > 8000),
+        |big AS (
+        |  SELECT o_custkey, count(*) AS n_big_orders,
+        |    round(sum(o_totalprice), 2) AS big_total
+        |  FROM orders WHERE o_totalprice > 400000
+        |  GROUP BY o_custkey)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |  CASE WHEN c_custkey IS NULL THEN 'big_only'
+        |       WHEN o_custkey IS NULL THEN 'rich_only'
+        |       ELSE 'both' END AS status,
+        |  acctbal,
+        |  coalesce(n_big_orders, 0) AS n_big_orders,
+        |  big_total
+        |FROM rich FULL JOIN big ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q26_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ntile(4) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |    AS INTEGER) AS quartile,
+        |  round(lead(o_totalprice, 1) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC), 2)
+        |    AS next_price,
+        |  round(first_value(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS first_price,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS sum_last3
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }
