@@ -600,6 +600,44 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** TPC-H Q5-style local-supplier volume: the full 6-table star —
+    * lineitem joins date-filtered orders and customer on their shuffle
+    * keys, supplier on (suppkey, nationkey) — the extra nationkey
+    * equality is what makes the volume "local" — and the tiny
+    * nation×region product arrives pre-joined as one broadcast. The
+    * date filter is pushed into the orders scan, so the biggest
+    * shuffle moves only the selected year.
+    */
+  def q27SupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val asiaNations = Tables
+      .nation(s, dir)
+      .join(
+        Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    Tables
+      .lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .join(
+        Tables.orders(s, dir)
+          .filter(
+            col("o_orderdate") >= lit("1996-01-01") &&
+              col("o_orderdate") < lit("1997-01-01"))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(
+        Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -626,7 +664,8 @@ object Relational {
     "q23_scalar_subquery" -> q23ScalarSubquery,
     "q24_interval_join" -> q24IntervalJoin,
     "q25_outer_join" -> q25OuterJoin,
-    "q26_window_frames" -> q26WindowFrames
+    "q26_window_frames" -> q26WindowFrames,
+    "q27_supplier_volume" -> q27SupplierVolume
   )
 
   val oracles: Map[String, String] = Map(
@@ -887,6 +926,20 @@ object Relational {
         |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS sum_last3
         |FROM orders
-        |ORDER BY o_custkey, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q27_supplier_volume" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1996-01-01'
+        |  AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin
   )
 }
