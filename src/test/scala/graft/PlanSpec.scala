@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Multimodal, Relational, Similarity, Tables}
+import graft.ops.{Multimodal, Relational, Similarity, Tables, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -93,6 +93,43 @@ class PlanSpec extends SparkSpec {
     assert(
       plan.contains("ReusedQueryStage") || plan.contains("ReusedExchange"),
       s"lineitem-window subtree computed per join side:\n${plan.take(1500)}")
+  }
+
+  test("t5 tf-idf: tf and df branches share one token-count exchange") {
+    // Same executed-plan caveat as the q24 audit above. The always-true
+    // tf filter exists precisely to keep both consumers' aggregates
+    // canonically equal; this pins it so pruning can't silently split
+    // the exchange again.
+    val q = TextAnalysis.t5Tfidf(spark, Sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), "AQE final plan not materialized")
+    assert(
+      plan.contains("ReusedQueryStage") || plan.contains("ReusedExchange"),
+      s"token-count subtree computed per consumer:\n${plan.take(1500)}")
+  }
+
+  test("q26 window frames: all four window expressions plan into one Window node") {
+    val plan = formatted(Relational.q26WindowFrames(spark, Sf))
+    val windowNodes = plan.linesIterator.count(_.matches(".*\\bWindow \\[.*"))
+    assert(windowNodes == 1,
+      s"expected 1 Window node (shared sort), got $windowNodes:\n${plan.take(1500)}")
+  }
+
+  test("q27 supplier volume: date filter pushed to the orders scan, lineitem pruned") {
+    val plan = explainFormatted(Relational.q27SupplierVolume(spark, Sf))
+    assert(plan.contains("o_orderdate"), "orders date filter missing from plan")
+    assert(
+      plan.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("o_orderdate")),
+      "date range not pushed into the orders scan")
+    val lineitemSchema = plan.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("l_orderkey"))
+      .mkString
+    assert(!lineitemSchema.contains("l_shipdate"),
+      s"lineitem scan reads unneeded columns: $lineitemSchema")
+    assert(formatted(Relational.q27SupplierVolume(spark, Sf))
+      .contains("BroadcastHashJoin"), "nation×region dim not broadcast")
   }
 
   test("spread parallelizes derived compute beyond the single input split") {
