@@ -77,6 +77,45 @@ object Streams {
         col("n"),
         col("sum_value"))
 
+  /** Stream-stream interval join: purchases attributed to a same-user
+    * click within `attributionWindow` before them — the streaming twin
+    * of the batch as-of/attribution query (q18). Both sides carry a
+    * watermark and the join condition bounds purchase time to a click
+    * range, so each side's state store evicts rows once the other
+    * side's watermark passes the range — bounded state, the only way a
+    * stream-stream join survives an unbounded feed.
+    *
+    * Inner join: a purchase with no preceding click emits nothing (the
+    * batch q18 keeps it with a null click; an outer streaming variant
+    * just needs `"leftOuter"` plus the same watermarks).
+    */
+  def clickAttribution(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      attributionWindow: String = "30 minutes"
+  ): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", watermarkDelay)
+      .select(
+        col("user_id"),
+        col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases
+      .withWatermark("ts", watermarkDelay)
+      .select(
+        col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    c.join(
+      p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $attributionWindow"),
+      "inner")
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String)
 
   final case class SessionState(start: Long, last: Long, n: Int)

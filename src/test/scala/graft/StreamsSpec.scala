@@ -87,6 +87,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join: purchases match in-window clicks only, state stays bounded") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val joined = Streams.clickAttribution(
+      clicks.toDF().toDF("user_id", "event_id", "ts"),
+      purchases.toDF().toDF("user_id", "event_id", "ts"),
+      watermarkDelay = "5 minutes",
+      attributionWindow = "30 minutes")
+    val q = joined.writeStream
+      .format("memory")
+      .queryName("attrib")
+      .outputMode("append")
+      .start()
+    try {
+      // user 1 clicks at t0 and t10; purchases at t20 (within 30 min of
+      // both clicks) and t50 (40+ min after both → matches neither);
+      // user 2 purchases with no click at all.
+      clicks.addData((1L, 100L, ts(0)), (1L, 101L, ts(10)))
+      purchases.addData((1L, 200L, ts(20)), (1L, 201L, ts(50)), (2L, 202L, ts(20)))
+      q.processAllAvailable()
+      // advance both watermarks so results finalize (distinct users so
+      // the sentinels can't join with each other)
+      clicks.addData((8L, 999L, ts(600)))
+      purchases.addData((9L, 998L, ts(600)))
+      q.processAllAvailable()
+      val rows = spark.table("attrib")
+        .select("purchase_id", "click_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      // t20 purchase matches both clicks (100, 101); t50 and user-2
+      // purchases match nothing
+      assert(rows == Set((200L, 100L), (200L, 101L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("sessionization: gap closes a session, state emits once, new session opens") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
