@@ -116,6 +116,24 @@ object Streams {
       .select(col("user_id"), col("purchase_id"), col("purchase_ts"), col("click_id"), col("click_ts"))
   }
 
+  /** Streaming exact dedup: first occurrence of each key wins;
+    * duplicates arriving within `watermarkDelay` of the original are
+    * dropped. `dropDuplicatesWithinWatermark` keeps one state row per
+    * key only until the watermark passes it — bounded state, unlike
+    * plain streaming `dropDuplicates`, whose key state never expires.
+    * This is the streaming twin of the batch d1 exact-dedup operator:
+    * a continuous ingest feed dedups documents as they arrive instead
+    * of re-scanning the corpus.
+    */
+  def streamingDedup(
+      rows: DataFrame,
+      keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes"
+  ): DataFrame =
+    rows
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String)
 
   final case class SessionState(start: Long, last: Long, n: Int)

@@ -125,6 +125,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: duplicate keys within the watermark emit once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams
+      .streamingDedup(
+        in.toDF().toDF("doc_id", "ts", "text"),
+        Seq("doc_id"),
+        watermarkDelay = "10 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("dedup_stream")
+      .outputMode("append")
+      .start()
+    try {
+      in.addData((1L, ts(0), "a"), (2L, ts(1), "b"), (1L, ts(2), "a-dup"))
+      q.processAllAvailable()
+      in.addData((1L, ts(5), "a-dup2"), (3L, ts(6), "c"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("sessionization: gap closes a session, state emits once, new session opens") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
