@@ -638,6 +638,23 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** Exact interpolated percentiles (median / p90) per order priority.
+    * Spark's `percentile` and DuckDB's `quantile_cont` share the
+    * rank = p·(n-1) interpolation, and interpolating 2-decimal inputs
+    * yields at most 3 decimals, so rounding at 4 has no half-boundary.
+    * Exact percentile sorts each group's values — the approximate
+    * sketch variants for 100 TB cardinalities live in ApproxSpec.
+    */
+  def q28Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -665,7 +682,8 @@ object Relational {
     "q24_interval_join" -> q24IntervalJoin,
     "q25_outer_join" -> q25OuterJoin,
     "q26_window_frames" -> q26WindowFrames,
-    "q27_supplier_volume" -> q27SupplierVolume
+    "q27_supplier_volume" -> q27SupplierVolume,
+    "q28_percentiles" -> q28Percentiles
   )
 
   val oracles: Map[String, String] = Map(
@@ -940,6 +958,14 @@ object Relational {
         |  AND o_orderdate >= DATE '1996-01-01'
         |  AND o_orderdate < DATE '1997-01-01'
         |GROUP BY n_name
-        |ORDER BY n_name""".stripMargin
+        |ORDER BY n_name""".stripMargin,
+    "q28_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }
