@@ -47,8 +47,48 @@ object Corpus {
       .orderBy("lang")
   }
 
+  /** p2 — the full pretraining-corpus clean: quality gate → exact
+    * dedup (min doc_id per (lang, fingerprint)) → MinHash+LSH near-dup
+    * removal (drop the higher doc_id of every exact-verified
+    * Jaccard ≥ 0.5 pair among survivors) → per-language token
+    * accounting. One declarative plan; the near-dup stage reuses d2's
+    * banding machinery over only the exact-dedup survivors, so each
+    * stage shrinks the next stage's input — the property that matters
+    * when stage 1 discards half of 100 TB.
+    */
+  def p2CorpusNearDedup(s: SparkSession, dir: String): DataFrame = {
+    val quality = Tables
+      .spread(Tables.documents(s, dir))
+      .withColumn("nt", size(split(col("text"), " ")))
+      .filter(col("nt") >= 25)
+
+    val survivors = quality
+      .groupBy(col("lang"), md5(col("text")).as("fp"))
+      .agg(
+        min(col("doc_id")).as("doc_id"),
+        first(col("text")).as("text"),
+        first(col("nt")).as("nt"))
+
+    val removed = Dedup
+      .nearDupPairs(
+        Dedup.shingled(survivors.select(col("doc_id"), col("lang"), col("text")), 3),
+        0.5)
+      .select(col("id_b").as("doc_id"))
+      .distinct()
+
+    survivors
+      .join(removed, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_final"),
+        sum(col("nt")).as("total_tokens"),
+        round(avg(col("nt")), 2).as("avg_tokens"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p1_corpus_clean" -> p1CorpusClean
+    "p1_corpus_clean" -> p1CorpusClean,
+    "p2_corpus_neardedup" -> p2CorpusNearDedup
   )
 
   val oracles: Map[String, String] = Map(
@@ -70,6 +110,44 @@ object Corpus {
         |  FROM kept GROUP BY lang)
         |SELECT t.lang, n_total, n_quality, n_kept, avg_tokens_kept
         |FROM t JOIN qc ON t.lang = qc.lang JOIN ks ON t.lang = ks.lang
-        |ORDER BY t.lang""".stripMargin
+        |ORDER BY t.lang""".stripMargin,
+    // Ground-truth near-dup removal (exact Jaccard over 3-gram
+    // shingles) — equals the LSH path's output at this threshold for
+    // the same recall argument as d2's oracle.
+    "p2_corpus_neardedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text,
+        |    len(string_split(text, ' ')) AS nt
+        |  FROM documents),
+        |q AS (SELECT * FROM d WHERE nt >= 25),
+        |surv AS (
+        |  SELECT lang, md5(text) AS fp, min(doc_id) AS doc_id,
+        |    min(text) AS text, min(nt) AS nt
+        |  FROM q GROUP BY lang, md5(text)),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM surv),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+        |                   FOR i IN range(1, len(t) - 1)]) AS shingles
+        |  FROM tok WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |rm AS (
+        |  SELECT DISTINCT id_b AS doc_id
+        |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+        |             JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.5),
+        |fin AS (
+        |  SELECT * FROM surv
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM rm))
+        |SELECT lang, count(*) AS n_final,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  round(avg(nt), 2) AS avg_tokens
+        |FROM fin GROUP BY lang
+        |ORDER BY lang""".stripMargin
   )
 }

@@ -27,8 +27,14 @@ object Dedup {
     * 64-bit collisions (negligible; see the expression's scaladoc).
     */
   private def docsWithShingles(s: SparkSession, dir: String, n: Int): DataFrame =
-    Tables
-      .spread(Tables.documents(s, dir))
+    shingled(Tables.spread(Tables.documents(s, dir)), n)
+
+  /** Same shingling over an arbitrary (doc_id, lang, text) relation —
+    * lets composite pipelines (Corpus.p2) near-dup whatever subset
+    * survives their upstream stages.
+    */
+  private[ops] def shingled(docs: DataFrame, n: Int): DataFrame =
+    docs
       .withColumn("toks", toks)
       .filter(size(col("toks")) >= n)
       .select(
@@ -61,12 +67,20 @@ object Dedup {
     * for the ≥0.9-Jaccard pairs this corpus plants, so the exact-verify
     * output equals the ground-truth oracle.
     */
-  def d2MinHashLsh(s: SparkSession, dir: String): DataFrame = {
+  def d2MinHashLsh(s: SparkSession, dir: String): DataFrame =
+    nearDupPairs(docsWithShingles(s, dir, 3), 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  /** MinHash+LSH candidate generation + exact verify over a shingled
+    * relation (output of [[shingled]]): returns (id_a, id_b, jac) for
+    * every pair with exact shingle-Jaccard ≥ `threshold`, id_a < id_b.
+    * Shapes and guarantees as documented on [[d2MinHashLsh]].
+    */
+  private[ops] def nearDupPairs(sh: DataFrame, threshold: Double): DataFrame = {
     val numHashes = 32
     val rowsPerBand = 2
     val numBands = numHashes / rowsPerBand
-
-    val sh = docsWithShingles(s, dir, 3)
 
     // One-pass native signature (array<long>, length 32) derived from
     // the pre-hashed shingles — no string re-reads.
@@ -115,9 +129,8 @@ object Dedup {
               .sortedIntersectCount(col("sa"), col("sb"))
               .cast("double"))).as("shared"))
       .withColumn("jac", col("shared") / (col("na") + col("nb") - col("shared")))
-      .filter(col("jac") >= 0.5)
-      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
-      .orderBy("id_a", "id_b")
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
   }
 
   /** d3 — SimHash near-dup detection via the native
