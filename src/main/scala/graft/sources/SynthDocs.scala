@@ -1,0 +1,160 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{
+  Batch,
+  InputPartition,
+  PartitionReader,
+  PartitionReaderFactory,
+  Scan,
+  ScanBuilder,
+  SupportsPushDownRequiredColumns
+}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector: a deterministic synthetic `documents`
+  * generator — the engine's template for plugging a custom format or
+  * service into Catalyst as a first-class table.
+  *
+  * The reference's only source is an HTTP download staged to disk
+  * (reference: src/api.rs:56-117), which the engine mirrors driver-side
+  * in [[graft.ingest.Http]]. This connector shows the other, fully
+  * distributed shape: the scan itself is planned as `numPartitions`
+  * independent [[InputPartition]]s (no driver materialization, no
+  * single-split ceiling — each executor generates/fetches only its
+  * slice), and column pruning is pushed INTO the connector
+  * ([[SupportsPushDownRequiredColumns]]), so `select(count)`-style
+  * plans never pay for the text column. Those two properties — split
+  * planning and connector-level pruning — are exactly what make a
+  * source usable at 100 TB.
+  *
+  * Rows are a pure function of `doc_id` (split-mix hash → token
+  * sequence), so output is identical regardless of partitioning —
+  * pinned by the spec.
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft.sources.SynthDocs")
+  *     .option("rows", 1000).option("partitions", 8).load()
+  * }}}
+  */
+class SynthDocs extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SynthDocs.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SynthDocsTable(
+      rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
+      numPartitions = Option(properties.get("partitions")).map(_.toInt).getOrElse(8))
+}
+
+object SynthDocs {
+  val schema: StructType = new StructType()
+    .add("doc_id", LongType, nullable = false)
+    .add("lang", StringType, nullable = false)
+    .add("text", StringType, nullable = false)
+
+  private val langs = Array("en", "de", "fr", "pt", "es")
+  private val words = Array(
+    "data", "spark", "query", "plan", "shuffle", "join", "scan", "token",
+    "corpus", "vector", "stream", "batch", "column", "row", "hash", "sort")
+
+  /** splitmix64 finalizer — stateless, so any partition can generate
+    * any row without coordination.
+    */
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  def langOf(docId: Long): String = langs((mix(docId) >>> 8).toInt.abs % langs.length)
+
+  def textOf(docId: Long): String = {
+    val h = mix(docId)
+    val n = 5 + (h & 0x1F).toInt // 5..36 tokens
+    val sb = new StringBuilder
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      sb.append(words((mix(docId * 131 + i) & 0xF).toInt))
+      i += 1
+    }
+    sb.toString
+  }
+}
+
+private class SynthDocsTable(rows: Long, numPartitions: Int)
+    extends Table
+    with SupportsRead {
+  override def name(): String = s"synth_docs($rows)"
+  override def schema(): StructType = SynthDocs.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SynthDocsScanBuilder(rows, numPartitions)
+}
+
+private class SynthDocsScanBuilder(rows: Long, numPartitions: Int)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = SynthDocs.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new SynthDocsScan(rows, numPartitions, required)
+}
+
+private class SynthDocsScan(rows: Long, numPartitions: Int, required: StructType)
+    extends Scan
+    with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SynthDocs rows=$rows cols=[${required.fieldNames.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = (rows + numPartitions - 1) / numPartitions
+    (0 until numPartitions).toArray.flatMap { i =>
+      val start = i * per
+      val end = math.min(start + per, rows)
+      if (start < end) Some(SynthDocsPartition(start, end): InputPartition) else None
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthDocsReaderFactory(required)
+}
+
+private case class SynthDocsPartition(start: Long, end: Long) extends InputPartition
+
+private class SynthDocsReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SynthDocsPartition]
+    // resolve field positions once per partition, not per row
+    val fields = required.fieldNames
+    new PartitionReader[InternalRow] {
+      private var cur = p.start - 1
+      override def next(): Boolean = { cur += 1; cur < p.end }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(fields.toSeq.map {
+          case "doc_id" => cur
+          case "lang" => UTF8String.fromString(SynthDocs.langOf(cur))
+          case "text" => UTF8String.fromString(SynthDocs.textOf(cur))
+        })
+      override def close(): Unit = ()
+    }
+  }
+}
