@@ -655,6 +655,26 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
+  /** Array scalar functions over the tokenized documents table:
+    * distinct/size, lexicographic min/max, slice + join, containment.
+    * All element-order-deterministic (split preserves order; distinct
+    * count is order-free), so the oracle compare is exact.
+    */
+  def q29ArrayFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        size(array_distinct(col("t"))).as("n_distinct"),
+        array_min(col("t")).as("first_alpha"),
+        array_max(col("t")).as("last_alpha"),
+        concat_ws(" ", slice(col("t"), 1, 3)).as("prefix3"),
+        array_contains(col("t"), "the").cast("int").as("has_the"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -683,7 +703,8 @@ object Relational {
     "q25_outer_join" -> q25OuterJoin,
     "q26_window_frames" -> q26WindowFrames,
     "q27_supplier_volume" -> q27SupplierVolume,
-    "q28_percentiles" -> q28Percentiles
+    "q28_percentiles" -> q28Percentiles,
+    "q29_array_funcs" -> q29ArrayFuncs
   )
 
   val oracles: Map[String, String] = Map(
@@ -966,6 +987,19 @@ object Relational {
         |  count(*) AS n_orders
         |FROM orders
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q29_array_funcs" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT doc_id,
+        |  CAST(len(t) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct,
+        |  list_min(t) AS first_alpha,
+        |  list_max(t) AS last_alpha,
+        |  array_to_string(t[1:3], ' ') AS prefix3,
+        |  CAST(list_contains(t, 'the') AS INTEGER) AS has_the
+        |FROM d
+        |ORDER BY doc_id""".stripMargin
   )
 }
