@@ -14,12 +14,22 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Full materialization via the noop sink — count() would let
     // Catalyst prune final projections out of the measurement.
+    // A query that throws must read as a FAILURE in the emitted JSON,
+    // not as a fast valid measurement: failed names go to `failed`,
+    // their per-query value is -1, and they are excluded from totals.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       System.gc() // JMH-style: keep accumulated garbage out of the next measurement
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed += name
+          -1.0
+      }
     }
     // Pass 1 (untimed): JVM JIT + whole-stage-codegen compilation +
     // shuffle-service warmup. Pass 2: steady-state timing — the number
@@ -31,9 +41,10 @@ object Bench {
     val results = selected.map { case (n, f) => n -> run(n, f) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val coldTotal = cold.values.filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

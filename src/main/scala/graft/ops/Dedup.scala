@@ -58,14 +58,17 @@ object Dedup {
 
   /** d2 — MinHash + LSH near-dup detection with exact verification.
     *
-    * 3-gram shingles → 32 minhashes (xxhash64 seeded 0..31) → 16 bands
+    * 3-gram shingles → 64 minhashes (xxhash64 seeded 0..63) → 32 bands
     * of 2 rows → candidate pairs = docs sharing any band bucket →
     * exact-Jaccard verify ≥ 0.5. The band self-join shuffles on the
     * band key, so candidate generation is linear in bucket
-    * co-occupancy, never all-pairs. With r=2/b=16 the miss probability
-    * at the 0.5 threshold is 1-(1-0.25)^16 ≈ 0.99 recall, and ≈ 1-3e-12
-    * for the ≥0.9-Jaccard pairs this corpus plants, so the exact-verify
-    * output equals the ground-truth oracle.
+    * co-occupancy, never all-pairs. Recall bound (r=2, b=32): the miss
+    * probability for a pair at exact Jaccard s is (1-s²)^32 — ≈ 1e-4
+    * at the θ=0.5 boundary, ≈ 1.2e-5 at s=0.55, ≈ 4e-10 at the ≥0.9
+    * pairs this corpus plants — so the exact-verified output equals
+    * the exhaustive ground-truth oracle except with probability
+    * ≤ 1e-4 × (number of pairs sitting exactly at the threshold),
+    * negligible even on regenerated fixtures.
     */
   def d2MinHashLsh(s: SparkSession, dir: String): DataFrame =
     nearDupPairs(docsWithShingles(s, dir, 3), 0.5)
@@ -78,7 +81,7 @@ object Dedup {
     * Shapes and guarantees as documented on [[d2MinHashLsh]].
     */
   private[ops] def nearDupPairs(sh: DataFrame, threshold: Double): DataFrame = {
-    val numHashes = 32
+    val numHashes = 64
     val rowsPerBand = 2
     val numBands = numHashes / rowsPerBand
 

@@ -206,7 +206,10 @@ object Similarity {
     * surface): exactly the training step an IVF index runs per
     * k-means iteration, as a partial+final aggregation with map-side
     * combine. Cells here are a deterministic mod-partition so the
-    * oracle can reproduce the grouping.
+    * oracle can reproduce the grouping. The centroid vector is
+    * posexploded to one `(cell, n, dim, value)` row per dimension so
+    * the result is all-scalar and hash-comparable by the oracle gate
+    * (array-typed result columns are unhashable driver-side).
     */
   def s4CellCentroids(s: SparkSession, dir: String): DataFrame = {
     val vectorMean = udaf(graft.functions.VectorMean)
@@ -220,8 +223,10 @@ object Similarity {
       .select(
         col("cell"),
         col("n"),
-        transform(col("centroid"), x => round(x, 4)).as("centroid"))
-      .orderBy("cell")
+        posexplode(transform(col("centroid"), x => round(x, 4))))
+      .withColumnRenamed("pos", "dim")
+      .withColumnRenamed("col", "value")
+      .orderBy("cell", "dim")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -256,14 +261,13 @@ object Similarity {
         |    CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),
         |per_dim AS (
-        |  SELECT cell, t.i AS idx, avg(v[t.i]) AS m
+        |  SELECT cell, CAST(t.i - 1 AS INTEGER) AS dim,
+        |    round(avg(v[t.i]), 4) AS value
         |  FROM e, range(1, 65) t(i)
         |  GROUP BY cell, t.i),
         |cnt AS (SELECT cell, count(*) AS n FROM e GROUP BY cell)
-        |SELECT cnt.cell, cnt.n,
-        |  (SELECT list(round(m, 4) ORDER BY idx)
-        |   FROM per_dim p WHERE p.cell = cnt.cell) AS centroid
-        |FROM cnt
-        |ORDER BY cnt.cell""".stripMargin
+        |SELECT p.cell, cnt.n, p.dim, p.value
+        |FROM per_dim p JOIN cnt USING (cell)
+        |ORDER BY p.cell, p.dim""".stripMargin
   )
 }

@@ -77,7 +77,11 @@ object SynthDocs {
     x ^ (x >>> 31)
   }
 
-  def langOf(docId: Long): String = langs((mix(docId) >>> 8).toInt.abs % langs.length)
+  // floorMod, not .toInt.abs %: when the truncated lower 32 bits are
+  // 0x80000000, Int.MinValue.abs is still negative (~2^-32 per row —
+  // reachable at the row counts this connector advertises).
+  def langOf(docId: Long): String =
+    langs(java.lang.Math.floorMod(mix(docId) >>> 8, langs.length.toLong).toInt)
 
   def textOf(docId: Long): String = {
     val h = mix(docId)
