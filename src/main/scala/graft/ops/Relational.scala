@@ -675,7 +675,272 @@ object Relational {
         array_contains(col("t"), "the").cast("int").as("has_the"))
       .orderBy("doc_id")
 
+  /** Correlated EXISTS + NOT EXISTS on one correlated table (SQL
+    * surface). Catalyst decorrelates both predicates into a left-semi
+    * and a left-anti join on o_custkey — two key shuffles, no
+    * per-customer subquery re-execution, which is what keeps
+    * correlated predicates tractable at 100 TB.
+    */
+  def q30ExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_q30")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_q30")
+    s.sql("""
+      SELECT c_custkey, c_name
+      FROM customer_q30
+      WHERE EXISTS (SELECT 1 FROM orders_q30
+                    WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+        AND NOT EXISTS (SELECT 1 FROM orders_q30
+                        WHERE o_custkey = c_custkey
+                          AND o_totalprice < 20000)
+      ORDER BY c_custkey""")
+  }
+
+  /** Nested uncorrelated IN subqueries (SQL surface). Both inner
+    * relations are dimension-sized at any scale factor, so Catalyst
+    * plans them as broadcast semi joins — the fact scan is never
+    * shuffled.
+    */
+  def q31InSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier_q31")
+    Tables.nation(s, dir).createOrReplaceTempView("nation_q31")
+    Tables.region(s, dir).createOrReplaceTempView("region_q31")
+    s.sql("""
+      SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+      FROM supplier_q31
+      WHERE s_nationkey IN (
+        SELECT n_nationkey FROM nation_q31
+        WHERE n_regionkey IN (
+          SELECT r_regionkey FROM region_q31
+          WHERE r_name IN ('ASIA', 'AFRICA')))
+      ORDER BY s_suppkey""")
+  }
+
+  /** Conditional aggregation: count_if / CASE-gated sum / filtered
+    * avg, all in ONE grouped aggregate — a single scan + single
+    * shuffle computes every conditional metric (the alternative, one
+    * filtered aggregation per metric, re-scans the fact table per
+    * metric).
+    */
+  def q32ConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        expr("count_if(o_totalprice > 250000)").as("n_big"),
+        round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))), 2)
+          .as("finished_value"),
+        round(avg(when(col("o_orderstatus") === "O", col("o_totalprice"))), 2)
+          .as("open_avg"))
+      .orderBy("o_orderpriority")
+
+  /** Regex scalar functions: extract / global replace / rlike. All
+    * three stay inside whole-stage codegen (Spark's regexp exprs
+    * compile the pattern once per task, not per row).
+    */
+  def q33RegexFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .part(s, dir)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^(\\w+) (\\w+)$", 2).as("noun"),
+        regexp_replace(col("p_brand"), "#\\d+", "").as("brand_stripped"),
+        col("p_type").rlike("^(ECONOMY|SMALL)").cast("int").as("is_small_eco"))
+      .orderBy("p_partkey")
+
+  /** Lateral tokenization with position: posexplode preserves token
+    * order (ordinal is data, not an artifact of row order — safe under
+    * any partitioning). Generate is streamed, never materialized per
+    * row, so exploding a 100 TB corpus is a pipelined flatMap.
+    */
+  def q34LateralTokens(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(
+        col("doc_id"),
+        (col("pos") + 1).cast("int").as("ord"),
+        col("col").as("tok"))
+      .orderBy("doc_id", "ord")
+
+  /** Deterministic systematic sampling: a key-mod predicate instead of
+    * TABLESAMPLE, so the sample is stable across engines, retries and
+    * partitionings — a reproducibility property random sampling does
+    * not have on a cluster. The predicate is scan-evaluated; no
+    * shuffle is added to sample.
+    */
+  def q35HashSample(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .filter(col("o_orderkey") % 97 < 5)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        round(avg(col("o_totalprice")), 2).as("avg_price"))
+      .orderBy("o_orderpriority")
+
+  /** argmin/argmax aggregation: max_by/min_by carry the payload
+    * through the partial+final aggregation instead of a per-group
+    * sort — at scale this is one combine-enabled shuffle of one row
+    * per group, strictly cheaper than the window-rank formulation
+    * (q06) that must sort every partition. Fixture acctbals are
+    * tie-free per nation, so arg choice is deterministic.
+    */
+  def q36ArgMinMax(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(s, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        max_by(col("c_name"), col("c_acctbal")).as("richest"),
+        min_by(col("c_name"), col("c_acctbal")).as("poorest"),
+        round(max(col("c_acctbal")), 2).as("max_bal"))
+      .orderBy("c_nationkey")
+
+  /** Statistical aggregates (corr/covar/stddev/var) in one grouped
+    * pass — all are algebraic (sum/sum-of-squares/cross-moments), so
+    * each gets map-side partial aggregation and one shuffle of
+    * constant-size state per group.
+    */
+  def q37StatsAgg(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qty_price_covar"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("price_stddev"),
+        round(var_pop(col("l_discount")), 6).as("disc_var"))
+      .orderBy("l_returnflag")
+
+  /** Ordered string aggregation: collect_list is only safe at scale
+    * when the per-group cardinality is bounded (here: nations per
+    * region, ≤ 25 at any SF); the explicit array_sort makes the
+    * result order-independent of partitioning — collect_list alone is
+    * nondeterministic on a cluster.
+    */
+  def q38StringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_nations"),
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy("r_name")
+
+  /** CDC-style keep-latest dedup: the latest event per user via ONE
+    * max_by(payload, struct(ts, event_id)) aggregate — a single
+    * combine-enabled shuffle of one row per key. The window-rank
+    * formulation (row_number = 1) must sort every partition; the
+    * aggregate formulation is the one that survives 100 TB of
+    * upserts. The struct key makes ties impossible (event_id is
+    * unique).
+    */
+  def q39LatestByKey(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("ts")).as("last_ts"),
+        max_by(
+          struct(col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"))
+      .select(
+        col("user_id"),
+        col("last_ts"),
+        col("last.event_type").as("last_type"),
+        round(col("last.value"), 2).as("last_value"))
+      .orderBy("user_id")
+
+  /** Fixed-width histogram: integer binning via floor-div — the bin id
+    * is computed scan-side, so the histogram is one partial+final
+    * aggregation regardless of corpus size (bins, not rows, cross the
+    * wire).
+    */
+  def q40Histogram(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .select(floor(col("o_totalprice") / 50000).cast("int").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+
+  /** Wide→long unpivot (melt): per-nation entity counts pivoted into
+    * (nationkey, metric, value) rows via Dataset.unpivot — the
+    * relational inverse of q21's pivot. Unpivot is a per-row Expand,
+    * no shuffle beyond the upstream aggregates.
+    */
+  def q41Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables
+      .customer(s, dir)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val su = Tables
+      .supplier(s, dir)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(su, Seq("nationkey"), "left")
+      .select(
+        col("nationkey"),
+        col("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .unpivot(
+        Array(col("nationkey")),
+        Array(col("n_customers"), col("n_suppliers")),
+        "metric",
+        "value")
+      .orderBy("nationkey", "metric")
+  }
+
+  /** Math scalar functions: sqrt/abs/ceil/floor/sign/ln — all codegen
+    * builtins evaluated scan-side. Rounded at 4 decimals: sqrt is
+    * IEEE-exact and ln differs across libm implementations only in
+    * final ulps (~1e-15 relative), orders of magnitude inside the
+    * rounding margin.
+    */
+  def q42MathFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .part(s, dir)
+      .select(
+        col("p_partkey"),
+        round(sqrt(col("p_retailprice")), 4).as("price_sqrt"),
+        round(log(col("p_retailprice")), 4).as("price_ln"),
+        abs(col("p_size") - 25).as("size_dev"),
+        ceil(col("p_retailprice") / 100).cast("long").as("price_ceil_h"),
+        floor(col("p_retailprice") / 100).cast("long").as("price_floor_h"),
+        signum(col("p_size") - 25).cast("int").as("size_sign"))
+      .orderBy("p_partkey")
+
+  /** Explicit cartesian product: both sides are collapsed to
+    * dimension-sized relations BEFORE the cross join (5 regions × 3
+    * flags), so the product is broadcast-nested-loop over trivial
+    * inputs — the only shape in which a cross join is ever acceptable
+    * at scale.
+    */
+  def q43CrossJoin(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .region(s, dir)
+      .select(col("r_name"))
+      .crossJoin(Tables.lineitem(s, dir).select(col("l_returnflag").as("flag")).distinct())
+      .orderBy("r_name", "flag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_exists_subquery" -> q30ExistsSubquery,
+    "q31_in_subquery" -> q31InSubquery,
+    "q32_conditional_agg" -> q32ConditionalAgg,
+    "q33_regex_funcs" -> q33RegexFuncs,
+    "q34_lateral_tokens" -> q34LateralTokens,
+    "q35_hash_sample" -> q35HashSample,
+    "q36_argminmax" -> q36ArgMinMax,
+    "q37_stats_agg" -> q37StatsAgg,
+    "q38_string_agg" -> q38StringAgg,
+    "q39_latest_by_key" -> q39LatestByKey,
+    "q40_histogram" -> q40Histogram,
+    "q41_unpivot" -> q41Unpivot,
+    "q42_math_funcs" -> q42MathFuncs,
+    "q43_cross_join" -> q43CrossJoin,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
     "q03_revenue_by_nation" -> q03RevenueByNation,
@@ -708,6 +973,128 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q30_exists_subquery" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice < 20000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q31_in_subquery" ->
+      """SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+        |FROM supplier
+        |WHERE s_nationkey IN (
+        |  SELECT n_nationkey FROM nation
+        |  WHERE n_regionkey IN (
+        |    SELECT r_regionkey FROM region
+        |    WHERE r_name IN ('ASIA', 'AFRICA')))
+        |ORDER BY s_suppkey""".stripMargin,
+    "q32_conditional_agg" ->
+      """SELECT o_orderpriority,
+        | count(*) AS n_orders,
+        | CAST(count_if(o_totalprice > 250000) AS BIGINT) AS n_big,
+        | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2)
+        |   AS finished_value,
+        | round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)
+        |   AS open_avg
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q33_regex_funcs" ->
+      """SELECT p_partkey,
+        | regexp_extract(p_name, '^(\w+) (\w+)$', 2) AS noun,
+        | regexp_replace(p_brand, '#\d+', '', 'g') AS brand_stripped,
+        | CAST(regexp_matches(p_type, '^(ECONOMY|SMALL)') AS INTEGER)
+        |   AS is_small_eco
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+    "q34_lateral_tokens" ->
+      """SELECT doc_id, CAST(ord AS INTEGER) AS ord, tok
+        |FROM (
+        |  SELECT doc_id,
+        |    generate_subscripts(toks, 1) AS ord,
+        |    unnest(toks) AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents WHERE doc_id < 40))
+        |ORDER BY doc_id, ord""".stripMargin,
+    "q35_hash_sample" ->
+      """SELECT o_orderpriority, count(*) AS n_sampled,
+        | round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders
+        |WHERE o_orderkey % 97 < 5
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q36_argminmax" ->
+      """SELECT c_nationkey,
+        | arg_max(c_name, c_acctbal) AS richest,
+        | arg_min(c_name, c_acctbal) AS poorest,
+        | round(max(c_acctbal), 2) AS max_bal
+        |FROM customer
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+    "q37_stats_agg" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        | round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+        | round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+        | round(var_pop(l_discount), 6) AS disc_var
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q38_string_agg" ->
+      """SELECT r_name, count(*) AS n_nations,
+        | string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
+    "q39_latest_by_key" ->
+      """SELECT user_id, ts AS last_ts, event_type AS last_type,
+        | round(value, 2) AS last_value
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+    "q40_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS INTEGER) AS bin,
+        | count(*) AS n
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY bin""".stripMargin,
+    "q41_unpivot" ->
+      """WITH c AS (
+        |  SELECT c_nationkey AS nationkey, count(*) AS n_customers
+        |  FROM customer GROUP BY 1),
+        |s AS (
+        |  SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+        |  FROM supplier GROUP BY 1),
+        |w AS (
+        |  SELECT c.nationkey, c.n_customers,
+        |    coalesce(s.n_suppliers, 0) AS n_suppliers
+        |  FROM c LEFT JOIN s USING (nationkey))
+        |SELECT nationkey, 'n_customers' AS metric, n_customers AS value FROM w
+        |UNION ALL
+        |SELECT nationkey, 'n_suppliers' AS metric, n_suppliers AS value FROM w
+        |ORDER BY nationkey, metric""".stripMargin,
+    "q42_math_funcs" ->
+      """SELECT p_partkey,
+        | round(sqrt(p_retailprice), 4) AS price_sqrt,
+        | round(ln(p_retailprice), 4) AS price_ln,
+        | abs(p_size - 25) AS size_dev,
+        | CAST(ceil(p_retailprice / 100) AS BIGINT) AS price_ceil_h,
+        | CAST(floor(p_retailprice / 100) AS BIGINT) AS price_floor_h,
+        | CAST(sign(p_size - 25) AS INTEGER) AS size_sign
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+    "q43_cross_join" ->
+      """SELECT r_name, flag
+        |FROM region
+        |CROSS JOIN (SELECT DISTINCT l_returnflag AS flag FROM lineitem)
+        |ORDER BY r_name, flag""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

@@ -132,6 +132,39 @@ class PlanSpec extends SparkSpec {
       .contains("BroadcastHashJoin"), "nation×region dim not broadcast")
   }
 
+  test("q30 correlated EXISTS/NOT EXISTS decorrelate to semi + anti joins") {
+    val plan = formatted(Relational.q30ExistsSubquery(spark, Sf))
+    assert(plan.contains("LeftSemi"), s"EXISTS not decorrelated:\n${plan.take(1500)}")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS not decorrelated:\n${plan.take(1500)}")
+  }
+
+  test("q31 IN subqueries plan as broadcast semi joins (no fact shuffle)") {
+    val plan = formatted(Relational.q31InSubquery(spark, Sf))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"IN subquery should broadcast-semi-join:\n${plan.take(1500)}")
+  }
+
+  test("q36/q39 argmax queries aggregate — no Window sort in the plan") {
+    for ((name, df) <- Seq(
+        "q36" -> Relational.q36ArgMinMax(spark, Sf),
+        "q39" -> Relational.q39LatestByKey(spark, Sf))) {
+      val plan = formatted(df)
+      assert(!plan.contains("Window"),
+        s"$name should use max_by aggregation, found a Window:\n${plan.take(1200)}")
+      assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+        s"$name expected an aggregate:\n${plan.take(1200)}")
+    }
+  }
+
+  test("q43 cross join: both sides collapse to dimension size before the product") {
+    val plan = formatted(Relational.q43CrossJoin(spark, Sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),
+      s"expected an explicit product operator:\n${plan.take(1200)}")
+    // the big-table side must be aggregated (distinct) below the join
+    assert(plan.indexOf("HashAggregate") >= 0,
+      "distinct on l_returnflag should collapse lineitem before the cross join")
+  }
+
   test("spread parallelizes derived compute beyond the single input split") {
     val parts = Tables
       .spread(Tables.documents(spark, Sf))
