@@ -124,10 +124,44 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Post-resize metadata row (payload itself stays binary;
+    * `n_bytes_out` proves the byte plumbing ran).
+    */
+  final case class ResizedMeta(
+      doc_id: Long,
+      format: String,
+      scale: Int,
+      new_width: Int,
+      new_height: Int,
+      n_bytes_out: Int
+  )
+
+  /** m4 — thumbnail resize plumbing: box-fit every image into a 64×64
+    * budget with ONE integer scale factor for both axes (aspect
+    * preserved), run as `mapPartitions` with one resizer handle per
+    * partition — the same batch shape as m3's decode. The stub
+    * resizer's byte transform (keep every scale-th byte) is
+    * deterministic integer arithmetic, so unlike m3's hash features
+    * the whole output is SQL-expressible and the DuckDB gate checks
+    * it end-to-end.
+    */
+  def m4Resize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds: Dataset[MediaRow] = media(s, dir).as[MediaRow]
+    ds.mapPartitions { rows =>
+      val resizer = FakeImageResizer.open(box = 64)
+      rows.map { m =>
+        val r = resizer.resize(m.width, m.height, m.payload)
+        ResizedMeta(m.doc_id, m.format, r.scale, r.width, r.height, r.payload.length)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_stats" -> m1MediaStats,
     "m2_frame_sample" -> m2FrameSample,
-    "m3_image_features" -> m3ImageFeatures
+    "m3_image_features" -> m3ImageFeatures,
+    "m4_resize" -> m4Resize
   )
 
   val oracles: Map[String, String] = Map(
@@ -151,10 +185,58 @@ object Multimodal {
         |SELECT doc_id, duration_s,
         |  CAST(unnest(range(0, duration_s + 1, 5)) AS INTEGER) AS frame_s
         |FROM m
-        |ORDER BY doc_id, frame_s""".stripMargin
+        |ORDER BY doc_id, frame_s""".stripMargin,
     // m3 is mapPartitions over the stub decoder — rows-only check,
     // features pinned by MultimodalSpec.
+    "m4_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    ['jpeg','png','webp'][(doc_id % 3 + 1)::INT] AS format,
+        |    64 + (doc_id * 7) % 193 AS width,
+        |    64 + (doc_id * 13) % 129 AS height,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, greatest((width + 63) // 64, (height + 63) // 64, 1)
+        |    AS scale
+        |  FROM m)
+        |SELECT doc_id, format, CAST(scale AS INTEGER) AS scale,
+        |  CAST((width + scale - 1) // scale AS INTEGER) AS new_width,
+        |  CAST((height + scale - 1) // scale AS INTEGER) AS new_height,
+        |  CAST((nb + scale - 1) // scale AS INTEGER) AS n_bytes_out
+        |FROM r
+        |ORDER BY doc_id""".stripMargin
   )
+}
+
+/** STUB: stands in for a real image scaler (libvips / swscale) that
+  * this container cannot provide. Box-fits (w, h) into `box`×`box`
+  * with one integer scale factor shared by both axes, and subsamples
+  * the payload by the same factor — deterministic integer arithmetic
+  * end-to-end so the DuckDB oracle can verify the full output. The
+  * interface (open once per partition, resize per row) is the real
+  * codec contract.
+  */
+final class FakeImageResizer private (box: Int) {
+
+  final case class Resized(scale: Int, width: Int, height: Int, payload: Array[Byte])
+
+  private def ceilDiv(a: Int, b: Int): Int = (a + b - 1) / b
+
+  def resize(w: Int, h: Int, payload: Array[Byte]): Resized = {
+    val scale = math.max(math.max(ceilDiv(w, box), ceilDiv(h, box)), 1)
+    val out = new Array[Byte](ceilDiv(payload.length max 0, scale) max 0)
+    var i = 0
+    while (i < out.length) {
+      out(i) = payload(i * scale)
+      i += 1
+    }
+    Resized(scale, ceilDiv(w, scale), ceilDiv(h, scale), out)
+  }
+}
+
+object FakeImageResizer {
+  def open(box: Int): FakeImageResizer = new FakeImageResizer(box)
 }
 
 /** STUB: stands in for a real image decoder (libjpeg-turbo / ffmpeg

@@ -162,15 +162,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t6 — subword ("BPE-ish") token counting next to whitespace
+    * counting: greedy ≤4-char chunking of letter runs via
+    * `regexp_extract_all` approximates how a byte-pair tokenizer
+    * inflates token counts relative to whitespace words — the
+    * ratio is the per-language cost estimate a training-data budget
+    * uses. Both counters are scan-side codegen'd expressions; one
+    * partial+final aggregate, no shuffle of token rows (counts
+    * travel, tokens don't).
+    */
+  def t6SubwordTokens(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(
+        col("lang"),
+        size(split(col("text"), " ")).as("nw"),
+        size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0))).as("nb"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nw").cast("long")).as("total_ws_tokens"),
+        sum(col("nb").cast("long")).as("total_subwords"),
+        // double division of two exact integer sums — bit-identical
+        // across engines, so round(…, 4) is boundary-safe
+        round(sum(col("nb").cast("long")).cast("double") /
+          sum(col("nw").cast("long")), 4).as("subword_ratio"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats" -> t1TokenStats,
     "t2_quality_score" -> t2QualityScore,
     "t3_lang_id" -> t3LangId,
     "t4_fingerprint" -> t4Fingerprint,
-    "t5_tfidf" -> t5Tfidf
+    "t5_tfidf" -> t5Tfidf,
+    "t6_subword_tokens" -> t6SubwordTokens
   )
 
   val oracles: Map[String, String] = Map(
+    "t6_subword_tokens" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+        | CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS BIGINT)
+        |   AS total_subwords,
+        | round(sum(len(regexp_extract_all(text, '[a-z]{1,4}')))::DOUBLE /
+        |   sum(len(string_split(text, ' '))), 4) AS subword_ratio
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     "t1_token_stats" ->
       """WITH per AS (
         |  SELECT lang, count(*) AS n_docs,

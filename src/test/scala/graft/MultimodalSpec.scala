@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{FakeImageDecoder, Multimodal, Tables}
+import graft.ops.{FakeImageDecoder, FakeImageResizer, Multimodal, Tables}
 import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing: binary payload schema, metadata-only pruning,
@@ -64,5 +64,28 @@ class MultimodalSpec extends SparkSpec {
       }
       .toMap
     feats.foreach { case (id, f) => assert(local(id) == f, s"doc $id") }
+  }
+
+  test("stub resizer box-fits with one shared integer scale and subsamples bytes") {
+    val r = FakeImageResizer.open(box = 64)
+    // 200×100 → scale 4 (width-bound), dims 50×25, aspect preserved
+    val out = r.resize(200, 100, Array.tabulate(10)(_.toByte))
+    assert(out.scale == 4 && out.width == 50 && out.height == 25)
+    assert(out.payload.toSeq == Seq[Byte](0, 4, 8)) // every 4th byte
+    // already inside the box → identity
+    val id = r.resize(64, 64, Array[Byte](1, 2))
+    assert(id.scale == 1 && id.width == 64 && id.height == 64)
+    assert(id.payload.toSeq == Seq[Byte](1, 2))
+    assert(r.resize(65, 64, Array.empty[Byte]).payload.isEmpty)
+  }
+
+  test("m4 output dims always fit the 64-box and n_bytes_out matches the subsample") {
+    val rows = Multimodal.m4Resize(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (scale, w, h, n) = (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))
+      assert(w <= 64 && h <= 64, s"doc ${r.getLong(0)}: $w x $h escapes the box")
+      assert(scale >= 1 && n >= 0)
+    }
   }
 }
