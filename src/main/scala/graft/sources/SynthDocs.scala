@@ -11,7 +11,17 @@ import org.apache.spark.sql.connector.read.{
   PartitionReaderFactory,
   Scan,
   ScanBuilder,
+  SupportsPushDownFilters,
   SupportsPushDownRequiredColumns
+}
+import org.apache.spark.sql.sources.{
+  EqualTo,
+  Filter,
+  GreaterThan,
+  GreaterThanOrEqual,
+  IsNotNull,
+  LessThan,
+  LessThanOrEqual
 }
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -111,29 +121,79 @@ private class SynthDocsTable(rows: Long, numPartitions: Int)
 
 private class SynthDocsScanBuilder(rows: Long, numPartitions: Int)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = SynthDocs.schema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SynthDocsScan(rows, numPartitions, required)
+  /** doc_id comparisons narrow the generated key range — SPLIT
+    * PRUNING: partitions wholly outside the range are never planned,
+    * the connector-level analog of parquet row-group/partition
+    * pruning. lang equality can't prune splits (lang is
+    * hash-scattered across doc_ids) but is evaluated inside the
+    * reader, so filtered rows never surface to Spark. Everything
+    * else is left to Spark as a residual.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, residual) = filters.partition {
+      case EqualTo("doc_id", _: Long) => true
+      case GreaterThan("doc_id", _: Long) => true
+      case GreaterThanOrEqual("doc_id", _: Long) => true
+      case LessThan("doc_id", _: Long) => true
+      case LessThanOrEqual("doc_id", _: Long) => true
+      case EqualTo("lang", _: String) => true
+      case IsNotNull("doc_id" | "lang" | "text") => true // nothing is ever null
+      case _ => false
+    }
+    pushed = sup
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    // fold doc_id comparisons into one [lo, hi) bound
+    var lo = 0L
+    var hi = rows
+    var langEq: Option[String] = None
+    pushed.foreach {
+      case EqualTo("doc_id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v)
+      case LessThan("doc_id", v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v + 1)
+      case EqualTo("lang", v: String) => langEq = Some(v)
+      case _ => ()
+    }
+    new SynthDocsScan(lo, math.max(lo, hi), numPartitions, required, langEq)
+  }
 }
 
-private class SynthDocsScan(rows: Long, numPartitions: Int, required: StructType)
+private class SynthDocsScan(
+    lo: Long,
+    hi: Long,
+    numPartitions: Int,
+    required: StructType,
+    langEq: Option[String])
     extends Scan
     with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"SynthDocs rows=$rows cols=[${required.fieldNames.mkString(",")}]"
+    s"SynthDocs range=[$lo,$hi) cols=[${required.fieldNames.mkString(",")}]" +
+      langEq.map(l => s" lang=$l").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val per = (rows + numPartitions - 1) / numPartitions
+    val span = math.max(hi - lo, 0L)
+    val per = math.max((span + numPartitions - 1) / numPartitions, 1L)
     (0 until numPartitions).toArray.flatMap { i =>
-      val start = i * per
-      val end = math.min(start + per, rows)
-      if (start < end) Some(SynthDocsPartition(start, end): InputPartition) else None
+      val start = lo + i * per
+      val end = math.min(start + per, hi)
+      if (start < end) Some(SynthDocsPartition(start, end, langEq): InputPartition)
+      else None
     }
   }
 
@@ -141,7 +201,8 @@ private class SynthDocsScan(rows: Long, numPartitions: Int, required: StructType
     new SynthDocsReaderFactory(required)
 }
 
-private case class SynthDocsPartition(start: Long, end: Long) extends InputPartition
+private case class SynthDocsPartition(start: Long, end: Long, langEq: Option[String])
+    extends InputPartition
 
 private class SynthDocsReaderFactory(required: StructType)
     extends PartitionReaderFactory {
@@ -151,7 +212,14 @@ private class SynthDocsReaderFactory(required: StructType)
     val fields = required.fieldNames
     new PartitionReader[InternalRow] {
       private var cur = p.start - 1
-      override def next(): Boolean = { cur += 1; cur < p.end }
+      override def next(): Boolean = {
+        cur += 1
+        // connector-side residual: skip rows failing the pushed lang
+        // equality so they never cross into Spark
+        while (cur < p.end && p.langEq.exists(_ != SynthDocs.langOf(cur)))
+          cur += 1
+        cur < p.end
+      }
       override def get(): InternalRow =
         InternalRow.fromSeq(fields.toSeq.map {
           case "doc_id" => cur

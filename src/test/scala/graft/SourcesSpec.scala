@@ -31,9 +31,43 @@ class SourcesSpec extends SparkSpec {
     val df = synth(500, 4).groupBy(col("lang")).agg(count(lit(1)).as("n"))
     df.collect()
     val scanDesc = df.queryExecution.executedPlan.toString
-      .linesIterator.filter(_.contains("SynthDocs rows=")).mkString
+      .linesIterator.filter(_.contains("SynthDocs range=")).mkString
     assert(scanDesc.contains("cols=[lang]"),
       s"connector still asked for unneeded columns: $scanDesc")
+  }
+
+  test("doc_id range filters prune splits: partitions outside the range never plan") {
+    val df = synth(10000, 8).filter(col("doc_id") >= 9000 && col("doc_id") < 9100)
+    assert(df.count() == 100L)
+    // the 100-row residual range replans onto its own splits — far
+    // fewer rows per split than the unpruned 1250
+    val parts = df.rdd.getNumPartitions
+    assert(parts <= 8, s"$parts")
+    val desc = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("SynthDocs range=")).mkString
+    assert(desc.contains("range=[9000,9100)"),
+      s"pushed range not reflected in the scan: $desc")
+  }
+
+  test("lang equality evaluates inside the reader and rows still match post-filter") {
+    val pushed = synth(2000, 4).filter(col("lang") === "en")
+    val baseline = synth(2000, 4).collect().filter(_.getString(1) == "en")
+    val got = pushed.collect()
+    assert(got.map(_.getLong(0)).toSet == baseline.map(_.getLong(0)).toSet)
+    val desc = pushed.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("SynthDocs range=")).mkString
+    assert(desc.contains("lang=en"), s"lang filter not pushed: $desc")
+  }
+
+  test("combined pushdown: range + lang + pruned columns in one scan") {
+    val df = synth(5000, 8)
+      .filter(col("doc_id") < 1000 && col("lang") === "de")
+      .select(col("doc_id"))
+    val ids = df.collect().map(_.getLong(0))
+    assert(ids.nonEmpty && ids.forall(_ < 1000))
+    val desc = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("SynthDocs range=")).mkString
+    assert(desc.contains("range=[0,1000)") && desc.contains("lang=de"))
   }
 
   test("connector output composes with the relational surface") {
