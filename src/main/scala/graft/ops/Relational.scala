@@ -926,7 +926,29 @@ object Relational {
       .crossJoin(Tables.lineitem(s, dir).select(col("l_returnflag").as("flag")).distinct())
       .orderBy("r_name", "flag")
 
+  /** Top-3 order values per customer through the engine's custom
+    * whole-operator path: [[graft.plans.TopKPerKeyPlan]] →
+    * [[graft.plans.TopKPerKeyStrategy]] →
+    * [[graft.plans.TopKPerKeyExec]] (bounded per-key heaps, ONE hash
+    * exchange, no partition sort — contrast q06, the window-rank
+    * formulation of the same question). Output keeps only
+    * (custkey, totalprice): equal boundary values yield identical
+    * rows whichever physical row wins the heap tie, so the result is
+    * deterministic and oracle-comparable.
+    */
+  def q44CustomTopK(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    graft.plans.TopKPerKey(
+      Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice")),
+      Seq("o_custkey"),
+      "o_totalprice",
+      3)
+      .select(col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_custkey"), col("price").desc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_custom_topk" -> q44CustomTopK,
     "q30_exists_subquery" -> q30ExistsSubquery,
     "q31_in_subquery" -> q31InSubquery,
     "q32_conditional_agg" -> q32ConditionalAgg,
@@ -973,6 +995,15 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q44_custom_topk" ->
+      """SELECT o_custkey, round(o_totalprice, 2) AS price
+        |FROM (
+        |  SELECT o_custkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, price DESC""".stripMargin,
     "q30_exists_subquery" ->
       """SELECT c_custkey, c_name
         |FROM customer

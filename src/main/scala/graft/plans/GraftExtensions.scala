@@ -28,6 +28,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteDotProduct)
+    e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     GraftExtensions.functions.foreach { case (name, builder) =>
       e.injectFunction(
         (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -58,6 +59,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteDotProduct
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
     functions.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")

@@ -50,4 +50,46 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getAs[Double]("dp") == 11.0)
     assert(row.getAs[String]("s") == "hi")
   }
+
+  test("TopKPerKey plans through the custom strategy: exec node, one exchange, no sort") {
+    GraftExtensions.install(spark)
+    val df = graft.plans.TopKPerKey(
+      graft.ops.Tables.orders(spark, Sf).select(col("o_custkey"), col("o_totalprice")),
+      Seq("o_custkey"),
+      "o_totalprice",
+      2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"custom strategy did not fire:\n$plan")
+    assert(!plan.contains("SortExec") && !plan.contains("+- Sort "),
+      s"top-k must not sort partitions:\n$plan")
+  }
+
+  test("TopKPerKey equals the window-rank formulation (tie-insensitive projection)") {
+    GraftExtensions.install(spark)
+    val orders = graft.ops.Tables.orders(spark, Sf)
+      .select(col("o_custkey"), col("o_totalprice"))
+    val custom = graft.plans.TopKPerKey(orders, Seq("o_custkey"), "o_totalprice", 3)
+      .select(col("o_custkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+    val window = {
+      import org.apache.spark.sql.expressions.Window
+      orders
+        .withColumn("rn",
+          row_number().over(
+            Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_totalprice"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+    }
+    assert(custom.length == window.length)
+    custom.zip(window).foreach { case (c, w) => assert(c == w) }
+  }
+
+  test("TopKPerKey handles k larger than any group (returns everything non-null)") {
+    GraftExtensions.install(spark)
+    val n = graft.ops.Tables.nation(spark, Sf)
+    val out = graft.plans.TopKPerKey(n, Seq("n_regionkey"), "n_nationkey", 1000)
+    assert(out.count() == n.count())
+  }
 }
