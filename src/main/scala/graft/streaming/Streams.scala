@@ -116,6 +116,49 @@ object Streams {
       .select(col("user_id"), col("purchase_id"), col("purchase_ts"), col("click_id"), col("click_ts"))
   }
 
+  /** Incremental corpus clean via `foreachBatch`: each arriving shard
+    * of documents runs the batch quality gate (≥ `minTokens` tokens),
+    * dedups within the shard, anti-joins against the fingerprints of
+    * everything ALREADY accepted into the corpus, and appends only the
+    * genuinely new survivors — the shape a continuously-fed
+    * training-data corpus actually grows by. `foreachBatch` is the
+    * bridge that lets the accumulated OUTPUT act as join state, which
+    * no purely-declarative streaming operator can express (the state
+    * is the sink itself).
+    *
+    * Scale posture: the anti-join probes a fingerprint-only
+    * projection of the corpus (column-pruned parquet scan of one
+    * 32-byte column, broadcast only if small); per-trigger work is
+    * bounded by `maxFilesPerTrigger` upstream; the within-batch
+    * dedup is a plain hash aggregate. Exactly-once comes from the
+    * checkpoint + idempotent re-run of the last batch id.
+    */
+  def incrementalCorpusClean(
+      spark: SparkSession,
+      docs: DataFrame,
+      outPath: String,
+      checkpointDir: String,
+      minTokens: Int = 25
+  ): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val survivors = batch
+          .withColumn("nt", size(split(col("text"), " ")))
+          .filter(col("nt") >= minTokens)
+          .withColumn("fp", md5(col("text")))
+          .dropDuplicates("fp")
+        val fresh =
+          if (new java.io.File(outPath).exists()) {
+            val seen = spark.read.parquet(outPath).select(col("fp"))
+            survivors.join(seen, Seq("fp"), "left_anti")
+          } else survivors
+        fresh.write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming exact dedup: first occurrence of each key wins;
     * duplicates arriving within `watermarkDelay` of the original are
     * dropped. `dropDuplicatesWithinWatermark` keeps one state row per

@@ -228,4 +228,39 @@ class StreamBatchParitySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(sTypes == bTypes)
   }
+
+  test("incremental corpus clean: shards dedup against the corpus-so-far via foreachBatch") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft-inc-in")
+    val out = java.nio.file.Files.createTempDirectory("graft-inc-out").resolve("corpus")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-inc-ckpt")
+
+    def doc(id: Long, words: Int, tag: String): (Long, String) =
+      id -> Seq.tabulate(words)(i => s"$tag${i % 7}").mkString(" ")
+
+    // shard 1: two keepers + one below the quality gate
+    val s1 = Seq(doc(1, 30, "a"), doc(2, 40, "b"), doc(3, 5, "tiny"))
+    // shard 2: one new keeper, one exact dup of shard 1's doc 1, one in-shard dup pair
+    val s2 = Seq(doc(4, 35, "c"), doc(5, 30, "a"), doc(6, 28, "d"), doc(7, 28, "d"))
+    s1.toDF("doc_id", "text").repartition(1).write.parquet(in.resolve("p1").toString)
+    s2.toDF("doc_id", "text").repartition(1).write.parquet(in.resolve("p2").toString)
+
+    val schema = spark.read.parquet(in.resolve("p1").toString).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in.toString + "/*")
+    val q = graft.streaming.Streams
+      .incrementalCorpusClean(spark, stream, out.toString, ckpt.toString)
+    q.awaitTermination()
+
+    val corpus = spark.read.parquet(out.toString)
+    val fps = corpus.select("fp").collect().map(_.getString(0))
+    assert(fps.length == fps.distinct.length, "corpus contains duplicate fingerprints")
+    // quality gate dropped doc 3; cross-shard dup (5≡1) and one of the
+    // in-shard pair (6,7) dropped — 4 distinct texts survive
+    assert(corpus.count() == 4, corpus.select("doc_id", "text").collect().mkString(", "))
+    val texts = corpus.select("text").collect().map(_.getString(0)).toSet
+    assert(texts == (s1.take(2) ++ s2.take(1) :+ doc(6, 28, "d")).map(_._2).toSet)
+  }
 }
