@@ -947,8 +947,70 @@ object Relational {
       .orderBy(col("o_custkey"), col("price").desc)
   }
 
+  /** Null semantics end-to-end: nullif-manufactured nulls, a null
+    * grouping key (one group per SQL semantics), a NULL-SAFE equality
+    * join (`<=>` — the only equi-join form that matches null keys,
+    * still plannable as a hash join on the wrapped key), and coalesce
+    * at the output edge.
+    */
+  def q45NullSemantics(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables
+      .customer(s, dir)
+      .select(col("c_custkey"), nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+    val counts = c.groupBy(col("seg")).agg(count(lit(1)).as("n"))
+    val segs = c.select(col("seg")).distinct()
+    segs.alias("s")
+      .join(counts.alias("t"), col("s.seg") <=> col("t.seg"))
+      .select(coalesce(col("s.seg"), lit("(none)")).as("segment"), col("n"))
+      .orderBy("segment")
+  }
+
+  /** Multiset (bag) set operations: EXCEPT ALL / INTERSECT ALL keep
+    * multiplicities — both plan as aggregate-on-count + generate
+    * (no pairwise matching), so they scale like any grouped
+    * aggregation. Outputs re-grouped so the result is deterministic.
+    */
+  def q46MultisetOps(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val a = li.filter(col("l_quantity") >= 30).select(col("l_suppkey"))
+    val b = li.filter(col("l_returnflag") === "R").select(col("l_suppkey"))
+    val ex = a.exceptAll(b)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+    val ia = a.intersectAll(b)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+    ex.unionByName(ia)
+      .select(col("op"), col("l_suppkey"), col("n"))
+      .orderBy("op", "l_suppkey")
+  }
+
+  /** The skew-mitigation path under the correctness gate: two-phase
+    * salted aggregation ([[Skew.saltedSumAgg]] — partial on
+    * (key, salt), final on key) must equal the plain one-shot
+    * aggregate the oracle computes. l_returnflag has 3 values over
+    * 600k rows — exactly the dominating-key shape salting exists for.
+    */
+  def q47SaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Skew
+      .saltedSumAgg(
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag").as("flag"), col("l_quantity"), col("l_extendedprice")),
+        "flag",
+        salts = 8,
+        sumCols = Seq("l_quantity", "l_extendedprice"))
+      .select(
+        col("flag"),
+        col("n"),
+        round(col("sum_l_quantity"), 2).as("sum_qty"),
+        round(col("sum_l_extendedprice"), 2).as("sum_price"))
+      .orderBy("flag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_custom_topk" -> q44CustomTopK,
+    "q45_null_semantics" -> q45NullSemantics,
+    "q46_multiset_ops" -> q46MultisetOps,
+    "q47_salted_agg" -> q47SaltedAgg,
     "q30_exists_subquery" -> q30ExistsSubquery,
     "q31_in_subquery" -> q31InSubquery,
     "q32_conditional_agg" -> q32ConditionalAgg,
@@ -995,6 +1057,37 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q45_null_semantics" ->
+      """WITH c AS (
+        |  SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+        |  FROM customer),
+        |t AS (SELECT seg, count(*) AS n FROM c GROUP BY seg),
+        |s AS (SELECT DISTINCT seg FROM c)
+        |SELECT coalesce(s.seg, '(none)') AS segment, n
+        |FROM s JOIN t ON s.seg IS NOT DISTINCT FROM t.seg
+        |ORDER BY segment""".stripMargin,
+    "q46_multiset_ops" ->
+      """WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_quantity >= 30),
+        |b AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+        |ex AS (
+        |  SELECT 'except_all' AS op, l_suppkey, count(*) AS n
+        |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |  GROUP BY 2),
+        |ia AS (
+        |  SELECT 'intersect_all' AS op, l_suppkey, count(*) AS n
+        |  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |  GROUP BY 2)
+        |SELECT op, l_suppkey, n FROM ex
+        |UNION ALL
+        |SELECT op, l_suppkey, n FROM ia
+        |ORDER BY op, l_suppkey""".stripMargin,
+    "q47_salted_agg" ->
+      """SELECT l_returnflag AS flag, count(*) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY flag""".stripMargin,
     "q44_custom_topk" ->
       """SELECT o_custkey, round(o_totalprice, 2) AS price
         |FROM (
