@@ -229,11 +229,63 @@ object Similarity {
       .orderBy("cell", "dim")
   }
 
+  /** s5 — int8 scalar quantization of the embedding column (the 4×
+    * storage/bandwidth reduction an embedding corpus takes before
+    * ANN serving) plus per-vector reconstruction-error accounting.
+    * Everything is per-row higher-order-function arithmetic — zero
+    * shuffles; the scan streams through codegen'd transforms.
+    *
+    * Cross-engine determinism: quantization uses `floor(x + 0.5)`
+    * (identical IEEE semantics in Spark and DuckDB) rather than
+    * `round` (HALF_UP vs banker's), the error fold is the same
+    * sequential left fold in both engines, and constant vectors
+    * (scale = 0) short-circuit to q = 0.
+    */
+  def s5Quantize(s: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    Tables
+      .embeddings(s, dir)
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"), v.as("v"))
+      .select(
+        col("vec_id"),
+        col("v"),
+        array_min(col("v")).as("mn"),
+        ((array_max(col("v")) - array_min(col("v"))) / 255.0).as("scale"))
+      .select(
+        col("vec_id"),
+        round(col("scale"), 6).as("scale_r"),
+        transform(
+          col("v"),
+          x =>
+            when(col("scale") === 0.0, lit(0.0))
+              .otherwise(floor((x - col("mn")) / col("scale") + 0.5))).as("q"),
+        transform(
+          col("v"),
+          x =>
+            abs(
+              x - (col("mn") +
+                when(col("scale") === 0.0, lit(0.0))
+                  .otherwise(floor((x - col("mn")) / col("scale") + 0.5)) *
+                col("scale")))).as("errs"))
+      .select(
+        col("vec_id"),
+        col("scale_r"),
+        array_min(col("q")).cast("int").as("q_min"),
+        array_max(col("q")).cast("int").as("q_max"),
+        round(
+          aggregate(col("errs"), lit(0.0), (acc, x) => acc + x) / size(col("errs")),
+          6).as("mean_abs_err"),
+        round(array_max(col("errs")), 6).as("max_abs_err"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_bruteforce" -> s1KnnBruteForce,
     "s2_knn_lsh" -> s2KnnLsh,
     "s3_knn_ivf" -> s3KnnIvf,
-    "s4_cell_centroids" -> s4CellCentroids
+    "s4_cell_centroids" -> s4CellCentroids,
+    "s5_quantize" -> s5Quantize
   )
 
   val oracles: Map[String, String] = Map(
@@ -268,6 +320,29 @@ object Similarity {
         |cnt AS (SELECT cell, count(*) AS n FROM e GROUP BY cell)
         |SELECT p.cell, cnt.n, p.dim, p.value
         |FROM per_dim p JOIN cnt USING (cell)
-        |ORDER BY p.cell, p.dim""".stripMargin
+        |ORDER BY p.cell, p.dim""".stripMargin,
+    "s5_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 200),
+        |p AS (
+        |  SELECT vec_id, v, list_min(v) AS mn,
+        |    (list_max(v) - list_min(v)) / 255.0 AS scale
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id, round(scale, 6) AS scale_r,
+        |    list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0
+        |      ELSE floor((x - mn) / scale + 0.5) END) AS qv,
+        |    list_transform(v, x -> abs(x - (mn +
+        |      CASE WHEN scale = 0 THEN 0.0
+        |        ELSE floor((x - mn) / scale + 0.5) END * scale))) AS errs
+        |  FROM p)
+        |SELECT vec_id, scale_r,
+        |  CAST(list_min(qv) AS INTEGER) AS q_min,
+        |  CAST(list_max(qv) AS INTEGER) AS q_max,
+        |  round(list_sum(errs) / len(errs), 6) AS mean_abs_err,
+        |  round(list_max(errs), 6) AS max_abs_err
+        |FROM q
+        |ORDER BY vec_id""".stripMargin
   )
 }
