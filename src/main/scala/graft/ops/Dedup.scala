@@ -256,12 +256,70 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** d6 — near-dup CLUSTER formation: the pair list (d2's LSH +
+    * exact-verify machinery) is only half of dedup — a pipeline must
+    * then pick one representative per connected component of the
+    * pair graph (A~B, B~C ⇒ {A,B,C} keep one). Components are
+    * computed with Hash-Min label propagation: every node starts
+    * labeled with itself; each round, a node takes the min label in
+    * its neighborhood; fixpoint in O(component diameter) rounds —
+    * near-dup clusters are clique-ish, so 2–3 rounds in practice.
+    *
+    * Scale posture: this is the standard Spark connected-components
+    * loop — one key shuffle per round over the PAIR GRAPH only (docs
+    * that matched at θ — orders of magnitude smaller than the
+    * corpus), with `localCheckpoint()` truncating lineage each round
+    * so the plan does not grow with iteration count. The driver loop
+    * carries no data, only the convergence decision (a count).
+    */
+  def d6DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairs(docsWithShingles(s, dir, 3), 0.5)
+      .select(col("id_a"), col("id_b"))
+    // materialize once: every propagation round re-reads the edges,
+    // and the LSH pipeline above must not re-run per round
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint()
+
+    var labels = edges
+      .select(col("id_a").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels, edges("id_b") === labels("id"))
+        .groupBy(edges("id_a").as("nid"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels
+        .join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(
+          col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next
+        .alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels = next
+    }
+
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_rep"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> d1ExactDedup,
     "d2_dedup_minhash" -> d2MinHashLsh,
     "d3_dedup_simhash" -> d3SimHash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
-    "d5_embed_neardup" -> d5EmbedNearDup
+    "d5_embed_neardup" -> d5EmbedNearDup,
+    "d6_dup_clusters" -> d6DupClusters
   )
 
   /** Shared ground-truth SQL for shingle-Jaccard near-dup pairs. */
@@ -299,6 +357,38 @@ object Dedup {
     // d2's LSH candidates are exact-verified, so its output equals the
     // ground-truth full Jaccard join at the same threshold.
     "d2_dedup_minhash" -> jaccardOracle(3, langBlocked = false, extraCols = ""),
+    // Ground-truth clusters: exhaustive Jaccard pairs (same recall
+    // argument as d2) closed transitively with a recursive CTE.
+    "d6_dup_clusters" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+        |                   FOR i IN range(1, len(t) - 1)]) AS shingles
+        |  FROM tok WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |p0 AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |pq AS (
+        |  SELECT id_a, id_b
+        |  FROM p0 JOIN sizes sa ON id_a = sa.doc_id
+        |          JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pq
+        |          UNION ALL SELECT id_b AS a, id_a AS b FROM pq),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |comp AS (SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id)
+        |SELECT c.id AS doc_id, c.cluster_rep, cnt.cluster_size
+        |FROM comp c JOIN (SELECT cluster_rep, count(*) AS cluster_size
+        |                  FROM comp GROUP BY 1) cnt USING (cluster_rep)
+        |ORDER BY doc_id""".stripMargin,
     // d3 is hash-function-dependent (SimHash bits) — no SQL oracle;
     // driver records the rows-only check, unit spec pins semantics.
     "d4_ngram_jaccard" -> jaccardOracle(2, langBlocked = true, extraCols = ", lang"),
