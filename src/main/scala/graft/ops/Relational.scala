@@ -1006,7 +1006,56 @@ object Relational {
         round(col("sum_l_extendedprice"), 2).as("sum_price"))
       .orderBy("flag")
 
+  /** Rank-statistics windows not covered by q06/q26: percent_rank,
+    * cume_dist, nth_value (explicit full-window frame — its default
+    * frame stops at CURRENT ROW and would return null for early
+    * rows), and lag. The tie-free (acctbal, suppkey) ordering makes
+    * every rank deterministic; percent_rank/cume_dist are exact
+    * rationals so the cross-engine compare has no float surface
+    * beyond identical divisions. All four expressions share one
+    * Window node (one shuffle + one sort on s_nationkey).
+    */
+  def q48WindowStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").asc, col("s_suppkey").asc)
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables
+      .supplier(s, dir)
+      .select(
+        col("s_suppkey"),
+        col("s_nationkey"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        nth_value(col("s_name"), 2).over(wFull).as("second_poorest"),
+        lag(col("s_suppkey"), 1).over(w).as("prev_suppkey"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Time-series gap fill: per-user daily event counts joined onto a
+    * generated calendar spine (`sequence` + explode) covering each
+    * user's own [first, last] activity span, missing days as zero.
+    * The spine is generated, not stored — per-row `sequence` keeps
+    * generation distributed and proportional to span length, and the
+    * (user, day) equi-join is one shuffle; this is how resampling
+    * stays declarative at scale instead of a per-key driver loop.
+    */
+  def q49GapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), to_date(col("ts")).as("day"))
+    val daily = ev.groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n"))
+    val spine = ev
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    spine
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy("user_id", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_window_stats" -> q48WindowStats,
+    "q49_gap_fill" -> q49GapFill,
     "q44_custom_topk" -> q44CustomTopK,
     "q45_null_semantics" -> q45NullSemantics,
     "q46_multiset_ops" -> q46MultisetOps,
@@ -1057,6 +1106,36 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q48_window_stats" ->
+      """SELECT s_suppkey, s_nationkey,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cume,
+        | nth_value(s_name, 2) OVER (PARTITION BY s_nationkey
+        |   ORDER BY s_acctbal ASC, s_suppkey ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |   AS second_poorest,
+        | lag(s_suppkey, 1) OVER w AS prev_suppkey
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey
+        |             ORDER BY s_acctbal ASC, s_suppkey ASC)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q49_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |daily AS (
+        |  SELECT user_id, day, count(*) AS n FROM ev GROUP BY 1, 2),
+        |span AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM ev GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        |      AS day
+        |  FROM span)
+        |SELECT s.user_id, s.day, coalesce(d.n, 0) AS n_events
+        |FROM spine s LEFT JOIN daily d
+        |  ON s.user_id = d.user_id AND s.day = d.day
+        |ORDER BY s.user_id, s.day""".stripMargin,
     "q45_null_semantics" ->
       """WITH c AS (
         |  SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
