@@ -62,4 +62,22 @@ class IngestSpec extends SparkSpec {
     assert(back.agg(sum("doc_id")).head().getLong(0) ==
       src.agg(sum("doc_id")).head().getLong(0))
   }
+
+  // avro core jars ship with Spark but the spark-avro connector module
+  // does not, so ORC is the second columnar format exercised here.
+  test("orc round-trip preserves schema and content") {
+    val src = graft.ops.Tables.documents(spark, Sf)
+      .select("doc_id", "lang", "text")
+    for (fmt <- Seq("orc")) {
+      val dir = Files.createTempDirectory(s"graft-$fmt").resolve("part").toString
+      src.write.mode("overwrite").format(fmt).save(dir)
+      val back = spark.read.format(fmt).load(dir)
+      assert(back.schema("doc_id").dataType.typeName == "long", fmt)
+      assert(back.count() == src.count(), fmt)
+      assert(
+        back.agg(sum(length(col("text")))).head().getLong(0) ==
+          src.agg(sum(length(col("text")))).head().getLong(0),
+        fmt)
+    }
+  }
 }

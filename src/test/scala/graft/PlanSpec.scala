@@ -165,6 +165,18 @@ class PlanSpec extends SparkSpec {
       "distinct on l_returnflag should collapse lineitem before the cross join")
   }
 
+  test("q32 conditional aggregation reads the fact table exactly once") {
+    val plan = formatted(Relational.q32ConditionalAgg(spark, Sf))
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"every conditional metric should share ONE scan, saw $scans:\n${plan.take(1500)}")
+  }
+
+  test("s5 quantization plans zero data shuffles (only the output sort exchanges)") {
+    val plan = formatted(Similarity.s5Quantize(spark, Sf))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"scan-side transform must not shuffle:\n${plan.take(1500)}")
+  }
+
   test("spread parallelizes derived compute beyond the single input split") {
     val parts = Tables
       .spread(Tables.documents(spark, Sf))
