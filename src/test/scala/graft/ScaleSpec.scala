@@ -71,4 +71,32 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ord_b")
     }
   }
+
+  test("runtime bloom-filter pruning injects on a selective shuffle join") {
+    // At cluster scale a selective dim filter should prune the fact
+    // scan BEFORE the shuffle: Spark's runtime-filter rule injects a
+    // bloom might_contain on the fact side, built from the filtered
+    // dim. Fixture tables are below the size thresholds, so the spec
+    // lowers them to prove the mechanism the 100 TB posture relies on.
+    val prev = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle-join path
+    try {
+      val li = Tables.lineitem(spark, Sf)
+      val o = Tables.orders(spark, Sf).filter(col("o_totalprice") > 450000)
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"runtime bloom filter not injected:\n${plan.take(1500)}")
+      j.collect() // and it still computes
+    } finally {
+      prev.foreach { case (k, v) => spark.conf.set(k, v) }
+    }
+  }
 }
