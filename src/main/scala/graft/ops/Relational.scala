@@ -1053,7 +1053,30 @@ object Relational {
       .orderBy("user_id", "day")
   }
 
+  /** Date arithmetic beyond q14's year/month/datediff: day/month
+    * offsets (with month-end clamping), last_day, and the calendar
+    * field extractors. All scan-side codegen'd expressions; the
+    * deterministic key-mod sample keeps the verification row count
+    * bounded without losing date diversity.
+    */
+  def q50DateArithmetic(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .filter(col("o_orderkey") % 97 < 3)
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus_30d"),
+        add_months(col("o_orderdate").cast("date"), 3).as("plus_3m"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        weekofyear(col("o_orderdate")).as("week"),
+        quarter(col("o_orderdate")).as("qtr"),
+        dayofyear(col("o_orderdate")).as("doy"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_date_arithmetic" -> q50DateArithmetic,
     "q48_window_stats" -> q48WindowStats,
     "q49_gap_fill" -> q49GapFill,
     "q44_custom_topk" -> q44CustomTopK,
@@ -1106,6 +1129,21 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q50_date_arithmetic" ->
+      """SELECT o_orderkey,
+        | CAST(o_orderdate AS DATE) AS d,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)
+        |   AS plus_30d,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+        |   AS plus_3m,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        | CAST(weekofyear(o_orderdate) AS INTEGER) AS week,
+        | CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        | CAST(dayofyear(o_orderdate) AS INTEGER) AS doy
+        |FROM orders
+        |WHERE o_orderkey % 97 < 3
+        |ORDER BY o_orderkey""".stripMargin,
     "q48_window_stats" ->
       """SELECT s_suppkey, s_nationkey,
         | round(percent_rank() OVER w, 6) AS pct_rank,
