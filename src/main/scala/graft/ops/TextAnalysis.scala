@@ -189,7 +189,43 @@ object TextAnalysis {
           sum(col("nw").cast("long")), 4).as("subword_ratio"))
       .orderBy("lang")
 
+  /** t7 — rolling-hash window fingerprints (Rabin–Karp over 4-word
+    * windows): each word folds to a polynomial hash of its character
+    * codes, each 4-word window folds those to a window hash — the
+    * fingerprint family winnowing/MOSS-style near-dup detectors and
+    * content-defined chunking build on, complementing t4's whole-doc
+    * md5. All arithmetic is mod 1e9+7 so intermediate products stay
+    * far inside 64-bit range in ANY engine (no wraparound semantics
+    * to disagree on). Pure scan-side nested higher-order functions —
+    * zero shuffles before the output sort.
+    */
+  def t7RollingFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val P = 1000000007L
+    val wordB = 131L
+    val winB = 1000003L
+    val k = 4
+    val whs = transform(
+      toks,
+      w => aggregate(split(w, ""), lit(0L), (h, c) => (h * wordB + ascii(c)) % P))
+    Tables
+      .documents(s, dir)
+      .filter(size(toks) >= k)
+      .select(
+        col("doc_id"),
+        transform(
+          sequence(lit(1), size(toks) - (k - 1)),
+          i => aggregate(slice(whs, i, lit(k)), lit(0L), (h, x) => (h * winB + x) % P))
+          .as("wh"))
+      .select(
+        col("doc_id"),
+        size(col("wh")).as("n_windows"),
+        array_min(col("wh")).as("min_fp"),
+        array_max(col("wh")).as("max_fp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t7_rolling_fingerprint" -> t7RollingFingerprint,
     "t1_token_stats" -> t1TokenStats,
     "t2_quality_score" -> t2QualityScore,
     "t3_lang_id" -> t3LangId,
@@ -199,6 +235,24 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t7_rolling_fingerprint" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |w AS (
+        |  SELECT doc_id, list_transform(t, w -> list_reduce(
+        |      list_prepend(0::BIGINT,
+        |        list_transform(string_split(w, ''), c -> ascii(c)::BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 1000000007)) AS whs
+        |  FROM d WHERE len(t) >= 4),
+        |v AS (
+        |  SELECT doc_id, list_transform(range(1, len(whs) - 2),
+        |    i -> list_reduce(list_prepend(0::BIGINT, whs[i:i+3]),
+        |           (h, x) -> (h * 1000003 + x) % 1000000007)) AS wh
+        |  FROM w)
+        |SELECT doc_id, CAST(len(wh) AS INTEGER) AS n_windows,
+        |  list_min(wh) AS min_fp, list_max(wh) AS max_fp
+        |FROM v
+        |ORDER BY doc_id""".stripMargin,
     "t6_subword_tokens" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
