@@ -1075,7 +1075,128 @@ object Relational {
         dayofyear(col("o_orderdate")).as("doy"))
       .orderBy("o_orderkey")
 
+  /** Ordered-sequence funnel over the event stream: users who signed
+    * up, then clicked strictly after signing up, then purchased
+    * strictly after that first click. Each stage is one key shuffle on
+    * user_id over an increasingly small filtered stream, and each
+    * stage's frame is per-user (one row), so the stage-to-stage joins
+    * broadcast under AQE at any corpus size. Timestamps compare in
+    * exact integer microseconds — no float surface anywhere.
+    */
+  def q51Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+    val signup = ev
+      .filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("t_signup"))
+    val click = ev
+      .filter(col("event_type") === "click")
+      .join(signup, "user_id")
+      .filter(col("us") > col("t_signup"))
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("t_click"))
+    val purchase = ev
+      .filter(col("event_type") === "purchase")
+      .join(click, "user_id")
+      .filter(col("us") > col("t_click"))
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("t_purchase"))
+    signup.agg(count(lit(1)).as("n_users")).select(lit("1_signup").as("stage"), col("n_users"))
+      .unionByName(click.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click_after_signup").as("stage"), col("n_users")))
+      .unionByName(purchase.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase_after_click").as("stage"), col("n_users")))
+      .orderBy("stage")
+  }
+
+  /** Retention cohort matrix: users cohorted by first-activity day,
+    * activity bucketed into 7-day offsets from that user's own cohort
+    * day. The week index is integer `div` of a non-negative datediff,
+    * so truncation and floor agree across engines. Two shuffles (first
+    * -day agg on user, cohort-cell agg) plus one user-keyed join that
+    * moves only (user, day) pairs — payloads never join.
+    */
+  def q52RetentionCohort(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(cohort, "user_id")
+      .select(
+        col("cohort_day"),
+        expr("datediff(day, cohort_day) div 7").as("wk"),
+        col("user_id"))
+      .groupBy(col("cohort_day"), col("wk"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "wk")
+  }
+
+  /** TPC-H Q17-style correlated aggregate: revenue from line items
+    * whose quantity is below half of that part's average quantity.
+    * The threshold predicate is kept in exact integer arithmetic
+    * (`2·qty_cents·n < sum_cents` ⟺ qty < avg/2) so no cross-engine
+    * float average is ever compared. The per-part stats aggregate is
+    * partial+final on partkey; the stats side is one row per part, so
+    * AQE broadcasts it back against the lineitem scan; part itself is
+    * a broadcast dim.
+    */
+  def q53SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_partkey"),
+        floor(col("l_quantity") * 100 + 0.5).cast("long").as("qc"),
+        col("l_extendedprice"))
+    val stats = li
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("qc")).as("sum_qc"), count(lit(1)).as("n"))
+    li.join(stats, "l_partkey")
+      .filter(col("qc") * 2 * col("n") < col("sum_qc"))
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(col("l_extendedprice")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  /** Time-based RANGE window frame (q26 covers ROWS frames): per user,
+    * the trailing-24h event count and value sum at each event. The
+    * frame bound is on integer epoch-seconds and the summed value is
+    * exact integer cents divided by 100.0 at the edge (bit-identical
+    * double division), so frame membership and sums are
+    * engine-portable. One shuffle + one sort on user_id; all three
+    * window expressions share the single Window node.
+    */
+  def q54RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("sec"))
+      .rangeBetween(-86400L, 0L)
+    Tables
+      .events(s, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        expr("unix_micros(ts) div 1000000").as("sec"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("sec"),
+        count(lit(1)).over(w).as("n_24h"),
+        (sum(col("vc")).over(w) / 100.0).as("value_24h"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_funnel" -> q51Funnel,
+    "q52_retention_cohort" -> q52RetentionCohort,
+    "q53_small_qty_revenue" -> q53SmallQtyRevenue,
+    "q54_range_frame" -> q54RangeFrame,
     "q50_date_arithmetic" -> q50DateArithmetic,
     "q48_window_stats" -> q48WindowStats,
     "q49_gap_fill" -> q49GapFill,
@@ -1129,6 +1250,66 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q51_funnel" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t_signup
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |c0 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+        |  FROM events e JOIN s0 ON e.user_id = s0.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s0.t_signup
+        |  GROUP BY 1),
+        |p0 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+        |  FROM events e JOIN c0 ON e.user_id = c0.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c0.t_click
+        |  GROUP BY 1)
+        |SELECT '1_signup' AS stage, count(*) AS n_users FROM s0
+        |UNION ALL
+        |SELECT '2_click_after_signup', count(*) FROM c0
+        |UNION ALL
+        |SELECT '3_purchase_after_click', count(*) FROM p0
+        |ORDER BY stage""".stripMargin,
+    "q52_retention_cohort" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT c.cohort_day,
+        | date_diff('day', c.cohort_day, e.day) // 7 AS wk,
+        | count(DISTINCT e.user_id) AS n_users
+        |FROM ev e JOIN cohort c ON e.user_id = c.user_id
+        |GROUP BY 1, 2
+        |ORDER BY cohort_day, wk""".stripMargin,
+    "q53_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc,
+        |    l_extendedprice
+        |  FROM lineitem),
+        |stats AS (
+        |  SELECT l_partkey, sum(qc) AS sum_qc, count(*) AS n
+        |  FROM li GROUP BY 1)
+        |SELECT p_brand, round(sum(l_extendedprice), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM li
+        |JOIN stats USING (l_partkey)
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE qc * 2 * n < sum_qc
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "q54_range_frame" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+        |  FROM events)
+        |SELECT event_id, user_id, sec,
+        | count(*) OVER w AS n_24h,
+        | sum(vc) OVER w / 100.0 AS value_24h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q50_date_arithmetic" ->
       """SELECT o_orderkey,
         | CAST(o_orderdate AS DATE) AS d,

@@ -93,4 +93,47 @@ class OpsSpec extends SparkSpec {
     val raw = Tables.events(spark, Sf).count()
     assert(daily == raw)
   }
+
+  test("q51 funnel stages are monotonically non-increasing") {
+    val rows = Relational.q51Funnel(spark, Sf).collect()
+    val byStage = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStage.size == 3)
+    assert(byStage("1_signup") >= byStage("2_click_after_signup"))
+    assert(byStage("2_click_after_signup") >= byStage("3_purchase_after_click"))
+  }
+
+  test("q52 retention: week-0 cells cover every user exactly once") {
+    val df = Relational.q52RetentionCohort(spark, Sf)
+    assert(df.filter(col("wk") < 0).isEmpty)
+    // every user is active in their own cohort's week 0 by definition
+    val wk0 = df.filter(col("wk") === 0).agg(sum("n_users")).head().getLong(0)
+    val users = Tables.events(spark, Sf).select("user_id").distinct().count()
+    assert(wk0 == users)
+  }
+
+  test("q53 small-qty revenue only counts below-half-average line items") {
+    val total = Tables.lineitem(spark, Sf).count()
+    val kept = Relational.q53SmallQtyRevenue(spark, Sf)
+      .agg(sum("n_items")).head().getLong(0)
+    assert(kept > 0 && kept < total / 2,
+      s"below-half-of-mean items must be a strict minority: $kept of $total")
+  }
+
+  test("q54 trailing-24h frame always includes the current row") {
+    val df = Relational.q54RangeFrame(spark, Sf)
+    assert(df.filter(col("n_24h") < 1).isEmpty)
+    // frame counts never exceed the user's total event count
+    val totals = Tables.events(spark, Sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n_total"))
+    assert(df.join(totals, "user_id").filter(col("n_24h") > col("n_total")).isEmpty)
+  }
+
+  test("t8 vocab stats: hapax <= vocab <= total tokens, ttr in (0,1]") {
+    TextAnalysis.t8VocabStats(spark, Sf).collect().foreach { r =>
+      val (vocab, hapax, total) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val ttr = r.getDouble(4)
+      assert(hapax <= vocab && vocab <= total)
+      assert(ttr > 0 && ttr <= 1)
+    }
+  }
 }
