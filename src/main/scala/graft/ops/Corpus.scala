@@ -86,12 +86,57 @@ object Corpus {
       .orderBy("lang")
   }
 
+  /** p3 — quota (mixing-weight) sampler: downsample every language to
+    * the smallest language's document count, deterministically. Each
+    * doc hashes to a bucket in [0, 2^20); a doc survives when
+    * `bucket·n_lang < m·2^20` — exact integer cross-multiplication of
+    * the acceptance ratio m/n_lang, so there is no float boundary and
+    * both engines keep identical rows. The per-lang counts and the
+    * scalar minimum are broadcast; the corpus side is one scan plus a
+    * final per-lang aggregate, which is how a mixing-weight pass must
+    * behave when the corpus is 100 TB and the quota table is 30 rows.
+    */
+  def p3QuotaMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+    val target = counts.agg(min(col("n_before")).as("m"))
+    val kept = docs
+      .join(broadcast(counts), "lang")
+      .crossJoin(broadcast(target))
+      .filter(
+        (col("doc_id") * 2654435761L % 1048576L) * col("n_before") <
+          col("m") * 1048576L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_after"))
+    counts
+      .join(kept, Seq("lang"), "left")
+      .select(
+        col("lang"),
+        col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p3_quota_mix" -> p3QuotaMix,
     "p1_corpus_clean" -> p1CorpusClean,
     "p2_corpus_neardedup" -> p2CorpusNearDedup
   )
 
   val oracles: Map[String, String] = Map(
+    "p3_quota_mix" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n_before FROM documents GROUP BY 1),
+        |t AS (SELECT min(n_before) AS m FROM c),
+        |k AS (
+        |  SELECT d.lang, count(*) AS n_after
+        |  FROM documents d JOIN c ON d.lang = c.lang, t
+        |  WHERE (d.doc_id * 2654435761) % 1048576 * c.n_before
+        |        < t.m * 1048576
+        |  GROUP BY d.lang)
+        |SELECT c.lang, c.n_before, coalesce(k.n_after, 0) AS n_after
+        |FROM c LEFT JOIN k ON c.lang = k.lang
+        |ORDER BY c.lang""".stripMargin,
     "p1_corpus_clean" ->
       """WITH d AS (
         |  SELECT doc_id, lang, text,

@@ -313,7 +313,46 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d7 — benchmark decontamination: flag training documents sharing
+    * any 8-word shingle with the held-out eval split (doc_id % 10 == 0
+    * stands in for the benchmark set). The eval side's distinct
+    * shingles are a benchmark-sized set, so the match is a broadcast
+    * join against the training corpus — the training side never
+    * shuffles. Shingles here are literal strings (the oracle needs
+    * engine-portable values); the production path would reuse d2's
+    * hashed-shingle machinery for 8× narrower rows. The two
+    * `explode(array(…))` Generate barriers stop CollapseProject from
+    * inlining the token split into the per-window slice lambda
+    * (O(windows·words) blowup otherwise — same trap as t7).
+    */
+  def d7Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val sh = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), explode(array(toks)).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(1), size(col("toks")) - (k - 1)),
+            i => array_join(slice(col("toks"), i, lit(k)), " ")))
+          .as("sh"))
+    val evalSh = sh
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("eval_id"), col("sh"))
+      .distinct()
+    sh.filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(evalSh), "sh")
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("sh")).as("n_shared_shingles"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d7_decontaminate" -> d7Decontaminate,
     "d1_dedup_exact" -> d1ExactDedup,
     "d2_dedup_minhash" -> d2MinHashLsh,
     "d3_dedup_simhash" -> d3SimHash,
@@ -349,6 +388,25 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "d7_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 6),
+        |      i -> array_to_string(t[i:i+7], ' '))) AS sh
+        |  FROM d),
+        |ev AS (
+        |  SELECT DISTINCT doc_id AS eval_id, sh FROM sh
+        |  WHERE doc_id % 10 = 0),
+        |tr AS (SELECT * FROM sh WHERE doc_id % 10 <> 0)
+        |SELECT tr.doc_id,
+        | count(DISTINCT tr.sh) AS n_shared_shingles,
+        | count(DISTINCT ev.eval_id) AS n_eval_docs
+        |FROM tr JOIN ev ON tr.sh = ev.sh
+        |GROUP BY tr.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents

@@ -128,6 +128,43 @@ class OpsSpec extends SparkSpec {
     assert(df.join(totals, "user_id").filter(col("n_24h") > col("n_total")).isEmpty)
   }
 
+  test("d7 decontamination: only non-eval docs flagged, counts positive") {
+    val df = Dedup.d7Decontaminate(spark, Sf)
+    assert(df.filter(col("doc_id") % 10 === 0).isEmpty,
+      "eval docs must never appear as contaminated training docs")
+    assert(df.filter(col("n_shared_shingles") < 1 || col("n_eval_docs") < 1).isEmpty)
+  }
+
+  test("p3 quota mix: per-lang survivors bounded by originals and near the quota") {
+    val rows = Corpus.p3QuotaMix(spark, Sf).collect()
+    val m = rows.map(_.getLong(1)).min
+    rows.foreach { r =>
+      val (before, after) = (r.getLong(1), r.getLong(2))
+      assert(after <= before)
+      // hash-gated acceptance targets m docs per lang; allow sampling noise
+      assert(after <= before && after >= m / 2, s"lang ${r.getString(0)}: $after vs quota $m")
+    }
+  }
+
+  test("q55 variant extraction accounts for every event exactly once") {
+    val n = Relational.q55VariantExtract(spark, Sf).agg(sum("n")).head().getLong(0)
+    assert(n == Tables.events(spark, Sf).count())
+  }
+
+  test("q56 SCD2 islands: versions contiguous, intervals chain, events conserved") {
+    val df = Relational.q56Scd2Islands(spark, Sf).cache()
+    try {
+      assert(df.agg(sum("n_events")).head().getLong(0) == Tables.events(spark, Sf).count())
+      // versions are 1..k per user with no gaps
+      val v = df.groupBy("user_id")
+        .agg(min("version").as("v0"), max("version").as("v1"), count(lit(1)).as("k"))
+      assert(v.filter(col("v0") =!= 1 || col("v1") =!= col("k")).isEmpty)
+      // each interval ends strictly after it starts (next state change)
+      assert(df.filter(col("valid_to_us").isNotNull &&
+        col("valid_to_us") <= col("valid_from_us")).isEmpty)
+    } finally df.unpersist()
+  }
+
   test("t8 vocab stats: hapax <= vocab <= total tokens, ttr in (0,1]") {
     TextAnalysis.t8VocabStats(spark, Sf).collect().foreach { r =>
       val (vocab, hapax, total) = (r.getLong(1), r.getLong(2), r.getLong(3))
