@@ -1251,7 +1251,38 @@ object Relational {
       .orderBy("user_id", "version")
   }
 
+  /** Markov transition matrix over the event stream: (from, to)
+    * bigram counts of consecutive event types per user, with
+    * row-normalized transition probabilities. One user_id shuffle for
+    * the lead() pairing; the bigram aggregate then collapses to
+    * |types|² rows, and the normalizing sum runs as a window over
+    * that tiny aggregate — the probability division is two exact
+    * integer counts, bit-identical across engines.
+    */
+  def q57TransitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn(
+        "p",
+        round(
+          col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy(col("from_type"))),
+          6))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_transition_matrix" -> q57TransitionMatrix,
     "q55_variant_extract" -> q55VariantExtract,
     "q56_scd2_islands" -> q56Scd2Islands,
     "q51_funnel" -> q51Funnel,
@@ -1311,6 +1342,22 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q57_transition_matrix" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY us, event_id) AS to_type
+        |  FROM ev),
+        |agg AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        | round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM agg
+        |ORDER BY from_type, to_type""".stripMargin,
     "q55_variant_extract" ->
       """SELECT event_type,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) // 10

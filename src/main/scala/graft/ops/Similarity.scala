@@ -280,7 +280,44 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** s6 — nearest-centroid assignment (the IVF/k-means E-step) under
+    * the exact-oracle gate: every vector is assigned to its best of 8
+    * fixed seed centroids by cosine. The centroid table broadcasts (k
+    * rows at any corpus size), scoring is the codegen'd native dot
+    * product scan-side, and the only shuffles carry (vec_id, cos)
+    * pairs for the argmax — never vectors. Argmax is max-join +
+    * min(cid) so centroid ties (only possible for duplicate centroid
+    * vectors) resolve deterministically in both engines; the unrounded
+    * doubles agree bit-for-bit because both engines fold the dot
+    * product left-to-right over identical floats.
+    */
+  def s6CentroidAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val cents = e
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("c"), col("norm").as("cnorm"))
+    val scored = e
+      .crossJoin(broadcast(cents))
+      .select(
+        col("vec_id"),
+        col("cid"),
+        (dot(col("v"), col("c")) / (col("norm") * col("cnorm"))).as("cos"))
+    val best = scored.groupBy(col("vec_id")).agg(max(col("cos")).as("bc"))
+    scored
+      .join(best, "vec_id")
+      .filter(col("cos") === col("bc"))
+      .groupBy(col("vec_id"))
+      .agg(
+        min(col("cid")).as("centroid_id"),
+        round(max(col("cos")), 4).as("cosine"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s6_centroid_assign" -> s6CentroidAssign,
     "s1_knn_bruteforce" -> s1KnnBruteForce,
     "s2_knn_lsh" -> s2KnnLsh,
     "s3_knn_ivf" -> s3KnnIvf,
@@ -289,6 +326,23 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s6_centroid_assign" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm
+        |      FROM n WHERE vec_id < 8),
+        |sc AS (
+        |  SELECT n.vec_id, c.cid,
+        |    list_inner_product(n.v, c.cv) / (n.norm * c.cnorm) AS cos
+        |  FROM n, c),
+        |best AS (SELECT vec_id, max(cos) AS bc FROM sc GROUP BY 1)
+        |SELECT sc.vec_id, min(sc.cid) AS centroid_id,
+        |  round(max(sc.cos), 4) AS cosine
+        |FROM sc JOIN best USING (vec_id)
+        |WHERE sc.cos = best.bc
+        |GROUP BY sc.vec_id
+        |ORDER BY sc.vec_id""".stripMargin,
     "s1_knn_bruteforce" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

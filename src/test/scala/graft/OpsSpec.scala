@@ -165,6 +165,29 @@ class OpsSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("s6 centroid assignment: total once per vector, seeds self-assign") {
+    val df = Similarity.s6CentroidAssign(spark, Sf).cache()
+    try {
+      assert(df.count() == Tables.embeddings(spark, Sf).count())
+      assert(df.select("vec_id").distinct().count() == df.count())
+      // a centroid's own vector is at cosine 1 with itself
+      assert(df.filter(col("vec_id") < 8 &&
+        (col("centroid_id") =!= col("vec_id") || col("cosine") < 0.9999)).isEmpty)
+    } finally df.unpersist()
+  }
+
+  test("q57 transition rows conserve count and probabilities sum to 1 per from_type") {
+    val df = Relational.q57TransitionMatrix(spark, Sf).cache()
+    try {
+      val ev = Tables.events(spark, Sf)
+      val expected = ev.count() - ev.select("user_id").distinct().count()
+      assert(df.agg(sum("n")).head().getLong(0) == expected)
+      df.groupBy("from_type").agg(sum("p").as("tot")).collect().foreach { r =>
+        assert(math.abs(r.getDouble(1) - 1.0) < 1e-4, s"${r.getString(0)}: ${r.getDouble(1)}")
+      }
+    } finally df.unpersist()
+  }
+
   test("t8 vocab stats: hapax <= vocab <= total tokens, ttr in (0,1]") {
     TextAnalysis.t8VocabStats(spark, Sf).collect().foreach { r =>
       val (vocab, hapax, total) = (r.getLong(1), r.getLong(2), r.getLong(3))
