@@ -320,10 +320,11 @@ object Dedup {
     * join against the training corpus — the training side never
     * shuffles. Shingles here are literal strings (the oracle needs
     * engine-portable values); the production path would reuse d2's
-    * hashed-shingle machinery for 8× narrower rows. The two
-    * `explode(array(…))` Generate barriers stop CollapseProject from
-    * inlining the token split into the per-window slice lambda
-    * (O(windows·words) blowup otherwise — same trap as t7).
+    * hashed-shingle machinery for 8× narrower rows. Shingle expansion
+    * runs through the custom [[graft.functions.WordNgrams]] generator
+    * (the UDTF tier): windows stream straight off the token array with
+    * no index/slice intermediates, and the Generate node is immune to
+    * the CollapseProject re-evaluation trap (t7) by construction.
     */
   def d7Decontaminate(s: SparkSession, dir: String): DataFrame = {
     val k = 8
@@ -333,11 +334,7 @@ object Dedup {
       .filter(size(col("toks")) >= k)
       .select(
         col("doc_id"),
-        explode(
-          transform(
-            sequence(lit(1), size(col("toks")) - (k - 1)),
-            i => array_join(slice(col("toks"), i, lit(k)), " ")))
-          .as("sh"))
+        graft.functions.WordNgrams.wordNgrams(col("toks"), k).as("sh"))
     val evalSh = sh
       .filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("eval_id"), col("sh"))

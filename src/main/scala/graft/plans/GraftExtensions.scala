@@ -48,7 +48,12 @@ object GraftExtensions {
         es.head,
         es(1).eval().asInstanceOf[Number].intValue)
     },
-    "decode_byte_array" -> { es => DecodeLongArrayToUtf8(es.head) }
+    "decode_byte_array" -> { es => DecodeLongArrayToUtf8(es.head) },
+    "word_ngrams" -> { es =>
+      graft.functions.WordNgrams(
+        es.head,
+        es(1).eval().asInstanceOf[Number].intValue)
+    }
   )
 
   /** Install on an already-built session: the rewrite rule goes into

@@ -159,6 +159,25 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Stream-static enrichment join: each micro-batch of the stream
+    * joins against the CURRENT snapshot of a static/slowly-changing
+    * dimension — the standard shape for attaching user segments,
+    * document metadata, or quota tables to a live feed. Stream-static
+    * joins are stateless (nothing is buffered across triggers; the
+    * static side is simply re-planned per batch, so dimension updates
+    * in formats that allow them are picked up on the next trigger),
+    * and broadcasting the dimension keeps the stream side entirely
+    * shuffle-free — at 1000 executors the feed never moves, only the
+    * dim table does. Left join so feed rows missing a dimension key
+    * survive with nulls rather than silently dropping volume.
+    */
+  def enrichStream(
+      stream: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String]
+  ): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   /** Streaming exact dedup: first occurrence of each key wins;
     * duplicates arriving within `watermarkDelay` of the original are
     * dropped. `dropDuplicatesWithinWatermark` keeps one state row per

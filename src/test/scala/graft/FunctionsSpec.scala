@@ -81,6 +81,11 @@ class WordNgramHashesSpec extends SparkSpec {
   import graft.functions.MinHashFromHashes.minhashFromHashes
   import spark.implicits._
 
+  private def checkProp(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("hash-set size equals distinct string-shingle count; output sorted ascending") {
     val df = Seq(
       Tuple1(Seq("a", "b", "a", "b", "c")), // 2-grams: "a b","b a","a b","b c" → 3 distinct
@@ -114,5 +119,43 @@ class WordNgramHashesSpec extends SparkSpec {
       .collect().map(_.getSeq[Long](0))
     assert(rows(0).size == 16)
     assert(rows(0) == rows(1))
+  }
+
+  test("word_ngrams generator equals the builtin slice/join pipeline (property)") {
+    import graft.functions.WordNgrams.wordNgrams
+    val tokGen = Gen.listOfN(12, Gen.oneOf("alpha", "beta", "g", "dd", "e1"))
+      .flatMap(full => Gen.choose(0, 12).map(full.take))
+    checkProp(Prop.forAllNoShrink(Gen.listOfN(6, tokGen), Gen.choose(1, 5)) { (docs, n) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "toks")
+      val viaGen = df.select($"id", wordNgrams($"toks", n).as("sh"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val viaBuiltin = df
+        .filter(size($"toks") >= n) // sequence(1, 0) would descend
+        .select($"id", explode(transform(
+          sequence(lit(1), size($"toks") - (n - 1)),
+          i => array_join(slice($"toks", i, lit(n)), " "))).as("sh"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      viaGen == viaBuiltin
+    })
+  }
+
+  test("word_ngrams: too-short and null arrays generate zero rows; null tokens render empty") {
+    import graft.functions.WordNgrams.wordNgrams
+    val df = Seq(
+      (1L, Option(Seq("a", "b"))),
+      (2L, Option.empty[Seq[String]]),
+      (3L, Option(Seq("x", null, "z")))
+    ).toDF("id", "toks")
+    val out = df.select($"id", wordNgrams($"toks", 3).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((3L, "x  z")))
+  }
+
+  test("word_ngrams is SQL-callable after extension install") {
+    graft.plans.GraftExtensions.install(spark)
+    Seq(Tuple1(Seq("a", "b", "c"))).toDF("toks").createOrReplaceTempView("wn_probe")
+    val out = spark.sql("SELECT word_ngrams(toks, 2) AS sh FROM wn_probe")
+      .as[String].collect().toSeq
+    assert(out == Seq("a b", "b c"))
   }
 }

@@ -150,6 +150,28 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: feed rows gain dim columns, missing keys survive") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "trial")).toDF("user_id", "segment")
+    val in = MemoryStream[(Long, Long, Double)]
+    val q = Streams
+      .enrichStream(in.toDF().toDF("event_id", "user_id", "value"), dim, Seq("user_id"))
+      .writeStream
+      .format("memory")
+      .queryName("enriched")
+      .outputMode("append")
+      .start()
+    try {
+      in.addData((10L, 1L, 5.0), (11L, 2L, 6.0), (12L, 7L, 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select("event_id", "segment").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows == Map(10L -> Some("gold"), 11L -> Some("trial"), 12L -> None))
+    } finally q.stop()
+  }
+
   test("sessionization: gap closes a session, state emits once, new session opens") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
