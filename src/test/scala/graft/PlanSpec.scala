@@ -177,6 +177,33 @@ class PlanSpec extends SparkSpec {
       s"scan-side transform must not shuffle:\n${plan.take(1500)}")
   }
 
+  test("d7 decontamination: eval shingles broadcast, training side never shuffle-joins") {
+    val plan = formatted(graft.ops.Dedup.d7Decontaminate(spark, Sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval shingle set must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"training side must not shuffle for the match:\n${plan.take(1500)}")
+    assert(plan.contains("Generate word_ngrams"),
+      "shingle expansion should run through the custom generator")
+  }
+
+  test("s6 centroid assignment: centroid table broadcasts into the scoring join") {
+    val plan = formatted(Similarity.s6CentroidAssign(spark, Sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"k-row centroid table must broadcast:\n${plan.take(1500)}")
+  }
+
+  test("q56 SCD2 build: islands + validity chaining ride ONE user hash exchange") {
+    // Window on user_id, groupBy (user_id, version), second window on
+    // user_id: HashPartitioning(user_id) satisfies every downstream
+    // clustering, so the only hash exchange in the plan is the first.
+    val plan = formatted(Relational.q56Scd2Islands(spark, Sf))
+    val hashExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange, got $hashExchanges:\n${plan.take(2000)}")
+  }
+
   test("spread parallelizes derived compute beyond the single input split") {
     val parts = Tables
       .spread(Tables.documents(spark, Sf))
