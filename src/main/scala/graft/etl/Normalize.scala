@@ -38,6 +38,45 @@ object Normalize {
   def readEnvelope(spark: SparkSession, path: String): DataFrame =
     spark.read.option("multiLine", "true").json(path)
 
+  /** Line-delimited ingest with a row-level bad-record channel: the
+    * reference's fail-soft error handling stops at file granularity
+    * (one bad route is logged and skipped, reference: src/main.rs:89-104);
+    * at 100 TB a single malformed row must not discard its shard.
+    * PERMISSIVE mode parses what it can and routes unparseable lines
+    * into `_corrupt_record`; the caller gets (clean, quarantine)
+    * frames — quarantine rows keep the raw line for replay/repair.
+    *
+    * `columnNameOfCorruptRecord` must also be declared in the schema
+    * or Spark drops the channel, and Spark (correctly) refuses to
+    * query the corrupt column straight off the scan — column pruning
+    * would make "is this row corrupt" depend on which fields the
+    * query happened to read. The documented contract is to
+    * materialize the parse once and split from that; here that is a
+    * `cache()` (fixture-scale), and in production the same shape is
+    * "write the parsed+flagged result to the staging sink once, then
+    * split" — either way the file is parsed exactly once.
+    */
+  def readWithQuarantine(
+      spark: SparkSession,
+      path: String,
+      schema: StructType
+  ): (DataFrame, DataFrame) = {
+    val withCorrupt = schema.add("_corrupt_record", StringType)
+    val raw = spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache()
+    val clean = raw
+      .filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val quarantine = raw
+      .filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (clean, quarantine)
+  }
+
   /** Empty-relation guard (reference: src/processor.rs:31-35): `[]`
     * payloads produce no output. `head(1)` instead of `count()` so the
     * check short-circuits after one row at any scale.

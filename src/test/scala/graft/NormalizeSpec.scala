@@ -101,4 +101,23 @@ class NormalizeSpec extends SparkSpec {
     val res = Pipeline.processStaged(spark, "/nonexistent/x.json", "/tmp/never.parquet", None)
     assert(res.isLeft)
   }
+
+  test("row-level quarantine: malformed lines route to the bad channel, clean rows survive") {
+    import org.apache.spark.sql.types._
+    val f = Files.createTempFile("graft-jsonl", ".json")
+    Files.writeString(
+      f,
+      """{"id": 1, "name": "ok"}
+        |{"id": 2 "name": "missing-comma"}
+        |{"id": 3, "name": "fine"}
+        |not json at all
+        |""".stripMargin)
+    val schema = new StructType().add("id", LongType).add("name", StringType)
+    val (clean, quarantine) = Normalize.readWithQuarantine(spark, f.toString, schema)
+    assert(clean.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    assert(clean.columns.toSeq == Seq("id", "name"))
+    val bad = quarantine.collect().map(_.getString(0))
+    assert(bad.length == 2)
+    assert(bad.exists(_.contains("missing-comma")) && bad.contains("not json at all"))
+  }
 }
