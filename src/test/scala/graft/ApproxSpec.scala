@@ -29,4 +29,27 @@ class ApproxSpec extends SparkSpec {
     val below = li.filter(col("l_quantity") <= q50).count().toDouble / n
     assert(below >= 0.45 && below <= 0.56, s"median split $below")
   }
+
+  test("HLL sketches are mergeable: per-shard sketch union equals the one-shot estimate") {
+    // The property 100 TB relies on: partial sketches computed per
+    // shard/partition merge without losing the error bound, so
+    // distinct counts compose across files, days and reruns without
+    // re-scanning history. (Union is not bit-identical to a one-shot
+    // sketch — DataSketches' union path promotes representations in a
+    // different order — but both sit inside the same rsd envelope.)
+    val li = Tables.lineitem(spark, Sf).select(col("l_orderkey"), col("l_suppkey"))
+    val oneShot = li
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"))).as("est"))
+      .head().getLong(0)
+    val merged = li
+      .groupBy(col("l_suppkey")) // shard by supplier, sketch each shard
+      .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    assert(math.abs(merged - oneShot).toDouble / oneShot <= 0.01,
+      s"merged=$merged oneShot=$oneShot")
+    val exact = li.select("l_orderkey").distinct().count().toDouble
+    assert(math.abs(merged - exact) / exact <= 0.05,
+      s"estimate $merged vs exact $exact")
+  }
 }
