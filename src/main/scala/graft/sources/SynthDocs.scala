@@ -122,9 +122,12 @@ private class SynthDocsTable(rows: Long, numPartitions: Int)
 private class SynthDocsScanBuilder(rows: Long, numPartitions: Int)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = SynthDocs.schema
   private var pushed: Array[Filter] = Array.empty
+  private var aggPushed: Option[
+    org.apache.spark.sql.connector.expressions.aggregate.Aggregation] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -154,8 +157,8 @@ private class SynthDocsScanBuilder(rows: Long, numPartitions: Int)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = {
-    // fold doc_id comparisons into one [lo, hi) bound
+  // fold doc_id comparisons into one [lo, hi) bound
+  private def bounds: (Long, Long, Option[String]) = {
     var lo = 0L
     var hi = rows
     var langEq: Option[String] = None
@@ -168,8 +171,97 @@ private class SynthDocsScanBuilder(rows: Long, numPartitions: Int)
       case EqualTo("lang", v: String) => langEq = Some(v)
       case _ => ()
     }
-    new SynthDocsScan(lo, math.max(lo, hi), numPartitions, required, langEq)
+    (lo, math.max(lo, hi), langEq)
   }
+
+  /** Aggregate pushdown, the connector analog of parquet's
+    * count-from-metadata: every doc_id in [lo, hi) exists exactly
+    * once, so ungrouped COUNT(*) / MIN(doc_id) / MAX(doc_id) are
+    * O(1) arithmetic on the (filter-narrowed) key range — the scan
+    * answers the whole query with ONE generated row and zero data
+    * movement. Declines when a lang equality is pushed (rows would
+    * have to be enumerated anyway) or any grouping/other aggregate
+    * appears; Spark then falls back to the ordinary row scan.
+    */
+  private def canPushAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    val (_, _, langEq) = bounds
+    langEq.isEmpty && agg.groupByExpressions.isEmpty &&
+    agg.aggregateExpressions.nonEmpty &&
+    agg.aggregateExpressions.forall {
+      case _: CountStar => true
+      case m: Min => m.column.toString == "doc_id"
+      case m: Max => m.column.toString == "doc_id"
+      case _ => false
+    }
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    canPushAgg(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (canPushAgg(agg)) { aggPushed = Some(agg); true }
+    else false
+  }
+
+  override def build(): Scan = {
+    val (lo, hi, langEq) = bounds
+    aggPushed match {
+      case Some(agg) => new SynthDocsAggScan(lo, hi, agg)
+      case None => new SynthDocsScan(lo, hi, numPartitions, required, langEq)
+    }
+  }
+}
+
+/** Single-row scan answering a completely-pushed aggregation from the
+  * key-range arithmetic alone.
+  */
+private class SynthDocsAggScan(
+    lo: Long,
+    hi: Long,
+    agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    extends Scan
+    with Batch {
+  import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+
+  override def readSchema(): StructType =
+    agg.aggregateExpressions.zipWithIndex.foldLeft(new StructType()) {
+      case (st, (_: CountStar, i)) => st.add(s"count_$i", LongType, nullable = false)
+      case (st, (_, i)) => st.add(s"agg_$i", LongType, nullable = true)
+    }
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SynthDocs AGG-PUSHED range=[$lo,$hi) ${agg.aggregateExpressions.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SynthDocsAggPartition(lo, hi))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val values: Array[Any] = agg.aggregateExpressions.map {
+      case _: CountStar => (hi - lo): Any
+      case _: Min => if (hi > lo) (lo: Any) else null
+      case _: Max => if (hi > lo) ((hi - 1): Any) else null
+      case other => throw new IllegalStateException(s"unpushable agg $other")
+    }
+    new SynthDocsAggReaderFactory(values)
+  }
+}
+
+private case class SynthDocsAggPartition(lo: Long, hi: Long) extends InputPartition
+
+private class SynthDocsAggReaderFactory(values: Array[Any])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = InternalRow.fromSeq(values.toSeq)
+      override def close(): Unit = ()
+    }
 }
 
 private class SynthDocsScan(

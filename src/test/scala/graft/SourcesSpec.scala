@@ -70,6 +70,28 @@ class SourcesSpec extends SparkSpec {
     assert(desc.contains("range=[0,1000)") && desc.contains("lang=de"))
   }
 
+  test("ungrouped count/min/max push into the connector as O(1) range arithmetic") {
+    val df = synth(100000, 8)
+      .filter(col("doc_id") >= 1000 && col("doc_id") < 60000)
+      .agg(count(lit(1)).as("n"), min("doc_id").as("lo"), max("doc_id").as("hi"))
+    val row = df.collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((59000L, 1000L, 59999L)))
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("AGG-PUSHED"),
+      s"aggregation not answered by the connector:\n${desc.take(1500)}")
+  }
+
+  test("aggregate pushdown declines when a lang residual forces row enumeration") {
+    val df = synth(2000, 4)
+      .filter(col("lang") === "en")
+      .agg(count(lit(1)).as("n"))
+    val n = df.collect().head.getLong(0)
+    val baseline = synth(2000, 4).collect().count(_.getString(1) == "en")
+    assert(n == baseline)
+    assert(!df.queryExecution.executedPlan.toString.contains("AGG-PUSHED"),
+      "count over a lang filter cannot be answered from the key range")
+  }
+
   test("connector output composes with the relational surface") {
     val perLang = synth(1000, 8)
       .withColumn("nt", size(split(col("text"), " ")))
