@@ -1281,7 +1281,34 @@ object Relational {
       .orderBy("from_type", "to_type")
   }
 
+  /** Schema-drift union: a v2 feed added a column the v1 feed lacks —
+    * `unionByName(allowMissingColumns)` aligns by NAME and fills the
+    * missing column with nulls, the contract that lets a pipeline
+    * keep reading historical shards after a schema evolves (positional
+    * `union` would silently misalign or reject). Downstream coalesce
+    * buckets legacy rows explicitly. Union is plan-level concat — no
+    * shuffle until the final aggregate.
+    */
+  def q58SchemaDriftUnion(s: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables
+      .orders(s, dir)
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("id"), col("o_totalprice").as("total"))
+    val v2 = Tables
+      .orders(s, dir)
+      .filter(col("o_orderkey") % 3 === 1)
+      .select(
+        col("o_orderkey").as("id"),
+        col("o_totalprice").as("total"),
+        col("o_orderpriority").as("priority"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy(coalesce(col("priority"), lit("(legacy)")).as("priority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("total")), 2).as("total_price"))
+      .orderBy("priority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_schema_drift_union" -> q58SchemaDriftUnion,
     "q57_transition_matrix" -> q57TransitionMatrix,
     "q55_variant_extract" -> q55VariantExtract,
     "q56_scd2_islands" -> q56Scd2Islands,
@@ -1342,6 +1369,18 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q58_schema_drift_union" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS id, o_totalprice AS total
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |b AS (
+        |  SELECT o_orderkey AS id, o_totalprice AS total,
+        |    o_orderpriority AS priority
+        |  FROM orders WHERE o_orderkey % 3 = 1),
+        |u AS (SELECT * FROM a UNION ALL BY NAME SELECT * FROM b)
+        |SELECT coalesce(priority, '(legacy)') AS priority,
+        | count(*) AS n, round(sum(total), 2) AS total_price
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "q57_transition_matrix" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type

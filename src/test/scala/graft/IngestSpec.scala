@@ -80,4 +80,19 @@ class IngestSpec extends SparkSpec {
         fmt)
     }
   }
+
+  test("parquet schema evolution: mergeSchema unifies shards written before/after a column add") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.parquet(s"$dir/batch=1")
+    Seq((3L, "c", 0.5), (4L, "d", 0.7)).toDF("id", "name", "score")
+      .write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("batch", "id", "name", "score"))
+    val rows = merged.orderBy("id")
+      .collect().map(r => (r.getAs[Long]("id"), Option(r.getAs[Any]("score"))))
+    assert(rows.toSeq == Seq(
+      (1L, None), (2L, None), (3L, Some(0.5)), (4L, Some(0.7))))
+  }
 }
