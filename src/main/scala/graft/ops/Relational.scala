@@ -1307,7 +1307,50 @@ object Relational {
       .orderBy("priority")
   }
 
+  /** Snapshot diff (CDC without a log): classify every key across two
+    * table versions as added / removed / changed by a single full
+    * outer join on the key, comparing content fingerprints — the
+    * pattern for deriving deltas when the upstream can only hand you
+    * full dumps. Fingerprints (md5 over a canonical column encoding)
+    * are computed scan-side so the join moves (key, 32-byte hash)
+    * pairs, never payloads — at 100 TB of snapshot that IS the
+    * operator. Unchanged keys (the overwhelming majority in practice)
+    * are filtered out post-join.
+    */
+  def q59SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    def fingerprinted(df: DataFrame): DataFrame =
+      df.select(
+        col("o_orderkey").as("key"),
+        md5(concat_ws("|",
+          col("o_orderstatus"),
+          col("o_totalprice").cast("string"),
+          col("o_orderpriority"))).as("fp"))
+    // snapshot A: keys not divisible by 7; snapshot B: keys not
+    // divisible by 5, with every 3rd key's priority rewritten
+    val a = fingerprinted(Tables.orders(s, dir).filter(col("o_orderkey") % 7 =!= 0))
+    val b = fingerprinted(
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn(
+          "o_orderpriority",
+          when(col("o_orderkey") % 3 === 0, lit("9-RECLASSIFIED"))
+            .otherwise(col("o_orderpriority"))))
+    a.alias("a")
+      .join(b.alias("b"), col("a.key") === col("b.key"), "full_outer")
+      .select(
+        coalesce(col("a.key"), col("b.key")).as("key"),
+        when(col("a.key").isNull, "added")
+          .when(col("b.key").isNull, "removed")
+          .when(col("a.fp") =!= col("b.fp"), "changed")
+          .otherwise("unchanged").as("status"))
+      .filter(col("status") =!= "unchanged")
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), min(col("key")).as("first_key"))
+      .orderBy("status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_snapshot_diff" -> q59SnapshotDiff,
     "q58_schema_drift_union" -> q58SchemaDriftUnion,
     "q57_transition_matrix" -> q57TransitionMatrix,
     "q55_variant_extract" -> q55VariantExtract,
@@ -1369,6 +1412,32 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // fp strings never cross engines — only the equality verdicts do,
+    // and those depend solely on each engine's internally-consistent
+    // formatting, so double→string differences are harmless here.
+    "q59_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS key,
+        |    md5(concat_ws('|', o_orderstatus,
+        |      CAST(o_totalprice AS VARCHAR), o_orderpriority)) AS fp
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |b AS (
+        |  SELECT o_orderkey AS key,
+        |    md5(concat_ws('|', o_orderstatus,
+        |      CAST(o_totalprice AS VARCHAR),
+        |      CASE WHEN o_orderkey % 3 = 0 THEN '9-RECLASSIFIED'
+        |           ELSE o_orderpriority END)) AS fp
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |d AS (
+        |  SELECT coalesce(a.key, b.key) AS key,
+        |    CASE WHEN a.key IS NULL THEN 'added'
+        |         WHEN b.key IS NULL THEN 'removed'
+        |         WHEN a.fp <> b.fp THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM a FULL OUTER JOIN b ON a.key = b.key)
+        |SELECT status, count(*) AS n, min(key) AS first_key
+        |FROM d WHERE status <> 'unchanged'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q58_schema_drift_union" ->
       """WITH a AS (
         |  SELECT o_orderkey AS id, o_totalprice AS total

@@ -188,6 +188,20 @@ class OpsSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("q59 snapshot diff counts match the constructed drift predicates") {
+    val byStatus = Relational.q59SnapshotDiff(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keys = Tables.orders(spark, Sf)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val added = keys.count(k => k % 7 == 0 && k % 5 != 0)
+    val removed = keys.count(k => k % 5 == 0 && k % 7 != 0)
+    val changed = keys.count(k => k % 7 != 0 && k % 5 != 0 && k % 3 == 0)
+    assert(byStatus == Map(
+      "added" -> added.toLong,
+      "removed" -> removed.toLong,
+      "changed" -> changed.toLong))
+  }
+
   test("t8 vocab stats: hapax <= vocab <= total tokens, ttr in (0,1]") {
     TextAnalysis.t8VocabStats(spark, Sf).collect().foreach { r =>
       val (vocab, hapax, total) = (r.getLong(1), r.getLong(2), r.getLong(3))
