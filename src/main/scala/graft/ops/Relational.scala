@@ -1114,17 +1114,25 @@ object Relational {
   /** Retention cohort matrix: users cohorted by first-activity day,
     * activity bucketed into 7-day offsets from that user's own cohort
     * day. The week index is integer `div` of a non-negative datediff,
-    * so truncation and floor agree across engines. Two shuffles (first
-    * -day agg on user, cohort-cell agg) plus one user-keyed join that
-    * moves only (user, day) pairs — payloads never join.
+    * so truncation and floor agree across engines.
+    *
+    * Event-grain rows cross exactly ONE exchange: the explicit
+    * user_id repartition satisfies the (user, day) dedup's clustering
+    * (subset rule), the cohort-day window's, and hands each user's
+    * rows to `datediff` in place — where the naive
+    * distinct → groupBy → join-back formulation shuffles event-grain
+    * data three times. The cohort-cell aggregate after it moves one
+    * row per (user, week).
     */
   def q52RetentionCohort(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables
       .events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"))
+      .repartition(col("user_id"))
       .distinct()
-    val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
-    ev.join(cohort, "user_id")
+    ev.withColumn(
+        "cohort_day",
+        min(col("day")).over(Window.partitionBy(col("user_id"))))
       .select(
         col("cohort_day"),
         expr("datediff(day, cohort_day) div 7").as("wk"),

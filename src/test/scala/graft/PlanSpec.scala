@@ -204,6 +204,14 @@ class PlanSpec extends SparkSpec {
       s"expected exactly 1 hash exchange, got $hashExchanges:\n${plan.take(2000)}")
   }
 
+  test("q52 retention: event-grain rows cross exactly one user exchange") {
+    val plan = formatted(Relational.q52RetentionCohort(spark, Sf))
+    val userExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges == 1,
+      s"dedup + cohort window must share the one user_id exchange:\n${plan.take(2000)}")
+  }
+
   test("spread parallelizes derived compute beyond the single input split") {
     val parts = Tables
       .spread(Tables.documents(spark, Sf))
