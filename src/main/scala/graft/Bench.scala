@@ -4,11 +4,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val builder = GraftSession
+      .builder(master = Some(s"local[$cpus]"), shufflePartitions = Some(cpus.toInt))
       .config("spark.ui.enabled", "false")
     // Ad-hoc conf overrides for A/B tuning: "k=v;k=v".
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The library's session entry point: one place that encodes the
+  * engine's recommended runtime posture, so every embedding (Verify,
+  * Bench, a user's application, spark-shell) starts from the same
+  * measured configuration instead of re-deriving it.
+  *
+  *  - AQE stays ON (Spark's default, re-asserted here because it is
+  *    load-bearing: measured 20%+ faster across the full surface at
+  *    sf0.1, and runtime broadcast conversion + skew splitting are the
+  *    mechanisms the 100 TB posture relies on — SURVEY.md §9).
+  *  - UTC session timezone: timestamp semantics independent of host
+  *    locale, and the contract the DuckDB oracle compares under.
+  *  - `nanosAsLong`: parquet TIMESTAMP(NANOS) columns (the events
+  *    feed) read as integer nanos instead of failing; [[ops.Tables]]
+  *    converts explicitly with integer arithmetic.
+  *  - Graft extensions installed declaratively (SQL functions, the
+  *    dot-product rewrite, the top-k planner strategy) — the
+  *    config-based path works on a fresh session; for an already-built
+  *    session use [[plans.GraftExtensions.install]].
+  *
+  * Shuffle partitions are a deployment decision: local runs want
+  * ≈ core count (set by callers like Verify/Bench from
+  * SPARK_GRAFT_CPUS); clusters size it to data volume or rely on AQE
+  * coalescing. So it is a parameter here, not a constant.
+  */
+object GraftSession {
+  def builder(
+      master: Option[String] = None,
+      shufflePartitions: Option[Int] = None
+  ): SparkSession.Builder = {
+    val b = SparkSession
+      .builder()
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    master.foreach(b.master)
+    shufflePartitions.foreach(n => b.config("spark.sql.shuffle.partitions", n))
+    b
+  }
+}
