@@ -157,7 +157,89 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
+  /** m5 — content-defined chunking for blob-level dedup: a rolling
+    * hash over the payload stream cuts chunk boundaries wherever the
+    * hash of the trailing 8-byte window ≡ 0 (mod 32) — boundaries
+    * follow CONTENT, so an insertion early in a blob shifts only the
+    * chunk it lands in, and identical regions of different blobs
+    * produce identical chunk fingerprints. That is the storage-dedup
+    * primitive (rsync/LBFS/backup systems) applied to a multimodal
+    * corpus: shared chunks across payloads are found by one
+    * fingerprint shuffle, never byte comparison.
+    *
+    * The fixture payloads are ASCII text bytes, so character ops
+    * mirror byte ops exactly and the whole path (including the DuckDB
+    * oracle) runs on engine-portable mod-1e9+7 arithmetic; a
+    * production build would run the same fold over raw `binary` via a
+    * native expression (t7's kernel on bytes). Generate barriers pin
+    * the char array and window-hash array to one evaluation each
+    * (the t7 lesson). Output per doc: chunk count plus how many of
+    * its chunk instances recur in at least one other document.
+    */
+  def m5CdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val P = 1000000007L
+    val hashBase = 131L
+    val w = 8
+    val modulus = 32
+    val chunks = Tables
+      .documents(s, dir)
+      .filter(length(col("text")) >= w)
+      .select(col("doc_id"), col("text"), explode(array(split(col("text"), ""))).as("cs"))
+      .select(
+        col("doc_id"),
+        col("text"),
+        explode(
+          array(
+            transform(
+              sequence(lit(1), size(col("cs")) - (w - 1)),
+              i =>
+                aggregate(slice(col("cs"), i, lit(w)), lit(0L), (h, c) =>
+                  (h * hashBase + ascii(c)) % P))))
+          .as("hs"))
+      .select(
+        col("doc_id"),
+        col("text"),
+        filter(
+          transform(
+            col("hs"),
+            (h, i0) =>
+              when(h % modulus === 0 && i0 + 1 + w <= length(col("text")), i0 + 1 + w)
+                .otherwise(-1)),
+          x => x =!= -1).as("cuts"))
+      .select(
+        col("doc_id"),
+        col("text"),
+        explode(
+          array(
+            struct(
+              concat(array(lit(1)), col("cuts")).as("starts"),
+              concat(col("cuts"), array(length(col("text")) + 1)).as("ends"))))
+          .as("se"))
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(1), size(col("se.starts"))),
+            j =>
+              md5(
+                col("text").substr(
+                  element_at(col("se.starts"), j),
+                  element_at(col("se.ends"), j) - element_at(col("se.starts"), j)))))
+          .as("fp"))
+    val docCounts = chunks
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    chunks
+      .join(docCounts, "fp")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_chunks"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m5_cdc_chunks" -> m5CdcChunks,
     "m1_media_stats" -> m1MediaStats,
     "m2_frame_sample" -> m2FrameSample,
     "m3_image_features" -> m3ImageFeatures,
@@ -165,6 +247,42 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "m5_cdc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, string_split(text, '') AS cs
+        |  FROM documents WHERE length(text) >= 8),
+        |h AS (
+        |  SELECT doc_id, text,
+        |    list_transform(range(1, len(cs) - 6),
+        |      i -> list_reduce(list_prepend(0::BIGINT,
+        |             list_transform(cs[i:i+7], c -> ascii(c)::BIGINT)),
+        |           (a, b) -> (a * 131 + b) % 1000000007)) AS hs
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id, text,
+        |    list_filter(list_transform(hs, (x, i) ->
+        |      CASE WHEN x % 32 = 0 AND i + 8 <= length(text)
+        |           THEN i + 8 ELSE -1 END),
+        |      x -> x <> -1) AS cuts
+        |  FROM h),
+        |se AS (
+        |  SELECT doc_id, text,
+        |    list_prepend(1, cuts) AS starts,
+        |    list_append(cuts, length(text) + 1) AS ends
+        |  FROM c),
+        |ch AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(starts) + 1),
+        |      j -> md5(substr(text, starts[j]::INT,
+        |                      (ends[j] - starts[j])::INT)))) AS fp
+        |  FROM se),
+        |dc AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
+        |SELECT ch.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN dc.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared_chunks
+        |FROM ch JOIN dc USING (fp)
+        |GROUP BY ch.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "m1_media_stats" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -202,6 +202,18 @@ class OpsSpec extends SparkSpec {
       "changed" -> changed.toLong))
   }
 
+  test("m5 CDC chunking: shared counts bounded, duplicate docs share chunks") {
+    val df = Multimodal.m5CdcChunks(spark, Sf).cache()
+    try {
+      assert(df.filter(col("n_shared_chunks") > col("n_chunks")).isEmpty)
+      assert(df.count() > 0)
+      // the corpus contains planted near/exact duplicates (d1/d2 find
+      // them), so content-defined chunks MUST recur across documents
+      assert(df.filter(col("n_shared_chunks") >= 1).count() > 0,
+        "no shared chunks found in a corpus with planted duplicates")
+    } finally df.unpersist()
+  }
+
   test("t8 vocab stats: hapax <= vocab <= total tokens, ttr in (0,1]") {
     TextAnalysis.t8VocabStats(spark, Sf).collect().foreach { r =>
       val (vocab, hapax, total) = (r.getLong(1), r.getLong(2), r.getLong(3))
