@@ -151,6 +151,33 @@ class WordNgramHashesSpec extends SparkSpec {
     assert(out.toSeq == Seq((3L, "x  z")))
   }
 
+  test("cdc_cut_points sliding kernel equals the declarative window fold (property)") {
+    import graft.functions.CdcCutPoints.cdcCutPoints
+    val P = 1000000007L
+    val w = 8
+    val txtGen = Gen.choose(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(('a' to 'z') :+ ' ')).map(_.mkString))
+    checkProp(Prop.forAllNoShrink(Gen.listOfN(8, txtGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+        .filter(length($"text") >= w)
+      val viaKernel = df.select($"id", cdcCutPoints($"text", w, 32).as("cuts"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val viaFold = df
+        .select($"id", $"text", explode(array(split($"text", ""))).as("cs"))
+        .select($"id", $"text",
+          filter(
+            transform(
+              transform(sequence(lit(1), size($"cs") - (w - 1)),
+                i => aggregate(slice($"cs", i, lit(w)), lit(0L),
+                  (h, c) => (h * 131L + ascii(c)) % P)),
+              (h, i0) => when(h % 32 === 0 && i0 + 1 + w <= length($"text"), i0 + 1 + w)
+                .otherwise(-1)),
+            x => x =!= -1).as("cuts"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+      viaKernel == viaFold
+    })
+  }
+
   test("word_ngrams is SQL-callable after extension install") {
     graft.plans.GraftExtensions.install(spark)
     Seq(Tuple1(Seq("a", "b", "c"))).toDF("toks").createOrReplaceTempView("wn_probe")
