@@ -1357,7 +1357,33 @@ object Relational {
       .orderBy("status")
   }
 
+  /** Correlated LATERAL join (SQL surface): for every nation, its
+    * top-2 suppliers by account balance via a per-row correlated
+    * subquery with ORDER BY + LIMIT. Catalyst plans the lateral as a
+    * decorrelated window-rank under the hood rather than re-executing
+    * the inner query per outer row — pinned here because per-row
+    * re-execution is exactly what must NOT happen at scale. The SQL
+    * shape complements q06/q44, which express the same semantics via
+    * the DataFrame window and the custom heap operator.
+    */
+  def q60LateralTopK(s: SparkSession, dir: String): DataFrame = {
+    Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+    s.sql(
+      """SELECT n.n_name, t.s_name, round(t.s_acctbal, 2) AS acctbal
+        |FROM nation_v n,
+        |LATERAL (
+        |  SELECT s_name, s_acctbal
+        |  FROM supplier_v s
+        |  WHERE s.s_nationkey = n.n_nationkey
+        |  ORDER BY s_acctbal DESC, s_suppkey ASC
+        |  LIMIT 2) t
+        |ORDER BY n.n_name, acctbal DESC, t.s_name
+        |""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_lateral_topk" -> q60LateralTopK,
     "q59_snapshot_diff" -> q59SnapshotDiff,
     "q58_schema_drift_union" -> q58SchemaDriftUnion,
     "q57_transition_matrix" -> q57TransitionMatrix,
@@ -1420,6 +1446,16 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q60_lateral_topk" ->
+      """SELECT n.n_name, t.s_name, round(t.s_acctbal, 2) AS acctbal
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT s_name, s_acctbal
+        |  FROM supplier s
+        |  WHERE s.s_nationkey = n.n_nationkey
+        |  ORDER BY s_acctbal DESC, s_suppkey ASC
+        |  LIMIT 2) t
+        |ORDER BY n.n_name, acctbal DESC, t.s_name""".stripMargin,
     // fp strings never cross engines — only the equality verdicts do,
     // and those depend solely on each engine's internally-consistent
     // formatting, so double→string differences are harmless here.

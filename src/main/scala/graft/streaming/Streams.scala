@@ -85,15 +85,20 @@ object Streams {
     * side's watermark passes the range — bounded state, the only way a
     * stream-stream join survives an unbounded feed.
     *
-    * Inner join: a purchase with no preceding click emits nothing (the
-    * batch q18 keeps it with a null click; an outer streaming variant
-    * just needs `"leftOuter"` plus the same watermarks).
+    * `joinType` "inner": a purchase with no preceding click emits
+    * nothing. `"rightOuter"` (purchases preserved) is the batch-q18
+    * twin: an unattributed purchase is emitted WITH NULL click fields
+    * — but only once the click-side watermark has passed its join
+    * range, i.e. once no matching click can still arrive. Outer
+    * results are therefore delayed by the watermark, the price of
+    * never emitting a row that a late click would contradict.
     */
   def clickAttribution(
       clicks: DataFrame,
       purchases: DataFrame,
       watermarkDelay: String = "10 minutes",
-      attributionWindow: String = "30 minutes"
+      attributionWindow: String = "30 minutes",
+      joinType: String = "inner"
   ): DataFrame = {
     val c = clicks
       .withWatermark("ts", watermarkDelay)
@@ -112,7 +117,7 @@ object Streams {
       col("user_id") === col("p_user_id") &&
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $attributionWindow"),
-      "inner")
+      joinType)
       .select(col("user_id"), col("purchase_id"), col("purchase_ts"), col("click_id"), col("click_ts"))
   }
 

@@ -125,6 +125,45 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("outer stream-stream join: unattributed purchases emit null clicks after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val joined = Streams.clickAttribution(
+      clicks.toDF().toDF("user_id", "event_id", "ts"),
+      purchases.toDF().toDF("user_id", "event_id", "ts"),
+      watermarkDelay = "5 minutes",
+      attributionWindow = "30 minutes",
+      joinType = "rightOuter")
+    val q = joined.writeStream
+      .format("memory")
+      .queryName("attrib_outer")
+      .outputMode("append")
+      .start()
+    try {
+      clicks.addData((1L, 100L, ts(0)))
+      // user 1 purchase within window (matches); user 2 purchase with
+      // no click ever (must still emit, with nulls, once finalized)
+      purchases.addData((1L, 200L, ts(20)), (2L, 201L, ts(20)))
+      q.processAllAvailable()
+      val early = spark.table("attrib_outer")
+        .filter(col("purchase_id") === 201L).count()
+      assert(early == 0L,
+        "unmatched purchase must not emit before the click watermark passes its range")
+      // push both watermarks far past the join range
+      clicks.addData((8L, 999L, ts(600)))
+      purchases.addData((9L, 998L, ts(600)))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_outer")
+        .select("purchase_id", "click_id")
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(rows == Set((200L, 100L), (201L, -1L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate keys within the watermark emit once") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
