@@ -204,6 +204,14 @@ class PlanSpec extends SparkSpec {
       s"expected exactly 1 hash exchange, got $hashExchanges:\n${plan.take(2000)}")
   }
 
+  test("q60 lateral top-k decorrelates to window-rank, no per-row re-execution") {
+    val plan = formatted(Relational.q60LateralTopK(spark, Sf))
+    assert(plan.contains("row_number()"),
+      s"lateral LIMIT should plan as a rank window:\n${plan.take(1500)}")
+    assert(!plan.contains("NestedLoop"),
+      s"correlated subquery must not run per outer row:\n${plan.take(1500)}")
+  }
+
   test("q52 retention: event-grain rows cross exactly one user exchange") {
     val plan = formatted(Relational.q52RetentionCohort(spark, Sf))
     val userExchanges = plan.linesIterator
