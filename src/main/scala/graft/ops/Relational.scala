@@ -1382,7 +1382,34 @@ object Relational {
         |""".stripMargin)
   }
 
+  /** Recursive CTE (Spark 4 `WITH RECURSIVE`): hierarchical closure
+    * over the digit-decade forest on order keys (parent = key div 10)
+    * — every key labeled with its root and depth, then rolled up per
+    * (root, depth). Each recursion level is one distributed self-join
+    * against the previous frontier — the declarative form of d6's
+    * driver-loop label propagation, appropriate when depth is small
+    * and bounded (hierarchies, BOMs) where d6's Hash-Min handles
+    * unbounded-diameter graphs. Depth here is ≤ 5 at any SF since it
+    * is the key's digit count.
+    */
+  def q61RecursiveClosure(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_rv")
+    s.sql(
+      """WITH RECURSIVE r(k, root, depth) AS (
+        |  SELECT o_orderkey, o_orderkey, 0
+        |  FROM orders_rv WHERE o_orderkey < 10
+        |  UNION ALL
+        |  SELECT o.o_orderkey, r.root, r.depth + 1
+        |  FROM orders_rv o JOIN r ON o.o_orderkey div 10 = r.k
+        |  WHERE o.o_orderkey >= 10)
+        |SELECT root, depth, count(*) AS n, min(k) AS first_key
+        |FROM r
+        |GROUP BY root, depth
+        |ORDER BY root, depth""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_recursive_closure" -> q61RecursiveClosure,
     "q60_lateral_topk" -> q60LateralTopK,
     "q59_snapshot_diff" -> q59SnapshotDiff,
     "q58_schema_drift_union" -> q58SchemaDriftUnion,
@@ -1446,6 +1473,18 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q61_recursive_closure" ->
+      """WITH RECURSIVE r(k, root, depth) AS (
+        |  SELECT o_orderkey, o_orderkey, 0
+        |  FROM orders WHERE o_orderkey < 10
+        |  UNION ALL
+        |  SELECT o.o_orderkey, r.root, r.depth + 1
+        |  FROM orders o JOIN r ON o.o_orderkey // 10 = r.k
+        |  WHERE o.o_orderkey >= 10)
+        |SELECT root, depth, count(*) AS n, min(k) AS first_key
+        |FROM r
+        |GROUP BY root, depth
+        |ORDER BY root, depth""".stripMargin,
     "q60_lateral_topk" ->
       """SELECT n.n_name, t.s_name, round(t.s_acctbal, 2) AS acctbal
         |FROM nation n,
