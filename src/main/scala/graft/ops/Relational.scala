@@ -1408,7 +1408,36 @@ object Relational {
         |ORDER BY root, depth""".stripMargin)
   }
 
+  /** Error-tolerant scalar functions: `try_divide` nulls out division
+    * by zero and `try_cast` nulls out unparseable strings instead of
+    * failing the job — on a 100 TB scan one malformed value must
+    * yield a null (accounted for downstream), not a dead stage.
+    * The divisor is exact 2-decimal arithmetic so the zero set is
+    * engine-identical, and the surviving divisions are IEEE-identical
+    * doubles.
+    */
+  def q62TryFunctions(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .filter(col("l_orderkey") % 101 === 0)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        // quotients are arbitrary decimals, so round() would sit on
+        // half-boundaries (hit at row 421 of the fixture: Spark
+        // HALF_UP vs DuckDB binary) — quantize with floor(x+0.5)
+        // into integer basis points instead
+        floor(try_divide(col("l_extendedprice"), col("l_quantity") - 25) * 10000 + 0.5)
+          .cast("long").as("price_bp"),
+        // parses only for 'A' rows (digits), nulls for 'N'/'R' letters
+        expr("""try_cast(CASE WHEN l_returnflag = 'A'
+                |  THEN cast(l_linenumber AS STRING)
+                |  ELSE l_returnflag END AS INT)""".stripMargin)
+          .as("tolerant_cast"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_try_functions" -> q62TryFunctions,
     "q61_recursive_closure" -> q61RecursiveClosure,
     "q60_lateral_topk" -> q60LateralTopK,
     "q59_snapshot_diff" -> q59SnapshotDiff,
@@ -1473,6 +1502,16 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q62_try_functions" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(floor(l_extendedprice / nullif(l_quantity - 25, 0)
+        |   * 10000 + 0.5) AS BIGINT) AS price_bp,
+        | TRY_CAST(CASE WHEN l_returnflag = 'A'
+        |   THEN CAST(l_linenumber AS VARCHAR)
+        |   ELSE l_returnflag END AS INT) AS tolerant_cast
+        |FROM lineitem
+        |WHERE l_orderkey % 101 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q61_recursive_closure" ->
       """WITH RECURSIVE r(k, root, depth) AS (
         |  SELECT o_orderkey, o_orderkey, 0
