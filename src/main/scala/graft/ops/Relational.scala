@@ -1436,7 +1436,39 @@ object Relational {
           .as("tolerant_cast"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** The custom AS-OF JOIN operator (extension tier #2,
+    * [[graft.plans.AsOfJoin]]) under the oracle gate: every purchase
+    * paired with the user's latest click at or before it — q18's
+    * semantics, but compiled to the operator's native shape (two
+    * co-partitioning exchanges + two sorts + a single-pass streaming
+    * merge with one buffered row of state) instead of q18's
+    * union-window composition. The oracle is DuckDB's own native
+    * `ASOF LEFT JOIN` — engine-grade semantics checked against an
+    * engine. Click times, not click ids, are projected: rows sharing
+    * (user, time) are tie-ambiguous in any as-of engine.
+    */
+  def q63AsofCustom(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        col("event_type"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("us").as("p_us"))
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("us").as("c_us"))
+    graft.plans.AsOfJoin(purchases, clicks, "user_id", "c_user", "p_us", "c_us")
+      .select(col("user_id"), col("purchase_id"), col("p_us"), col("c_us"))
+      .orderBy("user_id", "purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_asof_custom" -> q63AsofCustom,
     "q62_try_functions" -> q62TryFunctions,
     "q61_recursive_closure" -> q61RecursiveClosure,
     "q60_lateral_topk" -> q60LateralTopK,
@@ -1502,6 +1534,17 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q63_asof_custom" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.purchase_id, p.p_us, c.c_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.p_us >= c.c_us
+        |ORDER BY p.user_id, p.purchase_id""".stripMargin,
     "q62_try_functions" ->
       """SELECT l_orderkey, l_linenumber,
         | CAST(floor(l_extendedprice / nullif(l_quantity - 25, 0)

@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteDotProduct)
     e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     GraftExtensions.functions.foreach { case (name, builder) =>
       e.injectFunction(
         (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -67,6 +68,9 @@ object GraftExtensions {
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
     functions.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")

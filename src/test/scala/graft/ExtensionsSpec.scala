@@ -92,4 +92,38 @@ class ExtensionsSpec extends SparkSpec {
     val out = graft.plans.TopKPerKey(n, Seq("n_regionkey"), "n_nationkey", 1000)
     assert(out.count() == n.count())
   }
+
+  test("AsOfJoin plans as co-partitioned sorted merge: exec node, 2 exchanges, sorts") {
+    GraftExtensions.install(spark)
+    val df = graft.ops.Relational.q63AsofCustom(spark, Sf)
+    df.collect()
+    // AQE's toString prints BOTH the final and initial plans — count
+    // nodes only in the final section or every node doubles
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("AsOfJoin"), s"custom exec node missing:\n${plan.take(1200)}")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, s"expected 2 co-partitioning exchanges, got $exchanges")
+    assert(plan.linesIterator.count(_.matches(".*\\bSort \\[.*")) >= 2,
+      "per-partition (key, time) sorts must be planned on both sides")
+  }
+
+  test("AsOfJoin equals the declarative max-below-bound formulation") {
+    GraftExtensions.install(spark)
+    import org.apache.spark.sql.functions._
+    val ev = graft.ops.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"), col("event_type"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("us").as("p_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("us").as("c_us"))
+    val viaOp = graft.plans.AsOfJoin(p, c, "user_id", "c_user", "p_us", "c_us")
+      .select(col("purchase_id"), col("c_us"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val viaAgg = p
+      .join(c, col("user_id") === col("c_user") && col("c_us") <= col("p_us"), "left")
+      .groupBy(col("purchase_id"))
+      .agg(max(col("c_us")).as("c_us"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(viaOp == viaAgg)
+  }
 }
