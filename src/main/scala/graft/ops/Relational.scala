@@ -1467,7 +1467,42 @@ object Relational {
       .orderBy("user_id", "purchase_id")
   }
 
+  /** Incremental aggregate maintenance: per-supplier (count, sum)
+    * partials computed separately over the "historical" shard
+    * (shipdate < split) and the "new" shard (shipdate ≥ split), then
+    * composed by re-aggregation — count adds, sums add, avg derives
+    * at the edge. The oracle computes the one-shot aggregate over
+    * everything: the gate proves partial-state composition is exact,
+    * which is what lets a 100 TB nightly pipeline update stored
+    * aggregates from the day's shard without rescanning history
+    * (q47's salting proves the same algebra across space; this
+    * proves it across time). Sums compose in exact integer cents so
+    * addition order can't perturb the compare.
+    */
+  def q64PartialAggMerge(s: SparkSession, dir: String): DataFrame = {
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("l_suppkey"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("sum_cents"))
+    val li = Tables.lineitem(s, dir)
+    val split = "1997-01-01"
+    val historical = partial(li.filter(col("l_shipdate") < lit(split)))
+    val fresh = partial(li.filter(col("l_shipdate") >= lit(split)))
+    historical
+      .unionByName(fresh)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+      .select(
+        col("l_suppkey"),
+        col("n"),
+        (col("sum_cents") / 100.0).as("total_price"),
+        (col("sum_cents").cast("double") / col("n") / 100.0).as("avg_price"))
+      .orderBy("l_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_partial_agg_merge" -> q64PartialAggMerge,
     "q63_asof_custom" -> q63AsofCustom,
     "q62_try_functions" -> q62TryFunctions,
     "q61_recursive_closure" -> q61RecursiveClosure,
@@ -1534,6 +1569,17 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // deliberately the ONE-SHOT aggregate over all shards: the gate
+    // then proves the engine's merged partials equal it exactly
+    "q64_partial_agg_merge" ->
+      """SELECT l_suppkey, count(*) AS n,
+        | CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |   AS BIGINT) / 100.0 AS total_price,
+        | CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |   AS BIGINT)::DOUBLE / count(*) / 100.0 AS avg_price
+        |FROM lineitem
+        |GROUP BY l_suppkey
+        |ORDER BY l_suppkey""".stripMargin,
     "q63_asof_custom" ->
       """WITH p AS (
         |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
