@@ -348,7 +348,37 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d8 — fuzzy entity matching (edit distance ≤ 2 on part names):
+    * the record-linkage shape. Never all-pairs: candidates come from
+    * brand blocking (work ∝ block co-occupancy, like d2's bands), a
+    * length-difference prefilter prunes inside the join condition
+    * before any DP runs (|len(a)−len(b)| > θ ⇒ distance > θ, for
+    * free), and the distance itself uses Spark's THRESHOLD
+    * levenshtein — O(θ·n) banded DP with early exit instead of the
+    * full O(n·m) matrix, the only affordable form when blocks are
+    * large. Distance is computed once, post-join.
+    */
+  def d8FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables
+      .part(s, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+    p.alias("a")
+      .join(
+        p.alias("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_partkey") < col("b.p_partkey") &&
+          abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 2)
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name"), 2))
+      .filter(col("dist") =!= -1)
+      .select(
+        col("a.p_partkey").as("id_a"),
+        col("b.p_partkey").as("id_b"),
+        col("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d8_fuzzy_match" -> d8FuzzyMatch,
     "d7_decontaminate" -> d7Decontaminate,
     "d1_dedup_exact" -> d1ExactDedup,
     "d2_dedup_minhash" -> d2MinHashLsh,
@@ -385,6 +415,15 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "d8_fuzzy_match" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        | CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand
+        | AND a.p_partkey < b.p_partkey
+        | AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     "d7_decontaminate" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -107,6 +107,24 @@ class ExtensionsSpec extends SparkSpec {
       "per-partition (key, time) sorts must be planned on both sides")
   }
 
+  test("AsOfJoin edges: no-match keys, pre-history times, inclusive bound") {
+    GraftExtensions.install(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // keys: 1 has quotes, 2 has none; left times probe before/at/after
+    val left = Seq((1L, 5L, "b4"), (1L, 10L, "at"), (1L, 99L, "after"), (2L, 50L, "orphan"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, "q10"), (1L, 20L, "q20")).toDF("rk", "rt", "q")
+    val out = graft.plans.AsOfJoin(left, right, "k", "rk", "t", "rt")
+      .select(col("tag"), col("q"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(
+      "b4" -> None,          // before any quote
+      "at" -> Some("q10"),   // inclusive bound matches the equal time
+      "after" -> Some("q20"),
+      "orphan" -> None))     // key with no right rows at all
+  }
+
   test("AsOfJoin equals the declarative max-below-bound formulation") {
     GraftExtensions.install(spark)
     import org.apache.spark.sql.functions._
