@@ -28,6 +28,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteDotProduct)
+    e.injectOptimizerRule(_ => RewriteLevenshteinThreshold)
     e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     GraftExtensions.functions.foreach { case (name, builder) =>
@@ -65,6 +66,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteDotProduct
+    if (!spark.experimental.extraOptimizations.contains(RewriteLevenshteinThreshold))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteLevenshteinThreshold
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
@@ -76,6 +80,49 @@ object GraftExtensions {
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
   }
+}
+
+/** `levenshtein(a, b) <= k` / `< k` / `>= k` / `> k` (constant
+  * non-negative k, no threshold) → the THRESHOLD levenshtein
+  * compared against −1's semantics: the banded DP does O(k·n) work
+  * with early exit instead of filling the full O(n·m) matrix, and
+  * the predicate's truth value is unchanged (`levenshtein(a, b, k)`
+  * returns the true distance when ≤ k and −1 otherwise, so
+  * `dist <= k ⟺ threshold-form ≠ −1`). Users write the naive
+  * predicate; every edit-distance filter in the plan gets the banded
+  * kernel for free — the same contract as [[RewriteDotProduct]].
+  */
+object RewriteLevenshteinThreshold extends Rule[LogicalPlan] {
+
+  private def constK(e: Expression): Option[Int] = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) if v >= 0 => Some(v)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      // dist <= k  ⟺  lev(a,b,k) != -1
+      case LessThanOrEqual(Levenshtein(a, b, None), kl @ Literal(_, _))
+          if constK(kl).isDefined =>
+        Not(EqualTo(Levenshtein(a, b, Some(kl)), Literal(-1)))
+      // dist < k (k ≥ 1)  ⟺  lev(a,b,k-1) != -1
+      case LessThan(Levenshtein(a, b, None), kl @ Literal(_, _))
+          if constK(kl).exists(_ >= 1) =>
+        Not(
+          EqualTo(
+            Levenshtein(a, b, Some(Literal(constK(kl).get - 1))),
+            Literal(-1)))
+      // dist > k  ⟺  lev(a,b,k) == -1
+      case GreaterThan(Levenshtein(a, b, None), kl @ Literal(_, _))
+          if constK(kl).isDefined =>
+        EqualTo(Levenshtein(a, b, Some(kl)), Literal(-1))
+      // dist >= k (k ≥ 1)  ⟺  lev(a,b,k-1) == -1
+      case GreaterThanOrEqual(Levenshtein(a, b, None), kl @ Literal(_, _))
+          if constK(kl).exists(_ >= 1) =>
+        EqualTo(
+          Levenshtein(a, b, Some(Literal(constK(kl).get - 1))),
+          Literal(-1))
+    }
 }
 
 /** `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v)`

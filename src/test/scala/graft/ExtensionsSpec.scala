@@ -107,6 +107,46 @@ class ExtensionsSpec extends SparkSpec {
       "per-partition (key, time) sorts must be planned on both sides")
   }
 
+  test("RewriteLevenshteinThreshold: naive distance filters get the banded kernel") {
+    GraftExtensions.install(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // parquet round-trip: a literal LocalRelation would be folded by
+    // ConvertToLocalRelation before the rewrite is observable
+    val dir = java.nio.file.Files.createTempDirectory("graft-lev").toString
+    Seq(
+      ("kitten", "sitting"), ("flaw", "lawn"), ("abc", "abc"),
+      ("abcdef", "xyzuvw"), ("spark", "sprak")).toDF("a", "b")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    // <= rewrites to the threshold form in the optimized plan
+    val filtered = df.filter(levenshtein($"a", $"b") <= 2)
+    val optimized = filtered.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("levenshtein(a#") && optimized.contains("Some(2)"),
+      s"threshold form missing from optimized plan:\n$optimized")
+    // all four comparison shapes keep their naive truth values
+    val pairs = df.collect().map(r => (r.getString(0), r.getString(1)))
+    def naive(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (k <- 0 to 3) {
+      val le = df.filter(levenshtein($"a", $"b") <= k).collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(le == pairs.filter { case (a, b) => naive(a, b) <= k }.toSet, s"<= $k")
+      val gt = df.filter(levenshtein($"a", $"b") > k).collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(gt == pairs.filter { case (a, b) => naive(a, b) > k }.toSet, s"> $k")
+      if (k >= 1) {
+        val lt = df.filter(levenshtein($"a", $"b") < k).collect().map(r => (r.getString(0), r.getString(1))).toSet
+        assert(lt == pairs.filter { case (a, b) => naive(a, b) < k }.toSet, s"< $k")
+        val ge = df.filter(levenshtein($"a", $"b") >= k).collect().map(r => (r.getString(0), r.getString(1))).toSet
+        assert(ge == pairs.filter { case (a, b) => naive(a, b) >= k }.toSet, s">= $k")
+      }
+    }
+  }
+
   test("AsOfJoin edges: no-match keys, pre-history times, inclusive bound") {
     GraftExtensions.install(spark)
     import spark.implicits._
