@@ -92,6 +92,35 @@ class SourcesSpec extends SparkSpec {
       "count over a lang filter cannot be answered from the key range")
   }
 
+  test("V2 sink commit protocol: all rows publish exactly once on success") {
+    import spark.implicits._
+    graft.sources.MemSink.clear("t_ok")
+    (1 to 100).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+      .repartition(4)
+      .write.format("graft.sources.MemSink")
+      .option("name", "t_ok").mode("append").save()
+    val got = graft.sources.MemSink.rows("t_ok")
+    assert(got.size == 100)
+    assert(got.map(_.head.asInstanceOf[Long]).sorted == (1L to 100L))
+  }
+
+  test("V2 sink commit protocol: a failed job publishes NOTHING (abort drops staging)") {
+    import spark.implicits._
+    graft.sources.MemSink.clear("t_fail")
+    val boom = org.apache.spark.sql.functions.udf { (i: Long) =>
+      if (i == 42L) throw new RuntimeException("poison row") else i
+    }
+    intercept[Exception] {
+      (1 to 100).map(_.toLong).toDF("id")
+        .repartition(4)
+        .withColumn("id", boom($"id"))
+        .write.format("graft.sources.MemSink")
+        .option("name", "t_fail").mode("append").save()
+    }
+    assert(graft.sources.MemSink.rows("t_fail").isEmpty,
+      "staged rows from non-failing tasks must never become visible")
+  }
+
   test("connector output composes with the relational surface") {
     val perLang = synth(1000, 8)
       .withColumn("nt", size(split(col("text"), " ")))
