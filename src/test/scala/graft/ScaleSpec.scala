@@ -99,4 +99,48 @@ class ScaleSpec extends SparkSpec {
       prev.foreach { case (k, v) => spark.conf.set(k, v) }
     }
   }
+
+  test("compaction: many small files rewrite to the target count, content identical") {
+    val src = Files.createTempDirectory("graft-small").toString
+    val li = Tables.lineitem(spark, Sf).select("l_orderkey", "l_linenumber", "l_quantity")
+    li.repartition(37).write.mode("overwrite").parquet(src)
+    val out = Files.createTempDirectory("graft-compact").toString
+    graft.ops.Layout.compact(spark, src, out, 3)
+    val files = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 3, s"expected 3 files, got $files")
+    // sort on every column: (orderkey, linenumber) is not unique in
+    // the synthetic fixture, and ties would make the compare flaky
+    val a = spark.read.parquet(src).orderBy("l_orderkey", "l_linenumber", "l_quantity").collect()
+    val b = spark.read.parquet(out).orderBy("l_orderkey", "l_linenumber", "l_quantity").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("z-order layout: per-file bounding boxes shrink on BOTH dimensions vs naive") {
+    import org.apache.spark.sql.DataFrame
+    // average per-file (max-min) span of each dimension, normalized
+    // by the global span — the proxy for min/max-stats prunability
+    def avgSpans(dir: String): (Double, Double) = {
+      val df = spark.read.parquet(dir)
+        .select(col("l_partkey"), col("l_suppkey"), input_file_name().as("f"))
+      val g = df.agg(
+        (max("l_partkey") - min("l_partkey")).cast("double").as("ga"),
+        (max("l_suppkey") - min("l_suppkey")).cast("double").as("gb")).head()
+      val per = df.groupBy("f").agg(
+        (max("l_partkey") - min("l_partkey")).cast("double").as("sa"),
+        (max("l_suppkey") - min("l_suppkey")).cast("double").as("sb"))
+        .agg(avg("sa").as("sa"), avg("sb").as("sb")).head()
+      (per.getDouble(0) / g.getDouble(0), per.getDouble(1) / g.getDouble(1))
+    }
+    val li = Tables.lineitem(spark, Sf).select("l_partkey", "l_suppkey", "l_quantity")
+    val naive = Files.createTempDirectory("graft-naive").toString
+    li.repartition(8).write.mode("overwrite").parquet(naive)
+    val zed = Files.createTempDirectory("graft-zorder").toString
+    graft.ops.Layout.zorderWrite(li, "l_partkey", "l_suppkey", zed, 8)
+    val (na, nb) = avgSpans(naive)
+    val (za, zb) = avgSpans(zed)
+    // naive round-robin files span ~the whole space on both dims;
+    // z-ordered files must cover tight boxes on both simultaneously
+    assert(za < na * 0.8 && zb < nb * 0.8,
+      s"z-order did not shrink boxes: naive=($na,$nb) zorder=($za,$zb)")
+  }
 }
