@@ -117,13 +117,61 @@ object Corpus {
       .orderBy("lang")
   }
 
+  /** p4 — stratified train/val/test split: WITHIN each language,
+    * documents are ordered by a deterministic content-independent
+    * hash (md5 of the id — hex strings order identically in any
+    * engine, ties impossible) and cut at 80% / 90% by per-stratum
+    * rank. Stratification keeps every language's ratio exact instead
+    * of binomially noisy, the hash ordering makes the split stable
+    * across reruns and engines, and the whole thing is one window
+    * over the (lang)-partitioned corpus plus a tiny count aggregate —
+    * no sampling RNG anywhere near the data.
+    */
+  def p4StratifiedSplit(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("h"))
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("lang"), md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+      .withColumn(
+        "split",
+        when(col("rk") * 10 <= col("n") * 8, "train")
+          .when(col("rk") * 10 <= col("n") * 9, "val")
+          .otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy("lang", "split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p4_stratified_split" -> p4StratifiedSplit,
     "p3_quota_mix" -> p3QuotaMix,
     "p1_corpus_clean" -> p1CorpusClean,
     "p2_corpus_neardedup" -> p2CorpusNearDedup
   )
 
   val oracles: Map[String, String] = Map(
+    "p4_stratified_split" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM d),
+        |sp AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN rk * 10 <= n * 8 THEN 'train'
+        |         WHEN rk * 10 <= n * 9 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM r)
+        |SELECT lang, split, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM sp GROUP BY 1, 2
+        |ORDER BY lang, split""".stripMargin,
     "p3_quota_mix" ->
       """WITH c AS (
         |  SELECT lang, count(*) AS n_before FROM documents GROUP BY 1),

@@ -377,7 +377,32 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** d9 — canonicalized ("near-exact") dedup: the C4-style recipe
+    * where documents are equal after case-folding, stripping
+    * non-alphanumerics and collapsing whitespace — catching the
+    * reformatted copies exact dedup (d1) misses while staying a pure
+    * hash-groupBy (no candidate generation). Canonicalization is
+    * scan-side codegen'd string ops; only (fingerprint, id) pairs
+    * reach the exchange. The extra hits over d1's raw fingerprints
+    * are exactly the reformatted-duplicate mass.
+    */
+  def d9CanonicalDedup(s: SparkSession, dir: String): DataFrame = {
+    val canon = trim(
+      regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+        " +",
+        " "))
+    Tables
+      .documents(s, dir)
+      .groupBy(md5(canon).as("fp"))
+      .agg(
+        min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy("fp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d9_canonical_dedup" -> d9CanonicalDedup,
     "d8_fuzzy_match" -> d8FuzzyMatch,
     "d7_decontaminate" -> d7Decontaminate,
     "d1_dedup_exact" -> d1ExactDedup,
@@ -415,6 +440,16 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // regexp_replace needs the 'g' flag in DuckDB (Spark always
+    // replaces globally)
+    "d9_canonical_dedup" ->
+      """SELECT md5(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g'))) AS fp,
+        | min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY fp""".stripMargin,
     "d8_fuzzy_match" ->
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
         | CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist

@@ -214,6 +214,26 @@ class OpsSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("p4 stratified split: every doc assigned once, ratios exact per lang") {
+    val rows = Corpus.p4StratifiedSplit(spark, Sf).collect()
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == Tables.documents(spark, Sf).count())
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val bySplit = rs.map(r => r.getString(1) -> r.getLong(2)).toMap
+      val n = bySplit.values.sum
+      // exact rank cuts: train = floor(0.8n), train+val = floor(0.9n)
+      assert(bySplit("train") == n * 8 / 10, s"$lang train")
+      assert(bySplit("train") + bySplit.getOrElse("val", 0L) == n * 9 / 10, s"$lang val")
+    }
+  }
+
+  test("d9 canonical dedup finds at least as many duplicates as raw exact dedup") {
+    val rawGroups = Dedup.d1ExactDedup(spark, Sf).count()
+    val canonGroups = Dedup.d9CanonicalDedup(spark, Sf).count()
+    assert(canonGroups <= rawGroups,
+      "canonicalization can only merge fingerprint groups, never split them")
+  }
+
   test("t8 vocab stats: hapax <= vocab <= total tokens, ttr in (0,1]") {
     TextAnalysis.t8VocabStats(spark, Sf).collect().foreach { r =>
       val (vocab, hapax, total) = (r.getLong(1), r.getLong(2), r.getLong(3))
