@@ -113,13 +113,16 @@ private class SynthDocsTable(rows: Long, numPartitions: Int)
   override def name(): String = s"synth_docs($rows)"
   override def schema(): StructType = SynthDocs.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthDocsScanBuilder(rows, numPartitions)
+    new SynthDocsScanBuilder(
+      rows,
+      numPartitions,
+      Option(options.get("rowsPerBatch")).map(_.toLong).getOrElse(1000L))
 }
 
-private class SynthDocsScanBuilder(rows: Long, numPartitions: Int)
+private class SynthDocsScanBuilder(rows: Long, numPartitions: Int, rowsPerBatch: Long = 1000L)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -211,7 +214,8 @@ private class SynthDocsScanBuilder(rows: Long, numPartitions: Int)
     val (lo, hi, langEq) = bounds
     aggPushed match {
       case Some(agg) => new SynthDocsAggScan(lo, hi, agg)
-      case None => new SynthDocsScan(lo, hi, numPartitions, required, langEq)
+      case None =>
+        new SynthDocsScan(lo, hi, numPartitions, required, langEq, rowsPerBatch)
     }
   }
 }
@@ -269,7 +273,8 @@ private class SynthDocsScan(
     hi: Long,
     numPartitions: Int,
     required: StructType,
-    langEq: Option[String])
+    langEq: Option[String],
+    rowsPerBatch: Long = 1000L)
     extends Scan
     with Batch {
   override def readSchema(): StructType = required
@@ -291,6 +296,78 @@ private class SynthDocsScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SynthDocsReaderFactory(required)
+
+  /** Streaming face of the same scan: doc_id IS the offset. Each
+    * trigger advances the committed position by at most
+    * `rowsPerBatch` (per-trigger admission control, the
+    * `maxFilesPerTrigger` analog), `planInputPartitions(start, end)`
+    * splits exactly the new id range across the same partition
+    * planner as the batch path, and pushed filters / pruned columns
+    * apply unchanged. Offsets serialize as plain longs; Spark's
+    * checkpoint replays the last uncommitted range after a crash and
+    * gets identical rows back (generation is a pure function of
+    * doc_id) — the exactly-once source contract with zero
+    * source-side state.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SynthDocsMicroBatchStream(lo, hi, numPartitions, required, langEq, rowsPerBatch)
+}
+
+private case class SynthDocsOffset(pos: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = pos.toString
+}
+
+private class SynthDocsMicroBatchStream(
+    lo: Long,
+    hi: Long,
+    numPartitions: Int,
+    required: StructType,
+    langEq: Option[String],
+    rowsPerBatch: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  override def initialOffset(): Offset = SynthDocsOffset(lo)
+
+  /** Admission-control form: the engine hands us the start position,
+    * so the available end is pure arithmetic — no source-side state
+    * to drift from the checkpoint across restarts.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    SynthDocsOffset(
+      math.min(start.asInstanceOf[SynthDocsOffset].pos + rowsPerBatch, hi))
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-control source: latestOffset(start, limit)")
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+
+  override def deserializeOffset(json: String): Offset =
+    SynthDocsOffset(json.toLong)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[SynthDocsOffset].pos
+    val e0 = end.asInstanceOf[SynthDocsOffset].pos
+    val span = math.max(e0 - s0, 0L)
+    val per = math.max((span + numPartitions - 1) / numPartitions, 1L)
+    (0 until numPartitions).toArray.flatMap { i =>
+      val st = s0 + i * per
+      val en = math.min(st + per, e0)
+      if (st < en) Some(SynthDocsPartition(st, en, langEq): InputPartition)
+      else None
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthDocsReaderFactory(required)
+
+  override def stop(): Unit = ()
 }
 
 private case class SynthDocsPartition(start: Long, end: Long, langEq: Option[String])
