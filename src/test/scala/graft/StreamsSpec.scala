@@ -189,6 +189,38 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("custom streaming source feeds the cleaning stack end-to-end") {
+    // SynthDocs micro-batches → quality gate → per-lang accounting:
+    // the engine's own connector driving the engine's own operators
+    val counts = spark.readStream
+      .format("graft.sources.SynthDocs")
+      .option("rows", "400")
+      .option("partitions", "4")
+      .option("rowsPerBatch", "150")
+      .load()
+      .filter(size(split(col("text"), " ")) >= 10) // quality gate
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val q = counts.writeStream
+      .format("memory")
+      .queryName("clean_feed")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("clean_feed").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // must equal the batch computation over the same generator
+      val expected = spark.read
+        .format("graft.sources.SynthDocs")
+        .option("rows", "400").option("partitions", "4").load()
+        .filter(size(split(col("text"), " ")) >= 10)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"stream=$got batch=$expected")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment: feed rows gain dim columns, missing keys survive") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
