@@ -1501,7 +1501,29 @@ object Relational {
       .orderBy("l_suppkey")
   }
 
+  /** Spark's native `session_window` operator: variable-length
+    * sessions that extend while consecutive events arrive within the
+    * gap — the same semantics q17 derives via lag/running-sum
+    * islands, but compiled to the dedicated session-aggregation
+    * physical path (sessions merge inside the aggregate; in
+    * streaming, the same operator runs against the session state
+    * store). Output is per-session, keyed by exact integer start/end
+    * micros; the oracle reconstructs sessions with the portable
+    * gaps-and-islands SQL.
+    */
+  def q65SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_session_window" -> q65SessionWindow,
     "q64_partial_agg_merge" -> q64PartialAggMerge,
     "q63_asof_custom" -> q63AsofCustom,
     "q62_try_functions" -> q62TryFunctions,
@@ -1569,6 +1591,27 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // boundary semantics verified empirically: an event exactly `gap`
+    // after the last one MERGES into the session (Spark treats the
+    // session-end boundary as inclusive for the next event), so the
+    // new-session condition is strictly greater — matching Spark at
+    // the µs-exact boundary, not just on this fixture
+    "q65_session_window" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                   OR us - lag(us) OVER w > 1800000000
+        |                 THEN 1 ELSE 0 END AS chg
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |i AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id
+        |                           ORDER BY us, event_id) AS sess
+        |  FROM f)
+        |SELECT user_id, min(us) AS start_us, count(*) AS n_events
+        |FROM i GROUP BY user_id, sess
+        |ORDER BY user_id, start_us""".stripMargin,
     // deliberately the ONE-SHOT aggregate over all shards: the gate
     // then proves the engine's merged partials equal it exactly
     "q64_partial_agg_merge" ->
