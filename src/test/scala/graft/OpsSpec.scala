@@ -214,6 +214,17 @@ class OpsSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("q65 native sessions agree with q17's lag-derived sessions per user") {
+    val native = Relational.q65SessionWindow(spark, Sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val derived = Relational.q17Sessionize(spark, Sf)
+      .select("user_id", "n_sessions")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == derived,
+      "session_window and the lag/island formulation must count identical sessions")
+  }
+
   test("p4 stratified split: every doc assigned once, ratios exact per lang") {
     val rows = Corpus.p4StratifiedSplit(spark, Sf).collect()
     val total = rows.map(_.getLong(2)).sum
