@@ -101,8 +101,8 @@ object Multimodal {
     * Scala analog of a vectorized Python UDF. One decoder handle per
     * partition; rows stream through it as a batch iterator. Features
     * are deterministic functions of the payload bytes, pinned by the
-    * unit spec; rows-only driver check (byte-fold features are not
-    * reasonably SQL-expressible in the oracle).
+    * unit spec AND the DuckDB gate (the fingerprint is mod-arithmetic,
+    * so the oracle recomputes every feature from the same bytes).
     */
   def m3ImageFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -289,8 +289,20 @@ object Multimodal {
         |  CAST(unnest(range(0, duration_s + 1, 5)) AS INTEGER) AS frame_s
         |FROM m
         |ORDER BY doc_id, frame_s""".stripMargin,
-    // m3 is mapPartitions over the stub decoder — rows-only check,
-    // features pinned by MultimodalSpec.
+    "m3_image_features" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    ['jpeg','png','webp'][(doc_id % 3 + 1)::INT] AS format,
+        |    list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)
+        |      AS bytes
+        |  FROM documents)
+        |SELECT doc_id, format,
+        |  CAST(len(bytes) AS INTEGER) AS n_bytes,
+        |  round(list_sum(bytes)::DOUBLE / len(bytes), 4) AS mean_byte,
+        |  list_reduce(list_prepend(0::BIGINT, bytes),
+        |    (h, c) -> (h * 131 + c) % 1000000007) AS fingerprint
+        |FROM m
+        |ORDER BY doc_id""".stripMargin,
     "m4_resize" ->
       """WITH m AS (
         |  SELECT doc_id,
@@ -352,13 +364,19 @@ final class FakeImageDecoder private () {
 
   final case class Decoded(nBytes: Int, meanByte: Double, fingerprint: Long)
 
+  /** Byte-fold features. The fingerprint is a mod-1e9+7 polynomial
+    * (same arithmetic family as t7/m5) rather than FNV: identical
+    * discriminating power for a stub, but free of 64-bit wraparound —
+    * so the DuckDB oracle can recompute it and m3 graduates from a
+    * rows-only check to a full hash-matched gate.
+    */
   def decode(payload: Array[Byte]): Decoded = {
     var sum = 0L
-    var fp = 1469598103934665603L // FNV-1a 64 offset basis
+    var fp = 0L
     var i = 0
     while (i < payload.length) {
       sum += payload(i) & 0xFF
-      fp = (fp ^ (payload(i) & 0xFF)) * 1099511628211L
+      fp = (fp * 131L + (payload(i) & 0xFF)) % 1000000007L
       i += 1
     }
     val mean = if (payload.length == 0) 0.0 else sum.toDouble / payload.length

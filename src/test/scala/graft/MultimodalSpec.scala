@@ -42,8 +42,8 @@ class MultimodalSpec extends SparkSpec {
     val out = d.decode("abc".getBytes("UTF-8"))
     assert(out.nBytes == 3)
     assert(math.abs(out.meanByte - (97 + 98 + 99) / 3.0) < 1e-9)
-    // FNV-1a 64 of "abc"
-    assert(out.fingerprint == -2204510569963675907L)
+    // mod-1e9+7 polynomial of "abc": ((97*131 + 98)*131 + 99) % P
+    assert(out.fingerprint == ((97L * 131 + 98) * 131 + 99) % 1000000007L)
     assert(d.decode("abc".getBytes("UTF-8")).fingerprint == out.fingerprint)
   }
 
