@@ -212,6 +212,66 @@ object Streams {
       n_events: Int
   )
 
+  final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Spark 4 arbitrary-state API (`transformWithState`): a
+    * [[org.apache.spark.sql.streaming.StatefulProcessor]] keeping one
+    * typed `ValueState` per user — running event count + value total
+    * emitted on every update. Against `flatMapGroupsWithState`
+    * (sessionize below) this is the successor surface: named state
+    * variables with independent TTLs, timers decoupled from state,
+    * and state schema evolution — the API a long-lived 100 TB
+    * streaming job wants for its per-entity aggregates. TTL is
+    * plumbed through so idle users' state ages out instead of
+    * accumulating forever.
+    */
+  class RunningTotalsProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long,
+        (Long, Double),
+        UserTotals] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var totals: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)](
+        "totals",
+        Encoders.product[(Long, Double)],
+        ttl)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[UserTotals] = {
+      val (n0, v0) = if (totals.exists()) totals.get() else (0L, 0.0)
+      var n = n0
+      var v = v0
+      rows.foreach { case (_, value) => n += 1; v += value }
+      totals.update((n, v))
+      Iterator.single(UserTotals(key, n, math.round(v * 100).toDouble / 100))
+    }
+  }
+
+  /** Running per-user totals over a (user_id, value) stream via
+    * `transformWithState`; update-mode emission, one state row per
+    * active user, TTL-bounded.
+    */
+  def runningTotals(
+      events: Dataset[(Long, Double)],
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE
+  ): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .transformWithState(
+        new RunningTotalsProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Gap-based sessionization via `flatMapGroupsWithState`: one small
     * state row per active user; a session closes when the event-time
     * watermark passes its last event + gap, at which point it is

@@ -189,6 +189,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState: per-user running totals accumulate across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // transformWithState stores each state variable in its own column
+    // family — RocksDB provider required (HDFS-backed can't do CFs)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(Long, Double)]
+    val q = Streams.runningTotals(in.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("running_totals")
+      .outputMode("update")
+      .start()
+    try {
+      in.addData((1L, 10.0), (1L, 5.0), (2L, 1.0))
+      q.processAllAvailable()
+      in.addData((1L, 2.5), (3L, 7.0))
+      q.processAllAvailable()
+      // update mode: keep the LAST emission per user
+      val latest = spark.table("running_totals").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      assert(latest == Map(
+        1L -> ((3L, 17.5)), // state carried across the two batches
+        2L -> ((1L, 1.0)),
+        3L -> ((1L, 7.0))))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("custom streaming source feeds the cleaning stack end-to-end") {
     // SynthDocs micro-batches → quality gate → per-lang accounting:
     // the engine's own connector driving the engine's own operators
