@@ -214,6 +214,26 @@ class OpsSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("observe(): quality-gate metrics ride the same pass as the pipeline") {
+    // the observability contract a production clean job needs: counters
+    // (rows in, rows dropped, token mass) collected by the SAME job
+    // that produces the output — no second scan, no race
+    val obs = new org.apache.spark.sql.Observation("gate_metrics")
+    val docs = Tables.documents(spark, Sf)
+      .withColumn("nt", size(split(col("text"), " ")))
+      .observe(
+        obs,
+        count(lit(1)).as("rows_in"),
+        sum(when(col("nt") < 25, 1L).otherwise(0L)).as("rows_below_gate"),
+        sum(col("nt")).as("total_tokens"))
+    val kept = docs.filter(col("nt") >= 25).count()
+    val m = obs.get
+    val totalRows = Tables.documents(spark, Sf).count()
+    assert(m("rows_in") == totalRows)
+    assert(m("rows_below_gate").asInstanceOf[Long] == totalRows - kept)
+    assert(m("total_tokens").asInstanceOf[Long] > 0)
+  }
+
   test("q65 native sessions agree with q17's lag-derived sessions per user") {
     val native = Relational.q65SessionWindow(spark, Sf)
       .groupBy("user_id").agg(count(lit(1)).as("n"))
