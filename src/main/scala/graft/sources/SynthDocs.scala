@@ -334,11 +334,21 @@ private class SynthDocsMicroBatchStream(
 
   /** Admission-control form: the engine hands us the start position,
     * so the available end is pure arithmetic — no source-side state
-    * to drift from the checkpoint across restarts.
+    * to drift from the checkpoint across restarts. The ReadLimit must
+    * be honored, not assumed: Trigger.AvailableNow snapshots its
+    * drain target through ReadAllAvailable, and answering it with one
+    * batch's worth would truncate the drain.
     */
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    SynthDocsOffset(
-      math.min(start.asInstanceOf[SynthDocsOffset].pos + rowsPerBatch, hi))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadMaxRows}
+    val s0 = start.asInstanceOf[SynthDocsOffset].pos
+    val end = limit match {
+      case r: ReadMaxRows => math.min(s0 + r.maxRows(), hi)
+      case _: ReadAllAvailable => hi
+      case _ => math.min(s0 + rowsPerBatch, hi)
+    }
+    SynthDocsOffset(end)
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

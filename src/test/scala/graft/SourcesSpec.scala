@@ -117,6 +117,39 @@ class SourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("V2 streaming source: restart from checkpoint resumes without dupes or gaps") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    // memory sink is non-recoverable by design; the file sink's
+    // manifest commit log is what makes restart exactly-once
+    val out = java.nio.file.Files.createTempDirectory("graft-resume").toString
+    def start(totalRows: Int) =
+      spark.readStream
+        .format("graft.sources.SynthDocs")
+        .option("rows", totalRows.toString).option("partitions", "4")
+        .option("rowsPerBatch", "60")
+        .load()
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    // run 1: only 100 rows exist yet; drains them and shuts down
+    val q1 = start(100)
+    q1.awaitTermination()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst == 100, s"first run should drain 100 rows, got $afterFirst")
+    // run 2, same checkpoint, 150 new rows arrived while down:
+    // must resume at the committed offset — no replay of 0..99
+    val q2 = start(250)
+    q2.awaitTermination()
+    val ids = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.length == 250 && ids.toSeq == (0L until 250L),
+      s"resume must continue at the committed offset: got ${ids.length} rows")
+  }
+
   test("V2 sink commit protocol: all rows publish exactly once on success") {
     import spark.implicits._
     graft.sources.MemSink.clear("t_ok")
