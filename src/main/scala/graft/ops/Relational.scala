@@ -1522,7 +1522,70 @@ object Relational {
         col("n_events"))
       .orderBy("user_id", "start_us")
 
+  /** Forward fill (last observation carried forward): q49's generated
+    * calendar spine left-joined onto per-day observations, then the
+    * gaps imputed with `last(…, ignoreNulls)` over an expanding
+    * frame — THE standard time-series imputation. One window on the
+    * same user_id shuffle the spine join already clustered; the
+    * carried value is exact integer cents so imputed rows are
+    * byte-identical to their source observation.
+    */
+  def q66ForwardFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val daily = ev.groupBy(col("user_id"), col("day")).agg(sum(col("vc")).as("vc"))
+    val spine = ev
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(
+        col("user_id"),
+        col("day"),
+        col("vc").isNotNull.as("observed"),
+        (last(col("vc"), ignoreNulls = true).over(w) / 100.0).as("value_filled"))
+      .orderBy("user_id", "day")
+  }
+
+  /** TPC-H Q21-shaped double correlation: line items that are
+    * returned ('R') where ANOTHER supplier shares the order (EXISTS)
+    * but no OTHER supplier's item in it was returned (NOT EXISTS) —
+    * per-supplier counts of solely-at-fault incidents. Two correlated
+    * subqueries against the SAME table with different predicates is
+    * the classic decorrelation stress: Catalyst must plan one semi
+    * and one anti join on l_orderkey, never a per-row re-scan.
+    */
+  def q67SoleSupplier(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l1.l_suppkey, count(*) AS n_sole_fault
+        |FROM lineitem_v l1
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem_v l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem_v l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY l1.l_suppkey
+        |ORDER BY l1.l_suppkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_sole_supplier" -> q67SoleSupplier,
+    "q66_forward_fill" -> q66ForwardFill,
     "q65_session_window" -> q65SessionWindow,
     "q64_partial_agg_merge" -> q64PartialAggMerge,
     "q63_asof_custom" -> q63AsofCustom,
@@ -1591,6 +1654,48 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q67_sole_supplier" ->
+      """SELECT l1.l_suppkey, count(*) AS n_sole_fault
+        |FROM lineitem l1
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY l1.l_suppkey
+        |ORDER BY l1.l_suppkey""".stripMargin,
+    "q66_forward_fill" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+        |  FROM events),
+        |daily AS (
+        |  SELECT user_id, day, CAST(sum(vc) AS BIGINT) AS vc
+        |  FROM ev GROUP BY 1, 2),
+        |span AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM ev GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        |      AS day
+        |  FROM span),
+        |j AS (
+        |  SELECT s.user_id, s.day, d.vc
+        |  FROM spine s LEFT JOIN daily d
+        |    ON s.user_id = d.user_id AND s.day = d.day)
+        |SELECT user_id, day, vc IS NOT NULL AS observed,
+        | last_value(vc IGNORE NULLS) OVER (
+        |   PARTITION BY user_id ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+        |   AS value_filled
+        |FROM j
+        |ORDER BY user_id, day""".stripMargin,
     // boundary semantics verified empirically: an event exactly `gap`
     // after the last one MERGES into the session (Spark treats the
     // session-end boundary as inclusive for the next event), so the

@@ -204,6 +204,12 @@ class PlanSpec extends SparkSpec {
       s"expected exactly 1 hash exchange, got $hashExchanges:\n${plan.take(2000)}")
   }
 
+  test("q67 double correlation decorrelates to one semi + one anti join") {
+    val plan = formatted(Relational.q67SoleSupplier(spark, Sf))
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan as semi join:\n${plan.take(1500)}")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must plan as anti join:\n${plan.take(1500)}")
+  }
+
   test("q60 lateral top-k decorrelates to window-rank, no per-row re-execution") {
     val plan = formatted(Relational.q60LateralTopK(spark, Sf))
     assert(plan.contains("row_number()"),
