@@ -1583,7 +1583,42 @@ object Relational {
         |ORDER BY l1.l_suppkey""".stripMargin)
   }
 
+  /** Statistical quality control in EXACT integer arithmetic: flag
+    * line items whose quantity deviates more than 2σ from their
+    * (returnflag, linestatus) group mean. The 2σ test cross-multiplies
+    * to `(n·x − S)² > 4·(n·SS − S²)` over integer cents — no float
+    * mean, no float variance, no boundary to disagree on (bounds
+    * checked: every term stays under 2⁶³ at fixture scales). Group
+    * stats aggregate once and broadcast back over the scan; flagging
+    * is scan-side arithmetic.
+    */
+  def q68OutlierDetection(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_returnflag"),
+        col("l_linestatus"),
+        floor(col("l_quantity") * 100 + 0.5).cast("long").as("qc"))
+    val stats = li
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("qc")).as("s"),
+        sum(col("qc") * col("qc")).as("ss"))
+    li.join(broadcast(stats), Seq("l_returnflag", "l_linestatus"))
+      .withColumn("dev", col("n") * col("qc") - col("s"))
+      .withColumn(
+        "is_outlier",
+        col("dev") * col("dev") > lit(4L) * (col("n") * col("ss") - col("s") * col("s")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_outlier_detection" -> q68OutlierDetection,
     "q67_sole_supplier" -> q67SoleSupplier,
     "q66_forward_fill" -> q66ForwardFill,
     "q65_session_window" -> q65SessionWindow,
@@ -1654,6 +1689,24 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q68_outlier_detection" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc
+        |  FROM lineitem),
+        |st AS (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |    CAST(sum(qc) AS BIGINT) AS s,
+        |    CAST(sum(qc * qc) AS BIGINT) AS ss
+        |  FROM li GROUP BY 1, 2)
+        |SELECT li.l_returnflag, li.l_linestatus,
+        | count(*) AS n_items,
+        | CAST(sum(CASE WHEN (n * qc - s) * (n * qc - s)
+        |                    > 4 * (n * ss - s * s)
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM li JOIN st USING (l_returnflag, l_linestatus)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "q67_sole_supplier" ->
       """SELECT l1.l_suppkey, count(*) AS n_sole_fault
         |FROM lineitem l1
