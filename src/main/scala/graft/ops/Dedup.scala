@@ -348,33 +348,46 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** d8 — fuzzy entity matching (edit distance ≤ 2 on part names):
-    * the record-linkage shape. Never all-pairs: candidates come from
-    * brand blocking (work ∝ block co-occupancy, like d2's bands), a
-    * length-difference prefilter prunes inside the join condition
-    * before any DP runs (|len(a)−len(b)| > θ ⇒ distance > θ, for
-    * free), and the distance itself uses Spark's THRESHOLD
-    * levenshtein — O(θ·n) banded DP with early exit instead of the
-    * full O(n·m) matrix, the only affordable form when blocks are
-    * large. Distance is computed once, post-join.
+  /** d8 — fuzzy canonicalization (record linkage): every part links
+    * to the EARLIEST part in its block whose name is within edit
+    * distance 2, or stands as its own canonical. Output is one row
+    * per entity — never the pair list, which is quadratic in
+    * duplicate multiplicity (this fixture's 256-name vocabulary makes
+    * that concrete: ~220k pairs vs 20k assignments at sf0.1).
+    *
+    * Never all-pairs on the corpus: candidates come from equi-joining
+    * the (brand, last-word) block — structured attributes first,
+    * fuzzy matching only inside blocks — a length-difference
+    * prefilter prunes inside the join condition (|Δlen| > θ ⇒
+    * distance > θ, for free), and the distance is Spark's THRESHOLD
+    * levenshtein: banded O(θ·n) DP with early exit instead of the
+    * full matrix. The min-aggregation collapses candidates back to
+    * one row per entity before anything leaves the block.
     */
   def d8FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
     val p = Tables
       .part(s, dir)
-      .select(col("p_partkey"), col("p_name"), col("p_brand"))
-    p.alias("a")
+      .select(
+        col("p_partkey"),
+        col("p_name"),
+        col("p_brand"),
+        element_at(split(col("p_name"), " "), -1).as("noun"))
+    val earliest = p.alias("a")
       .join(
         p.alias("b"),
         col("a.p_brand") === col("b.p_brand") &&
-          col("a.p_partkey") < col("b.p_partkey") &&
+          col("a.noun") === col("b.noun") &&
+          col("b.p_partkey") < col("a.p_partkey") &&
           abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 2)
-      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name"), 2))
-      .filter(col("dist") =!= -1)
+      .filter(levenshtein(col("a.p_name"), col("b.p_name"), 2) =!= -1)
+      .groupBy(col("a.p_partkey").as("p_partkey"))
+      .agg(min(col("b.p_partkey")).as("match_key"))
+    p.join(earliest, Seq("p_partkey"), "left")
       .select(
-        col("a.p_partkey").as("id_a"),
-        col("b.p_partkey").as("id_b"),
-        col("dist"))
-      .orderBy("id_a", "id_b")
+        col("p_partkey"),
+        coalesce(col("match_key"), col("p_partkey")).as("canonical_key"))
+      .withColumn("is_canonical", col("canonical_key") === col("p_partkey"))
+      .orderBy("p_partkey")
   }
 
   /** d9 — canonicalized ("near-exact") dedup: the C4-style recipe
@@ -451,14 +464,24 @@ object Dedup {
         |GROUP BY 1
         |ORDER BY fp""".stripMargin,
     "d8_fuzzy_match" ->
-      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-        | CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
-        |FROM part a JOIN part b
-        |  ON a.p_brand = b.p_brand
-        | AND a.p_partkey < b.p_partkey
-        | AND abs(length(a.p_name) - length(b.p_name)) <= 2
-        |WHERE levenshtein(a.p_name, b.p_name) <= 2
-        |ORDER BY id_a, id_b""".stripMargin,
+      """WITH p AS (
+        |  SELECT p_partkey, p_name, p_brand,
+        |    string_split(p_name, ' ')[-1] AS noun
+        |  FROM part),
+        |e AS (
+        |  SELECT a.p_partkey, min(b.p_partkey) AS match_key
+        |  FROM p a JOIN p b
+        |    ON a.p_brand = b.p_brand
+        |   AND a.noun = b.noun
+        |   AND b.p_partkey < a.p_partkey
+        |   AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |  GROUP BY a.p_partkey)
+        |SELECT p.p_partkey,
+        | coalesce(e.match_key, p.p_partkey) AS canonical_key,
+        | coalesce(e.match_key, p.p_partkey) = p.p_partkey AS is_canonical
+        |FROM p LEFT JOIN e USING (p_partkey)
+        |ORDER BY p.p_partkey""".stripMargin,
     "d7_decontaminate" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
