@@ -258,6 +258,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("d8 fuzzy canonicalization: keys point backward, exact name dups always link") {
+    val df = Dedup.d8FuzzyMatch(spark, Sf).cache()
+    try {
+      assert(df.count() == Tables.part(spark, Sf).count(), "one row per entity")
+      assert(df.filter(col("canonical_key") > col("p_partkey")).isEmpty,
+        "canonical is always the earliest key")
+      // identical (brand, name) pairs are distance 0 — they must never
+      // BOTH be canonical
+      val dupGroups = Tables.part(spark, Sf)
+        .groupBy("p_brand", "p_name").agg(count(lit(1)).as("n"), min("p_partkey").as("k0"))
+        .filter(col("n") >= 2)
+      val canon = df.filter(col("is_canonical")).select("p_partkey")
+      val bothCanon = Tables.part(spark, Sf)
+        .join(dupGroups, Seq("p_brand", "p_name"))
+        .filter(col("p_partkey") =!= col("k0"))
+        .join(canon, "p_partkey")
+      assert(bothCanon.isEmpty, "an exact duplicate of an earlier part cannot be canonical")
+    } finally df.unpersist()
+  }
+
   test("d9 canonical dedup finds at least as many duplicates as raw exact dedup") {
     val rawGroups = Dedup.d1ExactDedup(spark, Sf).count()
     val canonGroups = Dedup.d9CanonicalDedup(spark, Sf).count()
