@@ -1617,7 +1617,38 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** Rolling 7-day distinct active users: COUNT DISTINCT over a
+    * sliding window, which no window function expresses (distinct
+    * state can't slide). The scalable shape: dedup to (user, day)
+    * pairs first (the only quadratic-killer — multiplicity inside a
+    * day is irrelevant to DAU), then each pair votes into the ≤ 7
+    * window days it belongs to via a generated per-row day span, and
+    * one distinct-aggregate per (window_day, user) collapses the
+    * votes. Work ∝ 7·|user-days|, never days × full table.
+    */
+  def q69RollingDau(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables
+      .events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val bounds = Tables
+      .events(s, dir)
+      .agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+    ud.crossJoin(broadcast(bounds))
+      .select(
+        col("user_id"),
+        explode(
+          sequence(
+            greatest(col("day"), col("d0")),
+            least(date_add(col("day"), 6), col("d1"))))
+          .as("window_day"))
+      .groupBy(col("window_day"))
+      .agg(countDistinct(col("user_id")).as("dau_7d"))
+      .orderBy("window_day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_rolling_dau" -> q69RollingDau,
     "q68_outlier_detection" -> q68OutlierDetection,
     "q67_sole_supplier" -> q67SoleSupplier,
     "q66_forward_fill" -> q66ForwardFill,
@@ -1689,6 +1720,23 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // direct definition (range join on the day spine), deliberately a
+    // DIFFERENT formulation from the engine's vote-expansion
+    "q69_rolling_dau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |b AS (
+        |  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+        |  FROM events),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+        |    AS DATE) AS window_day
+        |  FROM b)
+        |SELECT s.window_day, count(DISTINCT ud.user_id) AS dau_7d
+        |FROM spine s JOIN ud
+        |  ON ud.day BETWEEN s.window_day - 6 AND s.window_day
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q68_outlier_detection" ->
       """WITH li AS (
         |  SELECT l_returnflag, l_linestatus,
