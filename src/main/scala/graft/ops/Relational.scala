@@ -1647,7 +1647,33 @@ object Relational {
       .orderBy("window_day")
   }
 
+  /** Equi-depth (quantile) binning — the feature-quantization shape:
+    * one tiny aggregate computes the 9 exact interpolated decile
+    * boundaries, broadcasts them, and bucket assignment is a
+    * scan-side count of boundaries below each value — never a global
+    * sort, never an ntile window over the full table. Boundary
+    * arithmetic is the same exact-at-3-decimals interpolation q28
+    * relies on, and both engines compare the same doubles, so bin
+    * membership is engine-identical.
+    */
+  def q70EquidepthBins(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("x"))
+    val bounds = li.agg(
+      percentile(
+        col("x"),
+        array((1 to 9).map(i => lit(i / 10.0)): _*)).as("bs"))
+    li.crossJoin(broadcast(bounds))
+      .select(size(filter(col("bs"), b => col("x") > b)).as("bin"), col("x"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("x")), 2).as("lo"),
+        round(max(col("x")), 2).as("hi"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_equidepth_bins" -> q70EquidepthBins,
     "q69_rolling_dau" -> q69RollingDau,
     "q68_outlier_detection" -> q68OutlierDetection,
     "q67_sole_supplier" -> q67SoleSupplier,
@@ -1720,6 +1746,20 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q70_equidepth_bins" ->
+      """WITH b AS (
+        |  SELECT quantile_cont(l_extendedprice,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+        |  FROM lineitem),
+        |binned AS (
+        |  SELECT CAST(len(list_filter(b.bs, v -> l_extendedprice > v))
+        |    AS INT) AS bin, l_extendedprice AS x
+        |  FROM lineitem, b)
+        |SELECT bin, count(*) AS n,
+        | round(min(x), 2) AS lo, round(max(x), 2) AS hi
+        |FROM binned
+        |GROUP BY bin
+        |ORDER BY bin""".stripMargin,
     // direct definition (range join on the day spine), deliberately a
     // DIFFERENT formulation from the engine's vote-expansion
     "q69_rolling_dau" ->
