@@ -1672,7 +1672,34 @@ object Relational {
       .orderBy("bin")
   }
 
+  /** Weighted exact percentiles: the unit-weighted median/p90 of
+    * price, weighted by quantity (each line item counts once per
+    * unit). Spark's `percentile(col, p, frequency)` carries the
+    * weights through the aggregation buffer — NO row expansion ever
+    * happens; the oracle proves the semantics by materializing the
+    * expansion (one row per unit) and taking the plain percentile,
+    * which is exactly what frequency weighting must equal. Prices are
+    * exact integer cents; interpolation divides exact integers.
+    */
+  def q71WeightedPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_returnflag"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("pc"),
+        col("l_quantity").cast("int").as("units"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("units").cast("long")).as("n_units"),
+        round(percentile(col("pc"), lit(0.5), col("units")) / 100.0, 4)
+          .as("wmedian_price"),
+        round(percentile(col("pc"), lit(0.9), col("units")) / 100.0, 4)
+          .as("wp90_price"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_weighted_percentile" -> q71WeightedPercentile,
     "q70_equidepth_bins" -> q70EquidepthBins,
     "q69_rolling_dau" -> q69RollingDau,
     "q68_outlier_detection" -> q68OutlierDetection,
@@ -1746,6 +1773,30 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // materializes the expansion frequency-weighting stands for: one
+    // row per unit, then the plain interpolated percentile
+    "q71_weighted_percentile" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc,
+        |    CAST(l_quantity AS INT) AS units
+        |  FROM lineitem),
+        |expanded AS (
+        |  SELECT l_returnflag, pc
+        |  FROM li, LATERAL (SELECT unnest(range(units)) AS u)),
+        |stats AS (
+        |  SELECT l_returnflag, count(*) AS n_items,
+        |    CAST(sum(units) AS BIGINT) AS n_units
+        |  FROM li GROUP BY 1),
+        |pct AS (
+        |  SELECT l_returnflag,
+        |    round(quantile_cont(pc, 0.5) / 100.0, 4) AS wmedian_price,
+        |    round(quantile_cont(pc, 0.9) / 100.0, 4) AS wp90_price
+        |  FROM expanded GROUP BY 1)
+        |SELECT s.l_returnflag, s.n_items, s.n_units,
+        |  p.wmedian_price, p.wp90_price
+        |FROM stats s JOIN pct p USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
     "q70_equidepth_bins" ->
       """WITH b AS (
         |  SELECT quantile_cont(l_extendedprice,
