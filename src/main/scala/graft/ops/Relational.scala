@@ -638,21 +638,33 @@ object Relational {
       .orderBy("n_name")
   }
 
-  /** Exact interpolated percentiles (median / p90) per order priority.
-    * Spark's `percentile` and DuckDB's `quantile_cont` share the
-    * rank = p·(n-1) interpolation, and interpolating 2-decimal inputs
-    * yields at most 3 decimals, so rounding at 4 has no half-boundary.
-    * Exact percentile sorts each group's values — the approximate
-    * sketch variants for 100 TB cardinalities live in ApproxSpec.
+  /** Exact interpolated percentiles (median / p90) per order priority,
+    * computed with BOUNDED aggregation state. Prices are exact integer
+    * cents, so a `groupBy(priority, cents).count()` pre-aggregate
+    * shrinks the data to one row per distinct cent value (map-side
+    * combined), and the frequency-weighted `percentile(cents, p, freq)`
+    * over that is bit-identical to the plain percentile over the raw
+    * rows — Spark's `Percentile` buffer is a value→count map, so its
+    * state is now ∝ distinct cents (bounded by the price domain) rather
+    * than ∝ table rows. Interpolation of 2-decimal inputs is exact at 3
+    * decimals, so rounding the cents result /100 at 4 matches DuckDB's
+    * `quantile_cont` over the raw dollar doubles to the digit.
     */
   def q28Percentiles(s: SparkSession, dir: String): DataFrame =
     Tables
       .orders(s, dir)
+      .select(
+        col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("pc"))
+      .groupBy(col("o_orderpriority"), col("pc"))
+      .agg(count(lit(1)).as("freq"))
       .groupBy(col("o_orderpriority"))
       .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
-        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
-        count(lit(1)).as("n_orders"))
+        round(percentile(col("pc"), lit(0.5), col("freq")) / 100.0, 4)
+          .as("median_price"),
+        round(percentile(col("pc"), lit(0.9), col("freq")) / 100.0, 4)
+          .as("p90_price"),
+        sum(col("freq")).as("n_orders"))
       .orderBy("o_orderpriority")
 
   /** Array scalar functions over the tokenized documents table:
@@ -1647,28 +1659,44 @@ object Relational {
       .orderBy("window_day")
   }
 
-  /** Equi-depth (quantile) binning — the feature-quantization shape:
-    * one tiny aggregate computes the 9 exact interpolated decile
-    * boundaries, broadcasts them, and bucket assignment is a
-    * scan-side count of boundaries below each value — never a global
-    * sort, never an ntile window over the full table. Boundary
-    * arithmetic is the same exact-at-3-decimals interpolation q28
-    * relies on, and both engines compare the same doubles, so bin
-    * membership is engine-identical.
+  /** Equi-depth (quantile) binning — the feature-quantization shape —
+    * with BOUNDED boundary-computation state. Prices quantize to exact
+    * integer cents, so the decile boundaries come from a
+    * `groupBy(cents).count()` pre-aggregate (map-side combined; one row
+    * per distinct cent crosses the wire) plus one frequency-weighted
+    * `percentile(cents, ps, freq)` whose value→count buffer is ∝
+    * distinct cents, never ∝ table rows. The 9 boundaries broadcast and
+    * bucket assignment is a scan-side count of boundaries below each
+    * value — never a global sort, never an ntile window over the full
+    * table. Decile ranks p·(n−1) have fractions that are multiples of
+    * 0.1, so true boundaries are exact integer TENTH-cents; snapping
+    * the interpolated double with floor(b·10 + 0.5) recovers that exact
+    * integer in both engines, making bin membership a pure integer
+    * comparison — immune to interpolation-formula ulp differences.
     */
   def q70EquidepthBins(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("x"))
-    val bounds = li.agg(
-      percentile(
-        col("x"),
-        array((1 to 9).map(i => lit(i / 10.0)): _*)).as("bs"))
+    val li = Tables
+      .lineitem(s, dir)
+      .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("xc"))
+    val bounds = li
+      .groupBy(col("xc"))
+      .agg(count(lit(1)).as("freq"))
+      .agg(
+        transform(
+          percentile(
+            col("xc"),
+            array((1 to 9).map(i => lit(i / 10.0)): _*),
+            col("freq")),
+          b => floor(b * 10 + 0.5).cast("long")).as("b10"))
     li.crossJoin(broadcast(bounds))
-      .select(size(filter(col("bs"), b => col("x") > b)).as("bin"), col("x"))
+      .select(
+        size(filter(col("b10"), b => col("xc") * 10 > b)).as("bin"),
+        col("xc"))
       .groupBy(col("bin"))
       .agg(
         count(lit(1)).as("n"),
-        round(min(col("x")), 2).as("lo"),
-        round(max(col("x")), 2).as("hi"))
+        round(min(col("xc")) / 100.0, 2).as("lo"),
+        round(max(col("xc")) / 100.0, 2).as("hi"))
       .orderBy("bin")
   }
 
@@ -1678,8 +1706,14 @@ object Relational {
     * weights through the aggregation buffer — NO row expansion ever
     * happens; the oracle proves the semantics by materializing the
     * expansion (one row per unit) and taking the plain percentile,
-    * which is exactly what frequency weighting must equal. Prices are
-    * exact integer cents; interpolation divides exact integers.
+    * which is exactly what frequency weighting must equal. A
+    * `groupBy(flag, cents)` pre-aggregate sums the unit weights per
+    * distinct cent value first (map-side combined), so both the
+    * shuffle and the Percentile value→count buffer are ∝ distinct
+    * cents — bounded by the price domain, not the table. Frequency
+    * sums merge associatively, so the result is bit-identical to
+    * feeding raw rows. Prices are exact integer cents; interpolation
+    * divides exact integers.
     */
   def q71WeightedPercentile(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -1687,14 +1721,16 @@ object Relational {
       .select(
         col("l_returnflag"),
         floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("pc"),
-        col("l_quantity").cast("int").as("units"))
+        col("l_quantity").cast("long").as("units"))
+      .groupBy(col("l_returnflag"), col("pc"))
+      .agg(count(lit(1)).as("items"), sum(col("units")).as("freq"))
       .groupBy(col("l_returnflag"))
       .agg(
-        count(lit(1)).as("n_items"),
-        sum(col("units").cast("long")).as("n_units"),
-        round(percentile(col("pc"), lit(0.5), col("units")) / 100.0, 4)
+        sum(col("items")).as("n_items"),
+        sum(col("freq")).as("n_units"),
+        round(percentile(col("pc"), lit(0.5), col("freq")) / 100.0, 4)
           .as("wmedian_price"),
-        round(percentile(col("pc"), lit(0.9), col("units")) / 100.0, 4)
+        round(percentile(col("pc"), lit(0.9), col("freq")) / 100.0, 4)
           .as("wp90_price"))
       .orderBy("l_returnflag")
 
@@ -1797,17 +1833,25 @@ object Relational {
         |  p.wmedian_price, p.wp90_price
         |FROM stats s JOIN pct p USING (l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+    // cents-quantized mirror of the engine's bounded-state form: decile
+    // boundaries interpolate integer cents (exact at tenth-cents, so
+    // floor(b*10+0.5) snaps both engines to the same exact integer) and
+    // bin membership is a pure integer comparison
     "q70_equidepth_bins" ->
-      """WITH b AS (
-        |  SELECT quantile_cont(l_extendedprice,
-        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+      """WITH c AS (
+        |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS xc
         |  FROM lineitem),
+        |b AS (
+        |  SELECT list_transform(
+        |    quantile_cont(xc, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |    v -> CAST(floor(v * 10 + 0.5) AS BIGINT)) AS b10
+        |  FROM c),
         |binned AS (
-        |  SELECT CAST(len(list_filter(b.bs, v -> l_extendedprice > v))
-        |    AS INT) AS bin, l_extendedprice AS x
-        |  FROM lineitem, b)
+        |  SELECT CAST(len(list_filter(b.b10, v -> xc * 10 > v))
+        |    AS INT) AS bin, xc
+        |  FROM c, b)
         |SELECT bin, count(*) AS n,
-        | round(min(x), 2) AS lo, round(max(x), 2) AS hi
+        | round(min(xc) / 100.0, 2) AS lo, round(max(xc) / 100.0, 2) AS hi
         |FROM binned
         |GROUP BY bin
         |ORDER BY bin""".stripMargin,
