@@ -7,9 +7,14 @@ object Bench {
     val builder = GraftSession
       .builder(master = Some(s"local[$cpus]"), shufflePartitions = Some(cpus.toInt))
       .config("spark.ui.enabled", "false")
-    // Ad-hoc conf overrides for A/B tuning: "k=v;k=v".
+    // Ad-hoc conf overrides for A/B tuning: "k=v;k=v". Segments without
+    // '=' (e.g. from a trailing ';') are ignored rather than aborting
+    // the whole bench run with a MatchError.
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => builder.config(k, v)
+        case _                         => ()
+      }
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -33,19 +38,35 @@ object Bench {
       }
     }
     // Pass 1 (untimed): JVM JIT + whole-stage-codegen compilation +
-    // shuffle-service warmup. Pass 2: steady-state timing — the number
-    // that reflects throughput on a long-lived cluster.
+    // shuffle-service warmup. Then SPARK_GRAFT_PASSES (default 3) warm
+    // passes; the reported per-query number is the MEDIAN so a single
+    // GC pause or JIT deopt can't masquerade as a plan regression —
+    // single-pass numbers swing ±25% run-to-run, which round 2's q12
+    // "regression" turned out to be. `queries_min` carries the
+    // best-case floor for reference.
     // Optional comma-separated filter for fast single-query iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt.max(1)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val cold = selected.map { case (n, f) => n -> run(n, f) }
-    val results = selected.map { case (n, f) => n -> run(n, f) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val warm: Seq[Map[String, Double]] =
+      (1 to passes).map(_ => selected.map { case (n, f) => n -> run(n, f) }.toMap)
+    def medianOf(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+    }
+    val names = selected.keys.toSeq
+    val med = names.map(n => n -> medianOf(warm.map(_(n)))).toMap
+    val mn = names.map(n => n -> {
+      val ok = warm.map(_(n)).filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    }).toMap
+    def jmap(m: Map[String, Double]): String =
+      names.map(k => s"\"" + k + "\":" + m(k)).mkString("{", ",", "}")
+    val total = med.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"passes":$passes,"failed":$failedJson,"queries":${jmap(med)},"queries_min":${jmap(mn)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

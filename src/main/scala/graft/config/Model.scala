@@ -75,10 +75,11 @@ object Config {
     */
   def isTemplatedRoute(path: String): Boolean = path.contains("{")
 
-  /** Load + validate a JSON config file (reference: src/models.rs:56-63
-    * loads TOML; shape preserved, format is JSON — offline build).
+  /** Load + validate a config file (reference: src/models.rs:56-63).
+    * `.toml` files parse with the hand-rolled subset parser in
+    * [[Toml]] — the reference's own `endpoints_publicos.toml` loads
+    * verbatim — anything else parses as JSON with the same shape:
     *
-    * Expected JSON:
     * {{{
     * { "apis": { "compras": {
     *     "base_url": "https://…",
@@ -89,13 +90,65 @@ object Config {
     */
   def loadFromFile(path: String): Either[ProcessorError, Config] =
     try {
-      val mapper = new ObjectMapper()
-      val root = mapper.readTree(new java.io.File(path))
-      parse(root).flatMap(_.validate())
+      if (path.endsWith(".toml"))
+        loadTomlString(
+          new String(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+            java.nio.charset.StandardCharsets.UTF_8))
+      else {
+        val mapper = new ObjectMapper()
+        val root = mapper.readTree(new java.io.File(path))
+        parse(root).flatMap(_.validate())
+      }
     } catch {
       case e: Exception =>
         Left(ProcessorError.Config(s"cannot read $path: ${e.getMessage}"))
     }
+
+  /** TOML layout mirrors the reference exactly: `[api]` tables carry
+    * `base_url`, `[api.endpoints.group]` tables carry an optional
+    * `root_path` plus the flattened route map (any other key is a
+    * route — reference src/models.rs:44-47). Unknown table shapes and
+    * unknown api-level keys fail fast like serde's strict decode.
+    */
+  def loadTomlString(text: String): Either[ProcessorError, Config] =
+    Toml.parse(text).flatMap(fromTables).flatMap(_.validate())
+
+  private def fromTables(
+      tables: Vector[Toml.Table]): Either[ProcessorError, Config] = {
+    val baseUrls = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val groups =
+      scala.collection.mutable.LinkedHashMap.empty[String, Vector[(String, EndpointGroup)]]
+    tables.foreach { t =>
+      t.path match {
+        case Nil =>
+          if (t.pairs.nonEmpty)
+            return Left(ProcessorError.Config(
+              s"top-level key '${t.pairs.head._1}' outside any api table"))
+        case api :: Nil =>
+          t.pairs.foreach {
+            case ("base_url", v) => baseUrls(api) = v
+            case (k, _) =>
+              return Left(
+                ProcessorError.Config(s"unknown key '$k' in api table [$api]"))
+          }
+        case api :: "endpoints" :: group :: Nil =>
+          val rootPath = t.pairs.collectFirst { case ("root_path", v) => v }
+          val routes = t.pairs.filter(_._1 != "root_path").toMap
+          groups(api) =
+            groups.getOrElse(api, Vector.empty) :+ (group -> EndpointGroup(rootPath, routes))
+        case other =>
+          return Left(ProcessorError.Config(
+            s"unsupported table [${other.mkString(".")}] — expected [api] or [api.endpoints.group]"))
+      }
+    }
+    val apiNames = (baseUrls.keys ++ groups.keys).toVector.distinct
+    Right(Config(apiNames.map { api =>
+      api -> ApiConfig(
+        baseUrls.getOrElse(api, ""),
+        groups.getOrElse(api, Vector.empty).toMap)
+    }.toMap))
+  }
 
   def loadFromString(json: String): Either[ProcessorError, Config] =
     try parse(new ObjectMapper().readTree(json)).flatMap(_.validate())

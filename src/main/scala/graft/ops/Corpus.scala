@@ -91,7 +91,13 @@ object Corpus {
     * doc hashes to a bucket in [0, 2^20); a doc survives when
     * `bucket·n_lang < m·2^20` — exact integer cross-multiplication of
     * the acceptance ratio m/n_lang, so there is no float boundary and
-    * both engines keep identical rows. The per-lang counts and the
+    * both engines keep identical rows. The bucket reduces doc_id mod
+    * 2^20 BEFORE the multiplicative-hash step (2654435761 ≡ 489905
+    * mod 2^20, and a product's residue depends only on its factors'
+    * residues, so the bucket is identical to the unreduced form for
+    * every doc_id) — the unreduced multiply would silently wrap in
+    * Spark but raise a BIGINT-overflow error in the oracle once
+    * doc_id exceeds ~3.5e9, well inside 100 TB row counts. The per-lang counts and the
     * scalar minimum are broadcast; the corpus side is one scan plus a
     * final per-lang aggregate, which is how a mixing-weight pass must
     * behave when the corpus is 100 TB and the quota table is 30 rows.
@@ -104,7 +110,7 @@ object Corpus {
       .join(broadcast(counts), "lang")
       .crossJoin(broadcast(target))
       .filter(
-        (col("doc_id") * 2654435761L % 1048576L) * col("n_before") <
+        (col("doc_id") % 1048576L * 489905L % 1048576L) * col("n_before") <
           col("m") * 1048576L)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_after"))
@@ -179,7 +185,7 @@ object Corpus {
         |k AS (
         |  SELECT d.lang, count(*) AS n_after
         |  FROM documents d JOIN c ON d.lang = c.lang, t
-        |  WHERE (d.doc_id * 2654435761) % 1048576 * c.n_before
+        |  WHERE (d.doc_id % 1048576 * 489905) % 1048576 * c.n_before
         |        < t.m * 1048576
         |  GROUP BY d.lang)
         |SELECT c.lang, c.n_before, coalesce(k.n_after, 0) AS n_after

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.functions.SimHash64.simhash64
+import graft.functions.SimHash60Portable.simhash60
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -137,23 +137,28 @@ object Dedup {
   }
 
   /** d3 — SimHash near-dup detection via the native
-    * [[graft.functions.SimHash64]] expression: 64-bit sketch per doc,
-    * 4×16-bit band blocking (pigeonhole: Hamming ≤ 3 ⇒ at least one of
-    * 4 bands identical), Hamming-distance filter. Hash-dependent →
-    * rows-only driver check; planted near-dup pairs surface here, and
-    * the unit spec pins behavior on controlled inputs.
+    * [[graft.functions.SimHash60Portable]] expression: 60-bit sketch
+    * per doc from engine-portable polynomial token hashes, 4×15-bit
+    * band blocking (pigeonhole: Hamming ≤ 3 ⇒ at least one of 4 bands
+    * identical), Hamming-distance filter. The portable hash is what
+    * makes this FULLY oracle-checkable: DuckDB recomputes the exact
+    * sketch (a `(acc*base+byte) % prime` fold per token), the exact
+    * band buckets, and the exact Hamming distances, so the driver
+    * hash-compares every pair instead of the weaker rows-only check a
+    * xxhash64 sketch would force. Same banding shape as d2: candidates
+    * come from a bucket equi-join, never an all-pairs scan.
     */
   def d3SimHash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables
       .spread(Tables.documents(s, dir))
-      .select(col("doc_id"), simhash64(split(col("text"), " ")).as("sh"))
+      .select(col("doc_id"), simhash60(split(col("text"), " ")).as("sh"))
 
     val banded = docs.select(
       col("doc_id"),
       col("sh"),
       explode(
         array((0 until 4).map(b =>
-          struct(lit(b).as("band"), shiftright(col("sh"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bits"))): _*)
+          struct(lit(b).as("band"), shiftright(col("sh"), 15 * b).bitwiseAND(lit(0x7FFFL)).as("bits"))): _*)
       ).as("bk")
     )
 
@@ -541,8 +546,52 @@ object Dedup {
         |FROM comp c JOIN (SELECT cluster_rep, count(*) AS cluster_size
         |                  FROM comp GROUP BY 1) cnt USING (cluster_rep)
         |ORDER BY doc_id""".stripMargin,
-    // d3 is hash-function-dependent (SimHash bits) — no SQL oracle;
-    // driver records the rows-only check, unit spec pins semantics.
+    // d3's portable polynomial token hashes let DuckDB rebuild the
+    // 60-bit sketch exactly: fold (acc*base+byte) % prime per token,
+    // majority-vote each bit, band, bucket-join, Hamming-filter —
+    // the same pipeline, hash-compared end to end
+    "d3_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(0::BIGINT,
+        |        [ord(c)::BIGINT FOR c IN string_split_regex(t, '')]),
+        |      (a, x) -> (a * 131 + x) % 1000000007) AS h1,
+        |    list_reduce(
+        |      list_prepend(0::BIGINT,
+        |        [ord(c)::BIGINT FOR c IN string_split_regex(t, '')]),
+        |      (a, x) -> (a * 137 + x) % 998244353) AS h2
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, r.b,
+        |    sum(CASE WHEN r.b < 30
+        |             THEN CASE WHEN (h1 >> r.b) & 1 = 1 THEN 1 ELSE -1 END
+        |             ELSE CASE WHEN (h2 >> (r.b - 30)) & 1 = 1 THEN 1 ELSE -1 END
+        |        END) AS cnt
+        |  FROM th, (SELECT unnest(range(60)) AS b) r
+        |  GROUP BY 1, 2),
+        |sk AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN cnt > 0
+        |                  THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)
+        |      AS BIGINT) AS sh
+        |  FROM bits GROUP BY 1),
+        |banded AS (
+        |  SELECT doc_id, sh, r.band,
+        |    (sh >> CAST(15 * r.band AS INT)) & 32767 AS bandbits
+        |  FROM sk, (SELECT unnest(range(4)) AS band) r),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bandbits = b.bandbits
+        |   AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming
+        |FROM pairs WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "d4_ngram_jaccard" -> jaccardOracle(2, langBlocked = true, extraCols = ", lang"),
     "d5_embed_neardup" ->
       """WITH e AS (

@@ -40,6 +40,13 @@ import org.apache.spark.sql.types.LongType
   * (key, time), which one's non-time columns surface is tie-broken
   * arbitrarily — like any as-of engine — so deterministic callers
   * project the time, not tie-ambiguous payloads.
+  *
+  * Nulls follow SQL comparison semantics, matching what an
+  * error-tolerant pipeline (try_cast etc.) feeds in: a right row with
+  * a null key or time can never be anyone's match and is skipped; a
+  * left row with a null key or time keeps its left-outer row with a
+  * null-padded right side. (Both sides sort NULLS FIRST, so skipped
+  * right rows never hide a real candidate.)
   */
 case class AsOfJoinPlan(
     leftKey: Expression,
@@ -111,21 +118,38 @@ case class AsOfJoinExec(
       var lastRight: InternalRow = null
       var lastRightKey = 0L
       lIter.map { l =>
-        val lk = lkB.eval(l).asInstanceOf[Long]
-        val lt = ltB.eval(l).asInstanceOf[Long]
-        // advance the right stream through everything ≤ (lk, lt);
-        // both streams are (key, time)-sorted, so this never rewinds
-        var continue = rBuf.hasNext
-        while (continue) {
-          val rk = rkB.eval(rBuf.head).asInstanceOf[Long]
-          if (rk < lk || (rk == lk && rtB.eval(rBuf.head).asInstanceOf[Long] <= lt)) {
-            lastRight = rBuf.next().copy()
-            lastRightKey = rk
-            continue = rBuf.hasNext
-          } else continue = false
+        val lkv = lkB.eval(l)
+        val ltv = ltB.eval(l)
+        if (lkv == null || ltv == null) {
+          // null key/time compares unknown to everything: left outer
+          // keeps the row with a null-padded right side
+          joined(l, nullRight)
+        } else {
+          val lk = lkv.asInstanceOf[Long]
+          val lt = ltv.asInstanceOf[Long]
+          // advance the right stream through everything ≤ (lk, lt);
+          // both streams are (key, time)-sorted, so this never rewinds
+          var continue = rBuf.hasNext
+          while (continue) {
+            val rkv = rkB.eval(rBuf.head)
+            val rtv = rtB.eval(rBuf.head)
+            if (rkv == null || rtv == null) {
+              // unmatched by definition; NULLS FIRST ordering puts these
+              // ahead of any real candidate, so skipping is safe
+              rBuf.next()
+              continue = rBuf.hasNext
+            } else {
+              val rk = rkv.asInstanceOf[Long]
+              if (rk < lk || (rk == lk && rtv.asInstanceOf[Long] <= lt)) {
+                lastRight = rBuf.next().copy()
+                lastRightKey = rk
+                continue = rBuf.hasNext
+              } else continue = false
+            }
+          }
+          if (lastRight != null && lastRightKey == lk) joined(l, lastRight)
+          else joined(l, nullRight)
         }
-        if (lastRight != null && lastRightKey == lk) joined(l, lastRight)
-        else joined(l, nullRight)
       }
     }
   }

@@ -45,6 +45,7 @@ object GraftExtensions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dot_product" -> { es => DotProductDouble(es.head, es(1)) },
     "simhash64" -> { es => SimHash64(es.head) },
+    "simhash60" -> { es => graft.functions.SimHash60Portable(es.head) },
     "minhash_signature" -> { es =>
       MinHashSignature(
         es.head,

@@ -41,6 +41,15 @@ import org.apache.spark.sql.graftshim.GraftShim
   * Ties at the k-boundary are broken arbitrarily (like any
   * heap-based top-k); callers needing determinism order by a
   * tie-free expression or project tie-insensitive columns.
+  *
+  * Null order values sort last (`DESC NULLS LAST`), exactly like the
+  * window formulation `row_number() over (order by v desc) <= k`:
+  * they can never displace a non-null row, but when a key has fewer
+  * than k non-null rows the remaining slots are filled with
+  * null-ordered rows (which of them is arbitrary, as with
+  * row_number's tie-breaking). Order values are copied out of the
+  * scan's reused row buffer before heap insertion, so buffer-backed
+  * types (strings, binary, decimals) order correctly.
   */
 case class TopKPerKeyPlan(
     keys: Seq[Expression],
@@ -97,9 +106,16 @@ case class TopKPerKeyExec(
           ord.compare(a._1, b._1)
       }
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[(Any, InternalRow)]]()
+      // DESC NULLS LAST tail: rows whose order value is null fill
+      // remaining slots only when a key has < k non-null rows, so at
+      // most k of them are retained per key (bounded like the heap).
+      val nullTails = new java.util.HashMap[UnsafeRow, java.util.ArrayDeque[InternalRow]]()
       rows.foreach { row =>
-        val v = bound.eval(row)
-        if (v != null) { // null order values can never enter a top-k (DESC NULLS LAST)
+        // copy out of the scan's reused buffer: UnsafeRow-backed values
+        // (UTF8String/binary/decimal) are overwritten as the iterator
+        // advances, so both the row AND the order value need copies
+        val v = InternalRow.copyValue(bound.eval(row))
+        if (v != null) {
           var heap = heaps.get(keyProj(row))
           if (heap == null) {
             heap = new java.util.PriorityQueue[(Any, InternalRow)](kLocal + 1, heapOrd)
@@ -110,10 +126,29 @@ case class TopKPerKeyExec(
             heap.poll()
             heap.add((v, row.copy()))
           }
+        } else {
+          var tail = nullTails.get(keyProj(row))
+          if (tail == null) {
+            tail = new java.util.ArrayDeque[InternalRow](4)
+            nullTails.put(keyProj(row).copy(), tail)
+          }
+          if (tail.size < kLocal) tail.add(row.copy())
         }
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala.map(_._2))
+      val topRows = heaps.entrySet().iterator().asScala.flatMap { e =>
+        val heap = e.getValue
+        val tail = nullTails.remove(e.getKey)
+        val fill =
+          if (tail == null || heap.size >= kLocal) Iterator.empty
+          else tail.iterator().asScala.take(kLocal - heap.size)
+        heap.iterator().asScala.map(_._2) ++ fill
+      }
+      // keys whose rows ALL had null order values still emit up to k.
+      // `++`'s argument is by-name: this iterator is created only after
+      // topRows (and its nullTails.remove calls) is exhausted.
+      topRows ++ nullTails.values().iterator().asScala
+        .flatMap(_.iterator().asScala)
     }
   }
 

@@ -63,6 +63,58 @@ class ConfigSpec extends AnyFunSuite {
     assert(!Config.isTemplatedRoute("/proposicoes"))
   }
 
+  private val tomlSample =
+    """# comment line
+      |[compras]  # trailing comment
+      |base_url = "https://api.example.gov/v1/"
+      |
+      |[compras.endpoints.materiais]
+      |root_path = "resultado"
+      |grupos = "/modulo-material/grupos"
+      |porId = "/modulo-material/{id}"
+      |""".stripMargin
+
+  test("TOML: same tree as the JSON shape, routes flattened, comments stripped") {
+    val cfg = Config.loadTomlString(tomlSample).toOption.get
+    val g = cfg.apis("compras").endpoints("materiais")
+    assert(g.rootPath.contains("resultado"))
+    assert(g.routes.keySet == Set("grupos", "porId"))
+    assert(cfg.resolveEndpointUrl("compras", "materiais", "grupos") ==
+      Right("https://api.example.gov/v1/modulo-material/grupos"))
+  }
+
+  test("TOML: fail-fast on constructs outside the subset and on unknown shapes") {
+    assert(Config.loadTomlString("[a]\nbase_url = 123").isLeft)
+    assert(Config.loadTomlString("[[a]]\nx = \"y\"").isLeft)
+    assert(Config.loadTomlString("[a.b]\nx = \"y\"").isLeft)         // not api/endpoints shape
+    assert(Config.loadTomlString("[a]\nnot_base = \"y\"").isLeft)    // unknown api-level key
+    assert(Config.loadTomlString("x = \"y\"").isLeft)                // top-level pair
+    assert(Config.loadTomlString("[a]\nbase_url = \"u\"").isLeft)    // no endpoints -> validate
+  }
+
+  test("TOML: loads the reference's real config file and resolves its URLs") {
+    val refPath = "/root/reference/endpoints_publicos.toml"
+    assume(new java.io.File(refPath).exists(), "reference config not present")
+    val cfg = Config.loadFromFile(refPath).fold(e => fail(e.toString), identity)
+    // the apis the reference file declares, resolved exactly as the
+    // reference's main loop would (resolve + template skip)
+    assert(cfg.apis.nonEmpty && cfg.apis.contains("compras_federal"))
+    assert(cfg.resolveEndpointUrl("compras_federal", "material", "grupo") ==
+      Right("https://dadosabertos.compras.gov.br/modulo-material/1_consultarGrupoMaterial"))
+    val all = for {
+      (api, a) <- cfg.apis.toSeq
+      (group, g) <- a.endpoints.toSeq
+      (key, path) <- g.routes.toSeq
+    } yield cfg.resolveEndpointUrl(api, group, key)
+    assert(all.nonEmpty && all.forall(_.isRight))
+    // every resolved URL is absolute with a single slash at the seam
+    all.map(_.toOption.get).foreach { u =>
+      assert(u.startsWith("https://") && !u.contains(".br//"), u)
+    }
+    // root_path metadata survives (material group uses "resultado")
+    assert(cfg.apis("compras_federal").endpoints("material").rootPath.contains("resultado"))
+  }
+
   test("property: joinUrls yields exactly one slash at the seam") {
     val seg = Gen.alphaNumStr.suchThat(_.nonEmpty)
     val slash = Gen.oneOf("", "/")

@@ -93,6 +93,73 @@ class ExtensionsSpec extends SparkSpec {
     assert(out.count() == n.count())
   }
 
+  test("TopKPerKey orders buffer-backed (string) values correctly") {
+    GraftExtensions.install(spark)
+    // string order values are UTF8Strings pointing into the scan's
+    // reused row buffer — without a copy before heap insertion the
+    // stored keys silently mutate as the iterator advances. Parquet
+    // round-trip forces the columnar scan path that exhibits it.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("topk_str").toString
+    val rows = (0 until 2000).map(i => (i % 7, f"s${(i * 131) % 1000}%04d", i))
+    rows.toDF("k", "name", "id").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val custom = graft.plans.TopKPerKey(df, Seq("k"), "name", 3)
+      .select(col("k"), col("name"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).sorted
+    val window = {
+      import org.apache.spark.sql.expressions.Window
+      df.withColumn("rn",
+          row_number().over(Window.partitionBy("k").orderBy(col("name").desc)))
+        .filter(col("rn") <= 3)
+        .select(col("k"), col("name"))
+        .collect().map(r => (r.getInt(0), r.getString(1))).sorted
+    }
+    assert(custom.toSeq == window.toSeq)
+  }
+
+  test("TopKPerKey matches row_number's DESC NULLS LAST fill on nullable order columns") {
+    GraftExtensions.install(spark)
+    import spark.implicits._
+    // key 1: 2 non-null + 2 null rows, k=3 -> 2 non-null + 1 null fill;
+    // key 2: all-null rows -> up to k survive, like the window form
+    val df = Seq(
+      (1, Some(10.0)), (1, Some(20.0)), (1, None), (1, None),
+      (2, None), (2, None), (2, None), (2, None))
+      .toDF("k", "v")
+    val custom = graft.plans.TopKPerKey(df, Seq("k"), "v", 3)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), count(col("v")).as("n_nonnull"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    // window semantics: key 1 -> 3 rows (2 non-null), key 2 -> 3 null rows
+    assert(custom.toSeq == Seq((1, 3L, 2L), (2, 3L, 0L)))
+  }
+
+  test("AsOfJoin skips null right keys/times and null-pads null left keys/times") {
+    GraftExtensions.install(spark)
+    import spark.implicits._
+    val left = Seq(
+      (Some(1L), Some(100L), "a"),
+      (Some(1L), Some(50L), "b"),
+      (None, Some(10L), "null_key"),
+      (Some(2L), None, "null_time"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (Some(1L), Some(90L), 9.0),
+      (Some(1L), None, -1.0), // null time: never a match
+      (None, Some(5L), -2.0)) // null key: never a match
+      .toDF("rk", "rt", "price")
+    val out = graft.plans.AsOfJoin(left, right, "k", "rk", "t", "rt")
+      .select(col("tag"), col("rt"), col("price"))
+      .collect()
+      .map(r => r.getString(0) -> ((Option(r.get(1)), Option(r.get(2)))))
+      .toMap
+    assert(out("a") == ((Some(90L), Some(9.0)))) // latest at-or-before 100
+    assert(out("b") == ((None, None)))           // 90 > 50, no match
+    assert(out("null_key") == ((None, None)))
+    assert(out("null_time") == ((None, None)))
+  }
+
   test("AsOfJoin plans as co-partitioned sorted merge: exec node, 2 exchanges, sorts") {
     GraftExtensions.install(spark)
     val df = graft.ops.Relational.q63AsofCustom(spark, Sf)

@@ -61,6 +61,46 @@ class FunctionsSpec extends SparkSpec {
     assert(ham(hs(0), hs(2)) > 12, s"far pair hamming ${ham(hs(0), hs(2))}")
   }
 
+  test("simhash60: single-token sketch equals the hand-computed portable hash bits") {
+    // with one token every bit's vote is that token's signature bit, so
+    // the sketch must be exactly (h1 low 30 bits) | (h2 low 30 bits << 30)
+    // with h1/h2 the documented polynomial byte folds
+    def poly(s: String, base: Long, p: Long): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * base + (b & 0xFF)) % p)
+    for (tok <- Seq("hello", "x", "the-quick_brown", "a1b2c3")) {
+      val expected =
+        (poly(tok, 131, 1000000007L) & ((1L << 30) - 1)) |
+          ((poly(tok, 137, 998244353L) & ((1L << 30) - 1)) << 30)
+      val got = Seq(Tuple1(Seq(tok))).toDF("toks")
+        .select(graft.functions.SimHash60Portable.simhash60($"toks"))
+        .as[Long].head()
+      assert(got == expected, s"token '$tok': got $got expected $expected")
+    }
+  }
+
+  test("simhash60: near-identical docs close in Hamming, unrelated far; nulls as simhash64") {
+    val base = (1 to 60).map(i => s"tok$i")
+    val near = base.updated(5, "CHANGED")
+    val far = (1 to 60).map(i => s"other$i")
+    val hs = Seq(Tuple1(base), Tuple1(near), Tuple1(far))
+      .toDF("toks")
+      .select(graft.functions.SimHash60Portable.simhash60($"toks"))
+      .as[Long].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(0), hs(1)) <= 12, s"near pair hamming ${ham(hs(0), hs(1))}")
+    assert(ham(hs(0), hs(2)) > 12, s"far pair hamming ${ham(hs(0), hs(2))}")
+    val nulls = Seq(
+      (1, Some(Seq(Some("a"), None, Some("b")))),
+      (2, Some(Seq(Some("a"), Some("b")))),
+      (3, None: Option[Seq[Option[String]]])
+    ).toDF("id", "toks")
+      .select($"id",
+        graft.functions.SimHash60Portable.simhash60($"toks".cast("array<string>")).as("h"))
+      .orderBy("id").collect()
+    assert(nulls(0).getLong(1) == nulls(1).getLong(1), "null tokens must be skipped")
+    assert(nulls(2).isNullAt(1))
+  }
+
   test("simhash64: null array yields null; null tokens skipped") {
     val df = Seq(
       (1, Some(Seq(Some("a"), None, Some("b")))),
