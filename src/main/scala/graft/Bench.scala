@@ -46,14 +46,23 @@ object Bench {
     // best-case floor for reference.
     // Optional comma-separated filter for fast single-query iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt.max(1)
+    // Non-numeric/absurd values fall back to the default instead of
+    // aborting the whole bench with a NumberFormatException (the same
+    // hardening the SPARK_GRAFT_CONF parser above has).
+    val passes = sys.env
+      .get("SPARK_GRAFT_PASSES")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(3)
+      .max(1)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val cold = selected.map { case (n, f) => n -> run(n, f) }
     val warm: Seq[Map[String, Double]] =
       (1 to passes).map(_ => selected.map { case (n, f) => n -> run(n, f) }.toMap)
     def medianOf(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0).sorted
-      if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+      if (ok.isEmpty) -1.0
+      else if (ok.size % 2 == 1) ok(ok.size / 2)
+      else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0 // true median, not upper-middle
     }
     val names = selected.keys.toSeq
     val med = names.map(n => n -> medianOf(warm.map(_(n)))).toMap
@@ -66,7 +75,21 @@ object Bench {
     val total = med.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"passes":$passes,"failed":$failedJson,"queries":${jmap(med)},"queries_min":${jmap(mn)},"sf":"$sfDir"}""")
+    // The driver captures a bounded TAIL of stdout, so the contract
+    // line must stay small: per-query MEDIANS only. The full detail
+    // (medians + mins + cold pass) goes to bench_detail.json next to
+    // the build for offline analysis — round 3's emitted line carried
+    // both maps and was long enough that its head got truncated out of
+    // the driver's capture window.
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"passes":$passes,"failed":$failedJson,"queries":${jmap(med)},"sf":"$sfDir"}"""
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"passes":$passes,"failed":$failedJson,"queries":${jmap(med)},"queries_min":${jmap(mn)},"queries_cold":${jmap(cold.toMap)},"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_detail.json"),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }

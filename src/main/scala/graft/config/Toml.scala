@@ -28,9 +28,16 @@ object Toml {
   /** Parse the subset; returns tables in declaration order. Top-level
     * (pre-header) key/value pairs land in a root table with an empty
     * path.
+    *
+    * Duplicates are ERRORS, as in real TOML (and serde's strict
+    * decode): redefining a table path or repeating a key within a
+    * table fails with the offending line instead of last-wins — a
+    * typo'd config must not load with a route silently dropped.
     */
   def parse(text: String): Either[ProcessorError, Vector[Table]] = {
     val tables = Vector.newBuilder[Table]
+    val seenPaths = scala.collection.mutable.HashSet.empty[List[String]]
+    val seenKeys = scala.collection.mutable.HashSet.empty[String]
     var current = Table(Nil, Vector.empty)
     var started = false
     val lines = text.split("\n", -1)
@@ -47,8 +54,12 @@ object Toml {
           val inner = line.substring(1, line.length - 1).trim
           parseDottedKey(inner) match {
             case Right(path) =>
+              if (!seenPaths.add(path))
+                return Left(
+                  err(lineNo, s"duplicate table [${path.mkString(".")}]"))
               if (started || current.pairs.nonEmpty) tables += current
               current = Table(path, Vector.empty)
+              seenKeys.clear()
               started = true
             case Left(msg) => return Left(err(lineNo, msg))
           }
@@ -63,6 +74,12 @@ object Toml {
           parseBasicString(raw) match {
             case Right(v) =>
               val k = if (isQuoted(key)) unquoteUnchecked(key) else key
+              if (!seenKeys.add(k)) {
+                val where =
+                  if (current.path.isEmpty) "at top level"
+                  else s"in table [${current.path.mkString(".")}]"
+                return Left(err(lineNo, s"duplicate key '$k' $where"))
+              }
               current = current.copy(pairs = current.pairs :+ (k -> v))
             case Left(msg) => return Left(err(lineNo, msg))
           }

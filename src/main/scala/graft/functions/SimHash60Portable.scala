@@ -9,24 +9,27 @@ import org.apache.spark.sql.types._
 
 /** 60-bit SimHash of a token array (Charikar 2002) built from
   * ENGINE-PORTABLE token hashes: two polynomial hashes over the
-  * token's bytes, `h1 = Σ byte·131^i mod 1e9+7` and
-  * `h2 = Σ byte·137^i mod 998244353`, supply bits 0–29 and 30–59 of
+  * token's Unicode CODE POINTS, `h1 = Σ cp·131^i mod 1e9+7` and
+  * `h2 = Σ cp·137^i mod 998244353`, supply bits 0–29 and 30–59 of
   * the per-token signature. Bit b of the result is 1 iff the sum over
   * tokens of (+1 if signature bit b set, else −1) is positive.
   *
   * The point of the polynomial hashes is that ANY SQL engine can
-  * recompute them exactly (a fold of `(acc*base + byte) % prime` —
-  * every intermediate stays < 2^63), so a sketch-dependent result can
-  * be verified cross-engine row-for-row, where an xxhash64-based
-  * sketch ([[SimHash64]]) is checkable only by trusting this engine.
-  * Keep [[SimHash64]] for throughput when portability doesn't matter:
-  * xxh64 consumes 8 bytes per step versus this hash's
-  * two-multiplies-two-mods per byte.
+  * recompute them exactly (a fold of `(acc*base + cp) % prime` —
+  * code points are < 0x110000, so every intermediate stays < 2^63),
+  * so a sketch-dependent result can be verified cross-engine
+  * row-for-row, where an xxhash64-based sketch ([[SimHash64]]) is
+  * checkable only by trusting this engine. Keep [[SimHash64]] for
+  * throughput when portability doesn't matter: xxh64 consumes 8
+  * bytes per step versus this hash's two-multiplies-two-mods per
+  * code point.
   *
-  * Bytes are the token's UTF-8 encoding; for ASCII text (this
-  * corpus) they coincide with code points, which is what a SQL
-  * oracle's `ord()` folds over. Null tokens are skipped; a null
-  * array yields null. Empty tokens hash to 0 in both engines.
+  * Code points — not UTF-8 bytes — are the unit because that is what
+  * a SQL oracle's per-character `ord()` folds over: SQL engines split
+  * strings into characters, not bytes, so a byte fold would silently
+  * diverge from the oracle on the first non-ASCII token (the two
+  * coincide only on ASCII). Null tokens are skipped; a null array
+  * yields null. Empty tokens hash to 0 in both engines.
   */
 case class SimHash60Portable(child: Expression) extends UnaryExpression {
 
@@ -51,16 +54,16 @@ case class SimHash60Portable(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
+        val s = arr.getUTF8String(i).toString
         var h1 = 0L
         var h2 = 0L
         var j = 0
-        val nb = s.numBytes
-        while (j < nb) {
-          val b = s.getByte(j) & 0xFF
-          h1 = (h1 * 131 + b) % 1000000007L
-          h2 = (h2 * 137 + b) % 998244353L
-          j += 1
+        val len = s.length
+        while (j < len) {
+          val cp = s.codePointAt(j)
+          h1 = (h1 * 131 + cp) % 1000000007L
+          h2 = (h2 * 137 + cp) % 998244353L
+          j += Character.charCount(cp)
         }
         var bit = 0
         while (bit < 30) {
@@ -82,7 +85,6 @@ case class SimHash60Portable(child: Expression) extends UnaryExpression {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val utf8 = classOf[org.apache.spark.unsafe.types.UTF8String].getName
     nullSafeCodeGen(ctx, ev, arr => {
       val counts = ctx.freshName("counts")
       val i = ctx.freshName("i")
@@ -92,20 +94,21 @@ case class SimHash60Portable(child: Expression) extends UnaryExpression {
       val h2 = ctx.freshName("h2")
       val s = ctx.freshName("s")
       val n = ctx.freshName("n")
-      val nb = ctx.freshName("nb")
-      val by = ctx.freshName("by")
+      val len = ctx.freshName("len")
+      val cp = ctx.freshName("cp")
       s"""
          |final int[] $counts = new int[60];
          |final int $n = $arr.numElements();
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$arr.isNullAt($i)) {
-         |    final $utf8 $s = $arr.getUTF8String($i);
+         |    final String $s = $arr.getUTF8String($i).toString();
          |    long $h1 = 0L; long $h2 = 0L;
-         |    final int $nb = $s.numBytes();
-         |    for (int $j = 0; $j < $nb; $j++) {
-         |      final int $by = $s.getByte($j) & 0xFF;
-         |      $h1 = ($h1 * 131L + $by) % 1000000007L;
-         |      $h2 = ($h2 * 137L + $by) % 998244353L;
+         |    final int $len = $s.length();
+         |    for (int $j = 0; $j < $len; ) {
+         |      final int $cp = $s.codePointAt($j);
+         |      $h1 = ($h1 * 131L + $cp) % 1000000007L;
+         |      $h2 = ($h2 * 137L + $cp) % 998244353L;
+         |      $j += Character.charCount($cp);
          |    }
          |    for (int $bit = 0; $bit < 30; $bit++) {
          |      if ((($h1 >>> $bit) & 1L) == 1L) $counts[$bit]++; else $counts[$bit]--;

@@ -547,7 +547,9 @@ object Dedup {
         |                  FROM comp GROUP BY 1) cnt USING (cluster_rep)
         |ORDER BY doc_id""".stripMargin,
     // d3's portable polynomial token hashes let DuckDB rebuild the
-    // 60-bit sketch exactly: fold (acc*base+byte) % prime per token,
+    // 60-bit sketch exactly: fold (acc*base+codepoint) % prime per
+    // token (ord() per split character below — both engines fold
+    // Unicode code points, so non-ASCII corpora agree too),
     // majority-vote each bit, band, bucket-join, Hamming-filter —
     // the same pipeline, hash-compared end to end
     "d3_dedup_simhash" ->

@@ -92,6 +92,38 @@ class ConfigSpec extends AnyFunSuite {
     assert(Config.loadTomlString("[a]\nbase_url = \"u\"").isLeft)    // no endpoints -> validate
   }
 
+  test("TOML: duplicate tables and duplicate keys fail fast, not last-wins") {
+    // real TOML rejects redefinition; a typo'd config must not load
+    // with one route silently dropped
+    val dupTable = Config.loadTomlString(
+      """[a]
+        |base_url = "u1"
+        |[a.endpoints.g]
+        |r = "/x"
+        |[a]
+        |base_url = "u2"
+        |""".stripMargin)
+    assert(dupTable.swap.exists(_.toString.contains("duplicate table [a]")))
+    val dupKey = Config.loadTomlString(
+      """[a]
+        |base_url = "u"
+        |[a.endpoints.g]
+        |grupos = "/x"
+        |grupos = "/y"
+        |""".stripMargin)
+    assert(dupKey.swap.exists(_.toString.contains("duplicate key 'grupos'")))
+    // same key in DIFFERENT tables is fine (routes repeat across groups)
+    val ok = Config.loadTomlString(
+      """[a]
+        |base_url = "u"
+        |[a.endpoints.g1]
+        |grupos = "/x"
+        |[a.endpoints.g2]
+        |grupos = "/y"
+        |""".stripMargin)
+    assert(ok.isRight, ok)
+  }
+
   test("TOML: loads the reference's real config file and resolves its URLs") {
     val refPath = "/root/reference/endpoints_publicos.toml"
     assume(new java.io.File(refPath).exists(), "reference config not present")

@@ -64,10 +64,13 @@ class FunctionsSpec extends SparkSpec {
   test("simhash60: single-token sketch equals the hand-computed portable hash bits") {
     // with one token every bit's vote is that token's signature bit, so
     // the sketch must be exactly (h1 low 30 bits) | (h2 low 30 bits << 30)
-    // with h1/h2 the documented polynomial byte folds
+    // with h1/h2 the documented polynomial CODE-POINT folds — the unit a
+    // SQL oracle's per-character ord() folds over, so the non-ASCII
+    // tokens here (2-byte é, 3-byte 日, 4-byte surrogate-pair 𝕏) pin
+    // that the expression does not fall back to UTF-8 bytes
     def poly(s: String, base: Long, p: Long): Long =
-      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * base + (b & 0xFF)) % p)
-    for (tok <- Seq("hello", "x", "the-quick_brown", "a1b2c3")) {
+      s.codePoints().toArray.foldLeft(0L)((a, cp) => (a * base + cp) % p)
+    for (tok <- Seq("hello", "x", "the-quick_brown", "a1b2c3", "héllo", "日本語", "a𝕏b")) {
       val expected =
         (poly(tok, 131, 1000000007L) & ((1L << 30) - 1)) |
           ((poly(tok, 137, 998244353L) & ((1L << 30) - 1)) << 30)
