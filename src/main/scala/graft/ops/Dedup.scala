@@ -261,6 +261,86 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** d10 — BUCKETED threshold-pair embedding near-dup: the scale path
+    * for [[d5EmbedNearDup]]'s pair-list form. Candidates come from
+    * random-hyperplane LSH (16 tables × 12 planes, deterministic LCG
+    * planes — [[Similarity.lcgPlanes]]), so the corpus only ever
+    * equi-joins itself on a (table, bucket) key — work is proportional
+    * to bucket co-occupancy, never n² — and every candidate is
+    * exact-cosine verified, so false positives are impossible.
+    *
+    * The corpus under test is the embeddings table plus a
+    * deterministically perturbed near-dup copy of every vector
+    * (dimension i scaled by 1±0.05, id offset 1e6) — the fixture
+    * corpus has no true near-dups of its own (max pairwise cosine
+    * ~0.61; measured at sf0.001/0.01/0.1), and near-dup pairs are the
+    * regime this operator exists for. Both engines rebuild the same
+    * augmented corpus, so the oracle is ground truth: the exhaustive
+    * all-pairs join at θ=0.9.
+    *
+    * Exactness argument (same style as d2's (1−s²)^32 bound): a pair
+    * at cosine c collides in one table with prob p^12,
+    * p = 1 − acos(c)/π, and is missed by all 16 tables with prob
+    * (1−p^12)^16. The augmented corpus's qualifying pairs all sit at
+    * c ≈ 0.99875 (planted; measured min) → per-pair miss ≈ 8e-13;
+    * non-qualifying pairs top out at c ≈ 0.61 and cannot pass the
+    * exact verify. So LSH output ≡ exhaustive output, and the driver
+    * hash-compares it. HONEST LIMIT, documented: at d5's θ=0.4 the
+    * qualifying pairs sit exactly at the threshold (min 0.4005) where
+    * p^k ≈ 0.16 — no sub-quadratic candidate generator can be exact
+    * there (to drive (1−0.16)^L below 1e-7 takes L≈32 tables of 2^2
+    * buckets — more work than brute force); boundary-threshold scans
+    * stay on d5's exact path, near-dup thresholds take this one.
+    *
+    * At 100 TB: banding shuffles narrow (vec_id, table, bucket) rows
+    * (id-pairs only after the bucket join — vectors are re-fetched by
+    * two equi-joins for the verify, the d2 shape, rather than carried
+    * ×16 through the banding exchange), bucket count 2^12 per table
+    * scales with corpus via the plane count, and the verify join is a
+    * plain shuffled hash join on vec_id.
+    */
+  def d10EmbedNearDupLsh(s: SparkSession, dir: String): DataFrame = {
+    val theta = 0.9
+    val orig = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // deterministic near-dup plant: multiplicative ±5% alternating by
+    // dimension — cosine to the original ≈ 1 − ε²/2 regardless of the
+    // vector's norm, and IEEE multiplication reproduces bit-for-bit in
+    // any engine (Spark's transform index is 0-based, the oracle
+    // lambda's is 1-based; i%2===0 here ↔ i%2=1 there)
+    val pert = orig.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("v"), (x, i) =>
+        x * when(i % 2 === 0, lit(1.05)).otherwise(lit(0.95))).as("v"))
+    val aug = orig
+      .unionAll(pert)
+      .withColumn("norm", sqrt(Similarity.dot(col("v"), col("v"))))
+
+    val planes = Similarity.lcgPlanes(0xC2B2AE3D27D4EB4FL, tables = 16, planes = 12, dim = 64)
+    val banded = aug.select(
+      col("vec_id"),
+      explode(Similarity.tableBucketsFor(col("v"), planes)).as("tb"))
+    val candidates = banded
+      .as("a")
+      .join(banded.as("b"), col("a.tb") === col("b.tb") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+
+    val sets = aug.select(col("vec_id"), col("v"), col("norm"))
+    candidates
+      .join(
+        sets.toDF("id_a", "va", "na"),
+        "id_a")
+      .join(
+        sets.toDF("id_b", "vb", "nb"),
+        "id_b")
+      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= theta)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** d6 — near-dup CLUSTER formation: the pair list (d2's LSH +
     * exact-verify machinery) is only half of dedup — a pipeline must
     * then pick one representative per connected component of the
@@ -428,6 +508,7 @@ object Dedup {
     "d3_dedup_simhash" -> d3SimHash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d5_embed_neardup" -> d5EmbedNearDup,
+    "d10_embed_neardup_lsh" -> d10EmbedNearDupLsh,
     "d6_dup_clusters" -> d6DupClusters
   )
 
@@ -603,6 +684,29 @@ object Dedup {
         |  round(list_inner_product(a.v, b.v) / (a.norm * b.norm), 4) AS cosine
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE list_inner_product(a.v, b.v) / (a.norm * b.norm) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    // d10's oracle is the GROUND-TRUTH exhaustive join over the same
+    // deterministically augmented corpus — LSH output equals it
+    // because every qualifying pair sits at cosine ≈0.99875 where the
+    // 16-table miss probability is ~8e-13 (see the operator scaladoc).
+    // DuckDB's list_transform lambda index is 1-based (Spark's
+    // transform is 0-based), hence i % 2 = 1 here vs i % 2 === 0 there.
+    "d10_embed_neardup_lsh" ->
+      """WITH e AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |         CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |aug AS (
+        |  SELECT vec_id, v FROM e
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    list_transform(v, (x, i) ->
+        |      x * (CASE WHEN i % 2 = 1 THEN 1.05 ELSE 0.95 END))
+        |  FROM e),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm FROM aug)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_inner_product(a.v, b.v) / (a.norm * b.norm), 4) AS cosine
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_inner_product(a.v, b.v) / (a.norm * b.norm) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -69,28 +69,44 @@ object Similarity {
   private val Dim = 64
 
   /** Deterministic pseudo-random hyperplanes from a fixed 64-bit LCG —
-    * no RNG state, reproducible across runs and engines.
+    * no RNG state, reproducible across runs and engines. Shared by s2's
+    * kNN probing and d10's near-dup pair generation (different seeds /
+    * table shapes).
     */
-  private[ops] lazy val hyperplanes: Array[Array[Array[Double]]] = {
-    var state = 0x9E3779B97F4A7C15L // golden-ratio seed
+  private[ops] def lcgPlanes(
+      seed: Long,
+      tables: Int,
+      planes: Int,
+      dim: Int): Array[Array[Array[Double]]] = {
+    var state = seed
     def next(): Double = {
       state = state * 6364136223846793005L + 1442695040888963407L
       // top 53 bits → [0,1) → [-1,1)
       ((state >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
     }
-    Array.fill(NumTables, PlanesPerTable, Dim)(next())
+    Array.fill(tables, planes, dim)(next())
   }
 
-  /** Sign-bucket of a vector in LSH table `t`. */
-  private def bucketCol(v: Column, t: Int): Column =
-    (0 until PlanesPerTable)
-      .map(j => when(dot(v, typedlit(hyperplanes(t)(j).toSeq)) > 0, lit(1 << j)).otherwise(lit(0)))
+  private[ops] lazy val hyperplanes: Array[Array[Array[Double]]] =
+    lcgPlanes(0x9E3779B97F4A7C15L /* golden-ratio seed */, NumTables, PlanesPerTable, Dim)
+
+  /** Sign-bucket of a vector against one table's plane set. */
+  private[ops] def bucketColFor(v: Column, planes: Array[Array[Double]]): Column =
+    planes.indices
+      .map(j => when(dot(v, typedlit(planes(j).toSeq)) > 0, lit(1 << j)).otherwise(lit(0)))
       .reduce(_ + _)
 
   /** All (table, bucket) keys of a vector as an array column. */
-  private def tableBuckets(v: Column): Column =
-    array((0 until NumTables).map(t =>
-      struct(lit(t).as("t"), bucketCol(v, t).as("b"))): _*)
+  private[ops] def tableBucketsFor(
+      v: Column,
+      tables: Array[Array[Array[Double]]]): Column =
+    array(tables.indices.map(t =>
+      struct(lit(t).as("t"), bucketColFor(v, tables(t)).as("b"))): _*)
+
+  /** Sign-bucket of a vector in s2's LSH table `t`. */
+  private def bucketCol(v: Column, t: Int): Column = bucketColFor(v, hyperplanes(t))
+
+  private def tableBuckets(v: Column): Column = tableBucketsFor(v, hyperplanes)
 
   /** s2 — LSH-bucketed approximate top-k: queries probe only the union
     * of their L sign buckets. At 100 TB this is the shape that works —

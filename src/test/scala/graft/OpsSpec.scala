@@ -57,6 +57,36 @@ class OpsSpec extends SparkSpec {
     assert(truth.subsetOf(found), s"missed planted pairs: ${truth -- found}")
   }
 
+  test("d10 LSH pair list equals the exhaustive threshold join; no cartesian in the plan") {
+    // ground truth in-engine: exhaustive all-pairs cosine >= 0.9 over
+    // the same augmented corpus (original + perturbed copies)
+    val orig = Tables
+      .embeddings(spark, Sf)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pert = orig.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("v"), (x, i) =>
+        x * when(i % 2 === 0, lit(1.05)).otherwise(lit(0.95))).as("v"))
+    val aug = orig.unionAll(pert)
+      .withColumn("norm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val truth = aug.as("a")
+      .join(aug.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", Similarity.dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
+      .filter(col("cos") >= 0.9)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "augmented corpus must contain the planted near-dup pairs")
+    val d10 = Dedup.d10EmbedNearDupLsh(spark, Sf)
+    val found = d10.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == truth, s"missed: ${truth -- found}; spurious: ${found -- truth}")
+    // the scale claim: candidates come from a bucket equi-join — the
+    // corpus must never cross itself unkeyed
+    val physical = d10.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"), "corpus self-cartesian in d10 plan")
+    assert(!physical.contains("BroadcastNestedLoopJoin"), "unkeyed corpus join in d10 plan")
+  }
+
   test("d3 simhash: every reported pair is within the Hamming threshold; self-dup corpus found") {
     val rows = Dedup.d3SimHash(spark, Sf).collect()
     assert(rows.forall(_.getAs[Number]("hamming").longValue <= 3))
