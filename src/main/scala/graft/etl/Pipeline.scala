@@ -46,7 +46,8 @@ object Pipeline {
             val groupDir = Paths.get(outRoot, apiName, groupName)
             val staging = groupDir.resolve(s"${key}_temp.json")
             val target = groupDir.resolve(s"$key.parquet")
-            Http.fetchToDisk(url, staging).flatMap { _ =>
+            val progress = Http.loggedProgress(s"$apiName.$groupName.$key")
+            Http.fetchToDisk(url, staging, onProgress = progress).flatMap { _ =>
               processStaged(spark, staging.toString, target.toString, group.rootPath)
             }
           }

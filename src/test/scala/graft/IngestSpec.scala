@@ -28,6 +28,43 @@ class IngestSpec extends SparkSpec {
     assert(!Files.exists(dest), "failed fetch must not leave a staging file")
   }
 
+  test("copyWithProgress: cumulative monotone counts, exact total, constant-size chunks") {
+    val payload = Array.fill[Byte](200 * 1024 + 37)(0x42)
+    val in = new java.io.ByteArrayInputStream(payload)
+    val out = new java.io.ByteArrayOutputStream()
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long])]
+    val n = Http.copyWithProgress(in, out, Some(payload.length.toLong), (w, t) => seen += ((w, t)))
+    assert(n == payload.length.toLong)
+    assert(out.toByteArray.sameElements(payload), "copy must be byte-exact")
+    assert(seen.nonEmpty && seen.last._1 == payload.length.toLong,
+      "final callback must report the full size")
+    assert(seen.map(_._1).sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+      "cumulative counts must be strictly increasing")
+    assert(seen.forall(_._2.contains(payload.length.toLong)),
+      "content length must pass through to every callback")
+    // empty stream: zero bytes, zero callbacks (the EmptyResponse gate
+    // upstream sees 0 and deletes the staging file)
+    val seen2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val n2 = Http.copyWithProgress(
+      new java.io.ByteArrayInputStream(Array.emptyByteArray),
+      new java.io.ByteArrayOutputStream(), None, (w, _) => seen2 += w)
+    assert(n2 == 0L && seen2.isEmpty)
+  }
+
+  test("loggedProgress throttles: one line per step plus the completion line") {
+    val buf = new java.io.ByteArrayOutputStream()
+    val prev = System.err
+    System.setErr(new java.io.PrintStream(buf, true))
+    try {
+      val p = Http.loggedProgress("a.g.r", stepBytes = 1024)
+      var w = 64L
+      while (w <= 4096) { p(w, Some(4096L)); w += 64 } // 64 chunks, 4 steps
+      val lines = buf.toString.split("\n").filter(_.nonEmpty)
+      assert(lines.length == 4, s"expected 4 throttled lines, got ${lines.length}:\n${buf.toString}")
+      assert(lines.forall(_.contains("a.g.r")))
+    } finally System.setErr(prev)
+  }
+
   test("Pipeline.run is fail-soft: every route fails individually, none aborts the run") {
     val cfg = graft.config.Config
       .loadFromString(
