@@ -201,6 +201,126 @@ object Streams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  // ── streaming as-of enrichment ──────────────────────────────────────
+
+  /** Tagged union row for [[asOfEnrich]]: dimension updates and events
+    * share one stream so a single watermark governs both sides.
+    */
+  final case class AsOfIn(
+      key: Long,
+      ts: Timestamp,
+      is_dim: Boolean,
+      payload: Double,
+      attr: String)
+
+  /** Per-key as-of state: buffered dimension versions and events not
+    * yet finalized by the watermark. Both lists are bounded (see
+    * [[asOfEnrich]]'s eviction argument).
+    */
+  final case class AsOfBuf(
+      versions: List[(Long, String)], // (version_ts millis, attr)
+      pending: List[(Long, Double)] // (event_ts millis, payload)
+  )
+
+  final case class AsOfOut(
+      key: Long,
+      event_ts: Timestamp,
+      payload: Double,
+      attr: Option[String],
+      version_ts: Option[Timestamp])
+
+  /** Streaming AS-OF enrichment: each event is joined to the LATEST
+    * dimension version with `version_ts <= event_ts` — the streaming
+    * twin of the batch as-of join (q18 / the custom AsOfJoinExec),
+    * completing the stream-static story: where [[enrichStream]]
+    * attaches the dimension's CURRENT snapshot, this attaches the
+    * version that was in force AT EVENT TIME, and is therefore
+    * deterministic under replay and micro-batch boundaries.
+    *
+    * Both inputs are unioned into one tagged stream so ONE event-time
+    * watermark governs them; an event is emitted only once the
+    * watermark passes its timestamp, i.e. once no dimension version
+    * that could change its answer (`version_ts <= event_ts`) can still
+    * arrive. Until then it buffers in per-key state. That is the
+    * correctness contract the spec pins: a version arriving AFTER the
+    * event row but timestamped BEFORE it still wins; emission order
+    * follows the watermark, not arrival order.
+    *
+    * Bounded state: once the watermark W passes, every event with
+    * `ts <= W` is finalized and removed, and of the versions with
+    * `version_ts <= W` only the latest is kept (any future event has
+    * `ts > W`, so the latest version `<= W` dominates the older ones
+    * for every event still to come — they are unreachable and
+    * evicted). Steady-state per key = one version row + the in-flight
+    * rows inside the watermark delay. Left-outer semantics: an event
+    * with no version at or before it emits with null attr rather than
+    * dropping.
+    */
+  def asOfEnrich(
+      events: DataFrame, // (key, ts, payload)
+      dimUpdates: DataFrame, // (key, ts, attr)
+      watermarkDelay: String = "10 minutes"
+  ): Dataset[AsOfOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tagged = events
+      .select(
+        col("key"),
+        col("ts"),
+        lit(false).as("is_dim"),
+        col("payload").cast("double").as("payload"),
+        lit(null).cast("string").as("attr"))
+      .unionAll(dimUpdates.select(
+        col("key"),
+        col("ts"),
+        lit(true).as("is_dim"),
+        lit(0.0).as("payload"),
+        col("attr")))
+      .withWatermark("ts", watermarkDelay)
+      .as[AsOfIn]
+
+    tagged
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfBuf, AsOfOut](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[AsOfIn], state: GroupState[AsOfBuf]) =>
+          val buf0 = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+          val buf =
+            if (state.hasTimedOut) buf0
+            else
+              rows.foldLeft(buf0) { (b, r) =>
+                if (r.is_dim) b.copy(versions = (r.ts.getTime, r.attr) :: b.versions)
+                else b.copy(pending = (r.ts.getTime, r.payload) :: b.pending)
+              }
+          val w = state.getCurrentWatermarkMs()
+          val versionsSorted = buf.versions.sortBy(_._1)
+          val (ripe, stillPending) = buf.pending.partition(_._1 <= w)
+          val out = ripe.sortBy(_._1).map { case (ets, payload) =>
+            versionsSorted.takeWhile(_._1 <= ets).lastOption match {
+              case Some((vts, attr)) =>
+                AsOfOut(key, new Timestamp(ets), payload, Some(attr), Some(new Timestamp(vts)))
+              case None =>
+                AsOfOut(key, new Timestamp(ets), payload, None, None)
+            }
+          }
+          // evict versions the watermark has made unreachable: keep the
+          // latest <= W (the in-force version for anything still to
+          // come) plus everything newer
+          val (past, future) = versionsSorted.partition(_._1 <= w)
+          val keptVersions = past.lastOption.toList ++ future
+          if (stillPending.isEmpty && keptVersions.isEmpty) state.remove()
+          else {
+            state.update(AsOfBuf(keptVersions, stillPending))
+            // wake when the watermark passes the oldest pending event;
+            // all remaining pending have ts > W so the timer is legal
+            if (stillPending.nonEmpty)
+              state.setTimeoutTimestamp(stillPending.map(_._1).min)
+          }
+          out.iterator
+      }
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String)
 
   final case class SessionState(start: Long, last: Long, n: Int)

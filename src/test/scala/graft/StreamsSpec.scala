@@ -281,6 +281,69 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("as-of enrichment: latest version at event time wins across watermark advances") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = MemoryStream[(Long, Timestamp, Double)]
+    val dims = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams
+      .asOfEnrich(
+        events.toDF().toDF("key", "ts", "payload"),
+        dims.toDF().toDF("key", "ts", "attr"),
+        watermarkDelay = "5 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("asof")
+      .outputMode("append")
+      .start()
+    try {
+      // version A in force from t0; events at t15 (key 1) and t15
+      // (key 2, which has NO dimension at all)
+      dims.addData((1L, ts(0), "A"))
+      events.addData((1L, ts(15), 1.0), (2L, ts(15), 9.0))
+      q.processAllAvailable()
+      // watermark (15-5=10) hasn't passed the events: nothing final
+      assert(spark.table("asof").count() == 0, "events must buffer until the watermark passes them")
+
+      // a version arriving AFTER the event row but timestamped BEFORE
+      // it (t12 < t15) — as-of must pick it over A, which is the whole
+      // point of holding emission until the watermark
+      dims.addData((1L, ts(12), "B"))
+      q.processAllAvailable()
+      assert(spark.table("asof").count() == 0)
+
+      // sentinel advances the watermark past t15 → both events finalize
+      events.addData((99L, ts(60), 0.0))
+      q.processAllAvailable()
+      val first = spark.table("asof")
+        .filter(col("key") < 99)
+        .collect()
+        .map(r => (r.getLong(0), Option(r.getString(3)), Option(r.getTimestamp(4))))
+        .toSet
+      assert(
+        first == Set(
+          (1L, Some("B"), Some(ts(12))),
+          (2L, None, None)),
+        s"got $first")
+
+      // next cycle (above the advanced watermark of 55): version C@t70
+      // then an event at t75 → C wins over the retained B; the
+      // evicted-versions invariant (only latest <= W kept) must not
+      // have dropped anything reachable
+      dims.addData((1L, ts(70), "C"))
+      events.addData((1L, ts(75), 2.0))
+      q.processAllAvailable()
+      events.addData((99L, ts(150), 0.0))
+      q.processAllAvailable()
+      val second = spark.table("asof")
+        .filter(col("key") === 1 && col("payload") === 2.0)
+        .collect()
+        .map(r => (Option(r.getString(3)), Option(r.getTimestamp(4))))
+        .toSet
+      assert(second == Set((Some("C"), Some(ts(70)))), s"got $second")
+    } finally q.stop()
+  }
+
   test("sessionization: gap closes a session, state emits once, new session opens") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
