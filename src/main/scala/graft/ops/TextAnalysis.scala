@@ -254,7 +254,92 @@ object TextAnalysis {
         round(count(lit(1)).cast("double") / sum(col("n")), 6).as("ttr"))
       .orderBy("lang")
 
+  /** t9 — repetition-quality stats (the Gopher-style repetition
+    * filters, Rae et al. 2021 §A1.1): per document, the fraction of
+    * 2-gram occurrences claimed by the single most frequent 2-gram and
+    * the fraction sitting in any duplicated 2-gram, plus the
+    * repetitive flag at the (0.2, 0.6) thresholds — the signal that
+    * kills boilerplate/spam docs a vocabulary-level TTR (t2) misses.
+    *
+    * Shape is the t8 word-count classic: 2-grams stream off the token
+    * array through the native [[graft.functions.WordNgrams]] generator,
+    * collapse map-side to (doc, gram, count) — one row per DISTINCT
+    * gram crosses the wire, not per occurrence — then a tiny per-doc
+    * aggregate. Flags compare the unrounded double ratios: exact
+    * integer-count divisions, bit-identical in any engine.
+    */
+  def t9RepetitionStats(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables
+      .spread(Tables.documents(s, dir))
+      // explode(array(…)) is the Generate barrier (see t7): the token
+      // array materializes once before the n-gram generator streams it
+      .select(col("doc_id"), explode(array(toks)).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), graft.functions.WordNgrams.wordNgrams(col("t"), 2).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_grams"),
+        max(col("n")).as("top_n"),
+        sum(when(col("n") >= 2, col("n")).otherwise(0L)).as("dup_mass"))
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        round(col("top_n").cast("double") / col("n_grams"), 6).as("top_bigram_frac"),
+        round(col("dup_mass").cast("double") / col("n_grams"), 6).as("dup_bigram_frac"),
+        (col("top_n").cast("double") / col("n_grams") > 0.2 ||
+          col("dup_mass").cast("double") / col("n_grams") > 0.6).as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  /** t10 — PII detection + redaction: count and mask email addresses,
+    * phone numbers and 9-digit identifiers in free text with anchored
+    * character-class regexes (codegen'd `regexp_extract_all` /
+    * `regexp_replace` — scan-side, zero shuffles before the output
+    * sort; the patterns avoid every Java-vs-RE2 semantic corner:
+    * no backrefs, no lookaround, no lazy quantifiers).
+    *
+    * The synthetic corpus ships no PII, so the text under scrub is a
+    * deterministic contact line composed from the customer key
+    * columns — every third customer gains an email, every fifth a
+    * phone number, and every name embeds a 9-digit id — reproduced
+    * identically by the oracle, which then exact-checks counts and the
+    * redacted strings. The composition is fixture; the operator is the
+    * scrub.
+    */
+  def t10PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9]+@[a-z.]+"
+    val phoneRe = "555-[0-9]{7}"
+    val idRe = "[0-9]{9}"
+    val key7 = lpad(col("c_custkey").cast("string"), 7, "0")
+    val line = concat(
+      col("c_name"),
+      lit(" segment "),
+      col("c_mktsegment"),
+      when(col("c_custkey") % 3 === 0,
+        concat(lit(" contact user"), key7, lit("@mail.example"))).otherwise(lit("")),
+      when(col("c_custkey") % 5 === 0,
+        concat(lit(" phone 555-"), key7)).otherwise(lit("")))
+    Tables
+      .customer(s, dir)
+      .select(col("c_custkey"), line.as("t"))
+      .select(
+        col("c_custkey"),
+        size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(phoneRe), lit(0))).as("n_phones"),
+        size(regexp_extract_all(col("t"), lit(idRe), lit(0))).as("n_ids"),
+        regexp_replace(
+          regexp_replace(regexp_replace(col("t"), emailRe, "[EMAIL]"), phoneRe, "[PHONE]"),
+          idRe,
+          "[ID]").as("redacted"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t9_repetition_stats" -> t9RepetitionStats,
+    "t10_pii_scrub" -> t10PiiScrub,
     "t8_vocab_stats" -> t8VocabStats,
     "t7_rolling_fingerprint" -> t7RollingFingerprint,
     "t1_token_stats" -> t1TokenStats,
@@ -266,6 +351,50 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t9_repetition_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS g
+        |  FROM d WHERE len(t) >= 2),
+        |c AS (SELECT doc_id, g, count(*) AS n FROM g GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(n) AS BIGINT) AS n_grams,
+        |  round(max(n)::DOUBLE / sum(n), 6) AS top_bigram_frac,
+        |  round(sum(CASE WHEN n >= 2 THEN n ELSE 0 END)::DOUBLE / sum(n), 6)
+        |    AS dup_bigram_frac,
+        |  (max(n)::DOUBLE / sum(n) > 0.2 OR
+        |   sum(CASE WHEN n >= 2 THEN n ELSE 0 END)::DOUBLE / sum(n) > 0.6)
+        |    AS repetitive
+        |FROM c
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // regexp_replace needs the 'g' flag in DuckDB (Spark replaces
+    // globally); lpad/CASE rebuild the same contact-line fixture
+    "t10_pii_scrub" ->
+      """WITH t AS (
+        |  SELECT c_custkey,
+        |    c_name || ' segment ' || c_mktsegment ||
+        |    CASE WHEN c_custkey % 3 = 0
+        |         THEN ' contact user' || lpad(CAST(c_custkey AS VARCHAR), 7, '0')
+        |              || '@mail.example'
+        |         ELSE '' END ||
+        |    CASE WHEN c_custkey % 5 = 0
+        |         THEN ' phone 555-' || lpad(CAST(c_custkey AS VARCHAR), 7, '0')
+        |         ELSE '' END AS t
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z.]+')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '555-[0-9]{7}')) AS INTEGER) AS n_phones,
+        |  CAST(len(regexp_extract_all(t, '[0-9]{9}')) AS INTEGER) AS n_ids,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(t, '[a-z0-9]+@[a-z.]+', '[EMAIL]', 'g'),
+        |      '555-[0-9]{7}', '[PHONE]', 'g'),
+        |    '[0-9]{9}', '[ID]', 'g') AS redacted
+        |FROM t
+        |ORDER BY c_custkey""".stripMargin,
     "t8_vocab_stats" ->
       """WITH tok AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS w

@@ -315,6 +315,45 @@ class OpsSpec extends SparkSpec {
       "canonicalization can only merge fingerprint groups, never split them")
   }
 
+  test("t9 repetition stats: gram accounting exact, top mass bounded by dup mass") {
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), (size(split(col("text"), " ")) - 1).as("expect_grams"))
+      .filter(col("expect_grams") >= 1)
+    val t9 = TextAnalysis.t9RepetitionStats(spark, Sf)
+    // every eligible doc appears exactly once with n_grams = n_tokens - 1
+    val bad = t9.join(docs, Seq("doc_id"), "full")
+      .filter(col("n_grams").isNull || col("expect_grams").isNull ||
+        col("n_grams") =!= col("expect_grams"))
+    assert(bad.head(1).isEmpty, s"gram accounting mismatch: ${bad.head(5).mkString(", ")}")
+    val rows = t9.collect()
+    rows.foreach { r =>
+      val top = r.getAs[Double]("top_bigram_frac")
+      val dup = r.getAs[Double]("dup_bigram_frac")
+      assert(top > 0 && top <= 1, s"top frac out of range: $r")
+      assert(dup >= 0 && dup <= 1, s"dup frac out of range: $r")
+      // any gram counted in top_n with n>=2 is also dup mass
+      assert(dup == 0 || dup >= top, s"dup mass must cover the top gram when duplicated: $r")
+    }
+  }
+
+  test("t10 PII scrub: counts follow the plant rules, redacted text has zero residual matches") {
+    val t10 = TextAnalysis.t10PiiScrub(spark, Sf)
+    val res = t10
+      .withColumn("want_email", (col("c_custkey") % 3 === 0).cast("int"))
+      .withColumn("want_phone", (col("c_custkey") % 5 === 0).cast("int"))
+      .withColumn("residual",
+        size(regexp_extract_all(col("redacted"), lit("[a-z0-9]+@[a-z.]+"), lit(0))) +
+          size(regexp_extract_all(col("redacted"), lit("555-[0-9]{7}"), lit(0))) +
+          size(regexp_extract_all(col("redacted"), lit("[0-9]{9}"), lit(0))))
+    val bad = res.filter(
+      col("n_emails") =!= col("want_email") ||
+        col("n_phones") =!= col("want_phone") ||
+        col("n_ids") =!= 1 ||
+        col("residual") =!= 0)
+    assert(bad.head(1).isEmpty, s"scrub violations: ${bad.head(5).mkString(", ")}")
+    assert(res.filter(col("want_email") === 1).head(1).nonEmpty, "fixture must plant emails")
+  }
+
   test("t8 vocab stats: hapax <= vocab <= total tokens, ttr in (0,1]") {
     TextAnalysis.t8VocabStats(spark, Sf).collect().foreach { r =>
       val (vocab, hapax, total) = (r.getLong(1), r.getLong(2), r.getLong(3))
