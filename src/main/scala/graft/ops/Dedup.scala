@@ -499,8 +499,83 @@ object Dedup {
       .orderBy("fp")
   }
 
+  /** d11 — passage-level duplicate detection (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * granularity): document-level dedup (d1/d2/d9) misses REPEATED
+    * PASSAGES embedded in otherwise-distinct documents — boilerplate
+    * headers, licence blocks, quoted text — which LMs memorize
+    * disproportionately. Every W=8-word window gets a rolling
+    * fingerprint (t7's engine-portable mod-1e9+7 Rabin–Karp over
+    * per-word polynomial hashes); a fingerprint occurring in ≥2
+    * distinct documents is duplicated-passage mass. Output per
+    * affected document: window count, duplicated-window count and
+    * fraction — the signal a pipeline thresholds to drop or trim.
+    *
+    * Fixed-W windows approximate the paper's suffix-array exact
+    * substrings with total recall at the chosen granularity: any
+    * shared run of ≥ W tokens shares at least one aligned window.
+    * Fingerprint collisions (~1e-9/pair at mod 1e9+7) reproduce
+    * identically in both engines (the oracle recomputes the same
+    * arithmetic); a production run re-verifies flagged passages by
+    * exact bytes before trimming.
+    *
+    * At 100 TB: text never crosses an exchange — windows collapse
+    * scan-side to (fp, doc_id, occ) via a map-side-combined
+    * aggregate (16-byte keys), fingerprint document-frequency is a
+    * second narrow aggregate, and the duplicated-fp relation that
+    * joins back is duplicated-mass-sized (AQE broadcasts it for
+    * mostly-unique corpora). Per-doc window totals are computed
+    * scan-side (`size`), never recounted downstream.
+    */
+  def d11PassageDedup(s: SparkSession, dir: String): DataFrame = {
+    val P = 1000000007L
+    val wordB = 131L
+    val winB = 1000003L
+    val W = 8
+    val whs = transform(
+      toks,
+      w => aggregate(split(w, ""), lit(0L), (h, c) => (h * wordB + ascii(c)) % P))
+    val wins = Tables
+      .spread(Tables.documents(s, dir))
+      .filter(size(toks) >= W)
+      // Generate barrier (t7's lesson): materialize the word-hash
+      // array once per row, or every window slice recomputes it —
+      // O(windows·words) instead of O(words)
+      .select(col("doc_id"), explode(array(whs)).as("whs"))
+      .select(
+        col("doc_id"),
+        (size(col("whs")) - (W - 1)).as("n_windows"),
+        transform(
+          sequence(lit(1), size(col("whs")) - (W - 1)),
+          i => aggregate(slice(col("whs"), i, lit(W)), lit(0L), (h, x) => (h * winB + x) % P))
+          .as("wh"))
+    val perDocFp = wins
+      .select(col("doc_id"), col("n_windows"), explode(col("wh")).as("fp"))
+      .groupBy(col("fp"), col("doc_id"))
+      .agg(max(col("n_windows")).as("n_windows"), count(lit(1)).as("occ"))
+    // fingerprints with document frequency ≥ 2 = duplicated passages
+    val dupFps = perDocFp
+      .groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select("fp")
+    perDocFp
+      .join(dupFps, "fp")
+      .groupBy("doc_id")
+      .agg(
+        max(col("n_windows")).as("n_windows"),
+        sum(col("occ")).as("n_dup_windows"))
+      .select(
+        col("doc_id"),
+        col("n_windows"),
+        col("n_dup_windows"),
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d9_canonical_dedup" -> d9CanonicalDedup,
+    "d11_passage_dedup" -> d11PassageDedup,
     "d8_fuzzy_match" -> d8FuzzyMatch,
     "d7_decontaminate" -> d7Decontaminate,
     "d1_dedup_exact" -> d1ExactDedup,
@@ -539,6 +614,35 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // Same Rabin–Karp arithmetic as the t7 oracle: per-word polynomial
+    // char hash (base 131), 8-word window fold (base 1000003), both
+    // mod 1e9+7 — engine-portable exact integers.
+    "d11_passage_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |w AS (
+        |  SELECT doc_id, list_transform(t, w -> list_reduce(
+        |      list_prepend(0::BIGINT,
+        |        list_transform(string_split(w, ''), c -> ascii(c)::BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 1000000007)) AS whs
+        |  FROM d WHERE len(t) >= 8),
+        |v AS (
+        |  SELECT doc_id, len(whs) - 7 AS n_windows,
+        |    unnest(list_transform(range(1, len(whs) - 6),
+        |      i -> list_reduce(list_prepend(0::BIGINT, whs[i:i+7]),
+        |             (h, x) -> (h * 1000003 + x) % 1000000007))) AS fp
+        |  FROM w),
+        |pdf AS (
+        |  SELECT fp, doc_id, max(n_windows) AS n_windows, count(*) AS occ
+        |  FROM v GROUP BY 1, 2),
+        |dup AS (SELECT fp FROM pdf GROUP BY fp HAVING count(*) >= 2)
+        |SELECT p.doc_id,
+        |  CAST(max(p.n_windows) AS INTEGER) AS n_windows,
+        |  CAST(sum(p.occ) AS BIGINT) AS n_dup_windows,
+        |  round(sum(p.occ)::DOUBLE / max(p.n_windows), 6) AS dup_frac
+        |FROM pdf p JOIN dup USING (fp)
+        |GROUP BY 1
+        |ORDER BY doc_id""".stripMargin,
     // regexp_replace needs the 'g' flag in DuckDB (Spark always
     // replaces globally)
     "d9_canonical_dedup" ->

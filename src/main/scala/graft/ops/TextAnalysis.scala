@@ -337,9 +337,95 @@ object TextAnalysis {
       .orderBy("c_custkey")
   }
 
+  /** t11 — boilerplate detection + strip accounting: the CCNet /
+    * RefinedWeb pipeline stage that finds TEMPLATED text repeated
+    * across a source's documents (nav bars, footers, cookie banners)
+    * and measures how much of each document it claims. A 3-gram is
+    * boilerplate for a source when it appears in ≥ 50% of that
+    * source's documents; a token is boilerplate when any 3-gram
+    * covering it is. Output per doc: token count, boilerplate-token
+    * count, boilerplate fraction — the trim/drop signal.
+    *
+    * The fixture corpus is random text with no natural boilerplate
+    * (measured: max within-source 3-gram document frequency < 0.2),
+    * so — d10's precedent for planting the regime an operator exists
+    * for — both engines append a deterministic per-source footer
+    * (`visit <source> homepage subscribe newsletter today`) to every
+    * document and the detector must recover exactly its token span:
+    * precision is pinned by the natural-gram margin (<0.2 vs 0.5
+    * threshold), recall by the footer's df = 1.0.
+    *
+    * At 100 TB: detection collapses per-doc DISTINCT grams map-side to
+    * (source, gram, df) — one row per distinct gram per source crosses
+    * the wire; the qualifying gram table is boilerplate-sized (a few
+    * rows per source) and BROADCASTS back; the cover/strip pass is
+    * then scan-side — the corpus text itself never shuffles.
+    */
+  def t11BoilerplateStrip(s: SparkSession, dir: String): DataFrame = {
+    val aug = Tables
+      .spread(Tables.documents(s, dir))
+      .select(
+        col("doc_id"),
+        col("source"),
+        concat(
+          col("text"),
+          lit(" visit "),
+          col("source"),
+          lit(" homepage subscribe newsletter today")).as("text"))
+    // two Generate barriers (t7's lesson): materialize the token array,
+    // then the 3-gram array, so the per-position cover scan below reads
+    // them instead of re-deriving the whole transform per position
+    val tok = aug
+      .select(col("doc_id"), col("source"), explode(array(split(col("text"), " "))).as("t"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("t"),
+        transform(
+          sequence(lit(1), size(col("t")) - 2),
+          i =>
+            concat_ws(
+              " ",
+              element_at(col("t"), i),
+              element_at(col("t"), i + 1),
+              element_at(col("t"), i + 2))).as("g3"))
+      .select(col("doc_id"), col("source"), col("t"), explode(array(col("g3"))).as("g3"))
+    // per-source gram document frequency: rows are already distinct per
+    // (source, gram, doc), so a plain count is the doc frequency
+    val dfreq = tok
+      .select(col("source"), col("doc_id"), explode(array_distinct(col("g3"))).as("g"))
+      .groupBy(col("source"), col("g"))
+      .agg(count(lit(1)).as("df"))
+    val nd = aug.groupBy("source").agg(count(lit(1)).as("nd"))
+    val boiler = dfreq
+      .join(nd, "source")
+      .filter(col("df") >= col("nd") * 0.5)
+      .groupBy("source")
+      .agg(sort_array(collect_list(col("g"))).as("grams"))
+    tok
+      .join(broadcast(boiler), Seq("source"), "left")
+      .select(
+        col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        size(
+          filter(
+            sequence(lit(1), size(col("t"))),
+            i =>
+              exists(
+                sequence(greatest(i - 2, lit(1)), least(i, size(col("t")) - 2)),
+                j => array_contains(col("grams"), element_at(col("g3"), j))))).as("n_boiler"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_tokens"), 6).as("boiler_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t9_repetition_stats" -> t9RepetitionStats,
     "t10_pii_scrub" -> t10PiiScrub,
+    "t11_boilerplate_strip" -> t11BoilerplateStrip,
     "t8_vocab_stats" -> t8VocabStats,
     "t7_rolling_fingerprint" -> t7RollingFingerprint,
     "t1_token_stats" -> t1TokenStats,
@@ -351,6 +437,41 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirrors the Spark plan exactly: augment with the per-source
+    // footer, detect >=50%-document-frequency 3-grams per source,
+    // count covered token positions. DuckDB range(a, b) is
+    // end-exclusive (Spark sequence is inclusive), hence the +1s.
+    "t11_boilerplate_strip" ->
+      """WITH aug AS (
+        |  SELECT doc_id, source,
+        |    text || ' visit ' || source ||
+        |      ' homepage subscribe newsletter today' AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM aug),
+        |g3 AS (
+        |  SELECT doc_id, source, t,
+        |    list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS g3
+        |  FROM tok),
+        |dfreq AS (
+        |  SELECT source, g, count(*) AS df
+        |  FROM (SELECT doc_id, source, unnest(list_distinct(g3)) AS g FROM g3)
+        |  GROUP BY 1, 2),
+        |nd AS (SELECT source, count(*) AS nd FROM aug GROUP BY 1),
+        |boiler AS (
+        |  SELECT source, list_sort(list(g)) AS grams
+        |  FROM dfreq JOIN nd USING (source)
+        |  WHERE df >= nd * 0.5 GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(d.t) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_filter(range(1, len(d.t) + 1),
+        |    i -> len(list_filter(range(greatest(i - 2, 1), least(i, len(d.t) - 2) + 1),
+        |            j -> list_contains(b.grams, d.g3[j]))) > 0)) AS INTEGER) AS n_boiler,
+        |  round(len(list_filter(range(1, len(d.t) + 1),
+        |    i -> len(list_filter(range(greatest(i - 2, 1), least(i, len(d.t) - 2) + 1),
+        |            j -> list_contains(b.grams, d.g3[j]))) > 0))::DOUBLE / len(d.t), 6)
+        |    AS boiler_frac
+        |FROM g3 d LEFT JOIN boiler b USING (source)
+        |ORDER BY doc_id""".stripMargin,
     "t9_repetition_stats" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

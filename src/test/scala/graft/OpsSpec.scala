@@ -315,6 +315,50 @@ class OpsSpec extends SparkSpec {
       "canonicalization can only merge fingerprint groups, never split them")
   }
 
+  test("d11 passage dedup: exact-copy docs carry dup_frac 1.0, fractions bounded") {
+    val d11 = Dedup.d11PassageDedup(spark, Sf)
+    val rows = d11.collect()
+    assert(rows.nonEmpty, "fixture corpus plants duplicate docs — d11 must flag them")
+    rows.foreach { r =>
+      val frac = r.getAs[Double]("dup_frac")
+      assert(frac > 0.0 && frac <= 1.0, s"dup_frac out of range: $r")
+      assert(r.getAs[Long]("n_dup_windows") <= r.getAs[Int]("n_windows").toLong, s"dup > total: $r")
+    }
+    // every exact-duplicate doc (>=8 tokens) shares ALL its windows
+    // with its copy, so it must show up at dup_frac exactly 1.0
+    val flagged = rows.map(_.getAs[Long]("doc_id")).toSet
+    val fullDup = rows.filter(_.getAs[Double]("dup_frac") == 1.0).map(_.getAs[Long]("doc_id")).toSet
+    val exactDupIds = Dedup
+      .d1ExactDedup(spark, Sf)
+      .filter(col("n_copies") >= 2)
+      .join(
+        Tables.documents(spark, Sf).groupBy(md5(col("text")).as("fp"))
+          .agg(collect_list(col("doc_id")).as("ids"), max(size(split(col("text"), " "))).as("toks")),
+        Seq("fp"))
+      .filter(col("toks") >= 8)
+      .select(explode(col("ids")).as("doc_id"))
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(exactDupIds.subsetOf(flagged), "exact dups must be flagged")
+    assert(exactDupIds.subsetOf(fullDup), "exact dups must be fully duplicated passage mass")
+  }
+
+  test("t11 boilerplate strip: planted footer always detected, bounds hold") {
+    val rows = TextAnalysis.t11BoilerplateStrip(spark, Sf).collect()
+    val docs = Tables.documents(spark, Sf).count()
+    assert(rows.length.toLong == docs, "one row per document")
+    rows.foreach { r =>
+      val n = r.getAs[Int]("n_tokens")
+      val b = r.getAs[Int]("n_boiler")
+      // the planted 6-token footer has per-source doc frequency 1.0, so
+      // its span is always flagged; small fixtures may flag more
+      assert(b >= 6 && b <= n, s"boiler tokens out of bounds: $r")
+      val frac = r.getAs[Double]("boiler_frac")
+      assert(frac > 0.0 && frac <= 1.0, s"boiler_frac out of range: $r")
+    }
+  }
+
   test("t9 repetition stats: gram accounting exact, top mass bounded by dup mass") {
     val docs = Tables.documents(spark, Sf)
       .select(col("doc_id"), (size(split(col("text"), " ")) - 1).as("expect_grams"))
