@@ -332,8 +332,166 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** s7 — product quantization encode (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the 64-dim vector
+    * splits into M=8 contiguous 8-dim subvectors, each assigned to its
+    * nearest of K=16 per-subspace codebook entries — 8 nibbles replace
+    * 256 bytes of floats (64:1), the memory step that makes
+    * billion-vector ANN (IVFADC) fit in RAM. Output per vector: the
+    * code word and the total squared reconstruction error (the
+    * quantity PQ training minimizes and ADC lookup tables are built
+    * from).
+    *
+    * The codebook here is a deterministic sample (subvectors of the 16
+    * lowest-id vectors, id-sorted) so both engines rebuild it exactly;
+    * production training iterates per-subspace k-means with s4's
+    * partial+final UDAF machinery — this operator is its E-step plus
+    * the encode contract. Ties in the argmin resolve to the lowest
+    * code in both engines (`array_position` / `list_position` return
+    * the FIRST index of the minimum); the distances agree bit-for-bit
+    * because both engines fold (x−y)² left-to-right over identical
+    * doubles.
+    *
+    * At 100 TB: the codebook is one broadcast row (K·dim doubles
+    * regardless of corpus size) and the encode is pure scan-side
+    * arithmetic — zero data shuffles before the output sort; encoded
+    * vectors downstream shuffle 8 bytes instead of 256.
+    */
+  private val PqM = 8 // subspaces
+  private val PqD = 8 // dims per subspace
+
+  /** Per-vector PQ distance table: (vec_id, label, v, cents, dd) where
+    * dd(m)(j) is the squared L2 distance of subvector m to codebook
+    * entry j. The codebook (16 lowest-id vectors, id-sorted) is ONE
+    * broadcast row; the table is pure scan-side arithmetic. Shared by
+    * the encode (s7) and the ADC search (s8).
+    */
+  private def pqDistances(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val cents = e
+      .filter(col("vec_id") < 16)
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("vec_id"), col("v")))),
+          c => c.getField("v")).as("cents"))
+    e.crossJoin(broadcast(cents))
+      .select(
+        col("vec_id"),
+        col("label"),
+        col("v"),
+        col("cents"),
+        transform(
+          sequence(lit(0), lit(PqM - 1)),
+          m =>
+            transform(
+              col("cents"),
+              cv =>
+                aggregate(
+                  zip_with(
+                    slice(col("v"), m * PqD + 1, lit(PqD)),
+                    slice(cv, m * PqD + 1, lit(PqD)),
+                    (x, y) => (x - y) * (x - y)),
+                  lit(0.0),
+                  (a, b) => a + b))).as("dd"))
+      // Generate barrier (t7's lesson): the distance table is read
+      // several times downstream (code word + error sum / codes + rec)
+      .select(
+        col("vec_id"),
+        col("label"),
+        col("v"),
+        col("cents"),
+        explode(array(col("dd"))).as("dd"))
+  }
+
+  def s7PqEncode(s: SparkSession, dir: String): DataFrame =
+    pqDistances(s, dir)
+      .select(
+        col("vec_id"),
+        col("label"),
+        concat_ws(
+          "-",
+          transform(col("dd"), d => (array_position(d, array_min(d)) - 1).cast("string")))
+          .as("code"),
+        round(aggregate(transform(col("dd"), d => array_min(d)), lit(0.0), (a, b) => a + b), 6)
+          .as("quant_err"))
+      .orderBy("vec_id")
+
+  /** s8 — ADC approximate k-NN (the "AD" in IVFADC): queries stay
+    * exact floats, the corpus is represented ONLY by its PQ codes —
+    * each corpus vector is reconstructed as the concatenation of its
+    * assigned codebook entries, and the asymmetric distance
+    * ‖q − rec(x)‖² ranks neighbors. Because the reconstruction is a
+    * concatenation, the per-subspace lookup-table sum and the full
+    * 64-dim squared distance are the SAME number — this query computes
+    * it directly, which is also how both engines stay bit-identical.
+    *
+    * Deterministic end-to-end (codes from s7's argmin, distances
+    * left-to-right folds, ties broken by vec_id), so unlike the
+    * recall-dependent s2/s3 this approximate index is fully
+    * hash-checked by the oracle; the recall-vs-exact contract is
+    * pinned separately in the spec against s1.
+    *
+    * At 100 TB: corpus vectors cross NO exchange (scan-side encode +
+    * reconstruct, queries broadcast); ranking is the s1 window shape —
+    * per-partition top-k heaps via WindowGroupLimit, one (q_id-keyed)
+    * shuffle of scored candidate rows.
+    *
+    * Honest recall note: with the untrained 16-entry sampled codebook
+    * over this unstructured corpus (neighbor cosines barely above
+    * random), recall@5 vs s1 is quantization-limited (~0.2 measured),
+    * though ADC picks still average cosine ~0.21 vs ~0.00 for random
+    * pairs (spec-pinned). Production recall comes from k-means-trained
+    * codebooks (s4's machinery) on clustered embeddings, where
+    * within-cell variance — and thus quant_err — is orders of
+    * magnitude smaller.
+    */
+  def s8PqAdcSearch(s: SparkSession, dir: String): DataFrame = {
+    val base = pqDistances(s, dir)
+      .select(
+        col("vec_id"),
+        col("cents"),
+        transform(col("dd"), d => array_position(d, array_min(d)).cast("int")).as("codes"))
+      // barrier: codes is read PqM times by the reconstruction
+      .select(col("vec_id"), col("cents"), explode(array(col("codes"))).as("codes"))
+      .select(
+        col("vec_id"),
+        flatten(
+          transform(
+            sequence(lit(0), lit(PqM - 1)),
+            m =>
+              slice(
+                element_at(col("cents"), element_at(col("codes"), m + 1)),
+                m * PqD + 1,
+                lit(PqD)))).as("rec"))
+    val queries = Tables
+      .embeddings(s, dir)
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("vec_id").asc)
+    base
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn(
+        "adc",
+        aggregate(
+          zip_with(col("qv"), col("rec"), (x, y) => (x - y) * (x - y)),
+          lit(0.0),
+          (a, b) => a + b))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(
+        col("q_id"),
+        col("vec_id").as("neighbor_id"),
+        col("rank"),
+        round(col("adc"), 6).as("adc_dist"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s6_centroid_assign" -> s6CentroidAssign,
+    "s7_pq_encode" -> s7PqEncode,
+    "s8_pq_adc_search" -> s8PqAdcSearch,
     "s1_knn_bruteforce" -> s1KnnBruteForce,
     "s2_knn_lsh" -> s2KnnLsh,
     "s3_knn_ivf" -> s3KnnIvf,
@@ -342,6 +500,66 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same codebook (vec_id < 16, id-sorted), same left-to-right
+    // (x−y)² fold, same first-index-of-minimum argmin. DuckDB's
+    // list_position is 1-based like Spark's array_position.
+    "s7_pq_encode" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT list(v ORDER BY vec_id) AS cents FROM e WHERE vec_id < 16),
+        |enc AS (
+        |  SELECT vec_id, label,
+        |    list_transform(range(0, 8), m ->
+        |      list_transform(c.cents, cv ->
+        |        list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+        |          k -> (v[m * 8 + k] - cv[m * 8 + k]) *
+        |               (v[m * 8 + k] - cv[m * 8 + k]))), (a, b) -> a + b))) AS dd
+        |  FROM e, c)
+        |SELECT vec_id, label,
+        |  array_to_string(list_transform(dd,
+        |    d -> (list_position(d, list_min(d)) - 1)::VARCHAR), '-') AS code,
+        |  round(list_reduce(list_prepend(0.0, list_transform(dd, d -> list_min(d))),
+        |    (a, b) -> a + b), 6) AS quant_err
+        |FROM enc ORDER BY vec_id""".stripMargin,
+    // Recomputes s7's codes, reconstructs each corpus vector from its
+    // codebook entries, ranks by exact 64-dim squared distance to the
+    // (float-exact) query — the ADC identity. Ties break on vec_id.
+    "s8_pq_adc_search" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT list(v ORDER BY vec_id) AS cents FROM e WHERE vec_id < 16),
+        |enc AS (
+        |  SELECT vec_id,
+        |    list_transform(range(0, 8), m ->
+        |      list_transform(c.cents, cv ->
+        |        list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+        |          k -> (v[m * 8 + k] - cv[m * 8 + k]) *
+        |               (v[m * 8 + k] - cv[m * 8 + k]))), (a, b) -> a + b))) AS dd
+        |  FROM e, c),
+        |codes AS (
+        |  SELECT vec_id,
+        |    list_transform(dd, d -> list_position(d, list_min(d))) AS code
+        |  FROM enc),
+        |rec AS (
+        |  SELECT vec_id,
+        |    flatten(list_transform(range(0, 8),
+        |      m -> c.cents[code[m + 1]][m * 8 + 1 : m * 8 + 8])) AS rec
+        |  FROM codes, c),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q_id, r.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        |      k -> (qv[k] - rec[k]) * (qv[k] - rec[k]))), (a, b) -> a + b) AS adc
+        |  FROM q JOIN rec r ON r.vec_id <> q_id),
+        |ranked AS (
+        |  SELECT q_id, neighbor_id, adc,
+        |    row_number() OVER (
+        |      PARTITION BY q_id ORDER BY adc ASC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT q_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+        |  round(adc, 6) AS adc_dist
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
     "s6_centroid_assign" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
