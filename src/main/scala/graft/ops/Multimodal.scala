@@ -223,7 +223,86 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** m6 — perceptual-hash near-duplicate detection for media
+    * payloads: the image-dedup primitive (pHash/blockhash family)
+    * that catches the SAME image re-encoded — where byte-exact
+    * fingerprints (d1, m5's chunk hashes) see entirely different
+    * bytes. The payload is divided into 32 equal spans; bit k is set
+    * when span k's mean exceeds the global mean; near-duplicates are
+    * pairs within Hamming distance 3, found by 4×8-bit band blocking
+    * (pigeonhole: ≤3 flipped bits leave ≥1 of 4 bands exact — the d3
+    * SimHash machinery applied to the binary plane). Mean-threshold
+    * bits are BRIGHTNESS-INVARIANT: a uniform intensity shift moves
+    * every span mean and the global mean together, flipping nothing.
+    *
+    * The corpus under test plants exactly that regime (d10's
+    * precedent): a +1-per-byte "re-encoded" copy of every payload
+    * (id + 1e6). Exact fingerprints see different bytes; the
+    * perceptual hash must land every planted pair at Hamming 0 —
+    * which also pins the invariance property through the oracle.
+    * Thresholds compare integer cross-products (span_sum·n vs
+    * total·span_len), so both engines agree exactly.
+    *
+    * The fixture's payloads are ASCII text bytes (m5's note), so
+    * char-code ops mirror byte ops; block-mean bits over pixel bytes
+    * are the same arithmetic after a real decode (m3's stage).
+    *
+    * At 100 TB: the hash is scan-side (one long per payload); only
+    * (doc_id, phash, band) rows shuffle for the bucket join — work ∝
+    * bucket co-occupancy, never n²; the verify is bit_count on two
+    * longs.
+    */
+  def m6PerceptualNearDup(s: SparkSession, dir: String): DataFrame = {
+    val B = 32
+    val base = Tables
+      .spread(Tables.documents(s, dir))
+      .filter(length(col("text")) >= B)
+      .select(
+        col("doc_id"),
+        transform(split(col("text"), ""), c => ascii(c).cast("long")).as("cs"))
+      // Generate barrier: the 32-span fold below reads cs many times
+      .select(col("doc_id"), explode(array(col("cs"))).as("cs"))
+    // planted "re-encode": uniform +1 brightness shift, new id space
+    val aug = base.unionAll(
+      base.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        transform(col("cs"), c => c + 1L).as("cs")))
+    val n = size(col("cs"))
+    val total = aggregate(col("cs"), lit(0L), (a, b) => a + b)
+    // fold MSB-first (k=31..0) as acc*2+bit, so bit k carries 2^k
+    val phash = aggregate(
+      sequence(lit(B - 1), lit(0), lit(-1)),
+      lit(0L),
+      (acc, k) => {
+        val lo = floor(k * n / B).cast("int")
+        val hi = floor((k + 1) * n / B).cast("int")
+        val spanSum = aggregate(slice(col("cs"), lo + 1, hi - lo), lit(0L), (a, b) => a + b)
+        acc * 2 + when(spanSum * n > total * (hi - lo), 1L).otherwise(0L)
+      })
+    val keyed = aug
+      .select(col("doc_id"), phash.as("phash"))
+      .select(col("doc_id"), col("phash"), explode(sequence(lit(0), lit(3))).as("j"))
+      .withColumn("bk", expr("shiftright(phash, 8 * j) & 255"))
+    keyed
+      .as("a")
+      .join(
+        keyed.as("b"),
+        col("a.j") === col("b.j") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"),
+        col("b.doc_id").as("id_b"),
+        col("a.phash").as("pa"),
+        col("b.phash").as("pb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(pa ^ pb)").cast("int"))
+      .filter(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_perceptual_neardup" -> m6PerceptualNearDup,
     "m5_cdc_chunks" -> m5CdcChunks,
     "m1_media_stats" -> m1MediaStats,
     "m2_frame_sample" -> m2FrameSample,
@@ -232,6 +311,42 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same 32-span mean-threshold bits (MSB-first a*2+b fold), same
+    // +1-brightness plant, same 4×8-bit banding; integer
+    // cross-product compares keep both engines exact.
+    "m6_perceptual_neardup" ->
+      """WITH codes0 AS (
+        |  SELECT doc_id, list_transform(string_split(text, ''),
+        |    c -> ascii(c)::BIGINT) AS cs
+        |  FROM documents WHERE length(text) >= 32),
+        |codes AS (
+        |  SELECT doc_id, cs FROM codes0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, list_transform(cs, c -> c + 1) FROM codes0),
+        |ph AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT, list_transform(range(31, -1, -1), k ->
+        |      CASE WHEN
+        |        list_reduce(list_prepend(0::BIGINT,
+        |          cs[CAST(floor(k * len(cs) / 32) AS INTEGER) + 1 :
+        |             CAST(floor((k + 1) * len(cs) / 32) AS INTEGER)]),
+        |          (a, b) -> a + b) * len(cs) >
+        |        list_reduce(list_prepend(0::BIGINT, cs), (a, b) -> a + b) *
+        |          (CAST(floor((k + 1) * len(cs) / 32) AS INTEGER) -
+        |           CAST(floor(k * len(cs) / 32) AS INTEGER))
+        |      THEN 1 ELSE 0 END)), (a, b) -> a * 2 + b) AS phash
+        |  FROM codes),
+        |keyed AS (
+        |  SELECT doc_id, phash, j, (phash >> CAST(8 * j AS INTEGER)) & 255 AS bk
+        |  FROM (SELECT doc_id, phash, unnest(range(0, 4)) AS j FROM ph)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.phash AS pa, b.phash AS pb
+        |  FROM keyed a JOIN keyed b
+        |    ON a.j = b.j AND a.bk = b.bk AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "m5_cdc_chunks" ->
       """WITH d AS (
         |  SELECT doc_id, text, string_split(text, '') AS cs

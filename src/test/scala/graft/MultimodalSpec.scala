@@ -79,6 +79,24 @@ class MultimodalSpec extends SparkSpec {
     assert(r.resize(65, 64, Array.empty[Byte]).payload.isEmpty)
   }
 
+  test("m6 perceptual near-dup: every brightness-shifted plant found at Hamming 0") {
+    import org.apache.spark.sql.functions._
+    val rows = Multimodal.m6PerceptualNearDup(spark, Sf).collect()
+    val planted = Tables.documents(spark, Sf)
+      .filter(length(col("text")) >= 32)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the +1-per-byte copy of doc i lives at id i + 1e6; brightness
+    // invariance must land every such pair at exactly Hamming 0
+    val zeroPairs = rows
+      .filter(_.getAs[Int]("hamming") == 0)
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    planted.foreach { id =>
+      assert(zeroPairs.contains((id, id + 1000000L)),
+        s"planted re-encode of $id not found at Hamming 0")
+    }
+    rows.foreach(r => assert(r.getAs[Int]("hamming") <= 3))
+  }
+
   test("m4 output dims always fit the 64-box and n_bytes_out matches the subsample") {
     val rows = Multimodal.m4Resize(spark, Sf).collect()
     assert(rows.nonEmpty)
