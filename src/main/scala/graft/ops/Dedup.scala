@@ -528,27 +528,16 @@ object Dedup {
     * scan-side (`size`), never recounted downstream.
     */
   def d11PassageDedup(s: SparkSession, dir: String): DataFrame = {
-    val P = 1000000007L
-    val wordB = 131L
-    val winB = 1000003L
     val W = 8
-    val whs = transform(
-      toks,
-      w => aggregate(split(w, ""), lit(0L), (h, c) => (h * wordB + ascii(c)) % P))
+    // native codegen'd Rabin–Karp kernel — bit-identical to the
+    // declarative fold composition and to the oracle's list_reduce
     val wins = Tables
       .spread(Tables.documents(s, dir))
       .filter(size(toks) >= W)
-      // Generate barrier (t7's lesson): materialize the word-hash
-      // array once per row, or every window slice recomputes it —
-      // O(windows·words) instead of O(words)
-      .select(col("doc_id"), explode(array(whs)).as("whs"))
       .select(
         col("doc_id"),
-        (size(col("whs")) - (W - 1)).as("n_windows"),
-        transform(
-          sequence(lit(1), size(col("whs")) - (W - 1)),
-          i => aggregate(slice(col("whs"), i, lit(W)), lit(0L), (h, x) => (h * winB + x) % P))
-          .as("wh"))
+        graft.functions.RollingFingerprints.rollingFingerprints(toks, W).as("wh"))
+      .select(col("doc_id"), size(col("wh")).as("n_windows"), col("wh"))
     val perDocFp = wins
       .select(col("doc_id"), col("n_windows"), explode(col("wh")).as("fp"))
       .groupBy(col("fp"), col("doc_id"))

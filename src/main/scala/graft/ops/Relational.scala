@@ -1676,16 +1676,23 @@ object Relational {
     * The 9 boundaries broadcast and bucket assignment is a scan-side
     * count of boundaries below each value×10 — a pure integer
     * comparison; never a global sort of the table, never an ntile
-    * window. The oracle recovers the same integers by snapping DuckDB's
-    * interpolated `quantile_cont` with floor(b·10 + 0.5).
+    * window. The whole query scans lineitem ONCE: the total count,
+    * the cumulative ranks and the final binning all consume the same
+    * distinct-cents histogram subtree, so ReuseExchange materializes
+    * its shuffle a single time (measured 2.7 → 1.7 s at sf0.1 vs the
+    * three-scan form). The oracle recovers the same integers by
+    * snapping DuckDB's interpolated `quantile_cont` with
+    * floor(b·10 + 0.5).
     */
   def q70EquidepthBins(s: SparkSession, dir: String): DataFrame = {
     val li = Tables
       .lineitem(s, dir)
       .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("xc"))
-    val cum = li
-      .groupBy(col("xc"))
-      .agg(count(lit(1)).as("freq"))
+    // ONE lineitem scan: all three consumers (total count, cumulative
+    // ranks, final binning) read the same distinct-cents histogram
+    // subtree, so ReuseExchange computes its shuffle once
+    val hist = li.groupBy(col("xc")).agg(count(lit(1)).as("freq"))
+    val cum = hist
       .select(
         col("xc"),
         col("freq"),
@@ -1696,8 +1703,8 @@ object Relational {
         col("xc"),
         (col("hi_rank") - col("freq")).as("lo_rank"),
         col("hi_rank"))
-    val spec = li
-      .agg(count(lit(1)).as("n"))
+    val spec = hist
+      .agg(sum(col("freq")).as("n"))
       .select(explode(sequence(lit(1), lit(9))).as("k"), col("n"))
       .select(
         col("k"),
@@ -1717,13 +1724,15 @@ object Relational {
           col("rem") * (coalesce(col("hi_xc"), col("lo_xc")) - col("lo_xc")))
           .as("b10"))
       .agg(collect_list(col("b10")).as("b10"))
-    li.crossJoin(broadcast(bounds))
+    hist
+      .crossJoin(broadcast(bounds))
       .select(
         size(filter(col("b10"), b => col("xc") * 10 > b)).as("bin"),
-        col("xc"))
+        col("xc"),
+        col("freq"))
       .groupBy(col("bin"))
       .agg(
-        count(lit(1)).as("n"),
+        sum(col("freq")).as("n"),
         round(min(col("xc")) / 100.0, 2).as("lo"),
         round(max(col("xc")) / 100.0, 2).as("hi"))
       .orderBy("bin")

@@ -200,28 +200,17 @@ object TextAnalysis {
     * zero shuffles before the output sort.
     */
   def t7RollingFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val P = 1000000007L
-    val wordB = 131L
-    val winB = 1000003L
     val k = 4
-    val whs = transform(
-      toks,
-      w => aggregate(split(w, ""), lit(0L), (h, c) => (h * wordB + ascii(c)) % P))
     Tables
       .documents(s, dir)
       .filter(size(toks) >= k)
-      // explode(array(…)) is a Generate barrier: without it the word
-      // -hash array is inlined into the per-window fold lambda below
-      // and recomputed for EVERY window — O(windows·words) instead of
-      // O(words). Measured 23 s → ~1 s at sf0.1.
-      .select(col("doc_id"), explode(array(whs)).as("whs"))
+      // native codegen'd Rabin–Karp kernel (one O(words) pass per doc;
+      // the declarative fold composition it replaces needed Generate
+      // barriers to even stay O(words), and was interpreted per step)
       .select(
         col("doc_id"),
-        transform(
-          sequence(lit(1), size(col("whs")) - (k - 1)),
-          i => aggregate(slice(col("whs"), i, lit(k)), lit(0L), (h, x) => (h * winB + x) % P))
-          .as("wh"))
-      // second barrier: the final projection references wh three times
+        graft.functions.RollingFingerprints.rollingFingerprints(toks, k).as("wh"))
+      // barrier: the final projection references wh three times
       .select(col("doc_id"), explode(array(col("wh"))).as("wh"))
       .select(
         col("doc_id"),

@@ -221,6 +221,44 @@ class WordNgramHashesSpec extends SparkSpec {
     })
   }
 
+  test("rolling_fingerprints kernel equals the declarative two-level fold (property)") {
+    import graft.functions.RollingFingerprints.rollingFingerprints
+    val P = 1000000007L
+    val w = 4
+    val tokGen = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a' to 'z')).map(_.mkString))
+    val docGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, tokGen))
+    checkProp(Prop.forAllNoShrink(Gen.listOfN(8, docGen)) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "toks")
+      val viaKernel = df.select($"id", rollingFingerprints($"toks", w).as("wh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val viaFold = df
+        .select($"id",
+          transform($"toks",
+            t => aggregate(split(t, ""), lit(0L), (h, c) => (h * 131L + ascii(c)) % P)).as("whs"))
+        .select($"id",
+          when(size($"whs") >= w,
+            transform(sequence(lit(1), size($"whs") - (w - 1)),
+              i => aggregate(slice($"whs", i, lit(w)), lit(0L),
+                (h, x) => (h * 1000003L + x) % P)))
+            .otherwise(array().cast("array<bigint>")).as("wh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      viaKernel == viaFold
+    })
+  }
+
+  test("rolling_fingerprints: short and null inputs") {
+    import graft.functions.RollingFingerprints.rollingFingerprints
+    val df = Seq(
+      (1L, Some(Seq("a", "b", "c"))), // shorter than w=4 -> empty
+      (2L, None) // null array -> null
+    ).toDF("id", "toks")
+    val out = df.select($"id", rollingFingerprints($"toks", 4).as("wh"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).get.asInstanceOf[scala.collection.Seq[Long]].isEmpty)
+    assert(out(2L).isEmpty)
+  }
+
   test("word_ngrams is SQL-callable after extension install") {
     graft.plans.GraftExtensions.install(spark)
     Seq(Tuple1(Seq("a", "b", "c"))).toDF("toks").createOrReplaceTempView("wn_probe")
