@@ -361,26 +361,19 @@ object TextAnalysis {
           lit(" visit "),
           col("source"),
           lit(" homepage subscribe newsletter today")).as("text"))
-    // two Generate barriers (t7's lesson): materialize the token array,
-    // then the 3-gram array, so the per-position cover scan below reads
-    // them instead of re-deriving the whole transform per position
-    val tok = aug
-      .select(col("doc_id"), col("source"), explode(array(split(col("text"), " "))).as("t"))
-      .select(
-        col("doc_id"),
-        col("source"),
-        col("t"),
-        transform(
-          sequence(lit(1), size(col("t")) - 2),
-          i =>
-            concat_ws(
-              " ",
-              element_at(col("t"), i),
-              element_at(col("t"), i + 1),
-              element_at(col("t"), i + 2))).as("g3"))
-      .select(col("doc_id"), col("source"), col("t"), explode(array(col("g3"))).as("g3"))
-    // per-source gram document frequency: rows are already distinct per
-    // (source, gram, doc), so a plain count is the doc frequency
+    // 3-grams travel as rolling-hash FINGERPRINTS (the native
+    // RollingFingerprints kernel), never as strings: detection
+    // shuffles 8-byte keys, the boilerplate set broadcasts longs, and
+    // the cover scan compares longs — gram text exists nowhere in the
+    // plan. Fingerprint collisions (~1e-9/pair) reproduce identically
+    // in the oracle's matching fold. n_tokens = windows + 2.
+    val tok = aug.select(
+      col("doc_id"),
+      col("source"),
+      graft.functions.RollingFingerprints
+        .rollingFingerprints(split(col("text"), " "), 3).as("g3"))
+    // rows are already distinct per (source, fp, doc), so a plain
+    // count is the document frequency
     val dfreq = tok
       .select(col("source"), col("doc_id"), explode(array_distinct(col("g3"))).as("g"))
       .groupBy(col("source"), col("g"))
@@ -391,17 +384,18 @@ object TextAnalysis {
       .filter(col("df") >= col("nd") * 0.5)
       .groupBy("source")
       .agg(sort_array(collect_list(col("g"))).as("grams"))
+    val n = size(col("g3")) + 2
     tok
       .join(broadcast(boiler), Seq("source"), "left")
       .select(
         col("doc_id"),
-        size(col("t")).as("n_tokens"),
+        n.as("n_tokens"),
         size(
           filter(
-            sequence(lit(1), size(col("t"))),
+            sequence(lit(1), n),
             i =>
               exists(
-                sequence(greatest(i - 2, lit(1)), least(i, size(col("t")) - 2)),
+                sequence(greatest(i - 2, lit(1)), least(i, size(col("g3")))),
                 j => array_contains(col("grams"), element_at(col("g3"), j))))).as("n_boiler"))
       .select(
         col("doc_id"),
@@ -427,9 +421,11 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     // Mirrors the Spark plan exactly: augment with the per-source
-    // footer, detect >=50%-document-frequency 3-grams per source,
-    // count covered token positions. DuckDB range(a, b) is
-    // end-exclusive (Spark sequence is inclusive), hence the +1s.
+    // footer, fingerprint 3-gram windows with the same Rabin–Karp
+    // folds as the t7/d11 oracles, detect >=50%-document-frequency
+    // fingerprints per source, count covered token positions.
+    // DuckDB range(a, b) is end-exclusive (Spark sequence is
+    // inclusive), hence the +1s; n_tokens = len(g3) + 2.
     "t11_boilerplate_strip" ->
       """WITH aug AS (
         |  SELECT doc_id, source,
@@ -437,11 +433,18 @@ object TextAnalysis {
         |      ' homepage subscribe newsletter today' AS text
         |  FROM documents),
         |tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM aug),
-        |g3 AS (
-        |  SELECT doc_id, source, t,
-        |    list_transform(range(1, len(t) - 1),
-        |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS g3
+        |wh AS (
+        |  SELECT doc_id, source, list_transform(t, w -> list_reduce(
+        |      list_prepend(0::BIGINT,
+        |        list_transform(string_split(w, ''), c -> ascii(c)::BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 1000000007)) AS whs
         |  FROM tok),
+        |g3 AS (
+        |  SELECT doc_id, source,
+        |    list_transform(range(1, len(whs) - 1),
+        |      i -> list_reduce(list_prepend(0::BIGINT, whs[i:i+2]),
+        |             (h, x) -> (h * 1000003 + x) % 1000000007)) AS g3
+        |  FROM wh),
         |dfreq AS (
         |  SELECT source, g, count(*) AS df
         |  FROM (SELECT doc_id, source, unnest(list_distinct(g3)) AS g FROM g3)
@@ -451,14 +454,14 @@ object TextAnalysis {
         |  SELECT source, list_sort(list(g)) AS grams
         |  FROM dfreq JOIN nd USING (source)
         |  WHERE df >= nd * 0.5 GROUP BY 1)
-        |SELECT d.doc_id, CAST(len(d.t) AS INTEGER) AS n_tokens,
-        |  CAST(len(list_filter(range(1, len(d.t) + 1),
-        |    i -> len(list_filter(range(greatest(i - 2, 1), least(i, len(d.t) - 2) + 1),
+        |SELECT d.doc_id, CAST(len(d.g3) + 2 AS INTEGER) AS n_tokens,
+        |  CAST(len(list_filter(range(1, len(d.g3) + 3),
+        |    i -> len(list_filter(range(greatest(i - 2, 1), least(i, len(d.g3)) + 1),
         |            j -> list_contains(b.grams, d.g3[j]))) > 0)) AS INTEGER) AS n_boiler,
-        |  round(len(list_filter(range(1, len(d.t) + 1),
-        |    i -> len(list_filter(range(greatest(i - 2, 1), least(i, len(d.t) - 2) + 1),
-        |            j -> list_contains(b.grams, d.g3[j]))) > 0))::DOUBLE / len(d.t), 6)
-        |    AS boiler_frac
+        |  round(len(list_filter(range(1, len(d.g3) + 3),
+        |    i -> len(list_filter(range(greatest(i - 2, 1), least(i, len(d.g3)) + 1),
+        |            j -> list_contains(b.grams, d.g3[j]))) > 0))::DOUBLE /
+        |    (len(d.g3) + 2), 6) AS boiler_frac
         |FROM g3 d LEFT JOIN boiler b USING (source)
         |ORDER BY doc_id""".stripMargin,
     "t9_repetition_stats" ->
