@@ -152,7 +152,56 @@ object Corpus {
       .orderBy("lang", "split")
   }
 
+  /** p5 — passage-aware trim audit: the memorization-risk pass a
+    * pretraining pipeline runs AFTER document-level dedup, because
+    * document dedup cannot see the duplicated PASSAGES (licence
+    * blocks, quoted text) that survive inside unique documents
+    * (Lee et al. 2022). Quality gate (≥ 25 tokens) → exact dedup
+    * (min doc_id per (lang, fingerprint)) → d11's 8-word
+    * window-fingerprint audit over the survivors → each survivor
+    * classified keep (<20% duplicated windows) / trim (20–80%) /
+    * drop (≥80%) → per-(lang, action) document and token accounting:
+    * the numbers that decide how much of the token budget passage
+    * trimming would claw back.
+    *
+    * Every stage shrinks the next stage's input (p2's property); the
+    * passage audit shuffles only 16-byte (fp, doc) pairs of the
+    * SURVIVOR set, never raw text. Thresholds compare exact integer
+    * ratios; both engines compute the same nearest-double quotient
+    * from identical integers, so the boundary is engine-stable.
+    */
+  def p5PassageTrim(s: SparkSession, dir: String): DataFrame = {
+    val quality = Tables
+      .spread(Tables.documents(s, dir))
+      .withColumn("nt", size(split(col("text"), " ")))
+      .filter(col("nt") >= 25)
+    val survivors = quality
+      .groupBy(col("lang"), md5(col("text")).as("fp"))
+      .agg(
+        min(col("doc_id")).as("doc_id"),
+        first(col("text")).as("text"),
+        first(col("nt")).as("nt"))
+    val stats = Dedup.passageWindowStats(survivors.select(col("doc_id"), col("text")), 8)
+    survivors
+      .join(stats, Seq("doc_id"), "left")
+      .withColumn(
+        "dupf",
+        coalesce(col("n_dup_windows").cast("double") / col("n_windows"), lit(0.0)))
+      .withColumn(
+        "action",
+        when(col("dupf") >= 0.8, "drop")
+          .when(col("dupf") >= 0.2, "trim")
+          .otherwise("keep"))
+      .groupBy(col("lang"), col("action"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        round(avg(col("dupf")), 6).as("avg_dup_frac"))
+      .orderBy("lang", "action")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p5_passage_trim" -> p5PassageTrim,
     "p4_stratified_split" -> p4StratifiedSplit,
     "p3_quota_mix" -> p3QuotaMix,
     "p1_corpus_clean" -> p1CorpusClean,
@@ -160,6 +209,49 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    // p2's survivor CTEs + d11's window-fingerprint folds, then the
+    // keep/trim/drop classification; n_windows = nt - 7 for every
+    // survivor (all have nt >= 25 >= 8).
+    "p5_passage_trim" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text,
+        |    len(string_split(text, ' ')) AS nt
+        |  FROM documents),
+        |q AS (SELECT * FROM d WHERE nt >= 25),
+        |s AS (
+        |  SELECT lang, md5(text) AS cfp, min(doc_id) AS doc_id,
+        |    min(text) AS text, min(nt) AS nt
+        |  FROM q GROUP BY 1, 2),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM s),
+        |w AS (
+        |  SELECT doc_id, list_transform(t, w -> list_reduce(
+        |      list_prepend(0::BIGINT,
+        |        list_transform(string_split(w, ''), c -> ascii(c)::BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 1000000007)) AS whs
+        |  FROM tok WHERE len(t) >= 8),
+        |v AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(whs) - 6),
+        |      i -> list_reduce(list_prepend(0::BIGINT, whs[i:i+7]),
+        |             (h, x) -> (h * 1000003 + x) % 1000000007))) AS fp
+        |  FROM w),
+        |pdf AS (SELECT fp, doc_id, count(*) AS occ FROM v GROUP BY 1, 2),
+        |dup AS (SELECT fp FROM pdf GROUP BY fp HAVING count(*) >= 2),
+        |ds AS (
+        |  SELECT p.doc_id, sum(p.occ) AS n_dup
+        |  FROM pdf p JOIN dup USING (fp) GROUP BY 1),
+        |cls AS (
+        |  SELECT s.lang, s.nt,
+        |    coalesce(ds.n_dup::DOUBLE / (s.nt - 7), 0.0) AS dupf
+        |  FROM s LEFT JOIN ds ON s.doc_id = ds.doc_id)
+        |SELECT lang,
+        |  CASE WHEN dupf >= 0.8 THEN 'drop'
+        |       WHEN dupf >= 0.2 THEN 'trim'
+        |       ELSE 'keep' END AS action,
+        |  count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  round(avg(dupf), 6) AS avg_dup_frac
+        |FROM cls GROUP BY 1, 2
+        |ORDER BY lang, action""".stripMargin,
     "p4_stratified_split" ->
       """WITH d AS (
         |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h

@@ -527,16 +527,28 @@ object Dedup {
     * mostly-unique corpora). Per-doc window totals are computed
     * scan-side (`size`), never recounted downstream.
     */
-  def d11PassageDedup(s: SparkSession, dir: String): DataFrame = {
-    val W = 8
-    // native codegen'd Rabin–Karp kernel — bit-identical to the
-    // declarative fold composition and to the oracle's list_reduce
-    val wins = Tables
-      .spread(Tables.documents(s, dir))
-      .filter(size(toks) >= W)
+  def d11PassageDedup(s: SparkSession, dir: String): DataFrame =
+    passageWindowStats(Tables.spread(Tables.documents(s, dir)), 8)
       .select(
         col("doc_id"),
-        graft.functions.RollingFingerprints.rollingFingerprints(toks, W).as("wh"))
+        col("n_windows"),
+        col("n_dup_windows"),
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6).as("dup_frac"))
+      .orderBy("doc_id")
+
+  /** d11's machinery over an arbitrary (doc_id, text) relation —
+    * (doc_id, n_windows, n_dup_windows) for every doc carrying at
+    * least one duplicated window; lets composite pipelines (Corpus.p5)
+    * passage-audit whatever subset survives their upstream stages.
+    */
+  private[ops] def passageWindowStats(docs: DataFrame, w: Int): DataFrame = {
+    // native codegen'd Rabin–Karp kernel — bit-identical to the
+    // declarative fold composition and to the oracle's list_reduce
+    val wins = docs
+      .filter(size(toks) >= w)
+      .select(
+        col("doc_id"),
+        graft.functions.RollingFingerprints.rollingFingerprints(toks, w).as("wh"))
       .select(col("doc_id"), size(col("wh")).as("n_windows"), col("wh"))
     val perDocFp = wins
       .select(col("doc_id"), col("n_windows"), explode(col("wh")).as("fp"))
@@ -554,12 +566,6 @@ object Dedup {
       .agg(
         max(col("n_windows")).as("n_windows"),
         sum(col("occ")).as("n_dup_windows"))
-      .select(
-        col("doc_id"),
-        col("n_windows"),
-        col("n_dup_windows"),
-        round(col("n_dup_windows").cast("double") / col("n_windows"), 6).as("dup_frac"))
-      .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
