@@ -1772,7 +1772,243 @@ object Relational {
           .as("wp90_price"))
       .orderBy("l_returnflag")
 
+  /** Exact revenue in integer "basis points": price snaps to integer
+    * cents, the discount (an exact hundredth in this schema) to an
+    * integer percent, and revenue is `cents × (100 − pct)` — a pure
+    * BIGINT whose sums are associative, so no float-summation order
+    * dependence can split the engines. Max magnitude ≈ 1e9/row, well
+    * under 2⁶³ for any realistic partition.
+    */
+  private def revBp = (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+    (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))).as("rev_bp")
+
+  /** TPC-H Q13-shaped order-count distribution: how many customers
+    * placed exactly k qualifying orders — INCLUDING zero-order
+    * customers, which only the outer join surfaces (the filter must
+    * stay on the orders side, never a post-join WHERE, or the outer
+    * join silently turns inner). Per-customer counts shuffle once on
+    * the join's own key; the k-row distribution is a tiny second
+    * aggregate. At 100 TB the first aggregate rides the outer join's
+    * existing hash partitioning — no extra exchange.
+    */
+  def q72OrderCountDistribution(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(s, dir)
+      .select(col("c_custkey"))
+      .join(
+        Tables
+          .orders(s, dir)
+          .filter(!col("o_orderpriority").startsWith("4"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"),
+        "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+
+  /** TPC-H Q19-shaped disjunctive predicate join: three OR'd
+    * (brand, size, quantity) conjunction groups. The raw OR pushes to
+    * neither side, so the plan states the IMPLIED part-side predicate
+    * (brand IN … AND size ≤ 35) explicitly — part prunes at its scan,
+    * broadcasts, and the full disjunction evaluates on joined rows
+    * only: the classic Q19 rewrite, done declaratively.
+    */
+  def q73DisjunctiveJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"), revBp)
+    val p = Tables
+      .part(s, dir)
+      .filter(
+        col("p_brand").isin("Brand#11", "Brand#13", "Brand#22") &&
+          col("p_size").between(1, 35))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#22" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), sum(col("rev_bp")).as("rev_bp"))
+      .orderBy("p_brand")
+  }
+
+  /** TPC-H Q15-shaped top supplier: per-supplier quarterly revenue,
+    * keep the supplier(s) hitting the global maximum. The max is a
+    * 1-row aggregate broadcast back over the per-supplier totals —
+    * never a global sort — and names arrive via a broadcast dim join.
+    * Exact integer revenue means "equals max" has no float boundary
+    * (ties surface deterministically instead of flapping).
+    */
+  def q74TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables
+      .lineitem(s, dir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+      .select(col("l_suppkey"), revBp)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("rev_bp")).as("total_rev_bp"))
+    val mx = rev.agg(max(col("total_rev_bp")).as("mx"))
+    rev
+      .join(broadcast(mx), col("total_rev_bp") === col("mx"))
+      .join(
+        broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_bp"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q8-shaped market share: per order year, the slice of
+    * global revenue shipped by ASIA-region suppliers. Numerator and
+    * denominator come from ONE conditional-aggregation pass (no
+    * second scan, no join of two aggregates); supplier→nation→region
+    * pre-joins into a broadcast (suppkey → is_asia) map so the fact
+    * side never shuffles for the dimension. Share is reported as the
+    * exact integer (numerator, denominator) pair — the division is
+    * the caller's, not the engine's, so no float crosses the gate.
+    */
+  def q75MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val suppRegion = Tables
+      .supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), (col("r_name") === "ASIA").as("is_asia"))
+    Tables
+      .lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), revBp)
+      .join(broadcast(suppRegion), col("l_suppkey") === col("s_suppkey"))
+      .join(
+        Tables
+          .orders(s, dir)
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("is_asia"), col("rev_bp")).otherwise(0L)).as("asia_rev_bp"),
+        sum(col("rev_bp")).as("total_rev_bp"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q7-shaped volume shipping: revenue flowing between two
+    * nations (supplier nation ↔ customer nation, both directions) per
+    * ship year. Both nation lookups resolve through broadcast dims
+    * FILTERED to the two nations before broadcasting — the fact-fact
+    * orders join then only carries line items whose supplier already
+    * qualified, and the asymmetric-pair filter runs on broadcast-joined
+    * rows. One data-sized shuffle (lineitem ⋈ orders on orderkey).
+    */
+  def q76VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_3", "NATION_7")
+    val suppNation = Tables
+      .supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(pair: _*))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custNation = Tables
+      .customer(s, dir)
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(pair: _*))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_orderkey"),
+        col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        revBp)
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(
+        Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(count(lit(1)).as("n_items"), sum(col("rev_bp")).as("rev_bp"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** MERGE INTO / upsert semantics — applying a CDC batch to a keyed
+    * snapshot, the Delta/Iceberg MERGE shape expressed as ONE full
+    * outer join. The maintained "dimension" is latest-order-per-
+    * customer: the snapshot holds it as of 1999-01-01, the delta
+    * batch carries later activity, both deduped to one row per key by
+    * the same deterministic latest-wins rule (a window top-1 that
+    * rides the merge key's own partitioning). FULL OUTER classifies
+    * every key exactly once — insert (delta only), update (both),
+    * keep (snapshot only) — and the merged payload is
+    * coalesce(delta, snapshot). At 100 TB this is the idempotent
+    * upsert-apply: one shuffle on the merge key, no driver state.
+    */
+  def q77MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    def latest(df: DataFrame) = df
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window
+            .partitionBy(col("o_custkey"))
+            .orderBy(desc("o_orderdate"), desc("o_orderkey"))))
+      .filter(col("rn") === 1)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_c"))
+    val ord = Tables.orders(s, dir)
+    val snap = latest(ord.filter(col("o_orderdate") < lit("1999-01-01")))
+      .select(col("o_custkey").as("k"), col("o_orderkey").as("s_ok"), col("price_c").as("s_pc"))
+    val delta = latest(ord.filter(col("o_orderdate") >= lit("1999-01-01")))
+      .select(col("o_custkey").as("k2"), col("o_orderkey").as("d_ok"), col("price_c").as("d_pc"))
+    snap
+      .join(delta, col("k") === col("k2"), "full_outer")
+      .select(
+        when(col("k").isNull, "insert")
+          .when(col("k2").isNull, "keep")
+          .otherwise("update")
+          .as("action"),
+        coalesce(col("d_pc"), col("s_pc")).as("price_c"))
+      .groupBy(col("action"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("price_c")).as("sum_price_c"))
+      .orderBy("action")
+  }
+
+  /** Bitwise + boolean aggregates: bit_and/bit_or/bit_xor fold
+    * order-independently over integer keys; bool_and/bool_or/count_if
+    * over a predicate — all combine-enabled (partial+final), one
+    * scan-side pass, one row per group across the exchange. The
+    * predicate compares exact integer cents so both engines agree at
+    * the boundary.
+    */
+  def q78BitwiseBoolAgg(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderpriority"),
+        col("o_orderkey"),
+        (floor(col("o_totalprice") * 100 + 0.5).cast("long") > lit(20000000L))
+          .as("big"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        bit_and(col("o_orderkey")).as("key_bit_and"),
+        bit_or(col("o_orderkey")).as("key_bit_or"),
+        bit_xor(col("o_orderkey")).as("key_bit_xor"),
+        bool_and(col("big")).as("all_big"),
+        bool_or(col("big")).as("any_big"),
+        count_if(col("big")).as("n_big"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_bitwise_bool_agg" -> q78BitwiseBoolAgg,
+    "q77_merge_upsert" -> q77MergeUpsert,
+    "q76_volume_shipping" -> q76VolumeShipping,
+    "q75_market_share" -> q75MarketShare,
+    "q74_top_supplier" -> q74TopSupplier,
+    "q73_disjunctive_join" -> q73DisjunctiveJoin,
+    "q72_order_count_distribution" -> q72OrderCountDistribution,
     "q71_weighted_percentile" -> q71WeightedPercentile,
     "q70_equidepth_bins" -> q70EquidepthBins,
     "q69_rolling_dau" -> q69RollingDau,
@@ -1847,6 +2083,112 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q72_order_count_distribution" ->
+      """WITH c_orders AS (
+        |  SELECT c_custkey, count(o_custkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '4%'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM c_orders GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q73_disjunctive_join" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |    (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev_bp
+        |  FROM lineitem)
+        |SELECT p_brand, count(*) AS n_items,
+        |  CAST(sum(rev_bp) AS BIGINT) AS rev_bp
+        |FROM li JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q74_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |      (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+        |      AS BIGINT) AS total_rev_bp
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev_bp
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev_bp = (SELECT max(total_rev_bp) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q75_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  CAST(sum(CASE WHEN r_name = 'ASIA' THEN rev_bp ELSE 0 END)
+        |    AS BIGINT) AS asia_rev_bp,
+        |  CAST(sum(rev_bp) AS BIGINT) AS total_rev_bp
+        |FROM (SELECT l_orderkey, l_suppkey,
+        |        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |        (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+        |          AS rev_bp
+        |      FROM lineitem) li
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q76_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year, count(*) AS n_items,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |    (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+        |    AS BIGINT) AS rev_bp
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+        |  AND n2.n_name IN ('NATION_3', 'NATION_7')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q77_merge_upsert" ->
+      """WITH snap AS (
+        |  SELECT o_custkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS s_pc
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |        FROM orders WHERE o_orderdate < '1999-01-01')
+        |  WHERE rn = 1),
+        |delta AS (
+        |  SELECT o_custkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS d_pc
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |        FROM orders WHERE o_orderdate >= '1999-01-01')
+        |  WHERE rn = 1),
+        |m AS (
+        |  SELECT CASE WHEN s.k IS NULL THEN 'insert'
+        |              WHEN d.k IS NULL THEN 'keep'
+        |              ELSE 'update' END AS action,
+        |    coalesce(d.d_pc, s.s_pc) AS price_c
+        |  FROM snap s FULL OUTER JOIN delta d ON s.k = d.k)
+        |SELECT action, count(*) AS n_keys,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q78_bitwise_bool_agg" ->
+      """SELECT o_orderpriority,
+        |  bit_and(o_orderkey) AS key_bit_and,
+        |  bit_or(o_orderkey) AS key_bit_or,
+        |  bit_xor(o_orderkey) AS key_bit_xor,
+        |  bool_and(big) AS all_big,
+        |  bool_or(big) AS any_big,
+        |  CAST(sum(CASE WHEN big THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+        |FROM (SELECT o_orderpriority, o_orderkey,
+        |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) > 20000000
+        |          AS big
+        |      FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // materializes the expansion frequency-weighting stands for: one
     // row per unit, then the plain interpolated percentile
     "q71_weighted_percentile" ->

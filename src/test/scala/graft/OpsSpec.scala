@@ -430,6 +430,35 @@ class OpsSpec extends SparkSpec {
     assert(res.filter(col("want_email") === 1).head(1).nonEmpty, "fixture must plant emails")
   }
 
+  test("q72 distribution accounts for every customer exactly once") {
+    val total = Relational
+      .q72OrderCountDistribution(spark, Sf)
+      .agg(sum("custdist"))
+      .head()
+      .getLong(0)
+    assert(total == Tables.customer(spark, Sf).count(),
+      "custdist must partition the customer table")
+  }
+
+  test("q75 market share: numerator never exceeds denominator") {
+    Relational.q75MarketShare(spark, Sf).collect().foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2),
+        s"asia share ${r.getLong(1)} > total ${r.getLong(2)} in year ${r.get(0)}")
+    }
+  }
+
+  test("q77 merge upsert: actions partition the merged key space") {
+    val byAction = Relational
+      .q77MergeUpsert(spark, Sf)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val allKeys = Tables.orders(spark, Sf).select("o_custkey").distinct().count()
+    assert(byAction.values.sum == allKeys,
+      s"insert+update+keep must cover every customer with orders: $byAction vs $allKeys")
+    assert(byAction.keySet.subsetOf(Set("insert", "update", "keep")))
+  }
+
   test("t8 vocab stats: hapax <= vocab <= total tokens, ttr in (0,1]") {
     TextAnalysis.t8VocabStats(spark, Sf).collect().foreach { r =>
       val (vocab, hapax, total) = (r.getLong(1), r.getLong(2), r.getLong(3))

@@ -226,6 +226,40 @@ class PlanSpec extends SparkSpec {
       s"dedup + cohort window must share the one user_id exchange:\n${plan.take(2000)}")
   }
 
+  test("q72 outer-join distribution: priority filter reaches the orders scan") {
+    val plan = explainFormatted(Relational.q72OrderCountDistribution(spark, Sf))
+    assert(plan.contains("PushedFilters:"), "no pushdown section")
+    assert(plan.contains("StartsWith(o_orderpriority") ||
+      plan.contains("o_orderpriority"),
+      s"priority filter not at the scan:\n${plan.take(2000)}")
+  }
+
+  test("q73 disjunctive join: part prunes at its scan and broadcasts") {
+    val plan = explainFormatted(Relational.q73DisjunctiveJoin(spark, Sf))
+    assert(plan.contains("In(p_brand"),
+      s"implied brand predicate not pushed to the part scan:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"pruned part side should broadcast:\n${plan.take(1500)}")
+  }
+
+  test("q74 top supplier: global max arrives by broadcast, never a global sort") {
+    val plan = formatted(Relational.q74TopSupplier(spark, Sf))
+    assert(!plan.contains("Sort [total_rev_bp"),
+      s"must not globally sort per-supplier totals:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"1-row max should broadcast back:\n${plan.take(1500)}")
+  }
+
+  test("q77 merge upsert: per-side dedup windows reuse the merge key partitioning") {
+    // both window top-1s and the full outer join hash on o_custkey —
+    // the window sorts must not introduce additional key exchanges
+    val plan = formatted(Relational.q77MergeUpsert(spark, Sf))
+    val keyExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(o_custkey"))
+    assert(keyExchanges <= 2,
+      s"expected at most one exchange per merge side, got $keyExchanges:\n${plan.take(2500)}")
+  }
+
   test("spread parallelizes derived compute beyond the single input split") {
     val parts = Tables
       .spread(Tables.documents(spark, Sf))
