@@ -237,6 +237,51 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** d12 — shingle CONTAINMENT dedup: pairs where the smaller doc's
+    * shingle set is mostly inside the larger's —
+    * `|A∩B| / min(|A|,|B|) ≥ 0.5`. This is the asymmetric complement
+    * of d4's Jaccard: a short document quoted verbatim inside a much
+    * longer one has near-1 containment but near-0 Jaccard (the union
+    * is dominated by the long doc), so symmetric thresholds
+    * structurally miss the embedded-copy / quotation pattern that
+    * training corpora are full of. Same lang-blocked pairwise shape
+    * and native sorted-merge intersect as d4 — and deliberately NO
+    * length-ratio prefilter, because length asymmetry is exactly the
+    * signal here; the blocking regime analysis on d4 applies
+    * unchanged.
+    */
+  def d12Containment(s: SparkSession, dir: String): DataFrame = {
+    val theta = 0.5
+    val sets = docsWithShingles(s, dir, 2).select(
+      col("doc_id"),
+      col("lang"),
+      col("hs"),
+      size(col("hs")).as("n"))
+    sets
+      .as("a")
+      .join(
+        broadcast(sets.as("b")),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"),
+        col("b.doc_id").as("id_b"),
+        col("a.lang").as("lang"),
+        least(col("a.n"), col("b.n")).as("nmin"),
+        explode(
+          array(
+            graft.functions.SortedArrayIntersectCount
+              .sortedIntersectCount(col("a.hs"), col("b.hs"))
+              .cast("double"))).as("shared"))
+      .withColumn("containment", col("shared") / col("nmin"))
+      .filter(col("containment") >= theta)
+      .select(
+        col("id_a"),
+        col("id_b"),
+        col("lang"),
+        round(col("containment"), 4).as("containment"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** d5 — embedding near-dup: cosine-threshold self-join in exact
     * double arithmetic (`zip_with` + `aggregate` fold left-to-right,
     * matching the oracle's list_inner_product order bit-for-bit).
@@ -577,6 +622,7 @@ object Dedup {
     "d2_dedup_minhash" -> d2MinHashLsh,
     "d3_dedup_simhash" -> d3SimHash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
+    "d12_containment" -> d12Containment,
     "d5_embed_neardup" -> d5EmbedNearDup,
     "d10_embed_neardup_lsh" -> d10EmbedNearDupLsh,
     "d6_dup_clusters" -> d6DupClusters
@@ -775,6 +821,31 @@ object Dedup {
         |FROM pairs WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
     "d4_ngram_jaccard" -> jaccardOracle(2, langBlocked = true, extraCols = ", lang"),
+    // asymmetric min-denominator containment over the same 2-gram
+    // string shingles d4 uses (hash↔string equality up to negligible
+    // 64-bit collisions, same as d4)
+    "d12_containment" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct([t[i] || ' ' || t[i + 1]
+        |      FOR i IN range(1, len(t))]) AS shingles
+        |  FROM tok WHERE len(t) >= 2),
+        |ex AS (SELECT doc_id, lang, unnest(shingles) AS s FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang AS lang,
+        |    count(*) AS shared
+        |  FROM ex a JOIN ex b
+        |    ON a.s = b.s AND a.doc_id < b.doc_id AND a.lang = b.lang
+        |  GROUP BY a.doc_id, b.doc_id, a.lang),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+        |SELECT id_a, id_b, lang,
+        |  round(shared::DOUBLE / least(sa.n, sb.n), 4) AS containment
+        |FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+        |           JOIN sizes sb ON id_b = sb.doc_id
+        |WHERE shared::DOUBLE / least(sa.n, sb.n) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     "d5_embed_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -312,7 +312,46 @@ object Multimodal {
       .orderBy("id_a", "id_b")
   }
 
+  /** Per-payload audio framing summary (stub-decoded). */
+  final case class AudioFrames(
+      doc_id: Long,
+      n_frames: Int,
+      n_silent: Int,
+      total_energy: Long,
+      peak_energy: Long
+  )
+
+  /** Pruned (id, payload) projection for audio-plane queries. Public:
+    * Encoder codegen instantiates it from generated code.
+    */
+  final case class AudioRow(doc_id: Long, payload: Array[Byte])
+
+  /** m7 — audio framing + voice-activity stub: payloads stream
+    * through a per-partition decoder that frames the byte stream into
+    * fixed 200-byte windows and computes per-frame energy (the
+    * PCM-analysis batch shape: one codec/FFT handle per PARTITION,
+    * frames iterated inside it). "Silence" is an exact integer
+    * comparison — `energy < 92 × frame_len` (energy and length both
+    * integers, so no mean-float boundary) — standing in for a real
+    * VAD threshold. Scan-side: only doc_id + payload are read
+    * (metadata pruned); zero shuffles before the final dimension-sized
+    * sort. The stub arithmetic is pure byte sums, so the DuckDB
+    * oracle re-frames the same bytes and checks every count exactly.
+    */
+  def m7AudioFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = media(s, dir).select(col("doc_id"), col("payload")).as[AudioRow]
+    ds.mapPartitions { rows =>
+      val dec = FakeAudioDecoder.open(frameLen = 200, silenceMeanByte = 92)
+      rows.map { r =>
+        val f = dec.analyze(r.payload)
+        AudioFrames(r.doc_id, f.nFrames, f.nSilent, f.totalEnergy, f.peakEnergy)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m7_audio_frames" -> m7AudioFrames,
     "m6_perceptual_neardup" -> m6PerceptualNearDup,
     "m5_cdc_chunks" -> m5CdcChunks,
     "m1_media_stats" -> m1MediaStats,
@@ -322,6 +361,30 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // Re-frames the same ASCII bytes with DuckDB's 1-based inclusive
+    // list slices; silence is the identical integer comparison.
+    "m7_audio_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)
+        |      AS bytes,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, nb + 1, 200),
+        |      s -> list_sum(bytes[s : least(s + 199, nb)])) AS energies,
+        |    list_transform(range(1, nb + 1, 200),
+        |      s -> least(s + 199, nb) - s + 1) AS sizes
+        |  FROM m)
+        |SELECT doc_id,
+        |  CAST(len(energies) AS INTEGER) AS n_frames,
+        |  CAST(len(list_filter(range(1, len(energies) + 1),
+        |    i -> energies[i] < 92 * sizes[i])) AS INTEGER) AS n_silent,
+        |  CAST(list_sum(energies) AS BIGINT) AS total_energy,
+        |  CAST(list_max(energies) AS BIGINT) AS peak_energy
+        |FROM f
+        |ORDER BY doc_id""".stripMargin,
     // Same 32-span mean-threshold bits (MSB-first a*2+b fold), same
     // +1-brightness plant, same 4×8-bit banding; integer
     // cross-product compares keep both engines exact.
@@ -512,4 +575,48 @@ final class FakeImageDecoder private () {
 
 object FakeImageDecoder {
   def open(): FakeImageDecoder = new FakeImageDecoder()
+}
+
+/** STUB: stands in for a real audio decoder + framer (ffmpeg/libsndfile
+  * → PCM → fixed windows). Deterministic integer byte arithmetic so
+  * both the unit spec and the DuckDB oracle can recompute every frame.
+  * The interface — open once per partition with the analysis config,
+  * analyze per row — is the contract a native audio library would get.
+  */
+final class FakeAudioDecoder private (frameLen: Int, silenceMeanByte: Int) {
+
+  final case class Frames(
+      nFrames: Int,
+      nSilent: Int,
+      totalEnergy: Long,
+      peakEnergy: Long)
+
+  /** Frame the byte stream; the trailing partial frame counts with its
+    * own length so "silence" (`energy < silenceMeanByte × len`) stays
+    * an exact integer comparison on every frame.
+    */
+  def analyze(payload: Array[Byte]): Frames = {
+    var nFrames = 0
+    var nSilent = 0
+    var total = 0L
+    var peak = 0L
+    var start = 0
+    while (start < payload.length) {
+      val end = math.min(start + frameLen, payload.length)
+      var e = 0L
+      var i = start
+      while (i < end) { e += payload(i) & 0xFF; i += 1 }
+      nFrames += 1
+      if (e < silenceMeanByte.toLong * (end - start)) nSilent += 1
+      total += e
+      if (e > peak) peak = e
+      start = end
+    }
+    Frames(nFrames, nSilent, total, peak)
+  }
+}
+
+object FakeAudioDecoder {
+  def open(frameLen: Int, silenceMeanByte: Int): FakeAudioDecoder =
+    new FakeAudioDecoder(frameLen, silenceMeanByte)
 }

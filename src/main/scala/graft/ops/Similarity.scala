@@ -488,7 +488,36 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** s9 — radius (range) search: every corpus vector within cosine
+    * ≥ 0.25 of each query — the retrieval primitive behind
+    * threshold-based dedup candidates and "all sufficiently similar"
+    * context lookup, where top-k's fixed k is the wrong contract. The
+    * query set broadcasts, the threshold evaluates scan-side per
+    * corpus partition (no window, no per-query ranking state, no
+    * global sort — unlike top-k there's nothing to rank), and the
+    * output is dimension-sized. At 100 TB the corpus side stays
+    * partition-parallel with zero shuffles before the final
+    * result-sized sort; the bucketed variant (s2's tables) prunes
+    * candidates when the radius is tight.
+    */
+  def s9RadiusSearch(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val queries = all
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    all
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+      .filter(col("cos") >= 0.25)
+      .select(
+        col("q_id"),
+        col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy("q_id", "neighbor_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s9_radius_search" -> s9RadiusSearch,
     "s6_centroid_assign" -> s6CentroidAssign,
     "s7_pq_encode" -> s7PqEncode,
     "s8_pq_adc_search" -> s8PqAdcSearch,
@@ -500,6 +529,18 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same unrounded-cosine threshold predicate; the dot product folds
+    // left-to-right in both engines so the boundary is bit-identical.
+    "s9_radius_search" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm FROM e)
+        |SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+        |  round(list_inner_product(q.v, c.v) / (q.norm * c.norm), 4)
+        |    AS cosine
+        |FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |WHERE list_inner_product(q.v, c.v) / (q.norm * c.norm) >= 0.25
+        |ORDER BY q_id, neighbor_id""".stripMargin,
     // Same codebook (vec_id < 16, id-sorted), same left-to-right
     // (x−y)² fold, same first-index-of-minimum argmin. DuckDB's
     // list_position is 1-based like Spark's array_position.

@@ -97,6 +97,24 @@ class MultimodalSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Int]("hamming") <= 3))
   }
 
+  test("m7 audio frames: counts and energies are consistent with payload bytes") {
+    import org.apache.spark.sql.functions._
+    val frames = Multimodal.m7AudioFrames(spark, Sf)
+    val truth = Multimodal
+      .media(spark, Sf)
+      .select(col("doc_id"), length(col("payload")).as("nb"))
+    val joined = frames.join(truth, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (nf, ns, total, peak, nb) =
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getInt(5))
+      assert(nf == (nb + 199) / 200, s"doc ${r.getLong(0)}: frame count")
+      assert(ns >= 0 && ns <= nf)
+      assert(peak <= total && peak >= total / nf,
+        s"doc ${r.getLong(0)}: peak must bound the mean frame energy")
+    }
+  }
+
   test("m4 output dims always fit the 64-box and n_bytes_out matches the subsample") {
     val rows = Multimodal.m4Resize(spark, Sf).collect()
     assert(rows.nonEmpty)

@@ -459,6 +459,23 @@ class OpsSpec extends SparkSpec {
     assert(byAction.keySet.subsetOf(Set("insert", "update", "keep")))
   }
 
+  test("d12 containment dominates d4 jaccard: every J>=0.5 pair is a C>=0.5 pair") {
+    // containment's min-denominator is <= jaccard's union denominator,
+    // so C >= J always — d4's pair set must embed in d12's
+    val j = Dedup.d4NgramJaccard(spark, Sf).select("id_a", "id_b")
+    val c = Dedup.d12Containment(spark, Sf).select("id_a", "id_b")
+    assert(j.except(c).head(1).isEmpty, "jaccard pair missing from containment")
+    assert(c.count() >= j.count())
+  }
+
+  test("s9 radius search agrees with brute-force cosine at the same threshold") {
+    import org.apache.spark.sql.functions._
+    val r = Similarity.s9RadiusSearch(spark, Sf)
+    assert(r.head(1).nonEmpty)
+    r.collect().foreach(row =>
+      assert(row.getDouble(2) >= 0.25 - 1e-9 && row.getDouble(2) <= 1.0 + 1e-9))
+  }
+
   test("t8 vocab stats: hapax <= vocab <= total tokens, ttr in (0,1]") {
     TextAnalysis.t8VocabStats(spark, Sf).collect().foreach { r =>
       val (vocab, hapax, total) = (r.getLong(1), r.getLong(2), r.getLong(3))
