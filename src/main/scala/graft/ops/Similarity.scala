@@ -73,7 +73,7 @@ object Similarity {
     * kNN probing and d10's near-dup pair generation (different seeds /
     * table shapes).
     */
-  private[ops] def lcgPlanes(
+  private[graft] def lcgPlanes(
       seed: Long,
       tables: Int,
       planes: Int,
@@ -90,18 +90,33 @@ object Similarity {
   private[ops] lazy val hyperplanes: Array[Array[Array[Double]]] =
     lcgPlanes(0x9E3779B97F4A7C15L /* golden-ratio seed */, NumTables, PlanesPerTable, Dim)
 
+  /** The declarative composition, kept as the independent reference
+    * implementation the FunctionsSpec pins the fused kernel against.
+    */
+  private[graft] def bucketColForSpec(v: Column, planes: Array[Array[Double]]): Column =
+    bucketColFor(v, planes)
+
   /** Sign-bucket of a vector against one table's plane set. */
   private[ops] def bucketColFor(v: Column, planes: Array[Array[Double]]): Column =
     planes.indices
       .map(j => when(dot(v, typedlit(planes(j).toSeq)) > 0, lit(1 << j)).otherwise(lit(0)))
       .reduce(_ + _)
 
-  /** All (table, bucket) keys of a vector as an array column. */
+  /** All (table, bucket) keys of a vector as an array column — the
+    * fused [[graft.functions.HyperplaneBuckets]] kernel (one loop nest
+    * over all tables' planes) wrapped into the (t, b) struct shape the
+    * band joins key on. The declarative per-plane composition
+    * ([[bucketColFor]], kept for spec cross-checks) builds
+    * tables×planes separate dot trees — past codegen budgets at d10's
+    * 16×12 layout, which decayed the whole signature stage to
+    * interpreted eval (8.7 s → 1.6 s at sf0.1).
+    */
   private[ops] def tableBucketsFor(
       v: Column,
       tables: Array[Array[Array[Double]]]): Column =
-    array(tables.indices.map(t =>
-      struct(lit(t).as("t"), bucketColFor(v, tables(t)).as("b"))): _*)
+    transform(
+      graft.functions.HyperplaneBuckets.buckets(v, tables),
+      (b, i) => struct(i.as("t"), b.as("b")))
 
   /** Sign-bucket of a vector in s2's LSH table `t`. */
   private def bucketCol(v: Column, t: Int): Column = bucketColFor(v, hyperplanes(t))

@@ -259,6 +259,46 @@ class WordNgramHashesSpec extends SparkSpec {
     assert(out(2L).isEmpty)
   }
 
+  test("hyperplane_buckets equals the declarative per-plane composition") {
+    import org.apache.spark.sql.functions.{col, transform, struct}
+    val planes = graft.ops.Similarity.lcgPlanes(12345L, tables = 5, planes = 7, dim = 16)
+    val vecs = (0 until 40).map { k =>
+      (k.toLong, (0 until 16).map(i => math.sin(k * 16 + i + 1.0)).toArray)
+    }
+    val df = vecs.toDF("id", "v")
+    val fused = df
+      .select(col("id"), graft.functions.HyperplaneBuckets.buckets(col("v"), planes).as("hb"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+      .toMap
+    // reference: the original composition (one dot tree per plane)
+    val composed = df
+      .select(
+        col("id"),
+        org.apache.spark.sql.functions.array(planes.indices.map(t =>
+          graft.ops.Similarity.bucketColForSpec(col("v"), planes(t))): _*).as("hb"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+      .toMap
+    assert(fused == composed)
+  }
+
+  test("hyperplane_buckets null/mismatch semantics") {
+    import org.apache.spark.sql.functions.col
+    val planes = graft.ops.Similarity.lcgPlanes(7L, tables = 2, planes = 3, dim = 4)
+    val df = Seq(
+      (1L, Some(Seq(1.0, 2.0, 3.0, 4.0))),
+      (2L, Some(Seq(1.0, 2.0))), // wrong dim -> null
+      (3L, None) // null vector -> null
+    ).toDF("id", "v")
+    val out = df
+      .select(col("id"), graft.functions.HyperplaneBuckets.buckets(col("v"), planes).as("hb"))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)))
+      .toMap
+    assert(out(1L).nonEmpty && out(2L).isEmpty && out(3L).isEmpty)
+  }
+
   test("word_ngrams is SQL-callable after extension install") {
     graft.plans.GraftExtensions.install(spark)
     Seq(Tuple1(Seq("a", "b", "c"))).toDF("toks").createOrReplaceTempView("wn_probe")
