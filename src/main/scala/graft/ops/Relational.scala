@@ -2012,7 +2012,75 @@ object Relational {
         count_if(col("big")).as("n_big"))
       .orderBy("o_orderpriority")
 
+  /** KMV (k-minimum-values) distinct sketch — the MERGEABLE-STATE side
+    * of approximate distinct counting, kept in exact integers so the
+    * oracle checks it bit-for-bit. Each group's state is its k=8
+    * smallest values of a portable affine hash over the DISTINCT keys;
+    * states merge by min-k union (associative, partial+final), and the
+    * estimator `(k−1)·M/h_k` is downstream float arithmetic the engine
+    * never has to agree on. The plan: distinct (key, group) pairs,
+    * then a WindowGroupLimit-pruned min-k per group — per-partition
+    * heaps of size k, never a full sort. (Spark's own
+    * approx_count_distinct is HLL++ whose sketch bytes no second
+    * engine reproduces — this query pins the algebra instead.)
+    */
+  def q79KmvSketch(s: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables
+      .orders(s, dir)
+      .select(col("o_orderpriority"), col("o_custkey"))
+      .distinct()
+      .select(
+        col("o_orderpriority"),
+        ((col("o_custkey") * lit(1103515245L) + lit(12345L)) % lit(1000000007L))
+          .as("h"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("h"))
+    val kmv = hashed
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 8)
+    val exact = Tables
+      .orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    kmv
+      .join(broadcast(exact), "o_orderpriority")
+      .select(col("o_orderpriority"), col("rank"), col("h"), col("n_exact"))
+      .orderBy("o_orderpriority", "rank")
+  }
+
+  /** URL parsing functions over synthetic product URLs: parse_url
+    * HOST/PATH/QUERY plus keyed query-parameter extraction — the
+    * web-corpus normalization shape (URL → host for domain-level
+    * dedup/filtering). The oracle never parses: it reconstructs each
+    * component from the same source columns, so the test proves
+    * parse_url agrees with the URL's construction.
+    */
+  def q80UrlFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .part(s, dir)
+      .filter(col("p_partkey") <= 500)
+      .select(
+        col("p_partkey"),
+        concat(
+          lit("https://shop-"),
+          pmod(col("p_partkey"), lit(10)),
+          lit(".example.com/parts/"),
+          col("p_partkey"),
+          lit("?brand="),
+          regexp_replace(col("p_brand"), lit("#"), lit("-")),
+          lit("&size="),
+          col("p_size")).as("url"))
+      .select(
+        col("p_partkey"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"),
+        parse_url(col("url"), lit("QUERY"), lit("brand")).as("brand_param"),
+        parse_url(col("url"), lit("QUERY"), lit("size")).cast("int").as("size_param"))
+      .orderBy("p_partkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_url_funcs" -> q80UrlFuncs,
+    "q79_kmv_sketch" -> q79KmvSketch,
     "q78_bitwise_bool_agg" -> q78BitwiseBoolAgg,
     "q77_merge_upsert" -> q77MergeUpsert,
     "q76_volume_shipping" -> q76VolumeShipping,
@@ -2094,6 +2162,39 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q79_kmv_sketch" ->
+      """WITH h AS (
+        |  SELECT DISTINCT o_orderpriority, o_custkey FROM orders),
+        |hashed AS (
+        |  SELECT o_orderpriority,
+        |    (o_custkey * 1103515245 + 12345) % 1000000007 AS h
+        |  FROM h),
+        |kmv AS (
+        |  SELECT o_orderpriority, h,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY h)
+        |      AS rank
+        |  FROM hashed),
+        |exact AS (
+        |  SELECT o_orderpriority,
+        |    count(DISTINCT o_custkey) AS n_exact
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, CAST(rank AS INTEGER) AS rank, h, n_exact
+        |FROM kmv JOIN exact USING (o_orderpriority)
+        |WHERE rank <= 8
+        |ORDER BY o_orderpriority, rank""".stripMargin,
+    // reconstructs every component from the source columns — the
+    // oracle proves parse_url against the URL's own construction
+    "q80_url_funcs" ->
+      """SELECT p_partkey,
+        |  'shop-' || (p_partkey % 10) || '.example.com' AS host,
+        |  '/parts/' || p_partkey AS path,
+        |  'brand=' || replace(p_brand, '#', '-') || '&size=' || p_size
+        |    AS query,
+        |  replace(p_brand, '#', '-') AS brand_param,
+        |  CAST(p_size AS INTEGER) AS size_param
+        |FROM part
+        |WHERE p_partkey <= 500
+        |ORDER BY p_partkey""".stripMargin,
     "q72_order_count_distribution" ->
       """WITH c_orders AS (
         |  SELECT c_custkey, count(o_custkey) AS c_count

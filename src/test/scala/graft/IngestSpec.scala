@@ -118,6 +118,21 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("xml round-trip preserves content (Spark 4 built-in XML source)") {
+    // the row-tag document format APIs commonly exchange; schema is
+    // inferred on read like the JSON path
+    val src = graft.ops.Tables.documents(spark, Sf)
+      .select("doc_id", "lang", "n_chars")
+    val dir = Files.createTempDirectory("graft-xml").resolve("part").toString
+    src.write.mode("overwrite").option("rowTag", "doc").format("xml").save(dir)
+    val back = spark.read.option("rowTag", "doc").format("xml").load(dir)
+    assert(back.count() == src.count())
+    assert(
+      back.agg(sum(col("n_chars"))).head().getLong(0) ==
+        src.agg(sum(col("n_chars"))).head().getLong(0))
+    assert(back.columns.sorted.toSeq == Seq("doc_id", "lang", "n_chars"))
+  }
+
   test("parquet schema evolution: mergeSchema unifies shards written before/after a column add") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString

@@ -260,6 +260,12 @@ class PlanSpec extends SparkSpec {
       s"expected at most one exchange per merge side, got $keyExchanges:\n${plan.take(2500)}")
   }
 
+  test("q79 kmv sketch: min-k prunes via WindowGroupLimit, no full per-group sort") {
+    val plan = formatted(Relational.q79KmvSketch(spark, Sf))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k must push into the window as a group limit:\n${plan.take(1500)}")
+  }
+
   test("spread parallelizes derived compute beyond the single input split") {
     val parts = Tables
       .spread(Tables.documents(spark, Sf))
