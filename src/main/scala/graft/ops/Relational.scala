@@ -2078,7 +2078,69 @@ object Relational {
         parse_url(col("url"), lit("QUERY"), lit("size")).cast("int").as("size_param"))
       .orderBy("p_partkey")
 
+  /** Single-pass column profiling — the data-quality/expectation
+    * primitive (null counts, exact distinct cardinality, min/max per
+    * column) for a whole table in ONE scan. Five exact COUNT(DISTINCT)s
+    * in one aggregate plan via Expand (rows × #profiled-columns before
+    * the partial agg — the alternative is five full scans); min/max and
+    * null counts ride the same pass. Values normalize to engine-stable
+    * strings scan-side (dates to ISO days, money to integer cents)
+    * before the 1-row profile unpivots to one row per column.
+    */
+  def q81ColumnProfile(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderkey").cast("string").as("c1"),
+        col("o_custkey").cast("string").as("c2"),
+        col("o_orderstatus").as("c3"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").cast("string").as("c4"),
+        to_date(col("o_orderdate")).cast("string").as("c5"))
+    def m(c: String) = Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
+      countDistinct(col(c)).as(s"${c}_nd"),
+      min(col(c)).as(s"${c}_mn"),
+      max(col(c)).as(s"${c}_mx"))
+    val prof = src.agg(count(lit(1)).as("n_rows"), (1 to 5).flatMap(i => m(s"c$i")): _*)
+    val names = Map(
+      "c1" -> "o_orderkey", "c2" -> "o_custkey", "c3" -> "o_orderstatus",
+      "c4" -> "price_cents", "c5" -> "order_day")
+    val stackArgs = (1 to 5)
+      .map(i => s"'${names(s"c$i")}', c${i}_nn, c${i}_nd, c${i}_mn, c${i}_mx")
+      .mkString(", ")
+    prof.select(
+      col("n_rows"),
+      expr(s"stack(5, $stackArgs) AS (column_name, n_null, n_distinct, min_val, max_val)"))
+      .select("column_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+      .orderBy("column_name")
+  }
+
+  /** TPC-H Q11-shaped global-share HAVING: parts whose revenue exceeds
+    * a fixed fraction of TOTAL revenue — a per-group aggregate filtered
+    * against a global aggregate of the same data. The global total is
+    * a 1-row re-aggregation of the per-part partials (never a second
+    * scan) broadcast back over them; exact integer revenue makes the
+    * share threshold `rev_bp * 2000 > total_bp` a pure integer
+    * cross-multiplication with no float boundary.
+    */
+  def q82RevenueShare(s: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables
+      .lineitem(s, dir)
+      .select(col("l_partkey"), revBp)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("rev_bp")).as("rev_bp"))
+    val total = perPart.agg(sum(col("rev_bp")).as("total_bp"))
+    perPart
+      .crossJoin(broadcast(total))
+      // share > 1/2000 of total, cross-multiplied in exact integers
+      .filter(col("rev_bp") * lit(2000L) > col("total_bp"))
+      .select(col("l_partkey"), col("rev_bp"))
+      .orderBy(desc("rev_bp"), col("l_partkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_revenue_share" -> q82RevenueShare,
+    "q81_column_profile" -> q81ColumnProfile,
     "q80_url_funcs" -> q80UrlFuncs,
     "q79_kmv_sketch" -> q79KmvSketch,
     "q78_bitwise_bool_agg" -> q78BitwiseBoolAgg,
@@ -2162,6 +2224,53 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q81_column_profile" ->
+      """WITH src AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS c1,
+        |    CAST(o_custkey AS VARCHAR) AS c2,
+        |    o_orderstatus AS c3,
+        |    CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+        |      AS c4,
+        |    CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS c5
+        |  FROM orders),
+        |n AS (SELECT count(*) AS n_rows FROM src)
+        |SELECT column_name, n_rows, n_null, n_distinct, min_val, max_val
+        |FROM (
+        |  SELECT 'o_orderkey' AS column_name,
+        |    CAST(sum(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_null,
+        |    count(DISTINCT c1) AS n_distinct,
+        |    min(c1) AS min_val, max(c1) AS max_val FROM src
+        |  UNION ALL
+        |  SELECT 'o_custkey',
+        |    CAST(sum(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT c2), min(c2), max(c2) FROM src
+        |  UNION ALL
+        |  SELECT 'o_orderstatus',
+        |    CAST(sum(CASE WHEN c3 IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT c3), min(c3), max(c3) FROM src
+        |  UNION ALL
+        |  SELECT 'price_cents',
+        |    CAST(sum(CASE WHEN c4 IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT c4), min(c4), max(c4) FROM src
+        |  UNION ALL
+        |  SELECT 'order_day',
+        |    CAST(sum(CASE WHEN c5 IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT c5), min(c5), max(c5) FROM src
+        |), n
+        |ORDER BY column_name""".stripMargin,
+    "q82_revenue_share" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |      (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+        |      AS BIGINT) AS rev_bp
+        |  FROM lineitem GROUP BY l_partkey),
+        |total AS (SELECT CAST(sum(rev_bp) AS BIGINT) AS total_bp FROM per_part)
+        |SELECT l_partkey, rev_bp
+        |FROM per_part, total
+        |WHERE rev_bp * 2000 > total_bp
+        |ORDER BY rev_bp DESC, l_partkey""".stripMargin,
     "q79_kmv_sketch" ->
       """WITH h AS (
         |  SELECT DISTINCT o_orderpriority, o_custkey FROM orders),
