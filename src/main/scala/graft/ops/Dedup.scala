@@ -80,6 +80,20 @@ object Dedup {
     * every pair with exact shingle-Jaccard ≥ `threshold`, id_a < id_b.
     * Shapes and guarantees as documented on [[d2MinHashLsh]].
     */
+  /** LSH band keys off a minhash `sig` column: array of (band, h1, h2)
+    * structs, r=2 rows per band. Shared by d2's batch banding and the
+    * streaming near-dup gate (graft.streaming.Streams), so both paths
+    * collide on identical keys.
+    */
+  private[graft] def bandKeys(numBands: Int, rowsPerBand: Int): Column =
+    array((0 until numBands).map { b =>
+      struct(
+        lit(b).as("band"),
+        element_at(col("sig"), rowsPerBand * b + 1).as("h1"),
+        element_at(col("sig"), rowsPerBand * b + 2).as("h2")
+      )
+    }: _*)
+
   private[ops] def nearDupPairs(sh: DataFrame, threshold: Double): DataFrame = {
     val numHashes = 64
     val rowsPerBand = 2
@@ -93,16 +107,8 @@ object Dedup {
         .minhashFromHashes(col("hs"), numHashes)
         .as("sig"))
 
-    val bandStructs = array((0 until numBands).map { b =>
-      struct(
-        lit(b).as("band"),
-        element_at(col("sig"), rowsPerBand * b + 1).as("h1"),
-        element_at(col("sig"), rowsPerBand * b + 2).as("h2")
-      )
-    }: _*)
-
     val banded = sig
-      .select(col("doc_id"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), explode(bandKeys(numBands, rowsPerBand)).as("bk"))
 
     val candidates = banded
       .as("a")

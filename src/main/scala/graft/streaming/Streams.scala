@@ -201,6 +201,99 @@ object Streams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  // ── streaming near-dup gate ─────────────────────────────────────────
+
+  /** A band-bucket collision: `doc_id` shares LSH band `band` with the
+    * bucket's representative `rep_doc_id` (the first/lowest doc seen
+    * there). ≥1 hit ⇒ near-dup CANDIDATE, to be exact-verified
+    * downstream exactly like d2's batch pipeline.
+    */
+  final case class BandHit(doc_id: Long, band: Int, rep_doc_id: Long)
+
+  private final case class BandRow(band: Int, h1: Long, h2: Long, doc_id: Long)
+
+  /** Keyed by (band, h1, h2); state = the bucket's representative
+    * doc_id. Deterministic under replay: the representative is the
+    * minimum doc_id ever seen in the bucket, so batch boundaries and
+    * arrival order can't change emissions.
+    */
+  class BandBucketProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Int, Long, Long),
+        (Int, Long, Long, Long),
+        BandHit] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var rep: ValueState[Long] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      rep = getHandle.getValueState[Long]("rep", Encoders.scalaLong, ttl)
+
+    override def handleInputRows(
+        key: (Int, Long, Long),
+        rows: Iterator[(Int, Long, Long, Long)],
+        timerValues: TimerValues): Iterator[BandHit] = {
+      val ids = rows.map(_._4).toArray.distinct.sorted
+      val newRep =
+        if (rep.exists()) math.min(rep.get(), ids.head) else ids.head
+      rep.update(newRep)
+      ids.iterator.filter(_ != newRep).map(BandHit(_, key._1, newRep))
+    }
+  }
+
+  /** Streaming MinHash near-dup gate — the d2 twin for continuous
+    * ingest, completing the dedup story the same way
+    * [[streamingDedup]] twins batch d1: documents are near-dup-flagged
+    * AS THEY ARRIVE instead of re-banding the corpus per delivery.
+    * Each incoming doc computes its 32 (band, h1, h2) keys scan-side
+    * (the SAME signature + banding arithmetic as d2, via the shared
+    * [[graft.ops.Dedup.bandKeys]] — batch and stream collide on
+    * identical keys), and `transformWithState` keeps ONE value row per
+    * occupied bucket: the representative (minimum) doc_id. A doc
+    * hitting an occupied bucket emits a [[BandHit]] per collision;
+    * exact verification against the representative is the consumer's
+    * downstream step, as in d2.
+    *
+    * Scale posture: state is ∝ occupied buckets (≤ 32 rows per UNIQUE
+    * doc, TTL-aged), per-trigger work is ∝ arriving docs × 32 — the
+    * corpus itself is never re-scanned; at 100 TB this is the shape
+    * that keeps a dedup gate at ingest cost rather than corpus cost.
+    * The state store (RocksDB in production) holds the bucket table;
+    * replay from a checkpoint reproduces emissions because the
+    * representative rule is order-free.
+    */
+  def streamingNearDupGate(
+      docs: DataFrame, // (doc_id, text)
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE
+  ): Dataset[BandHit] = {
+    import docs.sparkSession.implicits._
+    val sig = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(
+        col("doc_id"),
+        graft.functions.MinHashFromHashes
+          .minhashFromHashes(
+            graft.functions.WordNgramHashes.wordNgramHashes(col("toks"), 3),
+            64)
+          .as("sig"))
+    sig
+      .select(col("doc_id"), explode(graft.ops.Dedup.bandKeys(32, 2)).as("bk"))
+      .select(
+        col("bk.band").as("band"),
+        col("bk.h1").as("h1"),
+        col("bk.h2").as("h2"),
+        col("doc_id"))
+      .as[(Int, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2, r._3))
+      .transformWithState(
+        new BandBucketProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ── streaming as-of enrichment ──────────────────────────────────────
 
   /** Tagged union row for [[asOfEnrich]]: dimension updates and events

@@ -227,6 +227,49 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup gate flags copies across batches, passes unique docs") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val nearCopy = (1 to 60).map(i => if (i == 30) "CHANGED" else s"token$i").mkString(" ")
+    val unrelated = (1 to 60).map(i => s"other${i * 7}").mkString(" ")
+    val in = MemoryStream[(Long, String)]
+    val q = Streams
+      .streamingNearDupGate(in.toDF().toDF("doc_id", "text"))
+      .writeStream
+      .format("memory")
+      .queryName("neardup_gate")
+      .outputMode("update")
+      .start()
+    try {
+      in.addData((1L, base), (2L, unrelated))
+      q.processAllAvailable()
+      // batch 2: an exact copy and a near copy of doc 1, plus a fresh doc
+      in.addData((3L, base), (4L, nearCopy), (5L, (1 to 60).map(i => s"fresh$i").mkString(" ")))
+      q.processAllAvailable()
+      val hits = spark.table("neardup_gate").as[(Long, Int, Long)].collect()
+      val byDoc = hits.groupBy(_._1)
+      // the exact copy collides in EVERY band, always against doc 1
+      assert(byDoc.get(3L).exists(_.length == 32), s"exact copy hits: ${byDoc.get(3L).map(_.length)}")
+      assert(byDoc(3L).forall(_._3 == 1L))
+      // the near copy (59/60 tokens shared) collides in >=1 band
+      assert(byDoc.contains(4L), "near copy must hit at least one bucket")
+      assert(byDoc(4L).forall(_._3 == 1L))
+      // unique docs never collide — cross-batch state held doc 1/2's buckets
+      assert(!byDoc.contains(1L) && !byDoc.contains(2L) && !byDoc.contains(5L))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("custom streaming source feeds the cleaning stack end-to-end") {
     // SynthDocs micro-batches → quality gate → per-lang accounting:
     // the engine's own connector driving the engine's own operators
