@@ -2138,7 +2138,38 @@ object Relational {
       .orderBy(desc("rev_bp"), col("l_partkey"))
   }
 
+  /** DECIMAL-typed exact aggregation — the money-type path. Every
+    * other exact-revenue query here rides BIGINT basis points, which
+    * caps a single SUM at ~9.2e18; this is the same arithmetic lifted
+    * onto DECIMAL where petabyte-scale sums keep 38 digits of
+    * headroom (the q68 scaladoc's "move onto DECIMAL(38)" escape
+    * hatch, exercised for real). Values enter as exact integer cents
+    * (so no double→decimal rounding-mode boundary exists between
+    * engines), multiply and sum as decimals, and both engines cast
+    * the final sums to DECIMAL(38,0) so the gate compares identical
+    * scale-0 renderings.
+    */
+  def q83DecimalAgg(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_returnflag"),
+        floor(col("l_extendedprice") * 100 + 0.5)
+          .cast("long")
+          .cast("decimal(18,0)")
+          .as("price_c"),
+        (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
+          .cast("decimal(3,0)")
+          .as("disc_f"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("price_c")).cast("decimal(38,0)").as("sum_price_c"),
+        sum(col("price_c") * col("disc_f")).cast("decimal(38,0)").as("sum_rev_bp"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_decimal_agg" -> q83DecimalAgg,
     "q82_revenue_share" -> q82RevenueShare,
     "q81_column_profile" -> q81ColumnProfile,
     "q80_url_funcs" -> q80UrlFuncs,
@@ -2224,6 +2255,18 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q83_decimal_agg" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sum_price_c,
+        |  CAST(sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      AS DECIMAL(18,0)) *
+        |    CAST(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+        |      AS DECIMAL(3,0))) AS DECIMAL(38,0)) AS sum_rev_bp
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q81_column_profile" ->
       """WITH src AS (
         |  SELECT CAST(o_orderkey AS VARCHAR) AS c1,

@@ -405,7 +405,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t12 — source-level reputation stats: the per-PROVIDER rollup a
+    * web-corpus pipeline runs before document-level work (RefinedWeb/
+    * C4-style domain filtering): per source, volume, language spread,
+    * mean document length, and the duplicate rate attributable to the
+    * source (docs whose exact fingerprint already exists under a
+    * LOWER doc_id anywhere in the corpus — "how much of this feed is
+    * re-serving known content"). A source is flagged when more than
+    * 5% of its docs are such copies (exact integer
+    * cross-multiplication). Two aggregations: the corpus-wide
+    * fingerprint table (one hash shuffle, fingerprints only), then a
+    * source-keyed rollup; at 100 TB both move one row per doc and per
+    * (source) respectively — never text.
+    */
+  def t12SourceStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("lang"),
+        size(split(col("text"), " ")).as("nt"),
+        md5(col("text")).as("fp"))
+    val keep = docs
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    docs
+      .join(keep, "fp")
+      .withColumn("is_copy", (col("doc_id") =!= col("keep_id")).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(avg(col("nt")), 2).as("avg_tokens"),
+        sum(col("is_copy")).as("n_copies"))
+      .withColumn("flagged", col("n_copies") * lit(20L) > col("n_docs"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_source_stats" -> t12SourceStats,
     "t9_repetition_stats" -> t9RepetitionStats,
     "t10_pii_scrub" -> t10PiiScrub,
     "t11_boilerplate_strip" -> t11BoilerplateStrip,
@@ -420,6 +459,23 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t12_source_stats" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, lang,
+        |    len(string_split(text, ' ')) AS nt,
+        |    md5(text) AS fp
+        |  FROM documents),
+        |keep AS (SELECT fp, min(doc_id) AS keep_id FROM docs GROUP BY fp)
+        |SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT lang) AS n_langs,
+        |  round(avg(nt), 2) AS avg_tokens,
+        |  CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_copies,
+        |  sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) * 20
+        |    > count(*) AS flagged
+        |FROM docs JOIN keep USING (fp)
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     // Mirrors the Spark plan exactly: augment with the per-source
     // footer, fingerprint 3-gram windows with the same Rabin–Karp
     // folds as the t7/d11 oracles, detect >=50%-document-frequency
