@@ -443,7 +443,45 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** t13 — bigram next-word table: for every (lang, word) seen often
+    * enough, the most frequent follower — the n-gram-LM /
+    * autocomplete-table construction pass. Bigrams come off the
+    * [[graft.functions.WordNgrams]] generator in ONE streamed pass per
+    * doc (no per-document window, no position sort — the per-doc
+    * ordering a window would re-establish is already the generator's
+    * iteration order). Counts aggregate partial+final on
+    * (lang, w, next); the per-(lang, w) argmax is a WindowGroupLimit-
+    * pruned top-1 with a deterministic tie-break (highest count, then
+    * lexicographically first follower). At 100 TB the only data-sized
+    * exchange carries one row per distinct bigram, never per token.
+    */
+  def t13BigramLm(s: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables
+      .spread(Tables.documents(s, dir))
+      .select(
+        col("lang"),
+        graft.functions.WordNgrams
+          .wordNgrams(split(col("text"), " "), 2)
+          .as("bg"))
+      .select(
+        col("lang"),
+        substring_index(col("bg"), " ", 1).as("w"),
+        substring_index(col("bg"), " ", -1).as("nxt"))
+    val counts = bigrams
+      .groupBy(col("lang"), col("w"), col("nxt"))
+      .agg(count(lit(1)).as("n_obs"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("w"))
+      .orderBy(col("n_obs").desc, col("nxt").asc)
+    counts
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1 && col("n_obs") >= 5)
+      .select(col("lang"), col("w"), col("nxt").as("top_next"), col("n_obs"))
+      .orderBy("lang", "w")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_bigram_lm" -> t13BigramLm,
     "t12_source_stats" -> t12SourceStats,
     "t9_repetition_stats" -> t9RepetitionStats,
     "t10_pii_scrub" -> t10PiiScrub,
@@ -459,6 +497,23 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // wordNgrams("a b c", 2) = ["a b","b c"] — the i/i+1 adjacency
+    // below enumerates exactly those windows
+    "t13_bigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |big AS (
+        |  SELECT lang, t[i] AS w, t[i + 1] AS nxt
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+        |counts AS (
+        |  SELECT lang, w, nxt, count(*) AS n_obs FROM big GROUP BY 1, 2, 3),
+        |top AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY lang, w ORDER BY n_obs DESC, nxt ASC) AS rn
+        |  FROM counts)
+        |SELECT lang, w, nxt AS top_next, n_obs
+        |FROM top WHERE rn = 1 AND n_obs >= 5
+        |ORDER BY lang, w""".stripMargin,
     "t12_source_stats" ->
       """WITH docs AS (
         |  SELECT doc_id, source, lang,
