@@ -128,8 +128,10 @@ object Similarity {
     * the corpus is hash-partitioned by (table, bucket); each query
     * touches L buckets instead of the full table, and the candidate
     * union is deduped before scoring so each survivor is scored once.
-    * Approximate (hash-dependent recall) → rows-only driver check; the
-    * unit spec pins recall ≥ 0.6 vs brute force on the fixture corpus.
+    * Approximate w.r.t. brute force (the unit spec pins recall ≥ 0.6),
+    * but the output itself is deterministic — fixed LCG planes, fixed
+    * tie-breaks — so the DuckDB oracle ([[s2OracleSql]]) recomputes the
+    * buckets from literal-embedded planes and must hash-match exactly.
     */
   def s2KnnLsh(s: SparkSession, dir: String): DataFrame = {
     val all = vecs(s, dir)
@@ -180,8 +182,10 @@ object Similarity {
     * Centroids here are K deterministic corpus samples (every
     * (N/K)-th vector) rather than trained k-means — centroid quality
     * affects recall, not the operator shape, and keeps the op
-    * dependency-free. Rows-only driver check; recall pinned vs s1 in
-    * the unit spec.
+    * dependency-free. Determinism also makes the approximate OUTPUT
+    * itself oracle-checkable: the DuckDB oracle recomputes cells,
+    * probes and bucket-local rankings and must hash-match; recall vs
+    * s1 stays pinned in the unit spec.
     */
   def s3KnnIvf(s: SparkSession, dir: String): DataFrame = {
     val k = 16
@@ -543,6 +547,51 @@ object Similarity {
     "s5_quantize" -> s5Quantize
   )
 
+  /** s2's DuckDB oracle, constructed programmatically: the 12×4 LCG
+    * hyperplanes embed as `(t, j, DOUBLE[])` literal rows
+    * (Double.toString is guaranteed to round-trip the IEEE value, and
+    * DuckDB's decimal→double parse is correctly rounded, so the SQL
+    * planes are bit-identical to the Scala arrays). Bucket codes,
+    * candidate generation and ranking then mirror the Spark plan
+    * exactly — the oracle checks the full approximate OUTPUT, not just
+    * row counts.
+    */
+  private def s2OracleSql: String = {
+    val planeRows = hyperplanes.zipWithIndex
+      .flatMap { case (tbl, t) =>
+        tbl.zipWithIndex.map { case (plane, j) =>
+          s"($t, $j, [${plane.map(_.toString).mkString(", ")}]::DOUBLE[])"
+        }
+      }
+      .mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm FROM e),
+       |planes(t, j, pv) AS (VALUES $planeRows),
+       |bkt AS (
+       |  SELECT n.vec_id, p.t,
+       |    CAST(sum(CASE WHEN list_inner_product(n.v, p.pv) > 0
+       |             THEN 1 << p.j ELSE 0 END) AS INTEGER) AS bk
+       |  FROM n, planes p GROUP BY n.vec_id, p.t),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+       |  FROM bkt q JOIN bkt c ON q.t = c.t AND q.bk = c.bk
+       |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT cand.q_id, cand.vec_id,
+       |    list_inner_product(qn.v, cn.v) / (qn.norm * cn.norm) AS cos,
+       |    row_number() OVER (PARTITION BY cand.q_id
+       |      ORDER BY list_inner_product(qn.v, cn.v) / (qn.norm * cn.norm)
+       |        DESC, cand.vec_id ASC) AS rank
+       |  FROM cand
+       |  JOIN n qn ON cand.q_id = qn.vec_id
+       |  JOIN n cn ON cand.vec_id = cn.vec_id)
+       |SELECT q_id, vec_id AS neighbor_id, CAST(rank AS INTEGER) AS rank,
+       |  round(cos, 4) AS cosine
+       |FROM scored WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // Same unrounded-cosine threshold predicate; the dot product folds
     // left-to-right in both engines so the boundary is bit-identical.
@@ -650,7 +699,47 @@ object Similarity {
         |FROM scored
         |WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
-    // s2/s3 are approximate/hash-dependent — rows-only driver checks.
+    // s2/s3 are approximate w.r.t. brute force (recall pinned in
+    // OpsSpec), but their OUTPUTS are deterministic — fixed LCG
+    // hyperplanes / fixed sample centroids, deterministic tie-breaks —
+    // so both carry FULL oracles: s3's is pure SQL; s2's embeds the 48
+    // plane vectors as double literals (Double.toString round-trips
+    // IEEE754 exactly, and both engines fold dots left-to-right).
+    "s2_knn_lsh" -> s2OracleSql,
+    "s3_knn_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm FROM e),
+        |cent AS (
+        |  SELECT CAST(vec_id // 125 AS INTEGER) AS cell, v AS cv,
+        |    norm AS cnorm
+        |  FROM n WHERE vec_id % 125 = 0 AND vec_id // 125 < 16),
+        |assign0 AS (
+        |  SELECT n.vec_id, n.norm, c.cell,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_inner_product(n.v, c.cv) / (n.norm * c.cnorm)
+        |        DESC, c.cell ASC) AS crn
+        |  FROM n, cent c),
+        |assigned AS (
+        |  SELECT vec_id, cell FROM assign0 WHERE crn = 1),
+        |qprobe AS (
+        |  SELECT vec_id AS q_id, cell
+        |  FROM assign0 WHERE vec_id < 20 AND crn <= 4),
+        |scored AS (
+        |  SELECT q.q_id, a.vec_id AS neighbor_id,
+        |    list_inner_product(qn.v, an.v) / (qn.norm * an.norm) AS cos,
+        |    row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY list_inner_product(qn.v, an.v) / (qn.norm * an.norm)
+        |        DESC, a.vec_id ASC) AS rank
+        |  FROM qprobe q
+        |  JOIN assigned a USING (cell)
+        |  JOIN n qn ON q.q_id = qn.vec_id
+        |  JOIN n an ON a.vec_id = an.vec_id
+        |  WHERE a.vec_id <> q.q_id)
+        |SELECT q_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+        |  round(cos, 4) AS cosine
+        |FROM scored WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
     "s4_cell_centroids" ->
       """WITH e AS (
         |  SELECT CAST(vec_id % 8 AS INTEGER) AS cell,
