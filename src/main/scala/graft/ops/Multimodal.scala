@@ -267,30 +267,16 @@ object Multimodal {
       base.select(
         (col("doc_id") + 1000000L).as("doc_id"),
         transform(col("cs"), c => c + 1L).as("cs")))
-    val n = size(col("cs"))
-    // materialize the global sum ONCE per row (higher-order functions
-    // are interpreted, not codegen'd — folding it inside each of the
-    // 32 span iterations was O(32·n) per row and 3× the query time),
-    // then one O(n) pass over the spans; bits fold MSB-first as
-    // acc*2+bit so bit k carries 2^k
+    // one fused native pass per row (total + 32 span sums + bit fold):
+    // the declarative slice/aggregate composition ran as interpreted
+    // lambdas with an allocation per span — see MeanThresholdBits'
+    // scaladoc for the bit-for-bit equivalence argument (3.5 → 1.9 s)
     val hashed = aug
-      .select(col("doc_id"), col("cs"), aggregate(col("cs"), lit(0L), (a, b) => a + b).as("total"))
-      .select(col("doc_id"), explode(array(struct(col("cs"), col("total")))).as("z"))
-      .select(col("doc_id"), col("z.cs").as("cs"), col("z.total").as("total"))
       .select(
         col("doc_id"),
-        aggregate(
-          reverse(transform(
-            sequence(lit(0), lit(B - 1)),
-            k => {
-              val lo = floor(k * n / B).cast("int")
-              val hi = floor((k + 1) * n / B).cast("int")
-              val spanSum =
-                aggregate(slice(col("cs"), lo + 1, hi - lo), lit(0L), (a, b) => a + b)
-              when(spanSum * n > col("total") * (hi - lo), 1L).otherwise(0L)
-            })),
-          lit(0L),
-          (acc, b) => acc * 2 + b).as("phash"))
+        graft.functions.MeanThresholdBits
+          .meanThresholdBits(col("cs"), B)
+          .as("phash"))
     val keyed = hashed
       .select(col("doc_id"), col("phash"), explode(sequence(lit(0), lit(3))).as("j"))
       .withColumn("bk", expr("shiftright(phash, 8 * j) & 255"))
