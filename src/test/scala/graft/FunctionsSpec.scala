@@ -299,6 +299,37 @@ class WordNgramHashesSpec extends SparkSpec {
     assert(out(1L).nonEmpty && out(2L).isEmpty && out(3L).isEmpty)
   }
 
+  test("mean_threshold_bits equals the declarative slice/aggregate composition") {
+    import org.apache.spark.sql.functions._
+    val B = 32
+    val rows = (0 until 30).map { r =>
+      (r.toLong, (0 until (40 + r * 7)).map(i => ((i * 31 + r * 13) % 96 + 32).toLong))
+    }
+    val df = rows.toDF("id", "cs")
+    val fused = df
+      .select(col("id"), graft.functions.MeanThresholdBits.meanThresholdBits(col("cs"), B).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = size(col("cs"))
+    val composed = df
+      .select(col("id"), col("cs"), aggregate(col("cs"), lit(0L), (a, b) => a + b).as("total"))
+      .select(
+        col("id"),
+        aggregate(
+          reverse(transform(
+            sequence(lit(0), lit(B - 1)),
+            k => {
+              val lo = floor(k * n / B).cast("int")
+              val hi = floor((k + 1) * n / B).cast("int")
+              val spanSum =
+                aggregate(slice(col("cs"), lo + 1, hi - lo), lit(0L), (a, b) => a + b)
+              when(spanSum * n > col("total") * (hi - lo), 1L).otherwise(0L)
+            })),
+          lit(0L),
+          (acc, b) => acc * 2 + b).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == composed)
+  }
+
   test("word_ngrams is SQL-callable after extension install") {
     graft.plans.GraftExtensions.install(spark)
     Seq(Tuple1(Seq("a", "b", "c"))).toDF("toks").createOrReplaceTempView("wn_probe")
