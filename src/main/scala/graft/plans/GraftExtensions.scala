@@ -56,6 +56,14 @@ object GraftExtensions {
       graft.functions.WordNgrams(
         es.head,
         es(1).eval().asInstanceOf[Number].intValue)
+    },
+    "sorted_intersect_count" -> { es =>
+      graft.functions.SortedArrayIntersectCount(es.head, es(1))
+    },
+    "mean_threshold_bits" -> { es =>
+      graft.functions.MeanThresholdBits(
+        es.head,
+        es(1).eval().asInstanceOf[Number].intValue)
     }
   )
 

@@ -49,6 +49,12 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getSeq[Long](row.fieldIndex("mh")).size == 8)
     assert(row.getAs[Double]("dp") == 11.0)
     assert(row.getAs[String]("s") == "hi")
+    val row2 = spark.sql(
+      """SELECT sorted_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS ic,
+        |  mean_threshold_bits(array(1L, 1L, 9L, 9L), 2) AS mtb""".stripMargin).head()
+    assert(row2.getAs[Int]("ic") == 2)
+    // spans [1,1] and [9,9] vs mean 5: low span bit 0 clear, high span bit 1 set
+    assert(row2.getAs[Long]("mtb") == 2L)
   }
 
   test("TopKPerKey plans through the custom strategy: exec node, one exchange, no sort") {
