@@ -2184,7 +2184,98 @@ object Relational {
         sum(col("price_c") * col("disc_f")).cast("decimal(38,0)").as("sum_rev_bp"))
       .orderBy("l_returnflag")
 
+  /** TPC-H Q10-shaped returned-item ranking: revenue lost to returns
+    * per customer, top 20. The classic TopN-AFTER-aggregation shape:
+    * the 4-table join and the per-customer aggregate do the heavy
+    * lifting, then the ordering is a `TakeOrderedAndProject` over the
+    * aggregate's output — per-partition heaps and a 20-row driver
+    * merge, never a global sort of the aggregate. Dimension sides
+    * broadcast; the lineitem⋈orders fact join is the one data-sized
+    * shuffle (returnflag filter pushed to the lineitem scan).
+    */
+  def q84ReturnedItemRanking(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revBp)
+      .join(
+        Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(
+        broadcast(Tables.customer(s, dir).select("c_custkey", "c_name", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .agg(sum(col("rev_bp")).as("lost_rev_bp"))
+      .orderBy(desc("lost_rev_bp"), col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q18-shaped large-volume orders: orders whose total line
+    * quantity clears a threshold (HAVING over the fact aggregate),
+    * re-joined to their header columns. The aggregate-then-rejoin
+    * shape: quantities aggregate per order FIRST (map-side combined,
+    * one row per order crosses the wire), the HAVING prunes to the
+    * rare heavy orders, and only those re-join orders/customer — at
+    * 100 TB the rejoin input is the filtered aggregate, orders of
+    * magnitude smaller than the fact table. Quantity is exact integer
+    * units so the threshold has no float boundary.
+    */
+  def q85LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val heavy = Tables
+      .lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("units"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("units")).as("total_units"))
+      .filter(col("total_units") >= 300L)
+    heavy
+      .join(
+        Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(
+        broadcast(Tables.customer(s, dir).select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).cast("string").as("order_day"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_c"),
+        col("total_units"))
+      .orderBy(desc("total_units"), col("o_orderkey"))
+  }
+
+  /** TPC-H Q16-shaped supplier variety: how many DISTINCT suppliers
+    * serve each (brand, size-class) — excluding a blacklist of
+    * suppliers (uncorrelated NOT IN ⇒ one broadcast anti join under
+    * the distinct aggregate, never per-row subquery re-execution).
+    * The distinct-count expands to the standard two-phase plan:
+    * distinct (brand, size-class, suppkey) triples first (map-side
+    * combined), then the per-group count — one row per distinct
+    * triple is all that shuffles.
+    */
+  def q86SupplierVariety(s: SparkSession, dir: String): DataFrame = {
+    val blacklist = Tables
+      .supplier(s, dir)
+      .filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    Tables
+      .lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(blacklist, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(
+        broadcast(Tables.part(s, dir).select(
+          col("p_partkey"),
+          col("p_brand"),
+          (floor(col("p_size") / 10) * 10).cast("int").as("size_class"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("size_class"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("size_class"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_supplier_variety" -> q86SupplierVariety,
+    "q85_large_orders" -> q85LargeOrders,
+    "q84_returned_item_ranking" -> q84ReturnedItemRanking,
     "q83_decimal_agg" -> q83DecimalAgg,
     "q82_revenue_share" -> q82RevenueShare,
     "q81_column_profile" -> q81ColumnProfile,
@@ -2271,6 +2362,43 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q84_returned_item_ranking" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |    (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+        |    AS BIGINT) AS lost_rev_bp
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_mktsegment
+        |ORDER BY lost_rev_bp DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q85_large_orders" ->
+      """WITH heavy AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_units
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) >= 300)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_day,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+        |  total_units
+        |FROM heavy
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_units DESC, o_orderkey""".stripMargin,
+    "q86_supplier_variety" ->
+      """SELECT p_brand,
+        |  CAST(CAST(floor(p_size / 10) AS BIGINT) * 10 AS INTEGER)
+        |    AS size_class,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN (
+        |  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, size_class""".stripMargin,
     "q83_decimal_agg" ->
       """SELECT l_returnflag,
         |  count(*) AS n_items,

@@ -266,6 +266,17 @@ class PlanSpec extends SparkSpec {
       s"rank<=k must push into the window as a group limit:\n${plan.take(1500)}")
   }
 
+  test("q84 top-N after aggregation plans TakeOrderedAndProject, no global sort") {
+    val plan = formatted(Relational.q84ReturnedItemRanking(spark, Sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"limit-after-orderBy must plan as per-partition heaps:\n${plan.take(1500)}")
+  }
+
+  test("q86 NOT IN blacklist plans as one anti join, not per-row subquery") {
+    val plan = formatted(Relational.q86SupplierVariety(spark, Sf))
+    assert(plan.contains("LeftAnti"), s"expected anti join:\n${plan.take(1500)}")
+  }
+
   test("spread parallelizes derived compute beyond the single input split") {
     val parts = Tables
       .spread(Tables.documents(spark, Sf))
