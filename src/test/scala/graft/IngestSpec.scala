@@ -118,6 +118,22 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("parquet zstd round-trip (the compression the reference's README claims)") {
+    // reference README.md:15 says ZSTD while processor.rs:88 writes
+    // Snappy; the engine supports both — L1 defaults to snappy like
+    // the reference's code, this pins the claimed codec also works
+    val src = graft.ops.Tables.documents(spark, Sf).select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-zstd").resolve("part").toString
+    src.write.mode("overwrite").option("compression", "zstd").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == src.count())
+    assert(
+      back.agg(sum(length(col("text")))).head().getLong(0) ==
+        src.agg(sum(length(col("text")))).head().getLong(0))
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.exists(_.contains("zstd")), files.mkString(","))
+  }
+
   test("xml round-trip preserves content (Spark 4 built-in XML source)") {
     // the row-tag document format APIs commonly exchange; schema is
     // inferred on read like the JSON path
