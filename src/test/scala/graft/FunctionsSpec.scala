@@ -299,6 +299,26 @@ class WordNgramHashesSpec extends SparkSpec {
     assert(out(1L).nonEmpty && out(2L).isEmpty && out(3L).isEmpty)
   }
 
+  test("mean_threshold_bits matches a plain-Scala reference on random arrays (property)") {
+    def reference(a: Seq[Long], bits: Int): Long = {
+      val n = a.length
+      val total = a.sum
+      (0 until bits).foldLeft(0L) { (code, k) =>
+        val lo = (k.toLong * n / bits).toInt
+        val hi = ((k + 1).toLong * n / bits).toInt
+        val ssum = a.slice(lo, hi).sum
+        if (ssum * n > total * (hi - lo)) code | (1L << k) else code
+      }
+    }
+    val arrGen = Gen.choose(32, 200).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 255L)))
+    checkProp(Prop.forAllNoShrink(Gen.listOfN(10, arrGen)) { arrays =>
+      val out = arrays.map(Tuple1(_)).toDF("cs")
+        .select(graft.functions.MeanThresholdBits.meanThresholdBits($"cs", 32))
+        .as[Long].collect().toSeq
+      out == arrays.map(a => reference(a, 32))
+    })
+  }
+
   test("mean_threshold_bits equals the declarative slice/aggregate composition") {
     import org.apache.spark.sql.functions._
     val B = 32
