@@ -2272,7 +2272,40 @@ object Relational {
       .orderBy(desc("supplier_cnt"), col("p_brand"), col("size_class"))
   }
 
+  /** ROLLUP with GROUPING flags — the disambiguation q10 can't give:
+    * a NULL grouping column in rollup output means either "this row
+    * aggregates over that column" or "the data itself was NULL", and
+    * only `grouping()` tells them apart. Each row carries its exact
+    * aggregation level as a label derived from the grouping flags; the
+    * flags are computed by the aggregate itself (no post-hoc NULL
+    * sniffing). Same partial+final rollup plan as q10 — Expand to
+    * (detail, subtotal, grand) tuples, one exchange.
+    */
+  def q87GroupingLabels(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_returnflag"),
+        col("l_linestatus"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("pc"))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).as("g_flag"),
+        grouping(col("l_linestatus")).as("g_status"),
+        count(lit(1)).as("n"),
+        sum(col("pc")).as("sum_price_c"))
+      .withColumn(
+        "level",
+        when(col("g_flag") === 1, "grand_total")
+          .when(col("g_status") === 1, "flag_total")
+          .otherwise("detail"))
+      .select("l_returnflag", "l_linestatus", "level", "n", "sum_price_c")
+      .orderBy(
+        col("l_returnflag").asc_nulls_last,
+        col("l_linestatus").asc_nulls_last)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_grouping_labels" -> q87GroupingLabels,
     "q86_supplier_variety" -> q86SupplierVariety,
     "q85_large_orders" -> q85LargeOrders,
     "q84_returned_item_ranking" -> q84ReturnedItemRanking,
@@ -2362,6 +2395,18 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q87_grouping_labels" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'grand_total'
+        |       WHEN GROUPING(l_linestatus) = 1 THEN 'flag_total'
+        |       ELSE 'detail' END AS level,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_price_c
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS LAST,
+        |  l_linestatus ASC NULLS LAST""".stripMargin,
     "q84_returned_item_ranking" ->
       """SELECT c_custkey, c_name, c_mktsegment,
         |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *

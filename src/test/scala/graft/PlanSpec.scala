@@ -277,6 +277,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"expected anti join:\n${plan.take(1500)}")
   }
 
+  test("no query plans an unbounded CartesianProduct (blanket scale audit)") {
+    // BroadcastNestedLoopJoin (dimension-sized side) is acceptable;
+    // CartesianProductExec — both sides data-sized, quadratic output —
+    // is the one operator nothing in this engine should ever plan.
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      val plan = fn(spark, Sf).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
   test("spread parallelizes derived compute beyond the single input split") {
     val parts = Tables
       .spread(Tables.documents(spark, Sf))
