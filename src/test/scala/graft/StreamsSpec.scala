@@ -270,6 +270,53 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("near-dup gate state survives a query restart from the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-gate-ckpt").toString
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val in = MemoryStream[(Long, String)]
+    StreamsSpecGateBuf.hits.clear()
+    def start() = Streams
+      .streamingNearDupGate(in.toDF().toDF("doc_id", "text"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Streams.BandHit], _: Long) =>
+        StreamsSpecGateBuf.hits ++= ds.collect()
+        ()
+      }
+      .start()
+    try {
+      // run 1: the original registers its buckets, then the query dies
+      val q1 = start()
+      in.addData((1L, base))
+      q1.processAllAvailable()
+      q1.stop()
+      assert(StreamsSpecGateBuf.hits.isEmpty, "the original must not self-collide")
+      // run 2, same checkpoint: an exact copy arrives AFTER the restart —
+      // it must collide against state recovered from the RocksDB store
+      val q2 = start()
+      in.addData((2L, base))
+      q2.processAllAvailable()
+      q2.stop()
+      val hits = StreamsSpecGateBuf.hits.toSeq
+      assert(hits.nonEmpty, "copy must collide against recovered bucket state")
+      assert(hits.forall(h => h.doc_id == 2L && h.rep_doc_id == 1L),
+        s"collisions must point at the pre-restart representative: $hits")
+      assert(hits.length == 32, s"exact copy collides in every band: ${hits.length}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("custom streaming source feeds the cleaning stack end-to-end") {
     // SynthDocs micro-batches → quality gate → per-lang accounting:
     // the engine's own connector driving the engine's own operators
@@ -500,4 +547,11 @@ class StreamBatchParitySpec extends SparkSpec {
     val texts = corpus.select("text").collect().map(_.getString(0)).toSet
     assert(texts == (s1.take(2) ++ s2.take(1) :+ doc(6, 28, "d")).map(_._2).toSet)
   }
+}
+
+/** Companion buffer for the gate-restart test: foreachBatch closures
+  * serialize, so the sink must live outside the spec instance.
+  */
+object StreamsSpecGateBuf {
+  val hits = scala.collection.mutable.ArrayBuffer.empty[graft.streaming.Streams.BandHit]
 }
