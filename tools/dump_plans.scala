@@ -1,0 +1,39 @@
+import java.nio.file.{Files, Paths}
+val sf = "/root/testdata/sf0.001"
+val targets: Seq[(String, String, org.apache.spark.sql.DataFrame)] = Seq(
+  ("q02_filter_project", "predicates + 6-column pruning reach the parquet scan (PushedFilters / ReadSchema)",
+    graft.ops.Relational.q02FilterProject(spark, sf)),
+  ("q03_revenue_by_nation", "star join: lineitem pre-aggregated BELOW the join; dims broadcast",
+    graft.ops.Relational.q03RevenueByNation(spark, sf)),
+  ("q27_supplier_volume", "six-table TPC-H Q5 star: one fact shuffle, everything else broadcast",
+    graft.ops.Relational.q27SupplierVolume(spark, sf)),
+  ("q44_custom_topk", "custom TopKPerKeyExec: ClusteredDistribution -> ONE exchange, NO sort",
+    graft.ops.Relational.q44CustomTopK(spark, sf)),
+  ("q63_asof_custom", "custom AsOfJoinExec: co-partitioned sorted merge, one buffered row",
+    graft.ops.Relational.q63AsofCustom(spark, sf)),
+  ("q70_equidepth_bins", "bounded-state deciles: ONE lineitem scan reused by all three consumers (ReusedExchange)",
+    graft.ops.Relational.q70EquidepthBins(spark, sf)),
+  ("q77_merge_upsert", "MERGE shape: per-side dedup windows ride the full outer join's own key partitioning",
+    graft.ops.Relational.q77MergeUpsert(spark, sf)),
+  ("q84_returned_item_ranking", "TopN after aggregation: TakeOrderedAndProject, no global sort",
+    graft.ops.Relational.q84ReturnedItemRanking(spark, sf)),
+  ("d2_dedup_minhash", "MinHash LSH: native one-pass signatures, band-key equi-join candidates, exact verify",
+    graft.ops.Dedup.d2MinHashLsh(spark, sf)),
+  ("s2_knn_lsh", "LSH kNN: fused native bucket kernel, scoring BEFORE the narrow q_id exchange",
+    graft.ops.Similarity.s2KnnLsh(spark, sf))
+)
+val sb = new StringBuilder
+sb.append("# PLANS -- executed physical plans of headline queries\n\n")
+sb.append("Generated from `.queryExecution.executedPlan` at sf0.001 (plan shape is\n")
+sb.append("scale-independent; AQE nodes show their final form after execution of\n")
+sb.append("nothing -- these are the pre-execution adaptive plans). What to look for\n")
+sb.append("is noted per query. Regenerate with tools/dump_plans.sh.\n")
+for ((name, note, df) <- targets) {
+  sb.append(s"\n## $name\n\n_${note}_\n\n```\n")
+  val out = new java.io.ByteArrayOutputStream()
+  Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+  sb.append(out.toString.trim.take(12000))
+  sb.append("\n```\n")
+}
+Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
+println("WROTE " + sb.length)
