@@ -24,12 +24,16 @@ val targets: Seq[(String, String, org.apache.spark.sql.DataFrame)] = Seq(
 )
 val sb = new StringBuilder
 sb.append("# PLANS -- executed physical plans of headline queries\n\n")
-sb.append("Generated from `.queryExecution.executedPlan` at sf0.001 (plan shape is\n")
-sb.append("scale-independent; AQE nodes show their final form after execution of\n")
-sb.append("nothing -- these are the pre-execution adaptive plans). What to look for\n")
-sb.append("is noted per query. Regenerate with tools/dump_plans.sh.\n")
+sb.append("Each query is executed (collect on its own QueryExecution) before the\n")
+sb.append("dump, so AdaptiveSparkPlan reflects runtime decisions where Spark\n")
+sb.append("finalizes the printed tree (isFinalPlan=true on simple plans); complex\n")
+sb.append("plans print their static form, in which exchange-reuse nodes\n")
+sb.append("(ReusedExchange) are already visible. Dumped at sf0.001 -- plan SHAPE\n")
+sb.append("is scale-independent.\n")
+sb.append("What to look for is noted per query. Regenerate with tools/dump_plans.sh.\n")
 for ((name, note, df) <- targets) {
   sb.append(s"\n## $name\n\n_${note}_\n\n```\n")
+  df.collect() // execute THIS df's own QueryExecution so AQE finalizes it
   val out = new java.io.ByteArrayOutputStream()
   Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
   sb.append(out.toString.trim.take(12000))
