@@ -1179,7 +1179,9 @@ object Relational {
       .agg(sum(col("qc")).as("sum_qc"), count(lit(1)).as("n"))
     li.join(stats, "l_partkey")
       .filter(col("qc") * 2 * col("n") < col("sum_qc"))
-      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      // part scales with the data — no broadcast hint; AQE upgrades the
+      // join at fixture scale, a real cluster shuffles on partkey
+      .join(Tables.part(s, dir).select("p_partkey", "p_brand"), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
         round(sum(col("l_extendedprice")), 2).as("revenue"),
@@ -1822,9 +1824,12 @@ object Relational {
   /** TPC-H Q19-shaped disjunctive predicate join: three OR'd
     * (brand, size, quantity) conjunction groups. The raw OR pushes to
     * neither side, so the plan states the IMPLIED part-side predicate
-    * (brand IN … AND size ≤ 35) explicitly — part prunes at its scan,
-    * broadcasts, and the full disjunction evaluates on joined rows
-    * only: the classic Q19 rewrite, done declaratively.
+    * (brand IN … AND size ≤ 35) explicitly — part prunes at its scan
+    * and the full disjunction evaluates on joined rows only: the
+    * classic Q19 rewrite, done declaratively. The pruned side is left
+    * unhinted: AQE broadcasts it at fixture scale, a real cluster
+    * decides from the post-filter size (part itself scales with the
+    * data).
     */
   def q73DisjunctiveJoin(s: SparkSession, dir: String): DataFrame = {
     val li = Tables
@@ -1836,7 +1841,9 @@ object Relational {
         col("p_brand").isin("Brand#11", "Brand#13", "Brand#22") &&
           col("p_size").between(1, 35))
       .select(col("p_partkey"), col("p_brand"), col("p_size"))
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    // the pruned part side is small AFTER the implied predicate, but part
+    // itself scales — leave the broadcast decision to the planner/AQE
+    li.join(p, col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
           col("l_quantity").between(1, 11)) ||
@@ -1852,7 +1859,9 @@ object Relational {
   /** TPC-H Q15-shaped top supplier: per-supplier quarterly revenue,
     * keep the supplier(s) hitting the global maximum. The max is a
     * 1-row aggregate broadcast back over the per-supplier totals —
-    * never a global sort — and names arrive via a broadcast dim join.
+    * never a global sort — and the max-filtered result (a handful of
+    * rows) drives the name lookup, with AQE broadcasting that tiny
+    * side; supplier scales with the data, so it carries no hint.
     * Exact integer revenue means "equals max" has no float boundary
     * (ties surface deterministically instead of flapping).
     */
@@ -1868,8 +1877,11 @@ object Relational {
     val mx = rev.agg(max(col("total_rev_bp")).as("mx"))
     rev
       .join(broadcast(mx), col("total_rev_bp") === col("mx"))
+      // supplier scales with the data; the max-filtered rev side is the
+      // tiny one and AQE broadcasts IT — hinting supplier would bake in
+      // the backwards decision at 100 TB
       .join(
-        broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        Tables.supplier(s, dir).select("s_suppkey", "s_name"),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_rev_bp"))
       .orderBy("s_suppkey")
@@ -1879,8 +1891,10 @@ object Relational {
     * global revenue shipped by ASIA-region suppliers. Numerator and
     * denominator come from ONE conditional-aggregation pass (no
     * second scan, no join of two aggregates); supplier→nation→region
-    * pre-joins into a broadcast (suppkey → is_asia) map so the fact
-    * side never shuffles for the dimension. Share is reported as the
+    * pre-joins into a (suppkey → is_asia) map — nation/region are the
+    * true broadcast dims inside that build; the map itself scales with
+    * supplier, so the fact join shuffles on suppkey at scale (AQE
+    * broadcasts it at fixture sizes). Share is reported as the
     * exact integer (numerator, denominator) pair — the division is
     * the caller's, not the engine's, so no float crosses the gate.
     */
@@ -1893,7 +1907,9 @@ object Relational {
     Tables
       .lineitem(s, dir)
       .select(col("l_orderkey"), col("l_suppkey"), revBp)
-      .join(broadcast(suppRegion), col("l_suppkey") === col("s_suppkey"))
+      // the (suppkey → is_asia) map scales with supplier — shuffle on
+      // suppkey at scale; AQE broadcasts at fixture sizes
+      .join(suppRegion, col("l_suppkey") === col("s_suppkey"))
       .join(
         Tables
           .orders(s, dir)
@@ -1908,11 +1924,13 @@ object Relational {
 
   /** TPC-H Q7-shaped volume shipping: revenue flowing between two
     * nations (supplier nation ↔ customer nation, both directions) per
-    * ship year. Both nation lookups resolve through broadcast dims
-    * FILTERED to the two nations before broadcasting — the fact-fact
-    * orders join then only carries line items whose supplier already
-    * qualified, and the asymmetric-pair filter runs on broadcast-joined
-    * rows. One data-sized shuffle (lineitem ⋈ orders on orderkey).
+    * ship year. Supplier and customer filter against the 25-row
+    * nation dim (the one true broadcast) down to the two nations
+    * BEFORE touching facts, so the fact joins only carry qualifying
+    * rows; both filtered sides still scale with the data, so they
+    * join by key shuffle at scale (AQE broadcasts them at fixture
+    * sizes). Data-sized shuffles: lineitem ⋈ orders on orderkey plus
+    * the two key joins.
     */
   def q76VolumeShipping(s: SparkSession, dir: String): DataFrame = {
     val pair = Seq("NATION_3", "NATION_7")
@@ -1933,11 +1951,14 @@ object Relational {
         col("l_suppkey"),
         year(col("l_shipdate")).as("l_year"),
         revBp)
-      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      // supplier/customer scale with the data (the nation filter keeps
+      // ~2/25 of them) — no broadcast hints; the 25-row nation dim
+      // broadcast already happened inside the side-table builds
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
       .join(
         Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .join(custNation, col("o_custkey") === col("c_custkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
       .agg(count(lit(1)).as("n_items"), sum(col("rev_bp")).as("rev_bp"))
@@ -2189,9 +2210,11 @@ object Relational {
     * the 4-table join and the per-customer aggregate do the heavy
     * lifting, then the ordering is a `TakeOrderedAndProject` over the
     * aggregate's output — per-partition heaps and a 20-row driver
-    * merge, never a global sort of the aggregate. Dimension sides
-    * broadcast; the lineitem⋈orders fact join is the one data-sized
-    * shuffle (returnflag filter pushed to the lineitem scan).
+    * merge, never a global sort of the aggregate. Customer scales
+    * with the data, so it joins by key shuffle at scale (AQE
+    * broadcasts at fixture sizes); the lineitem⋈orders fact join is
+    * the main data-sized shuffle (returnflag filter pushed to the
+    * lineitem scan).
     */
   def q84ReturnedItemRanking(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -2201,8 +2224,9 @@ object Relational {
       .join(
         Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
+      // customer scales with the data — shuffle join on custkey at scale
       .join(
-        broadcast(Tables.customer(s, dir).select("c_custkey", "c_name", "c_mktsegment")),
+        Tables.customer(s, dir).select("c_custkey", "c_name", "c_mktsegment"),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .agg(sum(col("rev_bp")).as("lost_rev_bp"))
@@ -2230,8 +2254,9 @@ object Relational {
       .join(
         Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
         col("l_orderkey") === col("o_orderkey"))
+      // customer scales — the HAVING-filtered heavy side is the small one
       .join(
-        broadcast(Tables.customer(s, dir).select("c_custkey", "c_name")),
+        Tables.customer(s, dir).select("c_custkey", "c_name"),
         col("o_custkey") === col("c_custkey"))
       .select(
         col("c_custkey"),
@@ -2261,11 +2286,12 @@ object Relational {
       .lineitem(s, dir)
       .select(col("l_partkey"), col("l_suppkey"))
       .join(blacklist, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      // part scales with the data — no broadcast hint
       .join(
-        broadcast(Tables.part(s, dir).select(
+        Tables.part(s, dir).select(
           col("p_partkey"),
           col("p_brand"),
-          (floor(col("p_size") / 10) * 10).cast("int").as("size_class"))),
+          (floor(col("p_size") / 10) * 10).cast("int").as("size_class")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("size_class"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
