@@ -109,9 +109,10 @@ object TextAnalysis {
 
   /** t5 — TF-IDF distinctive term per document: term frequencies per
     * doc, document frequencies per (lang, term), then each document's
-    * most distinctive term. Two partial-aggregate shuffles plus a
-    * broadcast-able df join — the standard scalable TF-IDF shape (no
-    * all-pairs, no driver state). Ranking is integer-only
+    * most distinctive term. Two partial-aggregate shuffles plus the
+    * (lang, term)-keyed df join — the standard scalable TF-IDF shape
+    * (no all-pairs, no driver state; df is vocabulary-sized, so the
+    * join is unhinted and shuffles at corpus scale). Ranking is integer-only
     * (tf desc, df asc, term asc) so engines can't disagree on float
     * ulps; the tfidf score itself is emitted rounded.
     *
@@ -143,7 +144,10 @@ object TextAnalysis {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"))
 
-    tf.join(broadcast(df), Seq("lang", "w"))
+    // df is VOCABULARY-sized — it scales with the corpus, so no
+    // broadcast hint: AQE broadcasts it at fixture scale, a 100 TB
+    // corpus shuffle-joins on (lang, w)
+    tf.join(df, Seq("lang", "w"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(min(struct(
         (-col("tf")).as("ntf"),
@@ -386,7 +390,9 @@ object TextAnalysis {
       .agg(sort_array(collect_list(col("g"))).as("grams"))
     val n = size(col("g3")) + 2
     tok
-      .join(broadcast(boiler), Seq("source"), "left")
+      // per-source boilerplate scales with the number of sources —
+      // unhinted; AQE broadcasts at fixture scale
+      .join(boiler, Seq("source"), "left")
       .select(
         col("doc_id"),
         n.as("n_tokens"),
