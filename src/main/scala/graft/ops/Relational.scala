@@ -2330,7 +2330,31 @@ object Relational {
         col("l_returnflag").asc_nulls_last,
         col("l_linestatus").asc_nulls_last)
 
+  /** OUTER generate semantics: `explode_outer` keeps rows whose array
+    * is empty (emitting one null element) where plain `explode`
+    * silently DROPS them — the corner that turns "tokenize and
+    * aggregate" into data loss for short/empty documents. The query
+    * surfaces exactly the rows that exist only because the generate is
+    * outer: documents with zero qualifying tokens, which an inner
+    * explode would erase from the corpus accounting. Generate is
+    * streamed (no array materialization beyond the row); the oracle
+    * emulates outer-unnest with a LEFT JOIN LATERAL.
+    */
+  def q88ExplodeOuter(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        filter(split(col("text"), " "), w => length(w) >= 8).as("longw"))
+      .select(col("doc_id"), explode_outer(col("longw")).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(col("w")).as("n_long"), count(lit(1)).as("n_rows"))
+      .filter(col("n_long") === 0)
+      .select(col("doc_id"), col("n_rows"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_explode_outer" -> q88ExplodeOuter,
     "q87_grouping_labels" -> q87GroupingLabels,
     "q86_supplier_variety" -> q86SupplierVariety,
     "q85_large_orders" -> q85LargeOrders,
@@ -2421,6 +2445,20 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q88_explode_outer" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> length(w) >= 8)
+        |      AS longw
+        |  FROM documents),
+        |ex AS (
+        |  SELECT f.doc_id, u.w
+        |  FROM f LEFT JOIN LATERAL (SELECT unnest(longw) AS w) u ON true)
+        |SELECT doc_id, count(*) AS n_rows
+        |FROM ex
+        |GROUP BY doc_id
+        |HAVING count(w) = 0
+        |ORDER BY doc_id""".stripMargin,
     "q87_grouping_labels" ->
       """SELECT l_returnflag, l_linestatus,
         |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'grand_total'
