@@ -428,18 +428,19 @@ object Dedup {
         .join(labels, edges("id_b") === labels("id"))
         .groupBy(edges("id_a").as("nid"))
         .agg(min(col("label")).as("nlabel"))
+      // the `moved` flag rides the propagation row, so convergence
+      // detection is a scan of the checkpoint instead of a second
+      // next-vs-old join job per round
       val next = labels
         .join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(
           col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("nl"),
+          col("label").as("old"))
+        .select(col("id"), col("nl").as("label"), (col("nl") =!= col("old")).as("moved"))
         .localCheckpoint()
-      changed = next
-        .alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .count()
-      labels = next
+      changed = next.filter(col("moved")).count()
+      labels = next.select(col("id"), col("label"))
     }
 
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
