@@ -1733,7 +1733,15 @@ object Relational {
     hist
       .crossJoin(broadcast(bounds))
       .select(
-        size(filter(col("b10"), b => col("xc") * 10 > b)).as("bin"),
+        // 9 unrolled codegen'd comparisons: the higher-order
+        // filter-lambda form ran interpreted per histogram row
+        // (`get` is 0-based and null-safe — no ANSI index error even
+        // if a boundary row ever went missing; null compares false)
+        (0 until 9)
+          .map(i =>
+            when(col("xc") * 10 > get(col("b10"), lit(i)), 1).otherwise(0))
+          .reduce(_ + _)
+          .as("bin"),
         col("xc"),
         col("freq"))
       .groupBy(col("bin"))
