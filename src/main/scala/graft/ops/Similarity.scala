@@ -407,13 +407,12 @@ object Similarity {
             transform(
               col("cents"),
               cv =>
-                aggregate(
-                  zip_with(
-                    slice(col("v"), m * PqD + 1, lit(PqD)),
-                    slice(cv, m * PqD + 1, lit(PqD)),
-                    (x, y) => (x - y) * (x - y)),
-                  lit(0.0),
-                  (a, b) => a + b))).as("dd"))
+                // fused native kernel — bit-identical to the
+                // aggregate(zip_with((x−y)²)) composition it replaced,
+                // which dispatched an interpreted lambda per element
+                graft.functions.VectorOps.squaredDistance(
+                  slice(col("v"), m * PqD + 1, lit(PqD)),
+                  slice(cv, m * PqD + 1, lit(PqD))))).as("dd"))
       // Generate barrier (t7's lesson): the distance table is read
       // several times downstream (code word + error sum / codes + rec)
       .select(
@@ -491,12 +490,12 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("vec_id").asc)
     base
       .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      // fused native squared distance (same fold order as the
+      // zip_with composition — bit-identical, but one tight loop per
+      // pair instead of 64 interpreted lambda dispatches)
       .withColumn(
         "adc",
-        aggregate(
-          zip_with(col("qv"), col("rec"), (x, y) => (x - y) * (x - y)),
-          lit(0.0),
-          (a, b) => a + b))
+        graft.functions.VectorOps.squaredDistance(col("qv"), col("rec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(

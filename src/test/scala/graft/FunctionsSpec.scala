@@ -299,6 +299,26 @@ class WordNgramHashesSpec extends SparkSpec {
     assert(out(1L).nonEmpty && out(2L).isEmpty && out(3L).isEmpty)
   }
 
+  test("squared_distance equals the aggregate(zip_with) composition bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val rows = (0 until 50).map { k =>
+      (k.toLong,
+        (0 until 32).map(i => math.sin(k * 32 + i + 1.0)),
+        (0 until 32).map(i => math.cos(k * 32 + i + 1.0)))
+    }
+    val df = rows.toDF("id", "a", "b")
+      .select(col("id"), col("a").cast("array<double>").as("a"), col("b").cast("array<double>").as("b"))
+    val out = df.select(
+      col("id"),
+      graft.functions.VectorOps.squaredDistance(col("a"), col("b")).as("fused"),
+      aggregate(
+        zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0.0),
+        (acc, d) => acc + d).as("composed"))
+      .collect()
+    out.foreach(r => assert(r.getDouble(1) == r.getDouble(2), s"id ${r.getLong(0)}"))
+  }
+
   test("mean_threshold_bits matches a plain-Scala reference on random arrays (property)") {
     def reference(a: Seq[Long], bits: Int): Long = {
       val n = a.length
