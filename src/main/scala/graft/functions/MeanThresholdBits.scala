@@ -69,7 +69,79 @@ case class MeanThresholdBits(child: Expression, bits: Int)
   override def prettyName: String = "mean_threshold_bits"
 }
 
+/** [[MeanThresholdBits]] evaluated directly over a string's UTF-8
+  * bytes (+ a constant per-byte `shift`) — identical to building the
+  * code-point array first for ASCII text (the fixture corpus; m3's
+  * oracle already rests on that equivalence) while skipping the
+  * split + per-char lambda transforms entirely: m6 spent more time
+  * materializing its code-point arrays than hashing them. The shift
+  * reproduces the planted "+1 brightness re-encode" without a second
+  * interpreted array pass.
+  */
+case class StringMeanThresholdBits(child: Expression, bits: Int, shift: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"mean_threshold_bits_str expects string, got ${other.catalogString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else
+      MeanThresholdBits.computeBytes(
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes,
+        bits,
+        shift)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = ${childGen.isNull};
+        long ${ev.value} = 0L;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.MeanThresholdBits.computeBytes(
+            ${childGen.value}.getBytes(), $bits, $shift);
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "mean_threshold_bits_str"
+}
+
 object MeanThresholdBits {
+
+  def computeBytes(bytes: Array[Byte], bits: Int, shift: Int): Long = {
+    val n = bytes.length
+    var total = 0L
+    var i = 0
+    while (i < n) { total += (bytes(i) & 0xFF) + shift; i += 1 }
+    var code = 0L
+    var k = 0
+    while (k < bits) {
+      val lo = (k.toLong * n / bits).toInt
+      val hi = ((k + 1).toLong * n / bits).toInt
+      var ssum = 0L
+      var j = lo
+      while (j < hi) { ssum += (bytes(j) & 0xFF) + shift; j += 1 }
+      if (ssum * n > total * (hi - lo)) code |= 1L << k
+      k += 1
+    }
+    code
+  }
 
   def compute(cs: ArrayData, bits: Int): Long = {
     val n = cs.numElements()
@@ -93,4 +165,8 @@ object MeanThresholdBits {
 
   def meanThresholdBits(cs: Column, bits: Int): Column =
     GraftShim.column(MeanThresholdBits(GraftShim.expression(cs), bits))
+
+  /** Sketch of a string's UTF-8 bytes (+ constant per-byte shift). */
+  def meanThresholdBitsOfString(text: Column, bits: Int, shift: Int): Column =
+    GraftShim.column(StringMeanThresholdBits(GraftShim.expression(text), bits, shift))
 }

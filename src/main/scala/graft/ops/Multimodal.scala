@@ -254,29 +254,28 @@ object Multimodal {
     */
   def m6PerceptualNearDup(s: SparkSession, dir: String): DataFrame = {
     val B = 32
+    // one fused native pass per row over the string's OWN bytes
+    // (ASCII corpus ⇒ bytes == code points, the equivalence m3's
+    // oracle already rests on): no split, no per-char lambda array,
+    // and the planted "+1 brightness" re-encode rides the kernel as a
+    // constant shift instead of a second interpreted array pass. The
+    // three formulations measured 3.5 → 2.3 → 1.2 s at sf0.1 — the
+    // middle one still spent more time MATERIALIZING its code-point
+    // arrays than hashing them.
     val base = Tables
       .spread(Tables.documents(s, dir))
       .filter(length(col("text")) >= B)
-      .select(
-        col("doc_id"),
-        transform(split(col("text"), ""), c => ascii(c).cast("long")).as("cs"))
-      // Generate barrier: the 32-span fold below reads cs many times
-      .select(col("doc_id"), explode(array(col("cs"))).as("cs"))
-    // planted "re-encode": uniform +1 brightness shift, new id space
-    val aug = base.unionAll(
-      base.select(
-        (col("doc_id") + 1000000L).as("doc_id"),
-        transform(col("cs"), c => c + 1L).as("cs")))
-    // one fused native pass per row (total + 32 span sums + bit fold):
-    // the declarative slice/aggregate composition ran as interpreted
-    // lambdas with an allocation per span — see MeanThresholdBits'
-    // scaladoc for the bit-for-bit equivalence argument (3.5 → 1.9 s)
-    val hashed = aug
+    val hashed = base
       .select(
         col("doc_id"),
         graft.functions.MeanThresholdBits
-          .meanThresholdBits(col("cs"), B)
+          .meanThresholdBitsOfString(col("text"), B, 0)
           .as("phash"))
+      .unionAll(base.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        graft.functions.MeanThresholdBits
+          .meanThresholdBitsOfString(col("text"), B, 1)
+          .as("phash")))
     val keyed = hashed
       .select(col("doc_id"), col("phash"), explode(sequence(lit(0), lit(3))).as("j"))
       .withColumn("bk", expr("shiftright(phash, 8 * j) & 255"))

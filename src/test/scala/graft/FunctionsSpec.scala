@@ -339,6 +339,26 @@ class WordNgramHashesSpec extends SparkSpec {
     })
   }
 
+  test("string mean_threshold_bits equals the array kernel over ascii code points") {
+    import org.apache.spark.sql.functions._
+    val texts = (0 until 40).map { k =>
+      (k.toLong, (0 until (35 + k * 3)).map(i => ('a' + (i * 7 + k) % 26).toChar).mkString)
+    }
+    val df = texts.toDF("id", "text")
+    for (shift <- Seq(0, 1)) {
+      val viaString = df
+        .select(col("id"),
+          graft.functions.MeanThresholdBits.meanThresholdBitsOfString(col("text"), 32, shift).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaArray = df
+        .select(col("id"),
+          graft.functions.MeanThresholdBits.meanThresholdBits(
+            transform(split(col("text"), ""), c => ascii(c).cast("long") + shift), 32).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaString == viaArray, s"shift=$shift")
+    }
+  }
+
   test("mean_threshold_bits equals the declarative slice/aggregate composition") {
     import org.apache.spark.sql.functions._
     val B = 32
