@@ -32,15 +32,30 @@ import org.apache.spark.sql.types._
   * all-zero buckets for those — no such rows exist on the embedding
   * paths, where every vector is dim-64 by construction). Null
   * elements are not expected and read as 0.0 contributions.
+  *
+  * `planes` is a Seq-of-Seq rather than an array-of-arrays so the
+  * case-class equals/hashCode are STRUCTURAL: two instances built
+  * from separate plane matrices with equal values compare equal,
+  * which is what Catalyst canonicalization / common-subexpression
+  * elimination / exchange reuse key on (Array fields compare by
+  * reference and silently defeat all three). The hot loop still runs
+  * over a flattened primitive array, materialized once per instance.
   */
 case class HyperplaneBuckets(
     child: Expression,
-    planes: Array[Array[Double]],
+    planes: Seq[Seq[Double]],
     tables: Int)
     extends UnaryExpression {
 
+  require(tables > 0, s"hyperplane_buckets requires tables > 0, got $tables")
+  require(
+    planes.nonEmpty && planes.length % tables == 0,
+    s"hyperplane_buckets: ${planes.length} planes not divisible into $tables tables")
+
+  @transient private lazy val planesArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
   private val perTable: Int = planes.length / tables
-  private val dim: Int = if (planes.isEmpty) 0 else planes(0).length
+  private val dim: Int = planes.head.length
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
@@ -55,11 +70,11 @@ case class HyperplaneBuckets(
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) null
-    else HyperplaneBuckets.compute(v.asInstanceOf[ArrayData], planes, tables, perTable, dim)
+    else HyperplaneBuckets.compute(v.asInstanceOf[ArrayData], planesArr, tables, perTable, dim)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    val planesRef = ctx.addReferenceObj("planes", planesArr, "double[][]")
     val childGen = child.genCode(ctx)
     val code =
       code"""
@@ -115,7 +130,7 @@ object HyperplaneBuckets {
 
   /** Bucket codes per table as `array<int>` (index = table id). */
   def buckets(v: Column, tables: Array[Array[Array[Double]]]): Column = {
-    val flat = tables.flatten
+    val flat: Seq[Seq[Double]] = tables.flatten.map(_.toSeq).toSeq
     GraftShim.column(HyperplaneBuckets(GraftShim.expression(v), flat, tables.length))
   }
 }

@@ -366,8 +366,8 @@ object Multimodal {
         |  CAST(len(energies) AS INTEGER) AS n_frames,
         |  CAST(len(list_filter(range(1, len(energies) + 1),
         |    i -> energies[i] < 92 * sizes[i])) AS INTEGER) AS n_silent,
-        |  CAST(list_sum(energies) AS BIGINT) AS total_energy,
-        |  CAST(list_max(energies) AS BIGINT) AS peak_energy
+        |  CAST(coalesce(list_sum(energies), 0) AS BIGINT) AS total_energy,
+        |  CAST(coalesce(list_max(energies), 0) AS BIGINT) AS peak_energy
         |FROM f
         |ORDER BY doc_id""".stripMargin,
     // Same 32-span mean-threshold bits (MSB-first a*2+b fold), same

@@ -2191,8 +2191,14 @@ object Relational {
     * hatch, exercised for real). Values enter as exact integer cents
     * (so no double→decimal rounding-mode boundary exists between
     * engines), multiply and sum as decimals, and both engines cast
-    * the final sums to DECIMAL(38,0) so the gate compares identical
-    * scale-0 renderings.
+    * the final sums to DECIMAL(38,0) and then to STRING. The final
+    * string cast exists because the gate hashes the *rendering*:
+    * DuckDB's pandas conversion renders DECIMAL(38,0) as float64
+    * (`1.0614e11`-style) while parquet decimal128 read back renders
+    * as `Decimal('…')` — same number, different strings (the round-4
+    * red row). Casting to scale-0 decimal first and then string
+    * makes the boundary representation-proof in both engines while
+    * the decimal aggregation path itself stays demonstrated.
     */
   def q83DecimalAgg(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -2209,8 +2215,8 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n_items"),
-        sum(col("price_c")).cast("decimal(38,0)").as("sum_price_c"),
-        sum(col("price_c") * col("disc_f")).cast("decimal(38,0)").as("sum_rev_bp"))
+        sum(col("price_c")).cast("decimal(38,0)").cast("string").as("sum_price_c"),
+        sum(col("price_c") * col("disc_f")).cast("decimal(38,0)").cast("string").as("sum_rev_bp"))
       .orderBy("l_returnflag")
 
   /** TPC-H Q10-shaped returned-item ranking: revenue lost to returns
@@ -2519,12 +2525,12 @@ object Relational {
     "q83_decimal_agg" ->
       """SELECT l_returnflag,
         |  count(*) AS n_items,
-        |  CAST(sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-        |    AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sum_price_c,
-        |  CAST(sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |  CAST(CAST(sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS VARCHAR) AS sum_price_c,
+        |  CAST(CAST(sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
         |      AS DECIMAL(18,0)) *
         |    CAST(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
-        |      AS DECIMAL(3,0))) AS DECIMAL(38,0)) AS sum_rev_bp
+        |      AS DECIMAL(3,0))) AS DECIMAL(38,0)) AS VARCHAR) AS sum_rev_bp
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,

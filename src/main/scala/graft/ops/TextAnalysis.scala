@@ -383,26 +383,44 @@ object TextAnalysis {
       .groupBy(col("source"), col("g"))
       .agg(count(lit(1)).as("df"))
     val nd = aug.groupBy("source").agg(count(lit(1)).as("nd"))
+    // qualifying (source, gram) table — boilerplate-sized, a few rows
+    // per source; stays RELATIONAL (no collect_list array), so the
+    // cover test below is a hash join, not a per-token array probe
     val boiler = dfreq
       .join(nd, "source")
       .filter(col("df") >= col("nd") * 0.5)
-      .groupBy("source")
-      .agg(sort_array(collect_list(col("g"))).as("grams"))
-    val n = size(col("g3")) + 2
+      .select(col("source"), col("g"))
+    // Cover pass, relationally: window j (1-based) covers tokens
+    // j..j+2 exactly (|g3| = n_tokens − 2, so no end clipping).
+    // Explode windows with ordinals, LEFT-SEMI join the boilerplate
+    // table (codegen'd hash join — the round-4 version probed the
+    // whole per-source gram array per token window, interpreted,
+    // O(tokens × 3 × |grams|) and 3.9 s at per-pass min), then union
+    // the matched [j, j+2] intervals per doc with one fold over the
+    // sorted matched-window list: ascending j with end monotone means
+    // each window adds min(3, j+2−end) newly covered tokens.
+    val matched = tok
+      .select(col("doc_id"), col("source"), posexplode(col("g3")).as(Seq("j0", "g")))
+      .join(boiler, Seq("source", "g"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("j0") + 1)).as("js"))
+    val covered = aggregate(
+      col("js"),
+      struct(lit(0).as("cov"), lit(0).as("end")),
+      (acc, j) =>
+        struct(
+          (acc.getField("cov") + least(lit(3), j + 2 - acc.getField("end"))).as("cov"),
+          (j + 2).as("end")),
+      acc => acc.getField("cov"))
     tok
-      // per-source boilerplate scales with the number of sources —
-      // unhinted; AQE broadcasts at fixture scale
-      .join(boiler, Seq("source"), "left")
+      .select(col("doc_id"), (size(col("g3")) + 2).as("n_tokens"))
+      // matched is one row per doc with ≥1 boilerplate window — doc-
+      // keyed like tok itself; AQE picks the join at fixture scale
+      .join(matched, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
-        n.as("n_tokens"),
-        size(
-          filter(
-            sequence(lit(1), n),
-            i =>
-              exists(
-                sequence(greatest(i - 2, lit(1)), least(i, size(col("g3")))),
-                j => array_contains(col("grams"), element_at(col("g3"), j))))).as("n_boiler"))
+        col("n_tokens"),
+        coalesce(covered, lit(0)).as("n_boiler"))
       .select(
         col("doc_id"),
         col("n_tokens"),

@@ -213,9 +213,17 @@ object Streams {
   private final case class BandRow(band: Int, h1: Long, h2: Long, doc_id: Long)
 
   /** Keyed by (band, h1, h2); state = the bucket's representative
-    * doc_id. Deterministic under replay: the representative is the
-    * minimum doc_id ever seen in the bucket, so batch boundaries and
-    * arrival order can't change emissions.
+    * doc_id (the minimum doc_id ever seen there). Collision guarantee:
+    * every document that shares a bucket with another document is
+    * emitted in at least one [[BandHit]], REGARDLESS of arrival order
+    * or batch boundaries — in particular, when a smaller doc_id
+    * arrives at an occupied bucket and displaces the representative,
+    * the displaced representative is itself emitted against the new
+    * one (the round-4 version dropped that case: 5-then-3 emitted
+    * nothing while 3-then-5 emitted one hit). The *orientation* of a
+    * hit (which side is rep_doc_id) can depend on arrival order; the
+    * covered pair set cannot. Downstream exact verification treats
+    * hits as unordered candidate pairs, as in batch d2.
     */
   class BandBucketProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -235,10 +243,24 @@ object Streams {
         rows: Iterator[(Int, Long, Long, Long)],
         timerValues: TimerValues): Iterator[BandHit] = {
       val ids = rows.map(_._4).toArray.distinct.sorted
-      val newRep =
-        if (rep.exists()) math.min(rep.get(), ids.head) else ids.head
+      val oldRep = if (rep.exists()) Some(rep.get()) else None
+      val newRep = oldRep.fold(ids.head)(math.min(_, ids.head))
       rep.update(newRep)
-      ids.iterator.filter(_ != newRep).map(BandHit(_, key._1, newRep))
+      oldRep match {
+        case None =>
+          // fresh bucket: minimum incoming id becomes representative;
+          // every other incoming id collides with it
+          ids.iterator.filter(_ != newRep).map(BandHit(_, key._1, newRep))
+        case Some(old) =>
+          // occupied bucket: every incoming id != old collides with the
+          // existing occupant; a smaller incoming id that displaces the
+          // representative makes the displaced occupant itself a hit
+          val incoming = ids.iterator.filter(_ != old).map(BandHit(_, key._1, old))
+          val displaced =
+            if (newRep < old) Iterator.single(BandHit(old, key._1, newRep))
+            else Iterator.empty
+          incoming ++ displaced
+      }
     }
   }
 

@@ -270,6 +270,48 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("near-dup gate: a LOWER doc_id arriving at an occupied bucket still emits the collision") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val in = MemoryStream[(Long, String)]
+    val q = Streams
+      .streamingNearDupGate(in.toDF().toDF("doc_id", "text"))
+      .writeStream
+      .format("memory")
+      .queryName("neardup_gate_ooo")
+      .outputMode("update")
+      .start()
+    try {
+      // doc 5 registers the buckets first; its exact copy doc 0 arrives
+      // LATER with a smaller id, displacing the representative. Round 4
+      // dropped this collision entirely (emissions depended on arrival
+      // order); now the displaced occupant must be emitted against the
+      // new representative in every band.
+      in.addData((5L, base))
+      q.processAllAvailable()
+      in.addData((0L, base))
+      q.processAllAvailable()
+      val hits = spark.table("neardup_gate_ooo").as[(Long, Int, Long)].collect()
+      assert(hits.nonEmpty, "out-of-order copy must still produce collisions")
+      // displaced representative 5 emitted against new representative 0
+      assert(hits.count(h => h._1 == 5L && h._3 == 0L) == 32,
+        s"displaced occupant must collide in every band: ${hits.toSeq}")
+      // the covered pair set is exactly {0,5} in some orientation
+      assert(hits.forall(h => Set(h._1, h._3) == Set(0L, 5L)), s"got ${hits.toSeq}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("near-dup gate state survives a query restart from the checkpoint") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -6,15 +6,36 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [name,name,...]
 The optional third arg restricts checking to the named queries (matches
 Verify's SPARK_GRAFT_ONLY filter for single-query iteration).
 
-Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the
-matching SQL from oracle_sql.json in DuckDB with views over the sfDir
-tables, sorts columns by name, and compares row-by-row with small float
-tolerance reporting plus an exact-hash verdict like the driver.
+Reads each <verifyOutDir>/<name>/ parquet (Spark result) VIA PYARROW —
+the same reader the driver uses — runs the matching SQL from
+oracle_sql.json in DuckDB with views over the sfDir tables, sorts
+columns by name, and compares row-by-row with small float tolerance
+reporting plus an exact-hash verdict like the driver.
+
+Why pyarrow and not DuckDB for the Spark side: the driver reads the
+Spark parquet with pyarrow (decimal128 -> Python Decimal objects,
+rendering 'Decimal(...)' -> '106140089767') while DuckDB's .df()
+converts DECIMAL to float64 ('106140089767.0'). Pushing BOTH sides
+through DuckDB masked exactly that rendering class and let round 4's
+q83 red row ship while this replica said PASS.
 """
+import glob
 import json
 import sys
 
 import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
+
+
+def read_spark_result(path):
+    """Read a Spark parquet output dir the way the driver does: pyarrow."""
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    tables = [pq.read_table(f) for f in files]
+    import pyarrow as pa
+    return pa.concat_tables(tables).to_pandas()
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -40,8 +61,7 @@ def main(sf_dir, out_dir, only=None):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            spark_df = con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            spark_df = read_spark_result(f"{out_dir}/{name}")
             ora_df = con.sql(sql).df()
             s, o = canon(spark_df), canon(ora_df)
             status = []
