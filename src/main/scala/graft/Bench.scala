@@ -49,11 +49,25 @@ object Bench {
     // Non-numeric/absurd values fall back to the default instead of
     // aborting the whole bench with a NumberFormatException (the same
     // hardening the SPARK_GRAFT_CONF parser above has).
+    // Default 5 passes since round 5: the round-4 record showed a broad
+    // ~30% median inflation on queries no commit touched (m4_resize
+    // 0.53→0.97 s) that a same-code re-run could not reproduce (1.02×
+    // round-3 on the 46 recoverable shared queries) — ambient load
+    // during the driver session, not plan regressions. More passes +
+    // the recorded load average below make that attribution readable
+    // straight from the bench artifact next time.
     val passes = sys.env
       .get("SPARK_GRAFT_PASSES")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
-      .getOrElse(3)
+      .getOrElse(5)
       .max(1)
+    // 1-minute system load average, sampled before and after the run:
+    // distinguishes "the plans regressed" from "the box was busy" when
+    // comparing rounds (load ≈ cpus when this bench is the only tenant).
+    def loadAvg(): Double =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+      catch { case _: Exception => -1.0 }
+    val loadStart = loadAvg()
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val cold = selected.map { case (n, f) => n -> run(n, f) }
     val warm: Seq[Map[String, Double]] =
@@ -81,10 +95,12 @@ object Bench {
     // the build for offline analysis — round 3's emitted line carried
     // both maps and was long enough that its head got truncated out of
     // the driver's capture window.
+    val loadEnd = loadAvg()
+    val loadJson = s""""load_1m_start":$loadStart,"load_1m_end":$loadEnd"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"passes":$passes,"failed":$failedJson,"queries":${jmap(med)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"passes":$passes,$loadJson,"failed":$failedJson,"queries":${jmap(med)},"sf":"$sfDir"}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"passes":$passes,"failed":$failedJson,"queries":${jmap(med)},"queries_min":${jmap(mn)},"queries_cold":${jmap(cold.toMap)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"passes":$passes,$loadJson,"failed":$failedJson,"queries":${jmap(med)},"queries_min":${jmap(mn)},"queries_cold":${jmap(cold.toMap)},"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -1672,10 +1672,16 @@ object Relational {
     * (map-side combined) shrinks the data to one row per distinct cent,
     * and the decile boundaries come from RANK lookups over its
     * cumulative counts rather than any percentile aggregate: the
-    * single-partition running-sum window sorts only the distinct-cents
-    * table (sort-based ⇒ disk-spillable, unlike `Percentile`'s
-    * in-memory value→count map, and measured 3× faster on 583k distinct
-    * cents), a broadcast 9-row decile spec probes the value covering
+    * cumulative counts are a TWO-PHASE distributed prefix sum — the
+    * cents domain blocks into fixed 2^17-cent value ranges, running
+    * sums compute per block in parallel (sort-based ⇒ disk-spillable,
+    * unlike `Percentile`'s in-memory value→count map, and measured 3×
+    * faster on 583k distinct cents), and only the per-block totals
+    * (rows ∝ price-domain / 2^17 ≈ dozens, NOT distinct cents) pass
+    * through an unpartitioned window before broadcasting back as
+    * block offsets — the classic partial+offsets prefix sum, with no
+    * single-task pass over the histogram itself. Then a broadcast
+    * 9-row decile spec probes the value covering
     * rank ⌊k(n−1)/10⌋ and its successor, and the boundary is the exact
     * integer TENTH-cents `10·lo + (k(n−1) mod 10)·(hi−lo)` — decile
     * rank fractions are multiples of 0.1, so no float ever appears.
@@ -1698,17 +1704,27 @@ object Relational {
     // ranks, final binning) read the same distinct-cents histogram
     // subtree, so ReuseExchange computes its shuffle once
     val hist = li.groupBy(col("xc")).agg(count(lit(1)).as("freq"))
-    val cum = hist
+    // two-phase prefix sum: fixed VALUE-range blocks (no sampling, no
+    // spark_partition_id — fully deterministic), within-block running
+    // sums in parallel, block offsets via a window over the tiny
+    // per-block totals table, broadcast back
+    val W = org.apache.spark.sql.expressions.Window
+    val histB = hist.withColumn("blk", expr("xc div 131072"))
+    val blkOff = histB
+      .groupBy(col("blk"))
+      .agg(sum(col("freq")).as("btot"))
+      .select(
+        col("blk"),
+        (sum(col("btot")).over(W.orderBy("blk")) - col("btot")).as("boff"))
+    val cum = histB
+      .withColumn(
+        "within",
+        sum(col("freq")).over(W.partitionBy("blk").orderBy("xc")))
+      .join(broadcast(blkOff), "blk")
       .select(
         col("xc"),
-        col("freq"),
-        sum(col("freq"))
-          .over(org.apache.spark.sql.expressions.Window.orderBy("xc"))
-          .as("hi_rank"))
-      .select(
-        col("xc"),
-        (col("hi_rank") - col("freq")).as("lo_rank"),
-        col("hi_rank"))
+        (col("boff") + col("within") - col("freq")).as("lo_rank"),
+        (col("boff") + col("within")).as("hi_rank"))
     val spec = hist
       .agg(sum(col("freq")).as("n"))
       .select(explode(sequence(lit(1), lit(9))).as("k"), col("n"))
