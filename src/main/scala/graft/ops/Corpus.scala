@@ -175,12 +175,17 @@ object Corpus {
       .spread(Tables.documents(s, dir))
       .withColumn("nt", size(split(col("text"), " ")))
       .filter(col("nt") >= 25)
+    // survivors feed BOTH the passage audit and the final accounting
+    // join — localCheckpoint materializes the quality gate + exact
+    // dedup once instead of per consumer (same pattern as
+    // nearDupPairs / d6)
     val survivors = quality
       .groupBy(col("lang"), md5(col("text")).as("fp"))
       .agg(
         min(col("doc_id")).as("doc_id"),
         first(col("text")).as("text"),
         first(col("nt")).as("nt"))
+      .localCheckpoint()
     val stats = Dedup.passageWindowStats(survivors.select(col("doc_id"), col("text")), 8)
     survivors
       .join(stats, Seq("doc_id"), "left")

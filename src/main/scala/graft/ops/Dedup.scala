@@ -99,9 +99,20 @@ object Dedup {
     val rowsPerBand = 2
     val numBands = numHashes / rowsPerBand
 
+    // The shingled relation is consumed THREE times below (signature
+    // + both exact-verify sides), and callers hand in arbitrarily
+    // expensive upstreams (p2: quality gate → exact dedup → shingle
+    // kernel). localCheckpoint materializes it once — compact
+    // (doc_id, lang, hs) rows, no text — instead of recomputing the
+    // upstream per consumer (d6's proven lineage-truncation pattern).
+    // Measured at sf0.1 under matched load: p2 2.49→2.22 s and (with
+    // p5's survivor checkpoint) p5 2.48→2.18 s; d2, whose upstream is
+    // just the scan+kernel, is unchanged within noise (1.52→1.58 s).
+    val shCk = sh.localCheckpoint()
+
     // One-pass native signature (array<long>, length 32) derived from
     // the pre-hashed shingles — no string re-reads.
-    val sig = sh.select(
+    val sig = shCk.select(
       col("doc_id"),
       graft.functions.MinHashFromHashes
         .minhashFromHashes(col("hs"), numHashes)
@@ -117,7 +128,7 @@ object Dedup {
       .distinct()
 
     // exact-verify on the sorted hash sets with the native merge count
-    val sets = sh.select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
+    val sets = shCk.select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
     candidates
       .join(
         sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("hs", "sa")
