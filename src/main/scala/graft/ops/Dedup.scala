@@ -213,7 +213,9 @@ object Dedup {
     * At 100 TB the block key is whatever bounds the comparison set
     * (lang here; lang × shard for web corpora, with LSH (d2) as the
     * candidate generator when blocks grow); for sparse vocabularies
-    * flip back to the co-occurrence join. A 64-bit hash collision
+    * flip back to the co-occurrence join — implemented as
+    * [[d13InvertedJaccard]], which demonstrates exactly that regime
+    * at n=5. A 64-bit hash collision
     * perturbing a count needs two of the distinct shingles to collide
     * (p ≈ V²/2⁶⁵ ≈ 1e-13 here).
     */
@@ -296,6 +298,60 @@ object Dedup {
         col("id_b"),
         col("lang"),
         round(col("containment"), 4).as("containment"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** d13 — exact n-gram Jaccard via the INVERTED-INDEX co-occurrence
+    * join: the postings form whose flip condition d4's scaladoc names
+    * but does not implement. Same pair semantics as d4 (lang-blocked
+    * pairs with exact shingle-Jaccard ≥ 0.5), different physical plan
+    * for the opposite vocabulary regime.
+    *
+    * d4's 2-gram domain is DENSE (~931 distinct shingles over 5000
+    * docs, avg df ~275): every pair shares shingles, so postings
+    * co-occurrence materializes ~36M pair rows and blocked-pairwise
+    * merge counting wins. This query shingles at n=5, where random
+    * text makes the vocabulary SPARSE (df ≈ 1 for natural windows;
+    * only planted near-dup spans repeat): Σ df(s)² collapses to about
+    * the number of genuinely shared windows, so the co-occurrence
+    * join touches ~only true-positive pairs while a pairwise scan
+    * would still compare every within-block pair. THE REGIME RULE:
+    * pairwise when avg df ≳ docs-per-block (dense), postings when
+    * df ≈ 1 (sparse); both ends now sit in this suite, each
+    * oracle-checked against the same ground-truth SQL shape.
+    *
+    * At 100 TB: the postings self-join shuffles on the shingle hash —
+    * work ∝ Σ df², so a skewed stop-shingle (df in the millions) is
+    * the failure mode; production drops shingles with df above a cap
+    * first (they carry no dedup signal — a shingle shared by a
+    * million docs identifies nothing), which bounds every bucket and
+    * is the standard AllPairs/prefix-filter companion. The fixture's
+    * 5-gram df is naturally ≤ a few, so no cap is needed here.
+    */
+  def d13InvertedJaccard(s: SparkSession, dir: String): DataFrame = {
+    val theta = 0.5
+    val sh = docsWithShingles(s, dir, 5)
+    val sizes = sh.select(col("doc_id"), size(col("hs")).as("n"))
+    val postings = sh.select(col("doc_id"), col("lang"), explode(col("hs")).as("h"))
+    val pairs = postings
+      .as("a")
+      .join(
+        postings.as("b"),
+        col("a.h") === col("b.h") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("id_a"),
+        col("b.doc_id").as("id_b"),
+        col("a.lang").as("lang"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .withColumn(
+        "jac",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jac") >= theta)
+      .select(col("id_a"), col("id_b"), col("lang"), round(col("jac"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
   }
 
@@ -640,6 +696,7 @@ object Dedup {
     "d2_dedup_minhash" -> d2MinHashLsh,
     "d3_dedup_simhash" -> d3SimHash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
+    "d13_inverted_jaccard" -> d13InvertedJaccard,
     "d12_containment" -> d12Containment,
     "d5_embed_neardup" -> d5EmbedNearDup,
     "d10_embed_neardup_lsh" -> d10EmbedNearDupLsh,
@@ -839,6 +896,9 @@ object Dedup {
         |FROM pairs WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
     "d4_ngram_jaccard" -> jaccardOracle(2, langBlocked = true, extraCols = ", lang"),
+    // same ground-truth shape at n=5 — the sparse-vocabulary regime
+    // where the Spark side uses the postings co-occurrence join
+    "d13_inverted_jaccard" -> jaccardOracle(5, langBlocked = true, extraCols = ", lang"),
     // asymmetric min-denominator containment over the same 2-gram
     // string shingles d4 uses (hash↔string equality up to negligible
     // 64-bit collisions, same as d4)

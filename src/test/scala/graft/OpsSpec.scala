@@ -468,6 +468,38 @@ class OpsSpec extends SparkSpec {
     assert(c.count() >= j.count())
   }
 
+  test("d13 inverted-index jaccard equals an in-test brute-force pairwise reference") {
+    // independent reference: string 5-gram shingle sets + all-pairs
+    // Jaccard computed in plain Scala (mirrors the DuckDB oracle
+    // without sharing any Spark machinery with d13's postings plan)
+    val docs = Tables
+      .documents(spark, Sf)
+      .select("doc_id", "lang", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val sh = docs.flatMap { case (id, lang, text) =>
+      val t = text.split(" ")
+      if (t.length < 5) None
+      else Some((id, lang, t.sliding(5).map(_.mkString(" ")).toSet))
+    }
+    val expected = (for {
+      (ia, la, sa) <- sh
+      (ib, lb, sb) <- sh
+      if la == lb && ia < ib
+      shared = (sa & sb).size.toDouble
+      jac = shared / (sa.size + sb.size - shared)
+      if jac >= 0.5
+      // Spark round() is HALF_UP over BigDecimal — mirror it exactly
+    } yield (ia, ib, BigDecimal(jac).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    val got = Dedup
+      .d13InvertedJaccard(spark, Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .toSet
+    assert(got == expected, s"postings form diverges: got ${got.size}, expected ${expected.size}")
+    assert(got.nonEmpty, "fixture must contain at least one planted 5-gram near-dup pair")
+  }
+
   test("s9 radius search agrees with brute-force cosine at the same threshold") {
     import org.apache.spark.sql.functions._
     val r = Similarity.s9RadiusSearch(spark, Sf)
