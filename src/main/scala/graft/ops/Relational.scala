@@ -2383,7 +2383,127 @@ object Relational {
       .select(col("doc_id"), col("n_rows"))
       .orderBy("doc_id")
 
+  /** Count-min-sketch heavy hitters — the sublinear-state frequency
+    * primitive for key domains too large to count exactly (the
+    * streaming/telemetry complement of q79's KMV distinct sketch). The
+    * sketch is the d×w bucket-count TABLE, built the way a cluster
+    * builds it: each event hashes into one bucket per hash row, the
+    * (d, bucket) counts aggregate partial+final, so the exchange
+    * carries at most d·w = 256 rows per partition REGARDLESS of key
+    * cardinality — that bound, not the fixture's small user domain, is
+    * the 100 TB story. Hashes are affine-mod-prime over the key in
+    * exact 64-bit integer arithmetic (Spark's own xxhash64 is not
+    * reproducible in a second engine; this algebra is), estimates are
+    * `min` over the d probed buckets, and the query reports estimate
+    * vs exact side by side with the CMS overcount guarantee
+    * (n_est >= n_exact always; equality when no bucket collision).
+    * Heavy-hitter gate: estimated share > 2% of the stream, in exact
+    * integer cross-multiplication against a 1-row broadcast total.
+    * The fixture's user domain is uniform (no true heavy hitters) and
+    * wider than w=64, so the surviving rows are precisely the sketch's
+    * DOCUMENTED false-positive class — overcount quantifies the
+    * collision inflation row by row, which is the property worth
+    * pinning (CMS admits false positives, never false negatives).
+    */
+  def q89CmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val rows = Seq( // (d, a, b): classic LCG multipliers as affine coefficients
+      (0, 1103515245L, 12345L),
+      (1, 214013L, 2531011L),
+      (2, 69069L, 362437L),
+      (3, 1664525L, 1013904223L))
+    def buckets(key: org.apache.spark.sql.Column) =
+      array(rows.map { case (d, a, b) =>
+        struct(
+          lit(d).as("d"),
+          (((key * lit(a) + lit(b)) % lit(1000000007L)) % lit(64L))
+            .as("bucket"))
+      }: _*)
+    val ev = Tables.events(s, dir).select(col("user_id"))
+    val sketch = ev
+      .select(explode(buckets(col("user_id"))).as("h"))
+      .groupBy(col("h.d").as("d"), col("h.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+    val total = ev.agg(count(lit(1)).as("n_total"))
+    exact
+      .select(
+        col("user_id"),
+        col("n_exact"),
+        explode(buckets(col("user_id"))).as("h"))
+      .join(broadcast(sketch), col("h.d") === sketch("d") && col("h.bucket") === sketch("bucket"))
+      .groupBy(col("user_id"), col("n_exact"))
+      .agg(min(col("cnt")).as("n_est"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_est") * lit(50L) > col("n_total"))
+      .select(
+        col("user_id"),
+        col("n_est"),
+        col("n_exact"),
+        (col("n_est") - col("n_exact")).as("overcount"))
+      .orderBy("user_id")
+  }
+
+  /** Fixed-point PageRank over the customer↔supplier trade graph —
+    * the iterative graph-analytics shape (d6's connected components is
+    * the other member): rank flows along edges for a FIXED number of
+    * rounds, each round one shuffle of (dst, contribution) rows. All
+    * arithmetic is integer fixed-point at scale 10^12 with floor
+    * division — float PageRank sums contributions in partition order
+    * and no two engines (or two runs) agree bit-for-bit, while this
+    * algebra is exactly reproducible, so the oracle hash-checks three
+    * unrolled iterations. Edges are the DISTINCT customer→supplier
+    * pairs from orders⨝lineitem, mirrored to make the bipartite graph
+    * strongly connected (node id = key·2 (+1 for suppliers) keeps the
+    * two key spaces disjoint in one long column). Per iteration the
+    * only data-sized exchange carries one row per edge; the rank and
+    * degree tables carry one row per node. At 100 TB: edges
+    * pre-partition by dst and the per-round shuffle reuses that
+    * partitioning; iteration count is fixed, so lineage stays bounded
+    * without checkpointing (d6 checkpoints because ITS round count is
+    * data-dependent).
+    */
+  def q90PagerankTrade(s: SparkSession, dir: String): DataFrame = {
+    val scale = 1000000000000L // 10^12 fixed-point
+    val fwd = Tables
+      .orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(
+        (col("o_custkey") * 2L).as("src"),
+        (col("l_suppkey") * 2L + 1L).as("dst"))
+      .distinct()
+    val edges = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint() // reused every round: cut re-derivation, keep the small edge list hot
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(outdeg, "src").localCheckpoint()
+    val n = outdeg.count() // node count: every node has outgoing edges by construction
+    val base = scale * 15L / (100L * n) // (1-damping)/N teleport mass, floored once
+    var rank = outdeg.select(col("src").as("node"), lit(scale / n).as("rank"))
+    for (_ <- 1 to 3) {
+      rank = edgesDeg
+        .join(rank, edgesDeg("src") === rank("node"))
+        .select(col("dst"), expr("(rank * 85) div (100 * outdeg)").as("c"))
+        .groupBy(col("dst"))
+        .agg((lit(base) + sum(col("c"))).as("rank"))
+        .select(col("dst").as("node"), col("rank"))
+    }
+    rank
+      .select(
+        when(col("node") % 2L === 0L, lit("customer"))
+          .otherwise(lit("supplier"))
+          .as("kind"),
+        expr("node div 2").as("entity_key"),
+        col("rank").as("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("kind"), col("entity_key"))
+      .limit(25)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_pagerank_trade" -> q90PagerankTrade,
+    "q89_cms_heavy_hitters" -> q89CmsHeavyHitters,
     "q88_explode_outer" -> q88ExplodeOuter,
     "q87_grouping_labels" -> q87GroupingLabels,
     "q86_supplier_variety" -> q86SupplierVariety,
@@ -2475,6 +2595,86 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same affine-mod-prime bucket algebra as the Spark side — exact
+    // 64-bit integer arithmetic, so the sketch table is bit-identical.
+    "q89_cms_heavy_hitters" ->
+      """WITH ev AS (SELECT user_id FROM events),
+        |ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+        |h AS (
+        |  SELECT user_id, d,
+        |    (CASE d
+        |       WHEN 0 THEN (user_id * 1103515245 + 12345) % 1000000007
+        |       WHEN 1 THEN (user_id * 214013 + 2531011) % 1000000007
+        |       WHEN 2 THEN (user_id * 69069 + 362437) % 1000000007
+        |       ELSE (user_id * 1664525 + 1013904223) % 1000000007
+        |     END) % 64 AS bucket
+        |  FROM ev, ds),
+        |sketch AS (SELECT d, bucket, count(*) AS cnt FROM h GROUP BY 1, 2),
+        |exact AS (SELECT user_id, count(*) AS n_exact FROM ev GROUP BY 1),
+        |probe AS (
+        |  SELECT user_id, d,
+        |    (CASE d
+        |       WHEN 0 THEN (user_id * 1103515245 + 12345) % 1000000007
+        |       WHEN 1 THEN (user_id * 214013 + 2531011) % 1000000007
+        |       WHEN 2 THEN (user_id * 69069 + 362437) % 1000000007
+        |       ELSE (user_id * 1664525 + 1013904223) % 1000000007
+        |     END) % 64 AS bucket
+        |  FROM exact, ds),
+        |est AS (
+        |  SELECT p.user_id, min(s.cnt) AS n_est
+        |  FROM probe p JOIN sketch s USING (d, bucket) GROUP BY 1),
+        |total AS (SELECT count(*) AS n_total FROM ev)
+        |SELECT e.user_id,
+        |  CAST(est.n_est AS BIGINT) AS n_est,
+        |  CAST(e.n_exact AS BIGINT) AS n_exact,
+        |  CAST(est.n_est - e.n_exact AS BIGINT) AS overcount
+        |FROM exact e JOIN est USING (user_id), total t
+        |WHERE est.n_est * 50 > t.n_total
+        |ORDER BY user_id""".stripMargin,
+    // Three unrolled fixed-point iterations; `//` floors like Spark's
+    // `div` truncates (identical on the all-positive ranks here).
+    "q90_pagerank_trade" ->
+      """WITH fwd AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (
+        |  SELECT src, dst FROM fwd
+        |  UNION ALL SELECT dst AS src, src AS dst FROM fwd),
+        |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM outdeg),
+        |r0 AS (
+        |  SELECT src AS node, 1000000000000 // n.n AS rank FROM outdeg, n),
+        |r1 AS (
+        |  SELECT e.dst AS node,
+        |    (SELECT 1000000000000 * 15 // (100 * n) FROM n)
+        |      + sum((r.rank * 85) // (100 * o.outdeg)) AS rank
+        |  FROM edges e
+        |    JOIN r0 r ON e.src = r.node
+        |    JOIN outdeg o ON e.src = o.src
+        |  GROUP BY 1),
+        |r2 AS (
+        |  SELECT e.dst AS node,
+        |    (SELECT 1000000000000 * 15 // (100 * n) FROM n)
+        |      + sum((r.rank * 85) // (100 * o.outdeg)) AS rank
+        |  FROM edges e
+        |    JOIN r1 r ON e.src = r.node
+        |    JOIN outdeg o ON e.src = o.src
+        |  GROUP BY 1),
+        |r3 AS (
+        |  SELECT e.dst AS node,
+        |    (SELECT 1000000000000 * 15 // (100 * n) FROM n)
+        |      + sum((r.rank * 85) // (100 * o.outdeg)) AS rank
+        |  FROM edges e
+        |    JOIN r2 r ON e.src = r.node
+        |    JOIN outdeg o ON e.src = o.src
+        |  GROUP BY 1)
+        |SELECT
+        |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+        |  node // 2 AS entity_key,
+        |  CAST(rank AS BIGINT) AS rank_fp
+        |FROM r3
+        |ORDER BY rank_fp DESC, kind, entity_key
+        |LIMIT 25""".stripMargin,
     "q88_explode_outer" ->
       """WITH f AS (
         |  SELECT doc_id,

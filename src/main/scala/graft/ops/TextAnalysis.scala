@@ -504,7 +504,63 @@ object TextAnalysis {
       .orderBy("lang", "w")
   }
 
+  /** t14 — corpus-LM document scoring: each document's average bigram
+    * log-likelihood under the corpus's OWN bigram model — the
+    * model-based quality signal (low average log-prob = improbable
+    * word sequences = boilerplate/garbled/outlier text; perplexity is
+    * `exp(-avg_logp)`, monotone in this column). One generator pass
+    * tokenizes each doc into bigrams (t13's machinery); per-doc bigram
+    * multiplicities aggregate FIRST, so the LM tables (bigram counts,
+    * then context counts) are rollups of that same aggregate — the
+    * doc-sized shuffle happens once and Catalyst reuses its exchange
+    * for all three consumers. Scoring joins one row per DISTINCT
+    * (doc, bigram), never per token. The integer columns (bigram
+    * totals, distinct bigrams, mass unique to the doc) are exact; only
+    * the final averaged log is float, rounded well above the
+    * cross-engine libm ulp. At 100 TB the LM tables are
+    * vocabulary-sized (distinct bigrams), shuffle-joined on their
+    * natural keys — nothing driver-sized anywhere.
+    */
+  def t14LmScore(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables
+      .spread(Tables.documents(s, dir))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        graft.functions.WordNgrams
+          .wordNgrams(split(col("text"), " "), 2)
+          .as("bg"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        substring_index(col("bg"), " ", 1).as("w"),
+        substring_index(col("bg"), " ", -1).as("nxt"))
+      .groupBy(col("doc_id"), col("lang"), col("w"), col("nxt"))
+      .agg(count(lit(1)).as("m"))
+    val bg = perDoc
+      .groupBy(col("lang"), col("w"), col("nxt"))
+      .agg(sum(col("m")).as("n_wx"))
+    val ctx = bg
+      .groupBy(col("lang"), col("w"))
+      .agg(sum(col("n_wx")).as("n_w"))
+    perDoc
+      .join(bg, Seq("lang", "w", "nxt"))
+      .join(ctx, Seq("lang", "w"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("m")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        sum(when(col("n_wx") === col("m"), col("m")).otherwise(lit(0L)))
+          .as("n_unique_to_doc"),
+        round(
+          sum(col("m") * log(col("n_wx").cast("double") / col("n_w"))) /
+            sum(col("m")),
+          3).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_lm_score" -> t14LmScore,
     "t13_bigram_lm" -> t13BigramLm,
     "t12_source_stats" -> t12SourceStats,
     "t9_repetition_stats" -> t9RepetitionStats,
@@ -521,6 +577,36 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same bigram enumeration as t13's oracle; counts are exact
+    // integers, ln() is the one float and rounds at 1e-3 — far above
+    // the summed cross-engine libm ulp (~1e-14).
+    "t14_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |big AS (
+        |  SELECT doc_id, lang, t[i] AS w, t[i + 1] AS nxt
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+        |per_doc AS (
+        |  SELECT doc_id, lang, w, nxt, count(*) AS m
+        |  FROM big GROUP BY 1, 2, 3, 4),
+        |bg AS (
+        |  SELECT lang, w, nxt, CAST(sum(m) AS BIGINT) AS n_wx
+        |  FROM per_doc GROUP BY 1, 2, 3),
+        |ctx AS (
+        |  SELECT lang, w, CAST(sum(n_wx) AS BIGINT) AS n_w
+        |  FROM bg GROUP BY 1, 2)
+        |SELECT d.doc_id,
+        |  CAST(sum(d.m) AS BIGINT) AS n_bigrams,
+        |  count(*) AS n_distinct_bigrams,
+        |  CAST(sum(CASE WHEN b.n_wx = d.m THEN d.m ELSE 0 END) AS BIGINT)
+        |    AS n_unique_to_doc,
+        |  round(sum(d.m * ln(b.n_wx::DOUBLE / c.n_w)) / sum(d.m), 3)
+        |    AS avg_logp
+        |FROM per_doc d
+        |  JOIN bg b USING (lang, w, nxt)
+        |  JOIN ctx c USING (lang, w)
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // wordNgrams("a b c", 2) = ["a b","b c"] — the i/i+1 adjacency
     // below enumerates exactly those windows
     "t13_bigram_lm" ->

@@ -516,4 +516,36 @@ class OpsSpec extends SparkSpec {
       assert(ttr > 0 && ttr <= 1)
     }
   }
+
+  test("q89 CMS: estimates never undercount (the one-sided sketch guarantee)") {
+    val out = Relational.q89CmsHeavyHitters(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (est, exact, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= exact, s"CMS undercounted: est=$est exact=$exact")
+      assert(over == est - exact)
+    }
+  }
+
+  test("q90 pagerank: mass conserved up to floor loss, bipartite kinds well-formed") {
+    val out = Relational.q90PagerankTrade(spark, Sf).collect()
+    assert(out.length == 25)
+    val kinds = out.map(_.getString(0)).toSet
+    assert(kinds.subsetOf(Set("customer", "supplier")))
+    // every fixed-point rank is positive and below the total mass scale
+    out.foreach(r => assert(r.getLong(2) > 0L && r.getLong(2) < 1000000000000L))
+    // descending output order with the deterministic tie-break
+    val ranks = out.map(_.getLong(2)).toSeq
+    assert(ranks == ranks.sorted.reverse)
+  }
+
+  test("t14 LM score: log-probs nonpositive, exact counts consistent per doc") {
+    val out = TextAnalysis.t14LmScore(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, distinct, unique) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(distinct <= n && unique <= n)
+      assert(r.getDouble(4) <= 0.0, "a bigram can never beat probability 1")
+    }
+  }
 }
