@@ -2405,17 +2405,30 @@ object Relational {
     * collision inflation row by row, which is the property worth
     * pinning (CMS admits false positives, never false negatives).
     */
+  /** CMS hash spec shared by q89 (Column algebra) and
+    * [[graft.streaming.Streams.streamingHeavyHitterGate]] (scalar
+    * arithmetic): (d, a, b) affine coefficients — classic LCG
+    * multipliers — mod prime 1e9+7, bucket width 64. Both surfaces
+    * MUST hash identically so a batch-computed sketch and the
+    * streaming state agree cell for cell.
+    */
+  val CmsHashes: Seq[(Int, Long, Long)] = Seq(
+    (0, 1103515245L, 12345L),
+    (1, 214013L, 2531011L),
+    (2, 69069L, 362437L),
+    (3, 1664525L, 1013904223L))
+  val CmsWidth: Int = 64
+
+  /** Scalar twin of q89's Column-algebra bucket computation. */
+  def cmsBucket(a: Long, b: Long, key: Long): Int =
+    (((key * a + b) % 1000000007L) % CmsWidth).toInt
+
   def q89CmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    val rows = Seq( // (d, a, b): classic LCG multipliers as affine coefficients
-      (0, 1103515245L, 12345L),
-      (1, 214013L, 2531011L),
-      (2, 69069L, 362437L),
-      (3, 1664525L, 1013904223L))
     def buckets(key: org.apache.spark.sql.Column) =
-      array(rows.map { case (d, a, b) =>
+      array(CmsHashes.map { case (d, a, b) =>
         struct(
           lit(d).as("d"),
-          (((key * lit(a) + lit(b)) % lit(1000000007L)) % lit(64L))
+          (((key * lit(a) + lit(b)) % lit(1000000007L)) % lit(CmsWidth.toLong))
             .as("bucket"))
       }: _*)
     val ev = Tables.events(s, dir).select(col("user_id"))
@@ -2476,11 +2489,16 @@ object Relational {
       .distinct()
     val edges = fwd
       .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint() // reused every round: cut re-derivation, keep the small edge list hot
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = edges.join(outdeg, "src").localCheckpoint()
+      .localCheckpoint() // read every round: cut re-derivation, keep the edge list hot
+    // node-sized and read every round — checkpointing IT (1 row/node)
+    // beats materializing an edge×degree join (1 row/edge)
+    val outdeg = edges
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
     val n = outdeg.count() // node count: every node has outgoing edges by construction
     val base = scale * 15L / (100L * n) // (1-damping)/N teleport mass, floored once
+    val edgesDeg = edges.join(outdeg, "src") // lazy: outdeg broadcast-joins per round
     var rank = outdeg.select(col("src").as("node"), lit(scale / n).as("rank"))
     for (_ <- 1 to 3) {
       rank = edgesDeg

@@ -371,6 +371,10 @@ object TextAnalysis {
     // the cover scan compares longs — gram text exists nowhere in the
     // plan. Fingerprint collisions (~1e-9/pair) reproduce identically
     // in the oracle's matching fold. n_tokens = windows + 2.
+    // Three consumers read tok; a localCheckpoint here (the p2/p5
+    // pattern) was A/B-measured at 2.34 → 2.29 s solo — inside noise,
+    // because the three consumers already share the scan via exchange
+    // reuse — so tok stays lazy.
     val tok = aug.select(
       col("doc_id"),
       col("source"),

@@ -316,6 +316,123 @@ object Streams {
         OutputMode.Update())
   }
 
+  // ── streaming heavy-hitter gate ─────────────────────────────────────
+
+  /** Emitted once per key, the first time its CMS estimate reaches the
+    * threshold; `n_est` is the estimate at that batch boundary.
+    */
+  final case class HeavyHit(user_id: Long, n_est: Long)
+
+  /** ValueState row for one shard's full d×w counter table (a case
+    * class because transformWithState state needs a product encoder).
+    */
+  final case class CmsCells(cells: Array[Long])
+
+  /** Keyed by shard (= key mod #shards, so EVERY arrival of a key
+    * lands in one shard and the shard-local sketch carries that key's
+    * whole count); state = the shard's d×w count-min cells plus one
+    * flag row per already-emitted heavy hitter. The flagged-key state
+    * is bounded by construction: CMS never undercounts, so at most
+    * `stream_total / threshold` TRUE heavy keys exist, plus the
+    * sketch's documented false-positive class — never one row per
+    * distinct key, which is the state the sketch exists to avoid.
+    *
+    * Emission guarantees mirror the batch sketch (q89): a key whose
+    * TRUE count reaches the threshold is always emitted, regardless of
+    * batch boundaries — by the key's final arrival its estimate
+    * already carries its full own-count, and estimates are one-sided.
+    * False positives (collision-inflated keys) are possible, and WHICH
+    * borderline ones get flagged can vary with batching, because a
+    * key's estimate is only re-examined when the key itself arrives —
+    * the same way the batch sketch's false-positive set varies with
+    * sketch width. `n_est` reflects the batch-end cells at first
+    * crossing.
+    */
+  class CmsShardProcessor(
+      threshold: Long,
+      ttl: org.apache.spark.sql.streaming.TTLConfig)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Int,
+        (Int, Long),
+        HeavyHit] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode => OM, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+    import graft.ops.Relational.{cmsBucket, CmsHashes, CmsWidth}
+
+    @transient private var cells: ValueState[CmsCells] = _
+    @transient private var flagged: MapState[Long, Boolean] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+      cells = getHandle
+        .getValueState[CmsCells]("cells", Encoders.product[CmsCells], ttl)
+      flagged = getHandle.getMapState[Long, Boolean](
+        "flagged",
+        Encoders.scalaLong,
+        Encoders.scalaBoolean,
+        ttl)
+    }
+
+    override def handleInputRows(
+        key: Int,
+        rows: Iterator[(Int, Long)],
+        timerValues: TimerValues): Iterator[HeavyHit] = {
+      val arr =
+        if (cells.exists()) cells.get().cells
+        else new Array[Long](CmsHashes.length * CmsWidth)
+      val batch = scala.collection.mutable.LongMap.empty[Long]
+      rows.foreach(r => batch(r._2) = batch.getOrElse(r._2, 0L) + 1L)
+      batch.foreach { case (k, m) =>
+        CmsHashes.foreach { case (d, a, b) =>
+          arr(d * CmsWidth + cmsBucket(a, b, k)) += m
+        }
+      }
+      cells.update(CmsCells(arr))
+      // deterministic emission order; state mutations stay eager (the
+      // returned iterator must not carry side effects)
+      val out = batch.keys.toArray.sorted.flatMap { k =>
+        val est = CmsHashes.map { case (d, a, b) =>
+          arr(d * CmsWidth + cmsBucket(a, b, k))
+        }.min
+        if (est >= threshold && !flagged.containsKey(k)) {
+          flagged.updateValue(k, true)
+          Some(HeavyHit(k, est))
+        } else None
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming heavy-hitter gate — q89's count-min sketch as
+    * CONTINUOUS state: keys are flagged as their estimated frequency
+    * crosses `threshold`, at ingest cost, with state sublinear in the
+    * key domain. The third streaming twin (exact dedup ↔ d1, near-dup
+    * gate ↔ d2, this ↔ q89), sharing q89's exact hash spec via
+    * [[graft.ops.Relational.CmsHashes]] so batch and stream sketches
+    * agree cell for cell. State: `shards` rows of d×w longs (2 KiB
+    * each) + one flag row per emitted key. At 100 TB-scale ingest the
+    * sketch never grows with the key domain — the property an exact
+    * per-key counter (runningTotals) cannot offer.
+    */
+  def streamingHeavyHitterGate(
+      keys: DataFrame, // (user_id)
+      threshold: Long,
+      shards: Int = 32,
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE
+  ): Dataset[HeavyHit] = {
+    import keys.sparkSession.implicits._
+    keys
+      .select(
+        pmod(col("user_id"), lit(shards.toLong)).cast("int").as("shard"),
+        col("user_id"))
+      .as[(Int, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new CmsShardProcessor(threshold, ttl),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ── streaming as-of enrichment ──────────────────────────────────────
 
   /** Tagged union row for [[asOfEnrich]]: dimension updates and events

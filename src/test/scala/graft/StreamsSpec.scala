@@ -589,6 +589,73 @@ class StreamBatchParitySpec extends SparkSpec {
     val texts = corpus.select("text").collect().map(_.getString(0)).toSet
     assert(texts == (s1.take(2) ++ s2.take(1) :+ doc(6, 28, "d")).map(_._2).toSet)
   }
+
+  test("streaming heavy-hitter gate matches an exact CMS simulation; heavy keys never missed") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val threshold = 5L
+    // batch 1: user 1 ×3, user 3 ×6 (crosses in-batch), noise keys once each
+    // batch 2: user 1 ×4 (crosses cumulatively), user 2 ×4 (stays below)
+    val b1 = Seq.fill(3)(1L) ++ Seq.fill(6)(3L) ++ (100L to 119L)
+    val b2 = Seq.fill(4)(1L) ++ Seq.fill(4)(2L)
+    val in = MemoryStream[Long]
+    val q = graft.streaming.Streams
+      .streamingHeavyHitterGate(in.toDF().toDF("user_id"), threshold)
+      .writeStream
+      .format("memory")
+      .queryName("heavy_gate")
+      .outputMode("update")
+      .start()
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val got = spark.table("heavy_gate").as[(Long, Long)].collect().toSet
+
+      // exact simulation of the processor over the same batch splits
+      import graft.ops.Relational.{cmsBucket, CmsHashes, CmsWidth}
+      val cells = scala.collection.mutable.Map
+        .empty[Int, Array[Long]] // shard -> d×w
+      val flaggedSim = scala.collection.mutable.Set.empty[Long]
+      val expected = scala.collection.mutable.Set.empty[(Long, Long)]
+      Seq(b1, b2).foreach { batch =>
+        batch.groupBy(k => (k % 32).toInt).foreach { case (shard, ks) =>
+          val arr = cells.getOrElseUpdate(
+            shard, new Array[Long](CmsHashes.length * CmsWidth))
+          val m = ks.groupBy(identity).view.mapValues(_.size.toLong)
+          m.foreach { case (k, n) =>
+            CmsHashes.foreach { case (d, a, b) =>
+              arr(d * CmsWidth + cmsBucket(a, b, k)) += n
+            }
+          }
+          m.keys.toSeq.sorted.foreach { k =>
+            val est = CmsHashes.map { case (d, a, b) =>
+              arr(d * CmsWidth + cmsBucket(a, b, k))
+            }.min
+            if (est >= threshold && !flaggedSim(k)) {
+              flaggedSim += k
+              expected += ((k, est))
+            }
+          }
+        }
+      }
+      assert(got == expected.toSet, s"got $got expected $expected")
+      // the one-sided guarantee: truly-heavy keys are always flagged
+      val exactCounts = (b1 ++ b2).groupBy(identity).view.mapValues(_.size)
+      exactCounts.filter(_._2 >= threshold).keys.foreach { k =>
+        assert(got.exists(_._1 == k), s"heavy key $k was never flagged")
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
 
 /** Companion buffer for the gate-restart test: foreachBatch closures
