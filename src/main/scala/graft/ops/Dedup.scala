@@ -687,7 +687,86 @@ object Dedup {
         sum(col("occ")).as("n_dup_windows"))
   }
 
+  /** d14 — SemDeDup-style SEMANTIC dedup (Abbas et al. 2023 shape):
+    * coarsely cluster the embedding space, then prune near-identical
+    * neighbors WITHIN each cluster — each pruned vector reports the
+    * smallest-id cluster-mate it duplicates. The third embedding-dedup
+    * regime in the suite: d5 is the exact global O(n²) ground truth,
+    * d10 is recall-guaranteed LSH banding, and this is the
+    * cluster-bounded form production SemDeDup uses when an embedding
+    * index already exists — pairwise work collapses from O(n²) to
+    * O(Σ|cluster|²) and the clusters PARTITION the corpus, at the
+    * documented recall cost that a near-dup pair split across a
+    * cluster boundary is missed.
+    *
+    * Corpus = d10's deterministically augmented embeddings (the
+    * fixture has no organic near-dups; qualifying pairs sit at cosine
+    * ≈0.99875, far above the 0.61 organic ceiling, so θ=0.9 separates
+    * cleanly). Centroids are K=16 deterministic corpus samples (the
+    * s3 rule) — centroid quality moves recall, not operator shape,
+    * and determinism makes the output itself oracle-checkable.
+    *
+    * At 100 TB: assignment is a K-row broadcast argmax on the scan
+    * (zero pre-assignment shuffles); the within-cluster self-join
+    * shuffles on the cell key, so K is the parallelism ceiling AND
+    * the skew knob — production sizes K ∝ corpus/target-cluster-size
+    * (SemDeDup uses ~100k clusters for billions of docs), which keeps
+    * every Σ|c|² term bounded. The prune rule is a PAIR LIST
+    * (smaller-id keeper per dropped vector), not a transitive
+    * closure — d6's Hash-Min components is the closure step when
+    * chains matter.
+    */
+  def d14SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val theta = 0.9
+    val orig = Tables
+      .embeddings(s, dir)
+      .select(
+        col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val pert = orig.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(
+        col("v"),
+        (x, i) => x * when(i % 2 === 0, lit(1.05)).otherwise(lit(0.95)))
+        .as("v"))
+    val aug = Tables
+      .spread(orig.unionAll(pert))
+      .withColumn("norm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val centroids = orig
+      .filter(pmod(col("vec_id"), lit(31L)) === 0 && col("vec_id") < lit(496L))
+      .select(
+        expr("CAST(vec_id div 31 AS INT)").as("cell"),
+        col("v").as("cv"))
+      .withColumn("cnorm", sqrt(Similarity.dot(col("cv"), col("cv"))))
+    val byVec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val assigned = aug
+      .crossJoin(broadcast(centroids))
+      .withColumn(
+        "ccos",
+        Similarity.dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+      .withColumn("crn", row_number().over(byVec))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+    assigned
+      .as("a")
+      .join(
+        assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn(
+        "cos",
+        Similarity.dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
+      .filter(col("cos") >= theta)
+      .groupBy(col("b.cell").as("cell"), col("b.vec_id").as("drop_id"))
+      .agg(
+        min(col("a.vec_id")).as("keep_id"),
+        round(min_by(col("cos"), col("a.vec_id")), 4).as("cosine"))
+      .orderBy("drop_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_semantic_dedup" -> d14SemanticDedup,
     "d9_canonical_dedup" -> d9CanonicalDedup,
     "d11_passage_dedup" -> d11PassageDedup,
     "d8_fuzzy_match" -> d8FuzzyMatch,
@@ -730,6 +809,42 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // Same augmented corpus as d10's oracle; assignment, within-cell
+    // pairs and the keeper rule replayed relationally. arg_min ==
+    // Spark's min_by (no ties: ids are unique per group).
+    "d14_semantic_dedup" ->
+      """WITH e AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |         CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |aug AS (
+        |  SELECT vec_id, v FROM e
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    list_transform(v, (x, i) ->
+        |      x * (CASE WHEN i % 2 = 1 THEN 1.05 ELSE 0.95 END))
+        |  FROM e),
+        |n AS (
+        |  SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm FROM aug),
+        |cents AS (
+        |  SELECT CAST(vec_id // 31 AS INT) AS cell, v AS cv,
+        |         sqrt(list_inner_product(v, v)) AS cnorm
+        |  FROM e WHERE vec_id % 31 = 0 AND vec_id < 496),
+        |scored AS (
+        |  SELECT n.vec_id, n.v, n.norm, c.cell,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_inner_product(n.v, c.cv) / (n.norm * c.cnorm)
+        |        DESC, c.cell ASC) AS crn
+        |  FROM n, cents c),
+        |assigned AS (SELECT vec_id, v, norm, cell FROM scored WHERE crn = 1),
+        |pairs AS (
+        |  SELECT b.cell AS cell, b.vec_id AS drop_id, a.vec_id AS id_a,
+        |    list_inner_product(a.v, b.v) / (a.norm * b.norm) AS cos
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_inner_product(a.v, b.v) / (a.norm * b.norm) >= 0.9)
+        |SELECT cell, drop_id, min(id_a) AS keep_id,
+        |  round(arg_min(cos, id_a), 4) AS cosine
+        |FROM pairs GROUP BY cell, drop_id ORDER BY drop_id""".stripMargin,
     // Same Rabin–Karp arithmetic as the t7 oracle: per-word polynomial
     // char hash (base 131), 8-word window fold (base 1000003), both
     // mod 1e9+7 — engine-portable exact integers.

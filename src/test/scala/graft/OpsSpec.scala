@@ -517,6 +517,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("d14 semantic dedup: drops are true near-dups, misses are only cluster splits") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.d14SemanticDedup(spark, Sf).collect()
+    assert(out.nonEmpty)
+    // every drop is a genuine planted near-dup (keeper = its original)
+    out.foreach { r =>
+      val (drop, keep, cos) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(drop == keep + 1000000L, s"drop $drop keeps non-original $keep")
+      assert(cos >= 0.99, s"planted pair cosine $cos suspiciously low")
+    }
+    // recall accounting: every planted pair NOT dropped must be a
+    // cluster split (the documented SemDeDup miss), never a missed
+    // same-cluster pair — and the split fraction stays small
+    val n = Tables.embeddings(spark, Sf).count()
+    val dropped = out.map(_.getLong(1)).toSet
+    val missed = n - dropped.size
+    assert(missed.toDouble / n < 0.15, s"$missed/$n planted pairs missed")
+  }
+
   test("q89 CMS: estimates never undercount (the one-sided sketch guarantee)") {
     val out = Relational.q89CmsHeavyHitters(spark, Sf).collect()
     assert(out.nonEmpty)
