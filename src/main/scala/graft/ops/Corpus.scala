@@ -205,7 +205,58 @@ object Corpus {
       .orderBy("lang", "action")
   }
 
+  /** p6 — incremental corpus update: admit a NEW SHARD against an
+    * existing corpus without re-processing the corpus — the batch twin
+    * of the streaming foreachBatch clean
+    * ([[graft.streaming.Streams.incrementalCorpusClean]]), in
+    * audit-friendly form: one row per shard document with its
+    * admission verdict (`accepted` / `low_quality` / `dup_vs_corpus` /
+    * `dup_in_shard`), because a production ingest wants the rejection
+    * accounting, not just the survivors. The split is sf-invariant
+    * (doc_id mod 5: bucket 4 is the arriving shard, the rest is the
+    * standing corpus built under the same ≥25-token gate).
+    *
+    * At 100 TB: the corpus NEVER moves as text — it reduces to its
+    * distinct fingerprint set (one hash row per distinct content,
+    * built once and incrementally maintainable as this query's own
+    * accepted output feeds back in); the shard left-joins that set and
+    * its own first-id table on fingerprint. Verdict precedence is
+    * fixed (quality → corpus dup → in-shard dup → accepted), so the
+    * output is deterministic row by row.
+    */
+  def p6IncrementalUpdate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(s, dir)
+      .withColumn("nt", size(split(col("text"), " ")))
+    val corpusFp = docs
+      .filter(pmod(col("doc_id"), lit(5)) =!= 4 && col("nt") >= 25)
+      .select(md5(col("text")).as("fp"))
+      .distinct()
+      .withColumn("in_corpus", lit(1))
+    val shard = docs
+      .filter(pmod(col("doc_id"), lit(5)) === 4)
+      .select(col("doc_id"), col("lang"), col("nt"), md5(col("text")).as("fp"))
+    val firstIds = shard
+      .filter(col("nt") >= 25)
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("first_id"))
+    shard
+      .join(corpusFp, Seq("fp"), "left")
+      .join(firstIds, Seq("fp"), "left")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("nt").cast("long").as("n_tokens"), // long: the oracle's len() is BIGINT
+        when(col("nt") < 25, "low_quality")
+          .when(col("in_corpus") === 1, "dup_vs_corpus")
+          .when(col("doc_id") =!= col("first_id"), "dup_in_shard")
+          .otherwise("accepted")
+          .as("verdict"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p6_incremental_update" -> p6IncrementalUpdate,
     "p5_passage_trim" -> p5PassageTrim,
     "p4_stratified_split" -> p4StratifiedSplit,
     "p3_quota_mix" -> p3QuotaMix,
@@ -214,6 +265,30 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "p6_incremental_update" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS nt,
+        |         md5(text) AS fp
+        |  FROM documents),
+        |corpus_fp AS (
+        |  SELECT DISTINCT fp FROM docs
+        |  WHERE doc_id % 5 <> 4 AND nt >= 25),
+        |shard AS (
+        |  SELECT doc_id, lang, nt, fp FROM docs WHERE doc_id % 5 = 4),
+        |first_ids AS (
+        |  SELECT fp, min(doc_id) AS first_id FROM shard
+        |  WHERE nt >= 25 GROUP BY fp)
+        |SELECT s.doc_id, s.lang, s.nt AS n_tokens,
+        |  CASE
+        |    WHEN s.nt < 25 THEN 'low_quality'
+        |    WHEN c.fp IS NOT NULL THEN 'dup_vs_corpus'
+        |    WHEN s.doc_id <> f.first_id THEN 'dup_in_shard'
+        |    ELSE 'accepted'
+        |  END AS verdict
+        |FROM shard s
+        |  LEFT JOIN corpus_fp c ON s.fp = c.fp
+        |  LEFT JOIN first_ids f ON s.fp = f.fp
+        |ORDER BY s.doc_id""".stripMargin,
     // p2's survivor CTEs + d11's window-fingerprint folds, then the
     // keep/trim/drop classification; n_windows = nt - 7 for every
     // survivor (all have nt >= 25 >= 8).

@@ -563,7 +563,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t15 — vocabulary frequency spectrum (frequency of frequencies):
+    * per language, how many distinct words occur exactly c times and
+    * the token mass they carry — the Good–Turing smoothing table
+    * (N_c feeds the c* = (c+1)·N_{c+1}/N_c discount that t13/t14's LM
+    * family would use in production) and the Zipf/vocabulary-growth
+    * diagnostic (hapax mass vs head mass at a glance; t8 reports the
+    * hapax POINT of this curve, this is the whole curve). Two rollup
+    * aggregations over one token pass: tokens → (lang, word) counts →
+    * (lang, c) spectrum; all exact integers. At 100 TB the word-count
+    * exchange carries one row per distinct (lang, word) and the
+    * spectrum is at most one row per distinct count value — the
+    * second rollup's input is vocabulary-sized, its output
+    * √vocabulary-ish (counts repeat).
+    */
+  def t15FreqSpectrum(s: SparkSession, dir: String): DataFrame = {
+    Tables
+      .spread(Tables.documents(s, dir))
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"), col("c"))
+      .agg(count(lit(1)).as("n_words"))
+      .select(
+        col("lang"),
+        col("c"),
+        col("n_words"),
+        (col("c") * col("n_words")).as("token_mass"))
+      .orderBy("lang", "c")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_freq_spectrum" -> t15FreqSpectrum,
     "t14_lm_score" -> t14LmScore,
     "t13_bigram_lm" -> t13BigramLm,
     "t12_source_stats" -> t12SourceStats,
@@ -581,6 +612,16 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t15_freq_spectrum" ->
+      """WITH words AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |wc AS (
+        |  SELECT lang, w, count(*) AS c FROM words GROUP BY 1, 2)
+        |SELECT lang, c, count(*) AS n_words,
+        |  CAST(c * count(*) AS BIGINT) AS token_mass
+        |FROM wc GROUP BY lang, c
+        |ORDER BY lang, c""".stripMargin,
     // Same bigram enumeration as t13's oracle; counts are exact
     // integers, ln() is the one float and rounds at 1e-3 — far above
     // the summed cross-engine libm ulp (~1e-14).

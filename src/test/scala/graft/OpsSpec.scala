@@ -517,6 +517,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("p6 incremental update: verdicts partition the shard, accepted texts are globally new") {
+    import org.apache.spark.sql.functions._
+    val out = Corpus.p6IncrementalUpdate(spark, Sf)
+    val docs = Tables.documents(spark, Sf)
+    val shardN = docs.filter(pmod(col("doc_id"), lit(5)) === 4).count()
+    assert(out.count() == shardN, "one verdict row per shard doc")
+    val verdicts = out.groupBy("verdict").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(verdicts.keySet.subsetOf(
+      Set("accepted", "low_quality", "dup_vs_corpus", "dup_in_shard")))
+    assert(verdicts.getOrElse("accepted", 0L) > 0, "no doc admitted")
+    // accepted docs: pairwise-distinct texts, none present in the corpus side
+    val accepted = out.filter(col("verdict") === "accepted")
+      .join(docs, "doc_id")
+      .select(md5(col("text")).as("fp"))
+    assert(accepted.count() == accepted.distinct().count())
+    val corpusFps = docs
+      .filter(pmod(col("doc_id"), lit(5)) =!= 4 &&
+        size(split(col("text"), " ")) >= 25)
+      .select(md5(col("text")).as("fp"))
+    assert(accepted.join(corpusFps, Seq("fp"), "left_semi").count() == 0)
+  }
+
   test("d14 semantic dedup: drops are true near-dups, misses are only cluster splits") {
     import org.apache.spark.sql.functions._
     val out = Dedup.d14SemanticDedup(spark, Sf).collect()
