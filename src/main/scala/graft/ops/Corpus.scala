@@ -255,7 +255,51 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** p7 — sequence packing: the concat-and-chunk pass that turns a
+    * cleaned corpus into fixed-capacity training sequences (the
+    * GPT-pretraining shape: documents are laid end to end in a
+    * deterministic order and cut every C tokens; a document may span
+    * a chunk boundary). Per document the query reports which packed
+    * sequence its first token lands in, its offset there, and how
+    * many sequences it spans — the index a packed-dataset writer
+    * needs. All integer arithmetic over one windowed cumulative sum.
+    *
+    * Packing is SHARD-LOCAL ((lang, doc_id div 100) groups) — by
+    * design, not convenience: a global cumsum would serialize the
+    * corpus through one task (the q70 failure shape) for zero
+    * training benefit, since chunk boundaries carry no meaning across
+    * shards; production packs within input shards exactly so the pass
+    * is embarrassingly parallel. Each window partition is
+    * bounded (≤100 docs) regardless of corpus size; the q70 two-phase
+    * prefix sum is the escape hatch if a shard ever outgrew a task.
+    */
+  def p7SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    val cap = 512L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+    Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        expr("doc_id div 100").as("shard"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .withColumn("cum", sum(col("nt")).over(w))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("shard"),
+        col("nt").as("n_tokens"),
+        expr(s"(cum - nt) div $cap").as("start_seq"),
+        expr(s"(cum - nt) % $cap").as("start_offset"),
+        (expr(s"(cum - 1) div $cap") - expr(s"(cum - nt) div $cap") + 1L)
+          .as("seqs_spanned"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p7_sequence_packing" -> p7SequencePacking,
     "p6_incremental_update" -> p6IncrementalUpdate,
     "p5_passage_trim" -> p5PassageTrim,
     "p4_stratified_split" -> p4StratifiedSplit,
@@ -265,6 +309,23 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "p7_sequence_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, doc_id // 100 AS shard,
+        |         len(string_split(text, ' ')) AS nt
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, shard, nt,
+        |    sum(nt) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT doc_id, lang, shard, nt AS n_tokens,
+        |  CAST((cum - nt) // 512 AS BIGINT) AS start_seq,
+        |  CAST((cum - nt) % 512 AS BIGINT) AS start_offset,
+        |  CAST((cum - 1) // 512 - (cum - nt) // 512 + 1 AS BIGINT)
+        |    AS seqs_spanned
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
     "p6_incremental_update" ->
       """WITH docs AS (
         |  SELECT doc_id, lang, len(string_split(text, ' ')) AS nt,

@@ -540,6 +540,32 @@ class OpsSpec extends SparkSpec {
     assert(accepted.join(corpusFps, Seq("fp"), "left_semi").count() == 0)
   }
 
+  test("p7 sequence packing: offsets bounded, spans consistent, tokens conserved") {
+    import org.apache.spark.sql.functions._
+    val out = Corpus.p7SequencePacking(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nt, seq0, off, spans) =
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(off >= 0 && off < 512, s"offset $off out of range")
+      assert(seq0 >= 0 && spans >= 1)
+      // a doc of nt tokens starting at offset off occupies exactly
+      // ceil((off + nt) / 512) - (off / 512) sequences
+      assert(spans == (off + nt - 1) / 512 + 1, s"span mismatch: $r")
+    }
+    // conservation: within each (lang, shard) the packed token stream
+    // is gap-free — total tokens equals the last doc's end position
+    val df = Corpus.p7SequencePacking(spark, Sf)
+    val byShard = df
+      .groupBy("lang", "shard")
+      .agg(
+        sum("n_tokens").as("total"),
+        max(col("start_seq") * 512 + col("start_offset") + col("n_tokens"))
+          .as("endpos"))
+      .collect()
+    byShard.foreach(r => assert(r.getLong(2) == r.getLong(3), s"gap in $r"))
+  }
+
   test("d14 semantic dedup: drops are true near-dups, misses are only cluster splits") {
     import org.apache.spark.sql.functions._
     val out = Dedup.d14SemanticDedup(spark, Sf).collect()
