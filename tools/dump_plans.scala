@@ -20,7 +20,13 @@ val targets: Seq[(String, String, org.apache.spark.sql.DataFrame)] = Seq(
   ("d2_dedup_minhash", "MinHash LSH: native one-pass signatures, band-key equi-join candidates, exact verify",
     graft.ops.Dedup.d2MinHashLsh(spark, sf)),
   ("s2_knn_lsh", "LSH kNN: fused native bucket kernel, scoring BEFORE the narrow q_id exchange",
-    graft.ops.Similarity.s2KnnLsh(spark, sf))
+    graft.ops.Similarity.s2KnnLsh(spark, sf)),
+  ("q90_pagerank_trade", "iterative fixed-point PageRank: per-round edge shuffle over two checkpointed inputs, node side broadcast",
+    graft.ops.Relational.q90PagerankTrade(spark, sf)),
+  ("d14_semantic_dedup", "SemDeDup: K-row broadcast argmax assignment, within-cell self-join bounded by cluster sizes",
+    graft.ops.Dedup.d14SemanticDedup(spark, sf)),
+  ("p7_sequence_packing", "shard-local packing windows: no global sort, one window exchange on (lang, shard)",
+    graft.ops.Corpus.p7SequencePacking(spark, sf))
 )
 val sb = new StringBuilder
 sb.append("# PLANS -- executed physical plans of headline queries\n\n")
