@@ -2519,7 +2519,78 @@ object Relational {
       .limit(25)
   }
 
+  /** Bloom-filter membership sketch — completing the mergeable-sketch
+    * trilogy (q79 KMV = distinct, q89 CMS = frequency, this =
+    * membership) on the decontamination join d7 solves exactly. The
+    * filter is the SET OF SET BIT POSITIONS as a relation (distinct
+    * positions over k=3 affine-mod-prime hashes of each training
+    * shingle fingerprint): per-partition position sets union-merge,
+    * which IS the bitmap OR a native build would do, and at most
+    * m = 2^20 rows ever exist regardless of corpus size — production
+    * ships the same thing as a 128 KiB bitmap broadcast. Probing
+    * declares an eval shingle present iff all k positions are set;
+    * the query reports bloom hits vs EXACT membership side by side,
+    * pinning the one-sided guarantee (no false negatives — a shared
+    * shingle can never probe absent) with the false-positive count
+    * quantified per document. Shingle fingerprints are the t7/d11
+    * Rabin–Karp folds, so both engines hash identically end-to-end.
+    * At 100 TB: the training corpus reduces to ≤m position rows; eval
+    * docs probe against the broadcast filter at scan cost — the d7
+    * exact join's shuffle disappears, which is the entire point of a
+    * Bloom pre-filter (the exact join then runs only on flagged docs).
+    */
+  def q91BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val m = 1048576L
+    val hashes = CmsHashes.take(3).map { case (_, a, b) => (a, b) }
+    def positions(f: org.apache.spark.sql.Column) =
+      array(hashes.map { case (a, b) =>
+        ((f * lit(a) + lit(b)) % lit(1000000007L)) % lit(m)
+      }: _*)
+    val fps = Tables
+      .spread(Tables.documents(s, dir))
+      .select(
+        col("doc_id"),
+        graft.functions.RollingFingerprints
+          .rollingFingerprints(split(col("text"), " "), 8)
+          .as("fs"))
+      .filter(size(col("fs")) > 0)
+    val train = fps
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(explode(col("fs")).as("f"))
+      .distinct()
+    val bloom = train
+      .select(explode(positions(col("f"))).as("pos"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    val evalSh = fps
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("eval_id"), explode(col("fs")).as("f"))
+      .distinct()
+    val probed = evalSh
+      .select(col("eval_id"), col("f"), explode(positions(col("f"))).as("pos"))
+      .join(broadcast(bloom), Seq("pos"), "left")
+      .groupBy(col("eval_id"), col("f"))
+      .agg((sum(coalesce(col("hit"), lit(0L))) === 3L).cast("long").as("bloom_member"))
+    val truth = evalSh
+      .join(train.withColumn("in_train", lit(1L)), Seq("f"), "left")
+      .select(
+        col("eval_id"),
+        col("f"),
+        coalesce(col("in_train"), lit(0L)).as("true_member"))
+    probed
+      .join(truth, Seq("eval_id", "f"))
+      .groupBy(col("eval_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(col("bloom_member")).as("n_bloom_hits"),
+        sum(col("true_member")).as("n_true_hits"),
+        sum(col("bloom_member") * (lit(1L) - col("true_member")))
+          .as("n_false_pos"))
+      .orderBy("eval_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_bloom_decontaminate" -> q91BloomDecontaminate,
     "q90_pagerank_trade" -> q90PagerankTrade,
     "q89_cms_heavy_hitters" -> q89CmsHeavyHitters,
     "q88_explode_outer" -> q88ExplodeOuter,
@@ -2613,6 +2684,51 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // t7's Rabin–Karp folds at window 8, then the same affine position
+    // algebra; bloom/exact membership replayed with IN-subqueries.
+    "q91_bloom_decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |w AS (
+        |  SELECT doc_id, list_transform(t, w -> list_reduce(
+        |      list_prepend(0::BIGINT,
+        |        list_transform(string_split(w, ''), c -> ascii(c)::BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 1000000007)) AS whs
+        |  FROM d WHERE len(t) >= 8),
+        |v AS (
+        |  SELECT doc_id, list_transform(range(1, len(whs) - 6),
+        |    i -> list_reduce(list_prepend(0::BIGINT, whs[i:i+7]),
+        |           (h, x) -> (h * 1000003 + x) % 1000000007)) AS fs
+        |  FROM w),
+        |ex AS (SELECT doc_id, unnest(fs) AS f FROM v),
+        |train AS (SELECT DISTINCT f FROM ex WHERE doc_id % 10 <> 0),
+        |bloom AS (SELECT DISTINCT pos FROM (
+        |  SELECT ((f * 1103515245 + 12345) % 1000000007) % 1048576 AS pos
+        |  FROM train
+        |  UNION ALL
+        |  SELECT ((f * 214013 + 2531011) % 1000000007) % 1048576 FROM train
+        |  UNION ALL
+        |  SELECT ((f * 69069 + 362437) % 1000000007) % 1048576 FROM train)),
+        |evalsh AS (
+        |  SELECT DISTINCT doc_id AS eval_id, f FROM ex WHERE doc_id % 10 = 0),
+        |probe AS (
+        |  SELECT eval_id, f,
+        |    CASE WHEN
+        |      ((f * 1103515245 + 12345) % 1000000007) % 1048576
+        |        IN (SELECT pos FROM bloom)
+        |      AND ((f * 214013 + 2531011) % 1000000007) % 1048576
+        |        IN (SELECT pos FROM bloom)
+        |      AND ((f * 69069 + 362437) % 1000000007) % 1048576
+        |        IN (SELECT pos FROM bloom)
+        |    THEN 1 ELSE 0 END AS bloom_member,
+        |    CASE WHEN f IN (SELECT f FROM train) THEN 1 ELSE 0 END
+        |      AS true_member
+        |  FROM evalsh)
+        |SELECT eval_id, count(*) AS n_shingles,
+        |  CAST(sum(bloom_member) AS BIGINT) AS n_bloom_hits,
+        |  CAST(sum(true_member) AS BIGINT) AS n_true_hits,
+        |  CAST(sum(bloom_member * (1 - true_member)) AS BIGINT)
+        |    AS n_false_pos
+        |FROM probe GROUP BY eval_id ORDER BY eval_id""".stripMargin,
     // Same affine-mod-prime bucket algebra as the Spark side — exact
     // 64-bit integer arithmetic, so the sketch table is bit-identical.
     "q89_cms_heavy_hitters" ->

@@ -585,6 +585,19 @@ class OpsSpec extends SparkSpec {
     assert(missed.toDouble / n < 0.15, s"$missed/$n planted pairs missed")
   }
 
+  test("q91 bloom: no false negatives — hits minus true membership is exactly the FP count") {
+    val out = Relational.q91BloomDecontaminate(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, hits, truth, fp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(hits <= n && truth <= n)
+      assert(hits >= truth, s"false negative: hits=$hits < true=$truth")
+      // identity only holds when NO true member probes absent
+      assert(hits - truth == fp, s"one-sided guarantee violated: $r")
+    }
+  }
+
   test("q89 CMS: estimates never undercount (the one-sided sketch guarantee)") {
     val out = Relational.q89CmsHeavyHitters(spark, Sf).collect()
     assert(out.nonEmpty)
