@@ -335,7 +335,59 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
+  /** Per-doc frame-energy vector (m8's decode stage output row). */
+  final case class FrameEnergies(doc_id: Long, energies: Array[Long])
+
+  /** m8 — scene segmentation for video-shaped media: cut the frame
+    * timeline where consecutive frame energies jump by more than a
+    * threshold, then report per-title scene statistics. The shape is
+    * the production video-pipeline split: DECODE ONCE per payload in
+    * the batch-codec stage (the honest-stub mapPartitions contract m3/
+    * m4/m7 establish — here emitting the per-frame energy vector a
+    * real decoder would), then SEGMENT RELATIONALLY — posexplode to
+    * frames, one lag window for cut detection, a running sum turning
+    * cut flags into scene ids, two rollups for the stats. Everything
+    * after the decoder is exact integers, so the full output
+    * hash-matches the oracle's replay of the same framing.
+    *
+    * At 100 TB: payloads are decoded exactly once and never shuffled —
+    * only (doc_id, energy) frame rows (16 bytes) enter the window
+    * exchange, partitioned by doc so every window is one title's
+    * timeline; scene stats collapse frames before anything crosses a
+    * second exchange.
+    */
+  def m8SceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val theta = 1000L
+    val ds = media(s, dir).select(col("doc_id"), col("payload")).as[AudioRow]
+    val energies = ds.mapPartitions { rows =>
+      val dec = FakeAudioDecoder.open(frameLen = 200, silenceMeanByte = 92)
+      rows.map(r => FrameEnergies(r.doc_id, dec.frameEnergies(r.payload)))
+    }.toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy("i")
+    energies
+      .select(col("doc_id"), posexplode(col("energies")).as(Seq("i", "e")))
+      .withColumn("prev", lag(col("e"), 1).over(w))
+      .withColumn(
+        "cut",
+        (col("prev").isNotNull && abs(col("e") - col("prev")) > theta)
+          .cast("long"))
+      .withColumn("scene", sum(col("cut")).over(w))
+      .groupBy(col("doc_id"), col("scene"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_scenes"),
+        sum(col("len")).as("n_frames"),
+        max(col("len")).as("longest_scene"),
+        min(col("len")).as("shortest_scene"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_scene_cuts" -> m8SceneCuts,
     "m7_audio_frames" -> m7AudioFrames,
     "m6_perceptual_neardup" -> m6PerceptualNearDup,
     "m5_cdc_chunks" -> m5CdcChunks,
@@ -346,6 +398,42 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // m7's framing replayed, then the same lag/running-sum scene
+    // segmentation in window functions; all exact integers.
+    "m8_scene_cuts" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)
+        |      AS bytes,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, nb + 1, 200),
+        |      s -> list_sum(bytes[s : least(s + 199, nb)])) AS energies
+        |  FROM m),
+        |fr AS (
+        |  SELECT doc_id, i, energies[i] AS e
+        |  FROM f, LATERAL (SELECT unnest(range(1, len(energies) + 1)) AS i)),
+        |c AS (
+        |  SELECT doc_id, i, e,
+        |    CASE WHEN lag(e) OVER (PARTITION BY doc_id ORDER BY i)
+        |           IS NOT NULL
+        |         AND abs(e - lag(e) OVER (PARTITION BY doc_id ORDER BY i))
+        |           > 1000
+        |    THEN 1 ELSE 0 END AS cut
+        |  FROM fr),
+        |sc AS (
+        |  SELECT doc_id,
+        |    sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS UNBOUNDED PRECEDING) AS scene
+        |  FROM c),
+        |sl AS (SELECT doc_id, scene, count(*) AS len FROM sc GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_scenes,
+        |  CAST(sum(len) AS BIGINT) AS n_frames,
+        |  CAST(max(len) AS BIGINT) AS longest_scene,
+        |  CAST(min(len) AS BIGINT) AS shortest_scene
+        |FROM sl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Re-frames the same ASCII bytes with DuckDB's 1-based inclusive
     // list slices; silence is the identical integer comparison.
     "m7_audio_frames" ->
@@ -598,6 +686,27 @@ final class FakeAudioDecoder private (frameLen: Int, silenceMeanByte: Int) {
       start = end
     }
     Frames(nFrames, nSilent, total, peak)
+  }
+
+  /** Per-frame energies in frame order — the scene-segmentation input
+    * (m8); identical framing rule to [[analyze]] (trailing partial
+    * frame kept at its own length).
+    */
+  def frameEnergies(payload: Array[Byte]): Array[Long] = {
+    val n = (payload.length + frameLen - 1) / frameLen
+    val out = new Array[Long](math.max(n, 0))
+    var f = 0
+    var start = 0
+    while (start < payload.length) {
+      val end = math.min(start + frameLen, payload.length)
+      var e = 0L
+      var i = start
+      while (i < end) { e += payload(i) & 0xFF; i += 1 }
+      out(f) = e
+      f += 1
+      start = end
+    }
+    out
   }
 }
 

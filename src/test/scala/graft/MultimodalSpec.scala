@@ -115,6 +115,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("m8 scenes partition each title's frame timeline; frame counts agree with m7") {
+    import org.apache.spark.sql.functions._
+    val scenes = Multimodal.m8SceneCuts(spark, Sf)
+    val frames = Multimodal.m7AudioFrames(spark, Sf).select(
+      col("doc_id"), col("n_frames").as("m7_frames"))
+    val joined = scenes.join(frames, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (ns, nf, longest, shortest, m7f) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))
+      assert(nf == m7f.toLong, s"doc ${r.getLong(0)}: m8/m7 frame counts differ")
+      assert(ns >= 1 && shortest >= 1 && longest <= nf)
+      assert(shortest <= longest && ns * shortest <= nf && ns * longest >= nf)
+    }
+  }
+
   test("m4 output dims always fit the 64-box and n_bytes_out matches the subsample") {
     val rows = Multimodal.m4Resize(spark, Sf).collect()
     assert(rows.nonEmpty)
