@@ -2589,7 +2589,49 @@ object Relational {
       .orderBy("eval_id")
   }
 
+  /** Distributed least-squares trend (OLS slope per group) in EXACT
+    * arithmetic: the five sufficient statistics (n, Σx, Σy, Σxy, Σx²)
+    * aggregate partial+final as integers — the only thing a cluster
+    * ever shuffles for a regression — and the slope's closed form
+    * n·Σxy − Σx·Σy over n·Σx² − (Σx)² cross-multiplies in
+    * DECIMAL(38,0) (q83's escape hatch: these products pass 9.2e18
+    * before sf1, where BIGINT silently wraps in Spark but widens to
+    * HUGEINT in the oracle — the worst kind of cross-engine mismatch).
+    * Numerator/denominator ship as strings (the q83 rendering-proof
+    * boundary); the slope itself is ONE double division of
+    * identically-rounded operands, engine-stable at round-6. Built-in
+    * regr_slope aggregates in floats whose partial-sum order no two
+    * runs share — this form is the reproducible one.
+    */
+  def q92OlsTrend(s: SparkSession, dir: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(20,0)")
+    Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_returnflag"),
+        floor(col("l_quantity") + 0.5).cast("long").as("x"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("num", dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy")))
+      .withColumn("den", dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx")))
+      .withColumn("slope", round(col("num").cast("double") / col("den").cast("double"), 6))
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        col("num").cast("string").as("slope_num"),
+        col("den").cast("string").as("slope_den"),
+        col("slope"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_ols_trend" -> q92OlsTrend,
     "q91_bloom_decontaminate" -> q91BloomDecontaminate,
     "q90_pagerank_trade" -> q90PagerankTrade,
     "q89_cms_heavy_hitters" -> q89CmsHeavyHitters,
@@ -2684,6 +2726,25 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // HUGEINT carries the exact cross-multiplications; VARCHAR at the
+    // boundary mirrors Spark's DECIMAL(38,0)→string rendering.
+    "q92_ols_trend" ->
+      """WITH pts AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |stats AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM pts GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CAST(n * sxy - sx * sy AS VARCHAR) AS slope_num,
+        |  CAST(n * sxx - sx * sx AS VARCHAR) AS slope_den,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+        |FROM stats ORDER BY l_returnflag""".stripMargin,
     // t7's Rabin–Karp folds at window 8, then the same affine position
     // algebra; bloom/exact membership replayed with IN-subqueries.
     "q91_bloom_decontaminate" ->

@@ -585,6 +585,17 @@ class OpsSpec extends SparkSpec {
     assert(missed.toDouble / n < 0.15, s"$missed/$n planted pairs missed")
   }
 
+  test("q92 OLS: variance positive, rounded slope consistent with its exact fraction") {
+    val out = Relational.q92OlsTrend(spark, Sf).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(BigInt(r.getString(3)) > 0, "x-variance must be positive")
+      // the rounded double equals the exact integer fraction
+      val frac = BigDecimal(BigInt(r.getString(2))) / BigDecimal(BigInt(r.getString(3)))
+      assert((frac - r.getDouble(4)).abs < 1e-5, s"slope drifts from exact: $r")
+    }
+  }
+
   test("q91 bloom: no false negatives — hits minus true membership is exactly the FP count") {
     val out = Relational.q91BloomDecontaminate(spark, Sf).collect()
     assert(out.nonEmpty)
