@@ -2554,6 +2554,7 @@ object Relational {
           .rollingFingerprints(split(col("text"), " "), 8)
           .as("fs"))
       .filter(size(col("fs")) > 0)
+      .localCheckpoint() // train + eval both read the fingerprint pass; A/B 1.89→1.61 s solo
     val train = fps
       .filter(col("doc_id") % 10 =!= 0)
       .select(explode(col("fs")).as("f"))

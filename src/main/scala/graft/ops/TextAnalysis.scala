@@ -541,6 +541,7 @@ object TextAnalysis {
         substring_index(col("bg"), " ", -1).as("nxt"))
       .groupBy(col("doc_id"), col("lang"), col("w"), col("nxt"))
       .agg(count(lit(1)).as("m"))
+      .localCheckpoint() // three consumers (bg→ctx rollups + the scoring join); A/B 1.78→1.56 s solo
     val bg = perDoc
       .groupBy(col("lang"), col("w"), col("nxt"))
       .agg(sum(col("m")).as("n_wx"))
