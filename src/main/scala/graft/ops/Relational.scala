@@ -2631,7 +2631,60 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Market-basket co-occurrence (frequent pair mining): parts ordered
+    * together more often than a support floor, with exact counts and
+    * the lift ratio — the association-rule primitive (the 2-itemset
+    * core of FP-growth/Apriori, which at production scale IS the
+    * self-join-per-basket plus support pruning this plan runs). The
+    * pair join blocks on the basket key, so work is Σ(items/basket)²
+    * — bounded by basket size, never corpus² — and support pruning
+    * happens in the same aggregate exchange the pairs land in.
+    * Per-item counts broadcast back for the lift denominator; lift is
+    * ONE double division of exact integers (deterministic), rounded.
+    * Output is the top-100 pairs by support with a full deterministic
+    * tie-break (support floors don't scale: the same floor that keeps
+    * 433 fixture pairs keeps 2 at 100× the part domain — top-k is the
+    * scale-free contract, and it plans as TakeOrderedAndProject, never
+    * a global sort).
+    * At 100 TB the only data-sized exchanges are the distinct
+    * (basket, item) dedup and the pair-count aggregate; a skewed mega
+    * basket is the failure mode and gets the d13 treatment (cap or
+    * salt baskets above a size bound — fixture baskets are ≤7 items).
+    */
+  def q93CoOccurrence(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables
+      .lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+    val itemCounts = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val nBaskets = items.select(col("l_orderkey")).distinct().count()
+    items
+      .as("a")
+      .join(
+        items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2) // prune the singleton tail before the top-k sort
+      .join(broadcast(itemCounts).withColumnRenamed("l_partkey", "part_a").withColumnRenamed("cnt", "cnt_a"), "part_a")
+      .join(broadcast(itemCounts).withColumnRenamed("l_partkey", "part_b").withColumnRenamed("cnt", "cnt_b"), "part_b")
+      .select(
+        col("part_a"),
+        col("part_b"),
+        col("support"),
+        col("cnt_a"),
+        col("cnt_b"),
+        round(
+          (col("support") * lit(nBaskets)).cast("double") /
+            (col("cnt_a") * col("cnt_b")).cast("double"),
+          4).as("lift"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_co_occurrence" -> q93CoOccurrence,
     "q92_ols_trend" -> q92OlsTrend,
     "q91_bloom_decontaminate" -> q91BloomDecontaminate,
     "q90_pagerank_trade" -> q90PagerankTrade,
@@ -2727,6 +2780,28 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q93_co_occurrence" ->
+      """WITH i AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS nb FROM i),
+        |ic AS (SELECT l_partkey, count(*) AS cnt FROM i GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |         count(*) AS support
+        |  FROM i a JOIN i b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 2)
+        |SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+        |  CAST(ca.cnt AS BIGINT) AS cnt_a, CAST(cb.cnt AS BIGINT) AS cnt_b,
+        |  round(CAST(support * n.nb AS DOUBLE)
+        |    / CAST(ca.cnt * cb.cnt AS DOUBLE), 4) AS lift
+        |FROM pairs
+        |  JOIN ic ca ON part_a = ca.l_partkey
+        |  JOIN ic cb ON part_b = cb.l_partkey, n
+        |ORDER BY support DESC, part_a, part_b
+        |LIMIT 100""".stripMargin,
     // HUGEINT carries the exact cross-multiplications; VARCHAR at the
     // boundary mirrors Spark's DECIMAL(38,0)→string rendering.
     "q92_ols_trend" ->

@@ -585,6 +585,27 @@ class OpsSpec extends SparkSpec {
     assert(missed.toDouble / n < 0.15, s"$missed/$n planted pairs missed")
   }
 
+  test("q93 co-occurrence: support ordered and bounded by item counts, lift recomputes") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.q93CoOccurrence(spark, Sf).collect()
+    assert(out.nonEmpty && out.length <= 100)
+    val nBaskets = Tables
+      .lineitem(spark, Sf)
+      .select(countDistinct(col("l_orderkey")))
+      .head()
+      .getLong(0)
+    val supports = out.map(_.getLong(2)).toSeq
+    assert(supports == supports.sorted.reverse, "not support-descending")
+    out.foreach { r =>
+      val (sup, ca, cb, lift) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(sup >= 2 && sup <= math.min(ca, cb),
+        "support cannot exceed either item's basket count")
+      val expect = math.round(sup.toDouble * nBaskets / (ca * cb) * 1e4) / 1e4
+      assert((lift - expect).abs < 1e-9, s"lift mismatch: $r vs $expect")
+    }
+  }
+
   test("q92 OLS: variance positive, rounded slope consistent with its exact fraction") {
     val out = Relational.q92OlsTrend(spark, Sf).collect()
     assert(out.length == 3)
