@@ -2418,17 +2418,28 @@ object Relational {
     (2, 69069L, 362437L),
     (3, 1664525L, 1013904223L))
   val CmsWidth: Int = 64
+  val CmsPrime: Long = 1000000007L
 
-  /** Scalar twin of q89's Column-algebra bucket computation. */
+  /** Scalar twin of q89's Column-algebra bucket computation. The key
+    * reduces mod p BEFORE the multiply (floorMod(key,p) < 1e9+7 times
+    * the largest multiplier ~1.1e9 stays under 2^63, so the product
+    * never wraps) and every remainder is the floor/positive one — a
+    * negative key, or a raw key*a past Long range, would otherwise
+    * yield a negative bucket (ArrayIndexOutOfBounds in the streaming
+    * state processor; silent wrap-divergence from the DuckDB oracle,
+    * which errors on BIGINT overflow instead of wrapping).
+    */
   def cmsBucket(a: Long, b: Long, key: Long): Int =
-    (((key * a + b) % 1000000007L) % CmsWidth).toInt
+    (Math.floorMod(Math.floorMod(key, CmsPrime) * a + b, CmsPrime) % CmsWidth).toInt
 
   def q89CmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    // cell-identical to cmsBucket: pmod(key,p) reduces first, pmod
+    // keeps the bucket non-negative for negative keys
     def buckets(key: org.apache.spark.sql.Column) =
       array(CmsHashes.map { case (d, a, b) =>
         struct(
           lit(d).as("d"),
-          (((key * lit(a) + lit(b)) % lit(1000000007L)) % lit(CmsWidth.toLong))
+          (pmod(pmod(key, lit(CmsPrime)) * lit(a) + lit(b), lit(CmsPrime)) % lit(CmsWidth.toLong))
             .as("bucket"))
       }: _*)
     val ev = Tables.events(s, dir).select(col("user_id"))
@@ -2592,12 +2603,16 @@ object Relational {
 
   /** Distributed least-squares trend (OLS slope per group) in EXACT
     * arithmetic: the five sufficient statistics (n, Σx, Σy, Σxy, Σx²)
-    * aggregate partial+final as integers — the only thing a cluster
-    * ever shuffles for a regression — and the slope's closed form
-    * n·Σxy − Σx·Σy over n·Σx² − (Σx)² cross-multiplies in
-    * DECIMAL(38,0) (q83's escape hatch: these products pass 9.2e18
-    * before sf1, where BIGINT silently wraps in Spark but widens to
-    * HUGEINT in the oracle — the worst kind of cross-engine mismatch).
+    * aggregate partial+final — the only thing a cluster ever shuffles
+    * for a regression. The per-row products stay in long (bounded by
+    * quantity×price, ~5e8) but the SUMS accumulate in decimal:
+    * Σxy passes 9.2e18 well before the claimed scale (~1e11
+    * rows/group × ~1e8 avg product), where a BIGINT sum silently
+    * wraps in Spark but widens to HUGEINT in the oracle — the worst
+    * kind of cross-engine mismatch, so the sums are exact decimal on
+    * both sides. The slope's closed form n·Σxy − Σx·Σy over
+    * n·Σx² − (Σx)² then cross-multiplies in DECIMAL(38,0) (q83's
+    * escape hatch).
     * Numerator/denominator ship as strings (the q83 rendering-proof
     * boundary); the slope itself is ONE double division of
     * identically-rounded operands, engine-stable at round-6. Built-in
@@ -2615,12 +2630,12 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("x")).as("sx"),
-        sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"))
-      .withColumn("num", dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy")))
-      .withColumn("den", dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx")))
+        sum(dec(col("x"))).as("sx"),
+        sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x") * col("y"))).as("sxy"),
+        sum(dec(col("x") * col("x"))).as("sxx"))
+      .withColumn("num", dec(col("n")) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", dec(col("n")) * col("sxx") - col("sx") * col("sx"))
       .withColumn("slope", round(col("num").cast("double") / col("den").cast("double"), 6))
       .select(
         col("l_returnflag"),
@@ -2639,8 +2654,13 @@ object Relational {
     * pair join blocks on the basket key, so work is Σ(items/basket)²
     * — bounded by basket size, never corpus² — and support pruning
     * happens in the same aggregate exchange the pairs land in.
-    * Per-item counts broadcast back for the lift denominator; lift is
-    * ONE double division of exact integers (deterministic), rounded.
+    * Per-item counts join back on the pair keys for the lift
+    * denominator — unhinted, because itemCounts is one row per
+    * distinct part and grows with the data (AQE may broadcast it at
+    * fixture scale; forcing it would OOM at 100×). The basket total
+    * is a 1-row aggregate folded into the plan via crossJoin, not a
+    * driver-side count — one job, no second scan. Lift is ONE double
+    * division of exact integers (deterministic), rounded.
     * Output is the top-100 pairs by support with a full deterministic
     * tie-break (support floors don't scale: the same floor that keeps
     * 433 fixture pairs keeps 2 at 100× the part domain — top-k is the
@@ -2657,7 +2677,7 @@ object Relational {
       .select(col("l_orderkey"), col("l_partkey"))
       .distinct()
     val itemCounts = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
-    val nBaskets = items.select(col("l_orderkey")).distinct().count()
+    val nBaskets = items.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
     items
       .as("a")
       .join(
@@ -2667,8 +2687,9 @@ object Relational {
       .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2) // prune the singleton tail before the top-k sort
-      .join(broadcast(itemCounts).withColumnRenamed("l_partkey", "part_a").withColumnRenamed("cnt", "cnt_a"), "part_a")
-      .join(broadcast(itemCounts).withColumnRenamed("l_partkey", "part_b").withColumnRenamed("cnt", "cnt_b"), "part_b")
+      .join(itemCounts.withColumnRenamed("l_partkey", "part_a").withColumnRenamed("cnt", "cnt_a"), "part_a")
+      .join(itemCounts.withColumnRenamed("l_partkey", "part_b").withColumnRenamed("cnt", "cnt_b"), "part_b")
+      .crossJoin(broadcast(nBaskets))
       .select(
         col("part_a"),
         col("part_b"),
@@ -2676,7 +2697,7 @@ object Relational {
         col("cnt_a"),
         col("cnt_b"),
         round(
-          (col("support") * lit(nBaskets)).cast("double") /
+          (col("support") * col("n_baskets")).cast("double") /
             (col("cnt_a") * col("cnt_b")).cast("double"),
           4).as("lift"))
       .orderBy(col("support").desc, col("part_a"), col("part_b"))
@@ -2874,10 +2895,10 @@ object Relational {
         |h AS (
         |  SELECT user_id, d,
         |    (CASE d
-        |       WHEN 0 THEN (user_id * 1103515245 + 12345) % 1000000007
-        |       WHEN 1 THEN (user_id * 214013 + 2531011) % 1000000007
-        |       WHEN 2 THEN (user_id * 69069 + 362437) % 1000000007
-        |       ELSE (user_id * 1664525 + 1013904223) % 1000000007
+        |       WHEN 0 THEN ((user_id % 1000000007) * 1103515245 + 12345) % 1000000007
+        |       WHEN 1 THEN ((user_id % 1000000007) * 214013 + 2531011) % 1000000007
+        |       WHEN 2 THEN ((user_id % 1000000007) * 69069 + 362437) % 1000000007
+        |       ELSE ((user_id % 1000000007) * 1664525 + 1013904223) % 1000000007
         |     END) % 64 AS bucket
         |  FROM ev, ds),
         |sketch AS (SELECT d, bucket, count(*) AS cnt FROM h GROUP BY 1, 2),
@@ -2885,10 +2906,10 @@ object Relational {
         |probe AS (
         |  SELECT user_id, d,
         |    (CASE d
-        |       WHEN 0 THEN (user_id * 1103515245 + 12345) % 1000000007
-        |       WHEN 1 THEN (user_id * 214013 + 2531011) % 1000000007
-        |       WHEN 2 THEN (user_id * 69069 + 362437) % 1000000007
-        |       ELSE (user_id * 1664525 + 1013904223) % 1000000007
+        |       WHEN 0 THEN ((user_id % 1000000007) * 1103515245 + 12345) % 1000000007
+        |       WHEN 1 THEN ((user_id % 1000000007) * 214013 + 2531011) % 1000000007
+        |       WHEN 2 THEN ((user_id % 1000000007) * 69069 + 362437) % 1000000007
+        |       ELSE ((user_id % 1000000007) * 1664525 + 1013904223) % 1000000007
         |     END) % 64 AS bucket
         |  FROM exact, ds),
         |est AS (

@@ -277,6 +277,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"expected anti join:\n${plan.take(1500)}")
   }
 
+  test("q93 forces no broadcast on the part-scaled count table (AQE may; code must not)") {
+    // itemCounts is one row per distinct l_partkey — it grows with the
+    // data, so a broadcast() HINT on it is a 100×-scale OOM even though
+    // AQE legitimately broadcasts it at fixture size. The only hint the
+    // plan may carry is the 1-row basket-total aggregate.
+    val hints = Relational
+      .q93CoOccurrence(spark, Sf)
+      .queryExecution
+      .analyzed
+      .collect { case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h }
+    assert(hints.size == 1, s"expected only the 1-row basket-total hint, got ${hints.size}")
+    assert(
+      hints.head.child.output.map(_.name) == Seq("n_baskets"),
+      s"the one allowed hint must be the 1-row total, not ${hints.head.child.output.map(_.name)}")
+  }
+
   test("no query plans an unbounded CartesianProduct (blanket scale audit)") {
     // BroadcastNestedLoopJoin (dimension-sized side) is acceptable;
     // CartesianProductExec — both sides data-sized, quadratic output —

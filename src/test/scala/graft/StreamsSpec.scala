@@ -656,6 +656,66 @@ class StreamBatchParitySpec extends SparkSpec {
       }
     }
   }
+
+  test("cmsBucket stays in [0, w) for negative and wrap-range keys (all surfaces agree)") {
+    import graft.ops.Relational.{cmsBucket, CmsHashes, CmsPrime, CmsWidth}
+    // Long.MinValue, below-zero, above-p, and the ~8.4e9 class where a
+    // raw key*a wraps Long — the keys that turned the bucket negative
+    // before the reduce-first/floorMod fix.
+    val keys = Seq(Long.MinValue, -8400000000L, -7L, -1L, 0L, 1L,
+      CmsPrime - 1, CmsPrime, 8400000000L, Long.MaxValue)
+    for (k <- keys; (_, a, b) <- CmsHashes) {
+      val bkt = cmsBucket(a, b, k)
+      assert(bkt >= 0 && bkt < CmsWidth, s"bucket $bkt out of range for key=$k a=$a")
+    }
+    // and the Column algebra lands in the same cell as the scalar twin
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = keys.toDF("k")
+    CmsHashes.foreach { case (_, a, b) =>
+      val got = df
+        .select(
+          col("k"),
+          (pmod(pmod(col("k"), lit(CmsPrime)) * lit(a) + lit(b), lit(CmsPrime)) %
+            lit(CmsWidth.toLong)).as("bucket"))
+        .as[(Long, Long)]
+        .collect()
+        .toMap
+      keys.foreach { k =>
+        assert(got(k) == cmsBucket(a, b, k), s"column/scalar cell mismatch key=$k a=$a")
+      }
+    }
+  }
+
+  test("heavy-hitter gate survives negative keys (no negative array index)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Long]
+    val q = graft.streaming.Streams
+      .streamingHeavyHitterGate(in.toDF().toDF("user_id"), threshold = 4L)
+      .writeStream
+      .format("memory")
+      .queryName("neg_gate")
+      .outputMode("update")
+      .start()
+    try {
+      in.addData(Seq.fill(5)(-7L) ++ Seq.fill(5)(8400000000L) ++ (-120L to -100L))
+      q.processAllAvailable()
+      val got = spark.table("neg_gate").as[(Long, Long)].collect().toMap
+      assert(got.contains(-7L), s"heavy negative key not flagged: $got")
+      assert(got.contains(8400000000L), s"heavy wrap-range key not flagged: $got")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
 
 /** Companion buffer for the gate-restart test: foreachBatch closures
