@@ -534,7 +534,174 @@ object Similarity {
       .orderBy("q_id", "neighbor_id")
   }
 
+  /** s10 — Lloyd's k-means TRAINING loop: the composition s3/s6/d14
+    * all deferred (their centroids are deterministic samples; this op
+    * trains them). Three fixed rounds, each a full E-step (nearest
+    * centroid by squared L2) and M-step (per-cell [[graft.functions
+    * .VectorMean]] centroid, the s4 aggregator) — the iterative shape
+    * q90 pins for graphs, here for vector indexing.
+    *
+    * Portable arithmetic (the q90 rule): vectors quantize once to
+    * integer-valued doubles at scale 1e6, so every (vi−ci)² fold and
+    * every per-dim sum stays an EXACT integer below 2^53 — addition
+    * order (Spark partial/final vs DuckDB sequential) cannot change a
+    * bit, per-row d2 casts to long before the obj sum (whose exact
+    * value passes 2^53), and the M-step mean is one correctly-rounded
+    * division of exact operands, floored back to integers on both
+    * engines. The oracle unrolls all three iterations as CTEs and
+    * hash-checks every round's cluster sizes, objective, and centroid
+    * checksum — not just the final state. At 1e12-row clusters the
+    * per-dim double sums would pass 2^53; the production escape hatch
+    * is the same as q92's: a decimal/long vector-sum accumulator,
+    * same shape, wider lanes.
+    *
+    * Scale: centroids are K rows — they localCheckpoint per round
+    * (bounded lineage, q90's pattern) and broadcast into the E-step
+    * crossJoin, so each round is ONE corpus-sized exchange (the
+    * min-combine argmin carrying the vector to its cell) and the
+    * M-step's map-side-combined partial aggregation; vectors never
+    * join-back. Empty cells drop out (standard Lloyd's degeneracy);
+    * init is the s3 sample rule (every 62nd vector, K=8) so both
+    * engines rebuild the seed set exactly. Monotone non-increasing
+    * total objective across rounds is pinned in OpsSpec.
+    */
+  /** The corpus quantized once to integer-valued doubles at scale 1e6
+    * — the exact-arithmetic space s10's training and s11's search
+    * share (see [[s10KmeansTrain]] for why this is bit-portable).
+    */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(s, dir)
+      .select(
+        col("vec_id"),
+        transform(
+          col("embedding").cast("array<double>"),
+          x => floor(x * 1000000 + 0.5).cast("double")).as("v"))
+
+  /** Shared Lloyd's loop for s10/s11: returns the per-round summary
+    * frames and the FINAL trained centroid table (cell, c). Centroids
+    * localCheckpoint per round (K rows), so consumers read a flat
+    * K-row local relation, not a 3-round lineage.
+    */
+  private def kmeansRounds(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
+    val k = 8
+    val stride = 62
+    val iters = 3
+    val vectorMean = udaf(graft.functions.VectorMean)
+    val ints = quantized(s, dir)
+    var cents = ints
+      .filter(pmod(col("vec_id"), lit(stride)) === 0 && col("vec_id") < k.toLong * stride)
+      .select((col("vec_id") / stride).cast("int").as("cell"), col("v").as("c"))
+    val rounds = (1 to iters).map { t =>
+      val scored = ints
+        .crossJoin(broadcast(cents))
+        .select(
+          col("vec_id"),
+          col("cell"),
+          col("v"),
+          graft.functions.VectorOps
+            .squaredDistance(col("v"), col("c"))
+            .cast("long")
+            .as("d2"))
+      // argmin with the s6 tie rule: lexicographic (d2, cell) min is
+      // deterministic because cell is unique per candidate row
+      val assigned = scored
+        .groupBy(col("vec_id"))
+        .agg(
+          min(struct(col("d2"), col("cell"))).as("m"),
+          min_by(col("v"), struct(col("d2"), col("cell"))).as("v"))
+        .select(col("vec_id"), col("m.cell").as("cell"), col("m.d2").as("bd"), col("v"))
+      val g = assigned
+        .groupBy(col("cell"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("bd")).as("obj"),
+          vectorMean(col("v")).as("cm"))
+        .select(
+          col("cell"),
+          col("n"),
+          col("obj"),
+          transform(col("cm"), x => floor(x).cast("double")).as("c"))
+        .localCheckpoint() // K rows; caps lineage like q90's rank table
+      cents = g.select(col("cell"), col("c"))
+      g.select(
+        lit(t).as("iter"),
+        col("cell"),
+        col("n"),
+        col("obj"),
+        aggregate(col("c"), lit(0.0), (a, x) => a + x).cast("long").as("csum"))
+    }
+    (rounds, cents)
+  }
+
+  def s10KmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    val (rounds, _) = kmeansRounds(s, dir)
+    rounds.reduce(_ unionAll _).orderBy("iter", "cell")
+  }
+
+  /** s11 — IVF search over TRAINED centroids: the end-to-end
+    * composition a real IVF index runs, closing the gap s3 documents
+    * (its coarse centroids are corpus samples): s10's three Lloyd
+    * rounds produce the codebook, the corpus assigns to the trained
+    * cells, queries probe their nprobe=3 nearest cells, and candidates
+    * rank by squared L2 — ALL in the shared 1e6-scaled integer space,
+    * so every distance is an exact integer and the full pipeline
+    * (training included) is hash-checked by one unrolled oracle.
+    *
+    * Scale: the codebook is K checkpointed rows broadcast into both
+    * the corpus assignment (one exchange: the min-combined argmin) and
+    * the query probe (20 rows); candidate generation is a cell
+    * equi-join — work ∝ probed-cell occupancy, never corpus × queries
+    * — and the top-5 ranks inside per-query windows after a DISTINCT
+    * that collapses candidates reached through both probed cells.
+    */
+  def s11IvfTrainedSearch(s: SparkSession, dir: String): DataFrame = {
+    val (_, cents) = kmeansRounds(s, dir)
+    val ints = quantized(s, dir)
+    val scored = ints
+      .crossJoin(broadcast(cents))
+      .select(
+        col("vec_id"),
+        col("cell"),
+        col("v"),
+        graft.functions.VectorOps
+          .squaredDistance(col("v"), col("c"))
+          .cast("long")
+          .as("d2"))
+    val asg = scored
+      .groupBy(col("vec_id"))
+      .agg(
+        min(struct(col("d2"), col("cell"))).as("m"),
+        min_by(col("v"), struct(col("d2"), col("cell"))).as("v"))
+      .select(col("vec_id"), col("m.cell").as("cell"), col("v"))
+    val byQ = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cell").asc)
+    val qp = scored
+      .filter(col("vec_id") < 20)
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
+    val cand = qp
+      .join(asg, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(
+        col("q_id"),
+        col("vec_id"),
+        graft.functions.VectorOps
+          .squaredDistance(col("qv"), col("v"))
+          .cast("long")
+          .as("d2"))
+      .distinct()
+    val byRank = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("vec_id").asc)
+    cand
+      .withColumn("rank", row_number().over(byRank))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("d2"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_ivf_trained_search" -> s11IvfTrainedSearch,
+    "s10_kmeans_train" -> s10KmeansTrain,
     "s9_radius_search" -> s9RadiusSearch,
     "s6_centroid_assign" -> s6CentroidAssign,
     "s7_pq_encode" -> s7PqEncode,
@@ -591,7 +758,91 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** s10's DuckDB oracle: three unrolled Lloyd rounds. d2 uses the
+    * inner-product identity ‖v‖²−2v·c+‖c‖² — algebraically different
+    * from Spark's (vi−ci)² fold but EQUAL here because every
+    * intermediate is an exact integer below 2^53 (both engines compute
+    * the true mathematical value). Argmin, floor-mean, and checksums
+    * mirror the Spark plan CTE for CTE.
+    */
+  private def s10OracleSql: String = {
+    def round(t: Int, prevC: String): String =
+      s"""s$t AS (
+         |  SELECT v.vec_id, c.cell,
+         |    list_inner_product(v.v, v.v) - 2 * list_inner_product(v.v, c.c)
+         |      + list_inner_product(c.c, c.c) AS d2
+         |  FROM v, $prevC c),
+         |a$t AS (SELECT vec_id, min(d2) AS bd FROM s$t GROUP BY 1),
+         |b$t AS (
+         |  SELECT s.vec_id, min(s.cell) AS cell, min(a.bd) AS bd
+         |  FROM s$t s JOIN a$t a ON s.vec_id = a.vec_id AND s.d2 = a.bd
+         |  GROUP BY 1),
+         |g$t AS (
+         |  SELECT cell, count(*) AS n, CAST(sum(CAST(bd AS BIGINT)) AS BIGINT) AS obj
+         |  FROM b$t GROUP BY 1),
+         |m$t AS (
+         |  SELECT cell, list(cv ORDER BY dim) AS c FROM (
+         |    SELECT b.cell, t.dim, floor(sum(vv.v[CAST(t.dim AS INT)]) / count(*)) AS cv
+         |    FROM b$t b JOIN v vv ON b.vec_id = vv.vec_id, range(1, 65) AS t(dim)
+         |    GROUP BY b.cell, t.dim) GROUP BY cell),
+         |u$t AS (
+         |  SELECT $t AS iter, g.cell, CAST(g.n AS BIGINT) AS n, g.obj,
+         |    CAST(list_reduce(list_prepend(0.0, m.c), (a, b) -> a + b) AS BIGINT) AS csum
+         |  FROM g$t g JOIN m$t m ON g.cell = m.cell)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> floor(x * 1000000 + 0.5)) AS v
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(vec_id // 62 AS INT) AS cell, v AS c
+       |  FROM v WHERE vec_id % 62 = 0 AND vec_id // 62 < 8),
+       |${round(1, "c0")},
+       |${round(2, "m1")},
+       |${round(3, "m2")}""".stripMargin
+  }
+
+  private def s10FinalSql: String =
+    s"""$s10OracleSql
+       |SELECT * FROM (
+       |  SELECT * FROM u1 UNION ALL SELECT * FROM u2 UNION ALL SELECT * FROM u3)
+       |ORDER BY iter, cell""".stripMargin
+
+  /** s11's oracle: s10's full training CTEs (m3 = trained codebook),
+    * then assignment/probe/rank in the same exact-integer algebra.
+    * row_number over (d2, cell) == Spark's min-struct argmin (cell is
+    * unique per candidate row, so the order is total).
+    */
+  private def s11OracleSql: String =
+    s"""$s10OracleSql,
+       |srch AS (
+       |  SELECT vv.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY vv.vec_id ORDER BY
+       |      list_inner_product(vv.v, vv.v) - 2 * list_inner_product(vv.v, c.c)
+       |        + list_inner_product(c.c, c.c) ASC, c.cell ASC) AS rn
+       |  FROM v vv, m3 c),
+       |asg AS (SELECT vec_id, cell FROM srch WHERE rn = 1),
+       |qp AS (SELECT vec_id AS q_id, cell FROM srch WHERE rn <= 3 AND vec_id < 20),
+       |cand AS (
+       |  SELECT DISTINCT qp.q_id, a.vec_id
+       |  FROM qp JOIN asg a ON qp.cell = a.cell AND a.vec_id <> qp.q_id),
+       |scored AS (
+       |  SELECT c.q_id, c.vec_id,
+       |    list_inner_product(qa.v, qa.v) - 2 * list_inner_product(qa.v, vb.v)
+       |      + list_inner_product(vb.v, vb.v) AS d2
+       |  FROM cand c JOIN v qa ON c.q_id = qa.vec_id JOIN v vb ON c.vec_id = vb.vec_id),
+       |rk AS (
+       |  SELECT q_id, vec_id, d2,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, vec_id AS neighbor_id, CAST(rank AS INTEGER) AS rank,
+       |  CAST(d2 AS BIGINT) AS d2
+       |FROM rk WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "s11_ivf_trained_search" -> s11OracleSql,
+    "s10_kmeans_train" -> s10FinalSql,
     // Same unrounded-cosine threshold predicate; the dot product folds
     // left-to-right in both engines so the boundary is bit-identical.
     "s9_radius_search" ->
