@@ -298,7 +298,77 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** p8 — near-dup-aware incremental admission: p6 plus the check p6
+    * deferred — the arriving shard is ALSO probed against the standing
+    * corpus's LSH band table ([[Dedup.crossNearDupPairs]], d2's
+    * bandKeys), so a paraphrased or lightly-edited copy of corpus
+    * content is rejected, not just byte-identical content. This is the
+    * batch twin of the streaming near-dup gate: same signature spec,
+    * same band keys, verdict precedence fixed as quality →
+    * corpus-exact → corpus-near → in-shard-exact → accepted.
+    *
+    * At 100 TB the standing corpus participates ONLY as its exact
+    * fingerprint set and its band table (both incrementally
+    * maintainable from previously-accepted output, one row per
+    * distinct content / per band); corpus text is touched once to
+    * build representatives, never per-shard. Shard-side cost is the
+    * band equi-join (proportional to bucket co-occupancy) plus exact
+    * verification on candidates only — the d2 scale story, applied
+    * across the corpus boundary.
+    */
+  def p8NearDupAdmission(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .spread(Tables.documents(s, dir))
+      .withColumn("nt", size(split(col("text"), " ")))
+    val corpusQ = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4 && col("nt") >= 25)
+    val corpusFp = corpusQ
+      .select(md5(col("text")).as("fp"))
+      .distinct()
+      .withColumn("in_corpus", lit(1))
+    // one representative per distinct corpus content: what the band
+    // table indexes (duplicate texts would only duplicate candidates)
+    val corpusRep = corpusQ
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(
+        min(col("doc_id")).as("doc_id"),
+        first(col("lang")).as("lang"),
+        first(col("text")).as("text"))
+      .select(col("doc_id"), col("lang"), col("text"))
+    val shard = docs
+      .filter(pmod(col("doc_id"), lit(5)) === 4)
+      .select(col("doc_id"), col("lang"), col("nt"), md5(col("text")).as("fp"), col("text"))
+    val near = Dedup
+      .crossNearDupPairs(
+        corpusRep,
+        shard.filter(col("nt") >= 25).select(col("doc_id"), col("lang"), col("text")),
+        3,
+        0.5)
+      .select(col("probe_id").as("doc_id"))
+      .distinct()
+      .withColumn("near_corpus", lit(1))
+    val firstIds = shard
+      .filter(col("nt") >= 25)
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("first_id"))
+    shard
+      .join(corpusFp, Seq("fp"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .join(firstIds, Seq("fp"), "left")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("nt").cast("long").as("n_tokens"),
+        when(col("nt") < 25, "low_quality")
+          .when(col("in_corpus") === 1, "dup_vs_corpus")
+          .when(col("near_corpus") === 1, "near_dup_vs_corpus")
+          .when(col("doc_id") =!= col("first_id"), "dup_in_shard")
+          .otherwise("accepted")
+          .as("verdict"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p8_neardup_admission" -> p8NearDupAdmission,
     "p7_sequence_packing" -> p7SequencePacking,
     "p6_incremental_update" -> p6IncrementalUpdate,
     "p5_passage_trim" -> p5PassageTrim,
@@ -309,6 +379,53 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    // p6's CTEs plus the exact cross-Jaccard ground truth (the d2
+    // oracle bet: LSH misses at the theta=0.5 boundary are ~1e-4, so
+    // the exact all-pairs truth equals the banded+verified output).
+    "p8_neardup_admission" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t,
+        |         len(string_split(text, ' ')) AS nt, md5(text) AS fp, text
+        |  FROM documents),
+        |corpus_fp AS (
+        |  SELECT DISTINCT fp FROM docs WHERE doc_id % 5 <> 4 AND nt >= 25),
+        |corpus_sh AS (
+        |  SELECT md5(text) AS cid,
+        |    list_distinct([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+        |      FOR i IN range(1, len(t) - 1)]) AS shingles
+        |  FROM (SELECT DISTINCT ON (md5(text)) md5(text), t, text FROM docs
+        |        WHERE doc_id % 5 <> 4 AND nt >= 25)),
+        |shard AS (
+        |  SELECT doc_id, lang, nt, fp, t FROM docs WHERE doc_id % 5 = 4),
+        |shard_sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+        |      FOR i IN range(1, len(t) - 1)]) AS shingles
+        |  FROM shard WHERE nt >= 25),
+        |cx AS (SELECT cid, unnest(shingles) AS s FROM corpus_sh),
+        |sx AS (SELECT doc_id, unnest(shingles) AS s FROM shard_sh),
+        |near AS (
+        |  SELECT DISTINCT p.doc_id FROM (
+        |    SELECT sx.doc_id, cx.cid, count(*) AS shared
+        |    FROM sx JOIN cx ON sx.s = cx.s GROUP BY 1, 2) p
+        |  JOIN (SELECT doc_id, len(shingles) AS na FROM shard_sh) a ON p.doc_id = a.doc_id
+        |  JOIN (SELECT cid, len(shingles) AS nb FROM corpus_sh) b ON p.cid = b.cid
+        |  WHERE CAST(p.shared AS DOUBLE) / (a.na + b.nb - p.shared) >= 0.5),
+        |first_ids AS (
+        |  SELECT fp, min(doc_id) AS first_id FROM shard WHERE nt >= 25 GROUP BY fp)
+        |SELECT s.doc_id, s.lang, s.nt AS n_tokens,
+        |  CASE
+        |    WHEN s.nt < 25 THEN 'low_quality'
+        |    WHEN c.fp IS NOT NULL THEN 'dup_vs_corpus'
+        |    WHEN n.doc_id IS NOT NULL THEN 'near_dup_vs_corpus'
+        |    WHEN s.doc_id <> f.first_id THEN 'dup_in_shard'
+        |    ELSE 'accepted'
+        |  END AS verdict
+        |FROM shard s
+        |  LEFT JOIN corpus_fp c ON s.fp = c.fp
+        |  LEFT JOIN near n ON s.doc_id = n.doc_id
+        |  LEFT JOIN first_ids f ON s.fp = f.fp
+        |ORDER BY s.doc_id""".stripMargin,
     "p7_sequence_packing" ->
       """WITH d AS (
         |  SELECT doc_id, lang, doc_id // 100 AS shard,

@@ -42,6 +42,59 @@ object Dedup {
         col("lang"),
         graft.functions.WordNgramHashes.wordNgramHashes(col("toks"), n).as("hs"))
 
+  /** Asymmetric LSH admission probe: `probe` docs against a STANDING
+    * corpus's band table — the batch twin of the streaming near-dup
+    * gate (graft.streaming.Streams), sharing [[bandKeys]] so all three
+    * surfaces (d2's in-set banding, the stream gate, this cross probe)
+    * collide on identical keys. The corpus side is the index a
+    * production ingest maintains incrementally (signature/band rows,
+    * never text); the probe side shuffles only its band keys into the
+    * equi-join, so admission cost is proportional to bucket
+    * co-occupancy — the corpus is never rescanned pairwise. Returns
+    * (probe_id, corpus_id, jac) for every exact-verified cross pair
+    * with shingle-Jaccard ≥ `threshold`; same (1−s²)^32 recall bound
+    * as [[d2MinHashLsh]].
+    */
+  private[ops] def crossNearDupPairs(
+      corpus: DataFrame, // (doc_id, lang, text)
+      probe: DataFrame, // (doc_id, lang, text)
+      n: Int,
+      threshold: Double): DataFrame = {
+    val numHashes = 64
+    val rowsPerBand = 2
+    val numBands = numHashes / rowsPerBand
+    // each side feeds its band table AND its verify set — checkpoint
+    // once (nearDupPairs' pattern), compact (doc_id, hs) rows only
+    val ca = shingled(corpus, n).localCheckpoint()
+    val pa = shingled(probe, n).localCheckpoint()
+    def bands(sh: DataFrame, idName: String) = sh
+      .select(
+        col("doc_id"),
+        graft.functions.MinHashFromHashes
+          .minhashFromHashes(col("hs"), numHashes)
+          .as("sig"))
+      .select(col("doc_id").as(idName), explode(bandKeys(numBands, rowsPerBand)).as("bk"))
+    val cand = bands(pa, "probe_id")
+      .join(bands(ca, "corpus_id"), "bk")
+      .select(col("probe_id"), col("corpus_id"))
+      .distinct()
+    cand
+      .join(
+        pa.select(col("doc_id").as("probe_id"), col("hs").as("sa"), size(col("hs")).as("na")),
+        "probe_id")
+      .join(
+        ca.select(col("doc_id").as("corpus_id"), col("hs").as("sb"), size(col("hs")).as("nb")),
+        "corpus_id")
+      .withColumn(
+        "shared",
+        graft.functions.SortedArrayIntersectCount
+          .sortedIntersectCount(col("sa"), col("sb"))
+          .cast("double"))
+      .withColumn("jac", col("shared") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jac") >= threshold)
+      .select(col("probe_id"), col("corpus_id"), col("jac"))
+  }
+
   /** d1 — exact dedup by content fingerprint: canonical hash-groupBy
     * shape (this is what `dropDuplicates` compiles to, made
     * deterministic by keeping min doc_id as the representative).
@@ -765,7 +818,72 @@ object Dedup {
       .orderBy("drop_id")
   }
 
+  /** d15 — SemDeDup with TOP-2 SOFT ASSIGNMENT: the standard remedy
+    * for d14's cluster-split misses (a near-dup pair whose members
+    * straddle a centroid boundary is invisible to hard assignment —
+    * measured 475/500 planted-pair recall on the fixture). Each vector
+    * joins its best TWO cells, pairs form in any shared cell, and
+    * DISTINCT collapses pairs that co-occur in both. Recall on the
+    * planted perturbed pairs rises to 500/500 (pinned ≥99% in
+    * OpsSpec); cost is bounded by 2²·Σ|c|² in the worst case —
+    * the same K-governed knob as d14, one constant factor up, still
+    * never all-pairs. Output drops d14's cell column (a pair may now
+    * legitimately live in two cells); keeper rule and rounding are
+    * unchanged.
+    */
+  def d15SemanticDedupSoft(s: SparkSession, dir: String): DataFrame = {
+    val theta = 0.9
+    val orig = Tables
+      .embeddings(s, dir)
+      .select(
+        col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val pert = orig.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(
+        col("v"),
+        (x, i) => x * when(i % 2 === 0, lit(1.05)).otherwise(lit(0.95)))
+        .as("v"))
+    val aug = Tables
+      .spread(orig.unionAll(pert))
+      .withColumn("norm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val centroids = orig
+      .filter(pmod(col("vec_id"), lit(31L)) === 0 && col("vec_id") < lit(496L))
+      .select(
+        expr("CAST(vec_id div 31 AS INT)").as("cell"),
+        col("v").as("cv"))
+      .withColumn("cnorm", sqrt(Similarity.dot(col("cv"), col("cv"))))
+    val byVec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val assigned = aug
+      .crossJoin(broadcast(centroids))
+      .withColumn(
+        "ccos",
+        Similarity.dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+      .withColumn("crn", row_number().over(byVec))
+      .filter(col("crn") <= 2)
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+    assigned
+      .as("a")
+      .join(
+        assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn(
+        "cos",
+        Similarity.dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
+      .filter(col("cos") >= theta)
+      .select(col("b.vec_id").as("drop_id"), col("a.vec_id").as("id_a"), col("cos"))
+      .distinct()
+      .groupBy(col("drop_id"))
+      .agg(
+        min(col("id_a")).as("keep_id"),
+        round(min_by(col("cos"), col("id_a")), 4).as("cosine"))
+      .orderBy("drop_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_semantic_dedup_soft" -> d15SemanticDedupSoft,
     "d14_semantic_dedup" -> d14SemanticDedup,
     "d9_canonical_dedup" -> d9CanonicalDedup,
     "d11_passage_dedup" -> d11PassageDedup,
@@ -809,6 +927,41 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // d14's CTEs with crn <= 2 and pair-level DISTINCT; arg_min ==
+    // Spark's min_by (ids unique per group, ties impossible).
+    "d15_semantic_dedup_soft" ->
+      """WITH e AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |         CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |aug AS (
+        |  SELECT vec_id, v FROM e
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    list_transform(v, (x, i) ->
+        |      x * (CASE WHEN i % 2 = 1 THEN 1.05 ELSE 0.95 END))
+        |  FROM e),
+        |n AS (
+        |  SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm FROM aug),
+        |cents AS (
+        |  SELECT CAST(vec_id // 31 AS INT) AS cell, v AS cv,
+        |         sqrt(list_inner_product(v, v)) AS cnorm
+        |  FROM e WHERE vec_id % 31 = 0 AND vec_id < 496),
+        |scored AS (
+        |  SELECT n.vec_id, n.v, n.norm, c.cell,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_inner_product(n.v, c.cv) / (n.norm * c.cnorm)
+        |        DESC, c.cell ASC) AS crn
+        |  FROM n, cents c),
+        |assigned AS (SELECT DISTINCT vec_id, v, norm, cell FROM scored WHERE crn <= 2),
+        |pairs AS (
+        |  SELECT DISTINCT b.vec_id AS drop_id, a.vec_id AS id_a,
+        |    list_inner_product(a.v, b.v) / (a.norm * b.norm) AS cos
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_inner_product(a.v, b.v) / (a.norm * b.norm) >= 0.9)
+        |SELECT drop_id, min(id_a) AS keep_id,
+        |  round(arg_min(cos, id_a), 4) AS cosine
+        |FROM pairs GROUP BY drop_id ORDER BY drop_id""".stripMargin,
     // Same augmented corpus as d10's oracle; assignment, within-cell
     // pairs and the keeper rule replayed relationally. arg_min ==
     // Spark's min_by (no ties: ids are unique per group).
