@@ -2486,8 +2486,13 @@ object Relational {
     * without checkpointing (d6 checkpoints because ITS round count is
     * data-dependent).
     */
-  def q90PagerankTrade(s: SparkSession, dir: String): DataFrame = {
-    val scale = 1000000000000L // 10^12 fixed-point
+  /** Shared customer↔supplier trade graph for q90/q97: mirrored
+    * DISTINCT (custkey·2, suppkey·2+1) edges from orders⨝lineitem,
+    * plus the per-node out-degree table. Both are localCheckpointed —
+    * every PageRank round re-reads them, so the derivation must not
+    * re-run per round and lineage must stay flat.
+    */
+  private def tradeGraph(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
     val fwd = Tables
       .orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"))
@@ -2507,7 +2512,13 @@ object Relational {
       .groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
-    val n = outdeg.count() // node count: every node has outgoing edges by construction
+    // node count: every node has outgoing edges by construction
+    (edges, outdeg, outdeg.count())
+  }
+
+  def q90PagerankTrade(s: SparkSession, dir: String): DataFrame = {
+    val scale = 1000000000000L // 10^12 fixed-point
+    val (edges, outdeg, n) = tradeGraph(s, dir)
     val base = scale * 15L / (100L * n) // (1-damping)/N teleport mass, floored once
     val edgesDeg = edges.join(outdeg, "src") // lazy: outdeg broadcast-joins per round
     var rank = outdeg.select(col("src").as("node"), lit(scale / n).as("rank"))
@@ -2528,6 +2539,62 @@ object Relational {
         col("rank").as("rank_fp"))
       .orderBy(col("rank_fp").desc, col("kind"), col("entity_key"))
       .limit(25)
+  }
+
+  /** q97 — convergence-DETECTED PageRank: q90's fixed-point algebra
+    * with the round count decided by the data, not the code — iterate
+    * until the total L1 rank movement Σ|rank_t − rank_{t−1}| falls to
+    * ε = 0.8·scale (or a 20-round cap bounds lineage and worst-case
+    * cost). The fixed-vs-adaptive tradeoff: q90's fixed 3 rounds give
+    * a static plan, predictable cost, and no driver round-trips — the
+    * right default for a scheduled pipeline; adaptive rounds buy
+    * convergence *guarantees* on arbitrary graphs at the price of one
+    * 1-row aggregate action per round (the d6 fused-flag pattern: the
+    * per-node |delta| rides the checkpointed propagation row, so
+    * detection is a scan of the checkpoint, never a second join job).
+    * All arithmetic stays integer fixed-point, so the converged round
+    * count is DETERMINISTIC for a given input — the oracle unrolls
+    * exactly the rounds the threshold selects (5 on the fixture) and
+    * the emitted n_rounds/final_l1_delta columns hash-pin that the
+    * adaptive loop stopped at the same round with the same residual.
+    * Per round the only edge-sized exchange is the (dst, contribution)
+    * aggregate, same as q90; the delta join adds one node-sized
+    * exchange.
+    */
+  def q97PagerankAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val scale = 1000000000000L
+    val (edges, outdeg, n) = tradeGraph(s, dir)
+    val base = scale * 15L / (100L * n)
+    val eps = scale * 4L / 5L
+    val maxRounds = 20
+    val edgesDeg = edges.join(outdeg, "src")
+    var rank = outdeg.select(col("src").as("node"), lit(scale / n).as("rank"))
+    var delta = Long.MaxValue
+    var rounds = 0
+    while (delta > eps && rounds < maxRounds) {
+      val next = edgesDeg
+        .join(rank, edgesDeg("src") === rank("node"))
+        .select(col("dst"), expr("(rank * 85) div (100 * outdeg)").as("c"))
+        .groupBy(col("dst"))
+        .agg((lit(base) + sum(col("c"))).as("nrank"))
+        .join(rank.select(col("node"), col("rank").as("old")), col("dst") === col("node"))
+        .select(col("dst").as("node"), col("nrank").as("rank"), abs(col("nrank") - col("old")).as("d"))
+        .localCheckpoint()
+      delta = next.agg(sum(col("d"))).head().getLong(0)
+      rank = next.select(col("node"), col("rank"))
+      rounds += 1
+    }
+    rank
+      .select(
+        when(col("node") % 2L === 0L, lit("customer"))
+          .otherwise(lit("supplier"))
+          .as("kind"),
+        expr("node div 2").as("entity_key"),
+        col("rank").as("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("kind"), col("entity_key"))
+      .limit(25)
+      .withColumn("n_rounds", lit(rounds.toLong))
+      .withColumn("final_l1_delta", lit(delta))
   }
 
   /** Bloom-filter membership sketch — completing the mergeable-sketch
@@ -2704,7 +2771,233 @@ object Relational {
       .limit(100)
   }
 
+  /** q94 — TPC-H Q2's shape (minimum-cost supplier): a correlated
+    * scalar MIN over a 4-table join (lineitem⨝supplier⨝nation⨝region,
+    * correlated on the outer part), re-joined to recover the rows that
+    * achieve the minimum. Catalyst decorrelates the subquery into ONE
+    * per-part aggregate + join — never a per-row re-execution — which
+    * is the only survivable plan when the outer side is 100 TB
+    * (PlanSpec pins no ScalarSubquery survives into the physical
+    * plan). The unit price is a raw double quotient, bit-identical in
+    * both engines (one IEEE division of identical parquet doubles, no
+    * rounding anywhere — rounding would CREATE a cross-engine boundary
+    * at dyadic half-decimals, see q83's rendering notes). DISTINCT
+    * collapses multiple min-achieving lineitems of the same (part,
+    * supplier); (p_partkey, s_name) is then unique, so the top-100
+    * order is total and plans as TakeOrderedAndProject.
+    */
+  def q94MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("part_q94")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q94")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier_q94")
+    Tables.nation(s, dir).createOrReplaceTempView("nation_q94")
+    Tables.region(s, dir).createOrReplaceTempView("region_q94")
+    s.sql("""
+      SELECT DISTINCT p.p_partkey, p.p_name, s.s_name, n.n_name, s.s_acctbal,
+        l.l_extendedprice / l.l_quantity AS unit_price
+      FROM part_q94 p, lineitem_q94 l, supplier_q94 s, nation_q94 n, region_q94 r
+      WHERE p.p_partkey = l.l_partkey AND l.l_suppkey = s.s_suppkey
+        AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+        AND r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+        AND l.l_extendedprice / l.l_quantity = (
+          SELECT min(l2.l_extendedprice / l2.l_quantity)
+          FROM lineitem_q94 l2, supplier_q94 s2, nation_q94 n2, region_q94 r2
+          WHERE l2.l_partkey = p.p_partkey AND l2.l_suppkey = s2.s_suppkey
+            AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+            AND r2.r_name = 'EUROPE')
+      ORDER BY s.s_acctbal DESC, p.p_partkey, s.s_name
+      LIMIT 100""")
+  }
+
+  /** q95 — TPC-H Q20's shape (nested semi-join chain with a correlated
+    * quantity threshold): suppliers who DOMINATED a small-part's 1996
+    * volume — shipped more than half the part's total for the year.
+    * Three nesting levels: IN(part-name filter) → correlated scalar
+    * sum per part → IN(qualifying suppliers), each decorrelating to a
+    * semi join or aggregate-join (PlanSpec pins the LeftSemi pair; no
+    * per-group re-scan of lineitem). Quantities are integer-valued
+    * doubles, so the 0.5× threshold compare is exact in both engines.
+    * At 100 TB both lineitem aggregates shuffle on l_partkey(, suppkey)
+    * — the natural keys — and the part-name filter semi-joins BEFORE
+    * the heavy aggregate on the Spark side of the fence via predicate
+    * pushdown into the grouped relation.
+    */
+  def q95DominantSupplier(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("part_q95")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q95")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier_q95")
+    Tables.nation(s, dir).createOrReplaceTempView("nation_q95")
+    s.sql("""
+      SELECT s.s_name, n.n_name
+      FROM supplier_q95 s JOIN nation_q95 n ON s.s_nationkey = n.n_nationkey
+      WHERE s.s_suppkey IN (
+        SELECT ps.l_suppkey FROM (
+          SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+          FROM lineitem_q95
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY l_partkey, l_suppkey) ps
+        WHERE ps.l_partkey IN (
+            SELECT p_partkey FROM part_q95 WHERE p_name LIKE 'small%')
+          AND ps.q > (
+            SELECT 0.5 * sum(l2.l_quantity) FROM lineitem_q95 l2
+            WHERE l2.l_partkey = ps.l_partkey
+              AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
+      ORDER BY s.s_name""")
+  }
+
+  /** q96 — TPC-H Q22's shape (global scalar average + NOT EXISTS):
+    * dormant high-balance customers by name-digit bucket — customers
+    * whose balance beats the positive-balance average and who placed
+    * no order since 2000. The average boundary is the q92 trick in
+    * miniature: balances quantize to cents ONCE, and `bal > avg`
+    * becomes the exact integer cross-multiplication bal·n > Σ — no
+    * float sum ever decides membership (a double avg differs between
+    * engines in its last ulp, the worst place for a predicate). The
+    * two scalar subqueries are uncorrelated (computed once, broadcast
+    * — fine at any scale); NOT EXISTS decorrelates to one anti join
+    * on o_custkey (PlanSpec pins LeftAnti), which is the only shape
+    * that survives a 100 TB orders table.
+    */
+  def q96DormantCustomers(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_q96")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_q96")
+    s.sql("""
+      WITH cents AS (
+        SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS b,
+          substring(c_name, 18, 1) AS bucket
+        FROM customer_q96)
+      SELECT bucket, count(*) AS n_cust, sum(b) AS total_cents
+      FROM cents c
+      WHERE bucket IN ('1', '3', '5', '7', '9')
+        AND b * (SELECT count(*) FROM cents WHERE b > 0)
+            > (SELECT sum(b) FROM cents WHERE b > 0)
+        AND NOT EXISTS (
+          SELECT 1 FROM orders_q96 o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+      GROUP BY bucket
+      ORDER BY bucket""")
+  }
+
+  /** q97's oracle: the adaptive threshold ε = 0.8·scale selects 5
+    * rounds on the fixture (delta shrinks ~0.85× per round, the
+    * damping factor); the SQL unrolls exactly those 5 and re-derives
+    * the residual Σ|r5−r4|, so a convergence-logic regression (wrong
+    * round count, wrong delta) hash-fails even though SQL itself has
+    * no loop.
+    */
+  private def q97OracleSql: String = {
+    val rounds = 5
+    def iter(t: Int): String =
+      s"""r$t AS (
+         |  SELECT e.dst AS node,
+         |    (SELECT 1000000000000 * 15 // (100 * n) FROM n)
+         |      + sum((r.rank * 85) // (100 * o.outdeg)) AS rank
+         |  FROM edges e
+         |    JOIN r${t - 1} r ON e.src = r.node
+         |    JOIN outdeg o ON e.src = o.src
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH fwd AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT src, dst FROM fwd
+       |  UNION ALL SELECT dst AS src, src AS dst FROM fwd),
+       |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM outdeg),
+       |r0 AS (
+       |  SELECT src AS node, 1000000000000 // n.n AS rank FROM outdeg, n),
+       |${(1 to rounds).map(iter).mkString(",\n")},
+       |dlt AS (
+       |  SELECT CAST(sum(abs(a.rank - b.rank)) AS BIGINT) AS d
+       |  FROM r$rounds a JOIN r${rounds - 1} b ON a.node = b.node)
+       |SELECT
+       |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |  node // 2 AS entity_key,
+       |  CAST(rank AS BIGINT) AS rank_fp,
+       |  CAST($rounds AS BIGINT) AS n_rounds,
+       |  dlt.d AS final_l1_delta
+       |FROM r$rounds, dlt
+       |ORDER BY rank_fp DESC, kind, entity_key
+       |LIMIT 25""".stripMargin
+  }
+
+  /** q98 — TPC-H Q21's shape (the hardest classic decorrelation:
+    * EXISTS and NOT EXISTS correlated on the SAME fact table):
+    * suppliers who were the SOLE source of returned items on
+    * multi-supplier orders. The receipt/commit-date predicate of the
+    * original becomes a returnflag predicate on the available schema;
+    * the plan shape is identical — both subqueries decorrelate to
+    * orderkey-keyed semi/anti joins against lineitem, so the fact
+    * table is scanned a bounded number of times and NEVER re-executed
+    * per outer row (PlanSpec pins LeftSemi + LeftAnti together).
+    * count(DISTINCT orderkey) folds multiple returned items of one
+    * order; top-50 with a total (count desc, name) order plans as
+    * TakeOrderedAndProject. At 100 TB all three lineitem legs shuffle
+    * on l_orderkey — one co-partitioned key — and the supplier/nation
+    * dims broadcast.
+    */
+  def q98SoleFaultSupplier(s: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier_q98")
+    Tables.nation(s, dir).createOrReplaceTempView("nation_q98")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q98")
+    s.sql("""
+      SELECT s.s_name, n.n_name,
+        count(DISTINCT l1.l_orderkey) AS n_sole_fault
+      FROM supplier_q98 s
+        JOIN nation_q98 n ON s.s_nationkey = n.n_nationkey
+        JOIN lineitem_q98 l1
+          ON l1.l_suppkey = s.s_suppkey AND l1.l_returnflag = 'R'
+      WHERE EXISTS (
+          SELECT 1 FROM lineitem_q98 l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem_q98 l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R')
+      GROUP BY s.s_name, n.n_name
+      ORDER BY n_sole_fault DESC, s.s_name
+      LIMIT 50""")
+  }
+
+  /** q99 — TPC-H Q16's shape: grouped DISTINCT-count of suppliers per
+    * (brand, type, size-bucket) with a NOT IN exclusion subquery (the
+    * blacklist the original expresses over comments; acctbal < 0
+    * stands in on the available schema). The two classic hazards this
+    * pins: count(DISTINCT) expands to a two-phase aggregate (never a
+    * per-group set materialization), and NOT IN — with its three-
+    * valued NULL semantics — decorrelates to one null-aware anti join
+    * against the blacklist, which broadcasts at any scale (it is
+    * supplier-dimension-sized). Top-100 by count plans as
+    * TakeOrderedAndProject under a total (cnt, brand, type, bucket)
+    * order. At 100 TB the only data-sized exchange is the
+    * (brand, type, bucket, suppkey) distinct shuffle.
+    */
+  def q99SupplierVariety(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("part_q99")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier_q99")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q99")
+    s.sql("""
+      SELECT p.p_brand, p.p_type, CAST(p.p_size % 10 AS BIGINT) AS size_bucket,
+        count(DISTINCT l.l_suppkey) AS supplier_cnt
+      FROM part_q99 p JOIN lineitem_q99 l ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand <> 'Brand#1'
+        AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier_q99 WHERE s_acctbal < 0)
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, size_bucket
+      LIMIT 100""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_supplier_variety_distinct" -> q99SupplierVariety,
+    "q98_sole_fault_supplier" -> q98SoleFaultSupplier,
+    "q97_pagerank_adaptive" -> q97PagerankAdaptive,
+    "q96_dormant_customers" -> q96DormantCustomers,
+    "q95_dominant_supplier" -> q95DominantSupplier,
+    "q94_min_cost_supplier" -> q94MinCostSupplier,
     "q93_co_occurrence" -> q93CoOccurrence,
     "q92_ols_trend" -> q92OlsTrend,
     "q91_bloom_decontaminate" -> q91BloomDecontaminate,
@@ -2801,6 +3094,90 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q97_pagerank_adaptive" -> q97OracleSql,
+    // Same NOT-IN null-aware anti semantics (no NULL suppkeys in the
+    // fixture, so both engines agree); DISTINCT count is exact.
+    "q99_supplier_variety_distinct" ->
+      """SELECT p.p_brand, p.p_type, CAST(p.p_size % 10 AS BIGINT) AS size_bucket,
+        |  CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#1'
+        |  AND l.l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, size_bucket
+        |LIMIT 100""".stripMargin,
+    // Same EXISTS/NOT-EXISTS chain; DuckDB decorrelates identically,
+    // and the DISTINCT-orderkey count is integer-exact in both engines.
+    "q98_sole_fault_supplier" ->
+      """SELECT s.s_name, n.n_name,
+        |  CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS n_sole_fault
+        |FROM supplier s
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey AND l1.l_returnflag = 'R'
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name, n.n_name
+        |ORDER BY n_sole_fault DESC, s.s_name
+        |LIMIT 50""".stripMargin,
+    // Same cents quantization + exact cross-multiplied average bound;
+    // HUGEINT sums cast back to BIGINT at the rendering boundary.
+    "q96_dormant_customers" ->
+      """WITH cents AS (
+        |  SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS b,
+        |    substring(c_name, 18, 1) AS bucket
+        |  FROM customer)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(b) AS BIGINT) AS total_cents
+        |FROM cents c
+        |WHERE bucket IN ('1', '3', '5', '7', '9')
+        |  AND b * (SELECT count(*) FROM cents WHERE b > 0)
+        |      > (SELECT CAST(sum(b) AS BIGINT) FROM cents WHERE b > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
+    // Integer-valued quantity sums: the 0.5x threshold is exact in both
+    // engines; DuckDB decorrelates the same three nesting levels.
+    "q95_dominant_supplier" ->
+      """SELECT s.s_name, n.n_name
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE s.s_suppkey IN (
+        |  SELECT ps.l_suppkey FROM (
+        |    SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+        |    FROM lineitem
+        |    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |      AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    GROUP BY l_partkey, l_suppkey) ps
+        |  WHERE ps.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |    AND ps.q > (
+        |      SELECT 0.5 * sum(l2.l_quantity) FROM lineitem l2
+        |      WHERE l2.l_partkey = ps.l_partkey
+        |        AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+        |        AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
+        |ORDER BY s.s_name""".stripMargin,
+    // Identical IEEE division on both sides; DISTINCT collapses
+    // repeated min-achieving lineitems of one (part, supplier).
+    "q94_min_cost_supplier" ->
+      """SELECT DISTINCT p.p_partkey, p.p_name, s.s_name, n.n_name, s.s_acctbal,
+        |  l.l_extendedprice / l.l_quantity AS unit_price
+        |FROM part p, lineitem l, supplier s, nation n, region r
+        |WHERE p.p_partkey = l.l_partkey AND l.l_suppkey = s.s_suppkey
+        |  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+        |  AND r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+        |  AND l.l_extendedprice / l.l_quantity = (
+        |    SELECT min(l2.l_extendedprice / l2.l_quantity)
+        |    FROM lineitem l2, supplier s2, nation n2, region r2
+        |    WHERE l2.l_partkey = p.p_partkey AND l2.l_suppkey = s2.s_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')
+        |ORDER BY s.s_acctbal DESC, p.p_partkey, s.s_name
+        |LIMIT 100""".stripMargin,
     "q93_co_occurrence" ->
       """WITH i AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
