@@ -500,6 +500,51 @@ class OpsSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture must contain at least one planted 5-gram near-dup pair")
   }
 
+  test("s10 k-means: total objective is monotone non-increasing across rounds") {
+    val byIter = Similarity.s10KmeansTrain(spark, Sf).collect()
+      .groupBy(_.getAs[Int]("iter"))
+      .view.mapValues(_.map(_.getAs[Long]("obj")).sum).toMap
+    assert(byIter.keySet == Set(1, 2, 3), s"expected 3 rounds, got ${byIter.keySet}")
+    assert(byIter(2) <= byIter(1), s"round 2 objective rose: ${byIter(2)} > ${byIter(1)}")
+    assert(byIter(3) <= byIter(2), s"round 3 objective rose: ${byIter(3)} > ${byIter(2)}")
+    // and training actually helped: the trained objective is well below the
+    // sample-seeded first assignment
+    assert(byIter(3) < byIter(1), "objective never improved over the seed centroids")
+  }
+
+  test("s11 trained-IVF search: ranks contiguous, distances ordered, recall >= 0.6 vs exhaustive") {
+    import org.apache.spark.sql.functions._
+    val out = Similarity.s11IvfTrainedSearch(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_.getInt(2))
+      assert(byRank.map(_.getInt(2)).toSeq == (1 to byRank.length), s"ranks not contiguous for q=$q")
+      val d2s = byRank.map(_.getLong(3)).toSeq
+      assert(d2s == d2s.sorted, s"distances not ordered for q=$q")
+      assert(rows.forall(_.getLong(1) != q), "self-match leaked")
+    }
+    // exhaustive integer-L2 top-5 as ground truth (same quantized space)
+    val ints = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * 1000000 + 0.5).cast("double")).as("v"))
+    val q = ints.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2").asc, col("vec_id").asc)
+    val exact = ints.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.VectorOps.squaredDistance(col("qv"), col("v")).cast("long").as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.6, f"trained-IVF recall $recall%.2f below 0.6")
+  }
+
   test("s9 radius search agrees with brute-force cosine at the same threshold") {
     import org.apache.spark.sql.functions._
     val r = Similarity.s9RadiusSearch(spark, Sf)
@@ -538,6 +583,35 @@ class OpsSpec extends SparkSpec {
         size(split(col("text"), " ")) >= 25)
       .select(md5(col("text")).as("fp"))
     assert(accepted.join(corpusFps, Seq("fp"), "left_semi").count() == 0)
+  }
+
+  test("p8 near-dup admission agrees with d2 over (corpus ∪ shard) restricted to shard docs") {
+    import org.apache.spark.sql.functions._
+    val out = Corpus.p8NearDupAdmission(spark, Sf).collect()
+    val flagged = out.filter(_.getString(3) == "near_dup_vs_corpus").map(_.getLong(0)).toSet
+    val exactDup = out.filter(_.getString(3) == "dup_vs_corpus").map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "fixture must exercise the corpus-near path")
+    // ground truth: d2's verified pairs over the full table, restricted
+    // to (quality corpus doc, quality shard doc) cross pairs — precisely
+    // the docs p8 must reject as corpus-near (minus exact corpus dups,
+    // which take precedence)
+    val nt = Tables.documents(spark, Sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def corpusQ(id: Long) = id % 5 != 4 && nt(id) >= 25
+    def shardQ(id: Long) = id % 5 == 4 && nt(id) >= 25
+    val expected = Dedup.d2MinHashLsh(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        (if (corpusQ(a) && shardQ(b)) Seq(b) else Nil) ++
+          (if (corpusQ(b) && shardQ(a)) Seq(a) else Nil)
+      }
+      .toSet -- exactDup
+    assert(flagged == expected,
+      s"near set mismatch: flagged-only ${flagged -- expected}, missing ${expected -- flagged}")
+    // and the verdict precedence is intact: every verdict from the fixed set
+    assert(out.map(_.getString(3)).toSet.subsetOf(Set(
+      "accepted", "low_quality", "dup_vs_corpus", "near_dup_vs_corpus", "dup_in_shard")))
   }
 
   test("p7 sequence packing: offsets bounded, spans consistent, tokens conserved") {
@@ -583,6 +657,57 @@ class OpsSpec extends SparkSpec {
     val dropped = out.map(_.getLong(1)).toSet
     val missed = n - dropped.size
     assert(missed.toDouble / n < 0.15, s"$missed/$n planted pairs missed")
+  }
+
+  test("d15 soft assignment recovers d14's cluster splits: planted recall >= 99%") {
+    val out = Dedup.d15SemanticDedupSoft(spark, Sf).collect()
+    // same truth conditions as d14: every drop keeps its original
+    out.foreach { r =>
+      val (drop, keep, cos) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(drop == keep + 1000000L, s"drop $drop keeps non-original $keep")
+      assert(cos >= 0.99, s"planted pair cosine $cos suspiciously low")
+    }
+    val n = Tables.embeddings(spark, Sf).count()
+    val recall = out.map(_.getLong(0)).toSet.size.toDouble / n
+    assert(recall >= 0.99, f"soft-assignment recall $recall%.3f below 0.99")
+    // and it strictly dominates hard assignment on the same fixture
+    val hard = Dedup.d14SemanticDedup(spark, Sf).collect().map(_.getLong(1)).toSet
+    assert(out.map(_.getLong(0)).toSet.size >= hard.size,
+      "top-2 assignment found fewer pairs than top-1")
+  }
+
+  test("d14/d15 centroid assignment margins sit far above the cross-engine tie zone") {
+    import org.apache.spark.sql.functions._
+    // A near-tie between two centroids (unrounded doubles summed in a
+    // different order by another engine) could flip a cell assignment
+    // and silently change the pair output. Pin the fixture's minimum
+    // best-vs-second-best cosine gap well above double-rounding noise
+    // so a future fixture or centroid-rule change can't land in the
+    // tie zone unnoticed.
+    val orig = Tables.embeddings(spark, Sf)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val pert = orig.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("v"),
+        (x, i) => x * when(i % 2 === 0, lit(1.05)).otherwise(lit(0.95))).as("v"))
+    val aug = orig.unionAll(pert).withColumn("norm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val cents = orig
+      .filter(pmod(col("vec_id"), lit(31L)) === 0 && col("vec_id") < lit(496L))
+      .select(expr("CAST(vec_id div 31 AS INT)").as("cell"), col("v").as("cv"))
+      .withColumn("cnorm", sqrt(Similarity.dot(col("cv"), col("cv"))))
+    val byVec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc)
+    val margins = aug.crossJoin(broadcast(cents))
+      .withColumn("ccos", Similarity.dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+      .withColumn("r", row_number().over(byVec))
+      .filter(col("r") <= 2)
+      .groupBy(col("vec_id"))
+      .agg((max(col("ccos")) - min(col("ccos"))).as("margin"))
+    val minMargin = margins.agg(min(col("margin"))).head().getDouble(0)
+    // measured 6.7e-5 on the fixture; 1e-9 is still ~1e6 ulps of a
+    // cosine near 1 — anything below means the fixture entered the
+    // tie zone and the exact-oracle bet needs re-examination
+    assert(minMargin > 1e-9, s"assignment margin $minMargin within cross-engine tie zone")
   }
 
   test("q93 co-occurrence: support ordered and bounded by item counts, lift recomputes") {

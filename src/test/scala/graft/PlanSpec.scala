@@ -293,6 +293,47 @@ class PlanSpec extends SparkSpec {
       s"the one allowed hint must be the 1-row total, not ${hints.head.child.output.map(_.name)}")
   }
 
+  test("q94 correlated scalar MIN decorrelates to one aggregate-join, top-k plans as heap") {
+    val plan = formatted(Relational.q94MinCostSupplier(spark, Sf))
+    // the per-part minimum must be ONE aggregate joined back — any
+    // surviving subquery node would mean per-row re-execution over a
+    // 100 TB outer
+    assert(!plan.contains("Subquery"), s"correlated min not decorrelated:\n${plan.take(1500)}")
+    assert(plan.contains("min((l_extendedprice"), "expected a per-part min aggregate")
+    assert(plan.contains("TakeOrderedAndProject"), "top-100 must plan as per-partition heaps")
+  }
+
+  test("q95 nested IN chain decorrelates to semi joins; no per-group lineitem re-scan") {
+    val plan = formatted(Relational.q95DominantSupplier(spark, Sf))
+    val semis = plan.linesIterator.count(_.contains("LeftSemi"))
+    assert(semis >= 2, s"expected >=2 semi joins (supplier IN, part IN), got $semis")
+    assert(!plan.contains("Subquery"), s"correlated threshold not decorrelated:\n${plan.take(1500)}")
+  }
+
+  test("q96 NOT EXISTS plans as one anti join; scalar bounds evaluate once") {
+    val plan = formatted(Relational.q96DormantCustomers(spark, Sf))
+    assert(plan.contains("LeftAnti"), s"expected anti join for NOT EXISTS:\n${plan.take(1500)}")
+    // the two global bounds are uncorrelated scalars: allowed to appear
+    // as one-time Subquery nodes, never as a join re-executed per row
+    assert(plan.contains("Subquery subquery"), "global bounds should be one-time subqueries")
+  }
+
+  test("q98 EXISTS + NOT EXISTS on one fact table decorrelate to semi + anti joins") {
+    val plan = formatted(Relational.q98SoleFaultSupplier(spark, Sf))
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan as semi join:\n${plan.take(1500)}")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must plan as anti join:\n${plan.take(1500)}")
+    assert(!plan.contains("Subquery"), "no per-row subquery may survive on a 100 TB fact")
+    assert(plan.contains("TakeOrderedAndProject"), "top-50 must plan as per-partition heaps")
+  }
+
+  test("q99 NOT IN plans null-aware anti join; DISTINCT count expands two-phase") {
+    val plan = formatted(Relational.q99SupplierVariety(spark, Sf))
+    assert(plan.contains("LeftAnti"), s"NOT IN must plan as anti join:\n${plan.take(1500)}")
+    assert(plan.contains("partial_count(distinct"),
+      "count(DISTINCT) must expand to a two-phase aggregate, never per-group sets")
+    assert(plan.contains("TakeOrderedAndProject"), "top-100 must plan as per-partition heaps")
+  }
+
   test("no query plans an unbounded CartesianProduct (blanket scale audit)") {
     // BroadcastNestedLoopJoin (dimension-sized side) is acceptable;
     // CartesianProductExec — both sides data-sized, quadratic output —

@@ -716,6 +716,96 @@ class StreamBatchParitySpec extends SparkSpec {
       }
     }
   }
+
+  test("near-dup gate matches batch d2 candidate components across two batch splits") {
+    // The gate's per-bucket hit graph is star-shaped around the (mutable)
+    // representative, so the EDGE set legitimately varies with arrival
+    // order; the order-free invariant the displacement rule guarantees is
+    // CONNECTIVITY — every multi-occupied bucket's docs form one connected
+    // hit component. Batch d2's candidate graph is a clique per bucket, so
+    // the two graphs must have identical connected components over the
+    // same corpus, for ANY batch split. Pin it for two different splits.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = graft.ops.Tables.documents(spark, Sf)
+        .select(col("doc_id"), col("text"))
+        .filter(size(split(col("text"), " ")) >= 3)
+      // batch candidate graph: the same sig/band arithmetic the gate uses
+      val banded = docs
+        .select(
+          col("doc_id"),
+          graft.functions.MinHashFromHashes
+            .minhashFromHashes(
+              graft.functions.WordNgramHashes
+                .wordNgramHashes(split(col("text"), " "), 3),
+              64)
+            .as("sig"))
+        .select(col("doc_id"), explode(graft.ops.Dedup.bandKeys(32, 2)).as("bk"))
+      val batchPairs = banded.as("a")
+        .join(banded.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"))
+        .distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batchPairs.nonEmpty, "fixture must produce band collisions")
+
+      def components(edges: Set[(Long, Long)]): Map[Long, Long] = {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        parent.keys.map(k => k -> find(k)).toMap
+      }
+      val batchComp = components(batchPairs)
+
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      val splits: Seq[Seq[Array[(Long, String)]]] = Seq(
+        // split 1: two batches, high ids first (forces displacements)
+        Seq(rows.filter(_._1 % 2 == 1).sortBy(-_._1), rows.filter(_._1 % 2 == 0).sortBy(-_._1)),
+        // split 2: three batches by doc_id mod 3
+        Seq(rows.filter(_._1 % 3 == 2), rows.filter(_._1 % 3 == 0), rows.filter(_._1 % 3 == 1)))
+      splits.zipWithIndex.foreach { case (batches, i) =>
+        val in = MemoryStream[(Long, String)]
+        val q = graft.streaming.Streams
+          .streamingNearDupGate(in.toDF().toDF("doc_id", "text"))
+          .writeStream
+          .format("memory")
+          .queryName(s"parity_gate_$i")
+          .outputMode("update")
+          .start()
+        try {
+          batches.foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+          val streamPairs = spark.table(s"parity_gate_$i")
+            .select(col("doc_id"), col("rep_doc_id"))
+            .collect()
+            .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+            .toSet
+          // every stream edge is a genuine batch candidate...
+          assert((streamPairs -- batchPairs).isEmpty,
+            s"split $i emitted non-candidate pairs: ${(streamPairs -- batchPairs).take(5)}")
+          // ...and connectivity (hence doc coverage) is identical
+          assert(components(streamPairs) == batchComp,
+            s"split $i: stream components diverge from batch candidate components")
+        } finally q.stop()
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
 
 /** Companion buffer for the gate-restart test: foreachBatch closures
