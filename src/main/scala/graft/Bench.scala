@@ -84,6 +84,35 @@ object Bench {
       val ok = warm.map(_(n)).filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min
     }).toMap
+    // Solo floor pass: the warm medians are taken mid-sweep, under the
+    // heap/GC residue of 140+ other queries — round 5's audit measured
+    // q90 at 3.19 s in-sweep vs 2.28 s solo, and attributing that gap
+    // cost a manual re-run. Approximate the solo number in-run: for the
+    // K most expensive queries (the ones a plan audit reads), take the
+    // best of two extra runs behind an aggressive quiesce (double GC +
+    // settle). K stays small so the contract line stays within the
+    // driver's stdout-tail capture budget; the full floor map would
+    // re-create round 3's truncation.
+    val floorK = sys.env
+      .get("SPARK_GRAFT_FLOOR_K")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(10)
+      .max(0)
+    val floorNames = names
+      .filter(med(_) >= 0)
+      .sortBy(-med(_))
+      .take(floorK)
+    val floor = floorNames.map { n =>
+      val runs = (1 to 2).map { _ =>
+        System.gc(); System.gc()
+        Thread.sleep(200)
+        run(n, selected(n))
+      }.filter(_ >= 0)
+      n -> (if (runs.isEmpty) -1.0 else runs.min)
+    }.toMap
+    def jmapOf(ks: Seq[String], m: Map[String, Double]): String =
+      ks.map(k => s"\"" + k + "\":" + m(k)).mkString("{", ",", "}")
+    val floorJson = jmapOf(floorNames, floor)
     def jmap(m: Map[String, Double]): String =
       names.map(k => s"\"" + k + "\":" + m(k)).mkString("{", ",", "}")
     val total = med.values.filter(_ >= 0).sum
@@ -98,9 +127,9 @@ object Bench {
     val loadEnd = loadAvg()
     val loadJson = s""""load_1m_start":$loadStart,"load_1m_end":$loadEnd"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"passes":$passes,$loadJson,"failed":$failedJson,"queries":${jmap(med)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"passes":$passes,$loadJson,"failed":$failedJson,"queries_floor_topk":$floorJson,"queries":${jmap(med)},"sf":"$sfDir"}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"passes":$passes,$loadJson,"failed":$failedJson,"queries":${jmap(med)},"queries_min":${jmap(mn)},"queries_cold":${jmap(cold.toMap)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"passes":$passes,$loadJson,"failed":$failedJson,"queries":${jmap(med)},"queries_min":${jmap(mn)},"queries_cold":${jmap(cold.toMap)},"queries_floor_topk":$floorJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
