@@ -26,7 +26,27 @@ val targets: Seq[(String, String, org.apache.spark.sql.DataFrame)] = Seq(
   ("d14_semantic_dedup", "SemDeDup: K-row broadcast argmax assignment, within-cell self-join bounded by cluster sizes",
     graft.ops.Dedup.d14SemanticDedup(spark, sf)),
   ("p7_sequence_packing", "shard-local packing windows: no global sort, one window exchange on (lang, shard)",
-    graft.ops.Corpus.p7SequencePacking(spark, sf))
+    graft.ops.Corpus.p7SequencePacking(spark, sf)),
+  ("q93_co_occurrence", "basket-blocked pair join, UNHINTED part-count joins (AQE decides), 1-row basket total broadcast",
+    graft.ops.Relational.q93CoOccurrence(spark, sf)),
+  ("q94_min_cost_supplier", "TPC-H Q2 shape: correlated scalar MIN decorrelated to one aggregate-join + TakeOrderedAndProject",
+    graft.ops.Relational.q94MinCostSupplier(spark, sf)),
+  ("q95_dominant_supplier", "TPC-H Q20 shape: nested IN chain as LeftSemi pair, correlated threshold as aggregate-join",
+    graft.ops.Relational.q95DominantSupplier(spark, sf)),
+  ("q97_pagerank_adaptive", "convergence-detected PageRank: per-round delta rides the checkpointed row (d6 pattern)",
+    graft.ops.Relational.q97PagerankAdaptive(spark, sf)),
+  ("s10_kmeans_train", "Lloyd's k-means: K-row broadcast E-step, map-side-combined VectorMean M-step, per-round checkpoint",
+    graft.ops.Similarity.s10KmeansTrain(spark, sf)),
+  ("p8_neardup_admission", "incremental admission: corpus reduces to fingerprint set + band table; shard probes both",
+    graft.ops.Corpus.p8NearDupAdmission(spark, sf)),
+  ("d15_semantic_dedup_soft", "SemDeDup top-2 soft assignment: crn <= 2 cells per vector, DISTINCT pair collapse",
+    graft.ops.Dedup.d15SemanticDedupSoft(spark, sf)),
+  ("q98_sole_fault_supplier", "TPC-H Q21 shape: EXISTS + NOT EXISTS on one fact as LeftSemi + LeftAnti, orderkey co-partitioned",
+    graft.ops.Relational.q98SoleFaultSupplier(spark, sf)),
+  ("q99_supplier_variety_distinct", "TPC-H Q16 shape: two-phase DISTINCT count + null-aware anti join for NOT IN",
+    graft.ops.Relational.q99SupplierVariety(spark, sf)),
+  ("s11_ivf_trained_search", "trained-IVF search: s10 codebook broadcast into assignment + probe, cell equi-join candidates",
+    graft.ops.Similarity.s11IvfTrainedSearch(spark, sf))
 )
 val sb = new StringBuilder
 sb.append("# PLANS -- executed physical plans of headline queries\n\n")
