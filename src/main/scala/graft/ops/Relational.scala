@@ -2991,7 +2991,57 @@ object Relational {
       LIMIT 100""")
   }
 
+  /** q100 — incremental JOIN maintenance: the three-term delta
+    * expansion Δ(O⋈L) = ΔO⋈L ∪ O⋈ΔL ∪ ΔO⋈ΔL, completing the IVM
+    * story q64 started for aggregates. Both inputs receive a delta
+    * batch (orders by orderkey mod, lineitems by linenumber mod); the
+    * incremental result composes the stored old⋈old contribution with
+    * the three delta terms, and the query emits it NEXT TO the
+    * one-shot recompute with their difference — the algebraic identity
+    * (diff ≡ 0) is hash-pinned by the oracle, which is the whole
+    * point: at 100 TB the old⋈old term is READ from the stored
+    * result, so refresh cost is proportional to |Δ|·(join fan-out),
+    * not corpus size, while this query proves the composition exact.
+    * Revenue quantizes to cents ONCE (long), so every sum is exact in
+    * both engines; all four joins ride the same orderkey.
+    */
+  def q100JoinIvm(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+    val oOld = o.filter(col("o_orderkey") % 7 =!= 0)
+    val oNew = o.filter(col("o_orderkey") % 7 === 0)
+    val l = Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+    val lOld = l.filter(col("l_linenumber") % 3 =!= 0).drop("l_linenumber")
+    val lNew = l.filter(col("l_linenumber") % 3 === 0).drop("l_linenumber")
+    def contrib(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, a("o_orderkey") === b("l_orderkey"))
+        .select(col("o_orderpriority"), col("cents"))
+    val inc = contrib(oOld, lOld)
+      .unionAll(contrib(oNew, lOld))
+      .unionAll(contrib(oOld, lNew))
+      .unionAll(contrib(oNew, lNew))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("cents")).as("rev_inc"))
+    val oneshot = o
+      .join(l.drop("l_linenumber"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("cents")).as("rev_one"))
+    inc
+      .join(oneshot, "o_orderpriority")
+      .select(
+        col("o_orderpriority"),
+        col("rev_inc").as("rev_incremental_cents"),
+        col("rev_one").as("rev_oneshot_cents"),
+        (col("rev_inc") - col("rev_one")).as("diff"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_join_ivm" -> q100JoinIvm,
     "q99_supplier_variety_distinct" -> q99SupplierVariety,
     "q98_sole_fault_supplier" -> q98SoleFaultSupplier,
     "q97_pagerank_adaptive" -> q97PagerankAdaptive,
@@ -3095,6 +3145,36 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q97_pagerank_adaptive" -> q97OracleSql,
+    // Exact cents arithmetic on both sides; HUGEINT sums cast back to
+    // BIGINT at the rendering boundary; diff pins the IVM identity.
+    "q100_join_ivm" ->
+      """WITH o_old AS (SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 7 <> 0),
+        |o_new AS (SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 7 = 0),
+        |l_old AS (SELECT l_orderkey, CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |          FROM lineitem WHERE l_linenumber % 3 <> 0),
+        |l_new AS (SELECT l_orderkey, CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |          FROM lineitem WHERE l_linenumber % 3 = 0),
+        |inc AS (
+        |  SELECT o_orderpriority, sum(cents) AS rev FROM (
+        |    SELECT o.o_orderpriority, l.cents FROM o_old o JOIN l_old l ON o.o_orderkey = l.l_orderkey
+        |    UNION ALL
+        |    SELECT o.o_orderpriority, l.cents FROM o_new o JOIN l_old l ON o.o_orderkey = l.l_orderkey
+        |    UNION ALL
+        |    SELECT o.o_orderpriority, l.cents FROM o_old o JOIN l_new l ON o.o_orderkey = l.l_orderkey
+        |    UNION ALL
+        |    SELECT o.o_orderpriority, l.cents FROM o_new o JOIN l_new l ON o.o_orderkey = l.l_orderkey)
+        |  GROUP BY 1),
+        |oneshot AS (
+        |  SELECT o.o_orderpriority, sum(l.cents) AS rev
+        |  FROM (SELECT * FROM o_old UNION ALL SELECT * FROM o_new) o
+        |  JOIN (SELECT * FROM l_old UNION ALL SELECT * FROM l_new) l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1)
+        |SELECT i.o_orderpriority AS o_orderpriority,
+        |  CAST(i.rev AS BIGINT) AS rev_incremental_cents,
+        |  CAST(s.rev AS BIGINT) AS rev_oneshot_cents,
+        |  CAST(i.rev - s.rev AS BIGINT) AS diff
+        |FROM inc i JOIN oneshot s ON i.o_orderpriority = s.o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // Same NOT-IN null-aware anti semantics (no NULL suppkeys in the
     // fixture, so both engines agree); DISTINCT count is exact.
     "q99_supplier_variety_distinct" ->

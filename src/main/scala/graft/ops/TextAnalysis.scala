@@ -594,7 +594,57 @@ object TextAnalysis {
       .orderBy("lang", "c")
   }
 
+  /** t16 — collocation mining, PMI-ordered WITHOUT the log: the
+    * pointwise mutual information log(N·c_xy / (c_x·c_y)) orders
+    * identically to its argument, so the query ranks by the exact
+    * ratio instead — one double division of exact integer products,
+    * bit-identical in both engines, where the log itself is NOT
+    * (libm vs JVM transcendentals differ in the last ulp — the t14
+    * avg_logp output survives only behind round(·,3); a ranking
+    * boundary could not). Support floor ≥5 prunes the bigram tail
+    * before the join; top-50 by lift with full tie-break.
+    *
+    * At 100 TB: one bigram exchange (the same shape t14 pays),
+    * unigram counts join back on the word keys, N is a 1-row
+    * aggregate crossJoined in (the q93 pattern). The unigram table
+    * grows with vocabulary, not corpus — joined unhinted so AQE
+    * decides (the q93 broadcast-audit rule).
+    */
+  def t16PmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables
+      .spread(Tables.documents(s, dir))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val uni = tok
+      .select(explode(col("t")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cw"))
+    val n = uni.agg(sum(col("cw")).cast("long").as("n"))
+    val big = tok
+      .select(graft.functions.WordNgrams.wordNgrams(col("t"), 2).as("bg"))
+      .select(
+        substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_pair"))
+      .filter(col("c_pair") >= 5)
+    big
+      .join(uni.select(col("w").as("w1"), col("cw").as("c_w1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("c_w2")), "w2")
+      .crossJoin(broadcast(n))
+      .select(
+        col("w1"),
+        col("w2"),
+        col("c_pair"),
+        col("c_w1"),
+        col("c_w2"),
+        ((col("c_pair") * col("n")).cast("double") /
+          (col("c_w1") * col("c_w2")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_pmi_collocations" -> t16PmiCollocations,
     "t15_freq_spectrum" -> t15FreqSpectrum,
     "t14_lm_score" -> t14LmScore,
     "t13_bigram_lm" -> t13BigramLm,
@@ -613,6 +663,27 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // Ratio, not log: a single division of exact integer products is
+    // bit-identical across engines; log(x) is not (libm vs JVM).
+    "t16_pmi_collocations" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |uni AS (
+        |  SELECT w, count(*) AS cw FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1),
+        |n AS (SELECT CAST(sum(cw) AS BIGINT) AS n FROM uni),
+        |big AS (
+        |  SELECT p[1] AS w1, p[2] AS w2, count(*) AS cxy
+        |  FROM (SELECT unnest([[t[i], t[i + 1]] FOR i IN range(1, len(t))]) AS p FROM tok)
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 5)
+        |SELECT b.w1, b.w2,
+        |  CAST(b.cxy AS BIGINT) AS c_pair,
+        |  CAST(u1.cw AS BIGINT) AS c_w1,
+        |  CAST(u2.cw AS BIGINT) AS c_w2,
+        |  CAST(b.cxy * n.n AS DOUBLE) / CAST(u1.cw * u2.cw AS DOUBLE) AS lift
+        |FROM big b JOIN uni u1 ON b.w1 = u1.w JOIN uni u2 ON b.w2 = u2.w, n
+        |ORDER BY lift DESC, w1, w2
+        |LIMIT 50""".stripMargin,
     "t15_freq_spectrum" ->
       """WITH words AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS w

@@ -316,6 +316,74 @@ object Streams {
         OutputMode.Update())
   }
 
+  // ── streaming decontamination gate ──────────────────────────────────
+
+  /** Streaming decontamination gate — q91's Bloom membership as a
+    * STATELESS scan-side filter over continuous ingest, completing the
+    * streaming-twin set (d1↔exact dedup, d2↔near-dup gate, q89↔CMS
+    * gate, q91↔this): each arriving training document's 8-word rolling
+    * fingerprints probe a Bloom bitmap of the BENCHMARK split's
+    * shingles, and any all-bits-set shingle flags the document as
+    * contaminated — at ingest cost, with ZERO streaming state.
+    *
+    * The bitmap is built ONCE from the static eval side and embedded
+    * as a 2^20-bit literal (16384 longs ≈ 128 KiB — exactly the
+    * broadcast bitmap a production decontamination filter ships to
+    * every executor; the driver materialization is bounded by m, never
+    * by eval-corpus size). Probing is pure Column algebra over the
+    * SAME affine-mod-prime position spec as q91/d7, so the gate's
+    * verdicts match the batch query bit for bit (pinned in
+    * StreamBatchParitySpec); one-sided error as always — flagged docs
+    * may be false positives (quantified by the batch side), clean docs
+    * are guaranteed clean.
+    */
+  def streamingDecontaminationGate(
+      docs: DataFrame, // (doc_id, text)
+      evalDocs: DataFrame // STATIC benchmark split (text)
+  ): DataFrame = {
+    val m = 1048576
+    val hashes = graft.ops.Relational.CmsHashes.take(3).map { case (_, a, b) => (a, b) }
+    def positions(f: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array(hashes.map { case (a, b) =>
+        ((f * lit(a) + lit(b)) % lit(1000000007L)) % lit(m.toLong)
+      }: _*)
+    val posRows = evalDocs
+      .select(
+        graft.functions.RollingFingerprints
+          .rollingFingerprints(split(col("text"), " "), 8)
+          .as("fs"))
+      .filter(size(col("fs")) > 0)
+      .select(explode(col("fs")).as("f"))
+      .select(explode(positions(col("f"))).as("pos"))
+      .distinct()
+      .collect()
+    val bits = new Array[Long](m / 64)
+    posRows.foreach { r =>
+      val p = r.getLong(0).toInt
+      bits(p >> 6) |= (1L << (p & 63))
+    }
+    val bitsCol = typedlit(bits.toSeq)
+    def member(f: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      forall(
+        positions(f),
+        p =>
+          call_function(
+            "bit_get",
+            element_at(bitsCol, (p / lit(64L)).cast("int") + lit(1)),
+            (p % lit(64L)).cast("int")) === lit(1.toByte))
+    docs
+      .select(
+        col("doc_id"),
+        graft.functions.RollingFingerprints
+          .rollingFingerprints(split(col("text"), " "), 8)
+          .as("fs"))
+      .select(
+        col("doc_id"),
+        size(col("fs")).cast("long").as("n_shingles"),
+        size(filter(col("fs"), member(_))).cast("long").as("n_flagged"))
+      .withColumn("contaminated", col("n_flagged") > 0L)
+  }
+
   // ── streaming heavy-hitter gate ─────────────────────────────────────
 
   /** Emitted once per key, the first time its CMS estimate reaches the

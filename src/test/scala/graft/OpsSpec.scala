@@ -710,6 +710,36 @@ class OpsSpec extends SparkSpec {
     assert(minMargin > 1e-9, s"assignment margin $minMargin within cross-engine tie zone")
   }
 
+  test("q100 join-IVM: delta composition equals one-shot on every group, all terms contribute") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.q100JoinIvm(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(3) == 0L, s"IVM identity broken for ${r.getString(0)}: diff=${r.getLong(3)}")
+      assert(r.getLong(1) > 0L, "empty group slipped into the refresh")
+    }
+    // the split actually exercises all four terms (old/new × old/new non-empty)
+    val o = Tables.orders(spark, Sf)
+    val l = Tables.lineitem(spark, Sf)
+    assert(o.filter(col("o_orderkey") % 7 === 0).head(1).nonEmpty)
+    assert(l.filter(col("l_linenumber") % 3 === 0).head(1).nonEmpty)
+  }
+
+  test("t16 collocations: lift recomputes from exact counts, ordering is total") {
+    import org.apache.spark.sql.functions._
+    val out = TextAnalysis.t16PmiCollocations(spark, Sf).collect()
+    assert(out.length == 50)
+    val n = Tables.documents(spark, Sf)
+      .select(explode(split(col("text"), " "))).count()
+    out.foreach { r =>
+      val (cp, c1, c2, lift) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(cp >= 5 && cp <= math.min(c1, c2), "pair count cannot exceed either word count")
+      assert(lift == cp.toDouble * n / (c1.toDouble * c2), s"lift drifts from exact counts: $r")
+    }
+    val lifts = out.map(_.getDouble(5)).toSeq
+    assert(lifts == lifts.sorted.reverse, "not lift-descending")
+  }
+
   test("q93 co-occurrence: support ordered and bounded by item counts, lift recomputes") {
     import org.apache.spark.sql.functions._
     val out = Relational.q93CoOccurrence(spark, Sf).collect()

@@ -717,6 +717,60 @@ class StreamBatchParitySpec extends SparkSpec {
     }
   }
 
+  test("decontamination gate matches the batch Bloom verdicts, no false negatives") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.ops.Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val evalSide = docs.filter(col("doc_id") % 10 === 0).select(col("text"))
+    val trainRows = docs.filter(col("doc_id") % 10 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // stream the training side in two batches through the stateless gate
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams
+      .streamingDecontaminationGate(in.toDF().toDF("doc_id", "text"), evalSide)
+      .writeStream
+      .format("memory")
+      .queryName("decon_gate")
+      .outputMode("append")
+      .start()
+    val got =
+      try {
+        in.addData(trainRows.filter(_._1 % 2 == 0).toSeq); q.processAllAvailable()
+        in.addData(trainRows.filter(_._1 % 2 == 1).toSeq); q.processAllAvailable()
+        spark.table("decon_gate").collect()
+          .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+      } finally q.stop()
+    // batch ground truth: identical position algebra over the same split
+    val posSet = {
+      val hashes = graft.ops.Relational.CmsHashes.take(3).map { case (_, a, b) => (a, b) }
+      val fs = evalSide
+        .select(explode(graft.functions.RollingFingerprints
+          .rollingFingerprints(split(col("text"), " "), 8)).as("f"))
+        .distinct().collect().map(_.getLong(0))
+      fs.flatMap(f => hashes.map { case (a, b) => ((f * a + b) % 1000000007L) % 1048576L }).toSet
+    }
+    val hashes = graft.ops.Relational.CmsHashes.take(3).map { case (_, a, b) => (a, b) }
+    val trainFps = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), graft.functions.RollingFingerprints
+        .rollingFingerprints(split(col("text"), " "), 8).as("fs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val evalFpSet = evalSide
+      .select(explode(graft.functions.RollingFingerprints
+        .rollingFingerprints(split(col("text"), " "), 8)).as("f"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    trainFps.foreach { case (id, fps) =>
+      val expected = fps.count(f =>
+        hashes.forall { case (a, b) => posSet(((f * a + b) % 1000000007L) % 1048576L) })
+      assert(got(id)._1 == expected, s"doc $id: gate flagged ${got(id)._1}, batch says $expected")
+      assert(got(id)._2 == (expected > 0))
+      // one-sided guarantee: any TRUE shared shingle must be flagged
+      if (fps.exists(evalFpSet))
+        assert(got(id)._2, s"doc $id shares a real shingle but passed the gate")
+    }
+    assert(got.size == trainFps.length, "one verdict row per streamed doc")
+  }
+
   test("near-dup gate matches batch d2 candidate components across two batch splits") {
     // The gate's per-bucket hit graph is star-shaped around the (mutable)
     // representative, so the EDGE set legitimately varies with arrival

@@ -46,7 +46,11 @@ val targets: Seq[(String, String, org.apache.spark.sql.DataFrame)] = Seq(
   ("q99_supplier_variety_distinct", "TPC-H Q16 shape: two-phase DISTINCT count + null-aware anti join for NOT IN",
     graft.ops.Relational.q99SupplierVariety(spark, sf)),
   ("s11_ivf_trained_search", "trained-IVF search: s10 codebook broadcast into assignment + probe, cell equi-join candidates",
-    graft.ops.Similarity.s11IvfTrainedSearch(spark, sf))
+    graft.ops.Similarity.s11IvfTrainedSearch(spark, sf)),
+  ("t16_pmi_collocations", "PMI collocations: one bigram exchange, unigram joins unhinted (AQE), 1-row N broadcast",
+    graft.ops.TextAnalysis.t16PmiCollocations(spark, sf)),
+  ("q100_join_ivm", "incremental join maintenance: four orderkey-keyed delta joins + one-shot, identity checked in-plan",
+    graft.ops.Relational.q100JoinIvm(spark, sf))
 )
 val sb = new StringBuilder
 sb.append("# PLANS -- executed physical plans of headline queries\n\n")
