@@ -16,6 +16,13 @@ import org.apache.spark.sql.SparkSession
   *  - `nanosAsLong`: parquet TIMESTAMP(NANOS) columns (the events
   *    feed) read as integer nanos instead of failing; [[ops.Tables]]
   *    converts explicitly with integer arithmetic.
+  *  - `inferTimestampNTZ` OFF: parquet timestamps without the UTC
+  *    adjustment flag (NTZ annotation) scan as plain TIMESTAMP under
+  *    the pinned UTC zone — same instants, but time arithmetic
+  *    (`unix_micros`, range frames, as-of) stays legal and ts
+  *    predicates still push into the scan instead of hitting a cast.
+  *    This matches DuckDB, whose naive TIMESTAMP the oracle compares
+  *    against.
   *  - Graft extensions installed declaratively (SQL functions, the
   *    dot-product rewrite, the top-k planner strategy) — the
   *    config-based path works on a fresh session; for an already-built
@@ -37,6 +44,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     master.foreach(b.master)
     shufflePartitions.foreach(n => b.config("spark.sql.shuffle.partitions", n))
     b

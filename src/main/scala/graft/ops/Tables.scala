@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Typed accessors for the harness star schema (TESTDATA.md).
   *
@@ -17,18 +17,30 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame = read(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame = read(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame = read(s, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default; read it as a raw nanosecond long and convert to a
-    * microsecond timestamp with integer `div` (no double round-trip —
-    * epoch-nanos exceed 2^53). Truncation matches DuckDB's TIMESTAMP_NS
-    * → TIMESTAMP narrowing, keeping the oracle comparable.
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some fixture
+    * generations and as non-UTC-adjusted TIMESTAMP(MICROS) (NTZ) in
+    * others; normalize every flavor to a plain `TimestampType` instant
+    * under the session's pinned UTC zone:
+    *  - NANOS: read as a raw nanosecond long (`nanosAsLong`) and
+    *    convert with integer `div` (no double round-trip — epoch-nanos
+    *    exceed 2^53). Truncation matches DuckDB's TIMESTAMP_NS →
+    *    TIMESTAMP narrowing, keeping the oracle comparable.
+    *  - NTZ: [[GraftSession]] disables NTZ inference so the scan
+    *    itself yields TIMESTAMP (ts predicates keep pushing down); the
+    *    cast below only fires on sessions built without our config,
+    *    where NTZ→LTZ under UTC preserves the stored wall-clock value
+    *    — exactly DuckDB's naive-timestamp reading.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(s, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame = read(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = read(s, dir, "embeddings")

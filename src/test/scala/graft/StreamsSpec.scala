@@ -530,10 +530,12 @@ class StreamBatchParitySpec extends SparkSpec {
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.toString)
-    val events =
-      if (schema("ts").dataType.typeName == "long")
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val events = schema("ts").dataType.typeName match {
+      case "long" => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case "timestamp_ntz" =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
 
     val q = graft.streaming.Streams
       .windowedEventCounts(events, watermarkDelay = "1 minute", windowLength = "1 hour")
