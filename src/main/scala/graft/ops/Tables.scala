@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types._
 
 /** Typed accessors for the harness star schema (TESTDATA.md).
   *
@@ -10,6 +10,46 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * scans stay parquet-native (vectorized reader, pushdown, pruning).
   */
 object Tables {
+
+  /** Canonical column types every query in the library is written
+    * against. The driver regenerates the fixture parquet between
+    * rounds and its physical types have drifted before (TIMESTAMP
+    * NANOS → NTZ MICROS cost eight queries a round); [[conform]] pins
+    * the query-facing contract so regeneration drift either
+    * normalizes silently (a cast by name) or fails loudly here (a
+    * missing column), never downstream at 158 individual query sites.
+    * Narrow integer key columns are left as-read: int32 vs int64
+    * changes no query result (Spark widens in arithmetic and the
+    * oracle compares values, not physical widths), and a blanket cast
+    * would defeat scan-level dictionary/pushdown for zero benefit.
+    */
+  private val canonical: Map[String, Map[String, DataType]] = Map(
+    "orders"     -> Map("o_orderdate" -> TimestampType),
+    "lineitem"   -> Map("l_shipdate" -> TimestampType),
+    "events"     -> Map("ts" -> TimestampType),
+    "embeddings" -> Map("embedding" -> ArrayType(FloatType))
+  )
+
+  /** Cast any drifted column back to its canonical type; no-op (and
+    * zero plan cost — no Cast node is inserted) when the scan already
+    * matches. Missing canonical columns fail fast with the table name.
+    */
+  private def conform(df: DataFrame, name: String): DataFrame =
+    canonical.get(name).fold(df) { want =>
+      want.foldLeft(df) { case (d, (c, t)) =>
+        require(d.columns.contains(c), s"fixture table $name lost column $c")
+        val got = d.schema(c).dataType
+        if (got == t) d
+        else if (got == LongType && t == TimestampType)
+          // TIMESTAMP(NANOS) read under nanosAsLong: integer nanos →
+          // micros with integer `div` (epoch-nanos exceed 2^53, so no
+          // double round-trip). Matches DuckDB's TIMESTAMP_NS →
+          // TIMESTAMP narrowing.
+          d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+        else d.withColumn(c, col(c).cast(t))
+      }
+    }
+
   def region(s: SparkSession, dir: String): DataFrame = read(s, dir, "region")
   def nation(s: SparkSession, dir: String): DataFrame = read(s, dir, "nation")
   def customer(s: SparkSession, dir: String): DataFrame = read(s, dir, "customer")
@@ -19,34 +59,23 @@ object Tables {
   def lineitem(s: SparkSession, dir: String): DataFrame = read(s, dir, "lineitem")
   /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some fixture
     * generations and as non-UTC-adjusted TIMESTAMP(MICROS) (NTZ) in
-    * others; normalize every flavor to a plain `TimestampType` instant
-    * under the session's pinned UTC zone:
-    *  - NANOS: read as a raw nanosecond long (`nanosAsLong`) and
-    *    convert with integer `div` (no double round-trip — epoch-nanos
-    *    exceed 2^53). Truncation matches DuckDB's TIMESTAMP_NS →
-    *    TIMESTAMP narrowing, keeping the oracle comparable.
-    *  - NTZ: [[GraftSession]] disables NTZ inference so the scan
-    *    itself yields TIMESTAMP (ts predicates keep pushing down); the
-    *    cast below only fires on sessions built without our config,
-    *    where NTZ→LTZ under UTC preserves the stored wall-clock value
-    *    — exactly DuckDB's naive-timestamp reading.
+    * others; [[conform]] plus the [[graft.GraftSession]] configs
+    * (`nanosAsLong`, NTZ inference off — the latter keeps ts
+    * predicates pushing into the scan) normalize every flavor to a
+    * plain `TimestampType` instant under the pinned UTC zone, exactly
+    * DuckDB's naive-timestamp reading.
     */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = read(s, dir, "events")
-    raw.schema("ts").dataType match {
-      case LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
-    }
-  }
+  def events(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "events")
   def documents(s: SparkSession, dir: String): DataFrame = read(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = read(s, dir, "embeddings")
 
-  private def read(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  private def read(s: SparkSession, dir: String, name: String): DataFrame = {
+    // Both legacy knobs matter only for drifted fixture generations;
+    // set defensively for sessions built without GraftSession.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    conform(s.read.parquet(s"$dir/$name.parquet"), name)
+  }
 
   /** Round-robin spread of a COMPACT derived table across the cluster.
     *
