@@ -882,7 +882,91 @@ object Dedup {
       .orderBy("drop_id")
   }
 
+  /** d16 — density-based (DBSCAN-style) clustering of the near-dup
+    * graph: where d6 merges EVERY connected doc into one component, a
+    * density pass distinguishes structure — CORE docs sit in locally
+    * dense regions (≥ 2 distinct θ-neighbors, i.e. DBSCAN minPts = 3
+    * counting the point itself), BORDER docs touch a dense region
+    * without being dense themselves, and NOISE docs have a match but
+    * no dense neighborhood. This matters for template families: d6's
+    * single-linkage chains weld separate near-dup families together
+    * through one accidental bridge doc; density clustering cuts the
+    * chain at the sparse bridge (a degree-1 bridge can never be core,
+    * so families stay separate) — the standard reason DBSCAN beats
+    * single-linkage CC for dedup-family mining. Clusters form by
+    * Hash-Min label propagation over CORE–CORE edges only (the d6
+    * loop: one pair-graph-sized shuffle per round, localCheckpoint
+    * truncating lineage, a 1-row convergence count driver-side);
+    * borders then attach to the min label among their core neighbors
+    * — a deterministic tie-break, one extra pair-graph join, no
+    * iteration. The ε-graph itself is d2's machinery: LSH-banded
+    * candidates + exact Jaccard verification (never all-pairs), so
+    * the whole query's exchanges are ∝ matched pairs, not corpus².
+    * At 100 TB the density statistics (degree counts) ride the same
+    * mirrored edge list the propagation reads — no extra corpus scan.
+    */
+  def d16DensityClusters(s: SparkSession, dir: String): DataFrame =
+    densityRoles(
+      nearDupPairs(docsWithShingles(s, dir, 3), 0.5)
+        .select(col("id_a"), col("id_b")))
+
+  /** The graph→roles half of d16, parameterized on the pair list so
+    * the spec can pin core/border/noise semantics on planted shapes
+    * (chains, stars, bridges) independent of what the fixture's
+    * near-dup graph happens to contain.
+    */
+  private[graft] def densityRoles(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint() // degree pass + every propagation round + border attach
+    val core = edges
+      .groupBy(col("id_a").as("id"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2)
+      .select(col("id"))
+    val coreEdges = edges
+      .join(core.select(col("id").as("id_a")), "id_a")
+      .join(core.select(col("id").as("id_b")), "id_b")
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    var labels = core.withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = coreEdges
+        .join(labels, coreEdges("id_b") === labels("id"))
+        .groupBy(coreEdges("id_a").as("nid"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels
+        .join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(
+          col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("nl"),
+          col("label").as("old"))
+        .select(col("id"), col("nl").as("label"), (col("nl") =!= col("old")).as("moved"))
+        .localCheckpoint()
+      changed = next.filter(col("moved")).count()
+      labels = next.select(col("id"), col("label"))
+    }
+    val borders = edges
+      .join(labels.select(col("id").as("id_b"), col("label")), "id_b")
+      .join(core.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
+      .groupBy(col("id_a").as("id"))
+      .agg(min(col("label")).as("label"))
+    val noise = edges
+      .select(col("id_a").as("id"))
+      .distinct()
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .join(borders.select(col("id")), Seq("id"), "left_anti")
+    labels
+      .select(col("id"), lit("core").as("role"), col("label"))
+      .unionAll(borders.select(col("id"), lit("border").as("role"), col("label")))
+      .unionAll(noise.select(col("id"), lit("noise").as("role"), lit(null).cast("long").as("label")))
+      .select(col("id").as("doc_id"), col("role"), col("label").as("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_density_clusters" -> d16DensityClusters,
     "d15_semantic_dedup_soft" -> d15SemanticDedupSoft,
     "d14_semantic_dedup" -> d14SemanticDedup,
     "d9_canonical_dedup" -> d9CanonicalDedup,
@@ -927,6 +1011,54 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // d6's exact pair graph, then DBSCAN roles: core = degree ≥ 2,
+    // clusters = closure over core–core edges only, border = min core
+    // neighbor's label, noise = matched but neither.
+    "d16_density_clusters" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+        |                   FOR i IN range(1, len(t) - 1)]) AS shingles
+        |  FROM tok WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |p0 AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |pq AS (
+        |  SELECT id_a, id_b
+        |  FROM p0 JOIN sizes sa ON id_a = sa.doc_id
+        |          JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pq
+        |          UNION ALL SELECT id_b AS a, id_a AS b FROM pq),
+        |deg AS (SELECT a AS id, count(*) AS deg FROM edges GROUP BY 1),
+        |core AS (SELECT id FROM deg WHERE deg >= 2),
+        |ce AS (SELECT e.a, e.b FROM edges e
+        |       JOIN core c1 ON e.a = c1.id JOIN core c2 ON e.b = c2.id),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM core
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN ce e ON reach.r = e.a),
+        |comp AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+        |border AS (
+        |  SELECT e.a AS id, min(c.label) AS label
+        |  FROM edges e JOIN comp c ON e.b = c.id
+        |  WHERE e.a NOT IN (SELECT id FROM core)
+        |  GROUP BY 1),
+        |noise AS (
+        |  SELECT DISTINCT a AS id FROM edges
+        |  WHERE a NOT IN (SELECT id FROM core)
+        |    AND a NOT IN (SELECT id FROM border))
+        |SELECT id AS doc_id, 'core' AS role, CAST(label AS BIGINT) AS cluster_rep FROM comp
+        |UNION ALL
+        |SELECT id, 'border', CAST(label AS BIGINT) FROM border
+        |UNION ALL
+        |SELECT id, 'noise', CAST(NULL AS BIGINT) FROM noise
+        |ORDER BY doc_id""".stripMargin,
     // d14's CTEs with crn <= 2 and pair-level DISTINCT; arg_min ==
     // Spark's min_by (ids unique per group, ties impossible).
     "d15_semantic_dedup_soft" ->

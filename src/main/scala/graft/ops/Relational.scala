@@ -3040,7 +3040,63 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** q101 — incremental AGGREGATE maintenance under inserts AND
+    * deletes, completing the IVM pair q100 opened for joins: a stored
+    * per-group partial (count, sum) absorbs an insert batch by adding
+    * its partial and a delete batch by SUBTRACTING its partial —
+    * count/sum are self-maintainable, and the carried count is what
+    * makes deletion safe (a group whose count reaches zero leaves the
+    * view, which no sum-only materialization could detect). The three
+    * signed partials merge on the group key — each is one
+    * group-key-sized exchange over ITS batch only, so refresh cost is
+    * ∝ |Δ| while the base partial is read from the store, never
+    * recomputed. The query emits the merged view NEXT TO the one-shot
+    * recompute over (base ∖ deletes) ∪ inserts with both diffs — the
+    * self-maintainability identity is hash-pinned by the oracle.
+    * Deletes retract by key predicate (orderkey ≡ 3 mod 7 of the base
+    * split), so the one-shot side is a single filtered scan. All money
+    * is integer cents; sums are exact in both engines.
+    */
+  def q101AggIvm(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val base = o.filter(col("o_orderkey") % 5 =!= 0)
+    val ins = o.filter(col("o_orderkey") % 5 === 0)
+    val del = base.filter(col("o_orderkey") % 7 === 3)
+    def partial(df: DataFrame, sign: Long): DataFrame =
+      df.groupBy(col("o_orderpriority"))
+        .agg(
+          (count(lit(1)) * sign).as("dn"),
+          (sum(col("cents")) * sign).as("dc"))
+    val merged = partial(base, 1L)
+      .unionAll(partial(ins, 1L))
+      .unionAll(partial(del, -1L))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("dn")).as("n_inc"), sum(col("dc")).as("cents_inc"))
+      .filter(col("n_inc") > 0) // count-zero groups leave the view
+    val oneshot = o
+      .filter(col("o_orderkey") % 5 === 0 || col("o_orderkey") % 7 =!= 3)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_one"), sum(col("cents")).as("cents_one"))
+    merged
+      .join(oneshot, "o_orderpriority")
+      .select(
+        col("o_orderpriority"),
+        col("n_inc").as("n_incremental"),
+        col("cents_inc").as("cents_incremental"),
+        col("n_one").as("n_oneshot"),
+        col("cents_one").as("cents_oneshot"),
+        (col("n_inc") - col("n_one")).as("diff_n"),
+        (col("cents_inc") - col("cents_one")).as("diff_cents"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_agg_ivm" -> q101AggIvm,
     "q100_join_ivm" -> q100JoinIvm,
     "q99_supplier_variety_distinct" -> q99SupplierVariety,
     "q98_sole_fault_supplier" -> q98SoleFaultSupplier,
@@ -3147,6 +3203,35 @@ object Relational {
     "q97_pagerank_adaptive" -> q97OracleSql,
     // Exact cents arithmetic on both sides; HUGEINT sums cast back to
     // BIGINT at the rendering boundary; diff pins the IVM identity.
+    "q101_agg_ivm" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |base AS (SELECT * FROM o WHERE o_orderkey % 5 <> 0),
+        |ins  AS (SELECT * FROM o WHERE o_orderkey % 5 = 0),
+        |del  AS (SELECT * FROM base WHERE o_orderkey % 7 = 3),
+        |signed AS (
+        |  SELECT o_orderpriority, count(*) AS dn, sum(cents) AS dc FROM base GROUP BY 1
+        |  UNION ALL
+        |  SELECT o_orderpriority, count(*), sum(cents) FROM ins GROUP BY 1
+        |  UNION ALL
+        |  SELECT o_orderpriority, -count(*), -sum(cents) FROM del GROUP BY 1),
+        |merged AS (
+        |  SELECT o_orderpriority, sum(dn) AS n_inc, sum(dc) AS cents_inc
+        |  FROM signed GROUP BY 1 HAVING sum(dn) > 0),
+        |oneshot AS (
+        |  SELECT o_orderpriority, count(*) AS n_one, sum(cents) AS cents_one
+        |  FROM o WHERE o_orderkey % 5 = 0 OR o_orderkey % 7 <> 3 GROUP BY 1)
+        |SELECT m.o_orderpriority AS o_orderpriority,
+        |  CAST(m.n_inc AS BIGINT) AS n_incremental,
+        |  CAST(m.cents_inc AS BIGINT) AS cents_incremental,
+        |  CAST(s.n_one AS BIGINT) AS n_oneshot,
+        |  CAST(s.cents_one AS BIGINT) AS cents_oneshot,
+        |  CAST(m.n_inc - s.n_one AS BIGINT) AS diff_n,
+        |  CAST(m.cents_inc - s.cents_one AS BIGINT) AS diff_cents
+        |FROM merged m JOIN oneshot s USING (o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
     "q100_join_ivm" ->
       """WITH o_old AS (SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 7 <> 0),
         |o_new AS (SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 7 = 0),

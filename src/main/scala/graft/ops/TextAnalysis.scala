@@ -643,7 +643,97 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** t17 — trigram "stupid backoff" LM scoring of held-out text: the
+    * model trains on the 90% held-in split (doc_id % 10 ≠ 0) and every
+    * document — including the 10% the model never saw — scores under
+    * it, which is the real quality-filter deployment shape (a
+    * reference-corpus LM scoring INCOMING text, à la the CCNet/KenLM
+    * filtering stage) and what makes backoff live code: held-out
+    * trigrams miss the trigram table and fall to the bigram and
+    * unigram levels (t13/t14 stay bigram-only and in-corpus, where a
+    * backoff can never fire). Score per trigram is Brants et al.'s
+    * stupid backoff — S = c₃(w₁w₂w₃)/c₂(w₁w₂), else 0.4·c₂(w₂w₃)/
+    * c₁(w₂), else 0.4²·c₁(w₃)/N with pseudo-count 1 for unseen words
+    * — pure count ratios with NO discount estimation, which is
+    * exactly why it is the n-gram smoothing that works at corpus
+    * scale (no global second pass to fit discounts). Per-doc trigram
+    * multiplicities aggregate FIRST (one generator pass, the t14
+    * pattern); the trigram table is a train-filtered rollup of that
+    * same checkpointed aggregate, so the corpus tokenizes for
+    * trigrams ONCE. Bigram/unigram tables are their own short passes
+    * (a trigram rollup would drop each doc's boundary grams). All
+    * model joins ride vocabulary-sized tables on their natural keys,
+    * unhinted — AQE decides (the broadcast-audit rule); the only
+    * corpus-sized exchange is the per-doc trigram aggregate. The
+    * backoff-level row counts are exact integers; the one float
+    * column is the averaged log behind round(·,3) (the t14 contract —
+    * count ratios and the 0.4/0.16 literals are bit-identical
+    * doubles in both engines, ln's last-ulp lives under the
+    * rounding).
+    */
+  def t17TrigramBackoffLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .spread(Tables.documents(s, dir))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val triDoc = docs
+      .select(
+        col("doc_id"),
+        graft.functions.WordNgrams.wordNgrams(col("t"), 3).as("g"))
+      .select(
+        col("doc_id"),
+        substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(substring_index(col("g"), " ", 2), " ", -1).as("w2"),
+        substring_index(col("g"), " ", -1).as("w3"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("m"))
+      .localCheckpoint() // consumed by the c3 rollup AND the scoring join
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val c3 = triDoc
+      .filter(col("doc_id") % 10 =!= 0)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(sum(col("m")).as("c3"))
+    val c2 = train
+      .select(graft.functions.WordNgrams.wordNgrams(col("t"), 2).as("g"))
+      .select(
+        substring_index(col("g"), " ", 1).as("a"),
+        substring_index(col("g"), " ", -1).as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = train
+      .select(explode(col("t")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c1"))
+    val n = c1.agg(sum(col("c1")).as("n"))
+    val sc = when(col("c3").isNotNull, col("c3") / col("c2p"))
+      .when(col("c2s").isNotNull, lit(0.4) * col("c2s") / col("c1w2"))
+      .otherwise(lit(0.16) * coalesce(col("c1w3"), lit(1L)) / col("n"))
+    val lvl = when(col("c3").isNotNull, 0)
+      .when(col("c2s").isNotNull, 1)
+      .otherwise(2)
+    triDoc
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(
+        c2.select(col("a").as("w1"), col("b").as("w2"), col("c2").as("c2p")),
+        Seq("w1", "w2"), "left")
+      .join(
+        c2.select(col("a").as("w2"), col("b").as("w3"), col("c2").as("c2s")),
+        Seq("w2", "w3"), "left")
+      .join(c1.select(col("w").as("w2"), col("c1").as("c1w2")), Seq("w2"), "left")
+      .join(c1.select(col("w").as("w3"), col("c1").as("c1w3")), Seq("w3"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("m"), sc.as("sc"), lvl.as("lvl"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("m")).as("n_trigrams"),
+        sum(when(col("lvl") === 0, col("m")).otherwise(lit(0L))).as("n_tri_hit"),
+        sum(when(col("lvl") === 1, col("m")).otherwise(lit(0L))).as("n_bigram_backoff"),
+        sum(when(col("lvl") === 2, col("m")).otherwise(lit(0L))).as("n_unigram_backoff"),
+        round(sum(col("m") * log(col("sc"))) / sum(col("m")), 3).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_trigram_backoff_lm" -> t17TrigramBackoffLm,
     "t16_pmi_collocations" -> t16PmiCollocations,
     "t15_freq_spectrum" -> t15FreqSpectrum,
     "t14_lm_score" -> t14LmScore,
@@ -663,6 +753,50 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // Backoff cascade: identical count ratios and double literals in
+    // both engines; ln only under round(·,3) (the t14 contract).
+    // wordNgrams adjacency ⇔ the i/i+1/i+2 windows below.
+    "t17_trigram_backoff_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tri_doc AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3, count(*) AS m
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+        |  GROUP BY 1, 2, 3, 4),
+        |train AS (SELECT doc_id, t FROM tok WHERE doc_id % 10 <> 0),
+        |c3 AS (
+        |  SELECT w1, w2, w3, CAST(sum(m) AS BIGINT) AS c3
+        |  FROM tri_doc WHERE doc_id % 10 <> 0 GROUP BY 1, 2, 3),
+        |c2 AS (
+        |  SELECT t[i] AS a, t[i + 1] AS b, count(*) AS c2
+        |  FROM train, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+        |  GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT w, count(*) AS c1
+        |  FROM (SELECT unnest(t) AS w FROM train) GROUP BY 1),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM c1),
+        |scored AS (
+        |  SELECT d.doc_id, d.m,
+        |    CASE WHEN c3.c3 IS NOT NULL THEN c3.c3 / p.c2
+        |         WHEN s.c2 IS NOT NULL THEN 0.4 * s.c2 / u2.c1
+        |         ELSE (0.16 * COALESCE(u3.c1, 1)) / n.n END AS sc,
+        |    CASE WHEN c3.c3 IS NOT NULL THEN 0
+        |         WHEN s.c2 IS NOT NULL THEN 1 ELSE 2 END AS lvl
+        |  FROM tri_doc d
+        |  LEFT JOIN c3 ON d.w1 = c3.w1 AND d.w2 = c3.w2 AND d.w3 = c3.w3
+        |  LEFT JOIN c2 p ON d.w1 = p.a AND d.w2 = p.b
+        |  LEFT JOIN c2 s ON d.w2 = s.a AND d.w3 = s.b
+        |  LEFT JOIN c1 u2 ON d.w2 = u2.w
+        |  LEFT JOIN c1 u3 ON d.w3 = u3.w
+        |  CROSS JOIN n)
+        |SELECT doc_id,
+        |  CAST(sum(m) AS BIGINT) AS n_trigrams,
+        |  CAST(sum(CASE WHEN lvl = 0 THEN m ELSE 0 END) AS BIGINT) AS n_tri_hit,
+        |  CAST(sum(CASE WHEN lvl = 1 THEN m ELSE 0 END) AS BIGINT) AS n_bigram_backoff,
+        |  CAST(sum(CASE WHEN lvl = 2 THEN m ELSE 0 END) AS BIGINT) AS n_unigram_backoff,
+        |  round(sum(m * ln(sc)) / sum(m), 3) AS avg_logp
+        |FROM scored GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     // Ratio, not log: a single division of exact integer products is
     // bit-identical across engines; log(x) is not (libm vs JVM).
     "t16_pmi_collocations" ->

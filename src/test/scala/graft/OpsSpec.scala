@@ -816,4 +816,70 @@ class OpsSpec extends SparkSpec {
       assert(r.getDouble(4) <= 0.0, "a bigram can never beat probability 1")
     }
   }
+
+  test("t17 stupid backoff: levels partition trigrams; backoff fires only off-train") {
+    val out = TextAnalysis.t17TrigramBackoffLm(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (docId, n) = (r.getLong(0), r.getLong(1))
+      val (hit, b1, b2) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(hit + b1 + b2 == n, s"doc $docId: backoff levels must partition trigrams")
+      // every trigram of a TRAINING doc is in the trigram table by
+      // construction — backoff can only ever fire on held-out docs
+      if (docId % 10 != 0)
+        assert(b1 == 0 && b2 == 0, s"train doc $docId backed off")
+    }
+    // held-out docs exist and at least one hits an unseen trigram —
+    // otherwise the backoff path is dead code on this fixture
+    val held = out.filter(_.getLong(0) % 10 == 0)
+    assert(held.nonEmpty)
+    assert(held.exists(r => r.getLong(3) + r.getLong(4) > 0))
+  }
+
+  test("q101 agg IVM: merged partials equal the one-shot recompute") {
+    val out = Relational.q101AggIvm(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(5) == 0L && r.getLong(6) == 0L,
+        s"group ${r.getString(0)}: incremental view diverged from recompute")
+      assert(r.getLong(1) > 0L)
+    }
+  }
+
+  test("d16 density roles: planted chain/star/pair classify exactly") {
+    import spark.implicits._
+    // chain 1–2–3–4–5 (middles core, ends border), star 20–{21,22,23}
+    // (hub core, leaves border), isolated pair 10–11 (noise)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (20L, 21L), (20L, 22L), (20L, 23L),
+      (10L, 11L)
+    ).toDF("id_a", "id_b")
+    val got = Dedup
+      .densityRoles(pairs)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    val want = Set(
+      (1L, "border", 2L), (2L, "core", 2L), (3L, "core", 2L),
+      (4L, "core", 2L), (5L, "border", 2L),
+      (20L, "core", 20L), (21L, "border", 20L), (22L, "border", 20L),
+      (23L, "border", 20L),
+      (10L, "noise", -1L), (11L, "noise", -1L))
+    assert(got == want)
+  }
+
+  test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
+    val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
+    val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
+    assert(d16.map(_.getLong(0)).toSet == d6Nodes,
+      "density pass must classify exactly the matched docs")
+    d16.foreach { r =>
+      r.getString(1) match {
+        case "noise" => assert(r.isNullAt(2))
+        case "core"  => assert(r.getLong(2) <= r.getLong(0), "label is a component min")
+        case _       => assert(!r.isNullAt(2))
+      }
+    }
+  }
 }
