@@ -367,7 +367,68 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** p9 — temperature-scaled source mixing: the multi-source sampling
+    * law LLM training mixes use — source s keeps a share ∝ n_s^α
+    * (α = 0.5 here), which upweights small sources relative to
+    * proportional sampling without letting any source exceed its own
+    * size, under a global budget of half the corpus. Where p3
+    * flattens every group to the min count, temperature mixing
+    * interpolates between proportional (α=1) and uniform (α=0).
+    * Determinism across engines is engineered in two layers: the
+    * weight sum is an ASSOCIATIVE integer sum (per-source weights
+    * floor-scale sqrt(n)·10⁶ to longs — a float Σ would be
+    * summation-order-dependent and could flip a floor boundary), and
+    * the one remaining float step (budget·w/wsum) divides integers
+    * < 2⁵³ that both engines represent exactly, so the floor is
+    * bit-identical. Doc selection inside a source is the p4 rule —
+    * rank by md5(doc_id), keep the first n_target — so the sample is
+    * stable across reruns and engines. The kept-id sum pins the
+    * EXACT selected set, not just its size. At 100 TB the per-source
+    * stats table is catalog-sized (broadcast is safe — the p3
+    * precedent) and the ranking is one window per source partition
+    * over id+hash pairs, never text.
+    */
+  def p9TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_before"))
+    val weighted = counts.withColumn(
+      "w",
+      floor(sqrt(col("n_before").cast("double")) * 1000000.0).cast("long"))
+    val tot = weighted.agg(
+      sum(col("w")).as("wsum"),
+      expr("sum(n_before) div 2").as("budget"))
+    val targets = weighted
+      .crossJoin(broadcast(tot))
+      .select(
+        col("source"),
+        col("n_before"),
+        least(
+          col("n_before"),
+          floor(
+            col("budget").cast("double") * col("w").cast("double") /
+              col("wsum").cast("double")).cast("long")).as("n_target"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("h"))
+    docs
+      .select(col("doc_id"), col("source"), md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(win))
+      .join(broadcast(targets), "source")
+      .filter(col("rk") <= col("n_target"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+      .join(broadcast(targets), "source")
+      .select(
+        col("source"),
+        col("n_before"),
+        col("n_target"),
+        col("n_kept"),
+        col("kept_id_sum"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p9_temperature_mix" -> p9TemperatureMix,
     "p8_neardup_admission" -> p8NearDupAdmission,
     "p7_sequence_packing" -> p7SequencePacking,
     "p6_incremental_update" -> p6IncrementalUpdate,
@@ -379,6 +440,40 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same two-layer determinism: integer weight sum, one exact-<2^53
+    // float ratio, md5-ranked selection.
+    "p9_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n_before FROM documents GROUP BY 1),
+        |weighted AS (
+        |  SELECT source, n_before,
+        |    CAST(floor(sqrt(CAST(n_before AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+        |  FROM counts),
+        |tot AS (
+        |  SELECT CAST(sum(w) AS BIGINT) AS wsum,
+        |    CAST(sum(n_before) AS BIGINT) // 2 AS budget
+        |  FROM weighted),
+        |targets AS (
+        |  SELECT source, n_before,
+        |    least(n_before,
+        |      CAST(floor(CAST(budget AS DOUBLE) * CAST(w AS DOUBLE) /
+        |                 CAST(wsum AS DOUBLE)) AS BIGINT)) AS n_target
+        |  FROM weighted, tot),
+        |ranked AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+        |  FROM documents),
+        |kept AS (
+        |  SELECT r.source, count(*) AS n_kept, sum(r.doc_id) AS kept_id_sum
+        |  FROM ranked r JOIN targets t USING (source)
+        |  WHERE r.rk <= t.n_target
+        |  GROUP BY 1)
+        |SELECT t.source, CAST(t.n_before AS BIGINT) AS n_before,
+        |  CAST(t.n_target AS BIGINT) AS n_target,
+        |  CAST(k.n_kept AS BIGINT) AS n_kept,
+        |  CAST(k.kept_id_sum AS BIGINT) AS kept_id_sum
+        |FROM targets t JOIN kept k USING (source)
+        |ORDER BY source""".stripMargin,
     // p6's CTEs plus the exact cross-Jaccard ground truth (the d2
     // oracle bet: LSH misses at the theta=0.5 boundary are ~1e-4, so
     // the exact all-pairs truth equals the banded+verified output).

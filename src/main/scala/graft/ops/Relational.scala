@@ -3095,7 +3095,113 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** q102 — CDC changelog apply (log compaction): a base snapshot
+    * plus an ORDERED change stream of full-row images — inserts,
+    * updates, deletes, with later ops on the same key superseding
+    * earlier ones — compacts to final state in ONE pass over the log:
+    * `max_by(struct(op, payload), seq)` reduces each key to its last
+    * image inside a combine-enabled aggregate (partial max_by on the
+    * map side — no per-key sort, no window), then the base anti-joins
+    * the touched-key set and surviving images union back in. The
+    * synthesized log exercises every compaction hazard: disjoint
+    * update/insert batches, a delete batch, and a LATER update that
+    * resurrects a subset of the deleted keys (full-row images make an
+    * update an upsert — Debezium-style semantics), so latest-wins is
+    * observably different from any-order application. At 100 TB the
+    * log compaction shuffles once on the key (∝ |log|), the anti join
+    * rides the same key, and the base is never rewritten per op —
+    * exactly the merge-on-read compaction a table format runs.
+    * Output is a 10-bucket rollup of final state (count + exact
+    * integer cents), which pins every row's fate.
+    */
+  def q102CdcApply(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val base = o.filter(col("k") % 4 =!= 0)
+    def batch(seq: Long, op: String, rows: DataFrame): DataFrame =
+      rows.select(lit(seq).as("seq"), lit(op).as("op"), col("k"), col("cents"))
+    val log = batch(1L, "U", o.filter(col("k") % 10 === 1).withColumn("cents", col("cents") + 111L))
+      .unionAll(batch(2L, "D", o.filter(col("k") % 20 === 2).withColumn("cents", lit(null).cast("long"))))
+      .unionAll(batch(3L, "I", o.filter(col("k") % 4 === 0)))
+      .unionAll(batch(4L, "U", o.filter(col("k") % 40 === 22).withColumn("cents", col("cents") + 999L)))
+    val latest = log
+      .groupBy(col("k"))
+      .agg(max_by(struct(col("op"), col("cents")), col("seq")).as("last"))
+      .select(col("k"), col("last.op").as("op"), col("last.cents").as("cents"))
+    val untouched = base.join(latest.select(col("k")), Seq("k"), "left_anti")
+    val survivors = latest.filter(col("op") =!= "D").select(col("k"), col("cents"))
+    untouched
+      .unionAll(survivors)
+      .groupBy((col("k") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_total"))
+      .orderBy("bucket")
+  }
+
+  /** q103 — kNN-graph triangle census: supplier co-sourcing strength
+    * (distinct parts two suppliers both ship) is a dense similarity
+    * relation on this fixture — the FULL graph is near-complete at
+    * every scale factor, so any fixed edge threshold either empties
+    * one SF or explodes another (measured: ≥10 shared parts keeps all
+    * C(1000,2) pairs at sf0.1 → 156M triangles). The scale move is
+    * top-k sparsification: every node keeps its k=5 strongest
+    * partners (tie-break by id), the undirected union of selections
+    * is the kNN graph — at most n·k edges at ANY corpus size (each
+    * node contributes ≤ k selections), so the triangle join runs over
+    * a linear-sized edge list instead of the quadratic full graph.
+    * (A node's degree can still exceed 2k if many others select it —
+    * the hub-trim hardening for adversarially popular nodes would cap
+    * incident edges per node; the fixture's co-part degrees need no
+    * trim.) Triangles
+    * enumerate with the classic oriented two-path + closing-edge
+    * semi-join on `x < y` edges: each triangle counted exactly once,
+    * each join keyed on a node id. The co-part pair aggregate is the
+    * one data-sized exchange (work ∝ Σ_part deg² — bounded by the
+    * per-part supplier fan-in, the same budget d4/d13 document);
+    * everything downstream is node-sized. Emits the 50 most
+    * triangle-central suppliers under a total order.
+    */
+  def q103KnnTriangles(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val sp = Tables
+      .lineitem(s, dir)
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = sp
+      .as("a")
+      .join(sp.as("b"), col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("sa"), col("b.s").as("sb"))
+      .agg(count(lit(1)).as("c"))
+    val directed = pairs
+      .select(col("sa").as("u"), col("sb").as("v"), col("c"))
+      .unionAll(pairs.select(col("sb").as("u"), col("sa").as("v"), col("c")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u"))
+      .orderBy(col("c").desc, col("v").asc)
+    val edges = directed
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= k)
+      .select(least(col("u"), col("v")).as("x"), greatest(col("u"), col("v")).as("y"))
+      .distinct()
+      .localCheckpoint() // read three times by the triangle join
+    val tri = edges
+      .as("e1")
+      .join(edges.as("e2"), col("e1.y") === col("e2.x"))
+      .join(edges.as("e3"), col("e1.x") === col("e3.x") && col("e2.y") === col("e3.y"))
+      .select(col("e1.x").as("a"), col("e1.y").as("b"), col("e2.y").as("cc"))
+    tri
+      .select(explode(array(col("a"), col("b"), col("cc"))).as("suppkey"))
+      .groupBy(col("suppkey"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(desc("n_triangles"), col("suppkey"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_knn_triangles" -> q103KnnTriangles,
+    "q102_cdc_apply" -> q102CdcApply,
     "q101_agg_ivm" -> q101AggIvm,
     "q100_join_ivm" -> q100JoinIvm,
     "q99_supplier_variety_distinct" -> q99SupplierVariety,
@@ -3203,6 +3309,55 @@ object Relational {
     "q97_pagerank_adaptive" -> q97OracleSql,
     // Exact cents arithmetic on both sides; HUGEINT sums cast back to
     // BIGINT at the rendering boundary; diff pins the IVM identity.
+    "q102_cdc_apply" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |base AS (SELECT * FROM o WHERE k % 4 <> 0),
+        |log AS (
+        |  SELECT 1 AS seq, 'U' AS op, k, cents + 111 AS cents FROM o WHERE k % 10 = 1
+        |  UNION ALL
+        |  SELECT 2, 'D', k, CAST(NULL AS BIGINT) FROM o WHERE k % 20 = 2
+        |  UNION ALL
+        |  SELECT 3, 'I', k, cents FROM o WHERE k % 4 = 0
+        |  UNION ALL
+        |  SELECT 4, 'U', k, cents + 999 FROM o WHERE k % 40 = 22),
+        |latest AS (
+        |  SELECT k, op, cents FROM (
+        |    SELECT k, op, cents,
+        |      row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |    FROM log) WHERE rn = 1),
+        |fin AS (
+        |  SELECT k, cents FROM base WHERE k NOT IN (SELECT k FROM latest)
+        |  UNION ALL
+        |  SELECT k, cents FROM latest WHERE op <> 'D')
+        |SELECT k % 10 AS bucket, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_total
+        |FROM fin GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q103_knn_triangles" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+        |pr AS (
+        |  SELECT a.s AS sa, b.s AS sb, count(*) AS c
+        |  FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+        |  GROUP BY 1, 2),
+        |d AS (SELECT sa AS u, sb AS v, c FROM pr
+        |      UNION ALL SELECT sb, sa, c FROM pr),
+        |knn AS (
+        |  SELECT u, v FROM (
+        |    SELECT u, v,
+        |      row_number() OVER (PARTITION BY u ORDER BY c DESC, v ASC) AS rk
+        |    FROM d) WHERE rk <= 5),
+        |e AS (SELECT DISTINCT least(u, v) AS x, greatest(u, v) AS y FROM knn),
+        |tri AS (
+        |  SELECT e1.x AS a, e1.y AS b, e2.y AS cc
+        |  FROM e e1 JOIN e e2 ON e1.y = e2.x
+        |            JOIN e e3 ON e1.x = e3.x AND e2.y = e3.y)
+        |SELECT s AS suppkey, count(*) AS n_triangles
+        |FROM (SELECT unnest([a, b, cc]) AS s FROM tri)
+        |GROUP BY 1
+        |ORDER BY n_triangles DESC, suppkey
+        |LIMIT 50""".stripMargin,
     "q101_agg_ivm" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_orderpriority,

@@ -869,6 +869,59 @@ class OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q102 CDC apply: latest image wins — deletes remove, later updates resurrect") {
+    val orders = graft.ops.Tables.orders(spark, Sf)
+      .select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    // independent reference: per-key final state by explicit case analysis
+    val expected = orders
+      .select(col("k"), col("cents"),
+        when(col("k") % 40 === 22, col("cents") + 999L)            // resurrected by seq-4 update
+          .when(col("k") % 20 === 2, lit(null).cast("long"))        // deleted at seq 2, never revived
+          .when(col("k") % 10 === 1, col("cents") + 111L)           // updated at seq 1
+          .when(col("k") % 4 === 0, col("cents"))                   // inserted at seq 3
+          .when(col("k") % 4 =!= 0, col("cents"))                   // untouched base
+          .as("fin"))
+      .filter(col("fin").isNotNull)
+      .groupBy((col("k") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("fin")).as("cents_total"))
+    val got = Relational.q102CdcApply(spark, Sf)
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      expected.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
+  test("q103 kNN triangles: counts positive, bounded by the census size") {
+    val out = Relational.q103KnnTriangles(spark, Sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(1) > 0))
+    // descending output order with deterministic tie-break
+    val counts = out.map(_.getLong(1)).toSeq
+    assert(counts == counts.sorted.reverse)
+  }
+
+  test("p9 temperature mix: targets fill, budget holds, small sources keep a larger share") {
+    val out = Corpus.p9TemperatureMix(spark, Sf).collect()
+    assert(out.nonEmpty)
+    var budgetUsed = 0L
+    var total = 0L
+    out.foreach { r =>
+      val (nBefore, nTarget, nKept) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nKept == nTarget, s"${r.getString(0)}: selection must fill the target exactly")
+      assert(nTarget <= nBefore)
+      budgetUsed += nKept; total += nBefore
+    }
+    assert(budgetUsed <= total / 2, "global budget exceeded")
+    // α = 0.5 < 1 ⇒ keep-rate n_target/n_before is non-increasing in n_before
+    // (unless capped by the source's own size)
+    val rates = out.filter(r => r.getLong(2) < r.getLong(1))
+      .sortBy(_.getLong(1))
+      .map(r => r.getLong(2).toDouble / r.getLong(1).toDouble)
+    rates.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a + 1e-9, "keep-rate must fall as source size grows")
+      case _           =>
+    }
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
