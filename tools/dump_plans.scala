@@ -50,7 +50,19 @@ val targets: Seq[(String, String, org.apache.spark.sql.DataFrame)] = Seq(
   ("t16_pmi_collocations", "PMI collocations: one bigram exchange, unigram joins unhinted (AQE), 1-row N broadcast",
     graft.ops.TextAnalysis.t16PmiCollocations(spark, sf)),
   ("q100_join_ivm", "incremental join maintenance: four orderkey-keyed delta joins + one-shot, identity checked in-plan",
-    graft.ops.Relational.q100JoinIvm(spark, sf))
+    graft.ops.Relational.q100JoinIvm(spark, sf)),
+  ("q101_agg_ivm", "incremental aggregate maintenance: signed (count,sum) partials merged on the group key, zero-count groups dropped",
+    graft.ops.Relational.q101AggIvm(spark, sf)),
+  ("q102_cdc_apply", "CDC log compaction: ONE combine-enabled max_by per key (no window), anti-join base, survivors union in",
+    graft.ops.Relational.q102CdcApply(spark, sf)),
+  ("q103_knn_triangles", "kNN-sparsified triangle census: top-k window over the pair aggregate, oriented 2-path + closing-edge join",
+    graft.ops.Relational.q103KnnTriangles(spark, sf)),
+  ("t17_trigram_backoff_lm", "stupid backoff: ONE per-doc trigram exchange (checkpoint), vocabulary-sized model joins unhinted",
+    graft.ops.TextAnalysis.t17TrigramBackoffLm(spark, sf)),
+  ("d16_density_clusters", "DBSCAN roles over the near-dup graph: degree stats ride the mirrored edge checkpoint, CC over core-core edges only",
+    graft.ops.Dedup.d16DensityClusters(spark, sf)),
+  ("p9_temperature_mix", "temperature mixing: catalog-sized stats broadcast, md5-ranked per-source selection window",
+    graft.ops.Corpus.p9TemperatureMix(spark, sf))
 )
 val sb = new StringBuilder
 sb.append("# PLANS -- executed physical plans of headline queries\n\n")

@@ -10,5 +10,6 @@ sbt -batch compile >/dev/null
   --conf spark.sql.session.timeZone=UTC \
   --conf spark.sql.shuffle.partitions=8 \
   --conf spark.sql.legacy.parquet.nanosAsLong=true \
+  --conf spark.sql.parquet.inferTimestampNTZ.enabled=false \
   --driver-class-path target/scala-2.13/classes \
   -I tools/dump_plans.scala <<< ""
