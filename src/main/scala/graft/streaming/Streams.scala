@@ -742,4 +742,69 @@ object Streams {
           }
       }
   }
+
+  /** One CDC change event: a full row image (op I/U) or tombstone (D)
+    * at log sequence `seq`.
+    */
+  final case class CdcChange(k: Long, seq: Long, op: String, cents: Option[Long])
+
+  /** The key's current image after the changes seen so far. */
+  final case class CdcImage(k: Long, seq: Long, op: String, cents: Option[Long])
+
+  /** Per-key latest-wins state: the streaming half of q102's CDC log
+    * compaction. `transformWithState` keeps ONE (seq, op, payload)
+    * row per key; an arriving change replaces it only if its sequence
+    * number is HIGHER — so the maintained image is a pure function of
+    * the change SET, never of arrival order (out-of-order delivery,
+    * replays and multi-trigger splits all converge to the same
+    * state, which the parity spec pins against batch `max_by` and a
+    * shuffled redelivery). Emits the key's current image on every
+    * update (Update mode); downstream readers take the max-seq row
+    * per key, exactly the merge-on-read convention. State is one
+    * small row per LIVE key with TTL available for retention-bounded
+    * logs — at 100 TB of changelog this is the keyed-state shape a
+    * continuously-maintained table view needs, and the batch q102
+    * remains the backfill/compaction path over the same algebra.
+    */
+  class CdcLatestProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long,
+        CdcChange,
+        CdcImage] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var last: ValueState[(Long, String, Option[Long])] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[(Long, String, Option[Long])](
+        "last",
+        Encoders.product[(Long, String, Option[Long])],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[CdcChange],
+        timerValues: TimerValues): Iterator[CdcImage] = {
+      // latest of THIS batch's rows for the key (seqs unique per key)
+      val newest = rows.maxBy(_.seq)
+      val keep = if (last.exists() && last.get()._1 >= newest.seq) last.get()
+        else (newest.seq, newest.op, newest.cents)
+      last.update(keep)
+      Iterator.single(CdcImage(key, keep._1, keep._2, keep._3))
+    }
+  }
+
+  /** Continuously-maintained latest-image view of a CDC change
+    * stream; update-mode emission, one state row per live key.
+    */
+  def streamingCdcGate(changes: Dataset[CdcChange]): Dataset[CdcImage] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.k)
+      .transformWithState(
+        new CdcLatestProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

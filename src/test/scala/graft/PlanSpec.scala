@@ -334,6 +334,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), "top-100 must plan as per-partition heaps")
   }
 
+  test("q102 CDC compaction is an aggregate, never a per-key window sort") {
+    val plan = formatted(Relational.q102CdcApply(spark, Sf))
+    assert(!plan.contains("Window"),
+      s"latest-image must ride a combine-enabled max_by aggregate:\n${plan.take(1500)}")
+  }
+
+  test("q103 triangle top-50 plans TakeOrderedAndProject, no global sort") {
+    val plan = formatted(Relational.q103KnnTriangles(spark, Sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"limit-after-orderBy must plan as per-partition heaps:\n${plan.take(1500)}")
+  }
+
   test("no query plans an unbounded CartesianProduct (blanket scale audit)") {
     // BroadcastNestedLoopJoin (dimension-sized side) is acceptable;
     // CartesianProductExec — both sides data-sized, quadratic output —

@@ -862,6 +862,68 @@ class StreamBatchParitySpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming CDC gate: latest image matches batch max_by under ANY arrival order") {
+    import spark.implicits._
+    import graft.streaming.Streams.{CdcChange, CdcImage}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // q102's synthesized log, as change events
+      val o = graft.ops.Tables.orders(spark, Sf)
+        .select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      def batchOf(seq: Long, op: String, rows: Seq[(Long, Long)]): Seq[CdcChange] =
+        rows.map { case (k, c) =>
+          CdcChange(k, seq, op, if (op == "D") None else Some(c))
+        }
+      val batches = Seq(
+        batchOf(1L, "U", o.filter(_._1 % 10 == 1).map { case (k, c) => (k, c + 111L) }),
+        batchOf(2L, "D", o.filter(_._1 % 20 == 2).toSeq),
+        batchOf(3L, "I", o.filter(_._1 % 4 == 0).toSeq),
+        batchOf(4L, "U", o.filter(_._1 % 40 == 22).map { case (k, c) => (k, c + 999L) }))
+      // reference: latest image per key by SEQUENCE over the whole log
+      val expected = batches.flatten
+        .groupBy(_.k)
+        .map { case (k, cs) =>
+          val last = cs.maxBy(_.seq); k -> ((last.seq, last.op, last.cents))
+        }
+
+      // deliver in order, then in REVERSED trigger order — the
+      // maintained state must be a function of the change set only
+      for ((order, name) <- Seq((batches, "ordered"), (batches.reverse, "reversed"))) {
+        val in = MemoryStream[CdcChange]
+        val q = graft.streaming.Streams.streamingCdcGate(in.toDS())
+          .writeStream.format("memory").queryName(s"cdc_$name")
+          .outputMode("update").start()
+        try {
+          order.foreach { b => in.addData(b); q.processAllAvailable() }
+          val got = spark.table(s"cdc_$name").as[CdcImage].collect()
+            .groupBy(_.k)
+            .map { case (k, imgs) =>
+              val last = imgs.maxBy(_.seq); k -> ((last.seq, last.op, last.cents))
+            }
+          assert(got == expected, s"$name delivery diverged from batch compaction")
+        } finally q.stop()
+      }
+      // the semantics the log was built to pin: deletes tombstone,
+      // later updates resurrect
+      val deletedStay = o.filter(t => t._1 % 20 == 2 && t._1 % 40 != 22).map(_._1)
+      val resurrected = o.filter(_._1 % 40 == 22).map(_._1)
+      assert(deletedStay.nonEmpty && resurrected.nonEmpty, "fixture must cover both paths")
+      deletedStay.foreach(k => assert(expected(k)._2 == "D"))
+      resurrected.foreach(k => assert(expected(k)._2 == "U" && expected(k)._3.isDefined))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
 
 /** Companion buffer for the gate-restart test: foreachBatch closures
