@@ -427,7 +427,41 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** p10 — weighted sampling without replacement (top-k by priority):
+    * longer documents should be likelier to enter a length-weighted
+    * eval sample, and the whole draw must be reproducible. This is
+    * Duffield et al.'s PRIORITY SAMPLING: each doc gets priority
+    * q = w/u with u a per-doc pseudo-uniform, and the sample is the
+    * top-k by q. Chosen over the better-known Efraimidis–Spirakis
+    * u^(1/w) keys DELIBERATELY: pow routes through libm/JVM
+    * transcendentals that differ in the last ulp across engines (the
+    * t16 lesson — a rank boundary cannot survive that), while
+    * priority's ONE float op is a division of integers both < 2⁵³ —
+    * exactly representable, so the ratio and therefore the ENTIRE
+    * ranking is bit-identical in any IEEE engine. The pseudo-uniform
+    * is a Knuth multiplicative hash of doc_id reduced mod 2³² —
+    * integer algebra both engines share (the p3 gate precedent); the
+    * weight is n_chars. Top-k plans as TakeOrderedAndProject —
+    * per-partition k-heaps + a k-row driver merge, the only sane
+    * shape at corpus scale (never a global sort).
+    */
+  def p10PrioritySample(s: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("v", (col("doc_id") * lit(2654435761L)) % lit(4294967296L))
+      .withColumn(
+        "priority",
+        (col("n_chars") * lit(4294967296L)).cast("double") /
+          (col("v") + lit(1L)).cast("double"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("priority"))
+      .orderBy(col("priority").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p10_priority_sample" -> p10PrioritySample,
     "p9_temperature_mix" -> p9TemperatureMix,
     "p8_neardup_admission" -> p8NearDupAdmission,
     "p7_sequence_packing" -> p7SequencePacking,
@@ -440,6 +474,18 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    // Priority = integer-exact division; the double is bit-identical
+    // in both engines, so ORDER BY priority is stable cross-engine.
+    "p10_priority_sample" ->
+      """WITH pr AS (
+        |  SELECT doc_id, source, n_chars,
+        |    (doc_id * 2654435761) % 4294967296 AS v
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars,
+        |  CAST(n_chars * 4294967296 AS DOUBLE) / CAST(v + 1 AS DOUBLE) AS priority
+        |FROM pr
+        |ORDER BY priority DESC, doc_id ASC
+        |LIMIT 100""".stripMargin,
     // Same two-layer determinism: integer weight sum, one exact-<2^53
     // float ratio, md5-ranked selection.
     "p9_temperature_mix" ->

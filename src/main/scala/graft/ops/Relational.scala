@@ -3199,7 +3199,50 @@ object Relational {
       .limit(50)
   }
 
+  /** q104 — skyline (Pareto frontier) query: the points of
+    * (price, ship_date) per return flag that no other point dominates
+    * (≤ in both dimensions, < in at least one) — the multi-criteria
+    * preference shape ("cheapest for its recency") that no plain
+    * aggregate expresses. The textbook formulation is a quadratic
+    * dominance anti-join (the oracle runs exactly that); this plan is
+    * the 2-D sort-scan instead: distinct (price, date) points sorted
+    * by (price, date) inside each flag partition, a point survives
+    * iff the strict-prefix running MIN of date exceeds its own —
+    * every dominator sorts before its victim, so one window pass
+    * decides the whole frontier. Dedup-first makes the tie algebra
+    * exact (equal pairs collapse with a multiplicity; within equal
+    * price, the date order makes prefix-min ≤ current ⟺ strictly
+    * dominated). At 100 TB: the point set pre-aggregates to distinct
+    * (flag, price, date) — domain-bounded, far smaller than the fact
+    * table — and skylines merge hierarchically (dominance is
+    * transitive, so a global skyline point must survive its
+    * partition: partition-local scans, then a skyline-of-skylines
+    * over the few survivors), the standard distributed-skyline
+    * decomposition this windowed form is the building block of.
+    * Prices stay integer cents end-to-end.
+    */
+  def q104Skyline(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_returnflag").as("flag"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("price_cents"),
+        col("l_shipdate").cast("date").as("ship_date"))
+      .groupBy(col("flag"), col("price_cents"), col("ship_date"))
+      .agg(count(lit(1)).as("n_lines"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("flag"))
+      .orderBy(col("price_cents").asc, col("ship_date").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    pts
+      .withColumn("md", min(col("ship_date")).over(w))
+      .filter(col("md").isNull || col("md") > col("ship_date"))
+      .select(col("flag"), col("price_cents"), col("ship_date"), col("n_lines"))
+      .orderBy("flag", "price_cents")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_skyline" -> q104Skyline,
     "q103_knn_triangles" -> q103KnnTriangles,
     "q102_cdc_apply" -> q102CdcApply,
     "q101_agg_ivm" -> q101AggIvm,
@@ -3309,6 +3352,23 @@ object Relational {
     "q97_pagerank_adaptive" -> q97OracleSql,
     // Exact cents arithmetic on both sides; HUGEINT sums cast back to
     // BIGINT at the rendering boundary; diff pins the IVM identity.
+    // The oracle is the textbook quadratic dominance NOT EXISTS — an
+    // independent algorithm from the plan's sort-scan, so agreement
+    // checks the frontier algebra itself.
+    "q104_skyline" ->
+      """WITH pts AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+        |    CAST(l_shipdate AS DATE) AS ship_date, count(*) AS n_lines
+        |  FROM lineitem GROUP BY 1, 2, 3)
+        |SELECT flag, price_cents, ship_date, CAST(n_lines AS BIGINT) AS n_lines
+        |FROM pts a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts b
+        |  WHERE b.flag = a.flag AND b.price_cents <= a.price_cents
+        |    AND b.ship_date <= a.ship_date
+        |    AND (b.price_cents < a.price_cents OR b.ship_date < a.ship_date))
+        |ORDER BY flag, price_cents""".stripMargin,
     "q102_cdc_apply" ->
       """WITH o AS (
         |  SELECT o_orderkey AS k,

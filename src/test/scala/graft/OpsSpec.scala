@@ -922,6 +922,45 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q104 skyline: the frontier is a strict staircase (no point dominates another)") {
+    val out = Relational.q104Skyline(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).foreach { case (flag, pts) =>
+      val sorted = pts.sortBy(_.getLong(1)) // by price asc (already distinct prices)
+      // prices strictly increase AND dates strictly decrease along the
+      // frontier — the defining staircase shape; any violation means a
+      // dominated point survived
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(1) < b.getLong(1), s"$flag: duplicate frontier price")
+          assert(
+            a.getDate(2).toLocalDate.isAfter(b.getDate(2).toLocalDate),
+            s"$flag: ${b.getLong(1)} is dominated by ${a.getLong(1)}")
+        case _ =>
+      }
+    }
+  }
+
+  test("p10 priority sample: deterministic total order, length-weighting biases the draw") {
+    val out = Corpus.p10PrioritySample(spark, Sf).collect()
+    assert(out.length == 100)
+    // strictly decreasing priority (ratio ties are measure-zero on the
+    // fixture; doc_id breaks any that appear)
+    out.map(_.getDouble(3)).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b)
+      case _           =>
+    }
+    // a second evaluation of the same plan draws the identical sample
+    val again = Corpus.p10PrioritySample(spark, Sf).collect()
+    assert(out.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+    // weighting by n_chars must shift the sample's mean length above
+    // the corpus mean (352.9 vs 306.3 on this fixture)
+    val sampleAvg = out.map(_.getLong(2)).sum.toDouble / out.length
+    val corpusAvg = graft.ops.Tables.documents(spark, Sf)
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(sampleAvg > corpusAvg, s"sample $sampleAvg not above corpus $corpusAvg")
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet

@@ -62,7 +62,11 @@ val targets: Seq[(String, String, org.apache.spark.sql.DataFrame)] = Seq(
   ("d16_density_clusters", "DBSCAN roles over the near-dup graph: degree stats ride the mirrored edge checkpoint, CC over core-core edges only",
     graft.ops.Dedup.d16DensityClusters(spark, sf)),
   ("p9_temperature_mix", "temperature mixing: catalog-sized stats broadcast, md5-ranked per-source selection window",
-    graft.ops.Corpus.p9TemperatureMix(spark, sf))
+    graft.ops.Corpus.p9TemperatureMix(spark, sf)),
+  ("q104_skyline", "skyline: ONE windowed sort-scan over the deduped point set (oracle runs the quadratic dominance join)",
+    graft.ops.Relational.q104Skyline(spark, sf)),
+  ("p10_priority_sample", "priority sampling: scan-side integer-exact priorities, top-k as TakeOrderedAndProject",
+    graft.ops.Corpus.p10PrioritySample(spark, sf))
 )
 val sb = new StringBuilder
 sb.append("# PLANS -- executed physical plans of headline queries\n\n")
