@@ -3241,7 +3241,55 @@ object Relational {
       .orderBy("flag", "price_cents")
   }
 
+  /** q105 — session path mining: the top full event-type SEQUENCES
+    * users walk within a session (click>view>purchase…) — the
+    * sequential-pattern primitive behind funnel discovery (q51 checks
+    * ONE fixed path; this surfaces which paths exist and how often).
+    * Sessions are q17's 30-minute-gap islands (lag + running sum in
+    * one (user, ts, event_id)-ordered window); the path is the
+    * within-session event-type sequence under that same total order —
+    * `collect_list` into `array_sort` on (us, event_id, type) structs
+    * makes the aggregate order-deterministic regardless of partial
+    * aggregation order, then the sorted types join into one string.
+    * Exchange budget: the window's user_id shuffle is the only
+    * data-sized exchange — HashPartitioning(user_id) already
+    * satisfies the (user, session) clustering the path aggregate
+    * needs, so EnsureRequirements plants no second exchange before
+    * it; the path-frequency rollup then moves one row per distinct
+    * path and top-20 is TakeOrderedAndProject. At 100 TB one would
+    * fingerprint paths past a length cap (they are session-bounded
+    * here); the shape is otherwise production-ready.
+    */
+  def q105SessionPaths(s: SparkSession, dir: String): DataFrame = {
+    val byTime = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapUs = lit(1800L * 1000000L)
+    Tables
+      .events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byTime))
+      .withColumn(
+        "new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(byTime))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(
+              collect_list(struct(col("us"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")),
+          ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_session_paths" -> q105SessionPaths,
     "q104_skyline" -> q104Skyline,
     "q103_knn_triangles" -> q103KnnTriangles,
     "q102_cdc_apply" -> q102CdcApply,
@@ -3352,6 +3400,26 @@ object Relational {
     "q97_pagerank_adaptive" -> q97OracleSql,
     // Exact cents arithmetic on both sides; HUGEINT sums cast back to
     // BIGINT at the rendering boundary; diff pins the IVM identity.
+    "q105_session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |x AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x),
+        |p AS (
+        |  SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY us, event_id) AS path
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path
+        |LIMIT 20""".stripMargin,
     // The oracle is the textbook quadratic dominance NOT EXISTS — an
     // independent algorithm from the plan's sort-scan, so agreement
     // checks the frontier algebra itself.

@@ -941,6 +941,23 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q105 session paths: valid type sequences, counts bounded by q17's session total") {
+    val out = Relational.q105SessionPaths(spark, Sf).collect()
+    assert(out.nonEmpty)
+    val types = graft.ops.Tables.events(spark, Sf)
+      .select(col("event_type")).distinct().collect().map(_.getString(0)).toSet
+    out.foreach { r =>
+      assert(r.getString(0).split(">").forall(types.contains), "path holds unknown event type")
+      assert(r.getLong(1) > 0)
+    }
+    val counts = out.map(_.getLong(1)).toSeq
+    assert(counts == counts.sorted.reverse, "output must be frequency-descending")
+    // the top paths cannot carry more sessions than exist in total
+    val totalSessions = Relational.q17Sessionize(spark, Sf)
+      .agg(sum(col("n_sessions"))).head().getLong(0)
+    assert(counts.sum <= totalSessions)
+  }
+
   test("p10 priority sample: deterministic total order, length-weighting biases the draw") {
     val out = Corpus.p10PrioritySample(spark, Sf).collect()
     assert(out.length == 100)
