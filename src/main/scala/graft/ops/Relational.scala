@@ -3169,6 +3169,14 @@ object Relational {
       .lineitem(s, dir)
       .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
       .distinct()
+    // Deliberately the SELF-JOIN form. The tempting "one exchange"
+    // alternative — groupBy(part) + sort_array(collect_list) + a
+    // nested transform/slice pair explosion — measured 4.72 s solo at
+    // sf0.1 vs 3.15 s for this join: each lambda slice() copies a
+    // sub-array, so the explosion does O(deg²) allocations in
+    // interpreted HigherOrderFunction code, losing more than the
+    // second sp exchange costs. The codegen'd hash join streams the
+    // same Σ deg² pair rows with zero per-pair allocation.
     val pairs = sp
       .as("a")
       .join(sp.as("b"), col("a.p") === col("b.p") && col("a.s") < col("b.s"))

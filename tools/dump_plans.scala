@@ -66,7 +66,9 @@ val targets: Seq[(String, String, org.apache.spark.sql.DataFrame)] = Seq(
   ("q104_skyline", "skyline: ONE windowed sort-scan over the deduped point set (oracle runs the quadratic dominance join)",
     graft.ops.Relational.q104Skyline(spark, sf)),
   ("p10_priority_sample", "priority sampling: scan-side integer-exact priorities, top-k as TakeOrderedAndProject",
-    graft.ops.Corpus.p10PrioritySample(spark, sf))
+    graft.ops.Corpus.p10PrioritySample(spark, sf)),
+  ("q105_session_paths", "session paths: ONE user shuffle — the path aggregate rides the window's partitioning (subset clustering)",
+    graft.ops.Relational.q105SessionPaths(spark, sf))
 )
 val sb = new StringBuilder
 sb.append("# PLANS -- executed physical plans of headline queries\n\n")
