@@ -3064,9 +3064,26 @@ object Relational {
         col("o_orderkey"),
         col("o_orderpriority"),
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-    val base = o.filter(col("o_orderkey") % 5 =!= 0)
-    val ins = o.filter(col("o_orderkey") % 5 === 0)
-    val del = base.filter(col("o_orderkey") % 7 === 3)
+    aggIvmMerge(
+      base = o.filter(col("o_orderkey") % 5 =!= 0),
+      ins = o.filter(col("o_orderkey") % 5 === 0),
+      del = o.filter(col("o_orderkey") % 5 =!= 0 && col("o_orderkey") % 7 === 3),
+      // deletes are key-predicate-defined here, so the comparison side
+      // stays ONE filtered scan instead of the generic exceptAll
+      oneshotOverride = Some(
+        o.filter(col("o_orderkey") % 5 === 0 || col("o_orderkey") % 7 =!= 3)))
+  }
+
+  /** q101's merge algebra, parameterized on the (base, inserts,
+    * deletes) splits — `(o_orderpriority, cents)` rows, del ⊆ base —
+    * so the spec can plant a group whose rows are ALL deleted and pin
+    * the count-zero disappearance path the fixture never exercises.
+    */
+  private[graft] def aggIvmMerge(
+      base: DataFrame,
+      ins: DataFrame,
+      del: DataFrame,
+      oneshotOverride: Option[DataFrame] = None): DataFrame = {
     def partial(df: DataFrame, sign: Long): DataFrame =
       df.groupBy(col("o_orderpriority"))
         .agg(
@@ -3078,8 +3095,8 @@ object Relational {
       .groupBy(col("o_orderpriority"))
       .agg(sum(col("dn")).as("n_inc"), sum(col("dc")).as("cents_inc"))
       .filter(col("n_inc") > 0) // count-zero groups leave the view
-    val oneshot = o
-      .filter(col("o_orderkey") % 5 === 0 || col("o_orderkey") % 7 =!= 3)
+    val oneshot = oneshotOverride
+      .getOrElse(base.exceptAll(del).unionAll(ins))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_one"), sum(col("cents")).as("cents_one"))
     merged

@@ -869,6 +869,21 @@ class OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q101 merge algebra: a fully-deleted group leaves the view (count-zero path)") {
+    import spark.implicits._
+    val base = Seq(("P1", 100L), ("P1", 50L), ("P2", 10L), ("P2", 20L), ("P3", 7L))
+      .toDF("o_orderpriority", "cents")
+    val ins = Seq(("P1", 30L), ("P4", 5L)).toDF("o_orderpriority", "cents")
+    val del = Seq(("P2", 10L), ("P2", 20L)).toDF("o_orderpriority", "cents") // ALL of P2
+    val out = Relational.aggIvmMerge(base, ins, del).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(!out.contains("P2"), "count-zero group must disappear from the view")
+    assert(out("P1") == ((3L, 180L, 0L, 0L)))
+    assert(out("P3") == ((1L, 7L, 0L, 0L)))
+    assert(out("P4") == ((1L, 5L, 0L, 0L)))
+  }
+
   test("q102 CDC apply: latest image wins — deletes remove, later updates resurrect") {
     val orders = graft.ops.Tables.orders(spark, Sf)
       .select(col("o_orderkey").as("k"),
