@@ -3188,10 +3188,18 @@ object Relational {
     */
   def q103KnnTriangles(s: SparkSession, dir: String): DataFrame = {
     val k = 5
+    // ONE exchange serves dedup AND the self-join: repartition on p,
+    // then dropDuplicates — HashPartitioning(p) satisfies the (s, p)
+    // dedup clustering (all (p, ·) co-located) and is exactly the
+    // join's requirement on BOTH sides, so EnsureRequirements plants
+    // no further shuffle. The naive `.distinct()` partitions on
+    // (s, p) and forces a second p-exchange per join side — measured
+    // 3.15 → 2.19 s solo at sf0.1.
     val sp = Tables
       .lineitem(s, dir)
       .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
-      .distinct()
+      .repartition(col("p"))
+      .dropDuplicates("s", "p")
     // Deliberately the SELF-JOIN form. The tempting "one exchange"
     // alternative — groupBy(part) + sort_array(collect_list) + a
     // nested transform/slice pair explosion — measured 4.72 s solo at
