@@ -2745,10 +2745,18 @@ object Relational {
     * salt baskets above a size bound — fixture baskets are ≤7 items).
     */
   def q93CoOccurrence(s: SparkSession, dir: String): DataFrame = {
+    // q103's one-exchange trick: dedup INSIDE the basket layout the
+    // self-join needs, so neither join side reshuffles (distinct()
+    // would partition on the pair and force a second orderkey
+    // exchange per side). Same-protocol A/B at sf0.1 (5 passes +
+    // quiesced floor): medians within ambient noise (1.49 vs 1.42 s)
+    // but floors 1.00 vs 1.53 s — and structurally one exchange per
+    // join side disappears, which is what matters at 100 TB
     val items = Tables
       .lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey"))
-      .distinct()
+      .repartition(col("l_orderkey"))
+      .dropDuplicates("l_orderkey", "l_partkey")
     val itemCounts = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
     val nBaskets = items.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
     items
