@@ -3335,7 +3335,93 @@ object Relational {
       .limit(20)
   }
 
+  /** q106 — KMV sketch SET ALGEBRA: q79 builds the per-group k-minimum-
+    * values sketch; this is the half that makes sketches worth
+    * shipping — set operations on the SKETCHES standing in for set
+    * operations on the data. Customer audiences per order priority
+    * OVERLAP (one customer orders under many priorities), and for
+    * every priority pair the query estimates |A∪B| from the merged
+    * sketch (the k smallest of the two k-lists' union — KMV's merge
+    * IS a set union, which is the entire mergeability argument) and
+    * |A∩B| by inclusion–exclusion, next to the EXACT union and
+    * intersection so the estimator error is visible and hash-pinned.
+    * Everything is integer algebra end to end: the LCG hash is a
+    * bijection mod p (shared customers hash identically — what
+    * intersection measures), θ is the k-th order statistic, and the
+    * estimator (k−1)·M div θ is integer division — no float enters
+    * the comparison boundary. At 100 TB the sketches are the point:
+    * per-group state is k values regardless of audience size, merges
+    * are k-list unions (5·k rows total here), and only the EXACT
+    * columns — the verification scaffolding, not the production path
+    * — touch pair-level data (one self-join of the distinct
+    * (priority, customer) projection, the q93 budget).
+    */
+  def q106KmvSetAlgebra(s: SparkSession, dir: String): DataFrame = {
+    val k = 128
+    val M = 1000000007L
+    val pc = Tables
+      .orders(s, dir)
+      .select(col("o_orderpriority").as("prio"), col("o_custkey").as("cust"))
+      .distinct()
+    val hashed = pc.select(
+      col("prio"),
+      ((col("cust") * lit(1103515245L) + lit(12345L)) % lit(M)).as("h"))
+    val w = Window.partitionBy(col("prio")).orderBy(col("h"))
+    val sk = hashed
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= k)
+      .groupBy(col("prio"))
+      .agg(
+        sort_array(collect_list(col("h"))).as("ks"),
+        // the k-th order statistic IS max over the kept k-list; when a
+        // small set has fewer than k members the sketch holds the
+        // whole set and the estimator falls back to the exact count
+        max(col("h")).as("theta"),
+        count(lit(1)).as("kn"))
+    val exact = pc.groupBy(col("prio")).agg(count(lit(1)).as("n_exact"))
+    val skx = sk.join(exact, "prio")
+    val a = skx.select(
+      col("prio").as("prio_a"), col("ks").as("ks_a"),
+      col("theta").as("theta_a"), col("kn").as("kn_a"), col("n_exact").as("n_a"))
+    val b = skx.select(
+      col("prio").as("prio_b"), col("ks").as("ks_b"),
+      col("theta").as("theta_b"), col("kn").as("kn_b"), col("n_exact").as("n_b"))
+    val interExact = pc
+      .as("x")
+      .join(pc.as("y"), col("x.cust") === col("y.cust") && col("x.prio") < col("y.prio"))
+      .groupBy(col("x.prio").as("prio_a"), col("y.prio").as("prio_b"))
+      .agg(count(lit(1)).as("exact_intersect"))
+    def est(theta: String, kn: org.apache.spark.sql.Column) =
+      when(kn < k, kn).otherwise(expr(s"(($k - 1) * ${M}L) div $theta"))
+    a.crossJoin(b)
+      .filter(col("prio_a") < col("prio_b"))
+      .withColumn("ku", array_sort(array_union(col("ks_a"), col("ks_b"))))
+      .withColumn("knU", least(size(col("ku")).cast("long"), lit(k.toLong)))
+      .withColumn(
+        "thetaU",
+        element_at(col("ku"), least(size(col("ku")), lit(k))))
+      .select(
+        col("prio_a"),
+        col("prio_b"),
+        est("theta_a", col("kn_a")).as("est_a"),
+        est("theta_b", col("kn_b")).as("est_b"),
+        est("thetaU", col("knU")).as("est_union"),
+        (est("theta_a", col("kn_a")) + est("theta_b", col("kn_b")) -
+          est("thetaU", col("knU"))).as("est_intersect"),
+        col("n_a"),
+        col("n_b"))
+      .join(broadcast(interExact), Seq("prio_a", "prio_b"))
+      .withColumn("exact_union", col("n_a") + col("n_b") - col("exact_intersect"))
+      .select(
+        col("prio_a"), col("prio_b"),
+        col("est_a"), col("est_b"),
+        col("est_union"), col("est_intersect"),
+        col("exact_union"), col("exact_intersect"))
+      .orderBy("prio_a", "prio_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_kmv_set_algebra" -> q106KmvSetAlgebra,
     "q105_session_paths" -> q105SessionPaths,
     "q104_skyline" -> q104Skyline,
     "q103_knn_triangles" -> q103KnnTriangles,
@@ -3447,6 +3533,51 @@ object Relational {
     "q97_pagerank_adaptive" -> q97OracleSql,
     // Exact cents arithmetic on both sides; HUGEINT sums cast back to
     // BIGINT at the rendering boundary; diff pins the IVM identity.
+    "q106_kmv_set_algebra" ->
+      """WITH pc AS (
+        |  SELECT DISTINCT o_orderpriority AS prio, o_custkey AS cust FROM orders),
+        |h AS (SELECT prio, (cust * 1103515245 + 12345) % 1000000007 AS h FROM pc),
+        |r AS (SELECT prio, h, row_number() OVER (PARTITION BY prio ORDER BY h) AS r FROM h),
+        |kmv AS (SELECT prio, h FROM r WHERE r <= 128),
+        |theta AS (SELECT prio, max(h) AS theta, count(*) AS kn FROM kmv GROUP BY 1),
+        |pp AS (SELECT a.prio AS pa, b.prio AS pb
+        |       FROM theta a JOIN theta b ON a.prio < b.prio),
+        |uni AS (
+        |  SELECT DISTINCT pp.pa, pp.pb, k.h
+        |  FROM pp JOIN kmv k ON k.prio = pp.pa OR k.prio = pp.pb),
+        |ur AS (SELECT pa, pb, h,
+        |         row_number() OVER (PARTITION BY pa, pb ORDER BY h) AS r,
+        |         count(*) OVER (PARTITION BY pa, pb) AS urc
+        |       FROM uni),
+        |tu AS (SELECT pa, pb, max(h) AS thetaU, max(urc) AS urc
+        |       FROM ur WHERE r <= 128 GROUP BY 1, 2),
+        |e3 AS (
+        |  SELECT tu.pa, tu.pb,
+        |    CASE WHEN ta.kn < 128 THEN ta.kn
+        |         ELSE 127::BIGINT * 1000000007 // ta.theta END AS est_a,
+        |    CASE WHEN tb.kn < 128 THEN tb.kn
+        |         ELSE 127::BIGINT * 1000000007 // tb.theta END AS est_b,
+        |    CASE WHEN tu.urc < 128 THEN tu.urc
+        |         ELSE 127::BIGINT * 1000000007 // tu.thetaU END AS est_union
+        |  FROM tu JOIN theta ta ON ta.prio = tu.pa
+        |          JOIN theta tb ON tb.prio = tu.pb),
+        |ex AS (SELECT prio, count(*) AS n FROM pc GROUP BY 1),
+        |xi AS (
+        |  SELECT x.prio AS pa, y.prio AS pb, count(*) AS xi
+        |  FROM pc x JOIN pc y ON x.cust = y.cust AND x.prio < y.prio
+        |  GROUP BY 1, 2)
+        |SELECT e3.pa AS prio_a, e3.pb AS prio_b,
+        |  CAST(e3.est_a AS BIGINT) AS est_a,
+        |  CAST(e3.est_b AS BIGINT) AS est_b,
+        |  CAST(e3.est_union AS BIGINT) AS est_union,
+        |  CAST(e3.est_a + e3.est_b - e3.est_union AS BIGINT) AS est_intersect,
+        |  CAST(ea.n + eb.n - xi.xi AS BIGINT) AS exact_union,
+        |  CAST(xi.xi AS BIGINT) AS exact_intersect
+        |FROM e3
+        |  JOIN ex ea ON ea.prio = e3.pa
+        |  JOIN ex eb ON eb.prio = e3.pb
+        |  JOIN xi ON xi.pa = e3.pa AND xi.pb = e3.pb
+        |ORDER BY prio_a, prio_b""".stripMargin,
     "q105_session_paths" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),

@@ -884,6 +884,22 @@ class OpsSpec extends SparkSpec {
     assert(out("P4") == ((1L, 5L, 0L, 0L)))
   }
 
+  test("q106 sketch algebra: estimates land near exact, identities hold") {
+    val out = Relational.q106KmvSetAlgebra(spark, Sf).collect()
+    assert(out.length == 10) // C(5,2) priority pairs
+    out.foreach { r =>
+      val (estU, estI) = (r.getLong(4), r.getLong(5))
+      val (exU, exI) = (r.getLong(6), r.getLong(7))
+      assert(estU >= exI, "union estimate below the exact intersection is impossible")
+      assert(math.abs(estU - exU).toDouble / exU <= 0.10,
+        s"union estimate off by >10%: $estU vs $exU")
+      assert(math.abs(estI - exI).toDouble / exI <= 0.20,
+        s"intersection estimate off by >20%: $estI vs $exI")
+      // inclusion–exclusion is exact on the estimates by construction
+      assert(r.getLong(2) + r.getLong(3) - estU == estI)
+    }
+  }
+
   test("q102 CDC apply: latest image wins — deletes remove, later updates resurrect") {
     val orders = graft.ops.Tables.orders(spark, Sf)
       .select(col("o_orderkey").as("k"),
