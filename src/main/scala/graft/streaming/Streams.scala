@@ -743,6 +743,74 @@ object Streams {
       }
   }
 
+  /** Per-group distinct-count estimate emitted by the KMV gate. */
+  final case class DistinctEst(group: String, n_est: Long, sketch_n: Int)
+
+  /** ValueState row: a group's sorted k-minimum-values list. */
+  final case class KmvList(ks: Array[Long])
+
+  /** Streaming KMV distinct-count gate — q79/q106's k-minimum-values
+    * sketch as CONTINUOUS per-group state. The state row is the k
+    * smallest distinct element hashes seen, which is a PURE FUNCTION
+    * OF THE ELEMENT SET — not of arrival order, batching, or replay
+    * overlap — so unlike the CMS gate (whose borderline false-positive
+    * set legitimately varies with batching) this gate's emissions are
+    * exactly reproducible under any delivery: merge is sorted-distinct-
+    * take-k, the same operation KMV's mergeability argument rests on.
+    * Estimator matches q106 exactly, small-set fallback included
+    * (< k values ⇒ the sketch IS the set ⇒ exact count, an all-integer
+    * boundary both engines and both surfaces agree on). State per
+    * group is k longs regardless of cardinality — the fourth
+    * sketch-twin (exact dedup ↔ d1, near-dup ↔ d2, CMS ↔ q89,
+    * this ↔ q79/q106).
+    */
+  class KmvDistinctProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String,
+        (String, Long),
+        DistinctEst] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var ks: ValueState[KmvList] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      ks = getHandle.getValueState[KmvList](
+        "ks",
+        Encoders.product[KmvList],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[DistinctEst] = {
+      val M = 1000000007L
+      val prev: Array[Long] = if (ks.exists()) ks.get().ks else Array.empty
+      val hashes = rows.map(r => ((r._2 * 1103515245L + 12345L) % M + M) % M)
+      val merged = (prev.iterator ++ hashes).toArray.distinct.sorted.take(k)
+      ks.update(KmvList(merged))
+      val est =
+        if (merged.length < k) merged.length.toLong
+        else ((k - 1).toLong * M) / merged.last
+      Iterator.single(DistinctEst(key, est, merged.length))
+    }
+  }
+
+  /** Continuously-maintained per-group distinct-count estimates with
+    * k-bounded state; update-mode emission.
+    */
+  def streamingDistinctCountGate(
+      elems: Dataset[(String, Long)], // (group, element id)
+      k: Int = 128): Dataset[DistinctEst] = {
+    import elems.sparkSession.implicits._
+    elems
+      .groupByKey(_._1)
+      .transformWithState(
+        new KmvDistinctProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** One CDC change event: a full row image (op I/U) or tombstone (D)
     * at log sequence `seq`.
     */

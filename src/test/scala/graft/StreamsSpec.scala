@@ -863,6 +863,53 @@ class StreamBatchParitySpec extends SparkSpec {
     }
   }
 
+  test("streaming KMV gate: estimates are a pure function of the set — any order, any split") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val k = 128
+      val M = 1000000007L
+      // (event_type, user_id) stream off the fixture, with replays
+      val rows = graft.ops.Tables.events(spark, Sf)
+        .select(col("event_type"), col("user_id")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      // batch reference: same KMV algebra on the distinct element sets
+      val expected = rows.distinct.groupBy(_._1).map { case (g, es) =>
+        val hs = es.map(e => ((e._2 * 1103515245L + 12345L) % M + M) % M)
+          .distinct.sorted.take(k)
+        g -> (if (hs.length < k) hs.length.toLong else ((k - 1).toLong * M) / hs.last)
+      }
+      val deliveries = Seq(
+        ("fwd", rows.grouped(400).toSeq),
+        // reversed batches AND a full replay of the first half appended
+        ("rev", rows.reverse.grouped(350).toSeq ++ Seq(rows.take(rows.size / 2))))
+      for ((name, batches) <- deliveries) {
+        val in = MemoryStream[(String, Long)]
+        val q = graft.streaming.Streams.streamingDistinctCountGate(in.toDS(), k)
+          .writeStream.format("memory").queryName(s"kmv_$name")
+          .outputMode("update").start()
+        try {
+          batches.foreach { b => in.addData(b); q.processAllAvailable() }
+          // update mode: the LAST emission per group is the final state
+          val got = spark.table(s"kmv_$name")
+            .collect().zipWithIndex
+            .groupBy(_._1.getString(0))
+            .map { case (g, emits) => g -> emits.maxBy(_._2)._1.getLong(1) }
+          assert(got == expected, s"$name delivery diverged from the batch KMV")
+        } finally q.stop()
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming CDC gate: latest image matches batch max_by under ANY arrival order") {
     import spark.implicits._
     import graft.streaming.Streams.{CdcChange, CdcImage}
