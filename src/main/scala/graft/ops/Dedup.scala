@@ -965,7 +965,95 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d17 — sorted-neighborhood near-dup blocking: record linkage's
+    * classic alternative to LSH banding (Hernández–Stolfo). Docs sort
+    * by a canonical key (whitespace-normalized lowercased text) and
+    * only WINDOW-ADJACENT docs (here w=3) become candidates — near-dup
+    * text sorts together, so the candidate budget is a FIXED n·w rows
+    * at any corpus size, vs LSH's data-dependent bucket co-occupancy.
+    * The price is recall through the sort lens only (a doc pair
+    * differing in its first words sorts apart; production runs
+    * multiple passes with different keys — d2's banding is this
+    * engine's high-recall path, d17 is the bounded-budget one, and
+    * the spec pins d17 ⊆ d2 at the shared threshold). Implementation
+    * is ONE window: candidates come from w `lead` columns (no rank
+    * self-join), blocked by a 2-char key prefix so the sort window
+    * partitions instead of collapsing to a single task — the
+    * documented multi-pass remedy also covers the block-boundary
+    * blind spot. Candidates exact-verify on the shared hashed-shingle
+    * sets (the d2 machinery), so output is true Jaccard ≥ 0.5 pairs.
+    */
+  def d17SortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    val w = 3
+    val keyed = Tables
+      .spread(Tables.documents(s, dir))
+      .select(
+        col("doc_id"),
+        lower(regexp_replace(col("text"), "\\s+", " ")).as("sk"))
+      .withColumn("blk", substring(col("sk"), 1, 2))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("blk"))
+      .orderBy(col("sk"), col("doc_id"))
+    val cand = keyed
+      .withColumn(
+        "nbrs",
+        array((1 to w).map(i => lead(col("doc_id"), i).over(win)): _*))
+      .select(col("doc_id"), explode(col("nbrs")).as("nbr"))
+      .filter(col("nbr").isNotNull)
+      .select(
+        least(col("doc_id"), col("nbr")).as("id_a"),
+        greatest(col("doc_id"), col("nbr")).as("id_b"))
+      .distinct()
+    val sets = docsWithShingles(s, dir, 3)
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
+    cand
+      .join(
+        sets.select(col("doc_id").as("id_a"), col("hs").as("sa"), col("n").as("na")),
+        "id_a")
+      .join(
+        sets.select(col("doc_id").as("id_b"), col("hs").as("sb"), col("n").as("nb")),
+        "id_b")
+      .withColumn(
+        "shared",
+        graft.functions.SortedArrayIntersectCount
+          .sortedIntersectCount(col("sa"), col("sb"))
+          .cast("double"))
+      .withColumn("jac", col("shared") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jac") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** d18 — cross-source duplication matrix: WHICH sources re-serve
+    * WHOSE content — the corpus-diagnostic rollup of d2's verified
+    * pair list (a feed pair with a fat cell is a syndication/mirror
+    * relationship; the diagonal is within-source duplication). One
+    * extra join per pair side against the (doc_id, source) projection
+    * and a source-pair aggregate; the heavy lifting is d2's banded
+    * candidate generation, so the matrix costs pair-graph size, not
+    * corpus². The per-cell max is an order statistic (deterministic
+    * cross-engine where an avg of floats would be summation-ordered).
+    */
+  def d18CrossSourceDup(s: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairs(docsWithShingles(s, dir, 3), 0.5)
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("source_a")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("source_b")), "id_b")
+      .select(
+        least(col("source_a"), col("source_b")).as("src_x"),
+        greatest(col("source_a"), col("source_b")).as("src_y"),
+        col("jac"))
+      .groupBy(col("src_x"), col("src_y"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        max(round(col("jac"), 4)).as("max_jaccard"))
+      .orderBy("src_x", "src_y")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_cross_source_dup" -> d18CrossSourceDup,
+    "d17_sorted_neighborhood" -> d17SortedNeighborhood,
     "d16_density_clusters" -> d16DensityClusters,
     "d15_semantic_dedup_soft" -> d15SemanticDedupSoft,
     "d14_semantic_dedup" -> d14SemanticDedup,
@@ -1011,6 +1099,71 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "d17_sorted_neighborhood" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |    lower(regexp_replace(text, '\s+', ' ', 'g')) AS sk
+        |  FROM documents),
+        |rk AS (
+        |  SELECT doc_id, sk, substr(sk, 1, 2) AS blk,
+        |    row_number() OVER (PARTITION BY substr(sk, 1, 2)
+        |                       ORDER BY sk, doc_id) AS r
+        |  FROM keyed),
+        |cand AS (
+        |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+        |    greatest(a.doc_id, b.doc_id) AS id_b
+        |  FROM rk a JOIN rk b
+        |    ON a.blk = b.blk AND b.r > a.r AND b.r <= a.r + 3),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+        |                   FOR i IN range(1, len(t) - 1)]) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |shared AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS sh
+        |  FROM cand c
+        |    JOIN ex x ON x.doc_id = c.id_a
+        |    JOIN ex y ON y.doc_id = c.id_b AND y.g = x.g
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+        |SELECT s0.id_a, s0.id_b,
+        |  round(s0.sh::DOUBLE / (sa.n + sb.n - s0.sh), 4) AS jaccard
+        |FROM shared s0
+        |  JOIN sizes sa ON sa.doc_id = s0.id_a
+        |  JOIN sizes sb ON sb.doc_id = s0.id_b
+        |WHERE s0.sh::DOUBLE / (sa.n + sb.n - s0.sh) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "d18_cross_source_dup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+        |                   FOR i IN range(1, len(t) - 1)]) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |p0 AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |pq AS (
+        |  SELECT id_a, id_b,
+        |    shared::DOUBLE / (sa.n + sb.n - shared) AS jac
+        |  FROM p0 JOIN sizes sa ON id_a = sa.doc_id
+        |          JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.5)
+        |SELECT least(da.source, db.source) AS src_x,
+        |  greatest(da.source, db.source) AS src_y,
+        |  count(*) AS n_pairs,
+        |  max(round(jac, 4)) AS max_jaccard
+        |FROM pq
+        |  JOIN documents da ON da.doc_id = pq.id_a
+        |  JOIN documents db ON db.doc_id = pq.id_b
+        |GROUP BY 1, 2
+        |ORDER BY src_x, src_y""".stripMargin,
     // d6's exact pair graph, then DBSCAN roles: core = degree ≥ 2,
     // clusters = closure over core–core edges only, border = min core
     // neighbor's label, noise = matched but neither.

@@ -1009,6 +1009,22 @@ class OpsSpec extends SparkSpec {
     assert(sampleAvg > corpusAvg, s"sample $sampleAvg not above corpus $corpusAvg")
   }
 
+  test("d17 sorted-neighborhood pairs are a subset of d2's banded pairs") {
+    val d17 = Dedup.d17SortedNeighborhood(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d2 = Dedup.d2MinHashLsh(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d17.nonEmpty)
+    assert(d17.subsetOf(d2),
+      s"sort-lens candidates verified above θ must also be band candidates: ${d17 -- d2}")
+  }
+
+  test("d18 matrix accounts for every d2 pair exactly once") {
+    val total = Dedup.d18CrossSourceDup(spark, Sf).collect().map(_.getLong(2)).sum
+    val d2 = Dedup.d2MinHashLsh(spark, Sf).count()
+    assert(total == d2, s"matrix covers $total pairs, d2 found $d2")
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
