@@ -386,7 +386,71 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** m9 — chunk-level storage dedup ratio: what a content-addressed
+    * store would actually SAVE per source feed — m5 finds which blobs
+    * share regions; this prices it (total chunk bytes vs bytes after
+    * fingerprint dedup, per source, in exact integer permille). The
+    * content-defined boundaries are the point: an insertion shifts
+    * only its own chunk, so shared runs between re-encoded/extended
+    * payloads still land on identical fingerprints — fixed-size
+    * blocks would lose alignment after the first edit. Chunk length
+    * rides the fingerprint row (same content ⇒ same length; min() is
+    * pure determinism hygiene), so the rollup never re-reads
+    * payloads. At 100 TB the fingerprint table IS the store index:
+    * one (source, fp) exchange of 16-byte keys prices the entire
+    * dedup opportunity without moving a single payload byte.
+    */
+  def m9ChunkDedupRatio(s: SparkSession, dir: String): DataFrame = {
+    val w = 8
+    val modulus = 32
+    val chunks = Tables
+      .documents(s, dir)
+      .filter(length(col("text")) >= w)
+      .select(
+        col("source"),
+        col("text"),
+        graft.functions.CdcCutPoints
+          .cdcCutPoints(col("text"), w, modulus)
+          .as("cuts"))
+      .select(
+        col("source"),
+        col("text"),
+        concat(array(lit(1)), col("cuts")).as("starts"),
+        concat(col("cuts"), array(length(col("text")) + 1)).as("ends"))
+      .select(
+        col("source"),
+        explode(
+          transform(
+            sequence(lit(1), size(col("starts"))),
+            j =>
+              struct(
+                md5(
+                  col("text").substr(
+                    element_at(col("starts"), j),
+                    element_at(col("ends"), j) - element_at(col("starts"), j)))
+                  .as("fp"),
+                (element_at(col("ends"), j) - element_at(col("starts"), j))
+                  .cast("long")
+                  .as("len")))).as("c"))
+      .select(col("source"), col("c.fp").as("fp"), col("c.len").as("len"))
+    val totals = chunks
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("len")).as("bytes_total"))
+    val unique = chunks
+      .groupBy(col("source"), col("fp"))
+      .agg(min(col("len")).as("len"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_unique"), sum(col("len")).as("bytes_unique"))
+    totals
+      .join(unique, "source")
+      .withColumn(
+        "saved_permille",
+        expr("((bytes_total - bytes_unique) * 1000) div bytes_total"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m9_chunk_dedup_ratio" -> m9ChunkDedupRatio,
     "m8_scene_cuts" -> m8SceneCuts,
     "m7_audio_frames" -> m7AudioFrames,
     "m6_perceptual_neardup" -> m6PerceptualNearDup,
@@ -494,6 +558,52 @@ object Multimodal {
         |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
         |FROM cand WHERE bit_count(xor(pa, pb)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    // m5's chunk replay with lengths, rolled up per source.
+    "m9_chunk_dedup_ratio" ->
+      """WITH d AS (
+        |  SELECT source, text, string_split(text, '') AS cs
+        |  FROM documents WHERE length(text) >= 8),
+        |h AS (
+        |  SELECT source, text,
+        |    list_transform(range(1, len(cs) - 6),
+        |      i -> list_reduce(list_prepend(0::BIGINT,
+        |             list_transform(cs[i:i+7], c -> ascii(c)::BIGINT)),
+        |           (a, b) -> (a * 131 + b) % 1000000007)) AS hs
+        |  FROM d),
+        |c AS (
+        |  SELECT source, text,
+        |    list_filter(list_transform(hs, (x, i) ->
+        |      CASE WHEN x % 32 = 0 AND i + 8 <= length(text)
+        |           THEN i + 8 ELSE -1 END),
+        |      x -> x <> -1) AS cuts
+        |  FROM h),
+        |se AS (
+        |  SELECT source, text,
+        |    list_prepend(1, cuts) AS starts,
+        |    list_append(cuts, length(text) + 1) AS ends
+        |  FROM c),
+        |ch AS (
+        |  SELECT source, u.fp, u.len
+        |  FROM se, LATERAL (
+        |    SELECT unnest(list_transform(range(1, len(starts) + 1),
+        |        j -> {'fp': md5(substr(text, starts[j]::INT,
+        |                       (ends[j] - starts[j])::INT)),
+        |              'len': (ends[j] - starts[j])::BIGINT}),
+        |      recursive := true) ) u),
+        |tot AS (
+        |  SELECT source, count(*) AS n_chunks,
+        |    CAST(sum(len) AS BIGINT) AS bytes_total
+        |  FROM ch GROUP BY 1),
+        |uq AS (
+        |  SELECT source, count(*) AS n_unique,
+        |    CAST(sum(len) AS BIGINT) AS bytes_unique
+        |  FROM (SELECT source, fp, min(len) AS len FROM ch GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT t.source, t.n_chunks, t.bytes_total, u.n_unique, u.bytes_unique,
+        |  CAST((t.bytes_total - u.bytes_unique) * 1000 // t.bytes_total AS BIGINT)
+        |    AS saved_permille
+        |FROM tot t JOIN uq u USING (source)
+        |ORDER BY source""".stripMargin,
     "m5_cdc_chunks" ->
       """WITH d AS (
         |  SELECT doc_id, text, string_split(text, '') AS cs

@@ -1025,6 +1025,18 @@ class OpsSpec extends SparkSpec {
     assert(total == d2, s"matrix covers $total pairs, d2 found $d2")
   }
 
+  test("m9 chunk dedup: unique never exceeds total, permille consistent") {
+    val out = Multimodal.m9ChunkDedupRatio(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, bt, nu, bu, pm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nu <= n && bu <= bt)
+      assert(pm == (bt - bu) * 1000 / bt)
+      assert(pm >= 0 && pm < 1000)
+    }
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
