@@ -68,7 +68,13 @@ val targets: Seq[(String, String, org.apache.spark.sql.DataFrame)] = Seq(
   ("p10_priority_sample", "priority sampling: scan-side integer-exact priorities, top-k as TakeOrderedAndProject",
     graft.ops.Corpus.p10PrioritySample(spark, sf)),
   ("q105_session_paths", "session paths: ONE user shuffle — the path aggregate rides the window's partitioning (subset clustering)",
-    graft.ops.Relational.q105SessionPaths(spark, sf))
+    graft.ops.Relational.q105SessionPaths(spark, sf)),
+  ("q106_kmv_set_algebra", "sketch set algebra: 5·k-row sketches merge by array union; only the EXACT columns touch pair data",
+    graft.ops.Relational.q106KmvSetAlgebra(spark, sf)),
+  ("d17_sorted_neighborhood", "sorted-neighborhood: lead-column candidates in one prefix-blocked window, no rank self-join",
+    graft.ops.Dedup.d17SortedNeighborhood(spark, sf)),
+  ("m9_chunk_dedup_ratio", "chunk dedup pricing: (source, fp) rollup of 16-byte keys, payloads read once",
+    graft.ops.Multimodal.m9ChunkDedupRatio(spark, sf))
 )
 val sb = new StringBuilder
 sb.append("# PLANS -- executed physical plans of headline queries\n\n")
