@@ -450,7 +450,19 @@ object Corpus {
     Tables
       .documents(s, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("v", (col("doc_id") * lit(2654435761L)) % lit(4294967296L))
+      // Knuth hash computed OVERFLOW-FREE via a split multiply (the p3
+      // convention — a raw doc_id*2654435761 wraps silently in Spark
+      // past ids ~3.5e9 while DuckDB raises, breaking cross-engine
+      // determinism). With a = doc_id mod 2^32 and 2654435761 =
+      // 40503*65536 + 31153:  a*c mod 2^32 =
+      // ((a mod 2^16)*40503*65536 + a*31153) mod 2^32, and both
+      // addends stay < 2^48 — exact in any BIGINT engine, same bucket
+      // for EVERY id.
+      .withColumn("a32", col("doc_id") % lit(4294967296L))
+      .withColumn(
+        "v",
+        ((col("a32") % lit(65536L)) * lit(2654404608L) +
+          col("a32") * lit(31153L)) % lit(4294967296L))
       .withColumn(
         "priority",
         (col("n_chars") * lit(4294967296L)).cast("double") /
@@ -477,10 +489,14 @@ object Corpus {
     // Priority = integer-exact division; the double is bit-identical
     // in both engines, so ORDER BY priority is stable cross-engine.
     "p10_priority_sample" ->
-      """WITH pr AS (
+      """WITH a AS (
         |  SELECT doc_id, source, n_chars,
-        |    (doc_id * 2654435761) % 4294967296 AS v
-        |  FROM documents)
+        |    doc_id % 4294967296 AS a32
+        |  FROM documents),
+        |pr AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ((a32 % 65536) * 2654404608 + a32 * 31153) % 4294967296 AS v
+        |  FROM a)
         |SELECT doc_id, source, n_chars,
         |  CAST(n_chars * 4294967296 AS DOUBLE) / CAST(v + 1 AS DOUBLE) AS priority
         |FROM pr

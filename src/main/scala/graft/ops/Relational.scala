@@ -2076,7 +2076,11 @@ object Relational {
       .distinct()
       .select(
         col("o_orderpriority"),
-        ((col("o_custkey") * lit(1103515245L) + lit(12345L)) % lit(1000000007L))
+        // key reduced mod p BEFORE the multiply (the p3/cmsBucket
+        // convention): (p-1)*1103515245 ~ 1.1e18 < 2^63, so the product
+        // never wraps in Spark nor overflows DuckDB's BIGINT; the
+        // residue is unchanged ((x mod p)*a ≡ x*a mod p)
+        (((col("o_custkey") % lit(1000000007L)) * lit(1103515245L) + lit(12345L)) % lit(1000000007L))
           .as("h"))
     val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("h"))
     val kmv = hashed
@@ -3365,7 +3369,9 @@ object Relational {
       .distinct()
     val hashed = pc.select(
       col("prio"),
-      ((col("cust") * lit(1103515245L) + lit(12345L)) % lit(M)).as("h"))
+      // pre-reduced mod M so the multiply stays under 2^63 for ANY id
+      // (the p3/cmsBucket convention; residue unchanged)
+      (((col("cust") % lit(M)) * lit(1103515245L) + lit(12345L)) % lit(M)).as("h"))
     val w = Window.partitionBy(col("prio")).orderBy(col("h"))
     val sk = hashed
       .withColumn("r", row_number().over(w))
@@ -3536,7 +3542,7 @@ object Relational {
     "q106_kmv_set_algebra" ->
       """WITH pc AS (
         |  SELECT DISTINCT o_orderpriority AS prio, o_custkey AS cust FROM orders),
-        |h AS (SELECT prio, (cust * 1103515245 + 12345) % 1000000007 AS h FROM pc),
+        |h AS (SELECT prio, ((cust % 1000000007) * 1103515245 + 12345) % 1000000007 AS h FROM pc),
         |r AS (SELECT prio, h, row_number() OVER (PARTITION BY prio ORDER BY h) AS r FROM h),
         |kmv AS (SELECT prio, h FROM r WHERE r <= 128),
         |theta AS (SELECT prio, max(h) AS theta, count(*) AS kn FROM kmv GROUP BY 1),
@@ -4101,7 +4107,7 @@ object Relational {
         |  SELECT DISTINCT o_orderpriority, o_custkey FROM orders),
         |hashed AS (
         |  SELECT o_orderpriority,
-        |    (o_custkey * 1103515245 + 12345) % 1000000007 AS h
+        |    ((o_custkey % 1000000007) * 1103515245 + 12345) % 1000000007 AS h
         |  FROM h),
         |kmv AS (
         |  SELECT o_orderpriority, h,

@@ -72,8 +72,13 @@ object Tables {
 
   private def read(s: SparkSession, dir: String, name: String): DataFrame = {
     // Both legacy knobs matter only for drifted fixture generations;
-    // set defensively for sessions built without GraftSession.
+    // set defensively for sessions built without GraftSession. NTZ
+    // inference must be OFF here too: with it on, an NTZ-drifted
+    // fixture would fall through conform's generic cast, which is
+    // session-timezone-dependent AND blocks ts predicate pushdown at
+    // the scan.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     conform(s.read.parquet(s"$dir/$name.parquet"), name)
   }
 

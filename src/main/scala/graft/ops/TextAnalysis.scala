@@ -778,8 +778,8 @@ object TextAnalysis {
         |scored AS (
         |  SELECT d.doc_id, d.m,
         |    CASE WHEN c3.c3 IS NOT NULL THEN c3.c3 / p.c2
-        |         WHEN s.c2 IS NOT NULL THEN 0.4 * s.c2 / u2.c1
-        |         ELSE (0.16 * COALESCE(u3.c1, 1)) / n.n END AS sc,
+        |         WHEN s.c2 IS NOT NULL THEN 0.4::DOUBLE * s.c2 / u2.c1
+        |         ELSE (0.16::DOUBLE * COALESCE(u3.c1, 1)) / n.n END AS sc,
         |    CASE WHEN c3.c3 IS NOT NULL THEN 0
         |         WHEN s.c2 IS NOT NULL THEN 1 ELSE 2 END AS lvl
         |  FROM tri_doc d

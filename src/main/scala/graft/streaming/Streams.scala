@@ -786,7 +786,13 @@ object Streams {
         timerValues: TimerValues): Iterator[DistinctEst] = {
       val M = 1000000007L
       val prev: Array[Long] = if (ks.exists()) ks.get().ks else Array.empty
-      val hashes = rows.map(r => ((r._2 * 1103515245L + 12345L) % M + M) % M)
+      // IDENTICAL expression to q106's batch hash — pre-reduce mod M
+      // (product stays < 2^63 for any Long id), then the same
+      // truncated-% the Column algebra and DuckDB use. No extra sign
+      // normalization: parity over the whole Long domain requires the
+      // two surfaces to share one expression, not two that agree only
+      // on non-negative inputs.
+      val hashes = rows.map(r => ((r._2 % M) * 1103515245L + 12345L) % M)
       val merged = (prev.iterator ++ hashes).toArray.distinct.sorted.take(k)
       ks.update(KmvList(merged))
       val est =

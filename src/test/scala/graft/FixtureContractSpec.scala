@@ -66,15 +66,62 @@ class FixtureContractSpec extends SparkSpec {
   }
 
   test("timestamps read as UTC instants matching DuckDB's naive reading") {
-    // A fixed row's wall-clock must be stable across fixture
-    // generations: take the global min ts and check it formats the
-    // same under the session UTC zone as the parquet statistics say.
+    // Compare Spark's reading against the parquet FOOTER statistics —
+    // drift-robust (no data value is pinned, so a reseeded fixture
+    // still passes) but it catches exactly the failure class this spec
+    // exists for: a session-zone-dependent NTZ→TIMESTAMP cast shifts
+    // Spark's epoch micros away from the raw footer value, while
+    // DuckDB's naive reading always equals the raw value.
     import org.apache.spark.sql.functions._
-    val r = Tables.events(spark, Sf)
-      .agg(min("ts").cast("string").as("lo"), max("ts").cast("string").as("hi"))
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    import scala.jdk.CollectionConverters._
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new java.io.File(s"$Sf/events.parquet")
+    val files =
+      if (root.isDirectory)
+        root.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+      else Seq(root.getPath)
+    assert(files.nonEmpty, s"no parquet files under $root")
+
+    var footerMinMicros = Long.MaxValue
+    for (f <- files) {
+      val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), conf)
+      val reader = ParquetFileReader.open(in)
+      try {
+        val footer = reader.getFooter
+        val tsType = footer.getFileMetaData.getSchema.getColumns.asScala
+          .find(_.getPath.toList == List("ts"))
+          .map(_.getPrimitiveType)
+          .getOrElse(fail(s"$f has no ts column"))
+        val unit = tsType.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit
+          case other => fail(s"ts is not a parquet timestamp: $other")
+        }
+        val rawMin = footer.getBlocks.asScala
+          .flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == "ts")
+          .map(_.getStatistics.genericGetMin.asInstanceOf[java.lang.Long].longValue)
+          .min
+        val micros = unit match {
+          case TimeUnit.NANOS => rawMin / 1000L
+          case TimeUnit.MICROS => rawMin
+          case TimeUnit.MILLIS => rawMin * 1000L
+        }
+        footerMinMicros = math.min(footerMinMicros, micros)
+      } finally reader.close()
+    }
+
+    val sparkMinMicros = Tables.events(spark, Sf)
+      .agg(min(unix_micros(col("ts"))).as("lo"))
       .head()
-    // value sanity, not exact pin: fixture covers a ~month of 2024
-    assert(r.getString(0).startsWith("202"), s"min ts looks wrong: ${r.getString(0)}")
-    assert(r.getString(1) > r.getString(0))
+      .getLong(0)
+    assert(
+      sparkMinMicros == footerMinMicros,
+      s"Spark min ts $sparkMinMicros µs != parquet footer $footerMinMicros µs — " +
+        "a zone-dependent cast is shifting instants away from DuckDB's naive reading")
   }
 }
