@@ -965,36 +965,19 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** d17 — sorted-neighborhood near-dup blocking: record linkage's
-    * classic alternative to LSH banding (Hernández–Stolfo). Docs sort
-    * by a canonical key (whitespace-normalized lowercased text) and
-    * only WINDOW-ADJACENT docs (here w=3) become candidates — near-dup
-    * text sorts together, so the candidate budget is a FIXED n·w rows
-    * at any corpus size, vs LSH's data-dependent bucket co-occupancy.
-    * The price is recall through the sort lens only (a doc pair
-    * differing in its first words sorts apart; production runs
-    * multiple passes with different keys — d2's banding is this
-    * engine's high-recall path, d17 is the bounded-budget one, and
-    * the spec pins d17 ⊆ d2 at the shared threshold). Implementation
-    * is ONE window: candidates come from w `lead` columns (no rank
-    * self-join), blocked by a 2-char key prefix so the sort window
-    * partitions instead of collapsing to a single task — the
-    * documented multi-pass remedy also covers the block-boundary
-    * blind spot. Candidates exact-verify on the shared hashed-shingle
-    * sets (the d2 machinery), so output is true Jaccard ≥ 0.5 pairs.
+  /** One sorted-neighborhood pass over a `(doc_id, sk)` keyed
+    * projection: 2-char-prefix blocking, window-adjacent candidates
+    * from `w` lead columns — the fixed n·w budget d17/d19 share. Kept
+    * separate so specs can drive it with PLANTED keys and so each
+    * pass of the multi-pass variant is literally the same operator
+    * with a different canonical key.
     */
-  def d17SortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
-    val w = 3
-    val keyed = Tables
-      .spread(Tables.documents(s, dir))
-      .select(
-        col("doc_id"),
-        lower(regexp_replace(col("text"), "\\s+", " ")).as("sk"))
-      .withColumn("blk", substring(col("sk"), 1, 2))
+  private[graft] def snCandidates(keyed: DataFrame, w: Int): DataFrame = {
+    val blocked = keyed.withColumn("blk", substring(col("sk"), 1, 2))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("blk"))
       .orderBy(col("sk"), col("doc_id"))
-    val cand = keyed
+    blocked
       .withColumn(
         "nbrs",
         array((1 to w).map(i => lead(col("doc_id"), i).over(win)): _*))
@@ -1004,6 +987,12 @@ object Dedup {
         least(col("doc_id"), col("nbr")).as("id_a"),
         greatest(col("doc_id"), col("nbr")).as("id_b"))
       .distinct()
+  }
+
+  /** Jaccard-verify candidate pairs on the shared hashed-shingle sets
+    * (the d2 machinery) — the exact-verify stage d17/d19 share.
+    */
+  private def snVerify(s: SparkSession, dir: String, cand: DataFrame): DataFrame = {
     val sets = docsWithShingles(s, dir, 3)
       .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
     cand
@@ -1022,6 +1011,62 @@ object Dedup {
       .filter(col("jac") >= 0.5)
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** d17 — sorted-neighborhood near-dup blocking: record linkage's
+    * classic alternative to LSH banding (Hernández–Stolfo). Docs sort
+    * by a canonical key (whitespace-normalized lowercased text) and
+    * only WINDOW-ADJACENT docs (here w=3) become candidates — near-dup
+    * text sorts together, so the candidate budget is a FIXED n·w rows
+    * at any corpus size, vs LSH's data-dependent bucket co-occupancy.
+    * The price is recall through the sort lens only (a doc pair
+    * differing in its first words sorts apart — [[d19SortedNeighborhoodMultipass]]
+    * is the multi-pass remedy; d2's banding is this engine's
+    * high-recall path, d17 the bounded-budget one, and the spec pins
+    * d17 ⊆ d2 at the shared threshold). Implementation is ONE window:
+    * candidates come from w `lead` columns (no rank self-join),
+    * blocked by a 2-char key prefix so the sort window partitions
+    * instead of collapsing to a single task. Candidates exact-verify
+    * on the shared hashed-shingle sets (the d2 machinery), so output
+    * is true Jaccard ≥ 0.5 pairs.
+    */
+  def d17SortedNeighborhood(s: SparkSession, dir: String): DataFrame =
+    snVerify(s, dir, snCandidates(snForwardKey(s, dir), 3))
+
+  /** The forward canonical key both d17 and d19's pass 1 sort by:
+    * whitespace-normalized lowercased text.
+    */
+  private def snForwardKey(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .spread(Tables.documents(s, dir))
+      .select(
+        col("doc_id"),
+        lower(regexp_replace(col("text"), "\\s+", " ")).as("sk"))
+
+  /** d19 — MULTI-PASS sorted neighborhood (Hernández–Stolfo's actual
+    * prescription; d17 is the single-pass building block whose scaladoc
+    * documents the blind spot this closes): a near-dup pair whose texts
+    * differ in their FIRST words sorts apart under the forward key —
+    * different 2-char block, different neighborhood — and no window
+    * width fixes that. Pass 2 re-runs the SAME operator under the
+    * REVERSED key, so a shared suffix becomes a shared prefix: the
+    * differ-at-the-front pair class sorts adjacent there. Candidates
+    * union (each pass keeps its fixed n·w budget, so the total stays
+    * 2·n·w at any corpus size — still sort-lens bounded, never
+    * data-dependent like LSH bucket co-occupancy), then one shared
+    * exact-verify emits true Jaccard ≥ 0.5 pairs. `reverse` is
+    * codepoint-wise in Spark and grapheme-wise in DuckDB — identical
+    * on this fixture's ASCII text (checked), which the oracle's parity
+    * relies on; a production corpus would reverse a transliterated
+    * key. At 100 TB both passes are window-over-blocked-sort shapes:
+    * no shuffle beyond the two sorts, candidates linear in n.
+    */
+  def d19SortedNeighborhoodMultipass(s: SparkSession, dir: String): DataFrame = {
+    val w = 3
+    val base = snForwardKey(s, dir)
+    val p1 = snCandidates(base, w)
+    val p2 = snCandidates(base.select(col("doc_id"), reverse(col("sk")).as("sk")), w)
+    snVerify(s, dir, p1.unionAll(p2).distinct())
   }
 
   /** d18 — cross-source duplication matrix: WHICH sources re-serve
@@ -1052,6 +1097,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d19_sorted_neighborhood_multipass" -> d19SortedNeighborhoodMultipass,
     "d18_cross_source_dup" -> d18CrossSourceDup,
     "d17_sorted_neighborhood" -> d17SortedNeighborhood,
     "d16_density_clusters" -> d16DensityClusters,
@@ -1099,6 +1145,47 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "d19_sorted_neighborhood_multipass" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |    lower(regexp_replace(text, '\s+', ' ', 'g')) AS sk
+        |  FROM documents),
+        |passes AS (
+        |  SELECT doc_id, sk, 1 AS pass FROM keyed
+        |  UNION ALL
+        |  SELECT doc_id, reverse(sk), 2 FROM keyed),
+        |rk AS (
+        |  SELECT doc_id, pass, substr(sk, 1, 2) AS blk,
+        |    row_number() OVER (PARTITION BY pass, substr(sk, 1, 2)
+        |                       ORDER BY sk, doc_id) AS r
+        |  FROM passes),
+        |cand AS (
+        |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+        |    greatest(a.doc_id, b.doc_id) AS id_b
+        |  FROM rk a JOIN rk b
+        |    ON a.pass = b.pass AND a.blk = b.blk
+        |   AND b.r > a.r AND b.r <= a.r + 3),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+        |                   FOR i IN range(1, len(t) - 1)]) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |shared AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS sh
+        |  FROM cand c
+        |    JOIN ex x ON x.doc_id = c.id_a
+        |    JOIN ex y ON y.doc_id = c.id_b AND y.g = x.g
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+        |SELECT s0.id_a, s0.id_b,
+        |  round(s0.sh::DOUBLE / (sa.n + sb.n - s0.sh), 4) AS jaccard
+        |FROM shared s0
+        |  JOIN sizes sa ON sa.doc_id = s0.id_a
+        |  JOIN sizes sb ON sb.doc_id = s0.id_b
+        |WHERE s0.sh::DOUBLE / (sa.n + sb.n - s0.sh) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     "d17_sorted_neighborhood" ->
       """WITH keyed AS (
         |  SELECT doc_id,

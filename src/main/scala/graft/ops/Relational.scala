@@ -3250,6 +3250,94 @@ object Relational {
       .limit(50)
   }
 
+  /** Mutual-cap hub trim over a weighted undirected edge list
+    * `(x, y, c)`: each node ranks its incident edges by (strength
+    * desc, neighbor id asc) and an edge survives only if BOTH
+    * endpoints rank it within `cap` — so max degree ≤ cap BY
+    * CONSTRUCTION, with a deterministic total tie-break. The rank is
+    * one window over the 2|E|-row incidence list (each node's edges
+    * co-located by the window partition — never an all-pairs shape),
+    * and the both-ends test is a count-2 aggregate on the edge key.
+    * Exposed for q107 and for the planted-hub spec.
+    */
+  private[graft] def hubTrim(und: DataFrame, cap: Int): DataFrame = {
+    val inc = und
+      .select(col("x").as("n"), col("y").as("m"), col("c"))
+      .unionAll(und.select(col("y").as("n"), col("x").as("m"), col("c")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n"))
+      .orderBy(col("c").desc, col("m").asc)
+    inc
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= cap)
+      .select(least(col("n"), col("m")).as("x"), greatest(col("n"), col("m")).as("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("nkeep"))
+      .filter(col("nkeep") === 2)
+      .select(col("x"), col("y"))
+  }
+
+  /** q107 — hub-trimmed kNN-graph triangle census: q103's top-k
+    * sparsification bounds each node's SELECTIONS at k, but not its
+    * POPULARITY — an adversarially central hub that many nodes select
+    * can still accumulate unbounded incident degree, and the triangle
+    * join's Σ deg² term then grows quadratically in hub degree (the
+    * one scale hole q103's scaladoc concedes). This variant closes it:
+    * after the kNN union, [[hubTrim]] caps every node's incident
+    * edges at cap = 2k by strongest-first mutual rank, so the
+    * triangle join provably runs over a max-degree-≤ 2k graph — at
+    * 100× the data, per-node work is CONSTANT, not hub-shaped. The
+    * trim keeps edge weights through the undirected collapse (max of
+    * the two directed weights — symmetric here, max for determinism)
+    * and the output adds each survivor's trimmed degree so the cap is
+    * visible in the oracle-checked result, not just in plan shape.
+    */
+  def q107KnnHubTrim(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val cap = 2 * k
+    val sp = Tables
+      .lineitem(s, dir)
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+      .repartition(col("p"))
+      .dropDuplicates("s", "p")
+    val pairs = sp
+      .as("a")
+      .join(sp.as("b"), col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("sa"), col("b.s").as("sb"))
+      .agg(count(lit(1)).as("c"))
+    val directed = pairs
+      .select(col("sa").as("u"), col("sb").as("v"), col("c"))
+      .unionAll(pairs.select(col("sb").as("u"), col("sa").as("v"), col("c")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u"))
+      .orderBy(col("c").desc, col("v").asc)
+    val und = directed
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= k)
+      .select(least(col("u"), col("v")).as("x"), greatest(col("u"), col("v")).as("y"), col("c"))
+      .groupBy(col("x"), col("y"))
+      .agg(max(col("c")).as("c"))
+    val edges = hubTrim(und, cap).localCheckpoint() // read 4× below
+    val deg = edges
+      .select(col("x").as("suppkey"))
+      .unionAll(edges.select(col("y").as("suppkey")))
+      .groupBy(col("suppkey"))
+      .agg(count(lit(1)).as("deg"))
+    val tri = edges
+      .as("e1")
+      .join(edges.as("e2"), col("e1.y") === col("e2.x"))
+      .join(edges.as("e3"), col("e1.x") === col("e3.x") && col("e2.y") === col("e3.y"))
+      .select(col("e1.x").as("a"), col("e1.y").as("b"), col("e2.y").as("cc"))
+    tri
+      .select(explode(array(col("a"), col("b"), col("cc"))).as("suppkey"))
+      .groupBy(col("suppkey"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .join(deg, "suppkey")
+      .select(col("suppkey"), col("deg"), col("n_triangles"))
+      .orderBy(desc("n_triangles"), col("suppkey"))
+      .limit(50)
+  }
+
   /** q104 — skyline (Pareto frontier) query: the points of
     * (price, ship_date) per return flag that no other point dominates
     * (≤ in both dimensions, < in at least one) — the multi-criteria
@@ -3431,6 +3519,7 @@ object Relational {
     "q105_session_paths" -> q105SessionPaths,
     "q104_skyline" -> q104Skyline,
     "q103_knn_triangles" -> q103KnnTriangles,
+    "q107_knn_hub_trim" -> q107KnnHubTrim,
     "q102_cdc_apply" -> q102CdcApply,
     "q101_agg_ivm" -> q101AggIvm,
     "q100_join_ivm" -> q100JoinIvm,
@@ -3668,6 +3757,49 @@ object Relational {
         |SELECT s AS suppkey, count(*) AS n_triangles
         |FROM (SELECT unnest([a, b, cc]) AS s FROM tri)
         |GROUP BY 1
+        |ORDER BY n_triangles DESC, suppkey
+        |LIMIT 50""".stripMargin,
+    "q107_knn_hub_trim" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+        |pr AS (
+        |  SELECT a.s AS sa, b.s AS sb, count(*) AS c
+        |  FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+        |  GROUP BY 1, 2),
+        |d AS (SELECT sa AS u, sb AS v, c FROM pr
+        |      UNION ALL SELECT sb, sa, c FROM pr),
+        |knn AS (
+        |  SELECT u, v, c FROM (
+        |    SELECT u, v, c,
+        |      row_number() OVER (PARTITION BY u ORDER BY c DESC, v ASC) AS rk
+        |    FROM d) WHERE rk <= 5),
+        |und AS (
+        |  SELECT least(u, v) AS x, greatest(u, v) AS y, max(c) AS c
+        |  FROM knn GROUP BY 1, 2),
+        |inc AS (
+        |  SELECT x AS n, y AS m, c FROM und
+        |  UNION ALL SELECT y, x, c FROM und),
+        |keep AS (
+        |  SELECT n, m FROM (
+        |    SELECT n, m,
+        |      row_number() OVER (PARTITION BY n ORDER BY c DESC, m ASC) AS r
+        |    FROM inc) WHERE r <= 10),
+        |e AS (
+        |  SELECT least(n, m) AS x, greatest(n, m) AS y
+        |  FROM keep GROUP BY 1, 2 HAVING count(*) = 2),
+        |deg AS (
+        |  SELECT suppkey, count(*) AS deg FROM (
+        |    SELECT x AS suppkey FROM e UNION ALL SELECT y FROM e)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.x AS a, e1.y AS b, e2.y AS cc
+        |  FROM e e1 JOIN e e2 ON e1.y = e2.x
+        |            JOIN e e3 ON e1.x = e3.x AND e2.y = e3.y),
+        |nt AS (
+        |  SELECT s AS suppkey, count(*) AS n_triangles
+        |  FROM (SELECT unnest([a, b, cc]) AS s FROM tri)
+        |  GROUP BY 1)
+        |SELECT nt.suppkey, deg.deg, nt.n_triangles
+        |FROM nt JOIN deg USING (suppkey)
         |ORDER BY n_triangles DESC, suppkey
         |LIMIT 50""".stripMargin,
     "q101_agg_ivm" ->

@@ -1019,6 +1019,57 @@ class OpsSpec extends SparkSpec {
       s"sort-lens candidates verified above θ must also be band candidates: ${d17 -- d2}")
   }
 
+  test("d19 pass-2 reversed key recovers a planted pair pass-1 misses") {
+    import spark.implicits._
+    // The pair differs only in its FIRST word (different 2-char block
+    // under the forward key) but shares the whole tail — exactly the
+    // recall blind spot d17's scaladoc documents.
+    val tail = "shared long tail of words that makes these two documents near duplicates"
+    val keyed = Seq(
+      (1L, "aardvark " + tail),
+      (2L, "zebra " + tail),
+      (5L, "aardvark similar beginning one"),
+      (3L, "middle filler document entry"),
+      (4L, "quite another filler document")
+    ).toDF("doc_id", "sk")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.snCandidates(df, 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = pairs(keyed)
+    assert(p1.contains((1L, 5L)), "forward pass still pairs same-block neighbors")
+    assert(!p1.contains((1L, 2L)), "forward pass must miss the differ-at-front pair")
+    val p2 = pairs(keyed.select(col("doc_id"), reverse(col("sk")).as("sk")))
+    assert(p2.contains((1L, 2L)), "reversed-key pass must recover the shared-suffix pair")
+  }
+
+  test("d19 multipass output is a superset of d17's single pass") {
+    val d17 = Dedup.d17SortedNeighborhood(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d19 = Dedup.d19SortedNeighborhoodMultipass(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d19.nonEmpty && d17.subsetOf(d19),
+      s"pass-1 pairs must survive the union: ${d17 -- d19}")
+  }
+
+  test("hubTrim caps a planted hub's degree at cap, keeping its strongest edges") {
+    import spark.implicits._
+    // Star graph: hub 0 selected by 40 neighbors (weight = neighbor id).
+    // q103's top-k bounds SELECTIONS, not popularity — this is the
+    // adversarial shape the trim exists for.
+    val und = (1 to 40).map(i => (0L, i.toLong, i.toLong)).toDF("x", "y", "c")
+    val trimmed = Relational.hubTrim(und, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(trimmed == (31 to 40).map(i => (0L, i.toLong)).toSet,
+      s"hub must keep exactly its 10 strongest incident edges, got $trimmed")
+  }
+
+  test("q107 trimmed degrees respect the 2k cap the census relies on") {
+    val out = Relational.q107KnnHubTrim(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) <= 10, s"supplier ${r.getLong(0)} degree ${r.getLong(1)} > cap 10")
+    }
+  }
+
   test("d18 matrix accounts for every d2 pair exactly once") {
     val total = Dedup.d18CrossSourceDup(spark, Sf).collect().map(_.getLong(2)).sum
     val d2 = Dedup.d2MinHashLsh(spark, Sf).count()

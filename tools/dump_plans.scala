@@ -74,7 +74,11 @@ val targets: Seq[(String, String, org.apache.spark.sql.DataFrame)] = Seq(
   ("d17_sorted_neighborhood", "sorted-neighborhood: lead-column candidates in one prefix-blocked window, no rank self-join",
     graft.ops.Dedup.d17SortedNeighborhood(spark, sf)),
   ("m9_chunk_dedup_ratio", "chunk dedup pricing: (source, fp) rollup of 16-byte keys, payloads read once",
-    graft.ops.Multimodal.m9ChunkDedupRatio(spark, sf))
+    graft.ops.Multimodal.m9ChunkDedupRatio(spark, sf)),
+  ("q107_knn_hub_trim", "hub-trimmed kNN census: mutual-cap incidence window bounds max degree at 2k BEFORE the triangle join",
+    graft.ops.Relational.q107KnnHubTrim(spark, sf)),
+  ("d19_sorted_neighborhood_multipass", "two-pass sorted neighborhood: forward + reversed-key windows union candidates, one shared verify",
+    graft.ops.Dedup.d19SortedNeighborhoodMultipass(spark, sf))
 )
 val sb = new StringBuilder
 sb.append("# PLANS -- executed physical plans of headline queries\n\n")
