@@ -24,16 +24,26 @@ object Bench {
     // not as a fast valid measurement: failed names go to `failed`,
     // their per-query value is -1, and they are excluded from totals.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // Post-cleanup residual storage, sampled after every measurement:
+    // localCheckpoint blocks released between queries must leave the
+    // block manager FLAT across the sweep — a rising peak here means a
+    // query leaked persisted state past its own action.
+    var storagePeakResidual = 0L
     def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       System.gc() // JMH-style: keep accumulated garbage out of the next measurement
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // outside the timed window: drop this query's checkpoint blocks
+        GraftSession.releaseQueryState(spark)
+        storagePeakResidual = math.max(storagePeakResidual, GraftSession.storageBytes(spark))
+        dt
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           failed += name
+          GraftSession.releaseQueryState(spark)
           -1.0
       }
     }
@@ -93,15 +103,21 @@ object Bench {
     // settle). K stays small so the contract line stays within the
     // driver's stdout-tail capture budget; the full floor map would
     // re-create round 3's truncation.
+    // Coverage: the top-K by median, UNIONED with every query whose
+    // median is ≥ 2 s — the round-7 audit had to do manual forensics on
+    // t17 (the slowest query) because rank-based top-10 happened to
+    // capture it in one round and not the next; the absolute threshold
+    // makes "every query a plan audit reads has a floor" a stable
+    // contract. FLOOR_K=0 still disables the pass entirely.
     val floorK = sys.env
       .get("SPARK_GRAFT_FLOOR_K")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
       .getOrElse(10)
       .max(0)
-    val floorNames = names
-      .filter(med(_) >= 0)
-      .sortBy(-med(_))
-      .take(floorK)
+    val ranked = names.filter(med(_) >= 0).sortBy(-med(_))
+    val floorNames =
+      if (floorK == 0) Seq.empty
+      else (ranked.take(floorK) ++ ranked.filter(med(_) >= 2.0)).distinct
     val floor = floorNames.map { n =>
       val runs = (1 to 2).map { _ =>
         System.gc(); System.gc()
@@ -129,7 +145,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"passes":$passes,$loadJson,"failed":$failedJson,"queries_floor_topk":$floorJson,"queries":${jmap(med)},"sf":"$sfDir"}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"passes":$passes,$loadJson,"failed":$failedJson,"queries":${jmap(med)},"queries_min":${jmap(mn)},"queries_cold":${jmap(cold.toMap)},"queries_floor_topk":$floorJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"passes":$passes,$loadJson,"storage_bytes_peak_residual":$storagePeakResidual,"failed":$failedJson,"queries":${jmap(med)},"queries_min":${jmap(mn)},"queries_cold":${jmap(cold.toMap)},"queries_floor_topk":$floorJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))

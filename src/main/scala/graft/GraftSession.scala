@@ -34,6 +34,35 @@ import org.apache.spark.sql.SparkSession
   * coalescing. So it is a parameter here, not a constant.
   */
 object GraftSession {
+
+  /** Release per-query executor state after a query's action completes.
+    *
+    * The iterative operators (`d6`, `d16`, `q90`, `q97`, `q103`, …)
+    * `localCheckpoint()` intermediates; those blocks live in the
+    * block manager until the owning RDD is GC'd, so a long single
+    * session running the full query surface (Verify, Bench, a user's
+    * notebook) accumulates storage memory it no longer needs —
+    * bounded by heap, but nondeterministic, since release depends on
+    * driver GC timing. Between queries the frames are dead by
+    * construction (each query builds its plan from the tables), so
+    * explicitly unpersisting EVERYTHING persisted is safe and makes
+    * session storage flat. Callers invoke it between queries, never
+    * inside one (unpersisting a localCheckpoint an active plan still
+    * needs would fail recomputation — the lineage is truncated).
+    */
+  def releaseQueryState(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  /** Bytes of block-manager storage currently held by persisted RDDs —
+    * the observability half of [[releaseQueryState]]: Bench records
+    * the post-cleanup residual so a sweep-long storage leak shows up
+    * in bench_detail.json instead of as an eventual slow OOM.
+    */
+  def storageBytes(spark: SparkSession): Long =
+    spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+
   def builder(
       master: Option[String] = None,
       shufflePartitions: Option[Int] = None

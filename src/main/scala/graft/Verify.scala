@@ -24,6 +24,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop this query's localCheckpoint blocks — the 170+-query
+      // single-session sweep must not accumulate storage memory
+      GraftSession.releaseQueryState(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
