@@ -16,11 +16,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Dedup.queries ++ Similarity.queries ++
-      TextAnalysis.queries ++ Multimodal.queries ++ Corpus.queries
+      TextAnalysis.queries ++ Multimodal.queries ++ Corpus.queries ++
+      Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      TextAnalysis.oracles ++ Multimodal.oracles ++ Corpus.oracles
+      TextAnalysis.oracles ++ Multimodal.oracles ++ Corpus.oracles ++
+      Layout.oracles
 }

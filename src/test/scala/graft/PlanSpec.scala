@@ -357,6 +357,39 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
+  test("z-ordered layout prunes row groups under a 2-D range predicate (scan metrics)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // rows the parquet reader actually emitted — i.e. rows in row
+    // groups that SURVIVED min/max-stats pruning, before the re-filter
+    def scanRows(df: DataFrame): Long = {
+      df.collect()
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case s: FileSourceScanExec    => Seq(s)
+        case o                        => o.children.flatMap(scans)
+      }
+      scans(df.queryExecution.executedPlan).map(_.metrics("numOutputRows").value).sum
+    }
+    val li = Tables.lineitem(spark, Sf).select("l_partkey", "l_suppkey", "l_quantity")
+    val naive = java.nio.file.Files.createTempDirectory("graft-prune-naive").toString
+    li.repartition(16).write.mode("overwrite").parquet(naive)
+    val zed = java.nio.file.Files.createTempDirectory("graft-prune-z").toString
+    graft.ops.Layout.zorderWrite(li, "l_partkey", "l_suppkey", zed, 16)
+    def boxed(dir: String): DataFrame =
+      spark.read
+        .parquet(dir)
+        .filter(col("l_partkey").between(40, 80) && col("l_suppkey").between(2, 4))
+    assert(boxed(naive).count() == boxed(zed).count(), "layouts must agree on content")
+    val naiveRows = scanRows(boxed(naive))
+    val zRows = scanRows(boxed(zed))
+    // round-robin files all span the whole key space: nothing prunes
+    assert(naiveRows == li.count(), s"expected no pruning on naive layout, read $naiveRows")
+    // z-ordered files cover tight tiles: most row groups miss the box
+    assert(zRows < naiveRows / 2,
+      s"z-order pruned too little: read $zRows of $naiveRows")
+  }
+
   test("spread parallelizes derived compute beyond the single input split") {
     val parts = Tables
       .spread(Tables.documents(spark, Sf))

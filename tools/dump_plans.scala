@@ -78,7 +78,9 @@ val targets: Seq[(String, String, org.apache.spark.sql.DataFrame)] = Seq(
   ("q107_knn_hub_trim", "hub-trimmed kNN census: mutual-cap incidence window bounds max degree at 2k BEFORE the triangle join",
     graft.ops.Relational.q107KnnHubTrim(spark, sf)),
   ("d19_sorted_neighborhood_multipass", "two-pass sorted neighborhood: forward + reversed-key windows union candidates, one shared verify",
-    graft.ops.Dedup.d19SortedNeighborhoodMultipass(spark, sf))
+    graft.ops.Dedup.d19SortedNeighborhoodMultipass(spark, sf)),
+  ("q108_zorder_scan", "z-order rewrite + 2-D range read: one curve-sorted exchange at write, row-group stats prune the scan",
+    graft.ops.Layout.q108ZorderScan(spark, sf))
 )
 val sb = new StringBuilder
 sb.append("# PLANS -- executed physical plans of headline queries\n\n")
