@@ -21,6 +21,27 @@ import org.apache.spark.sql.types.StructType
   */
 object Streams {
 
+  /** Epoch MICROS of a timestamp — the custom-state operators below
+    * keep event time in exact integer microseconds (the same doctrine
+    * as the batch surface's `unix_micros` arithmetic). `getTime` would
+    * silently truncate to millis: the fixture's timestamps carry
+    * sub-millisecond precision, and a batch twin computing in micros
+    * would diverge at the boundary.
+    */
+  private def usOf(t: Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
+  private def tsOf(us: Long): Timestamp =
+    Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L),
+      Math.floorMod(us, 1000000L) * 1000L))
+
+  /** The millisecond Spark timers understand, strictly after the given
+    * micros instant (ceil) — a floor could equal the current watermark
+    * millis, which `setTimeoutTimestamp` rejects as "in the past".
+    */
+  private def timerMsAfter(us: Long): Long = Math.floorDiv(us, 1000L) + 1L
+
   /** Incremental ingestion: the streaming version of the reference's
     * staged-JSON → normalize → parquet pipeline
     * (reference: src/processor.rs:17-97). New JSON envelope files
@@ -518,8 +539,8 @@ object Streams {
     * [[asOfEnrich]]'s eviction argument).
     */
   final case class AsOfBuf(
-      versions: List[(Long, String)], // (version_ts millis, attr)
-      pending: List[(Long, Double)] // (event_ts millis, payload)
+      versions: List[(Long, String)], // (version_ts micros, attr)
+      pending: List[(Long, Double)] // (event_ts micros, payload)
   )
 
   final case class AsOfOut(
@@ -590,18 +611,20 @@ object Streams {
             if (state.hasTimedOut) buf0
             else
               rows.foldLeft(buf0) { (b, r) =>
-                if (r.is_dim) b.copy(versions = (r.ts.getTime, r.attr) :: b.versions)
-                else b.copy(pending = (r.ts.getTime, r.payload) :: b.pending)
+                if (r.is_dim) b.copy(versions = (usOf(r.ts), r.attr) :: b.versions)
+                else b.copy(pending = (usOf(r.ts), r.payload) :: b.pending)
               }
-          val w = state.getCurrentWatermarkMs()
+          // exact-micros event time; the watermark arrives in millis,
+          // so scale it up — comparisons stay all-integer
+          val w = state.getCurrentWatermarkMs() * 1000L
           val versionsSorted = buf.versions.sortBy(_._1)
           val (ripe, stillPending) = buf.pending.partition(_._1 <= w)
           val out = ripe.sortBy(_._1).map { case (ets, payload) =>
             versionsSorted.takeWhile(_._1 <= ets).lastOption match {
               case Some((vts, attr)) =>
-                AsOfOut(key, new Timestamp(ets), payload, Some(attr), Some(new Timestamp(vts)))
+                AsOfOut(key, tsOf(ets), payload, Some(attr), Some(tsOf(vts)))
               case None =>
-                AsOfOut(key, new Timestamp(ets), payload, None, None)
+                AsOfOut(key, tsOf(ets), payload, None, None)
             }
           }
           // evict versions the watermark has made unreachable: keep the
@@ -615,7 +638,7 @@ object Streams {
             // wake when the watermark passes the oldest pending event;
             // all remaining pending have ts > W so the timer is legal
             if (stillPending.nonEmpty)
-              state.setTimeoutTimestamp(stillPending.map(_._1).min)
+              state.setTimeoutTimestamp(timerMsAfter(stillPending.map(_._1).min))
           }
           out.iterator
       }
@@ -704,7 +727,10 @@ object Streams {
       watermarkDelay: String = "10 minutes"
   ): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60L * 1000L
+    // exact integer MICROS throughout — the same gap arithmetic the
+    // batch twin (q17's unix_micros windows) computes, so stream and
+    // batch agree even on sub-millisecond boundaries
+    val gapUs = gapMinutes * 60L * 1000000L
 
     events
       .withWatermark("ts", watermarkDelay)
@@ -717,18 +743,18 @@ object Streams {
             val s = state.get
             state.remove()
             Iterator(
-              Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
+              Session(userId, tsOf(s.start), tsOf(s.last), s.n))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => usOf(e.ts))
             var closed = List.empty[Session]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = usOf(e.ts)
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
+                case Some(s) if t - s.last <= gapUs =>
                   cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
                 case Some(s) =>
-                  closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n)
+                  closed ::= Session(userId, tsOf(s.start), tsOf(s.last), s.n)
                   cur = Some(SessionState(t, t, 1))
                 case None =>
                   cur = Some(SessionState(t, t, 1))
@@ -736,7 +762,7 @@ object Streams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              state.setTimeoutTimestamp(timerMsAfter(s.last + gapUs))
             }
             closed.reverseIterator
           }

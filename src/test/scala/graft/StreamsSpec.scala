@@ -879,7 +879,8 @@ class StreamBatchParitySpec extends SparkSpec {
         .map(r => (r.getString(0), r.getLong(1))).toSeq
       // batch reference: same KMV algebra on the distinct element sets
       val expected = rows.distinct.groupBy(_._1).map { case (g, es) =>
-        val hs = es.map(e => ((e._2 * 1103515245L + 12345L) % M + M) % M)
+        // the ONE hash expression all KMV surfaces share (q79/q106/gate)
+        val hs = es.map(e => ((e._2 % M) * 1103515245L + 12345L) % M)
           .distinct.sorted.take(k)
         g -> (if (hs.length < k) hs.length.toLong else ((k - 1).toLong * M) / hs.last)
       }
@@ -970,6 +971,126 @@ class StreamBatchParitySpec extends SparkSpec {
         case None => spark.conf.unset(key)
       }
     }
+  }
+
+  test("streaming as-of enrich matches the batch AsOfJoin operator on the fixture") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // split the real events table into an event stream and a derived
+    // dimension-version stream (every 5th event becomes a version);
+    // versions dedup per (key, micros) so the as-of tie is unambiguous
+    // on BOTH surfaces (AsOfJoinExec tie-breaks same-(key,time) rows
+    // arbitrarily, by documented contract)
+    val raw = graft.ops.Tables.events(spark, Sf)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+      .collect()
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val dimRows = raw.filter(_.getLong(0) % 5 == 0)
+      .map(r => (r.getLong(1), r.getTimestamp(2), r.getString(3)))
+      .groupBy(t => (t._1, us(t._2))).map(_._2.maxBy(_._3)).toSeq
+    val evRows = raw.filter(_.getLong(0) % 5 != 0)
+      .map(r => (r.getLong(1), r.getTimestamp(2), r.getDouble(4))).toSeq
+
+    // batch twin: the custom AsOfJoinExec over epoch micros
+    graft.plans.GraftExtensions.install(spark)
+    val evDf = evRows.toDF("key", "ts", "payload")
+      .select(col("key").as("e_key"), unix_micros(col("ts")).as("e_us"), col("payload"))
+    val dimDf = dimRows.toDF("key", "ts", "attr")
+      .select(col("key").as("v_key"), unix_micros(col("ts")).as("v_us"), col("attr"))
+    val expected = graft.plans.AsOfJoin(evDf, dimDf, "e_key", "v_key", "e_us", "v_us")
+      .select(col("e_key"), col("e_us"), col("payload"), col("attr"), col("v_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        Option(r.getString(3)), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .groupBy(identity).view.mapValues(_.size).toMap
+
+    val events = MemoryStream[(Long, Timestamp, Double)]
+    val dims = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.Streams
+      .asOfEnrich(
+        events.toDF().toDF("key", "ts", "payload"),
+        dims.toDF().toDF("key", "ts", "attr"),
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("asof_parity")
+      .outputMode("append").start()
+    try {
+      // one batch holds everything — no row can be late-dropped, so the
+      // comparison is about SEMANTICS, not delivery accidents
+      events.addData(evRows)
+      dims.addData(dimRows)
+      q.processAllAvailable()
+      // sentinel dim far past max(ts)+delay finalizes every event;
+      // dims alone emit nothing, and we exclude its key anyway
+      val maxTs = raw.map(r => r.getTimestamp(2).getTime).max
+      dims.addData((-1L, new Timestamp(maxTs + 3600L * 1000L), "Z"))
+      q.processAllAvailable()
+      val got = spark.table("asof_parity")
+        .filter(col("key") =!= -1L)
+        .collect()
+        .map(r => (r.getLong(0), us(r.getTimestamp(1)), r.getDouble(2),
+          Option(r.getString(3)), Option(r.getTimestamp(4)).map(us)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == expected,
+        s"stream != batch; only-stream=${(got.keySet -- expected.keySet).take(3)}, " +
+          s"only-batch=${(expected.keySet -- got.keySet).take(3)}")
+    } finally q.stop()
+  }
+
+  test("streaming sessionize matches the batch gap-window formulation on the fixture") {
+    import spark.implicits._
+    import graft.streaming.Streams.{Event, Session}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gapMin = 30
+    val evDf = graft.ops.Tables.events(spark, Sf)
+      .select(col("user_id"), col("ts"), col("event_type"))
+
+    // batch twin — q17's lag/gap shape in exact micros, emitting one
+    // row PER SESSION so the compare pins starts/ends, not just counts
+    val byTime = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"))
+    val expected = evDf
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev", lag(col("us"), 1).over(byTime))
+      .withColumn(
+        "new_s",
+        when(col("prev").isNull || col("us") - col("prev") > gapMin * 60L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn(
+        "sid",
+        sum(col("new_s")).over(
+          byTime.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("s"), max(col("us")).as("e"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val rows = evDf.collect()
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getString(2)))
+      .sortBy(e => us(e.ts)) // event-time order: nothing can be late-dropped
+    val in = MemoryStream[Event]
+    val q = graft.streaming.Streams
+      .sessionize(in.toDS(), gapMinutes = gapMin, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sess_parity")
+      .outputMode("append").start()
+    try {
+      rows.grouped(400).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+      // sentinel advances the watermark past every last+gap → all real
+      // sessions close via their event-time timers
+      val far = new Timestamp(rows.last.ts.getTime + 6L * 3600L * 1000L)
+      in.addData(Event(-1L, far, "x"))
+      q.processAllAvailable()
+      val got = spark.table("sess_parity").as[Session].collect()
+        .filter(_.user_id != -1L)
+        .map(s => (s.user_id, us(s.session_start), us(s.session_end), s.n_events.toLong))
+        .toSet
+      assert(got == expected,
+        s"stream != batch; only-stream=${(got -- expected).take(3)}, " +
+          s"only-batch=${(expected -- got).take(3)}")
+    } finally q.stop()
   }
 }
 
