@@ -1,0 +1,247 @@
+package graft.sources
+
+import java.util
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{
+  Batch,
+  InputPartition,
+  PartitionReader,
+  PartitionReaderFactory,
+  Scan,
+  ScanBuilder,
+  SupportsPushDownRequiredColumns
+}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Avro container-file reader as a DataSource V2 table — the format
+  * gap the offline build leaves (the `spark-avro` CONNECTOR module is
+  * not shipped here) closed with the Avro CORE jars that are
+  * (`avro`, `avro-mapred`): schema read from the container header,
+  * one split per file, and column pruning done the Avro-native way —
+  * a projected READER schema, so Avro's schema resolution skips
+  * non-projected fields during decode instead of materializing them
+  * (the row-major analog of parquet's ReadSchema pruning).
+  *
+  * Usage: `spark.read.format("graft.sources.AvroLite").load(dir)`.
+  *
+  * Supported Avro types: boolean, int, long, float, double, string,
+  * bytes, enum (as string), fixed (as binary), and the nullable union
+  * `[null, T]` of each — the shapes a data feed actually ships.
+  * Nested records/arrays/maps fail fast at schema inference with a
+  * clear message rather than decoding wrongly.
+  *
+  * Scale posture: files are the split unit (an Avro container is
+  * block-compressed behind sync markers; finer intra-file splits are
+  * the standard refinement and slot into `planInputPartitions`
+  * without touching the reader), listing happens once on the driver
+  * through the Hadoop FS API (so any FS Spark reaches works, not just
+  * local disk), and each task opens exactly its own file via
+  * `FsInput`. No driver-side row ever materializes.
+  */
+class AvroLite extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val files = AvroLite.listFiles(options.get("path"))
+    require(files.nonEmpty, s"no .avro files under ${options.get("path")}")
+    val (schema, _) = AvroLite.openSchema(files.head)
+    AvroLite.toStruct(schema)
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new AvroLiteTable(properties.get("path"), schema)
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object AvroLite {
+
+  private[sources] def hadoopConf: Configuration =
+    SparkSession.active.sparkContext.hadoopConfiguration
+
+  private[sources] def listFiles(path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    val st = fs.getFileStatus(p)
+    if (st.isDirectory)
+      fs.listStatus(p)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+        .map(_.getPath.toString)
+        .sorted
+        .toSeq
+    else Seq(path)
+  }
+
+  /** The container header's writer schema (and its JSON, for shipping
+    * to executors).
+    */
+  private[sources] def openSchema(file: String): (Schema, String) = {
+    val in = new FsInput(new Path(file), hadoopConf)
+    val r = DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
+    try {
+      val s = r.getSchema
+      (s, s.toString)
+    } finally r.close()
+  }
+
+  /** Unwrap `[null, T]` to (T, nullable=true); anything else passes
+    * through as non-nullable.
+    */
+  private def unwrap(s: Schema): (Schema, Boolean) =
+    if (s.getType == Schema.Type.UNION) {
+      val branches = s.getTypes
+      require(
+        branches.size == 2 && branches.asScala.count(_.getType == Schema.Type.NULL) == 1,
+        s"only the nullable union [null, T] is supported, got $s")
+      (branches.asScala.find(_.getType != Schema.Type.NULL).get, true)
+    } else (s, false)
+
+  private implicit class JListOps[A](l: java.util.List[A]) {
+    def asScala: Seq[A] = {
+      val b = Seq.newBuilder[A]
+      l.forEach(a => b += a)
+      b.result()
+    }
+  }
+
+  private[sources] def toStruct(schema: Schema): StructType = {
+    require(
+      schema.getType == Schema.Type.RECORD,
+      s"top-level Avro type must be a record, got ${schema.getType}")
+    StructType(schema.getFields.asScala.map { f =>
+      val (t, nullable) = unwrap(f.schema())
+      val dt = t.getType match {
+        case Schema.Type.BOOLEAN => BooleanType
+        case Schema.Type.INT     => IntegerType
+        case Schema.Type.LONG    => LongType
+        case Schema.Type.FLOAT   => FloatType
+        case Schema.Type.DOUBLE  => DoubleType
+        case Schema.Type.STRING  => StringType
+        case Schema.Type.ENUM    => StringType
+        case Schema.Type.BYTES   => BinaryType
+        case Schema.Type.FIXED   => BinaryType
+        case other =>
+          throw new IllegalArgumentException(
+            s"unsupported Avro type $other for field ${f.name()} " +
+              "(nested records/arrays/maps are out of AvroLite's scope)")
+      }
+      StructField(f.name(), dt, nullable)
+    })
+  }
+
+  /** Projection of the writer schema onto `required`, as an Avro
+    * READER schema: resolution then skips every non-projected field
+    * at decode time.
+    */
+  private[sources] def prunedAvroSchema(writer: Schema, required: StructType): Schema = {
+    val byName = writer.getFields.asScala.map(f => f.name() -> f).toMap
+    val fields = new java.util.ArrayList[Schema.Field]()
+    required.fieldNames.foreach { n =>
+      val f = byName.getOrElse(
+        n,
+        throw new IllegalArgumentException(s"column $n not in Avro schema"))
+      fields.add(new Schema.Field(f.name(), f.schema(), f.doc(), f.defaultVal()))
+    }
+    Schema.createRecord(writer.getName, writer.getDoc, writer.getNamespace, false, fields)
+  }
+
+  /** Avro runtime value → Catalyst value for the supported types. */
+  private[sources] def toCatalyst(v: AnyRef, dt: DataType): Any = v match {
+    case null => null
+    case _ =>
+      dt match {
+        case StringType => UTF8String.fromString(v.toString)
+        case BinaryType =>
+          v match {
+            case bb: java.nio.ByteBuffer =>
+              val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+            case fx: org.apache.avro.generic.GenericFixed => fx.bytes().clone()
+            case other => other.asInstanceOf[Array[Byte]]
+          }
+        case _ => v // boolean/int/long/float/double arrive as their JVM boxes
+      }
+  }
+}
+
+private class AvroLiteTable(path: String, schema: StructType)
+    extends Table
+    with SupportsRead {
+  override def name(): String = s"avro_lite($path)"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new AvroLiteScanBuilder(path, schema)
+}
+
+private class AvroLiteScanBuilder(path: String, full: StructType)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // an empty projection (count(*)) is legal: a zero-field Avro
+    // reader record skips every field and just counts container rows
+    required = requiredSchema
+  override def build(): Scan = new AvroLiteScan(path, required)
+}
+
+private class AvroLiteScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"AvroLiteScan(path=$path, columns=${required.fieldNames.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    AvroLite.listFiles(path).map(AvroLitePartition(_)).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val files = AvroLite.listFiles(path)
+    val (writer, _) = AvroLite.openSchema(files.head)
+    val readerJson = AvroLite.prunedAvroSchema(writer, required).toString
+    new AvroLiteReaderFactory(readerJson, required)
+  }
+}
+
+private case class AvroLitePartition(file: String) extends InputPartition
+
+private class AvroLiteReaderFactory(readerSchemaJson: String, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[AvroLitePartition].file
+    val readerSchema = new Schema.Parser().parse(readerSchemaJson)
+    // writer schema comes from the container header; the parsed reader
+    // schema projects it
+    val datum = new GenericDatumReader[GenericRecord](null, readerSchema)
+    val in = new FsInput(new Path(file), new Configuration())
+    val reader = DataFileReader.openReader(in, datum)
+    val types = required.fields.map(_.dataType)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = reader.hasNext
+      override def get(): InternalRow = {
+        val rec = reader.next()
+        val vals = new Array[Any](types.length)
+        var i = 0
+        while (i < types.length) {
+          vals(i) = AvroLite.toCatalyst(rec.get(i), types(i))
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = reader.close()
+    }
+  }
+}
