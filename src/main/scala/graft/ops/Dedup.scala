@@ -1069,6 +1069,45 @@ object Dedup {
     snVerify(s, dir, p1.unionAll(p2).distinct())
   }
 
+  /** d20 — survivorship policy over the dup clusters: dedup's LAST
+    * step, the one that actually writes the cleaned corpus — per d6
+    * cluster, keep exactly one canonical document (longest text wins,
+    * lowest id breaks ties: prefer the most complete copy,
+    * deterministically) and account for what the policy removed. The
+    * per-cluster argmax is a combine-enabled `max_by` on a lexical
+    * (n_chars, −doc_id) struct — one row per cluster crosses the
+    * exchange, NO per-cluster sort (the q39 argument applied to
+    * survivorship), and the removed-rows/removed-bytes accounting
+    * rides the same aggregate. Cluster discovery is d6's machinery
+    * (banded candidates → exact verify → Hash-Min CC), so this prices
+    * at pair-graph size; the metadata join moves (id, chars, source)
+    * triples, never text.
+    */
+  def d20CanonicalSurvivor(s: SparkSession, dir: String): DataFrame = {
+    val clusters = d6DupClusters(s, dir).select(col("doc_id"), col("cluster_rep"))
+    val meta = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), col("source"))
+    clusters
+      .join(meta, "doc_id")
+      .groupBy(col("cluster_rep"))
+      .agg(
+        max_by(
+          struct(col("doc_id"), col("source"), col("n_chars")),
+          struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("best"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars_total"))
+      .select(
+        col("cluster_rep"),
+        col("best.doc_id").as("survivor_id"),
+        col("best.source").as("survivor_source"),
+        col("best.n_chars").as("survivor_chars"),
+        col("n_docs"),
+        (col("n_docs") - 1L).as("n_removed"),
+        (col("chars_total") - col("best.n_chars")).as("chars_removed"))
+      .orderBy("cluster_rep")
+  }
+
   /** d18 — cross-source duplication matrix: WHICH sources re-serve
     * WHOSE content — the corpus-diagnostic rollup of d2's verified
     * pair list (a feed pair with a fat cell is a syndication/mirror
@@ -1097,6 +1136,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d20_canonical_survivor" -> d20CanonicalSurvivor,
     "d19_sorted_neighborhood_multipass" -> d19SortedNeighborhoodMultipass,
     "d18_cross_source_dup" -> d18CrossSourceDup,
     "d17_sorted_neighborhood" -> d17SortedNeighborhood,
@@ -1145,6 +1185,50 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // d6's recursive-CTE clusters + per-cluster argmax survivorship
+    "d20_canonical_survivor" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+        |                   FOR i IN range(1, len(t) - 1)]) AS shingles
+        |  FROM tok WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |p0 AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |pq AS (
+        |  SELECT id_a, id_b
+        |  FROM p0 JOIN sizes sa ON id_a = sa.doc_id
+        |          JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pq
+        |          UNION ALL SELECT id_b AS a, id_a AS b FROM pq),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |comp AS (SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id),
+        |m AS (
+        |  SELECT c.id AS doc_id, c.cluster_rep, d.n_chars, d.source
+        |  FROM comp c JOIN documents d ON d.doc_id = c.id),
+        |rk AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY cluster_rep
+        |                       ORDER BY n_chars DESC, doc_id ASC) AS r,
+        |    count(*) OVER (PARTITION BY cluster_rep) AS n_docs,
+        |    sum(n_chars) OVER (PARTITION BY cluster_rep) AS chars_total
+        |  FROM m)
+        |SELECT cluster_rep, doc_id AS survivor_id, source AS survivor_source,
+        |  CAST(n_chars AS BIGINT) AS survivor_chars,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_docs - 1 AS BIGINT) AS n_removed,
+        |  CAST(chars_total - n_chars AS BIGINT) AS chars_removed
+        |FROM rk WHERE r = 1
+        |ORDER BY cluster_rep""".stripMargin,
     "d19_sorted_neighborhood_multipass" ->
       """WITH keyed AS (
         |  SELECT doc_id,

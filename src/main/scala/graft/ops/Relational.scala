@@ -1277,6 +1277,34 @@ object Relational {
       .orderBy("user_id", "version")
   }
 
+  /** q110 — point-in-time (time-travel) snapshot over the q56 SCD2
+    * history: reconstruct "what state was every user in at instant T"
+    * by selecting, per user, the version whose validity interval
+    * contains T (`valid_from <= T < valid_to`, open-ended current
+    * versions included). This is the LOGICAL half of lakehouse time
+    * travel — snapshot isolation replayed from versioned history
+    * instead of physical file manifests — and the query every
+    * training-data audit runs ("which documents/labels were live when
+    * this model trained"). Cost is exactly q56's one user_id exchange;
+    * the containment filter is a scan over the versioned output, and
+    * at 100 TB a T-range partition layout (q108's machinery) prunes it.
+    * The cut is a fixed epoch-micros literal, identical in both
+    * engines — no session-zone arithmetic anywhere.
+    */
+  def q110PitSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val cutUs = 1705320000000000L // 2024-01-15 12:00:00 UTC
+    q56Scd2Islands(s, dir)
+      .filter(
+        col("valid_from_us") <= cutUs &&
+          (col("valid_to_us").isNull || lit(cutUs) < col("valid_to_us")))
+      .select(
+        col("user_id"),
+        col("state").as("state_at_cut"),
+        col("valid_from_us"),
+        col("n_events"))
+      .orderBy("user_id")
+  }
+
   /** Markov transition matrix over the event stream: (from, to)
     * bigram counts of consecutive event types per user, with
     * row-normalized transition probabilities. One user_id shuffle for
@@ -3568,6 +3596,7 @@ object Relational {
     "q57_transition_matrix" -> q57TransitionMatrix,
     "q55_variant_extract" -> q55VariantExtract,
     "q56_scd2_islands" -> q56Scd2Islands,
+    "q110_pit_snapshot" -> q110PitSnapshot,
     "q51_funnel" -> q51Funnel,
     "q52_retention_cohort" -> q52RetentionCohort,
     "q53_small_qty_revenue" -> q53SmallQtyRevenue,
@@ -4634,6 +4663,38 @@ object Relational {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY event_type, k_decade""".stripMargin,
+    // q56's island build + interval-containment at a fixed micros cut;
+    // all-integer boundary, zone-free in both engines
+    "q110_pit_snapshot" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |                   OR lag(event_type) OVER w <> event_type
+        |                 THEN 1 ELSE 0 END AS chg
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |i AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id
+        |                           ORDER BY us, event_id) AS version
+        |  FROM f),
+        |sp AS (
+        |  SELECT user_id, CAST(version AS BIGINT) AS version,
+        |    min(event_type) AS state, min(us) AS valid_from_us,
+        |    count(*) AS n_events
+        |  FROM i GROUP BY 1, 2),
+        |hist AS (
+        |  SELECT user_id, state, valid_from_us, n_events,
+        |    lead(valid_from_us) OVER (PARTITION BY user_id
+        |                              ORDER BY version) AS valid_to_us
+        |  FROM sp)
+        |SELECT user_id, state AS state_at_cut, valid_from_us,
+        |  CAST(n_events AS BIGINT) AS n_events
+        |FROM hist
+        |WHERE valid_from_us <= 1705320000000000
+        |  AND (valid_to_us IS NULL OR 1705320000000000 < valid_to_us)
+        |ORDER BY user_id""".stripMargin,
     "q56_scd2_islands" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type

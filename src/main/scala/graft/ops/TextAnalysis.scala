@@ -732,7 +732,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t18 — per-document token-distribution entropy: the diversity
+    * signal a quality filter reads NEXT TO t9's repetition ratios —
+    * H = ln N − (Σ c·ln c)/N nats over the doc's term frequencies.
+    * Low entropy = template/boilerplate/keyword-stuffed text; the
+    * normalized ratio H/ln(types) (1 = uniform usage) makes docs of
+    * different lengths comparable. One token explosion feeding a
+    * map-side-combined (doc, term) aggregate, then a doc-sized rollup:
+    * the exchange moves one row per distinct term per doc, never per
+    * occurrence. Determinism follows the t14/t17 contract: all counts
+    * exact integers, ln-over-integers only under round(·,3) — with
+    * every operand cast to DOUBLE in the oracle so DuckDB can't route
+    * through DECIMAL.
+    */
+  def t18TokenEntropy(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    tf.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        round(
+          log(sum(col("c")).cast("double")) -
+            sum(col("c").cast("double") * log(col("c").cast("double"))) /
+            sum(col("c")).cast("double"),
+          3).as("entropy_nats"),
+        round(
+          when(count(lit(1)) === 1, lit(0.0)).otherwise(
+            (log(sum(col("c")).cast("double")) -
+              sum(col("c").cast("double") * log(col("c").cast("double"))) /
+              sum(col("c")).cast("double")) /
+              log(count(lit(1)).cast("double"))),
+          3).as("entropy_ratio"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_token_entropy" -> t18TokenEntropy,
     "t17_trigram_backoff_lm" -> t17TrigramBackoffLm,
     "t16_pmi_collocations" -> t16PmiCollocations,
     "t15_freq_spectrum" -> t15FreqSpectrum,
@@ -753,6 +792,27 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same integer counts; ln over DOUBLE-cast operands only, masked
+    // by round(·,3) — the t14/t17 determinism contract.
+    "t18_token_entropy" ->
+      """WITH tf AS (
+        |  SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_types,
+        |  round(ln(sum(c)::DOUBLE) -
+        |        sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c)::DOUBLE,
+        |        3) AS entropy_nats,
+        |  round(CASE WHEN count(*) = 1 THEN 0.0
+        |        ELSE (ln(sum(c)::DOUBLE) -
+        |              sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c)::DOUBLE) /
+        |             ln(count(*)::DOUBLE) END,
+        |        3) AS entropy_ratio
+        |FROM tf GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     // Backoff cascade: identical count ratios and double literals in
     // both engines; ln only under round(·,3) (the t14 contract).
     // wordNgrams adjacency ⇔ the i/i+1/i+2 windows below.

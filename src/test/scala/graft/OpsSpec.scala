@@ -1070,6 +1070,56 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q110 snapshot: one state per user, interval contains the cut") {
+    val cut = 1705320000000000L
+    val out = Relational.q110PitSnapshot(spark, Sf).collect()
+    assert(out.nonEmpty)
+    val users = out.map(_.getLong(0))
+    assert(users.distinct.length == users.length, "a snapshot must hold ONE version per user")
+    assert(out.forall(_.getLong(2) <= cut), "every version must start at or before the cut")
+    // cross-check against the full history: the selected version is
+    // exactly the one whose interval contains the cut
+    val hist = Relational.q56Scd2Islands(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3),
+        if (r.isNullAt(5)) Long.MaxValue else r.getLong(5)))
+    val expect = hist.filter(h => h._3 <= cut && cut < h._4)
+      .map(h => (h._1, h._2)).toMap
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toMap == expect)
+  }
+
+  test("d20 survivorship: one survivor per cluster, longest-then-lowest-id, exact accounting") {
+    val d6 = Dedup.d6DupClusters(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))) // (doc_id, cluster_rep)
+    val chars = graft.ops.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = d6.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val out = Dedup.d20CanonicalSurvivor(spark, Sf).collect()
+    assert(out.length == byCluster.size, "exactly one survivor per d6 cluster")
+    out.foreach { r =>
+      val (rep, sid, n, removed, charsRemoved) =
+        (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6))
+      val members = byCluster(rep)
+      val want = members.maxBy(id => (chars(id), -id))
+      assert(sid == want, s"cluster $rep kept $sid, policy says $want")
+      assert(n == members.size && removed == members.size - 1)
+      assert(charsRemoved == members.map(chars).sum - chars(sid))
+    }
+  }
+
+  test("t18 entropy: bounded by ln(types), ratio in [0,1], uniform docs hit the bound") {
+    val out = TextAnalysis.t18TokenEntropy(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (types, h, ratio) = (r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(h >= 0.0 && h <= math.log(types.toDouble) + 1e-3,
+        s"doc ${r.getLong(0)}: H=$h outside [0, ln($types)]")
+      assert(ratio >= 0.0 && ratio <= 1.0 + 1e-9)
+      // all-distinct tokens (types == n_tokens) means maximal entropy
+      if (types == r.getLong(1)) assert(math.abs(ratio - 1.0) < 1e-3 || types == 1L)
+    }
+  }
+
   test("d18 matrix accounts for every d2 pair exactly once") {
     val total = Dedup.d18CrossSourceDup(spark, Sf).collect().map(_.getLong(2)).sum
     val d2 = Dedup.d2MinHashLsh(spark, Sf).count()
