@@ -3226,28 +3226,31 @@ object Relational {
     * everything downstream is node-sized. Emits the 50 most
     * triangle-central suppliers under a total order.
     */
-  def q103KnnTriangles(s: SparkSession, dir: String): DataFrame = {
-    val k = 5
-    // ONE exchange serves dedup AND the self-join: repartition on p,
-    // then dropDuplicates — HashPartitioning(p) satisfies the (s, p)
-    // dedup clustering (all (p, ·) co-located) and is exactly the
-    // join's requirement on BOTH sides, so EnsureRequirements plants
-    // no further shuffle. The naive `.distinct()` partitions on
-    // (s, p) and forces a second p-exchange per join side — measured
-    // 3.15 → 2.19 s solo at sf0.1.
+  /** The kNN co-sourcing edge list q103/q111 share: distinct (s, p)
+    * pairs, co-part pair counts, per-node top-k selection, undirected
+    * union as (x < y) edges. ONE exchange serves dedup AND the
+    * self-join: repartition on p, then dropDuplicates —
+    * HashPartitioning(p) satisfies the (s, p) dedup clustering (all
+    * (p, ·) co-located) and is exactly the join's requirement on BOTH
+    * sides, so EnsureRequirements plants no further shuffle. The naive
+    * `.distinct()` partitions on (s, p) and forces a second p-exchange
+    * per join side — measured 3.15 → 2.19 s solo at sf0.1.
+    *
+    * Deliberately the SELF-JOIN form. The tempting "one exchange"
+    * alternative — groupBy(part) + sort_array(collect_list) + a
+    * nested transform/slice pair explosion — measured 4.72 s solo at
+    * sf0.1 vs 3.15 s for this join: each lambda slice() copies a
+    * sub-array, so the explosion does O(deg²) allocations in
+    * interpreted HigherOrderFunction code, losing more than the
+    * second sp exchange costs. The codegen'd hash join streams the
+    * same Σ deg² pair rows with zero per-pair allocation.
+    */
+  private[graft] def knnEdges(s: SparkSession, dir: String, k: Int): DataFrame = {
     val sp = Tables
       .lineitem(s, dir)
       .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
       .repartition(col("p"))
       .dropDuplicates("s", "p")
-    // Deliberately the SELF-JOIN form. The tempting "one exchange"
-    // alternative — groupBy(part) + sort_array(collect_list) + a
-    // nested transform/slice pair explosion — measured 4.72 s solo at
-    // sf0.1 vs 3.15 s for this join: each lambda slice() copies a
-    // sub-array, so the explosion does O(deg²) allocations in
-    // interpreted HigherOrderFunction code, losing more than the
-    // second sp exchange costs. The codegen'd hash join streams the
-    // same Σ deg² pair rows with zero per-pair allocation.
     val pairs = sp
       .as("a")
       .join(sp.as("b"), col("a.p") === col("b.p") && col("a.s") < col("b.s"))
@@ -3259,11 +3262,15 @@ object Relational {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("u"))
       .orderBy(col("c").desc, col("v").asc)
-    val edges = directed
+    directed
       .withColumn("rk", row_number().over(win))
       .filter(col("rk") <= k)
       .select(least(col("u"), col("v")).as("x"), greatest(col("u"), col("v")).as("y"))
       .distinct()
+  }
+
+  def q103KnnTriangles(s: SparkSession, dir: String): DataFrame = {
+    val edges = knnEdges(s, dir, 5)
       .localCheckpoint() // read three times by the triangle join
     val tri = edges
       .as("e1")
@@ -3364,6 +3371,48 @@ object Relational {
       .select(col("suppkey"), col("deg"), col("n_triangles"))
       .orderBy(desc("n_triangles"), col("suppkey"))
       .limit(50)
+  }
+
+  /** q111 — bounded-hop BFS from a source node over the kNN
+    * co-sourcing graph: shortest hop distance from supplier 1 to every
+    * supplier reachable in ≤ 4 hops — the reachability/ego-network
+    * primitive (blast-radius, related-entity expansion) that
+    * complements q90/q97's global fixed-point with SOURCED traversal.
+    * Frontier-style: each round joins only the FRONTIER (nodes first
+    * reached last round) against the mirrored edge list and anti-joins
+    * the visited set, so per-round work is ∝ frontier × degree — on
+    * the degree-bounded kNN graph that is O(|frontier|·2k), never
+    * edge-list-global. Fixed 4 rounds (the q90 scheduled-pipeline
+    * argument: no convergence actions), frontier and visited set
+    * localCheckpointed per round to keep lineage flat. The oracle
+    * walks the same graph with a depth-bounded recursive CTE and
+    * takes min(hops) — an independent algorithm for the same
+    * distances.
+    */
+  def q111BfsHops(s: SparkSession, dir: String): DataFrame = {
+    val maxHops = 4
+    val source = 1L
+    val edges = knnEdges(s, dir, 5)
+    val mirrored = edges
+      .unionAll(edges.select(col("y").as("x"), col("x").as("y")))
+      .localCheckpoint() // read once per round
+    var dist = s
+      .range(1)
+      .select(lit(source).as("suppkey"), lit(0L).as("hops"))
+      .localCheckpoint()
+    var frontier = dist.select(col("suppkey"))
+    for (h <- 1 to maxHops) {
+      val next = mirrored
+        .join(frontier.select(col("suppkey").as("x")), "x")
+        .select(col("y").as("suppkey"))
+        .distinct()
+        .join(dist.select(col("suppkey")), Seq("suppkey"), "left_anti")
+        .select(col("suppkey"), lit(h.toLong).as("hops"))
+        .localCheckpoint()
+      dist = dist.unionAll(next).localCheckpoint()
+      frontier = next.select(col("suppkey"))
+    }
+    dist.orderBy("suppkey")
   }
 
   /** q104 — skyline (Pareto frontier) query: the points of
@@ -3548,6 +3597,7 @@ object Relational {
     "q104_skyline" -> q104Skyline,
     "q103_knn_triangles" -> q103KnnTriangles,
     "q107_knn_hub_trim" -> q107KnnHubTrim,
+    "q111_bfs_hops" -> q111BfsHops,
     "q102_cdc_apply" -> q102CdcApply,
     "q101_agg_ivm" -> q101AggIvm,
     "q100_join_ivm" -> q100JoinIvm,
@@ -3788,6 +3838,32 @@ object Relational {
         |GROUP BY 1
         |ORDER BY n_triangles DESC, suppkey
         |LIMIT 50""".stripMargin,
+    // depth-bounded recursive walk + min(hops): an independent
+    // algorithm computing the same BFS distances
+    "q111_bfs_hops" ->
+      """WITH RECURSIVE sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+        |pr AS (
+        |  SELECT a.s AS sa, b.s AS sb, count(*) AS c
+        |  FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+        |  GROUP BY 1, 2),
+        |d AS (SELECT sa AS u, sb AS v, c FROM pr
+        |      UNION ALL SELECT sb, sa, c FROM pr),
+        |knn AS (
+        |  SELECT u, v FROM (
+        |    SELECT u, v,
+        |      row_number() OVER (PARTITION BY u ORDER BY c DESC, v ASC) AS rk
+        |    FROM d) WHERE rk <= 5),
+        |e AS (SELECT DISTINCT least(u, v) AS x, greatest(u, v) AS y FROM knn),
+        |m AS (SELECT x AS a, y AS b FROM e UNION ALL SELECT y, x FROM e),
+        |walk(id, hops) AS (
+        |  SELECT 1::BIGINT AS id, 0 AS hops
+        |  UNION
+        |  SELECT m.b, walk.hops + 1
+        |  FROM walk JOIN m ON walk.id = m.a
+        |  WHERE walk.hops < 4)
+        |SELECT id AS suppkey, CAST(min(hops) AS BIGINT) AS hops
+        |FROM walk GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q107_knn_hub_trim" ->
       """WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
         |pr AS (

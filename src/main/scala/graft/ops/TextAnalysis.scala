@@ -770,7 +770,55 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t19 — per-document KL divergence from the corpus unigram
+    * distribution: D(doc ‖ corpus) = Σ_w (c/N)·ln((c·M)/(N·C)) with c
+    * the doc's count of w, N its total, C the corpus count, M the
+    * corpus total — t18's entropy says "is this doc internally
+    * diverse"; this says "is it OFF-DISTRIBUTION", the domain-shift /
+    * outlier signal a corpus-mixing pipeline thresholds on (a doc of
+    * in-vocabulary words at corpus-typical rates scores ≈ 0;
+    * template/keyword-stuffed text scores high). Every doc term
+    * exists in the corpus by construction (the corpus contains the
+    * doc), so no zero denominators. Plan: ONE (doc, term) exchange
+    * shared with the corpus rollup's input, corpus term table is
+    * vocabulary-sized and joins unhinted (AQE broadcasts it), the
+    * 1-row corpus total crossJoins as a broadcast literal. All counts
+    * exact integers; ln over DOUBLE casts only under round(·,3) — the
+    * t14/t17/t18 contract.
+    */
+  def t19KlDivergence(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // read by the corpus rollup AND the per-doc join
+    val corpus = tf.groupBy(col("w")).agg(sum(col("c")).as("cw"))
+    val total = corpus.agg(sum(col("cw")).as("m"))
+    val withN = tf.withColumn(
+      "n",
+      sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+    // every product of exact integer counts stays far under 2^53, so
+    // ln() sees the same double in both engines
+    withN
+      .join(corpus, "w")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("n")).as("n_tokens"), // constant within the doc
+        round(
+          sum(
+            col("c").cast("double") *
+              (log(col("c").cast("double") * col("m").cast("double")) -
+                log(col("n").cast("double") * col("cw").cast("double")))) /
+            max(col("n")).cast("double"),
+          3).as("kl_nats"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_kl_divergence" -> t19KlDivergence,
     "t18_token_entropy" -> t18TokenEntropy,
     "t17_trigram_backoff_lm" -> t17TrigramBackoffLm,
     "t16_pmi_collocations" -> t16PmiCollocations,
@@ -794,6 +842,26 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     // Same integer counts; ln over DOUBLE-cast operands only, masked
     // by round(·,3) — the t14/t17 determinism contract.
+    // identical integer products inside ln(); round(3) masks the one
+    // double summation; per-doc N via the same window formulation
+    "t19_kl_divergence" ->
+      """WITH tf AS (
+        |  SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |n AS (SELECT *, sum(c) OVER (PARTITION BY doc_id) AS n FROM tf),
+        |corpus AS (SELECT w, sum(c) AS cw FROM tf GROUP BY 1),
+        |m AS (SELECT sum(cw) AS m FROM corpus)
+        |SELECT doc_id,
+        |  CAST(max(n) AS BIGINT) AS n_tokens,
+        |  round(sum(c::DOUBLE * (ln(c::DOUBLE * m::DOUBLE) -
+        |                         ln(n::DOUBLE * cw::DOUBLE))) /
+        |        max(n)::DOUBLE,
+        |        3) AS kl_nats
+        |FROM n JOIN corpus USING (w), m
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "t18_token_entropy" ->
       """WITH tf AS (
         |  SELECT doc_id, w, count(*) AS c

@@ -1120,6 +1120,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q111 BFS: source at 0, every edge relaxed (|Δhops| <= 1 across edges)") {
+    val dist = Relational.q111BfsHops(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist(1L) == 0L, "source distance must be 0")
+    assert(dist.values.forall(h => h >= 0 && h <= 4))
+    val edges = Relational.knnEdges(spark, Sf, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    edges.foreach { case (x, y) =>
+      (dist.get(x), dist.get(y)) match {
+        case (Some(a), Some(b)) =>
+          assert(math.abs(a - b) <= 1, s"edge ($x,$y) violates BFS: $a vs $b")
+        case (Some(a), None) =>
+          assert(a == 4, s"$y unreached but neighbor $x at $a < 4")
+        case (None, Some(b)) =>
+          assert(b == 4, s"$x unreached but neighbor $y at $b < 4")
+        case _ => ()
+      }
+    }
+  }
+
+  test("t19 KL: non-negative (Gibbs) and zero only for corpus-typical docs") {
+    val out = TextAnalysis.t19KlDivergence(spark, Sf).collect()
+    assert(out.nonEmpty)
+    // KL(p||q) >= 0 always; round(3) can show -0.0 but never < -0.0005
+    out.foreach(r => assert(r.getDouble(2) >= -0.0005,
+      s"doc ${r.getLong(0)}: negative KL ${r.getDouble(2)}"))
+    assert(out.exists(_.getDouble(2) > 0.01), "fixture docs are not all corpus-typical")
+  }
+
   test("d18 matrix accounts for every d2 pair exactly once") {
     val total = Dedup.d18CrossSourceDup(spark, Sf).collect().map(_.getLong(2)).sum
     val d2 = Dedup.d2MinHashLsh(spark, Sf).count()
