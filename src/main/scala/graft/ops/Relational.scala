@@ -3415,6 +3415,178 @@ object Relational {
     dist.orderBy("suppkey")
   }
 
+  /** q112 — HyperLogLog distinct sketch, completing the mergeable-
+    * sketch trilogy's distinct side (q79 KMV = order statistics, this =
+    * register maxima; q89 CMS = frequency; q106 = sketch set algebra).
+    * The register state is EXACT integers the oracle reproduces
+    * bit-for-bit: the portable affine hash splits into a 7-bit register
+    * index (low bits) and a 23-bit suffix (high bits, since
+    * (10^9+7)/128 < 2^23); ρ = leading-zero rank computed with pure
+    * integer/string algebra — 24 − length(bin(suffix)) — not
+    * floor(log2(·)), so no libm call can disagree. The harmonic sum is
+    * kept as the INTEGER Σ_j 2^(24−M_j) (each term a power of two ≤
+    * 2^24, total < 2^31 — no float ever sums), so the only floating
+    * arithmetic is the final literal-folded estimator and the
+    * linear-counting branch's single ln(128/V), masked at round(·,3).
+    * Plan shape: distinct (group, key) pairs → (group, register) max —
+    * both partial+final aggregates whose exchange is ≤ groups×128 rows
+    * at ANY key cardinality, the whole point of HLL at 100 TB. (Spark's
+    * own approx_count_distinct is HLL++ whose sketch bytes no second
+    * engine reproduces — this query pins the algebra instead.)
+    */
+  def q112HllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val regs = Tables
+      .orders(s, dir)
+      .select(col("o_orderpriority"), col("o_custkey"))
+      .distinct()
+      .select(
+        col("o_orderpriority"),
+        // the q79/p3 convention: reduce mod p BEFORE the multiply so the
+        // product stays under 2^63 in both engines
+        (((col("o_custkey") % lit(1000000007L)) * lit(1103515245L) + lit(54321L)) % lit(1000000007L))
+          .as("h"))
+      // affine maps mod p COMPOSE to affine, so consecutive keys keep
+      // arithmetic-progression structure in h's low bits and starve
+      // half the registers; one quadratic round (h²+h mod p, h < 2^30
+      // so h² < 2^60 — no wrap in either engine) breaks the
+      // progression. Measured on 1..1000 consecutive keys: V went
+      // 13 → 45 expected-empty registers, estimate bias +122% → +4.6%.
+      .select(
+        col("o_orderpriority"),
+        ((col("h") * col("h") + col("h")) % lit(1000000007L)).as("h2"))
+      .select(
+        col("o_orderpriority"),
+        (col("h2") % lit(128L)).as("j"),
+        shiftright(col("h2"), 7).as("suffix"))
+      .select(
+        col("o_orderpriority"),
+        col("j"),
+        when(col("suffix") === 0, lit(24L))
+          .otherwise(lit(24L) - length(bin(col("suffix"))))
+          .as("rho"))
+      .groupBy(col("o_orderpriority"), col("j"))
+      .agg(max(col("rho")).as("mr"))
+    val sketch = regs
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_present"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(24 - mr as int))")).as("s_present"))
+      .select(
+        col("o_orderpriority"),
+        (lit(128L) - col("n_present")).as("v_zeros"),
+        (col("s_present") + (lit(128L) - col("n_present")) * lit(16777216L))
+          .as("s_harmonic"))
+    val exact = Tables
+      .orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    // α_128·m²·2^24/S, left-associated exactly as the oracle writes it;
+    // linear counting below 2.5·m when empty registers remain
+    val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(128.0)) *
+      lit(128.0) * lit(128.0) * lit(16777216.0) /
+      col("s_harmonic").cast("double")
+    sketch
+      .join(broadcast(exact), "o_orderpriority")
+      .select(
+        col("o_orderpriority"),
+        col("v_zeros"),
+        col("s_harmonic"),
+        col("n_exact"),
+        round(
+          when(raw <= lit(320.0) && col("v_zeros") > 0,
+            lit(128.0) * log(lit(128.0) / col("v_zeros").cast("double")))
+            .otherwise(raw),
+          3).as("est_hll"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q113 — exponentially-weighted recency score per user (EWMA over
+    * daily spend in the trailing 16 days): the smoothing/decay
+    * primitive behind activity scoring and trend dashboards, kept
+    * BIT-EXACT across engines by dyadic algebra — α = 1/2 makes every
+    * weight 2^(15−age) an exact power-of-two INTEGER, so the weighted
+    * numerator and the weight total are exact BIGINT sums (≤ 2^15 ×
+    * day-cents × 16 « 2^63) and the only float is ONE final division,
+    * which IEEE754 determines uniquely. No float sum ever happens — the
+    * trap with textbook EWMA recurrences cross-engine. Plan: one
+    * (user, day) partial+final aggregate, the 1-row global max-day
+    * broadcast, a per-user 16-row window — per-user state is bounded by
+    * the horizon, not history, so the operator is O(users) at any
+    * scale.
+    */
+  def q113EwmaRecency(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("cents")).as("c"))
+    val maxd = daily.agg(max(col("day")).as("maxd"))
+    val recent = daily
+      .crossJoin(broadcast(maxd))
+      .filter(datediff(col("maxd"), col("day")) <= 15)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day").desc)
+    recent
+      .withColumn("j", row_number().over(w) - 1)
+      .withColumn("wt", expr("shiftleft(cast(1 as bigint), cast(15 - j as int))"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        max(col("day")).as("last_day"),
+        sum(col("c") * col("wt")).as("num"),
+        sum(col("wt")).as("den"))
+      .select(
+        col("user_id"),
+        col("n_days"),
+        col("last_day").cast("string").as("last_day"),
+        col("num"),
+        col("den"),
+        round(col("num").cast("double") / col("den").cast("double"), 4)
+          .as("ewma_cents"))
+      .orderBy("user_id")
+  }
+
+  /** q114 — first-order Markov transition matrix over the event
+    * stream: P(next event type | current) from per-user consecutive
+    * pairs — the behavioral-model primitive behind next-action
+    * prediction and attribution (q105's path strings give the top
+    * sequences; this gives the full conditional distribution). Pairs
+    * come from ONE lead() window per user totally ordered by
+    * (ts, event_id) — the event_id tiebreak makes the pairing
+    * deterministic under equal timestamps, which the hash gate would
+    * otherwise catch as flapping. Counts are exact integers; each
+    * row-probability is ONE integer÷integer division (IEEE-unique, no
+    * float sums). The transition matrix is |types|² rows after a
+    * partial+final aggregate — state never scales with events, and the
+    * window shuffle is the same user-partitioning every sessionization
+    * query in this engine already rides.
+    */
+  def q114MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables
+      .events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val wt = Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("n_from", sum(col("n_pairs")).over(wt))
+      .select(
+        col("from_type"),
+        col("to_type"),
+        col("n_pairs"),
+        col("n_from"),
+        round(col("n_pairs").cast("double") / col("n_from").cast("double"), 6)
+          .as("prob"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** q104 — skyline (Pareto frontier) query: the points of
     * (price, ship_date) per return flag that no other point dominates
     * (≤ in both dimensions, < in at least one) — the multi-criteria
@@ -3598,6 +3770,9 @@ object Relational {
     "q103_knn_triangles" -> q103KnnTriangles,
     "q107_knn_hub_trim" -> q107KnnHubTrim,
     "q111_bfs_hops" -> q111BfsHops,
+    "q112_hll_distinct" -> q112HllDistinct,
+    "q113_ewma_recency" -> q113EwmaRecency,
+    "q114_markov_transitions" -> q114MarkovTransitions,
     "q102_cdc_apply" -> q102CdcApply,
     "q101_agg_ivm" -> q101AggIvm,
     "q100_join_ivm" -> q100JoinIvm,
@@ -3864,6 +4039,90 @@ object Relational {
         |SELECT id AS suppkey, CAST(min(hops) AS BIGINT) AS hops
         |FROM walk GROUP BY 1
         |ORDER BY 1""".stripMargin,
+    // same integer register algebra (bin()-length ρ, integer harmonic
+    // sum); float literals cast ::DOUBLE so DuckDB takes the double
+    // path, not decimal (the t17 lesson); estimator left-associated
+    // identically in both engines
+    "q112_hll_distinct" ->
+      """WITH d AS (
+        |  SELECT DISTINCT o_orderpriority AS prio, o_custkey AS c FROM orders),
+        |h AS (
+        |  SELECT prio,
+        |    ((c % 1000000007) * 1103515245 + 54321) % 1000000007 AS h
+        |  FROM d),
+        |h2 AS (SELECT prio, (h * h + h) % 1000000007 AS h2 FROM h),
+        |r AS (
+        |  SELECT prio, h2 % 128 AS j,
+        |    CASE WHEN h2 // 128 = 0 THEN 24
+        |         ELSE 24 - length(bin(h2 // 128)) END AS rho
+        |  FROM h2),
+        |m AS (SELECT prio, j, max(rho) AS mr FROM r GROUP BY 1, 2),
+        |sk AS (
+        |  SELECT prio, 128 - count(*) AS v_zeros,
+        |    sum(1::BIGINT << CAST(24 - mr AS INT)) +
+        |      (128 - count(*)) * 16777216 AS s_harmonic
+        |  FROM m GROUP BY 1),
+        |ex AS (
+        |  SELECT o_orderpriority AS prio, count(DISTINCT o_custkey) AS n_exact
+        |  FROM orders GROUP BY 1),
+        |est AS (
+        |  SELECT prio, v_zeros, s_harmonic, n_exact,
+        |    0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 128.0::DOUBLE) *
+        |      128.0::DOUBLE * 128.0::DOUBLE * 16777216.0::DOUBLE /
+        |      s_harmonic::DOUBLE AS raw
+        |  FROM sk JOIN ex USING (prio))
+        |SELECT prio AS o_orderpriority,
+        |  CAST(v_zeros AS BIGINT) AS v_zeros,
+        |  CAST(s_harmonic AS BIGINT) AS s_harmonic,
+        |  CAST(n_exact AS BIGINT) AS n_exact,
+        |  round(CASE WHEN raw <= 320.0::DOUBLE AND v_zeros > 0
+        |             THEN 128.0::DOUBLE * ln(128.0::DOUBLE / v_zeros::DOUBLE)
+        |             ELSE raw END, 3) AS est_hll
+        |FROM est
+        |ORDER BY 1""".stripMargin,
+    // same dyadic weights as exact integers; the one float op is the
+    // final num/den division, IEEE-unique in both engines
+    "q113_ewma_recency" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT max(day) AS maxd FROM d),
+        |r AS (
+        |  SELECT user_id, day, c,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day DESC) - 1 AS j
+        |  FROM d, mx WHERE date_diff('day', day, maxd) <= 15),
+        |a AS (
+        |  SELECT user_id, count(*) AS n_days, max(day) AS last_day,
+        |    sum(c * (1::BIGINT << CAST(15 - j AS INT))) AS num,
+        |    sum(1::BIGINT << CAST(15 - j AS INT)) AS den
+        |  FROM r GROUP BY 1)
+        |SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(last_day AS VARCHAR) AS last_day,
+        |  CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+        |  round(num::DOUBLE / den::DOUBLE, 4) AS ewma_cents
+        |FROM a
+        |ORDER BY user_id""".stripMargin,
+    // exact pair counts off the same (ts, event_id) total order; each
+    // probability one integer division
+    "q114_markov_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n_pairs
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (
+        |  SELECT *, sum(n_pairs) OVER (PARTITION BY from_type) AS n_from
+        |  FROM c)
+        |SELECT from_type, to_type,
+        |  CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(n_from AS BIGINT) AS n_from,
+        |  round(n_pairs::DOUBLE / n_from::DOUBLE, 6) AS prob
+        |FROM t
+        |ORDER BY from_type, to_type""".stripMargin,
     "q107_knn_hub_trim" ->
       """WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
         |pr AS (

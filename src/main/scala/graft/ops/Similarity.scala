@@ -699,7 +699,55 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** s12 — kNN majority-vote classification: label each held-out query
+    * vector by the majority label of its k=9 nearest corpus neighbors
+    * (cosine) — the label-propagation/auto-labeling primitive a
+    * training-data pipeline runs to extend a small labeled seed over an
+    * unlabeled corpus. Out-of-sample by construction: queries
+    * (vec_id < 20) are excluded from the corpus side, so no vector
+    * votes for itself. Both rankings are totally ordered (cos desc,
+    * vec_id asc; then votes desc, label asc) so the prediction is
+    * deterministic and the oracle recomputes it exactly — ties
+    * included. Plan: the bounded query set broadcasts (the s1 shape);
+    * per-query top-k via row_number = per-partition heaps; the vote
+    * count is a |queries|×|labels| aggregate — nothing downstream of
+    * the scored join scales with the corpus.
+    */
+  def s12KnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val queries = e
+      .filter(col("vec_id") < 20)
+      .select(
+        col("vec_id").as("q_id"),
+        col("label").as("true_label"),
+        col("v").as("qv"),
+        col("norm").as("qnorm"))
+    val corpus = e.filter(col("vec_id") >= 20)
+    val byCos = Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val votes = corpus
+      .join(broadcast(queries))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+      .withColumn("rank", row_number().over(byCos))
+      .filter(col("rank") <= 9)
+      .groupBy(col("q_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val byVotes = Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("n_votes").desc, col("label").asc)
+    votes
+      .withColumn("vr", row_number().over(byVotes))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("true_label"), col("label").as("pred_label"), col("n_votes"))
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_knn_classify" -> s12KnnClassify,
     "s11_ivf_trained_search" -> s11IvfTrainedSearch,
     "s10_kmeans_train" -> s10KmeansTrain,
     "s9_radius_search" -> s9RadiusSearch,
@@ -841,6 +889,34 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same left-to-right dot fold (list_inner_product), same total
+    // orders on both rankings — prediction matches tie-for-tie
+    "s12_knn_classify" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |        sqrt(list_inner_product(v, v)) AS norm FROM e),
+        |q AS (SELECT vec_id AS q_id, label AS true_label, v AS qv,
+        |        norm AS qn FROM n WHERE vec_id < 20),
+        |c AS (SELECT * FROM n WHERE vec_id >= 20),
+        |sc AS (
+        |  SELECT q.q_id, q.true_label, c.vec_id, c.label,
+        |    list_inner_product(q.qv, c.v) / (q.qn * c.norm) AS cos
+        |  FROM q, c),
+        |tk AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rk FROM sc)
+        |  WHERE rk <= 9),
+        |v AS (
+        |  SELECT q_id, true_label, label, count(*) AS n_votes
+        |  FROM tk GROUP BY 1, 2, 3)
+        |SELECT q_id, true_label, label AS pred_label,
+        |  CAST(n_votes AS BIGINT) AS n_votes
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY n_votes DESC, label ASC) AS vr FROM v)
+        |WHERE vr = 1
+        |ORDER BY q_id""".stripMargin,
     "s11_ivf_trained_search" -> s11OracleSql,
     "s10_kmeans_train" -> s10FinalSql,
     // Same unrounded-cosine threshold predicate; the dot product folds

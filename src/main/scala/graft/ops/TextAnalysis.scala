@@ -817,7 +817,54 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t20 — Zipf slope per language: OLS fit of ln(freq) on ln(rank)
+    * over each language's top-100 terms — the corpus-health diagnostic
+    * t15's frequency spectrum plots; natural text sits near slope −1,
+    * and template/boilerplate-heavy or keyword-stuffed corpora bend it,
+    * so mixing pipelines threshold on this number per source/language.
+    * Rank is a total order (freq desc, term asc), so both engines fit
+    * the SAME 100 (rank, freq) points; counts and ranks are exact
+    * integers, ln/multiply per-point is IEEE-determined, and only the
+    * four OLS sums are float accumulations — order-insensitive to
+    * ~1e-13 against the round(·,3) mask (the t14/t17/t19 contract,
+    * with ±100-ulp headroom of 1e-10). Exact anchors (n_terms,
+    * top_freq, rank-100 freq) carry the hash weight. Plan: one token
+    * exchange → vocabulary-sized term table → WindowGroupLimit-pruned
+    * top-100 per lang → a |langs|-row aggregate.
+    */
+  def t20ZipfSlope(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables
+      .documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val byFreq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("c").desc, col("w").asc)
+    tf.withColumn("rk", row_number().over(byFreq))
+      .filter(col("rk") <= 100)
+      .select(
+        col("lang"),
+        col("c"),
+        col("rk"),
+        log(col("rk").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        max(col("c")).as("top_freq"),
+        min(col("c")).as("tail_freq"),
+        round(
+          (count(lit(1)).cast("double") * sum(col("x") * col("y")) -
+            sum(col("x")) * sum(col("y"))) /
+            (count(lit(1)).cast("double") * sum(col("x") * col("x")) -
+              sum(col("x")) * sum(col("x"))),
+          3).as("zipf_slope"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_zipf_slope" -> t20ZipfSlope,
     "t19_kl_divergence" -> t19KlDivergence,
     "t18_token_entropy" -> t18TokenEntropy,
     "t17_trigram_backoff_lm" -> t17TrigramBackoffLm,
@@ -842,6 +889,31 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     // Same integer counts; ln over DOUBLE-cast operands only, masked
     // by round(·,3) — the t14/t17 determinism contract.
+    // same total rank order, same per-point ln doubles; the four OLS
+    // sums are the only accumulations, masked by round(3)
+    "t20_zipf_slope" ->
+      """WITH tf AS (
+        |  SELECT lang, w, count(*) AS c
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, c,
+        |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, w ASC) AS rk
+        |  FROM tf),
+        |p AS (
+        |  SELECT lang, c, ln(rk::DOUBLE) AS x, ln(c::DOUBLE) AS y
+        |  FROM r WHERE rk <= 100)
+        |SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(max(c) AS BIGINT) AS top_freq,
+        |  CAST(min(c) AS BIGINT) AS tail_freq,
+        |  round((count(*)::DOUBLE * sum(x * y) - sum(x) * sum(y)) /
+        |        (count(*)::DOUBLE * sum(x * x) - sum(x) * sum(x)), 3)
+        |    AS zipf_slope
+        |FROM p
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     // identical integer products inside ln(); round(3) masks the one
     // double summation; per-doc N via the same window formulation
     "t19_kl_divergence" ->

@@ -1167,6 +1167,71 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q112 HLL: estimate within the m=128 error envelope; register algebra exact") {
+    val out = Relational.q112HllDistinct(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (v, s, exact, est) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(v >= 0 && v <= 128)
+      // harmonic sum bounds: all-empty = 128*2^24; every register hit
+      // with rho>=1 means s < 128*2^24
+      assert(s >= 128 && s <= 128L * 16777216L)
+      // standard HLL error is 1.04/sqrt(128) ~= 9.2%; allow 3 sigma
+      assert(math.abs(est - exact) <= math.max(0.28 * exact, 8.0),
+        s"${r.getString(0)}: est $est vs exact $exact outside 3-sigma")
+    }
+  }
+
+  test("q113 EWMA: dyadic weights sum exactly; score between min and max daily cents") {
+    val out = Relational.q113EwmaRecency(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, num, den, ewma) =
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getDouble(5))
+      // den = 2^15 + 2^14 + ... = 2^16 - 2^(16-n) for n consecutive ranks
+      assert(den == 65536L - (1L << (16 - n)), s"user ${r.getLong(0)}: den $den for n=$n")
+      assert(math.abs(ewma - num.toDouble / den) <= 5e-5, "rounded mean drifts")
+    }
+  }
+
+  test("q114 Markov: each from-row is a probability distribution over successors") {
+    val out = Relational.q114MarkovTransitions(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).foreach { case (from, rows) =>
+      val nFrom = rows.head.getLong(3)
+      assert(rows.map(_.getLong(2)).sum == nFrom, s"$from: pair counts != row total")
+      val pSum = rows.map(_.getDouble(4)).sum
+      assert(math.abs(pSum - 1.0) <= 1e-4, s"$from: probabilities sum to $pSum")
+    }
+  }
+
+  test("s12 kNN classify: one prediction per query, votes bounded by k, labels from corpus") {
+    val out = Similarity.s12KnnClassify(spark, Sf).collect()
+    val qIds = Tables.embeddings(spark, Sf)
+      .filter(col("vec_id") < 20).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(0)).toSet == qIds, "every query classified exactly once")
+    assert(out.length == qIds.size)
+    val corpusLabels = Tables.embeddings(spark, Sf)
+      .filter(col("vec_id") >= 20).select("label").distinct()
+      .collect().map(_.getInt(0)).toSet
+    out.foreach { r =>
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 9, "votes within [1, k]")
+      assert(corpusLabels.contains(r.getInt(2)), "prediction is a corpus label")
+    }
+  }
+
+  test("t20 Zipf slope: negative for every language, fit over at most 100 ranks") {
+    val out = TextAnalysis.t20ZipfSlope(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) >= 2 && r.getLong(1) <= 100, "rank support in [2,100]")
+      assert(r.getLong(2) >= r.getLong(3), "top freq >= tail freq")
+      assert(r.getDouble(4) < 0.05,
+        s"${r.getString(0)}: Zipf slope ${r.getDouble(4)} not decreasing")
+    }
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
