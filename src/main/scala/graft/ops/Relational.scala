@@ -3548,43 +3548,106 @@ object Relational {
       .orderBy("user_id")
   }
 
-  /** q114 — first-order Markov transition matrix over the event
-    * stream: P(next event type | current) from per-user consecutive
-    * pairs — the behavioral-model primitive behind next-action
-    * prediction and attribution (q105's path strings give the top
-    * sequences; this gives the full conditional distribution). Pairs
-    * come from ONE lead() window per user totally ordered by
-    * (ts, event_id) — the event_id tiebreak makes the pairing
-    * deterministic under equal timestamps, which the hash gate would
-    * otherwise catch as flapping. Counts are exact integers; each
-    * row-probability is ONE integer÷integer division (IEEE-unique, no
-    * float sums). The transition matrix is |types|² rows after a
-    * partial+final aggregate — state never scales with events, and the
-    * window shuffle is the same user-partitioning every sessionization
-    * query in this engine already rides.
+  /** q115 — changepoint detection (binary-segmentation step) on the
+    * daily revenue series per event type: the split day maximizing the
+    * |pre-mean − post-mean| shift — the monitoring primitive behind
+    * "when did this metric move" alerts and drift triage. All series
+    * state is EXACT integer prefix sums (day-cents running totals via
+    * one per-type ordered window); each candidate split's two means are
+    * single integer÷integer divisions, so every engine computes
+    * bit-identical shift doubles and the argmax (|shift| desc, day asc
+    * — a total order) picks the same split everywhere. Plan: a
+    * (type, day) partial+final aggregate, ONE window pass per type for
+    * the prefix sums, a broadcast |types|-row totals join, and a
+    * |types|·days-row argmax — nothing scales with raw events past the
+    * first aggregate.
     */
-  def q114MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
-    val w = Window
-      .partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val pairs = Tables
+  def q115Changepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
       .events(s, dir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("next_type", lead(col("event_type"), 1).over(w))
-      .filter(col("next_type").isNotNull)
-      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
-      .agg(count(lit(1)).as("n_pairs"))
-    val wt = Window.partitionBy(col("from_type"))
-    pairs
-      .withColumn("n_from", sum(col("n_pairs")).over(wt))
       .select(
-        col("from_type"),
-        col("to_type"),
-        col("n_pairs"),
-        col("n_from"),
-        round(col("n_pairs").cast("double") / col("n_from").cast("double"), 6)
-          .as("prob"))
-      .orderBy("from_type", "to_type")
+        col("event_type"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("c"))
+    val byDay = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("day"))
+    val totals = daily
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("stot"))
+    val cand = daily
+      .withColumn("i", row_number().over(byDay))
+      .withColumn("spre", sum(col("c")).over(byDay))
+      .join(broadcast(totals), "event_type")
+      .filter(col("i") < col("n"))
+      .withColumn("pre_mean", col("spre").cast("double") / col("i").cast("double"))
+      .withColumn(
+        "post_mean",
+        (col("stot") - col("spre")).cast("double") /
+          (col("n") - col("i")).cast("double"))
+      .withColumn("shift", col("post_mean") - col("pre_mean"))
+    val best = Window
+      .partitionBy(col("event_type"))
+      .orderBy(abs(col("shift")).desc, col("day").asc)
+    cand
+      .withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(
+        col("event_type"),
+        col("n").as("n_days"),
+        col("day").cast("string").as("split_day"),
+        col("i").cast("long").as("n_pre"),
+        round(col("pre_mean"), 4).as("pre_mean"),
+        round(col("post_mean"), 4).as("post_mean"),
+        round(col("shift"), 4).as("shift"))
+      .orderBy("event_type")
+  }
+
+  /** q116 — local clustering coefficient over the kNN co-sourcing
+    * graph: 2·T(v)/(deg(v)·(deg(v)−1)) per supplier — "how much of my
+    * neighborhood knows each other", the community-density complement
+    * of q103's raw triangle census (same edges, same triangle join,
+    * different normalization: a hub with many triangles can still be
+    * loosely clustered). Triangle and degree counts are exact
+    * integers off the SHARED [[knnEdges]] pipeline; the coefficient is
+    * one integer÷integer division. Top-k under a total order
+    * (coeff desc — identical doubles both engines — then suppkey).
+    * Scale: Σ deg² work on a degree-capped (≤ 2k per q107's analysis)
+    * edge list; everything after the triangle join is node-sized.
+    */
+  def q116ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val edges = knnEdges(s, dir, 5).localCheckpoint() // 3 triangle sides + degree
+    val tri = edges
+      .as("e1")
+      .join(edges.as("e2"), col("e1.y") === col("e2.x"))
+      .join(
+        edges.as("e3"),
+        col("e1.x") === col("e3.x") && col("e2.y") === col("e3.y"))
+      .select(col("e1.x").as("a"), col("e1.y").as("b"), col("e2.y").as("c"))
+    val triPerNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("suppkey"))
+      .groupBy(col("suppkey"))
+      .agg(count(lit(1)).as("n_tri"))
+    val degree = edges
+      .select(col("x").as("suppkey"))
+      .unionAll(edges.select(col("y").as("suppkey")))
+      .groupBy(col("suppkey"))
+      .agg(count(lit(1)).as("deg"))
+    degree
+      .filter(col("deg") >= 2)
+      .join(triPerNode, Seq("suppkey"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .withColumn(
+        "coeff",
+        round(
+          (lit(2L) * col("n_tri")).cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double"),
+          4))
+      .select(col("suppkey"), col("deg"), col("n_tri"), col("coeff"))
+      .orderBy(col("coeff").desc, col("suppkey").asc)
+      .limit(50)
   }
 
   /** q104 — skyline (Pareto frontier) query: the points of
@@ -3772,7 +3835,8 @@ object Relational {
     "q111_bfs_hops" -> q111BfsHops,
     "q112_hll_distinct" -> q112HllDistinct,
     "q113_ewma_recency" -> q113EwmaRecency,
-    "q114_markov_transitions" -> q114MarkovTransitions,
+    "q115_changepoint" -> q115Changepoint,
+    "q116_clustering_coeff" -> q116ClusteringCoeff,
     "q102_cdc_apply" -> q102CdcApply,
     "q101_agg_ivm" -> q101AggIvm,
     "q100_join_ivm" -> q100JoinIvm,
@@ -4103,26 +4167,75 @@ object Relational {
         |  round(num::DOUBLE / den::DOUBLE, 4) AS ewma_cents
         |FROM a
         |ORDER BY user_id""".stripMargin,
-    // exact pair counts off the same (ts, event_id) total order; each
-    // probability one integer division
-    "q114_markov_transitions" ->
-      """WITH p AS (
-        |  SELECT event_type AS from_type,
-        |    lead(event_type) OVER (PARTITION BY user_id
-        |                           ORDER BY ts, event_id) AS to_type
-        |  FROM events),
-        |c AS (
-        |  SELECT from_type, to_type, count(*) AS n_pairs
-        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
-        |t AS (
-        |  SELECT *, sum(n_pairs) OVER (PARTITION BY from_type) AS n_from
-        |  FROM c)
-        |SELECT from_type, to_type,
-        |  CAST(n_pairs AS BIGINT) AS n_pairs,
-        |  CAST(n_from AS BIGINT) AS n_from,
-        |  round(n_pairs::DOUBLE / n_from::DOUBLE, 6) AS prob
-        |FROM t
-        |ORDER BY from_type, to_type""".stripMargin,
+    // same exact integer prefix sums; each mean one integer division;
+    // same (|shift| desc, day asc) total order on the argmax
+    "q115_changepoint" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_type, day, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY day
+        |                 ROWS UNBOUNDED PRECEDING) AS spre
+        |  FROM d),
+        |t AS (SELECT event_type, count(*) AS n, sum(c) AS stot
+        |      FROM d GROUP BY 1),
+        |cand AS (
+        |  SELECT p.event_type, p.day, p.i, t.n,
+        |    p.spre::DOUBLE / p.i::DOUBLE AS pre_mean,
+        |    (t.stot - p.spre)::DOUBLE / (t.n - p.i)::DOUBLE AS post_mean
+        |  FROM p JOIN t USING (event_type)
+        |  WHERE p.i < t.n),
+        |r AS (
+        |  SELECT *, post_mean - pre_mean AS shift,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(post_mean - pre_mean) DESC, day ASC) AS rk
+        |  FROM cand)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  CAST(day AS VARCHAR) AS split_day, CAST(i AS BIGINT) AS n_pre,
+        |  round(pre_mean, 4) AS pre_mean,
+        |  round(post_mean, 4) AS post_mean,
+        |  round(shift, 4) AS shift
+        |FROM r WHERE rk = 1
+        |ORDER BY event_type""".stripMargin,
+    // q103's triangle CTE extended with per-node degree; coefficient
+    // is one integer division, ordered (coeff desc, suppkey)
+    "q116_clustering_coeff" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+        |pr AS (
+        |  SELECT a.s AS sa, b.s AS sb, count(*) AS c
+        |  FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+        |  GROUP BY 1, 2),
+        |d AS (SELECT sa AS u, sb AS v, c FROM pr
+        |      UNION ALL SELECT sb, sa, c FROM pr),
+        |knn AS (
+        |  SELECT u, v FROM (
+        |    SELECT u, v,
+        |      row_number() OVER (PARTITION BY u ORDER BY c DESC, v ASC) AS rk
+        |    FROM d) WHERE rk <= 5),
+        |e AS (SELECT DISTINCT least(u, v) AS x, greatest(u, v) AS y FROM knn),
+        |tri AS (
+        |  SELECT e1.x AS a, e1.y AS b, e2.y AS cc
+        |  FROM e e1 JOIN e e2 ON e1.y = e2.x
+        |            JOIN e e3 ON e1.x = e3.x AND e2.y = e3.y),
+        |tpn AS (
+        |  SELECT s AS suppkey, count(*) AS n_tri
+        |  FROM (SELECT unnest([a, b, cc]) AS s FROM tri)
+        |  GROUP BY 1),
+        |deg AS (
+        |  SELECT s AS suppkey, count(*) AS deg
+        |  FROM (SELECT x AS s FROM e UNION ALL SELECT y FROM e)
+        |  GROUP BY 1)
+        |SELECT deg.suppkey, CAST(deg.deg AS BIGINT) AS deg,
+        |  CAST(coalesce(tpn.n_tri, 0) AS BIGINT) AS n_tri,
+        |  round((2 * coalesce(tpn.n_tri, 0))::DOUBLE /
+        |        (deg.deg * (deg.deg - 1))::DOUBLE, 4) AS coeff
+        |FROM deg LEFT JOIN tpn USING (suppkey)
+        |WHERE deg.deg >= 2
+        |ORDER BY coeff DESC, suppkey
+        |LIMIT 50""".stripMargin,
     "q107_knn_hub_trim" ->
       """WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
         |pr AS (

@@ -843,6 +843,98 @@ object Streams {
         OutputMode.Update())
   }
 
+  /** A user's current recency score: exact dyadic EWMA numerator/
+    * denominator plus the derived double (num/den, one IEEE division).
+    */
+  final case class EwmaScore(
+      user_id: Long,
+      n_days: Int,
+      last_day: Long,
+      num: Long,
+      den: Long,
+      ewma_cents: Double)
+
+  /** ValueState row: a user's retained (epoch day → cents) horizon,
+    * newest-first parallel arrays (product encoder needs flat fields).
+    */
+  final case class DayCents(days: Array[Long], cents: Array[Long])
+
+  /** Streaming EWMA recency gate — batch q113's dyadic smoothing as
+    * CONTINUOUS per-user state. State is the horizon's (day → cents)
+    * map itself (≤ 16 rows/user — bounded by the horizon, not
+    * history), merged additively per batch, so the score is a pure
+    * function of the retained days' totals: same-day rows commute
+    * across batches and replays. The dyadic contract matches q113
+    * exactly — α = 1/2 ⇒ weight 2^(horizon−1−rank) an exact
+    * power-of-two integer, num/den exact BIGINT sums, ONE final
+    * division. Delivery contract (documented, like the CMS gate's
+    * false-positive class): a day evicted past the horizon whose rows
+    * arrive afterwards re-enters with only the late partial — late
+    * data must land within the horizon, the same discipline a
+    * watermark enforces on every windowed aggregate in this module.
+    */
+  class EwmaRecencyProcessor(horizon: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long,
+        (Long, Long, Long),
+        EwmaScore] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: ValueState[DayCents] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[DayCents](
+        "dc",
+        Encoders.product[DayCents],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, Long, Long)],
+        timerValues: TimerValues): Iterator[EwmaScore] = {
+      val acc = scala.collection.mutable.LongMap.empty[Long]
+      if (st.exists()) {
+        val p = st.get()
+        var i = 0
+        while (i < p.days.length) { acc(p.days(i)) = p.cents(i); i += 1 }
+      }
+      rows.foreach { case (_, day, cents) =>
+        acc(day) = acc.getOrElse(day, 0L) + cents
+      }
+      // newest-first, keep the horizon
+      val kept = acc.toArray.sortBy(-_._1).take(horizon)
+      st.update(DayCents(kept.map(_._1), kept.map(_._2)))
+      var num = 0L
+      var den = 0L
+      var j = 0
+      while (j < kept.length) {
+        val wt = 1L << (horizon - 1 - j)
+        num += kept(j)._2 * wt
+        den += wt
+        j += 1
+      }
+      Iterator.single(
+        EwmaScore(key, kept.length, kept(0)._1, num, den, num.toDouble / den))
+    }
+  }
+
+  /** Continuously-maintained per-user dyadic EWMA recency scores with
+    * horizon-bounded state; update-mode emission. Input rows are
+    * (user_id, epoch_day, cents).
+    */
+  def streamingEwmaGate(
+      daily: Dataset[(Long, Long, Long)],
+      horizon: Int = 16): Dataset[EwmaScore] = {
+    import daily.sparkSession.implicits._
+    daily
+      .groupByKey(_._1)
+      .transformWithState(
+        new EwmaRecencyProcessor(horizon),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** One CDC change event: a full row image (op I/U) or tombstone (D)
     * at log sequence `seq`.
     */

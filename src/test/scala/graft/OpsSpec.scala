@@ -1195,17 +1195,6 @@ class OpsSpec extends SparkSpec {
     }
   }
 
-  test("q114 Markov: each from-row is a probability distribution over successors") {
-    val out = Relational.q114MarkovTransitions(spark, Sf).collect()
-    assert(out.nonEmpty)
-    out.groupBy(_.getString(0)).foreach { case (from, rows) =>
-      val nFrom = rows.head.getLong(3)
-      assert(rows.map(_.getLong(2)).sum == nFrom, s"$from: pair counts != row total")
-      val pSum = rows.map(_.getDouble(4)).sum
-      assert(math.abs(pSum - 1.0) <= 1e-4, s"$from: probabilities sum to $pSum")
-    }
-  }
-
   test("s12 kNN classify: one prediction per query, votes bounded by k, labels from corpus") {
     val out = Similarity.s12KnnClassify(spark, Sf).collect()
     val qIds = Tables.embeddings(spark, Sf)
@@ -1229,6 +1218,28 @@ class OpsSpec extends SparkSpec {
       assert(r.getLong(2) >= r.getLong(3), "top freq >= tail freq")
       assert(r.getDouble(4) < 0.05,
         s"${r.getString(0)}: Zipf slope ${r.getDouble(4)} not decreasing")
+    }
+  }
+
+  test("q115 changepoint: split strictly interior, means consistent with the shift") {
+    val out = Relational.q115Changepoint(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, nPre) = (r.getLong(1), r.getLong(3))
+      assert(nPre >= 1 && nPre < n, "split must leave both sides non-empty")
+      assert(math.abs(r.getDouble(6) - (r.getDouble(5) - r.getDouble(4))) <= 2e-4,
+        "shift == post_mean - pre_mean under rounding")
+    }
+  }
+
+  test("q116 clustering coefficient: in [0,1], triangles bounded by the degree pairs") {
+    val out = Relational.q116ClusteringCoeff(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (deg, tri, coeff) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(deg >= 2)
+      assert(tri <= deg * (deg - 1) / 2, "more triangles than neighbor pairs")
+      assert(coeff >= 0.0 && coeff <= 1.0)
     }
   }
 

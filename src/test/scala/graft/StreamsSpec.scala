@@ -911,6 +911,71 @@ class StreamBatchParitySpec extends SparkSpec {
     }
   }
 
+  test("streaming EWMA gate: final scores match the batch dyadic algebra exactly") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val horizon = 16
+    // (user, epoch_day, cents) off the fixture — same cents convention
+    // as batch q113 (floor(value*100+0.5))
+    val rows = graft.ops.Tables.events(spark, Sf)
+      .select(
+        col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // batch reference: per-user daily totals, newest-first horizon,
+    // exact dyadic num/den — the q113 algebra with a per-user anchor
+    val expected = rows
+      .groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(_._3).sum).toSeq
+      .map { case ((u, d), c) => (u, d, c) }
+      .groupBy(_._1).map { case (u, ds) =>
+        val kept = ds.sortBy(-_._2).take(horizon)
+        val num = kept.zipWithIndex.map { case ((_, _, c), j) =>
+          c * (1L << (horizon - 1 - j)) }.sum
+        val den = kept.indices.map(j => 1L << (horizon - 1 - j)).sum
+        u -> ((kept.length, kept.head._2, num, den))
+      }
+    // day-ordered delivery (the documented contract): batches split by
+    // day; WITHIN a day rows arrive shuffled and split across batches
+    val byDay = rows.sortBy(_._2)
+    val mid = byDay.count(_._2 <= byDay(byDay.size / 2)._2)
+    val batches = Seq(
+      byDay.take(mid).reverse, // within-horizon reordering is fine
+      byDay.drop(mid).grouped(97).toSeq.flatten)
+      .flatMap(b => Seq(b.take(b.size / 2), b.drop(b.size / 2)))
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = graft.streaming.Streams.streamingEwmaGate(in.toDS(), horizon)
+      .writeStream.format("memory").queryName("ewma_gate")
+      .outputMode("update").start()
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      val got = spark.table("ewma_gate")
+        .collect().zipWithIndex
+        .groupBy(_._1.getLong(0))
+        .map { case (u, emits) =>
+          val last = emits.maxBy(_._2)._1
+          u -> ((last.getInt(1), last.getLong(2), last.getLong(3), last.getLong(4)))
+        }
+      assert(got == expected, "streaming EWMA diverged from the batch dyadic algebra")
+      // the derived double is the one num/den division
+      spark.table("ewma_gate").collect().foreach { r =>
+        assert(r.getDouble(5) == r.getLong(3).toDouble / r.getLong(4))
+      }
+    } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming CDC gate: latest image matches batch max_by under ANY arrival order") {
     import spark.implicits._
     import graft.streaming.Streams.{CdcChange, CdcImage}

@@ -80,7 +80,21 @@ val targets: Seq[(String, String, org.apache.spark.sql.DataFrame)] = Seq(
   ("d19_sorted_neighborhood_multipass", "two-pass sorted neighborhood: forward + reversed-key windows union candidates, one shared verify",
     graft.ops.Dedup.d19SortedNeighborhoodMultipass(spark, sf)),
   ("q108_zorder_scan", "z-order rewrite + 2-D range read: one curve-sorted exchange at write, row-group stats prune the scan",
-    graft.ops.Layout.q108ZorderScan(spark, sf))
+    graft.ops.Layout.q108ZorderScan(spark, sf)),
+  ("q112_hll_distinct", "HLL sketch: distinct pairs then register-max partial+final aggregates -- exchange bounded at groups x 128 rows at ANY cardinality",
+    graft.ops.Relational.q112HllDistinct(spark, sf)),
+  ("q113_ewma_recency", "dyadic EWMA: one (user,day) aggregate, 1-row max-day broadcast, 16-row-bounded per-user window",
+    graft.ops.Relational.q113EwmaRecency(spark, sf)),
+  ("q115_changepoint", "changepoint argmax: ONE ordered window pass builds all prefix sums; |types|-row totals broadcast",
+    graft.ops.Relational.q115Changepoint(spark, sf)),
+  ("q116_clustering_coeff", "clustering coefficient: checkpointed kNN edges reused by 3 triangle sides AND the degree rollup",
+    graft.ops.Relational.q116ClusteringCoeff(spark, sf)),
+  ("s12_knn_classify", "kNN classify: bounded query set broadcast, per-partition top-k heaps, node-sized vote aggregate",
+    graft.ops.Similarity.s12KnnClassify(spark, sf)),
+  ("t19_kl_divergence", "KL vs corpus: ONE (doc,term) exchange shared by rollup and per-doc join; vocab table AQE-broadcast",
+    graft.ops.TextAnalysis.t19KlDivergence(spark, sf)),
+  ("t20_zipf_slope", "Zipf OLS: vocabulary-sized term table, WindowGroupLimit-pruned top-100, |langs|-row aggregate",
+    graft.ops.TextAnalysis.t20ZipfSlope(spark, sf))
 )
 val sb = new StringBuilder
 sb.append("# PLANS -- executed physical plans of headline queries\n\n")
