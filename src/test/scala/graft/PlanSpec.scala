@@ -390,6 +390,42 @@ class PlanSpec extends SparkSpec {
       s"z-order pruned too little: read $zRows of $naiveRows")
   }
 
+  test("q112 HLL: no window/sort aggregate — register state is pure hash aggregation") {
+    val plan = formatted(Relational.q112HllDistinct(spark, Sf))
+    assert(!plan.contains("WindowGroupLimit") && !plan.contains("SortAggregate"),
+      "HLL register maxima must plan as hash aggregates, not sorts")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 5-row exact-count side must broadcast")
+  }
+
+  test("q115 changepoint: totals broadcast back; the argmax is WindowGroupLimit-pruned") {
+    val plan = formatted(Relational.q115Changepoint(spark, Sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-type totals must broadcast into the candidate scan")
+    assert(plan.contains("WindowGroupLimit"),
+      "rk=1 argmax must prune per-partition before the full window sort")
+  }
+
+  test("q116 clustering coefficient: top-50 plans TakeOrderedAndProject, no global sort") {
+    val plan = formatted(Relational.q116ClusteringCoeff(spark, Sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject:\n${plan.take(1200)}")
+  }
+
+  test("s12 kNN classify: query set broadcasts; top-k pruned per partition") {
+    val plan = formatted(Similarity.s12KnnClassify(spark, Sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "the bounded query set must broadcast against the corpus")
+    assert(plan.contains("WindowGroupLimit"),
+      "rank<=k must prune before the full per-query sort")
+  }
+
+  test("t20 Zipf slope: per-lang top-100 pruned via WindowGroupLimit") {
+    val plan = formatted(TextAnalysis.t20ZipfSlope(spark, Sf))
+    assert(plan.contains("WindowGroupLimit"),
+      "rk<=100 must prune per-partition before the full vocabulary sort")
+  }
+
   test("spread parallelizes derived compute beyond the single input split") {
     val parts = Tables
       .spread(Tables.documents(spark, Sf))
