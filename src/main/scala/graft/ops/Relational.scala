@@ -3650,6 +3650,48 @@ object Relational {
       .limit(50)
   }
 
+  /** q117 — maximum drawdown of each user's daily-activity series:
+    * the largest drop from a historical peak (running max − current,
+    * maximized over days) plus the first day it occurred — the
+    * engagement-decay / churn-precursor metric, and the canonical
+    * "running extreme then global extreme of the deficit" window
+    * composition (finance's max-drawdown applied to activity). Every
+    * value is EXACT integer cents: the running peak is a max window
+    * over the per-user ordered days, the deficit a subtraction, the
+    * argmax a (deficit desc, day asc) total order — no float exists
+    * anywhere in the query, so the hash gate checks it end-to-end.
+    * Plan: one (user, day) partial+final aggregate, then both windows
+    * and the final argmax ride the SAME user_id hash partitioning —
+    * one data-sized exchange total.
+    */
+  def q117MaxDrawdown(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("cents")).as("c"))
+    val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val byDeficit = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("dd").desc, col("day").asc)
+    daily
+      .withColumn("peak", max(col("c")).over(byDay))
+      .withColumn("dd", col("peak") - col("c"))
+      .withColumn("n_days", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .withColumn("rk", row_number().over(byDeficit))
+      .filter(col("rk") === 1)
+      .select(
+        col("user_id"),
+        col("n_days"),
+        col("peak").as("peak_cents"),
+        col("dd").as("max_drawdown"),
+        col("day").cast("string").as("drawdown_day"))
+      .orderBy("user_id")
+  }
+
   /** q104 — skyline (Pareto frontier) query: the points of
     * (price, ship_date) per return flag that no other point dominates
     * (≤ in both dimensions, < in at least one) — the multi-criteria
@@ -3837,6 +3879,7 @@ object Relational {
     "q113_ewma_recency" -> q113EwmaRecency,
     "q115_changepoint" -> q115Changepoint,
     "q116_clustering_coeff" -> q116ClusteringCoeff,
+    "q117_max_drawdown" -> q117MaxDrawdown,
     "q102_cdc_apply" -> q102CdcApply,
     "q101_agg_ivm" -> q101AggIvm,
     "q100_join_ivm" -> q100JoinIvm,
@@ -4200,6 +4243,30 @@ object Relational {
         |  round(shift, 4) AS shift
         |FROM r WHERE rk = 1
         |ORDER BY event_type""".stripMargin,
+    // all-integer: running max, deficit, (dd desc, day) argmax — the
+    // whole query hash-checks with no float anywhere
+    "q117_max_drawdown" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT user_id, day, c,
+        |    max(c) OVER (PARTITION BY user_id ORDER BY day
+        |                 ROWS UNBOUNDED PRECEDING) AS peak,
+        |    count(*) OVER (PARTITION BY user_id) AS n_days
+        |  FROM d),
+        |r AS (
+        |  SELECT *, peak - c AS dd,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY peak - c DESC, day ASC) AS rk
+        |  FROM p)
+        |SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(peak AS BIGINT) AS peak_cents,
+        |  CAST(dd AS BIGINT) AS max_drawdown,
+        |  CAST(day AS VARCHAR) AS drawdown_day
+        |FROM r WHERE rk = 1
+        |ORDER BY user_id""".stripMargin,
     // q103's triangle CTE extended with per-node degree; coefficient
     // is one integer division, ordered (coeff desc, suppkey)
     "q116_clustering_coeff" ->

@@ -1243,6 +1243,17 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q117 drawdown: non-negative, bounded by its own peak, day within the series") {
+    val out = Relational.q117MaxDrawdown(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (peak, dd) = (r.getLong(2), r.getLong(3))
+      assert(dd >= 0, "drawdown is a deficit from a running max")
+      assert(dd <= peak, "cannot drop more than the peak itself (cents >= 0)")
+    }
+    assert(out.exists(_.getLong(3) > 0), "fixture series are not all monotone")
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
