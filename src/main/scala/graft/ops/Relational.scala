@@ -3868,7 +3868,437 @@ object Relational {
       .orderBy("prio_a", "prio_b")
   }
 
+  /** q118 — calendar gap-fill + last-observation-carried-forward: each
+    * user's daily-activity series densified to every calendar day in its
+    * own [min,max] span (`sequence` + `explode` — the set-returning
+    * generate_series primitive), missing days LOCF-filled with an
+    * ignoreNulls `last` window, then rolled up per user. The fill is the
+    * time-series-regularization primitive every downstream
+    * window/forecast operator assumes. All-integer output (cents, day
+    * counts) so the hash gate checks the fill exactly. Plan: the daily
+    * aggregate, its per-user span, the calendar explode, the fill
+    * window, and the final rollup all cluster on user_id — the calendar
+    * join's (user_id, day) exchange is the only extra data-sized
+    * exchange, and the calendar side is generated (never scanned). At
+    * 100 TB the explode multiplies rows by span/activity density only —
+    * bounded by the calendar, not the data — and AQE handles the
+    * (rare) user whose span is the whole history.
+    */
+  def q118GapFillLocf(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("cents")).as("c"))
+    val cal = daily
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal
+      .join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled", last(col("c"), ignoreNulls = true).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_gap_days"),
+        sum(col("filled")).as("locf_sum_cents"))
+      .orderBy("user_id")
+  }
+
+  /** q119 — winsorized robust statistics per event type: EXACT p05/p95
+    * (Spark's exact `percentile`, linear interpolation — same
+    * definition as the oracle's quantile_cont), values clamped to that
+    * band, raw vs winsorized mean side by side — the outlier-robust
+    * location estimate batch feature pipelines use instead of trimming.
+    * Cents (long) end-to-end so sums are exact integers; only the final
+    * mean/percentile division is float, masked at 4 decimals. Plan: one
+    * pass computes the percentiles per type (5 groups), broadcast back
+    * onto the stream, second pass clamps and aggregates — two scans,
+    * zero data-sized exchanges beyond the 5-group partial aggregates.
+    * At 100 TB the exact percentile is the one deliberate cost (full
+    * sort-based aggregate per group); the documented production swap is
+    * approx_percentile when 1e-3 error is acceptable — semantics
+    * otherwise identical.
+    */
+  def q119WinsorizedStats(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v"))
+    val pct = e
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(v, 0.05)").as("p05"),
+        expr("percentile(v, 0.95)").as("p95"))
+    e.join(broadcast(pct), Seq("event_type"))
+      .withColumn(
+        "wv",
+        when(col("v") < col("p05"), col("p05"))
+          .when(col("v") > col("p95"), col("p95"))
+          .otherwise(col("v").cast("double")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("p05")), 4).as("p05"),
+        round(min(col("p95")), 4).as("p95"),
+        round(avg(col("v")), 4).as("raw_mean"),
+        round(avg(col("wv")), 4).as("wins_mean"))
+      .orderBy("event_type")
+  }
+
+  /** q120 — time-constrained funnel: users who viewed, then clicked
+    * within 1 hour of their FIRST view, then purchased within 24 hours
+    * of that first qualifying click — the conversion-window funnel
+    * (q51 checks one fixed unconstrained path; this enforces per-stage
+    * deadlines, the product-analytics standard). Each stage is a
+    * per-user min-timestamp aggregate over a filtered scan joined back
+    * on user_id; stage populations shrink monotonically so the joins
+    * ride ever-smaller (AQE-broadcastable) sides. Counts are integers —
+    * exact hash. At 100 TB: three predicate-pushed scans of the same
+    * fact (or one shared scan via persist), each aggregating to
+    * user-cardinality before any join — no stage ever joins fact×fact.
+    */
+  def q120FunnelWindowed(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_type"))
+    val v = e
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t_view"))
+    val c = e
+      .filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(
+        col("ts") > col("t_view") &&
+          col("ts") <= col("t_view") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t_click"))
+    val p = e
+      .filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(
+        col("ts") > col("t_click") &&
+          col("ts") <= col("t_click") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t_purchase"))
+    val s1 = v.agg(count(lit(1)).as("n_users"))
+      .select(lit(1L).as("stage"), lit("view").as("name"), col("n_users"))
+    val s2 = c.agg(count(lit(1)).as("n_users"))
+      .select(lit(2L).as("stage"), lit("click_1h").as("name"), col("n_users"))
+    val s3 = p.agg(count(lit(1)).as("n_users"))
+      .select(lit(3L).as("stage"), lit("purchase_24h").as("name"), col("n_users"))
+    s1.union(s2).union(s3).orderBy("stage")
+  }
+
+  /** q121 — autocorrelation of each event type's daily-total series at
+    * lags 1 and 7 (the daily/weekly persistence diagnostic that decides
+    * whether a forecast model needs AR terms). The series is the
+    * (type, day) cents aggregate in day order; lag-k pairs come from a
+    * `lag` window over that order and Pearson r from the `corr`
+    * aggregate (null lag rows drop out of corr in both engines by
+    * definition). Rounded at 4 — corr of ≤31 points is numerically
+    * tame. Plan: one partial+final (type, day) aggregate, then window +
+    * corr ride the same 5-partition event_type clustering — a single
+    * data-sized exchange; the series length is calendar-bounded, so at
+    * 100 TB the post-aggregate stage is fixed-size regardless of fact
+    * rows.
+    */
+  def q121Autocorr(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    d.withColumn("l1", lag(col("c"), 1).over(w))
+      .withColumn("l7", lag(col("c"), 7).over(w))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        round(corr(col("c"), col("l1")), 4).as("acf1"),
+        round(corr(col("c"), col("l7")), 4).as("acf7"))
+      .orderBy("event_type")
+  }
+
+  /** q122 — last-touch attribution: each purchase's value is credited
+    * to the most recent click/view by the same user STRICTLY before it
+    * and within a 7-day lookback, else to 'none' — the marketing
+    * attribution primitive. One ignoreNulls `last` window over the
+    * merged (touch ∪ purchase) stream replaces the usual as-of
+    * self-join: touches and purchases ride a single (user, ts,
+    * event_id)-ordered pass with a strict ROWS-preceding frame, so the
+    * carried touch and its timestamp come from the same row and
+    * same-timestamp ties resolve by event_id identically in both
+    * engines. All-integer cents + channel strings — exact hash. Plan:
+    * one user_id exchange for the window, then a 3-group rollup;
+    * at 100 TB this is the textbook replacement for the
+    * purchase×touch range join (which would shuffle the fact twice and
+    * explode on active users).
+    */
+  def q122LastTouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    val tagged = Tables
+      .events(s, dir)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(
+        col("user_id"),
+        col("ts"),
+        col("event_id"),
+        when(col("event_type").isin("click", "view"), col("event_type")).as("touch"),
+        when(
+          col("event_type") === "purchase",
+          floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tagged
+      .withColumn("last_touch", last(col("touch"), ignoreNulls = true).over(w))
+      .withColumn(
+        "last_ts",
+        last(when(col("touch").isNotNull, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("cents").isNotNull)
+      .withColumn(
+        "channel",
+        when(
+          col("last_touch").isNull ||
+            col("last_ts") < col("ts") - expr("INTERVAL 7 DAYS"),
+          lit("none")).otherwise(col("last_touch")))
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("attributed_cents"))
+      .orderBy("channel")
+  }
+
+  /** q123 — day-of-week seasonal decomposition of each event type's
+    * daily-total series: per (type, ISO weekday) mean vs the type's
+    * overall daily mean, the additive seasonal index `dow_mean −
+    * grand_mean`, and the share of daily variance the weekday effect
+    * explains (eta² = var(seasonal fit)/var(series)) — the diagnostic
+    * that decides whether a forecast needs weekly seasonality terms.
+    * ISO weekday (Mon=1) because Spark's `DAYOFWEEK_ISO` extract and
+    * DuckDB's `isodow` agree; plain `dayofweek` differs by engine.
+    * Means/variances are doubles over exact cents integers, rounded at
+    * 4. Plan: one (type, day) partial+final aggregate, then everything
+    * rides the 5-row-per-type calendar-bounded series — per-type stats
+    * broadcast back onto 7-row groups. At 100 TB only the first
+    * aggregate touches data-sized rows.
+    */
+  def q123SeasonalDow(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("c"))
+      .withColumn("dow", expr("extract(DAYOFWEEK_ISO FROM day)").cast("long"))
+    val overall = d
+      .groupBy(col("event_type"))
+      .agg(avg(col("c")).as("grand_mean"), var_pop(col("c")).as("series_var"))
+    val dow = d
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_days"), avg(col("c")).as("dow_mean"))
+    dow
+      .join(broadcast(overall), Seq("event_type"))
+      .withColumn("sidx", col("dow_mean") - col("grand_mean"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("n_days")).as("n_days"),
+        round(min(col("grand_mean")), 4).as("grand_mean"),
+        // eta²: weighted variance of the per-dow fitted means over the
+        // series variance — 0 when the weekday effect explains nothing
+        round(
+          (sum(col("n_days") * col("sidx") * col("sidx")) / sum(col("n_days"))) /
+            min(col("series_var")),
+          4).as("eta2"),
+        round(max(col("sidx")), 4).as("peak_idx"),
+        round(min(col("sidx")), 4).as("trough_idx"))
+      .orderBy("event_type")
+  }
+
+  /** q124 — Welch two-sample test between experiment arms: users split
+    * deterministically by `user_id % 2`, purchase values compared
+    * arm-vs-arm with the unequal-variance t statistic t = (μA−μB)/
+    * √(sA²/nA + sB²/nB) — the A/B-readout primitive. Sample variances
+    * (`var_samp`) over exact cents; one filtered scan, two partial
+    * aggregates, a 2-row pivot — zero data-sized exchanges beyond the
+    * arm aggregate. The t statistic is a double from exact integer
+    * moments, rounded at 4.
+    */
+  def q124AbWelch(s: SparkSession, dir: String): DataFrame = {
+    val arms = Tables
+      .events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        (col("user_id") % 2L).as("arm"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("arm"))
+      .agg(
+        count(lit(1)).as("n"),
+        avg(col("cents")).as("mean_c"),
+        var_samp(col("cents")).as("var_c"))
+    val a = arms.filter(col("arm") === 0L).select(
+      col("n").as("n_a"), col("mean_c").as("m_a"), col("var_c").as("v_a"))
+    val b = arms.filter(col("arm") === 1L).select(
+      col("n").as("n_b"), col("mean_c").as("m_b"), col("var_c").as("v_b"))
+    a.crossJoin(broadcast(b))
+      .select(
+        col("n_a"),
+        col("n_b"),
+        round(col("m_a"), 4).as("mean_a"),
+        round(col("m_b"), 4).as("mean_b"),
+        round(col("m_a") - col("m_b"), 4).as("diff"),
+        round(
+          (col("m_a") - col("m_b")) /
+            sqrt(col("v_a") / col("n_a") + col("v_b") / col("n_b")),
+          4).as("welch_t"))
+  }
+
+  /** q125 — two-feature OLS via normal equations: extendedprice(cents)
+    * regressed on quantity and discount(%), coefficients from the
+    * closed-form 3×3 Cramer solve over NINE exact moment sums — the
+    * distributed-regression shape (one pass of partial+final
+    * aggregates, no iteration, no data movement beyond a 1-row
+    * reduce). All moments accumulate in DECIMAL(38,0): price² sums
+    * pass 2^63 already at sf0.1 (1e14/row · 6e5 rows), so a long sum
+    * would wrap silently while DuckDB's BIGINT sum widens to HUGEINT —
+    * decimal keeps both engines exact at any scale. The Cramer solve
+    * runs in double from those exact integers → bit-deterministic,
+    * rounded at 4. R² from the same moments.
+    */
+  def q125OlsNormalEq(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val r = Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_quantity").cast("long").as("x1"),
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("x2"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"))
+      .agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("x1").cast(dec)).as("s1"),
+        sum(col("x2").cast(dec)).as("s2"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x1") * col("x1")).cast(dec)).as("s11"),
+        sum((col("x1") * col("x2")).cast(dec)).as("s12"),
+        sum((col("x2") * col("x2")).cast(dec)).as("s22"),
+        sum((col("x1") * col("y")).cast(dec)).as("s1y"),
+        sum((col("x2") * col("y")).cast(dec)).as("s2y"),
+        sum((col("y").cast(dec) * col("y").cast(dec))).as("syy"))
+    // 3×3 normal-equation solve, all in double from the exact moments
+    val cols = Seq("n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy")
+    val d = r.select(cols.map(c => col(c).cast("double").as(c)): _*)
+    d.select(
+        expr(
+          """
+          |round(
+          |  (sy*(s11*s22-s12*s12) - s1y*(s1*s22-s2*s12) + s2y*(s1*s12-s2*s11)) /
+          |  (n*(s11*s22-s12*s12) - s1*(s1*s22-s2*s12) + s2*(s1*s12-s2*s11)), 4)
+          """.stripMargin).as("b0"),
+        expr(
+          """
+          |round(
+          |  (n*(s1y*s22-s12*s2y) - sy*(s1*s22-s2*s12) + s2*(s1*s2y-s1y*s2)) /
+          |  (n*(s11*s22-s12*s12) - s1*(s1*s22-s2*s12) + s2*(s1*s12-s2*s11)), 4)
+          """.stripMargin).as("b1"),
+        expr(
+          """
+          |round(
+          |  (n*(s11*s2y-s1y*s12) - s1*(s1*s2y-s1y*s2) + sy*(s1*s12-s2*s11)) /
+          |  (n*(s11*s22-s12*s12) - s1*(s1*s22-s2*s12) + s2*(s1*s12-s2*s11)), 4)
+          """.stripMargin).as("b2"),
+        expr(
+          """
+          |round(1.0 -
+          |  (syy
+          |   - ((sy*(s11*s22-s12*s12) - s1y*(s1*s22-s2*s12) + s2y*(s1*s12-s2*s11)) /
+          |      (n*(s11*s22-s12*s12) - s1*(s1*s22-s2*s12) + s2*(s1*s12-s2*s11))) * sy
+          |   - ((n*(s1y*s22-s12*s2y) - sy*(s1*s22-s2*s12) + s2*(s1*s2y-s1y*s2)) /
+          |      (n*(s11*s22-s12*s12) - s1*(s1*s22-s2*s12) + s2*(s1*s12-s2*s11))) * s1y
+          |   - ((n*(s11*s2y-s1y*s12) - s1*(s1*s2y-s1y*s2) + sy*(s1*s12-s2*s11)) /
+          |      (n*(s11*s22-s12*s12) - s1*(s1*s22-s2*s12) + s2*(s1*s12-s2*s11))) * s2y) /
+          |  (syy - sy*sy/n), 6)
+          """.stripMargin).as("r2"))
+  }
+
+  /** q126 — degree assortativity of the trade graph: Pearson
+    * correlation between the degrees of each edge's endpoints over the
+    * directed (mirrored) edge list — the one-number structural
+    * diagnostic (hub-to-hub vs hub-to-leaf wiring) that decides
+    * whether degree-targeted partitioning (q107's hub trim) will pay.
+    * Plan: degree table is node-sized and broadcast onto the edge list
+    * twice; `corr` reduces to one row. One edge-sized exchange total.
+    */
+  def q126Assortativity(s: SparkSession, dir: String): DataFrame = {
+    val (edges, outdeg, _) = tradeGraph(s, dir)
+    // mirrored graph ⇒ outdeg == total degree
+    val dSrc = outdeg.select(col("src"), col("outdeg").as("deg_src"))
+    val dDst = outdeg.select(col("src").as("dst"), col("outdeg").as("deg_dst"))
+    edges
+      .join(broadcast(dSrc), "src")
+      .join(broadcast(dDst), "dst")
+      .agg(
+        count(lit(1)).as("n_directed_edges"),
+        round(corr(col("deg_src"), col("deg_dst")), 4).as("assortativity"))
+  }
+
+  /** q127 — synchronous label propagation (3 fixed rounds) over the
+    * trade graph: each node adopts its neighbors' most frequent label,
+    * ties broken by smallest label — the deterministic LPA variant
+    * (async LPA is run-order-dependent and can never hash-match an
+    * oracle). Labels start as node ids; after 3 rounds communities are
+    * the surviving label groups, top 25 by (size desc, label). Per
+    * round: one edge-sized exchange (neighbor-label count) + a
+    * node-sized window argmax — same per-round cost envelope as q90's
+    * PageRank, fixed rounds ⇒ static plan, bounded lineage, no driver
+    * actions. The mirrored graph guarantees every node has incoming
+    * edges, so no node drops out of a round.
+    */
+  def q127LabelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val (edges, outdeg, _) = tradeGraph(s, dir)
+    var labels = outdeg.select(col("src").as("node"), col("src").as("lbl"))
+    val w = Window
+      .partitionBy(col("node"))
+      .orderBy(col("c").desc, col("lbl").asc)
+    for (_ <- 1 to 3) {
+      labels = edges
+        .join(labels, edges("src") === labels("node"))
+        .groupBy(edges("dst").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lbl"))
+    }
+    labels
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("community_size"))
+      .orderBy(col("community_size").desc, col("lbl").asc)
+      .limit(25)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_seasonal_dow" -> q123SeasonalDow,
+    "q124_ab_welch" -> q124AbWelch,
+    "q125_ols_normal_eq" -> q125OlsNormalEq,
+    "q126_assortativity" -> q126Assortativity,
+    "q127_label_propagation" -> q127LabelPropagation,
+    "q118_gap_fill_locf" -> q118GapFillLocf,
+    "q119_winsorized_stats" -> q119WinsorizedStats,
+    "q120_funnel_windowed" -> q120FunnelWindowed,
+    "q121_autocorr" -> q121Autocorr,
+    "q122_last_touch_attribution" -> q122LastTouchAttribution,
     "q106_kmv_set_algebra" -> q106KmvSetAlgebra,
     "q105_session_paths" -> q105SessionPaths,
     "q104_skyline" -> q104Skyline,
@@ -3986,7 +4416,247 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // isodow == Spark's DAYOFWEEK_ISO extract (Mon=1); var_pop over
+    // exact cents; eta² weighted by per-dow day counts
+    "q123_seasonal_dow" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
+        |  FROM events GROUP BY 1, 2),
+        |dd AS (SELECT event_type, isodow(day) AS dow, c FROM d),
+        |o AS (
+        |  SELECT event_type, avg(c) AS grand_mean, var_pop(c) AS series_var
+        |  FROM dd GROUP BY 1),
+        |w AS (
+        |  SELECT event_type, dow, count(*) AS n_days, avg(c) AS dow_mean
+        |  FROM dd GROUP BY 1, 2),
+        |j AS (
+        |  SELECT w.event_type, w.n_days, o.grand_mean, o.series_var,
+        |    w.dow_mean - o.grand_mean AS sidx
+        |  FROM w JOIN o ON w.event_type = o.event_type)
+        |SELECT event_type, CAST(sum(n_days) AS BIGINT) AS n_days,
+        |  round(min(grand_mean), 4) AS grand_mean,
+        |  round((sum(n_days * sidx * sidx) / sum(n_days)) / min(series_var), 4)
+        |    AS eta2,
+        |  round(max(sidx), 4) AS peak_idx,
+        |  round(min(sidx), 4) AS trough_idx
+        |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // var_samp over exact cents; Welch t from the same double moments
+    "q124_ab_welch" ->
+      """WITH arms AS (
+        |  SELECT user_id % 2 AS arm, count(*) AS n,
+        |    avg(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS mean_c,
+        |    var_samp(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS var_c
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT a.n AS n_a, b.n AS n_b,
+        |  round(a.mean_c, 4) AS mean_a, round(b.mean_c, 4) AS mean_b,
+        |  round(a.mean_c - b.mean_c, 4) AS diff,
+        |  round((a.mean_c - b.mean_c) /
+        |        sqrt(a.var_c / a.n + b.var_c / b.n), 4) AS welch_t
+        |FROM (SELECT * FROM arms WHERE arm = 0) a,
+        |     (SELECT * FROM arms WHERE arm = 1) b""".stripMargin,
+    // moments accumulate exactly (DuckDB BIGINT sum widens to HUGEINT,
+    // mirroring Spark's DECIMAL(38,0) sums), Cramer solve in double
+    "q125_ols_normal_eq" ->
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+        |    CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+        |    CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+        |    CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+        |    CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+        |    CAST(sum(x2 * y) AS DOUBLE) AS s2y,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM (
+        |    SELECT CAST(l_quantity AS BIGINT) AS x1,
+        |      CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+        |      CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        |    FROM lineitem))
+        |SELECT
+        |  round(
+        |    (sy*(s11*s22-s12*s12) - s1y*(s1*s22-s2*s12) + s2y*(s1*s12-s2*s11)) /
+        |    (n*(s11*s22-s12*s12) - s1*(s1*s22-s2*s12) + s2*(s1*s12-s2*s11)), 4)
+        |    AS b0,
+        |  round(
+        |    (n*(s1y*s22-s12*s2y) - sy*(s1*s22-s2*s12) + s2*(s1*s2y-s1y*s2)) /
+        |    (n*(s11*s22-s12*s12) - s1*(s1*s22-s2*s12) + s2*(s1*s12-s2*s11)), 4)
+        |    AS b1,
+        |  round(
+        |    (n*(s11*s2y-s1y*s12) - s1*(s1*s2y-s1y*s2) + sy*(s1*s12-s2*s11)) /
+        |    (n*(s11*s22-s12*s12) - s1*(s1*s22-s2*s12) + s2*(s1*s12-s2*s11)), 4)
+        |    AS b2,
+        |  round(1.0 -
+        |    (syy
+        |     - ((sy*(s11*s22-s12*s12) - s1y*(s1*s22-s2*s12) + s2y*(s1*s12-s2*s11)) /
+        |        (n*(s11*s22-s12*s12) - s1*(s1*s22-s2*s12) + s2*(s1*s12-s2*s11))) * sy
+        |     - ((n*(s1y*s22-s12*s2y) - sy*(s1*s22-s2*s12) + s2*(s1*s2y-s1y*s2)) /
+        |        (n*(s11*s22-s12*s12) - s1*(s1*s22-s2*s12) + s2*(s1*s12-s2*s11))) * s1y
+        |     - ((n*(s11*s2y-s1y*s12) - s1*(s1*s2y-s1y*s2) + sy*(s1*s12-s2*s11)) /
+        |        (n*(s11*s22-s12*s12) - s1*(s1*s22-s2*s12) + s2*(s1*s12-s2*s11))) * s2y) /
+        |    (syy - sy*sy/n), 6) AS r2
+        |FROM m""".stripMargin,
+    // mirrored trade graph: outdeg == degree; corr over the directed
+    // edge list counts each undirected edge twice, the standard
+    // assortativity convention
+    "q126_assortativity" ->
+      """WITH fwd AS (
+        |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |e AS (SELECT src, dst FROM fwd
+        |      UNION ALL SELECT dst AS src, src AS dst FROM fwd),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1)
+        |SELECT count(*) AS n_directed_edges,
+        |  round(corr(ds.d, dd.d), 4) AS assortativity
+        |FROM e JOIN deg ds ON e.src = ds.src
+        |       JOIN deg dd ON e.dst = dd.src""".stripMargin,
+    // 3 unrolled synchronous rounds; argmax by (count desc, label asc)
+    // is the deterministic LPA tie-break both engines replicate
+    "q127_label_propagation" ->
+      """WITH fwd AS (
+        |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |e AS (SELECT src, dst FROM fwd
+        |      UNION ALL SELECT dst AS src, src AS dst FROM fwd),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+        |c1 AS (SELECT e.dst AS node, l0.lbl, count(*) AS c
+        |       FROM e JOIN l0 ON e.src = l0.node GROUP BY 1, 2),
+        |l1 AS (SELECT node, lbl FROM (
+        |         SELECT node, lbl,
+        |           row_number() OVER (PARTITION BY node
+        |                              ORDER BY c DESC, lbl ASC) AS rn
+        |         FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT e.dst AS node, l1.lbl, count(*) AS c
+        |       FROM e JOIN l1 ON e.src = l1.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, lbl FROM (
+        |         SELECT node, lbl,
+        |           row_number() OVER (PARTITION BY node
+        |                              ORDER BY c DESC, lbl ASC) AS rn
+        |         FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT e.dst AS node, l2.lbl, count(*) AS c
+        |       FROM e JOIN l2 ON e.src = l2.node GROUP BY 1, 2),
+        |l3 AS (SELECT node, lbl FROM (
+        |         SELECT node, lbl,
+        |           row_number() OVER (PARTITION BY node
+        |                              ORDER BY c DESC, lbl ASC) AS rn
+        |         FROM c3) WHERE rn = 1)
+        |SELECT lbl, count(*) AS community_size
+        |FROM l3 GROUP BY 1
+        |ORDER BY community_size DESC, lbl ASC LIMIT 25""".stripMargin,
     "q97_pagerank_adaptive" -> q97OracleSql,
+    // generate_series calendar + IGNORE NULLS last_value = Spark's
+    // sequence/explode + ignoreNulls last; all-integer rollup
+    "q118_gap_fill_locf" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+        |cal AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM sp),
+        |j AS (
+        |  SELECT cal.user_id, cal.day, d.c
+        |  FROM cal LEFT JOIN d ON cal.user_id = d.user_id AND cal.day = d.day),
+        |f AS (
+        |  SELECT user_id, day, c,
+        |    last_value(c IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS filled
+        |  FROM j)
+        |SELECT user_id, count(*) AS n_days,
+        |  CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_days,
+        |  CAST(sum(filled) AS BIGINT) AS locf_sum_cents
+        |FROM f GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // quantile_cont == Spark exact percentile (linear interpolation);
+    // cents domain keeps the clamp boundary identical in both engines
+    "q119_winsorized_stats" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type,
+        |    quantile_cont(v, 0.05) AS p05, quantile_cont(v, 0.95) AS p95
+        |  FROM e GROUP BY 1),
+        |c AS (
+        |  SELECT e.event_type, e.v, p.p05, p.p95,
+        |    CASE WHEN e.v < p.p05 THEN p.p05
+        |         WHEN e.v > p.p95 THEN p.p95
+        |         ELSE CAST(e.v AS DOUBLE) END AS wv
+        |  FROM e JOIN p ON e.event_type = p.event_type)
+        |SELECT event_type, count(*) AS n,
+        |  round(min(p05), 4) AS p05, round(min(p95), 4) AS p95,
+        |  round(avg(CAST(v AS DOUBLE)), 4) AS raw_mean,
+        |  round(avg(wv), 4) AS wins_mean
+        |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // per-stage deadline funnel; every stage is a min-ts aggregate so
+    // counts are tie-proof integers
+    "q120_funnel_windowed" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 1 HOUR
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 24 HOURS
+        |  GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS name,
+        |    (SELECT count(*) FROM v) AS n_users
+        |  UNION ALL
+        |  SELECT 2, 'click_1h', (SELECT count(*) FROM c)
+        |  UNION ALL
+        |  SELECT 3, 'purchase_24h', (SELECT count(*) FROM p))
+        |ORDER BY stage""".stripMargin,
+    // row-lag over the day-ordered series; corr drops null-lag pairs in
+    // both engines by definition
+    "q121_autocorr" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, c,
+        |    lag(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+        |    lag(c, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7
+        |  FROM d)
+        |SELECT event_type, count(*) AS n_days,
+        |  round(corr(c, l1), 4) AS acf1,
+        |  round(corr(c, l7), 4) AS acf7
+        |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // strict ROWS-preceding ignoreNulls last over the merged stream;
+    // ties at equal ts resolve by event_id identically in both engines
+    "q122_last_touch_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type IN ('click', 'view') THEN event_type END AS touch,
+        |    CASE WHEN event_type = 'purchase'
+        |         THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents
+        |  FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+        |w AS (
+        |  SELECT *,
+        |    last_value(touch IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch,
+        |    last_value(CASE WHEN touch IS NOT NULL THEN ts END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_ts
+        |  FROM t)
+        |SELECT
+        |  CASE WHEN last_touch IS NULL OR last_ts < ts - INTERVAL 7 DAY
+        |       THEN 'none' ELSE last_touch END AS channel,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(cents) AS BIGINT) AS attributed_cents
+        |FROM w WHERE cents IS NOT NULL
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
     // Exact cents arithmetic on both sides; HUGEINT sums cast back to
     // BIGINT at the rendering boundary; diff pins the IVM identity.
     "q106_kmv_set_algebra" ->
