@@ -472,7 +472,45 @@ object Corpus {
       .limit(k)
   }
 
+  /** p11 — curriculum sharding: order the corpus easy→hard and cut it
+    * into 8 equal shards a trainer consumes in sequence (curriculum
+    * learning's data-side half). Difficulty is lexical density —
+    * distinct/total tokens in BASIS POINTS via integer floor division
+    * (`(n_distinct·10000) div n_tokens`), so the sort key is an exact
+    * integer and the shard boundary can never sit on a float
+    * knife-edge; ties broken by doc_id. `ntile(8)` over that total
+    * order is the standard-SQL even split both engines implement
+    * identically (first shards take the remainder). Plan: per-doc
+    * stats are a scan-local project (no exchange), the ntile is ONE
+    * global sort of doc-count-sized rows (id + two ints — not text),
+    * and the shard rollup rides the same order. At 100 TB the global
+    * sort is a range-partitioned sort of ~10⁹ 24-byte rows, the
+    * documented cost of a total curriculum order; text never moves.
+    */
+  def p11CurriculumShards(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nt"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("nd"))
+      .withColumn("density_bp", expr("(nd * 10000) div nt"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("density_bp").asc, col("doc_id").asc)
+    scored
+      .withColumn("shard", ntile(8).over(win))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("density_bp")).as("min_density_bp"),
+        max(col("density_bp")).as("max_density_bp"),
+        sum(col("nt")).as("total_tokens"),
+        sum(col("doc_id")).as("doc_id_sum"))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p11_curriculum_shards" -> p11CurriculumShards,
     "p10_priority_sample" -> p10PrioritySample,
     "p9_temperature_mix" -> p9TemperatureMix,
     "p8_neardup_admission" -> p8NearDupAdmission,
@@ -486,6 +524,26 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    // integer basis-point sort key + doc_id tie-break = total order;
+    // ntile's standard even-split semantics match across engines
+    "p11_curriculum_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, nt, (nd * 10000) // nt AS density_bp FROM t),
+        |sh AS (
+        |  SELECT doc_id, nt, density_bp,
+        |    ntile(8) OVER (ORDER BY density_bp ASC, doc_id ASC) AS shard
+        |  FROM sc)
+        |SELECT CAST(shard AS INT) AS shard, count(*) AS n_docs,
+        |  min(density_bp) AS min_density_bp,
+        |  max(density_bp) AS max_density_bp,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+        |FROM sh GROUP BY 1 ORDER BY shard""".stripMargin,
     // Priority = integer-exact division; the double is bit-identical
     // in both engines, so ORDER BY priority is stable cross-engine.
     "p10_priority_sample" ->

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table: token statistics,
@@ -863,7 +864,112 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** t21 — corpus keyness (Dunning's log-likelihood G²): for each
+    * source, which terms are over-represented vs the REST of the
+    * corpus — the register/domain-drift detector a mixing pipeline
+    * runs before admitting a new source (a crawl whose key terms are
+    * template boilerplate gets flagged here before it pollutes the
+    * mix). G² = 2·[a·ln(a/E₁) + b·ln(b/E₂)], E the expected counts
+    * under homogeneity, signed + when the source over-uses the term;
+    * zero-count terms contribute 0 (the x·ln x → 0 limit), top 3
+    * terms per source by (G² desc, term). Plan: ONE (source, term)
+    * token exchange; per-source and corpus totals are source-count-
+    * sized and broadcast back; the final window runs over
+    * vocabulary-sized groups. All counts exact integers; ln only
+    * under round(·,3) — the t14/t17 contract.
+    */
+  def t21Keyness(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables
+      .documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("a"))
+      .localCheckpoint() // feeds the corpus rollup AND the per-source join
+    val corpusW = tf.groupBy(col("w")).agg(sum(col("a")).as("ab"))
+    val srcTot = tf.groupBy(col("source")).agg(sum(col("a")).as("na"))
+    val grand = tf.agg(sum(col("a")).as("m"))
+    val g = tf
+      .join(corpusW, "w")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(grand))
+      .withColumn("b", col("ab") - col("a"))
+      .withColumn("nb", col("m") - col("na"))
+      .withColumn("e1", col("ab").cast("double") * col("na") / col("m"))
+      .withColumn("e2", col("ab").cast("double") * col("nb") / col("m"))
+      .withColumn(
+        "g2",
+        lit(2.0) * (
+          when(col("a") > 0, col("a") * log(col("a") / col("e1"))).otherwise(lit(0.0)) +
+            when(col("b") > 0, col("b") * log(col("b") / col("e2"))).otherwise(lit(0.0))))
+      .withColumn(
+        "signed_g2",
+        when(
+          col("a").cast("double") * col("nb") >= col("b").cast("double") * col("na"),
+          col("g2")).otherwise(-col("g2")))
+    val win = Window
+      .partitionBy(col("source"))
+      .orderBy(col("signed_g2").desc, col("w").asc)
+    g.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= 3)
+      .select(
+        col("source"),
+        col("rk"),
+        col("w").as("term"),
+        col("a").as("n_in"),
+        col("b").as("n_out"),
+        round(col("signed_g2"), 3).as("keyness_g2"))
+      .orderBy("source", "rk")
+  }
+
+  /** t22 — term burstiness (Church–Gale variance-to-mean ratio) per
+    * language: a term used at a steady rate everywhere (function
+    * words) has VMR ≈ 1 under Poisson; a term that clumps into few
+    * documents (topical/template terms) has VMR ≫ 1 — the statistic
+    * that separates content-bearing from glue vocabulary without any
+    * stopword list. Zero-count documents are IN the statistic without
+    * densifying: over D docs, mean = Σc/D and var_pop = Σc²/D −
+    * mean², so VMR = Σc²/Σc − Σc/D from just the two per-term sums
+    * and the per-language doc count — no (doc × vocab) explosion
+    * ever materializes. Plan: one (lang, term) token exchange + a
+    * lang-sized doc-count broadcast; top 10 per language by (VMR
+    * desc, term). Integer sums; division only under round(·,4).
+    */
+  def t22Burstiness(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables
+      .documents(s, dir)
+      .select(col("lang"), col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("lang"), col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val perTerm = tf
+      .groupBy(col("lang"), col("w"))
+      .agg(sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"))
+      .filter(col("s1") >= 5)
+    val docs = Tables
+      .documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("d"))
+    val win = Window
+      .partitionBy(col("lang"))
+      .orderBy(col("vmr_raw").desc, col("w").asc)
+    perTerm
+      .join(broadcast(docs), "lang")
+      .withColumn(
+        "vmr_raw",
+        col("s2").cast("double") / col("s1") - col("s1").cast("double") / col("d"))
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= 10)
+      .select(
+        col("lang"),
+        col("rk"),
+        col("w").as("term"),
+        col("s1").as("n_occurrences"),
+        round(col("vmr_raw"), 4).as("vmr"))
+      .orderBy("lang", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_keyness" -> t21Keyness,
+    "t22_burstiness" -> t22Burstiness,
     "t20_zipf_slope" -> t20ZipfSlope,
     "t19_kl_divergence" -> t19KlDivergence,
     "t18_token_entropy" -> t18TokenEntropy,
@@ -887,6 +993,63 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical G² expression over exact integer counts; zero-count
+    // terms contribute 0; ln only under round(3)
+    "t21_keyness" ->
+      """WITH tf AS (
+        |  SELECT source, w, count(*) AS a
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |cw AS (SELECT w, sum(a) AS ab FROM tf GROUP BY 1),
+        |st AS (SELECT source, sum(a) AS na FROM tf GROUP BY 1),
+        |m AS (SELECT sum(a) AS m FROM tf),
+        |g AS (
+        |  SELECT tf.source, tf.w, tf.a,
+        |    cw.ab - tf.a AS b, st.na, m.m - st.na AS nb,
+        |    cw.ab::DOUBLE * st.na / m.m AS e1,
+        |    cw.ab::DOUBLE * (m.m - st.na) / m.m AS e2
+        |  FROM tf JOIN cw USING (w) JOIN st USING (source), m),
+        |k AS (
+        |  SELECT source, w, a, b,
+        |    2.0 * (CASE WHEN a > 0 THEN a * ln(a / e1) ELSE 0.0 END +
+        |           CASE WHEN b > 0 THEN b * ln(b / e2) ELSE 0.0 END) AS g2,
+        |    CASE WHEN a::DOUBLE * nb >= b::DOUBLE * na THEN 1.0 ELSE -1.0 END
+        |      AS sgn
+        |  FROM g),
+        |r AS (
+        |  SELECT source, w, a, b, sgn * g2 AS signed_g2,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY sgn * g2 DESC, w ASC) AS rk
+        |  FROM k)
+        |SELECT source, CAST(rk AS INT) AS rk, w AS term,
+        |  a AS n_in, CAST(b AS BIGINT) AS n_out, round(signed_g2, 3) AS keyness_g2
+        |FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+    // VMR from the same two integer sums + per-lang doc count; no
+    // densified doc×vocab matrix in either engine
+    "t22_burstiness" ->
+      """WITH tf AS (
+        |  SELECT lang, doc_id, w, count(*) AS c
+        |  FROM (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2, 3),
+        |pt AS (
+        |  SELECT lang, w, CAST(sum(c) AS BIGINT) AS s1,
+        |    CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM tf GROUP BY 1, 2 HAVING sum(c) >= 5),
+        |d AS (SELECT lang, count(*) AS d FROM documents GROUP BY 1),
+        |v AS (
+        |  SELECT pt.lang, pt.w, pt.s1,
+        |    pt.s2::DOUBLE / pt.s1 - pt.s1::DOUBLE / d.d AS vmr_raw
+        |  FROM pt JOIN d USING (lang)),
+        |r AS (
+        |  SELECT lang, w, s1, vmr_raw,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY vmr_raw DESC, w ASC) AS rk
+        |  FROM v)
+        |SELECT lang, CAST(rk AS INT) AS rk, w AS term,
+        |  s1 AS n_occurrences, round(vmr_raw, 4) AS vmr
+        |FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
     // Same integer counts; ln over DOUBLE-cast operands only, masked
     // by round(·,3) — the t14/t17 determinism contract.
     // same total rank order, same per-point ln doubles; the four OLS
