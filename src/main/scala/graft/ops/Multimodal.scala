@@ -449,7 +449,65 @@ object Multimodal {
       .orderBy("source")
   }
 
+  /** m10 — aspect-ratio bucketing: every image is assigned to the
+    * nearest of five canonical aspect buckets (1:2, 3:4, 1:1, 4:3,
+    * 2:1) and each bucket is cut into fixed-size training batches —
+    * the batching primitive image-generation training uses so a batch
+    * resizes to ONE shape with minimal distortion. Nearest-bucket is
+    * decided in EXACT integer arithmetic: the true distance
+    * |w/h − bw/bh| equals |w·bh − h·bw|/(h·bh), h is constant across
+    * candidates, so scaling each |w·bh − h·bw| by 12/bh (12 =
+    * lcm of the bh's) makes the five distances exactly comparable
+    * integers — no float ratio, no knife-edge; ties take the
+    * smallest bucket index via first-match CASE. Metadata-only: the
+    * plan must never touch payload bytes (width/height live in the
+    * leading columns; the parquet scan prunes the binary). Per
+    * bucket: media count, full batches of 32, leftover, average
+    * megapixels. Scan-local assignment — the only exchange is the
+    * 5-group rollup.
+    */
+  def m10AspectBuckets(s: SparkSession, dir: String): DataFrame = {
+    // (index, name, bw, bh); weight = 12 / bh
+    val buckets = Seq(
+      (1, "tall_1_2", 1, 2),
+      (2, "portrait_3_4", 3, 4),
+      (3, "square_1_1", 1, 1),
+      (4, "landscape_4_3", 4, 3),
+      (5, "wide_2_1", 2, 1))
+    val ds = buckets.map { case (i, _, bw, bh) =>
+      abs(col("width") * bh - col("height") * bw) * lit(12 / bh)
+    }
+    val m = least(ds: _*)
+    val idx = buckets
+      .zip(ds)
+      .foldRight(lit(-1): org.apache.spark.sql.Column) {
+        case (((i, _, _, _), d), acc) => when(d === m, lit(i)).otherwise(acc)
+      }
+    // foldRight builds WHEN d1=m THEN 1 ELSE WHEN d2=m ... — first
+    // match wins, i.e. smallest index on ties
+    val names = buckets.map { case (i, n, _, _) => (i, n) }.toMap
+    media(s, dir)
+      .select(col("doc_id"), col("width"), col("height"))
+      .withColumn("bucket", idx)
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        expr("count(*) div 32").as("n_full_batches"),
+        (count(lit(1)) % 32).as("leftover"),
+        round(avg(col("width") * col("height")) / 1e6, 6).as("avg_megapixels"))
+      .withColumn(
+        "bucket_name",
+        element_at(
+          map(names.toSeq.sortBy(_._1).flatMap { case (i, n) => Seq(lit(i), lit(n)) }: _*),
+          col("bucket")))
+      .select(
+        col("bucket"), col("bucket_name"), col("n_media"),
+        col("n_full_batches"), col("leftover"), col("avg_megapixels"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m10_aspect_buckets" -> m10AspectBuckets,
     "m9_chunk_dedup_ratio" -> m9ChunkDedupRatio,
     "m8_scene_cuts" -> m8SceneCuts,
     "m7_audio_frames" -> m7AudioFrames,
@@ -462,6 +520,40 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // same media metadata derivation, same exact-integer nearest-bucket
+    // (scaled cross-multiplication), same first-match tie-break
+    "m10_aspect_buckets" ->
+      """WITH md AS (
+        |  SELECT doc_id,
+        |    (64 + (doc_id * 7) % 193)::BIGINT AS w,
+        |    (64 + (doc_id * 13) % 129)::BIGINT AS h
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, w, h,
+        |    abs(w * 2 - h * 1) * 6  AS d1,
+        |    abs(w * 4 - h * 3) * 3  AS d2,
+        |    abs(w * 1 - h * 1) * 12 AS d3,
+        |    abs(w * 3 - h * 4) * 4  AS d4,
+        |    abs(w * 1 - h * 2) * 12 AS d5
+        |  FROM md),
+        |b AS (
+        |  SELECT doc_id, w, h,
+        |    CASE
+        |      WHEN d1 = least(d1, d2, d3, d4, d5) THEN 1
+        |      WHEN d2 = least(d1, d2, d3, d4, d5) THEN 2
+        |      WHEN d3 = least(d1, d2, d3, d4, d5) THEN 3
+        |      WHEN d4 = least(d1, d2, d3, d4, d5) THEN 4
+        |      ELSE 5 END AS bucket
+        |  FROM d)
+        |SELECT bucket,
+        |  CASE bucket WHEN 1 THEN 'tall_1_2' WHEN 2 THEN 'portrait_3_4'
+        |       WHEN 3 THEN 'square_1_1' WHEN 4 THEN 'landscape_4_3'
+        |       ELSE 'wide_2_1' END AS bucket_name,
+        |  count(*) AS n_media,
+        |  count(*) // 32 AS n_full_batches,
+        |  count(*) % 32 AS leftover,
+        |  round(avg(w * h) / 1e6, 6) AS avg_megapixels
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
     // m7's framing replayed, then the same lag/running-sum scene
     // segmentation in window functions; all exact integers.
     "m8_scene_cuts" ->

@@ -999,4 +999,102 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
+
+  /** One merged-stream row for attribution: a marketing touch
+    * (`touch` = Some(channel)) or a purchase (`cents` = Some(value)).
+    * `ts_us` exact event-time micros (the module's exact-state
+    * convention), `event_id` the deterministic same-timestamp
+    * tie-break.
+    */
+  final case class TouchEvent(
+      user_id: Long,
+      ts_us: Long,
+      event_id: Long,
+      touch: Option[String],
+      cents: Option[Long])
+
+  /** One attributed purchase: the channel whose touch most recently
+    * preceded it within the lookback, else "none".
+    */
+  final case class Attribution(
+      user_id: Long,
+      event_id: Long,
+      ts_us: Long,
+      channel: String,
+      cents: Long)
+
+  /** Per-user last-touch state: the streaming half of batch q122.
+    * State is ONE (ts_us, event_id, channel) row per user — the most
+    * recent touch seen — so memory is user-count-, never
+    * history-sized. Each purchase resolves against that state with
+    * q122's exact rule: the touch must be STRICTLY before the
+    * purchase in (ts, event_id) order and no older than the lookback
+    * (boundary inclusive: `touch_ts ≥ purchase_ts − lookback`).
+    * Batch rows are processed in (ts_us, event_id) order so a touch
+    * and a purchase landing in the same trigger resolve identically
+    * to the batch window's ROWS-preceding frame. Delivery contract
+    * (documented, like the EWMA gate's): per-user event-time order
+    * across triggers — a touch arriving AFTER a purchase it should
+    * have attributed is a miss, the same discipline a watermark
+    * enforces on the interval-join formulation (`clickAttribution`),
+    * which remains the out-of-order-tolerant alternative.
+    */
+  class LastTouchProcessor(lookbackUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long,
+        TouchEvent,
+        Attribution] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: ValueState[(Long, Long, String)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, String)](
+        "lastTouch",
+        Encoders.product[(Long, Long, String)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[TouchEvent],
+        timerValues: TimerValues): Iterator[Attribution] = {
+      val ordered = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+      val out = Array.newBuilder[Attribution]
+      var cur: Option[(Long, Long, String)] =
+        if (st.exists()) Some(st.get()) else None
+      ordered.foreach { e =>
+        e.cents.foreach { c =>
+          val channel = cur match {
+            case Some((tUs, _, ch)) if tUs >= e.ts_us - lookbackUs => ch
+            case _ => "none"
+          }
+          out += Attribution(key, e.event_id, e.ts_us, channel, c)
+        }
+        e.touch.foreach { ch =>
+          // strictly-later touches win; same-(ts,id) cannot occur
+          if (cur.forall(p =>
+            p._1 < e.ts_us || (p._1 == e.ts_us && p._2 < e.event_id)))
+            cur = Some((e.ts_us, e.event_id, ch))
+        }
+      }
+      cur.foreach(st.update)
+      out.result().iterator
+    }
+  }
+
+  /** Continuously-attributed purchase stream (batch twin: q122);
+    * append-style update emission, one state row per user.
+    */
+  def streamingAttributionGate(
+      events: Dataset[TouchEvent],
+      lookbackDays: Int = 7): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new LastTouchProcessor(lookbackDays * 86400L * 1000000L),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

@@ -1157,6 +1157,84 @@ class StreamBatchParitySpec extends SparkSpec {
           s"only-batch=${(expected -- got).take(3)}")
     } finally q.stop()
   }
+
+  test("streaming last-touch attribution matches batch q122 per purchase on the fixture") {
+    import spark.implicits._
+    import graft.streaming.Streams.{Attribution, TouchEvent}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evDf = graft.ops.Tables.events(spark, Sf)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+
+    // batch twin — q122's merged-stream window at PER-PURCHASE
+    // granularity, so the compare pins each attribution, not just the
+    // channel rollup
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val sevenDaysUs = 7L * 86400L * 1000000L
+    val expected = evDf
+      .withColumn(
+        "touch",
+        when(col("event_type").isin("click", "view"), col("event_type")))
+      .withColumn("last_touch", last(col("touch"), ignoreNulls = true).over(w))
+      .withColumn(
+        "last_us",
+        last(when(col("touch").isNotNull, col("us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn(
+        "channel",
+        when(
+          col("last_touch").isNull || col("last_us") < col("us") - sevenDaysUs,
+          lit("none")).otherwise(col("last_touch")))
+      .select(col("user_id"), col("event_id"), col("channel"), col("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+
+    val rows = evDf.collect()
+      .map { r =>
+        val et = r.getString(3)
+        TouchEvent(
+          r.getLong(0),
+          r.getLong(1),
+          r.getLong(2),
+          if (et == "purchase") None else Some(et),
+          if (et == "purchase") Some(r.getLong(4)) else None)
+      }
+      .sortBy(e => (e.ts_us, e.event_id)) // the gate's delivery contract
+    // transformWithState needs the RocksDB provider (column families)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[TouchEvent]
+    val q = Streams
+      .streamingAttributionGate(in.toDS())
+      .writeStream.format("memory").queryName("attr_parity")
+      .outputMode("update").start()
+    try {
+      rows.grouped(500).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+      val got = spark.table("attr_parity").as[Attribution].collect()
+        .map(a => (a.user_id, a.event_id, a.channel, a.cents))
+        .toSet
+      assert(got == expected,
+        s"stream != batch; only-stream=${(got -- expected).take(3)}, " +
+          s"only-batch=${(expected -- got).take(3)}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
 
 /** Companion buffer for the gate-restart test: foreachBatch closures
