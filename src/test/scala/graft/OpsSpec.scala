@@ -1254,6 +1254,157 @@ class OpsSpec extends SparkSpec {
     assert(out.exists(_.getLong(3) > 0), "fixture series are not all monotone")
   }
 
+  test("q118 gap fill: span covers active days, gaps strictly inside the span") {
+    val out = Relational.q118GapFillLocf(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nDays, nGaps) = (r.getLong(1), r.getLong(2))
+      assert(nDays >= 1 && nGaps >= 0 && nGaps < nDays,
+        s"user ${r.getLong(0)}: $nGaps gaps of $nDays days")
+    }
+    assert(out.exists(_.getLong(2) > 0), "fixture series are not all dense")
+  }
+
+  test("q119 winsorized: clamp band ordered, winsorized mean inside it") {
+    Relational.q119WinsorizedStats(spark, Sf).collect().foreach { r =>
+      val (p05, p95, wm) = (r.getDouble(2), r.getDouble(3), r.getDouble(5))
+      assert(p05 <= p95)
+      assert(wm >= p05 - 1e-9 && wm <= p95 + 1e-9,
+        s"${r.getString(0)}: winsorized mean $wm escapes [$p05, $p95]")
+    }
+  }
+
+  test("q120 funnel: stage populations are monotone non-increasing") {
+    val n = Relational.q120FunnelWindowed(spark, Sf).collect()
+      .sortBy(_.getLong(0)).map(_.getLong(2))
+    assert(n.length == 3)
+    assert(n(0) >= n(1) && n(1) >= n(2), s"funnel widens: ${n.toSeq}")
+    assert(n(0) > 0)
+  }
+
+  test("q121 autocorrelation coefficients stay within [-1, 1]") {
+    val out = Relational.q121Autocorr(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      Seq(2, 3).filterNot(r.isNullAt).foreach { i =>
+        assert(math.abs(r.getDouble(i)) <= 1.0 + 1e-9,
+          s"${r.getString(0)}: acf out of range")
+      }
+    }
+  }
+
+  test("q122 attribution: channel set is closed and credit is conserved") {
+    val out = Relational.q122LastTouchAttribution(spark, Sf).collect()
+    val channels = out.map(_.getString(0)).toSet
+    assert(channels.subsetOf(Set("click", "view", "none")))
+    val credited = out.map(_.getLong(2)).sum
+    val total = Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")))
+      .head.getLong(0)
+    assert(credited == total, s"credited $credited != purchases $total")
+  }
+
+  test("q123 seasonality: eta2 is a variance share; indices straddle zero") {
+    val out = Relational.q123SeasonalDow(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-9,
+        s"${r.getString(0)}: eta2 ${r.getDouble(3)}")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(5) <= 0.0,
+        "peak index must be >= 0 >= trough (deviations from the mean)")
+    }
+  }
+
+  test("q124 A/B: arms partition the purchases, t sign follows the diff") {
+    val r = Relational.q124AbWelch(spark, Sf).head
+    val total = Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(r.getLong(0) + r.getLong(1) == total)
+    assert(r.getDouble(4).sign == r.getDouble(5).sign || r.getDouble(4) == 0.0,
+      "Welch t and mean diff disagree in sign")
+  }
+
+  test("q125 OLS: R2 within [0,1]; regression surface passes through the means") {
+    val r = Relational.q125OlsNormalEq(spark, Sf).head
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    // with an intercept, OLS always satisfies ybar = b0 + b1*x1bar + b2*x2bar
+    val m = Tables.lineitem(spark, Sf)
+      .agg(
+        avg(col("l_quantity")).as("x1"),
+        avg(floor(col("l_discount") * 100 + 0.5)).as("x2"),
+        avg(floor(col("l_extendedprice") * 100 + 0.5)).as("y"))
+      .head
+    val fitted = r.getDouble(0) + r.getDouble(1) * m.getDouble(0) +
+      r.getDouble(2) * m.getDouble(1)
+    // coefficients are rounded at 1e-4; x-means are < 100, so the
+    // identity holds to well under a cent
+    assert(math.abs(fitted - m.getDouble(2)) < 1.0,
+      s"mean identity broken: fitted $fitted vs ybar ${m.getDouble(2)}")
+  }
+
+  test("q126 assortativity: a correlation, and edge count matches the graph") {
+    val r = Relational.q126Assortativity(spark, Sf).head
+    assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-9)
+    assert(r.getLong(0) % 2 == 0, "mirrored edge list must be even-sized")
+  }
+
+  test("q127 LPA: community sizes positive, ranked, and bounded by the node count") {
+    val out = Relational.q127LabelPropagation(spark, Sf).collect()
+    assert(out.nonEmpty)
+    val sizes = out.map(_.getLong(1))
+    assert(sizes.forall(_ >= 1))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a >= b }, "not ranked")
+  }
+
+  test("t21 keyness: three ranked terms per source, counts positive") {
+    val out = TextAnalysis.t21Keyness(spark, Sf).collect()
+    val bySource = out.groupBy(_.getString(0))
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (src, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3), s"$src ranks")
+      rows.foreach(r => assert(r.getLong(3) > 0, s"$src: key term unused in-source"))
+    }
+  }
+
+  test("t22 burstiness: ranked within language; VMR decreasing down the rank") {
+    val out = TextAnalysis.t22Burstiness(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val ranked = rows.sortBy(_.getInt(1))
+      assert(ranked.map(_.getInt(1)).toSeq == (1 to ranked.length),
+        s"$lang: rank gap")
+      val vmrs = ranked.map(_.getDouble(4))
+      assert(vmrs.zip(vmrs.tail).forall { case (a, b) => a >= b },
+        s"$lang: VMR not descending")
+    }
+  }
+
+  test("p11 curriculum: shards partition the corpus with monotone difficulty bands") {
+    val shards = Corpus.p11CurriculumShards(spark, Sf).collect().sortBy(_.getInt(0))
+    assert(shards.map(_.getInt(0)).toSeq == (1 to 8))
+    val totalDocs = Tables.documents(spark, Sf).count()
+    assert(shards.map(_.getLong(1)).sum == totalDocs)
+    shards.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3), "min density > max density")
+    }
+    shards.zip(shards.tail).foreach { case (a, b) =>
+      assert(a.getLong(3) <= b.getLong(2),
+        s"shard ${a.getInt(0)} overtakes ${b.getInt(0)}: ${a.getLong(3)} > ${b.getLong(2)}")
+    }
+  }
+
+  test("m10 aspect buckets: batches account for every image, buckets closed") {
+    val out = Multimodal.m10AspectBuckets(spark, Sf).collect()
+    assert(out.map(_.getInt(0)).toSet.subsetOf((1 to 5).toSet))
+    val totalDocs = Tables.documents(spark, Sf).count()
+    assert(out.map(_.getLong(2)).sum == totalDocs)
+    out.foreach { r =>
+      assert(r.getLong(3) * 32 + r.getLong(4) == r.getLong(2),
+        s"bucket ${r.getInt(0)}: batch arithmetic broken")
+    }
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
