@@ -4288,7 +4288,91 @@ object Relational {
       .limit(25)
   }
 
+  /** q128 — time-to-convert distribution: hours between each user's
+    * FIRST view and FIRST subsequent purchase, summarized as exact
+    * quartiles + p90 over integer hours, with the conversion rate
+    * alongside — the latency half of the funnel story (q120 counts
+    * who converts; this says how fast). Integer hour buckets keep
+    * every percentile boundary exact (linear interpolation over
+    * integers is the same finite set of rationals in both engines,
+    * masked at round 4). Plan: two user-sized min-aggregates off
+    * predicate-pushed scans, one user-sized join, a 1-row summary —
+    * after the per-user aggregate nothing is data-sized.
+    */
+  def q128TimeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_type"))
+    val v = e
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t_view"))
+    val p = e
+      .filter(col("event_type") === "purchase")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t_purchase"))
+    val joined = v
+      .join(p, Seq("user_id"), "left")
+      .withColumn(
+        "hours",
+        floor(
+          (unix_micros(col("t_purchase")) - unix_micros(col("t_view"))) /
+            lit(3600000000L)).cast("long"))
+    joined.agg(
+      count(lit(1)).as("n_viewers"),
+      count(col("hours")).as("n_converted"),
+      round(
+        count(col("hours")).cast("double") / count(lit(1)), 4).as("conv_rate"),
+      round(expr("percentile(hours, 0.25)"), 4).as("p25_hours"),
+      round(expr("percentile(hours, 0.50)"), 4).as("p50_hours"),
+      round(expr("percentile(hours, 0.75)"), 4).as("p75_hours"),
+      round(expr("percentile(hours, 0.90)"), 4).as("p90_hours"))
+  }
+
+  /** q129 — cohort LTV triangle: users grouped by first-activity week
+    * (cohort), revenue accumulated by weeks-since-first-activity
+    * (age) — the cumulative lifetime-value table growth teams read
+    * down-diagonal. All integer cents; the cumulative sum is a window
+    * over the (cohort, age) aggregate, so the triangle is
+    * calendar²-bounded however large the fact table is. Plan: one
+    * user-sized first-week aggregate joined back (user-clustered),
+    * one (cohort, age) rollup, then the cumsum window rides the
+    * cohort partitioning. Weeks via date_trunc('week') — ISO Monday
+    * start in both engines.
+    */
+  def q129CohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val cohort = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val tri = e
+      .join(cohort, Seq("user_id"))
+      .withColumn("age_wk", expr("datediff(wk, cohort_wk) div 7"))
+      .groupBy(col("cohort_wk"), col("age_wk"))
+      .agg(
+        countDistinct(col("user_id")).as("n_active"),
+        sum(col("cents")).as("rev_cents"))
+    val w = Window
+      .partitionBy(col("cohort_wk"))
+      .orderBy(col("age_wk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tri
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .select(
+        col("cohort_wk"),
+        col("age_wk").cast("long").as("age_wk"),
+        col("n_active"),
+        col("rev_cents"),
+        col("cum_rev_cents"))
+      .orderBy("cohort_wk", "age_wk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_time_to_convert" -> q128TimeToConvert,
+    "q129_cohort_ltv" -> q129CohortLtv,
     "q123_seasonal_dow" -> q123SeasonalDow,
     "q124_ab_welch" -> q124AbWelch,
     "q125_ols_normal_eq" -> q125OlsNormalEq,
@@ -4416,6 +4500,50 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // integer hour buckets; quantile_cont over BIGINT == Spark's exact
+    // percentile; strictly-after purchase, first view/purchase only
+    "q128_time_to_convert" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT v.user_id,
+        |    (epoch_us(p.t_purchase) - epoch_us(v.t_view)) // 3600000000
+        |      AS hours
+        |  FROM v LEFT JOIN p ON v.user_id = p.user_id)
+        |SELECT count(*) AS n_viewers,
+        |  count(hours) AS n_converted,
+        |  round(count(hours)::DOUBLE / count(*), 4) AS conv_rate,
+        |  round(quantile_cont(hours, 0.25), 4) AS p25_hours,
+        |  round(quantile_cont(hours, 0.50), 4) AS p50_hours,
+        |  round(quantile_cont(hours, 0.75), 4) AS p75_hours,
+        |  round(quantile_cont(hours, 0.90), 4) AS p90_hours
+        |FROM j""".stripMargin,
+    // ISO Monday weeks in both engines; integer day-diff div 7;
+    // window sum cast back from HUGEINT
+    "q129_cohort_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+        |tri AS (
+        |  SELECT c.cohort_wk,
+        |    date_diff('day', c.cohort_wk, e.wk) // 7 AS age_wk,
+        |    count(DISTINCT e.user_id) AS n_active,
+        |    CAST(sum(e.cents) AS BIGINT) AS rev_cents
+        |  FROM e JOIN c ON e.user_id = c.user_id
+        |  GROUP BY 1, 2)
+        |SELECT cohort_wk, age_wk, n_active, rev_cents,
+        |  CAST(sum(rev_cents) OVER (
+        |    PARTITION BY cohort_wk ORDER BY age_wk
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+        |FROM tri ORDER BY cohort_wk, age_wk""".stripMargin,
     // isodow == Spark's DAYOFWEEK_ISO extract (Mon=1); var_pop over
     // exact cents; eta² weighted by per-dow day counts
     "q123_seasonal_dow" ->

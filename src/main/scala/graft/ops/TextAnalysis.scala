@@ -967,7 +967,61 @@ object TextAnalysis {
       .orderBy("lang", "rk")
   }
 
+  /** t23 — Heaps'-law vocabulary growth: per language, the exponent β
+    * of V ≈ K·N^β fitted by OLS of ln(V) on ln(N) over the per-doc
+    * cumulative (tokens N, vocabulary V) curve in doc_id order — the
+    * companion diagnostic to t20's Zipf slope (the two laws are duals)
+    * and the capacity-planning number for "how fast does the vocab
+    * table grow as the corpus scales". The curve is built WITHOUT any
+    * cumulative-distinct scan: a term contributes to V exactly at its
+    * first-occurrence doc (min doc_id per (lang, term)), so V is a
+    * running sum of per-doc new-type counts — one (lang, doc, term)
+    * token exchange feeds both the token and the first-occurrence
+    * rollups, then everything is doc-count-sized. Cumulative anchors
+    * are exact integers; the four OLS sums are the only float
+    * accumulations, under round(·,3) — the t20 contract.
+    */
+  def t23HeapsLaw(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables
+      .documents(s, dir)
+      .select(col("lang"), col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("lang"), col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the token rollup AND first-occurrence pass
+    val perDoc = tf
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(sum(col("c")).as("nt"))
+    val newTypes = tf
+      .groupBy(col("lang"), col("w"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(count(lit(1)).as("nv"))
+    val win = Window
+      .partitionBy(col("lang"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = perDoc
+      .join(newTypes, Seq("lang", "doc_id"), "left")
+      .withColumn("nv", coalesce(col("nv"), lit(0L)))
+      .withColumn("cn", sum(col("nt")).over(win))
+      .withColumn("cv", sum(col("nv")).over(win))
+      .withColumn("x", log(col("cn").cast("double")))
+      .withColumn("y", log(col("cv").cast("double")))
+    pts
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("cn")).as("total_tokens"),
+        max(col("cv")).as("vocab"),
+        round(
+          (count(lit(1)) * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y"))) /
+            (count(lit(1)) * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))),
+          3).as("heaps_beta"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_heaps_law" -> t23HeapsLaw,
     "t21_keyness" -> t21Keyness,
     "t22_burstiness" -> t22Burstiness,
     "t20_zipf_slope" -> t20ZipfSlope,
@@ -993,6 +1047,39 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // same first-occurrence construction (no cumulative-distinct scan),
+    // exact integer anchors, OLS doubles only under round(3)
+    "t23_heaps_law" ->
+      """WITH tf AS (
+        |  SELECT lang, doc_id, w, count(*) AS c
+        |  FROM (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2, 3),
+        |pd AS (SELECT lang, doc_id, sum(c) AS nt FROM tf GROUP BY 1, 2),
+        |fo AS (
+        |  SELECT lang, doc_id, count(*) AS nv FROM (
+        |    SELECT lang, w, min(doc_id) AS doc_id FROM tf GROUP BY 1, 2)
+        |  GROUP BY 1, 2),
+        |pts AS (
+        |  SELECT pd.lang, pd.doc_id,
+        |    sum(pd.nt) OVER (PARTITION BY pd.lang ORDER BY pd.doc_id
+        |                     ROWS UNBOUNDED PRECEDING) AS cn,
+        |    sum(COALESCE(fo.nv, 0)) OVER (PARTITION BY pd.lang
+        |                                  ORDER BY pd.doc_id
+        |                                  ROWS UNBOUNDED PRECEDING) AS cv
+        |  FROM pd LEFT JOIN fo
+        |    ON pd.lang = fo.lang AND pd.doc_id = fo.doc_id),
+        |xy AS (
+        |  SELECT lang, cn, cv,
+        |    ln(cn::DOUBLE) AS x, ln(cv::DOUBLE) AS y
+        |  FROM pts)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(max(cn) AS BIGINT) AS total_tokens,
+        |  CAST(max(cv) AS BIGINT) AS vocab,
+        |  round((count(*)::DOUBLE * sum(x * y) - sum(x) * sum(y)) /
+        |        (count(*)::DOUBLE * sum(x * x) - sum(x) * sum(x)), 3)
+        |    AS heaps_beta
+        |FROM xy GROUP BY 1 ORDER BY lang""".stripMargin,
     // identical G² expression over exact integer counts; zero-count
     // terms contribute 0; ln only under round(3)
     "t21_keyness" ->
