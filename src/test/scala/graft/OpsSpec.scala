@@ -1405,6 +1405,42 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q128 time-to-convert: ordered quantiles, converters bounded by viewers") {
+    val r = Relational.q128TimeToConvert(spark, Sf).head
+    val (nv, nc) = (r.getLong(0), r.getLong(1))
+    assert(nc <= nv && nv > 0)
+    assert(math.abs(r.getDouble(2) - nc.toDouble / nv) < 1e-4)
+    val qs = Seq(3, 4, 5, 6).map(r.getDouble)
+    assert(qs.zip(qs.tail).forall { case (a, b) => a <= b },
+      s"quantiles not monotone: $qs")
+    assert(qs.head >= 0.0, "conversion cannot precede the first view")
+  }
+
+  test("q129 cohort LTV: cumulative revenue is monotone along each cohort row") {
+    val rows = Relational.q129CohortLtv(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getDate(0)).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getLong(1))
+      assert(ordered.head.getLong(1) == 0L, "cohort must start at age 0")
+      val cum = ordered.map(_.getLong(4))
+      assert(cum.zip(cum.tail).forall { case (a, b) => a <= b },
+        "cumulative LTV decreased")
+      assert(ordered.map(_.getLong(3)).sum == cum.last,
+        "cumulative tail != sum of increments")
+    }
+  }
+
+  test("t23 Heaps: vocab never exceeds tokens; beta within (0, 1) on a growing corpus") {
+    val out = TextAnalysis.t23HeapsLaw(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "vocab > tokens")
+      val beta = r.getDouble(4)
+      assert(beta > 0.0 && beta < 1.0,
+        s"${r.getString(0)}: Heaps beta $beta outside (0,1)")
+    }
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
