@@ -1097,4 +1097,90 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
+
+  /** One funnel input row. */
+  final case class FunnelEvent(user_id: Long, ts_us: Long, event_type: String)
+
+  /** A user crossing a funnel stage (1 = view, 2 = click-within-1h,
+    * 3 = purchase-within-24h of that click), emitted once per stage.
+    */
+  final case class StageCross(user_id: Long, stage: Int, ts_us: Long)
+
+  /** Per-user deadline-funnel state: the streaming half of batch q120.
+    * State is the user's three FIRST qualifying stage timestamps
+    * (−1 = not reached) — constant-size per user, never a buffered
+    * event list. Each arriving row can only advance the funnel:
+    * a view sets stage 1 if unset; a click sets stage 2 if it lands
+    * strictly after the first view and within `clickWindowUs`; a
+    * purchase sets stage 3 if strictly after the first qualifying
+    * click and within `purchaseWindowUs` — exactly q120's per-stage
+    * deadline algebra, so FIRST timestamps per stage agree with the
+    * batch min-aggregates when rows arrive in per-user event-time
+    * order (the module's documented delivery contract; q120 stays
+    * the backfill path). Emits one StageCross per stage ADVANCEMENT
+    * — downstream counts-by-stage are then live funnel populations.
+    */
+  class FunnelProcessor(clickWindowUs: Long, purchaseWindowUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long,
+        FunnelEvent,
+        StageCross] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)](
+        "stages",
+        Encoders.product[(Long, Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[FunnelEvent],
+        timerValues: TimerValues): Iterator[StageCross] = {
+      var (tView, tClick, tBuy) =
+        if (st.exists()) st.get() else (-1L, -1L, -1L)
+      val out = Array.newBuilder[StageCross]
+      rows.toArray.sortBy(_.ts_us).foreach { e =>
+        e.event_type match {
+          case "view" if tView < 0 =>
+            tView = e.ts_us
+            out += StageCross(key, 1, e.ts_us)
+          case "click"
+              if tClick < 0 && tView >= 0 &&
+                e.ts_us > tView && e.ts_us <= tView + clickWindowUs =>
+            tClick = e.ts_us
+            out += StageCross(key, 2, e.ts_us)
+          case "purchase"
+              if tBuy < 0 && tClick >= 0 &&
+                e.ts_us > tClick && e.ts_us <= tClick + purchaseWindowUs =>
+            tBuy = e.ts_us
+            out += StageCross(key, 3, e.ts_us)
+          case _ => ()
+        }
+      }
+      st.update((tView, tClick, tBuy))
+      out.result().iterator
+    }
+  }
+
+  /** Live deadline-funnel stage crossings (batch twin: q120);
+    * update-mode emission, one 3-long state row per user.
+    */
+  def streamingFunnelGate(
+      events: Dataset[FunnelEvent],
+      clickWindowHours: Int = 1,
+      purchaseWindowHours: Int = 24): Dataset[StageCross] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new FunnelProcessor(
+          clickWindowHours * 3600000000L,
+          purchaseWindowHours * 3600000000L),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

@@ -1235,6 +1235,67 @@ class StreamBatchParitySpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming funnel gate crossings match batch q120 stage timestamps and counts") {
+    import spark.implicits._
+    import graft.streaming.Streams.{FunnelEvent, StageCross}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evDf = graft.ops.Tables.events(spark, Sf)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+
+    // batch twin — q120's per-stage min-aggregate chain at per-user
+    // granularity (stage, first qualifying ts)
+    val v = evDf.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("tv"))
+    val c = evDf.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("us") > col("tv") && col("us") <= col("tv") + 3600000000L)
+      .groupBy(col("user_id")).agg(min(col("us")).as("tc"))
+    val p = evDf.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("us") > col("tc") && col("us") <= col("tc") + 24L * 3600000000L)
+      .groupBy(col("user_id")).agg(min(col("us")).as("tp"))
+    val expected =
+      v.collect().map(r => (r.getLong(0), 1, r.getLong(1))).toSet ++
+        c.collect().map(r => (r.getLong(0), 2, r.getLong(1))).toSet ++
+        p.collect().map(r => (r.getLong(0), 3, r.getLong(1))).toSet
+
+    val rows = evDf.collect()
+      .map(r => FunnelEvent(r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_.ts_us) // the gate's delivery contract
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[FunnelEvent]
+    val q = graft.streaming.Streams
+      .streamingFunnelGate(in.toDS())
+      .writeStream.format("memory").queryName("funnel_parity")
+      .outputMode("update").start()
+    try {
+      rows.grouped(500).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+      val got = spark.table("funnel_parity").as[StageCross].collect()
+        .map(sc => (sc.user_id, sc.stage, sc.ts_us))
+        .toSet
+      assert(got == expected,
+        s"stream != batch; only-stream=${(got -- expected).take(3)}, " +
+          s"only-batch=${(expected -- got).take(3)}")
+      // and the live populations equal q120's published counts (a
+      // stage nobody reached emits no crossings but q120 reports 0)
+      val counts = got.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val q120 = graft.ops.Relational.q120FunnelWindowed(spark, Sf).collect()
+        .map(r => r.getLong(0).toInt -> r.getLong(2)).toMap
+      assert(q120.forall { case (stage, n) => counts.getOrElse(stage, 0L) == n },
+        s"stage counts $counts != q120 $q120")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v2) => spark.conf.set(key, v2)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
 
 /** Companion buffer for the gate-restart test: foreachBatch closures
