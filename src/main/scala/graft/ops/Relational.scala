@@ -4370,7 +4370,90 @@ object Relational {
       .orderBy("cohort_wk", "age_wk")
   }
 
+  /** q130 — weekly churn: users active in week w but absent in w+1,
+    * per week — the retention complement of q52's cohort matrix
+    * (which counts who RETURNS; this counts who LEAVES, the metric
+    * alerting pages on). The absence test is a self-anti-join of the
+    * distinct (user, week) activity set against itself shifted one
+    * week — expressed as a `lead` window per user so the weekly
+    * activity set shuffles ONCE on user_id instead of joining itself
+    * per week pair. The last observed week is excluded (its churn is
+    * not yet knowable — right-censoring). All integer counts + one
+    * ratio under round(4). At 100 TB: the (user, week) dedup is the
+    * only data-sized exchange; everything after is user-week-sized.
+    */
+  def q130WeeklyChurn(s: SparkSession, dir: String): DataFrame = {
+    val uw = Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+    val maxWk = uw.agg(max(col("wk")).as("max_wk"))
+    uw.withColumn("next_wk", lead(col("wk"), 1).over(w))
+      .crossJoin(broadcast(maxWk))
+      .filter(col("wk") < col("max_wk")) // right-censored last week out
+      .withColumn(
+        "churned",
+        when(
+          col("next_wk").isNull ||
+            col("next_wk") > expr("wk + INTERVAL 7 DAYS"),
+          1L).otherwise(0L))
+      .groupBy(col("wk"))
+      .agg(
+        count(lit(1)).as("n_active"),
+        sum(col("churned")).as("n_churned"),
+        round(sum(col("churned")).cast("double") / count(lit(1)), 4)
+          .as("churn_rate"))
+      .orderBy("wk")
+  }
+
+  /** q131 — revenue concentration (Herfindahl–Hirschman index) per
+    * order priority: Σ shareᵢ² over each customer's revenue share —
+    * the one-number market-concentration diagnostic (1/HHI is the
+    * "effective number of customers"). Computed as Σ revᵢ² / (Σ revᵢ)²
+    * so the only division is the FINAL one: revenue moments accumulate
+    * exactly in DECIMAL(38,0) (cents² passes 2^63 exactly like q125's
+    * price² — a long sum would wrap silently where DuckDB widens),
+    * then one double division under round(6). Plan: one (prio, cust)
+    * aggregate, one 5-group rollup — the squared-sum never sees
+    * data-sized rows after the first exchange.
+    */
+  def q131RevenueHhi(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderpriority").as("prio"),
+        col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("prio"), col("o_custkey"))
+      .agg(sum(col("cents")).as("r"))
+    rev
+      .groupBy(col("prio"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("r").cast("decimal(38,0)")).as("total"),
+        sum((col("r").cast("decimal(38,0)") * col("r").cast("decimal(38,0)")))
+          .as("sq"))
+      .select(
+        col("prio"),
+        col("n_customers"),
+        col("total").cast("long").as("total_cents"),
+        round(
+          col("sq").cast("double") /
+            (col("total").cast("double") * col("total").cast("double")),
+          6).as("hhi"),
+        round(
+          (col("total").cast("double") * col("total").cast("double")) /
+            col("sq").cast("double"),
+          4).as("effective_customers"))
+      .orderBy("prio")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_weekly_churn" -> q130WeeklyChurn,
+    "q131_revenue_hhi" -> q131RevenueHhi,
     "q128_time_to_convert" -> q128TimeToConvert,
     "q129_cohort_ltv" -> q129CohortLtv,
     "q123_seasonal_dow" -> q123SeasonalDow,
@@ -4500,6 +4583,41 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // lead-per-user formulation, right-censored last week; ISO Monday
+    // weeks in both engines
+    "q130_weekly_churn" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |mx AS (SELECT max(wk) AS max_wk FROM uw),
+        |l AS (
+        |  SELECT user_id, wk,
+        |    lead(wk, 1) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+        |  FROM uw)
+        |SELECT wk, count(*) AS n_active,
+        |  CAST(sum(CASE WHEN next_wk IS NULL OR next_wk > wk + INTERVAL 7 DAY
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+        |  round(sum(CASE WHEN next_wk IS NULL OR next_wk > wk + INTERVAL 7 DAY
+        |                 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS churn_rate
+        |FROM l, mx WHERE wk < max_wk
+        |GROUP BY wk ORDER BY wk""".stripMargin,
+    // exact DECIMAL/HUGEINT moments, one final double division — the
+    // q125 overflow discipline applied to concentration indices
+    "q131_revenue_hhi" ->
+      """WITH rev AS (
+        |  SELECT o_orderpriority AS prio, o_custkey,
+        |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS r
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (
+        |  SELECT prio, count(*) AS n_customers,
+        |    sum(r) AS total, sum(r * r) AS sq
+        |  FROM rev GROUP BY 1)
+        |SELECT prio, n_customers,
+        |  CAST(total AS BIGINT) AS total_cents,
+        |  round(sq::DOUBLE / (total::DOUBLE * total::DOUBLE), 6) AS hhi,
+        |  round((total::DOUBLE * total::DOUBLE) / sq::DOUBLE, 4)
+        |    AS effective_customers
+        |FROM m ORDER BY prio""".stripMargin,
     // integer hour buckets; quantile_cont over BIGINT == Spark's exact
     // percentile; strictly-after purchase, first view/purchase only
     "q128_time_to_convert" ->
