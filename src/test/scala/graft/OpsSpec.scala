@@ -1441,6 +1441,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q130 churn: rates in [0,1], the censored last week absent") {
+    val out = Relational.q130WeeklyChurn(spark, Sf).collect()
+    assert(out.nonEmpty)
+    val maxWk = Tables.events(spark, Sf)
+      .select(to_date(date_trunc("week", col("ts"))).as("wk"))
+      .agg(max(col("wk"))).head.getDate(0)
+    out.foreach { r =>
+      assert(r.getDate(0).before(maxWk), "right-censored week leaked in")
+      assert(r.getLong(2) <= r.getLong(1), "more churned than active")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("q131 HHI: between 1/n and 1; effective customers is its reciprocal") {
+    val out = Relational.q131RevenueHhi(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, hhi, eff) = (r.getLong(1), r.getDouble(3), r.getDouble(4))
+      assert(hhi >= 1.0 / n - 1e-9 && hhi <= 1.0 + 1e-9,
+        s"${r.getString(0)}: HHI $hhi outside [1/$n, 1]")
+      assert(eff >= 1.0 - 1e-9 && eff <= n + 1e-9, "effective count out of range")
+      assert(math.abs(eff * hhi - 1.0) < 1e-2, "eff != 1/HHI under rounding")
+    }
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
