@@ -351,6 +351,61 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** s13 — cluster-quality report (simplified silhouette): for every
+    * vector, a = cosine DISTANCE (1 − cos) to its assigned centroid,
+    * b = distance to the best OTHER centroid, s = (b − a)/max(a, b);
+    * per-cluster mean silhouette + mean assignment cosine + margin —
+    * the "is k right / which cluster is mushy" diagnostic a
+    * clustering pipeline (s10/d14/d15 consumers) reads before
+    * trusting assignments. Centroids are s6's deterministic sample
+    * (the 8 lowest-id vectors) so both engines rebuild them exactly;
+    * assignment ties resolve min-cid (s6's rule), and the
+    * second-best is a max over the non-assigned centroids — all
+    * doubles from identical expressions, masked at round(4). Plan:
+    * centroids broadcast, scoring scan-side (one 8-way cross per
+    * row), ONE vec-sized exchange for the argmax, then an 8-group
+    * rollup. At 100 TB this is a broadcast pass over the corpus —
+    * silhouette against sampled centroids, never pairwise.
+    */
+  def s13ClusterQuality(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val cents = e
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("c"), col("norm").as("cnorm"))
+    val scored = e
+      .crossJoin(broadcast(cents))
+      .select(
+        col("vec_id"),
+        col("cid"),
+        (dot(col("v"), col("c")) / (col("norm") * col("cnorm"))).as("cos"))
+    val best = scored.groupBy(col("vec_id")).agg(max(col("cos")).as("bc"))
+    val assigned = scored
+      .join(best, "vec_id")
+      .filter(col("cos") === col("bc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("cid")).as("cid"), max(col("cos")).as("own_cos"))
+    val other = scored
+      .join(assigned.select(col("vec_id"), col("cid").as("acid")), "vec_id")
+      .filter(col("cid") =!= col("acid"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos")).as("other_cos"))
+    assigned
+      .join(other, "vec_id")
+      .withColumn("a", lit(1.0) - col("own_cos"))
+      .withColumn("b", lit(1.0) - col("other_cos"))
+      .withColumn("sil", (col("b") - col("a")) / greatest(col("a"), col("b")))
+      .groupBy(col("cid"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("own_cos")), 4).as("mean_cos"),
+        round(avg(col("other_cos")), 4).as("mean_other_cos"),
+        round(avg(col("sil")), 4).as("mean_silhouette"))
+      .orderBy("cid")
+  }
+
   /** s7 — product quantization encode (Jégou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search"): the 64-dim vector
     * splits into M=8 contiguous 8-dim subvectors, each assigned to its
@@ -751,6 +806,7 @@ object Similarity {
     "s11_ivf_trained_search" -> s11IvfTrainedSearch,
     "s10_kmeans_train" -> s10KmeansTrain,
     "s9_radius_search" -> s9RadiusSearch,
+    "s13_cluster_quality" -> s13ClusterQuality,
     "s6_centroid_assign" -> s6CentroidAssign,
     "s7_pq_encode" -> s7PqEncode,
     "s8_pq_adc_search" -> s8PqAdcSearch,
@@ -991,6 +1047,37 @@ object Similarity {
         |  round(adc, 6) AS adc_dist
         |FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    // s6's deterministic centroids + assignment rule; silhouette from
+    // the same double expressions, masked at round(4)
+    "s13_cluster_quality" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm
+        |      FROM n WHERE vec_id < 8),
+        |sc AS (
+        |  SELECT n.vec_id, c.cid,
+        |    list_inner_product(n.v, c.cv) / (n.norm * c.cnorm) AS cos
+        |  FROM n, c),
+        |best AS (SELECT vec_id, max(cos) AS bc FROM sc GROUP BY 1),
+        |asg AS (
+        |  SELECT sc.vec_id, min(sc.cid) AS cid, max(sc.cos) AS own_cos
+        |  FROM sc JOIN best USING (vec_id)
+        |  WHERE sc.cos = best.bc GROUP BY sc.vec_id),
+        |oth AS (
+        |  SELECT sc.vec_id, max(sc.cos) AS other_cos
+        |  FROM sc JOIN asg USING (vec_id)
+        |  WHERE sc.cid <> asg.cid GROUP BY sc.vec_id),
+        |sil AS (
+        |  SELECT asg.cid, asg.own_cos, oth.other_cos,
+        |    ((1.0 - oth.other_cos) - (1.0 - asg.own_cos)) /
+        |      greatest(1.0 - asg.own_cos, 1.0 - oth.other_cos) AS s
+        |  FROM asg JOIN oth USING (vec_id))
+        |SELECT cid, count(*) AS n,
+        |  round(avg(own_cos), 4) AS mean_cos,
+        |  round(avg(other_cos), 4) AS mean_other_cos,
+        |  round(avg(s), 4) AS mean_silhouette
+        |FROM sil GROUP BY cid ORDER BY cid""".stripMargin,
     "s6_centroid_assign" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
