@@ -4454,7 +4454,82 @@ object Relational {
       .orderBy("prio")
   }
 
+  /** q132 — order-cycle-time distribution: days from order placement
+    * to the LAST line shipment per order, summarized per priority as
+    * exact median/p90/max over integer day counts — the operational
+    * SLA readout (did high-priority orders actually ship faster?).
+    * Plan: the per-order max-shipdate aggregate rides the
+    * orders⨝lineitem join's own orderkey clustering (no extra
+    * exchange), then everything is order-count-sized into a 5-group
+    * rollup. Integer days keep every percentile boundary exact.
+    */
+  def q132OrderCycleTime(s: SparkSession, dir: String): DataFrame = {
+    val cycle = Tables
+      .orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority").as("prio"), col("o_orderdate"))
+      .join(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("prio"), col("o_orderdate"))
+      .agg(max(col("l_shipdate")).as("last_ship"))
+      .withColumn(
+        "days",
+        datediff(to_date(col("last_ship")), to_date(col("o_orderdate"))).cast("long"))
+    cycle
+      .groupBy(col("prio"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(expr("percentile(days, 0.5)"), 4).as("p50_days"),
+        round(expr("percentile(days, 0.9)"), 4).as("p90_days"),
+        max(col("days")).as("max_days"))
+      .orderBy("prio")
+  }
+
+  /** q133 — Pareto concentration point: the smallest share of
+    * customers that accounts for ≥80% of revenue, per order priority —
+    * the 80/20 reading of q131's HHI (same concentration story, the
+    * cumulative view). Customers rank by (revenue desc, key asc) — a
+    * total order, so the cumulative sum and the boundary rank are
+    * deterministic; all cents exact integers, the two shares are final
+    * divisions under round(4). Plan: one (prio, cust) aggregate, then
+    * per-prio windows over customer-count-sized rows; the "smallest
+    * rank reaching 80%" is a conditional min, not a second pass.
+    */
+  def q133ParetoPoint(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderpriority").as("prio"),
+        col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("prio"), col("o_custkey"))
+      .agg(sum(col("cents")).as("r"))
+    val w = Window
+      .partitionBy(col("prio"))
+      .orderBy(col("r").desc, col("o_custkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("prio"))
+    rev
+      .withColumn("cum", sum(col("r")).over(w))
+      .withColumn("rk", count(lit(1)).over(w))
+      .withColumn("total", sum(col("r")).over(tot))
+      .withColumn("n", count(lit(1)).over(tot))
+      // first rank whose cumulative revenue crosses 80% (integer
+      // cross-multiplication — no float threshold)
+      .filter(col("cum") * 5L >= col("total") * 4L)
+      .groupBy(col("prio"))
+      .agg(
+        min(col("rk")).as("k_customers"),
+        max(col("n")).as("n_customers"),
+        round(min(col("rk")).cast("double") / max(col("n")), 4)
+          .as("customer_share"),
+        min(col("total")).as("total_cents"))
+      .orderBy("prio")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_order_cycle_time" -> q132OrderCycleTime,
+    "q133_pareto_point" -> q133ParetoPoint,
     "q130_weekly_churn" -> q130WeeklyChurn,
     "q131_revenue_hhi" -> q131RevenueHhi,
     "q128_time_to_convert" -> q128TimeToConvert,
@@ -4586,6 +4661,43 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // integer day diffs; quantile_cont == Spark's exact percentile
+    "q132_order_cycle_time" ->
+      """WITH c AS (
+        |  SELECT o.o_orderkey, o.o_orderpriority AS prio,
+        |    date_diff('day', CAST(o.o_orderdate AS DATE),
+        |              CAST(max(l.l_shipdate) AS DATE)) AS days
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2, o.o_orderdate)
+        |SELECT prio, count(*) AS n_orders,
+        |  round(quantile_cont(days, 0.5), 4) AS p50_days,
+        |  round(quantile_cont(days, 0.9), 4) AS p90_days,
+        |  CAST(max(days) AS BIGINT) AS max_days
+        |FROM c GROUP BY 1 ORDER BY prio""".stripMargin,
+    // (rev desc, key asc) total order; 80% boundary by integer
+    // cross-multiplication; conditional-min first crossing rank
+    "q133_pareto_point" ->
+      """WITH rev AS (
+        |  SELECT o_orderpriority AS prio, o_custkey,
+        |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS r
+        |  FROM orders GROUP BY 1, 2),
+        |wdw AS (
+        |  SELECT prio, o_custkey, r,
+        |    CAST(sum(r) OVER (PARTITION BY prio
+        |                      ORDER BY r DESC, o_custkey ASC
+        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    row_number() OVER (PARTITION BY prio
+        |                       ORDER BY r DESC, o_custkey ASC) AS rk,
+        |    CAST(sum(r) OVER (PARTITION BY prio) AS BIGINT) AS total,
+        |    count(*) OVER (PARTITION BY prio) AS n
+        |  FROM rev)
+        |SELECT prio,
+        |  CAST(min(rk) AS BIGINT) AS k_customers,
+        |  CAST(max(n) AS BIGINT) AS n_customers,
+        |  round(min(rk)::DOUBLE / max(n), 4) AS customer_share,
+        |  min(total) AS total_cents
+        |FROM wdw WHERE cum * 5 >= total * 4
+        |GROUP BY 1 ORDER BY prio""".stripMargin,
     // lead-per-user formulation, right-censored last week; ISO Monday
     // weeks in both engines
     "q130_weekly_churn" ->

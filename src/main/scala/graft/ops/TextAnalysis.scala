@@ -1020,7 +1020,43 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** t24 — n-gram novelty curve: per document (in doc_id = arrival
+    * order), the fraction of its DISTINCT 3-grams never seen in any
+    * earlier document — the marginal-information signal a
+    * dedup-aware curriculum thresholds on (a doc whose trigrams are
+    * all old is a paraphrase/template even when no dedup operator
+    * fires; the corpus-level novelty decay is also the "is more of
+    * this source still worth crawling" number). Same
+    * first-occurrence construction as t23 — a trigram is novel
+    * exactly in its min-doc_id document — so there is NO
+    * cumulative-distinct scan: one (doc, trigram) distinct exchange
+    * feeds the first-occurrence rollup, the join back is
+    * vocabulary-sized, all counts exact integers, one final ratio
+    * under round(6). Docs with < 3 tokens carry no trigrams and are
+    * absent by construction in both engines.
+    */
+  def t24NgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val dg = Tables
+      .spread(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(array(toks)).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), graft.functions.WordNgrams.wordNgrams(col("t"), 3).as("g"))
+      .distinct()
+      .localCheckpoint() // feeds the first-occurrence rollup AND the join
+    val first = dg.groupBy(col("g")).agg(min(col("doc_id")).as("d0"))
+    dg.join(first, "g")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_distinct_3grams"),
+        sum(when(col("d0") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn(
+        "novelty",
+        round(col("n_novel").cast("double") / col("n_distinct_3grams"), 6))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_ngram_novelty" -> t24NgramNovelty,
     "t23_heaps_law" -> t23HeapsLaw,
     "t21_keyness" -> t21Keyness,
     "t22_burstiness" -> t22Burstiness,
@@ -1047,6 +1083,25 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // t9's trigram construction + t23's first-occurrence trick; all
+    // counts exact, one final ratio under round(6)
+    "t24_ngram_novelty" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 1),
+        |           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+        |  FROM d WHERE len(t) >= 3),
+        |fo AS (SELECT g, min(doc_id) AS d0 FROM g GROUP BY 1)
+        |SELECT g.doc_id,
+        |  count(*) AS n_distinct_3grams,
+        |  CAST(sum(CASE WHEN fo.d0 = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  round(sum(CASE WHEN fo.d0 = g.doc_id THEN 1 ELSE 0 END)::DOUBLE /
+        |        count(*), 6) AS novelty
+        |FROM g JOIN fo USING (g)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     // same first-occurrence construction (no cumulative-distinct scan),
     // exact integer anchors, OLS doubles only under round(3)
     "t23_heaps_law" ->
