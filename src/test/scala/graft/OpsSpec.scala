@@ -1466,6 +1466,52 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("s13 cluster quality: every vector accounted, silhouette within [-1,1]") {
+    val out = Similarity.s13ClusterQuality(spark, Sf).collect()
+    assert(out.map(_.getLong(0)).toSet.subsetOf((0L to 7L).toSet))
+    val total = Tables.embeddings(spark, Sf).count()
+    assert(out.map(_.getLong(1)).sum == total, "vectors lost in the rollup")
+    out.foreach { r =>
+      assert(r.getDouble(2) >= r.getDouble(3) - 1e-9,
+        s"cell ${r.getLong(0)}: own cosine below the best-other mean")
+      assert(math.abs(r.getDouble(4)) <= 1.0 + 1e-9, "silhouette out of range")
+    }
+  }
+
+  test("q132 cycle time: quantiles ordered and bounded by the max") {
+    val out = Relational.q132OrderCycleTime(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3) + 1e-9, "p50 > p90")
+      assert(r.getDouble(3) <= r.getLong(4) + 1e-9, "p90 > max")
+      assert(r.getDouble(2) >= 0.0, "shipment before order date")
+    }
+  }
+
+  test("q133 Pareto: the crossing prefix is minimal and within the population") {
+    val out = Relational.q133ParetoPoint(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (k, n, share) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(k >= 1 && k <= n)
+      assert(math.abs(share - k.toDouble / n) < 1e-4)
+      // revenue concentrates: 80% of revenue needs at most ~80% of customers
+      assert(share <= 0.81, s"${r.getString(0)}: share $share suspiciously flat")
+    }
+  }
+
+  test("t24 novelty: the first doc is fully novel, rates in [0,1], totals consistent") {
+    val out = TextAnalysis.t24NgramNovelty(spark, Sf).collect()
+    assert(out.nonEmpty)
+    val first = out.minBy(_.getLong(0))
+    assert(first.getDouble(3) == 1.0, "earliest doc must be 100% novel")
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "novel count exceeds distinct count")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    assert(out.exists(_.getDouble(3) < 1.0), "corpus has no shared trigrams?")
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
