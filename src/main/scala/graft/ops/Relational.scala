@@ -4527,7 +4527,101 @@ object Relational {
       .orderBy("prio")
   }
 
+  /** q134 — rolling anomaly detection: a day is anomalous for an
+    * event type when its total sits more than 2σ from the mean of the
+    * TRAILING 7 days (self excluded) — q68's exact-arithmetic z-test
+    * made rolling (the monitoring shape: yesterday's regime, not the
+    * all-time one, is the baseline). The test |x−μ| > 2σ is
+    * cross-multiplied into pure integer algebra — (n·x − S)² >
+    * 4·(n·Q − S²) — evaluated in DECIMAL(38,0) (DuckDB: HUGEINT)
+    * because Q = Σx² passes 2^63 for large daily totals; no float
+    * mean/variance boundary exists, so the anomaly ROW SET is exact.
+    * Plan: one (type, day) aggregate, then a 7-row trailing window
+    * per type over calendar-bounded rows — nothing data-sized after
+    * the first exchange.
+    */
+  def q134RollingAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).cast(dec).as("x"))
+    val w = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    d.withColumn("n", count(col("x")).over(w).cast(dec))
+      .withColumn("s", sum(col("x")).over(w))
+      .withColumn("q", sum(col("x") * col("x")).over(w))
+      .filter(col("n") === 7) // full trailing week only
+      .withColumn("dev", col("n") * col("x") - col("s"))
+      .filter(
+        col("dev") * col("dev") >
+          lit(4).cast(dec) * (col("n") * col("q") - col("s") * col("s")))
+      .select(
+        col("event_type"),
+        col("day"),
+        col("x").cast("long").as("day_cents"),
+        round(col("s").cast("double") / col("n").cast("double"), 2)
+          .as("trailing_mean"),
+        when(col("dev") > 0, lit("high")).otherwise(lit("low")).as("direction"))
+      .orderBy("event_type", "day")
+  }
+
+  /** q135 — RFM segmentation: every user scored 1–5 on Recency
+    * (days since last activity), Frequency (event count) and Monetary
+    * (cents sum) via ntile quintiles over DETERMINISTIC total orders
+    * (metric, then user_id — no float boundary, no tie ambiguity),
+    * then rolled up per R·100+F·10+M segment — the
+    * customer-segmentation primitive behind "champions vs at-risk"
+    * dashboards. Plan: one user-sized aggregate, three ntile windows
+    * over the SAME user-count-sized relation (single partition-less
+    * sorts of id+three-int rows), a ≤125-group rollup. At 100 TB the
+    * user table is the only sorted set — never the fact table.
+    */
+  def q135RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val maxDay = Tables
+      .events(s, dir)
+      .agg(max(to_date(col("ts"))).as("max_day"))
+    val u = Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("day")).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(col("cents")).as("money"))
+      .crossJoin(broadcast(maxDay))
+      .withColumn("recency_days", datediff(col("max_day"), col("last_day")).cast("long"))
+    val scored = u
+      .withColumn(
+        "r",
+        ntile(5).over(Window.orderBy(col("recency_days").asc, col("user_id").asc)))
+      .withColumn(
+        "f",
+        ntile(5).over(Window.orderBy(col("freq").desc, col("user_id").asc)))
+      .withColumn(
+        "m",
+        ntile(5).over(Window.orderBy(col("money").desc, col("user_id").asc)))
+    scored
+      .groupBy((col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("money")).as("segment_cents"),
+        round(avg(col("recency_days")), 2).as("avg_recency_days"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_rolling_anomaly" -> q134RollingAnomaly,
+    "q135_rfm_segments" -> q135RfmSegments,
     "q132_order_cycle_time" -> q132OrderCycleTime,
     "q133_pareto_point" -> q133ParetoPoint,
     "q130_weekly_churn" -> q130WeeklyChurn,
@@ -4661,6 +4755,55 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical cross-multiplied integer z-test in HUGEINT (the
+    // DECIMAL(38,0) mirror); exact anomaly row set
+    "q134_rolling_anomaly" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::HUGEINT AS x
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, x,
+        |    count(x) OVER tw AS n,
+        |    sum(x) OVER tw AS s,
+        |    sum(x * x) OVER tw AS q
+        |  FROM d
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY day
+        |                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |f AS (
+        |  SELECT *, n::HUGEINT * x - s AS dev FROM w WHERE n = 7)
+        |SELECT event_type, day,
+        |  CAST(x AS BIGINT) AS day_cents,
+        |  round(s::DOUBLE / n::DOUBLE, 2) AS trailing_mean,
+        |  CASE WHEN dev > 0 THEN 'high' ELSE 'low' END AS direction
+        |FROM f
+        |WHERE dev * dev > 4::HUGEINT * (n::HUGEINT * q - s * s)
+        |ORDER BY event_type, day""".stripMargin,
+    // deterministic (metric, user_id) ntile orders; standard-SQL even
+    // split in both engines
+    "q135_rfm_segments" ->
+      """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events),
+        |u AS (
+        |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+        |    count(*) AS freq,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS money
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT u.user_id,
+        |    date_diff('day', u.last_day, mx.max_day) AS recency_days,
+        |    u.freq, CAST(u.money AS BIGINT) AS money
+        |  FROM u, mx),
+        |sc AS (
+        |  SELECT *,
+        |    ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC) AS rs,
+        |    ntile(5) OVER (ORDER BY freq DESC, user_id ASC) AS fs,
+        |    ntile(5) OVER (ORDER BY money DESC, user_id ASC) AS ms
+        |  FROM r)
+        |SELECT CAST(rs * 100 + fs * 10 + ms AS INT) AS segment,
+        |  count(*) AS n_users,
+        |  CAST(sum(money) AS BIGINT) AS segment_cents,
+        |  round(avg(recency_days), 2) AS avg_recency_days
+        |FROM sc GROUP BY 1 ORDER BY segment""".stripMargin,
     // integer day diffs; quantile_cont == Spark's exact percentile
     "q132_order_cycle_time" ->
       """WITH c AS (
