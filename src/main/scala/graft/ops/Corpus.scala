@@ -509,7 +509,49 @@ object Corpus {
       .orderBy("shard")
   }
 
+  /** p12 — epoch shuffle sharding: the training-data "global shuffle"
+    * primitive — every document gets a deterministic pseudo-random
+    * (shard, within-shard position) so each epoch reads the corpus in
+    * a fixed shuffled order WITHOUT a global sort of the data (only
+    * (id, key) pairs ever order; text stays put and is read
+    * shard-by-shard). Shard = p10's overflow-free Knuth hash mod 64;
+    * the within-shard key is the SAME split-multiply applied to the
+    * first hash (two LCG rounds decorrelate shard and position, the
+    * q112 lesson about composing affine maps). Per shard: doc count,
+    * byte volume, first document in shuffle order (row_number over
+    * the (key, id) total order), and the exact key sum as the order
+    * fingerprint a replay must reproduce. All integer algebra —
+    * every intermediate < 2^48, any Long id, both engines exact.
+    */
+  def p12EpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("v2").asc, col("doc_id").asc)
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("a32", col("doc_id") % lit(4294967296L))
+      .withColumn(
+        "v1",
+        ((col("a32") % lit(65536L)) * lit(2654404608L) +
+          col("a32") * lit(31153L)) % lit(4294967296L))
+      .withColumn(
+        "v2",
+        ((col("v1") % lit(65536L)) * lit(2654404608L) +
+          col("v1") * lit(31153L)) % lit(4294967296L))
+      .withColumn("shard", (col("v1") % lit(64L)).cast("int"))
+      .withColumn("rn", row_number().over(win))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        max(when(col("rn") === 1, col("doc_id"))).as("first_doc_id"),
+        sum(col("v2")).as("order_key_sum"))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p12_epoch_shuffle" -> p12EpochShuffle,
     "p11_curriculum_shards" -> p11CurriculumShards,
     "p10_priority_sample" -> p10PrioritySample,
     "p9_temperature_mix" -> p9TemperatureMix,
@@ -524,6 +566,30 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    // same two Knuth rounds, same (v2, id) shuffle order; all exact
+    // integer algebra
+    "p12_epoch_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars, doc_id % 4294967296 AS a32
+        |  FROM documents),
+        |v1t AS (
+        |  SELECT doc_id, n_chars,
+        |    ((a32 % 65536) * 2654404608 + a32 * 31153) % 4294967296 AS v1
+        |  FROM h),
+        |v2t AS (
+        |  SELECT doc_id, n_chars, CAST(v1 % 64 AS INT) AS shard,
+        |    ((v1 % 65536) * 2654404608 + v1 * 31153) % 4294967296 AS v2
+        |  FROM v1t),
+        |rn AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY shard
+        |                       ORDER BY v2 ASC, doc_id ASC) AS rn
+        |  FROM v2t)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  max(CASE WHEN rn = 1 THEN doc_id END) AS first_doc_id,
+        |  CAST(sum(v2) AS BIGINT) AS order_key_sum
+        |FROM rn GROUP BY 1 ORDER BY shard""".stripMargin,
     // integer basis-point sort key + doc_id tie-break = total order;
     // ntile's standard even-split semantics match across engines
     "p11_curriculum_shards" ->

@@ -1135,7 +1135,37 @@ object Dedup {
       .orderBy("src_x", "src_y")
   }
 
+  /** d21 — threshold operating curve: how many near-dup pairs exist
+    * at Jaccard ≥ 0.5, 0.6, …, 0.9 — the tuning report an engineer
+    * reads BEFORE choosing the dedup threshold (each step of the
+    * curve is removed volume; the elbow is the policy). ONE run of
+    * the d2 machinery at the loosest threshold serves every
+    * tighter one: pairs bucket by floor(10·J) (identical IEEE
+    * division + floor in both engines; J = 1 clamps into the 0.9
+    * bucket) and the ≥-threshold counts are a reverse running sum
+    * over the ≤5-row bucket table — never five pair computations.
+    * Scale posture is d2's: banded candidates, exact verify, no
+    * all-pairs path.
+    */
+  def d21ThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val buckets = nearDupPairs(docsWithShingles(s, dir, 3), 0.5)
+      .withColumn("bucket", least(floor(col("jac") * 10), lit(9L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    buckets
+      .withColumn("n_at_or_above", sum(col("n_pairs")).over(w))
+      .select(
+        round(col("bucket") / 10.0, 1).as("threshold"),
+        col("n_pairs"),
+        col("n_at_or_above"))
+      .orderBy("threshold")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d21_threshold_sweep" -> d21ThresholdSweep,
     "d20_canonical_survivor" -> d20CanonicalSurvivor,
     "d19_sorted_neighborhood_multipass" -> d19SortedNeighborhoodMultipass,
     "d18_cross_source_dup" -> d18CrossSourceDup,
@@ -1185,6 +1215,36 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // d2's exact-Jaccard construction bucketed by floor(10·J) (same
+    // IEEE division + floor), reverse running sum for ≥-threshold
+    "d21_threshold_sweep" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+        |                   FOR i IN range(1, len(t) - 1)]) AS shingles
+        |  FROM tok WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |j AS (
+        |  SELECT shared::DOUBLE / (sa.n + sb.n - shared) AS jac
+        |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+        |             JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.5),
+        |b AS (
+        |  SELECT least(floor(jac * 10), 9) AS bucket, count(*) AS n_pairs
+        |  FROM j GROUP BY 1)
+        |SELECT round(bucket / 10.0, 1) AS threshold,
+        |  n_pairs,
+        |  CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS n_at_or_above
+        |FROM b ORDER BY threshold""".stripMargin,
     // d6's recursive-CTE clusters + per-cluster argmax survivorship
     "d20_canonical_survivor" ->
       """WITH RECURSIVE tok AS (

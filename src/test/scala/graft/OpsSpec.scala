@@ -1512,6 +1512,54 @@ class OpsSpec extends SparkSpec {
     assert(out.exists(_.getDouble(3) < 1.0), "corpus has no shared trigrams?")
   }
 
+  test("q134 anomalies: each flagged day truly violates the trailing 2-sigma band") {
+    val out = Relational.q134RollingAnomaly(spark, Sf).collect()
+    assert(out.nonEmpty, "fixture has no anomalous days?")
+    out.foreach { r =>
+      val dir = r.getString(4)
+      assert(dir == "high" || dir == "low")
+      if (dir == "high")
+        assert(r.getLong(2) > r.getDouble(3), "a 'high' day below its trailing mean")
+      else
+        assert(r.getLong(2) < r.getDouble(3), "a 'low' day above its trailing mean")
+    }
+  }
+
+  test("q135 RFM: segments partition users; digits within 1..5") {
+    val out = Relational.q135RfmSegments(spark, Sf).collect()
+    val totalUsers = Tables.events(spark, Sf).select("user_id").distinct().count()
+    assert(out.map(_.getLong(1)).sum == totalUsers)
+    out.foreach { r =>
+      val seg = r.getInt(0)
+      val (a, b, c) = (seg / 100, (seg / 10) % 10, seg % 10)
+      assert(Seq(a, b, c).forall(d => d >= 1 && d <= 5), s"segment $seg")
+    }
+  }
+
+  test("d21 sweep: cumulative counts decrease with threshold; total matches d2") {
+    val out = Dedup.d21ThresholdSweep(spark, Sf).collect().sortBy(_.getDouble(0))
+    assert(out.nonEmpty)
+    val cums = out.map(_.getLong(2))
+    assert(cums.zip(cums.tail).forall { case (lo, hi) => lo >= hi },
+      "n_at_or_above must shrink as the threshold rises")
+    val d2Pairs = Dedup.d2MinHashLsh(spark, Sf).count()
+    assert(cums.head == d2Pairs, "loosest-threshold cumulative != d2's pair count")
+    assert(out.map(_.getLong(1)).sum == cums.head, "bucket counts don't sum")
+  }
+
+  test("p12 epoch shuffle: shards partition the corpus and replay identically") {
+    val a = Corpus.p12EpochShuffle(spark, Sf).collect()
+    val total = Tables.documents(spark, Sf).count()
+    assert(a.map(_.getLong(1)).sum == total)
+    assert(a.map(_.getInt(0)).forall(s => s >= 0 && s < 64))
+    // deterministic replay — same shard stats and first docs bit-for-bit
+    val b = Corpus.p12EpochShuffle(spark, Sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "shuffle not reproducible")
+    // no catastrophic imbalance: largest shard within 6x of the mean
+    val mean = total.toDouble / 64
+    assert(a.map(_.getLong(1)).max <= mean * 6, "hash sharding collapsed")
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
