@@ -4619,7 +4619,38 @@ object Relational {
       .orderBy("segment")
   }
 
+  /** q136 — hopping (sliding) window aggregation via the NATIVE
+    * `window()` TVF: 3-day windows sliding by 1 day over event cents —
+    * the standing-dashboard shape ("3-day volume, refreshed daily"),
+    * and the one windowing surface (tumbling/hopping TVF) the
+    * batch-side inventory didn't yet exercise natively (q69 builds its
+    * sliding distinct by hand because COUNT DISTINCT can't ride a
+    * frame; plain sums CAN ride the TVF). Each event lands in exactly
+    * 3 epoch-aligned windows; Spark expands scan-side (Expand node),
+    * so the only exchange carries (window, type) partial aggregates —
+    * 3× the group count, never 3× the data. The oracle materializes
+    * the same membership from first principles: day d ∈ windows
+    * starting d−2, d−1, d. All integer cents.
+    */
+  def q136HoppingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .select(
+        col("ts"),
+        col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(window(col("ts"), "3 days", "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+      .select(
+        to_date(col("window.start")).as("win_start"),
+        to_date(col("window.end")).as("win_end"),
+        col("event_type"),
+        col("n_events"),
+        col("cents"))
+      .orderBy("win_start", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_hopping_window" -> q136HoppingWindow,
     "q134_rolling_anomaly" -> q134RollingAnomaly,
     "q135_rfm_segments" -> q135RfmSegments,
     "q132_order_cycle_time" -> q132OrderCycleTime,
@@ -4755,6 +4786,25 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // first-principles window membership: day d belongs to the three
+    // epoch-aligned 3-day windows starting d-2, d-1, d
+    "q136_hopping_window" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (
+        |  SELECT CAST(unnest(generate_series(day - INTERVAL 2 DAY, day,
+        |                                     INTERVAL 1 DAY)) AS DATE)
+        |      AS win_start,
+        |    event_type, cents
+        |  FROM e)
+        |SELECT win_start,
+        |  win_start + INTERVAL 3 DAY AS win_end,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM m GROUP BY 1, 2, 3
+        |ORDER BY win_start, event_type""".stripMargin,
     // identical cross-multiplied integer z-test in HUGEINT (the
     // DECIMAL(38,0) mirror); exact anomaly row set
     "q134_rolling_anomaly" ->
