@@ -550,7 +550,56 @@ object Corpus {
       .orderBy("shard")
   }
 
+  /** p13 — contamination report: d7's eval-overlap detection rolled
+    * up to the SOURCE level — contaminated-doc counts, rates in basis
+    * points (integer cross-multiplication, no float rate boundary),
+    * and the token volume a decontamination pass would remove. This
+    * is the report a data owner reads ("which crawl leaked the eval
+    * set, how much do we lose by dropping it") before d7's row-level
+    * verdicts are acted on. Same scale shape as d7: the eval shingle
+    * set broadcasts, the training side never shuffles its text — the
+    * rollup adds one source-sized aggregate.
+    */
+  def p13ContaminationReport(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val toks = split(col("text"), " ")
+    val sh = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("source"), explode(array(toks)).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(
+        col("doc_id"),
+        graft.functions.WordNgrams.wordNgrams(col("t"), k).as("sh"))
+    val evalSh = sh
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("sh"))
+      .distinct()
+    val contaminated = sh
+      .filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(evalSh), "sh")
+      .select(col("doc_id"))
+      .distinct()
+    val train = Tables
+      .documents(s, dir)
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    train
+      .join(contaminated.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_train_docs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"),
+        expr("(sum(coalesce(hit, 0)) * 10000) div count(*)").as("rate_bp"),
+        sum(when(col("hit").isNotNull, col("n_tokens")).otherwise(0L))
+          .as("tokens_lost"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p13_contamination_report" -> p13ContaminationReport,
     "p12_epoch_shuffle" -> p12EpochShuffle,
     "p11_curriculum_shards" -> p11CurriculumShards,
     "p10_priority_sample" -> p10PrioritySample,
@@ -566,6 +615,34 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    // d7's 8-gram overlap construction rolled up per source; rates in
+    // integer basis points
+    "p13_contamination_report" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 6),
+        |      i -> array_to_string(t[i:i+7], ' '))) AS sh
+        |  FROM d),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0),
+        |hit AS (
+        |  SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (sh)
+        |  WHERE sh.doc_id % 10 <> 0),
+        |tr AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE doc_id % 10 <> 0)
+        |SELECT tr.source, count(*) AS n_train_docs,
+        |  CAST(sum(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_contaminated,
+        |  (CAST(sum(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |        AS BIGINT) * 10000) // count(*) AS rate_bp,
+        |  CAST(sum(CASE WHEN hit.doc_id IS NOT NULL THEN tr.n_tokens
+        |                ELSE 0 END) AS BIGINT) AS tokens_lost
+        |FROM tr LEFT JOIN hit ON tr.doc_id = hit.doc_id
+        |GROUP BY 1 ORDER BY tr.source""".stripMargin,
     // same two Knuth rounds, same (v2, id) shuffle order; all exact
     // integer algebra
     "p12_epoch_shuffle" ->

@@ -506,7 +506,42 @@ object Multimodal {
       .orderBy("bucket")
   }
 
+  /** m11 — modality coverage audit: per source, how much of the
+    * corpus has each aligned modality (text always; binary payload
+    * via the media view; an embedding row keyed by the same id) —
+    * the completeness report a multimodal training run reads before
+    * deciding what it can actually train on (a source with 40%
+    * embedding coverage either gets backfilled or down-weighted).
+    * Coverage in integer basis points; payload VOLUME from metadata
+    * `length(payload)` only — the audit never decodes. Plan: two
+    * id-keyed left joins (embedding side is an id-only projection),
+    * one source-sized rollup.
+    */
+  def m11ModalityCoverage(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val emb = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"))
+      .distinct()
+      .withColumn("has_emb", lit(1L))
+    val med = media(s, dir).select(col("doc_id"), length(col("payload")).cast("long").as("nb"))
+    docs
+      .join(emb, Seq("doc_id"), "left")
+      .join(med, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("has_emb"), lit(0L))).as("n_with_embedding"),
+        expr("(sum(coalesce(has_emb, 0)) * 10000) div count(*)").as("emb_coverage_bp"),
+        sum(coalesce(col("nb"), lit(0L))).as("media_bytes"),
+        sum(col("n_chars")).as("text_chars"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m11_modality_coverage" -> m11ModalityCoverage,
     "m10_aspect_buckets" -> m10AspectBuckets,
     "m9_chunk_dedup_ratio" -> m9ChunkDedupRatio,
     "m8_scene_cuts" -> m8SceneCuts,
@@ -520,6 +555,25 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // id-keyed coverage joins; payload bytes from the same UTF-8
+    // derivation; basis points by integer floor division
+    "m11_modality_coverage" ->
+      """WITH e AS (
+        |  SELECT DISTINCT vec_id AS doc_id FROM embeddings),
+        |med AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |  FROM documents)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_with_embedding,
+        |  (CAST(sum(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |        AS BIGINT) * 10000) // count(*) AS emb_coverage_bp,
+        |  CAST(sum(COALESCE(med.nb, 0)) AS BIGINT) AS media_bytes,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS text_chars
+        |FROM documents d
+        |LEFT JOIN e ON d.doc_id = e.doc_id
+        |LEFT JOIN med ON d.doc_id = med.doc_id
+        |GROUP BY 1 ORDER BY d.source""".stripMargin,
     // same media metadata derivation, same exact-integer nearest-bucket
     // (scaled cross-multiplication), same first-match tie-break
     "m10_aspect_buckets" ->
