@@ -4649,7 +4649,90 @@ object Relational {
         col("cents"))
       .orderBy("win_start", "event_type")
 
+  /** q137 — Gini coefficient of customer revenue per order priority:
+    * the Lorenz-curve summary completing the concentration trilogy
+    * (q131 HHI = sum-of-squares view, q133 Pareto = one point on the
+    * curve, q137 = the curve's integral). Discrete form G =
+    * (2·Σ i·rᵢ)/(n·Σ rᵢ) − (n+1)/n over revenues sorted ASCENDING
+    * with (r, custkey) total order; Σ i·rᵢ accumulates in
+    * DECIMAL(38,0) (rank × cents overflows long past ~10⁹ customers),
+    * one double division per group at the end under round(6). Plan:
+    * one (prio, cust) aggregate, a rank window per prio over
+    * customer-count-sized rows, a 5-group rollup.
+    */
+  def q137GiniRevenue(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderpriority").as("prio"),
+        col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("prio"), col("o_custkey"))
+      .agg(sum(col("cents")).as("r"))
+    val w = Window
+      .partitionBy(col("prio"))
+      .orderBy(col("r").asc, col("o_custkey").asc)
+    rev
+      .withColumn("i", row_number().over(w))
+      .groupBy(col("prio"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("r").cast("decimal(38,0)")).as("total"),
+        sum((col("i").cast("decimal(38,0)") * col("r").cast("decimal(38,0)")))
+          .as("iwr"))
+      .select(
+        col("prio"),
+        col("n_customers"),
+        col("total").cast("long").as("total_cents"),
+        round(
+          lit(2.0) * col("iwr").cast("double") /
+            (col("n_customers") * col("total").cast("double")) -
+            (col("n_customers") + 1).cast("double") / col("n_customers"),
+          6).as("gini"))
+      .orderBy("prio")
+  }
+
+  /** q138 — forecast backtest: one-step-ahead mean absolute error of
+    * the NAIVE (yesterday) vs SEASONAL-NAIVE (same weekday last week)
+    * forecasters over each type's daily series — the baseline shootout
+    * every forecasting pipeline runs BEFORE fitting anything (if
+    * seasonal-naive wins, q123's weekday effect is real and a model
+    * needs it; the MAE ratio is the skill score). Errors are exact
+    * integer |Δcents| from lag windows; the two MAEs divide once at
+    * the end (round 4) over the common scored support (both lags
+    * present). One (type, day) aggregate + one type-partitioned
+    * window — calendar-bounded after the first exchange.
+    */
+  def q138ForecastBacktest(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    d.withColumn("l1", lag(col("c"), 1).over(w))
+      .withColumn("l7", lag(col("c"), 7).over(w))
+      .filter(col("l1").isNotNull && col("l7").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_scored_days"),
+        sum(abs(col("c") - col("l1"))).as("naive_abs_err"),
+        sum(abs(col("c") - col("l7"))).as("seasonal_abs_err"),
+        round(avg(abs(col("c") - col("l1"))), 4).as("naive_mae"),
+        round(avg(abs(col("c") - col("l7"))), 4).as("seasonal_mae"),
+        round(
+          sum(abs(col("c") - col("l7"))).cast("double") /
+            sum(abs(col("c") - col("l1"))),
+          4).as("skill_ratio"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_gini_revenue" -> q137GiniRevenue,
+    "q138_forecast_backtest" -> q138ForecastBacktest,
     "q136_hopping_window" -> q136HoppingWindow,
     "q134_rolling_anomaly" -> q134RollingAnomaly,
     "q135_rfm_segments" -> q135RfmSegments,
@@ -4786,6 +4869,47 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // ascending (r, custkey) total order; rank-weighted sum exact in
+    // HUGEINT; one double division under round(6)
+    "q137_gini_revenue" ->
+      """WITH rev AS (
+        |  SELECT o_orderpriority AS prio, o_custkey,
+        |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS r
+        |  FROM orders GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT prio, r,
+        |    row_number() OVER (PARTITION BY prio
+        |                       ORDER BY r ASC, o_custkey ASC) AS i
+        |  FROM rev),
+        |m AS (
+        |  SELECT prio, count(*) AS n,
+        |    sum(r::HUGEINT) AS total, sum(i::HUGEINT * r::HUGEINT) AS iwr
+        |  FROM rk GROUP BY 1)
+        |SELECT prio, n AS n_customers,
+        |  CAST(total AS BIGINT) AS total_cents,
+        |  round(2.0 * iwr::DOUBLE / (n * total::DOUBLE)
+        |        - (n + 1)::DOUBLE / n, 6) AS gini
+        |FROM m ORDER BY prio""".stripMargin,
+    // exact integer absolute errors off the same lag windows; common
+    // support (both lags present); divisions only under round(4)
+    "q138_forecast_backtest" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, c,
+        |    lag(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+        |    lag(c, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7
+        |  FROM d)
+        |SELECT event_type, count(*) AS n_scored_days,
+        |  CAST(sum(abs(c - l1)) AS BIGINT) AS naive_abs_err,
+        |  CAST(sum(abs(c - l7)) AS BIGINT) AS seasonal_abs_err,
+        |  round(avg(abs(c - l1)), 4) AS naive_mae,
+        |  round(avg(abs(c - l7)), 4) AS seasonal_mae,
+        |  round(sum(abs(c - l7))::DOUBLE / sum(abs(c - l1)), 4) AS skill_ratio
+        |FROM l WHERE l1 IS NOT NULL AND l7 IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     // first-principles window membership: day d belongs to the three
     // epoch-aligned 3-day windows starting d-2, d-1, d
     "q136_hopping_window" ->
