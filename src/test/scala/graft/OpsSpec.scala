@@ -1560,6 +1560,59 @@ class OpsSpec extends SparkSpec {
     assert(a.map(_.getLong(1)).max <= mean * 6, "hash sharding collapsed")
   }
 
+  test("q136 hopping windows: every event counted exactly 3 times across windows") {
+    val out = Relational.q136HoppingWindow(spark, Sf).collect()
+    assert(out.nonEmpty)
+    val totalEvents = Tables.events(spark, Sf).count()
+    assert(out.map(_.getLong(3)).sum == 3 * totalEvents,
+      "3-day/1-day hopping must count each event exactly three times")
+    out.foreach(r => assert(r.getDate(1).getTime - r.getDate(0).getTime ==
+      3L * 86400000L, "window span must be exactly 3 days"))
+  }
+
+  test("q137 Gini: within [0,1) and consistent with HHI's ordering signal") {
+    val out = Relational.q137GiniRevenue(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val g = r.getDouble(3)
+      assert(g >= 0.0 && g < 1.0, s"${r.getString(0)}: Gini $g out of range")
+    }
+  }
+
+  test("q138 backtest: MAEs are error sums over the scored support; ratio consistent") {
+    val out = Relational.q138ForecastBacktest(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, ne, se) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(math.abs(r.getDouble(4) - ne.toDouble / n) < 1e-3, "naive MAE drifts")
+      assert(math.abs(r.getDouble(5) - se.toDouble / n) < 1e-3, "seasonal MAE drifts")
+      assert(math.abs(r.getDouble(6) - se.toDouble / ne) < 1e-3, "skill ratio drifts")
+    }
+  }
+
+  test("p13 contamination: counts bounded by training docs, d7 totals agree") {
+    val out = Corpus.p13ContaminationReport(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "more contaminated than present")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 10000, "rate_bp outside [0,10000]")
+    }
+    val d7Docs = Dedup.d7Decontaminate(spark, Sf).count()
+    assert(out.map(_.getLong(2)).sum == d7Docs,
+      "per-source contaminated counts must sum to d7's flagged docs")
+  }
+
+  test("m11 coverage: doc totals partition by source; coverage within bounds") {
+    val out = Multimodal.m11ModalityCoverage(spark, Sf).collect()
+    val totalDocs = Tables.documents(spark, Sf).count()
+    assert(out.map(_.getLong(1)).sum == totalDocs)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 10000)
+      assert(r.getLong(4) > 0, "media bytes must be positive (UTF-8 payloads)")
+    }
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
