@@ -1166,6 +1166,100 @@ object Streams {
     }
   }
 
+  /** One per-type daily partial for the anomaly gate. */
+  final case class DayTotal(event_type: String, epoch_day: Long, cents: Long)
+
+  /** A scored day: flagged iff it violates the trailing-week 2σ band. */
+  final case class AnomalyVerdict(
+      event_type: String,
+      epoch_day: Long,
+      day_cents: Long,
+      flagged: Boolean,
+      direction: String)
+
+  /** Per-type rolling-anomaly state: the streaming half of batch q134.
+    * State is the newest 8 PRESENT days' (day → cents) totals per
+    * event type (the EWMA gate's bounded-horizon shape) — merged
+    * additively, so same-day partials commute across batches. Each
+    * batch merges its partials, then scores every day it touched (in
+    * day order) whose 7 preceding present days are all in state,
+    * using EXACTLY q134's cross-multiplied integer z-test —
+    * (n·x−S)² > 4(n·Q−S²) — evaluated in BigInt so no magnitude
+    * wraps. Delivery contract (documented, as for the EWMA and
+    * attribution gates): per-type day-ordered arrival, same-day
+    * partials before the next day opens; q134 is the backfill path
+    * that re-scores history exactly.
+    */
+  class RollingAnomalyProcessor(windowDays: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String,
+        DayTotal,
+        AnomalyVerdict] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: ValueState[DayCents] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[DayCents](
+        "days",
+        Encoders.product[DayCents],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[DayTotal],
+        timerValues: TimerValues): Iterator[AnomalyVerdict] = {
+      val acc = scala.collection.mutable.LongMap.empty[Long]
+      if (st.exists()) {
+        val p = st.get()
+        var i = 0
+        while (i < p.days.length) { acc(p.days(i)) = p.cents(i); i += 1 }
+      }
+      val touched = scala.collection.mutable.SortedSet.empty[Long]
+      rows.foreach { r =>
+        acc(r.epoch_day) = acc.getOrElse(r.epoch_day, 0L) + r.cents
+        touched += r.epoch_day
+      }
+      val out = Array.newBuilder[AnomalyVerdict]
+      val daysAsc = acc.keys.toArray.sorted
+      touched.foreach { d =>
+        val idx = java.util.Arrays.binarySearch(daysAsc, d)
+        if (idx >= windowDays) {
+          val prev = (idx - windowDays until idx).map(i => BigInt(acc(daysAsc(i))))
+          val n = BigInt(windowDays)
+          val sSum = prev.sum
+          val q = prev.map(v => v * v).sum
+          val x = BigInt(acc(d))
+          val dev = n * x - sSum
+          val flagged = dev * dev > BigInt(4) * (n * q - sSum * sSum)
+          val direction =
+            if (!flagged) "none" else if (dev > 0) "high" else "low"
+          out += AnomalyVerdict(key, d, acc(d), flagged, direction)
+        }
+      }
+      // keep the newest (windowDays + 1) present days
+      val kept = acc.toArray.sortBy(-_._1).take(windowDays + 1)
+      st.update(DayCents(kept.map(_._1), kept.map(_._2)))
+      out.result().iterator
+    }
+  }
+
+  /** Continuously-scored daily anomaly verdicts (batch twin: q134);
+    * update-mode emission, ≤(window+1)-day state per event type.
+    */
+  def streamingAnomalyGate(
+      daily: Dataset[DayTotal],
+      windowDays: Int = 7): Dataset[AnomalyVerdict] = {
+    import daily.sparkSession.implicits._
+    daily
+      .groupByKey(_.event_type)
+      .transformWithState(
+        new RollingAnomalyProcessor(windowDays),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Live deadline-funnel stage crossings (batch twin: q120);
     * update-mode emission, one 3-long state row per user.
     */

@@ -1236,6 +1236,62 @@ class StreamBatchParitySpec extends SparkSpec {
     }
   }
 
+  test("streaming anomaly gate verdicts match batch q134's flagged set on the fixture") {
+    import spark.implicits._
+    import graft.streaming.Streams.{AnomalyVerdict, DayTotal}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val daily = graft.ops.Tables.events(spark, Sf)
+      .select(
+        col("event_type"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("c"))
+      .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+
+    // batch twin: q134's flagged (type, day) set
+    val expectedFlagged = graft.ops.Relational.q134RollingAnomaly(spark, Sf)
+      .select(
+        col("event_type"),
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"),
+        col("direction"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSet
+    // scored support: every day with 7 present predecessors
+    val nScored = daily.collect().groupBy(_.getString(0))
+      .map { case (_, rs) => math.max(0, rs.length - 7) }.sum
+
+    val rows = daily.collect()
+      .map(r => DayTotal(r.getString(0), r.getLong(3), r.getLong(2)))
+      .sortBy(_.epoch_day) // the gate's delivery contract
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[DayTotal]
+    val q = Streams
+      .streamingAnomalyGate(in.toDS())
+      .writeStream.format("memory").queryName("anomaly_parity")
+      .outputMode("update").start()
+    try {
+      rows.grouped(25).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+      val got = spark.table("anomaly_parity").as[AnomalyVerdict].collect()
+      assert(got.length == nScored, s"scored ${got.length} days, expected $nScored")
+      val gotFlagged = got.filter(_.flagged)
+        .map(v => (v.event_type, v.epoch_day, v.direction)).toSet
+      assert(gotFlagged == expectedFlagged,
+        s"stream != batch; only-stream=${(gotFlagged -- expectedFlagged).take(3)}, " +
+          s"only-batch=${(expectedFlagged -- gotFlagged).take(3)}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming funnel gate crossings match batch q120 stage timestamps and counts") {
     import spark.implicits._
     import graft.streaming.Streams.{FunnelEvent, StageCross}
