@@ -4730,7 +4730,61 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q139 — degree-distribution diagnostics per node class: node
+    * counts, degree extremes/means, degree Gini (is connectivity
+    * concentrated in hubs?) and the power-law tail slope (ln count vs
+    * ln degree OLS over the distinct-degree histogram — t20's Zipf
+    * machinery pointed at graph structure). This is the pre-flight
+    * report for every graph operator in the engine: assortativity
+    * (q126) says WHO hubs wire to, this says HOW MUCH hub there is —
+    * together they decide whether q107's trim or q47-style salting is
+    * needed before the expensive passes. All integer anchors (counts,
+    * degrees, Σi·deg in DECIMAL); OLS doubles only under round(3).
+    * Plan: degree table is node-sized; the histogram and rank window
+    * ride one node-sized exchange each; the rollup is 2 rows.
+    */
+  def q139DegreeDistribution(s: SparkSession, dir: String): DataFrame = {
+    val (_, outdeg, _) = tradeGraph(s, dir)
+    val deg = outdeg.select(
+      when(col("src") % 2L === 0L, lit("customer"))
+        .otherwise(lit("supplier"))
+        .as("kind"),
+      col("src"),
+      col("outdeg").as("deg"))
+    val w = Window
+      .partitionBy(col("kind"))
+      .orderBy(col("deg").asc, col("src").asc)
+    val gini = deg
+      .withColumn("i", row_number().over(w))
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum(col("deg")).as("total_deg"),
+        max(col("deg")).as("max_deg"),
+        round(avg(col("deg")), 2).as("avg_deg"),
+        round(
+          lit(2.0) *
+            sum(col("i").cast("decimal(38,0)") * col("deg").cast("decimal(38,0)"))
+              .cast("double") /
+            (count(lit(1)) * sum(col("deg")).cast("double")) -
+            (count(lit(1)) + 1).cast("double") / count(lit(1)),
+          4).as("deg_gini"))
+    val hist = deg.groupBy(col("kind"), col("deg")).agg(count(lit(1)).as("c"))
+    val slope = hist
+      .withColumn("x", log(col("deg").cast("double")))
+      .withColumn("y", log(col("c").cast("double")))
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_distinct_degrees"),
+        round(
+          (count(lit(1)) * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y"))) /
+            (count(lit(1)) * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))),
+          3).as("tail_slope"))
+    gini.join(slope, "kind").orderBy("kind")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_degree_distribution" -> q139DegreeDistribution,
     "q137_gini_revenue" -> q137GiniRevenue,
     "q138_forecast_backtest" -> q138ForecastBacktest,
     "q136_hopping_window" -> q136HoppingWindow,
@@ -4869,6 +4923,44 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // q126's mirrored-graph degree table; Gini over the (deg, src)
+    // total order; ln-ln OLS under round(3) — the t20 contract
+    "q139_degree_distribution" ->
+      """WITH fwd AS (
+        |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |e AS (SELECT src, dst FROM fwd
+        |      UNION ALL SELECT dst AS src, src AS dst FROM fwd),
+        |deg AS (
+        |  SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        |      AS kind,
+        |    src, count(*) AS deg
+        |  FROM e GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT kind, src, deg,
+        |    row_number() OVER (PARTITION BY kind
+        |                       ORDER BY deg ASC, src ASC) AS i
+        |  FROM deg),
+        |g AS (
+        |  SELECT kind, count(*) AS n_nodes,
+        |    CAST(sum(deg) AS BIGINT) AS total_deg,
+        |    CAST(max(deg) AS BIGINT) AS max_deg,
+        |    round(avg(deg), 2) AS avg_deg,
+        |    round(2.0 * sum(i::HUGEINT * deg::HUGEINT)::DOUBLE /
+        |          (count(*) * sum(deg)::DOUBLE)
+        |          - (count(*) + 1)::DOUBLE / count(*), 4) AS deg_gini
+        |  FROM rk GROUP BY 1),
+        |h AS (SELECT kind, deg, count(*) AS c FROM deg GROUP BY 1, 2),
+        |xy AS (
+        |  SELECT kind, ln(deg::DOUBLE) AS x, ln(c::DOUBLE) AS y FROM h),
+        |sl AS (
+        |  SELECT kind, count(*) AS n_distinct_degrees,
+        |    round((count(*)::DOUBLE * sum(x * y) - sum(x) * sum(y)) /
+        |          (count(*)::DOUBLE * sum(x * x) - sum(x) * sum(x)), 3)
+        |      AS tail_slope
+        |  FROM xy GROUP BY 1)
+        |SELECT g.*, sl.n_distinct_degrees, sl.tail_slope
+        |FROM g JOIN sl USING (kind) ORDER BY kind""".stripMargin,
     // ascending (r, custkey) total order; rank-weighted sum exact in
     // HUGEINT; one double division under round(6)
     "q137_gini_revenue" ->
