@@ -4783,7 +4783,64 @@ object Relational {
     gini.join(slope, "kind").orderBy("kind")
   }
 
+  /** q140 — categorical drift (log-likelihood G-test): does the
+    * event-type mix differ between the first and second half of the
+    * observation window — the train/serve-skew detector every
+    * feature pipeline should run before assuming yesterday's
+    * distribution (t21's keyness algebra pointed at time instead of
+    * sources). The split day is the integer midpoint of the observed
+    * span (no config, fully derived); per type the G² contribution
+    * 2·[a·ln(a/E₁) + b·ln(b/E₂)] with homogeneity expectations, the
+    * share shift in integer basis points, ln only under round(3).
+    * Plan: one (type, half) count aggregate (the only data-sized
+    * exchange); totals are 5-row/1-row broadcasts.
+    */
+  def q140CategoricalDrift(s: SparkSession, dir: String): DataFrame = {
+    val bounds = Tables
+      .events(s, dir)
+      .agg(
+        min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("d1"))
+      .select(expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))").as("mid"))
+    val counts = Tables
+      .events(s, dir)
+      .crossJoin(broadcast(bounds))
+      .select(
+        col("event_type"),
+        when(to_date(col("ts")) <= col("mid"), 1L).otherwise(0L).as("in_a"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("in_a")).as("a"),
+        sum(lit(1L) - col("in_a")).as("b"))
+    val tot = counts.agg(
+      sum(col("a")).as("na"),
+      sum(col("b")).as("nb"))
+    counts
+      .crossJoin(broadcast(tot))
+      .withColumn("m", col("na") + col("nb"))
+      .withColumn("e1", (col("a") + col("b")).cast("double") * col("na") / col("m"))
+      .withColumn("e2", (col("a") + col("b")).cast("double") * col("nb") / col("m"))
+      .select(
+        col("event_type"),
+        col("a").as("n_first_half"),
+        col("b").as("n_second_half"),
+        // share shift in basis points; double form (round 2) because an
+        // integer cross-multiplied div would need floor-vs-truncate
+        // agreement on NEGATIVE shifts, which the engines don't share
+        round(
+          (col("b").cast("double") / col("nb") -
+            col("a").cast("double") / col("na")) * 10000,
+          2).as("shift_bp"),
+        round(
+          lit(2.0) * (
+            when(col("a") > 0, col("a") * log(col("a") / col("e1"))).otherwise(lit(0.0)) +
+              when(col("b") > 0, col("b") * log(col("b") / col("e2"))).otherwise(lit(0.0))),
+          3).as("g2"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_categorical_drift" -> q140CategoricalDrift,
     "q139_degree_distribution" -> q139DegreeDistribution,
     "q137_gini_revenue" -> q137GiniRevenue,
     "q138_forecast_backtest" -> q138ForecastBacktest,
@@ -4923,6 +4980,34 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same derived midpoint split, same G² algebra as t21, share shift
+    // in double basis points under round(2)
+    "q140_categorical_drift" ->
+      """WITH b AS (
+        |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        |  FROM events),
+        |m AS (
+        |  SELECT d0 + CAST(date_diff('day', d0, d1) // 2 AS INT) AS mid
+        |  FROM b),
+        |c AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN CAST(ts AS DATE) <= m.mid THEN 1 ELSE 0 END) AS a,
+        |    sum(CASE WHEN CAST(ts AS DATE) <= m.mid THEN 0 ELSE 1 END) AS b
+        |  FROM events, m GROUP BY 1),
+        |t AS (SELECT sum(a) AS na, sum(b) AS nb FROM c),
+        |x AS (
+        |  SELECT c.event_type, c.a, c.b, t.na, t.nb,
+        |    (c.a + c.b)::DOUBLE * t.na / (t.na + t.nb) AS e1,
+        |    (c.a + c.b)::DOUBLE * t.nb / (t.na + t.nb) AS e2
+        |  FROM c, t)
+        |SELECT event_type,
+        |  CAST(a AS BIGINT) AS n_first_half,
+        |  CAST(b AS BIGINT) AS n_second_half,
+        |  round((b::DOUBLE / nb - a::DOUBLE / na) * 10000, 2) AS shift_bp,
+        |  round(2.0 * (CASE WHEN a > 0 THEN a * ln(a / e1) ELSE 0.0 END +
+        |               CASE WHEN b > 0 THEN b * ln(b / e2) ELSE 0.0 END), 3)
+        |    AS g2
+        |FROM x ORDER BY event_type""".stripMargin,
     // q126's mirrored-graph degree table; Gini over the (deg, src)
     // total order; ln-ln OLS under round(3) — the t20 contract
     "q139_degree_distribution" ->
