@@ -4839,7 +4839,62 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q141 — Population Stability Index: the continuous companion to
+    * q140's categorical G-test, and the industry-standard "did the
+    * value distribution move" number (PSI > 0.2 ⇒ retrain). The
+    * first half's EXACT deciles (one `percentile` array call — one
+    * buffer, the q28/q71 lesson) define ten reference buckets; both
+    * halves bucket against those SAME boundaries (strict `>` —
+    * deterministic on the exact cents domain in both engines), and
+    * each bucket contributes (p₂−p₁)·ln(p₂/p₁). Output per bucket
+    * with exact counts carrying the hash weight; ln under round(4).
+    * Plan: one 1-row boundary aggregate broadcast back, one
+    * (bucket, half) count aggregate — two scans, nothing data-sized
+    * after.
+    */
+  def q141PsiDrift(s: SparkSession, dir: String): DataFrame = {
+    val mid = Tables
+      .events(s, dir)
+      .agg(
+        min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("d1"))
+      .select(expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))").as("mid"))
+    val e = Tables
+      .events(s, dir)
+      .crossJoin(broadcast(mid))
+      .select(
+        floor(col("value") * 100 + 0.5).cast("long").as("v"),
+        when(to_date(col("ts")) <= col("mid"), 1L).otherwise(0L).as("in_a"))
+    val bounds = e
+      .filter(col("in_a") === 1L)
+      .agg(
+        expr(
+          "percentile(v, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+          .as("bs"))
+    e.crossJoin(broadcast(bounds))
+      .withColumn("bucket", (size(filter(col("bs"), x => col("v") > x)) + 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(col("in_a")).as("n_first"),
+        sum(lit(1L) - col("in_a")).as("n_second"))
+      .crossJoin(broadcast(
+        e.agg(sum(col("in_a")).as("na"), sum(lit(1L) - col("in_a")).as("nb"))))
+      .withColumn("p1", col("n_first").cast("double") / col("na"))
+      .withColumn("p2", col("n_second").cast("double") / col("nb"))
+      .select(
+        col("bucket"),
+        col("n_first"),
+        col("n_second"),
+        round(
+          when(
+            col("n_first") > 0 && col("n_second") > 0,
+            (col("p2") - col("p1")) * log(col("p2") / col("p1"))),
+          4).as("psi_contrib"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_psi_drift" -> q141PsiDrift,
     "q140_categorical_drift" -> q140CategoricalDrift,
     "q139_degree_distribution" -> q139DegreeDistribution,
     "q137_gini_revenue" -> q137GiniRevenue,
@@ -4980,6 +5035,40 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // quantile_cont array == Spark's exact percentile array; strict >
+    // bucketing on exact cents; ln under round(4)
+    "q141_psi_drift" ->
+      """WITH b AS (
+        |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        |  FROM events),
+        |m AS (
+        |  SELECT d0 + CAST(date_diff('day', d0, d1) // 2 AS INT) AS mid
+        |  FROM b),
+        |e AS (
+        |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |    CASE WHEN CAST(ts AS DATE) <= m.mid THEN 1 ELSE 0 END AS in_a
+        |  FROM events, m),
+        |bs AS (
+        |  SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8,
+        |                           0.9]) AS bs
+        |  FROM e WHERE in_a = 1),
+        |bk AS (
+        |  SELECT len(list_filter(bs.bs, x -> e.v > x)) + 1 AS bucket,
+        |    e.in_a
+        |  FROM e, bs),
+        |c AS (
+        |  SELECT bucket, sum(in_a) AS n_first,
+        |    sum(1 - in_a) AS n_second
+        |  FROM bk GROUP BY 1),
+        |t AS (SELECT sum(in_a) AS na, sum(1 - in_a) AS nb FROM e)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(n_first AS BIGINT) AS n_first,
+        |  CAST(n_second AS BIGINT) AS n_second,
+        |  round(CASE WHEN n_first > 0 AND n_second > 0 THEN
+        |    (n_second::DOUBLE / nb - n_first::DOUBLE / na) *
+        |    ln((n_second::DOUBLE / nb) / (n_first::DOUBLE / na)) END, 4)
+        |    AS psi_contrib
+        |FROM c, t ORDER BY bucket""".stripMargin,
     // same derived midpoint split, same G² algebra as t21, share shift
     // in double basis points under round(2)
     "q140_categorical_drift" ->

@@ -1613,6 +1613,38 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q139 degree diagnostics: totals match the mirrored graph, Gini in [0,1)") {
+    val out = Relational.q139DegreeDistribution(spark, Sf).collect()
+    assert(out.map(_.getString(0)).toSet == Set("customer", "supplier"))
+    // mirrored graph: both sides carry the same total degree
+    val totals = out.map(_.getLong(2))
+    assert(totals(0) == totals(1), "customer and supplier degree mass differ")
+    out.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "max degree exceeds the total")
+      val g = r.getDouble(5)
+      assert(g >= 0.0 && g < 1.0, s"${r.getString(0)}: degree Gini $g")
+    }
+  }
+
+  test("q140 drift: halves partition events; G2 non-negative") {
+    val out = Relational.q140CategoricalDrift(spark, Sf).collect()
+    val total = Tables.events(spark, Sf).count()
+    assert(out.map(r => r.getLong(1) + r.getLong(2)).sum == total)
+    out.foreach(r => assert(r.getDouble(4) >= 0.0, "G2 contribution negative"))
+  }
+
+  test("q141 PSI: ten buckets partition both halves; contributions non-negative") {
+    val out = Relational.q141PsiDrift(spark, Sf).collect()
+    assert(out.map(_.getLong(0)).toSet.subsetOf((1L to 10L).toSet))
+    val total = Tables.events(spark, Sf).count()
+    assert(out.map(r => r.getLong(1) + r.getLong(2)).sum == total)
+    out.filterNot(_.isNullAt(3)).foreach(r =>
+      assert(r.getDouble(3) >= -1e-9, "(p2-p1)ln(p2/p1) is non-negative by sign agreement"))
+    // first-half deciles ⇒ roughly even first-half buckets
+    val a = out.map(_.getLong(1))
+    assert(a.max <= 2 * a.min + 10, s"reference buckets wildly uneven: ${a.toSeq}")
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
