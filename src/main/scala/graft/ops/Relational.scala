@@ -4893,7 +4893,59 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** q142 — two-sample Kolmogorov–Smirnov statistic between the time
+    * halves: D = max |F₁(v) − F₂(v)| over the pooled distinct values,
+    * plus WHERE the gap peaks — the third drift lens (q140 = which
+    * categories moved, q141 = binned magnitude, q142 = the sharpest
+    * unbinned distributional gap and its location). ECDFs are running
+    * sums of exact integer counts over the distinct-cents order; D and
+    * the argmax location come from one window pass with a (D desc,
+    * v asc) total order — doubles, but from identical expressions over
+    * identical integers, and the reported D is rounded at 6. Plan: one
+    * distinct-value aggregate (bounded by the value domain, not rows),
+    * two windows riding one ordering, a 1-row result.
+    */
+  def q142KsDrift(s: SparkSession, dir: String): DataFrame = {
+    val mid = Tables
+      .events(s, dir)
+      .agg(
+        min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("d1"))
+      .select(expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))").as("mid"))
+    val dist = Tables
+      .events(s, dir)
+      .crossJoin(broadcast(mid))
+      .select(
+        floor(col("value") * 100 + 0.5).cast("long").as("v"),
+        when(to_date(col("ts")) <= col("mid"), 1L).otherwise(0L).as("in_a"))
+      .groupBy(col("v"))
+      .agg(sum(col("in_a")).as("a"), sum(lit(1L) - col("in_a")).as("b"))
+    val byV = Window
+      .orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = dist.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    val ecdf = dist
+      .withColumn("ca", sum(col("a")).over(byV))
+      .withColumn("cb", sum(col("b")).over(byV))
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "d",
+        abs(
+          col("ca").cast("double") / col("na") -
+            col("cb").cast("double") / col("nb")))
+    val pick = Window.orderBy(col("d").desc, col("v").asc)
+    ecdf
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(
+        col("na").as("n_first"),
+        col("nb").as("n_second"),
+        round(col("d"), 6).as("ks_d"),
+        col("v").as("ks_at_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_ks_drift" -> q142KsDrift,
     "q141_psi_drift" -> q141PsiDrift,
     "q140_categorical_drift" -> q140CategoricalDrift,
     "q139_degree_distribution" -> q139DegreeDistribution,
@@ -5035,6 +5087,37 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same ECDF running sums over distinct cents, same (D desc, v asc)
+    // argmax; identical double expressions, D under round(6)
+    "q142_ks_drift" ->
+      """WITH b AS (
+        |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        |  FROM events),
+        |m AS (
+        |  SELECT d0 + CAST(date_diff('day', d0, d1) // 2 AS INT) AS mid
+        |  FROM b),
+        |e AS (
+        |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |    CASE WHEN CAST(ts AS DATE) <= m.mid THEN 1 ELSE 0 END AS in_a
+        |  FROM events, m),
+        |dist AS (
+        |  SELECT v, sum(in_a) AS a, sum(1 - in_a) AS bb
+        |  FROM e GROUP BY 1),
+        |t AS (SELECT sum(a) AS na, sum(bb) AS nb FROM dist),
+        |ecdf AS (
+        |  SELECT v,
+        |    sum(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+        |    sum(bb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+        |  FROM dist),
+        |d AS (
+        |  SELECT v, abs(ca::DOUBLE / t.na - cb::DOUBLE / t.nb) AS d,
+        |    t.na, t.nb
+        |  FROM ecdf, t),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY d DESC, v ASC) AS rn FROM d)
+        |SELECT CAST(na AS BIGINT) AS n_first, CAST(nb AS BIGINT) AS n_second,
+        |  round(d, 6) AS ks_d, v AS ks_at_cents
+        |FROM r WHERE rn = 1""".stripMargin,
     // quantile_cont array == Spark's exact percentile array; strict >
     // bucketing on exact cents; ln under round(4)
     "q141_psi_drift" ->
