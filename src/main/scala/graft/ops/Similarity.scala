@@ -806,6 +806,7 @@ object Similarity {
     "s11_ivf_trained_search" -> s11IvfTrainedSearch,
     "s10_kmeans_train" -> s10KmeansTrain,
     "s9_radius_search" -> s9RadiusSearch,
+    "s14_lsh_recall" -> s14LshRecall,
     "s13_cluster_quality" -> s13ClusterQuality,
     "s6_centroid_assign" -> s6CentroidAssign,
     "s7_pq_encode" -> s7PqEncode,
@@ -816,6 +817,65 @@ object Similarity {
     "s4_cell_centroids" -> s4CellCentroids,
     "s5_quantize" -> s5Quantize
   )
+
+  /** s14 — ANN recall evaluation: per query, how many of the exact
+    * top-5 (s1) the LSH index (s2) actually returned — recall@5, THE
+    * number that decides whether an approximate index is shippable
+    * (the spec-pinned recall ≥ 0.6 floor, now as an oracle-checked
+    * QUERY so the evaluation harness itself is part of the engine).
+    * Pure composition: both rankings are deterministic (fixed planes,
+    * fixed tie-breaks), so their intersection is too — the oracle
+    * replays BOTH pipelines and must hash-match per query. Plan: the
+    * two pipelines share the embeddings scan; the intersection join
+    * and per-query rollup ride query-count-sized rows.
+    */
+  def s14LshRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = s1KnnBruteForce(s, dir).select(col("q_id"), col("neighbor_id"))
+    val approx = s2KnnLsh(s, dir).select(col("q_id"), col("neighbor_id"))
+    val hits = exact
+      .join(approx, Seq("q_id", "neighbor_id"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("hits"))
+    exact
+      .select(col("q_id"))
+      .distinct()
+      .join(hits, Seq("q_id"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .select(
+        col("q_id"),
+        col("hits"),
+        round(col("hits").cast("double") / 5.0, 4).as("recall_at_5"))
+      .orderBy("q_id")
+  }
+
+  /** s14's oracle: the s1 ranking and the full s2 pipeline replayed as
+    * nested CTE subqueries, intersected per query.
+    */
+  private def s14OracleSql: String =
+    s"""WITH s1r AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    WITH e AS (
+       |      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |    n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm
+       |          FROM e),
+       |    scored AS (
+       |      SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |        row_number() OVER (
+       |          PARTITION BY q.vec_id
+       |          ORDER BY list_inner_product(q.v, c.v) / (q.norm * c.norm)
+       |                     DESC,
+       |                   c.vec_id ASC) AS rank
+       |      FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
+       |    SELECT q_id, neighbor_id FROM scored WHERE rank <= 5)),
+       |s2r AS (
+       |  SELECT q_id, neighbor_id FROM ($s2OracleSql)),
+       |h AS (
+       |  SELECT s1r.q_id, count(*) AS hits
+       |  FROM s1r JOIN s2r USING (q_id, neighbor_id) GROUP BY 1),
+       |qs AS (SELECT DISTINCT q_id FROM s1r)
+       |SELECT qs.q_id, COALESCE(h.hits, 0) AS hits,
+       |  round(COALESCE(h.hits, 0)::DOUBLE / 5.0, 4) AS recall_at_5
+       |FROM qs LEFT JOIN h USING (q_id) ORDER BY qs.q_id""".stripMargin
 
   /** s2's DuckDB oracle, constructed programmatically: the 12×4 LCG
     * hyperplanes embed as `(t, j, DOUBLE[])` literal rows
@@ -1047,6 +1107,9 @@ object Similarity {
         |  round(adc, 6) AS adc_dist
         |FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    // both deterministic pipelines replayed and intersected; the
+    // recall table hash-matches per query
+    "s14_lsh_recall" -> s14OracleSql,
     // s6's deterministic centroids + assignment rule; silhouette from
     // the same double expressions, masked at round(4)
     "s13_cluster_quality" ->

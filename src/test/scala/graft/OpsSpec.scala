@@ -1645,6 +1645,26 @@ class OpsSpec extends SparkSpec {
     assert(a.max <= 2 * a.min + 10, s"reference buckets wildly uneven: ${a.toSeq}")
   }
 
+  test("q142 KS: D in [0,1], attained at a value present in the data") {
+    val r = Relational.q142KsDrift(spark, Sf).head
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    val exists = Tables.events(spark, Sf)
+      .filter(floor(col("value") * 100 + 0.5).cast("long") === r.getLong(3))
+      .head(1).nonEmpty
+    assert(exists, "KS location is not an observed value")
+  }
+
+  test("s14 recall: one row per query, recall consistent with hits, mean above the s2 floor") {
+    val out = Similarity.s14LshRecall(spark, Sf).collect()
+    assert(out.length == 20, "one recall row per query")
+    out.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 5)
+      assert(math.abs(r.getDouble(2) - r.getLong(1) / 5.0) < 1e-9)
+    }
+    val mean = out.map(_.getDouble(2)).sum / out.length
+    assert(mean >= 0.6, s"mean recall@5 $mean below the documented design floor")
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
