@@ -5000,7 +5000,46 @@ object Relational {
           4).as("z_score"))
   }
 
+  /** q144 — Benford first-digit conformance: the leading-digit
+    * distribution of order totals vs Benford's law, with per-digit
+    * G² contributions — the classic books-cooked / synthetic-data
+    * smell test, here as a data-quality primitive over exact counts.
+    * The first digit comes from the STRING of the integer cents (no
+    * log10 of a double deciding a digit boundary); expected
+    * proportions log10(1+1/d) are literal doubles both engines fold
+    * identically; ln only under round(3). One digit-group aggregate —
+    * the 9-row table is the entire post-scan footprint.
+    */
+  def q144Benford(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables
+      .orders(s, dir)
+      .select(
+        substring(
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").cast("string"),
+          1,
+          1).cast("int").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("m"))
+    counts
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "p_benford",
+        log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)))
+      .withColumn("e", col("m") * col("p_benford"))
+      .select(
+        col("digit"),
+        col("n"),
+        round(col("p_benford"), 6).as("p_benford"),
+        round(col("n") / col("m").cast("double"), 6).as("p_observed"),
+        round(
+          lit(2.0) * col("n") * log(col("n") / col("e")),
+          3).as("g2_contrib"))
+      .orderBy("digit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_benford" -> q144Benford,
     "q143_mann_whitney" -> q143MannWhitney,
     "q142_ks_drift" -> q142KsDrift,
     "q141_psi_drift" -> q141PsiDrift,
@@ -5144,6 +5183,22 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // first digit from the integer-cents STRING (no float boundary);
+    // log10 literals folded identically; ln under round(3)
+    "q144_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(
+        |    CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
+        |    1, 1) AS INT) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT sum(n) AS m FROM c)
+        |SELECT digit, n,
+        |  round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS p_benford,
+        |  round(n / m::DOUBLE, 6) AS p_observed,
+        |  round(2.0 * n * ln(n / (m * (ln(1.0 + 1.0 / digit) / ln(10.0)))), 3)
+        |    AS g2_contrib
+        |FROM c, t ORDER BY digit""".stripMargin,
     // same exact 2U algebra in HUGEINT, shipped as digits; z under
     // round(4) from the identical double expression
     "q143_mann_whitney" ->

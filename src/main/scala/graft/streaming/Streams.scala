@@ -1166,6 +1166,98 @@ object Streams {
     }
   }
 
+  /** One live PSI bucket row: reference count, live count, and the
+    * bucket's PSI contribution against the reference shares.
+    */
+  /** ValueState row for the PSI gate (product encoder needs a field). */
+  final case class PsiCounts(c: Array[Long])
+
+  final case class PsiBucket(
+      bucket: Int,
+      n_ref: Long,
+      n_live: Long,
+      psi_contrib: Option[Double])
+
+  /** Streaming PSI drift monitor: the streaming half of batch q141.
+    * The REFERENCE distribution (decile bounds + per-bucket counts,
+    * computed once from the training window by the batch side) is
+    * frozen into the processor; the live stream buckets each value
+    * against those same strict-`>` boundaries and keeps ONE count per
+    * bucket — eleven longs of state total, however much data flows.
+    * Every batch re-emits the full 10-row PSI table (update mode), so
+    * the downstream alert reads a complete, always-current drift
+    * report. Arithmetic is the IDENTICAL JVM double expression chain
+    * q141 runs in Spark SQL — same ln, same HALF_UP round(4) — so a
+    * day's final table matches the batch query bit-for-bit (parity
+    * spec). Single-key state is deliberate: this is a GLOBAL monitor
+    * whose whole state is 10 counters — sharding it would buy nothing
+    * and cost a merge.
+    */
+  class PsiDriftProcessor(
+      bounds: Array[Double],
+      refCounts: Array[Long])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Int,
+        Long,
+        PsiBucket] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    private val nBuckets = bounds.length + 1
+    private val nRef = refCounts.sum
+
+    @transient private var st: ValueState[PsiCounts] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[PsiCounts](
+        "counts",
+        Encoders.product[PsiCounts],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Int,
+        rows: Iterator[Long],
+        timerValues: TimerValues): Iterator[PsiBucket] = {
+      val counts =
+        if (st.exists()) st.get().c else Array.fill(nBuckets)(0L)
+      rows.foreach { v =>
+        var b = 0
+        while (b < bounds.length && v > bounds(b)) b += 1
+        counts(b) += 1L
+      }
+      st.update(PsiCounts(counts))
+      val nLive = counts.sum
+      (0 until nBuckets).iterator.map { i =>
+        val contrib =
+          if (refCounts(i) > 0 && counts(i) > 0 && nLive > 0) {
+            val p1 = refCounts(i).toDouble / nRef
+            val p2 = counts(i).toDouble / nLive
+            Some(
+              BigDecimal((p2 - p1) * math.log(p2 / p1))
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble)
+          } else None
+        PsiBucket(i + 1, refCounts(i), counts(i), contrib)
+      }
+    }
+  }
+
+  /** Continuously-maintained PSI drift table over a live value stream
+    * (batch twin: q141); 11 longs of state, update-mode emission.
+    */
+  def streamingPsiGate(
+      values: Dataset[Long],
+      bounds: Array[Double],
+      refCounts: Array[Long]): Dataset[PsiBucket] = {
+    import values.sparkSession.implicits._
+    values
+      .groupByKey(_ => 0)
+      .transformWithState(
+        new PsiDriftProcessor(bounds, refCounts),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** One per-type daily partial for the anomaly gate. */
   final case class DayTotal(event_type: String, epoch_day: Long, cents: Long)
 

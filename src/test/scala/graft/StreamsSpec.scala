@@ -1236,6 +1236,67 @@ class StreamBatchParitySpec extends SparkSpec {
     }
   }
 
+  test("streaming PSI gate's final table matches batch q141 on the fixture") {
+    import spark.implicits._
+    import graft.streaming.Streams.PsiBucket
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // reference = first half (q141's construction), live = second half
+    val mid = graft.ops.Tables.events(spark, Sf)
+      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      .selectExpr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT)) AS mid")
+      .head.getDate(0)
+    val e = graft.ops.Tables.events(spark, Sf)
+      .select(
+        floor(col("value") * 100 + 0.5).cast("long").as("v"),
+        (to_date(col("ts")) <= lit(mid)).as("in_a"))
+    val bounds = e.filter(col("in_a"))
+      .agg(expr("percentile(v, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"))
+      .head.getSeq[Double](0).toArray
+    def bucketOf(v: Long): Int = {
+      var b = 0
+      while (b < bounds.length && v > bounds(b)) b += 1
+      b
+    }
+    val refCounts = Array.fill(bounds.length + 1)(0L)
+    e.filter(col("in_a")).select("v").collect()
+      .foreach(r => refCounts(bucketOf(r.getLong(0))) += 1L)
+
+    val expected = graft.ops.Relational.q141PsiDrift(spark, Sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+
+    val live = e.filter(!col("in_a")).select("v").collect().map(_.getLong(0))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Long]
+    val q = Streams
+      .streamingPsiGate(in.toDS(), bounds, refCounts)
+      .writeStream.format("memory").queryName("psi_parity")
+      .outputMode("update").start()
+    try {
+      live.grouped(500).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+      // the CURRENT table per bucket = the emission with the highest
+      // live count (monotone; sink row order is not contractual)
+      val got = spark.table("psi_parity").as[PsiBucket].collect()
+        .groupBy(_.bucket).map { case (b, rows) => b.toLong -> rows.maxBy(_.n_live) }
+      expected.foreach { case (bucket, (nf, ns, psi)) =>
+        val g = got(bucket)
+        assert(g.n_ref == nf, s"bucket $bucket: ref ${g.n_ref} != $nf")
+        assert(g.n_live == ns, s"bucket $bucket: live ${g.n_live} != $ns")
+        assert(g.psi_contrib == psi, s"bucket $bucket: psi ${g.psi_contrib} != $psi")
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming anomaly gate verdicts match batch q134's flagged set on the fixture") {
     import spark.implicits._
     import graft.streaming.Streams.{AnomalyVerdict, DayTotal}
