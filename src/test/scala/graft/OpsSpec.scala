@@ -1685,6 +1685,17 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3)) < 50, "z-score implausibly large")
   }
 
+  test("q144 Benford: nine digits partition orders; probabilities sum to one") {
+    val out = Relational.q144Benford(spark, Sf).collect()
+    assert(out.map(_.getInt(0)).toSet == (1 to 9).toSet)
+    val totalOrders = Tables.orders(spark, Sf).count()
+    assert(out.map(_.getLong(1)).sum == totalOrders)
+    assert(math.abs(out.map(_.getDouble(2)).sum - 1.0) < 1e-4,
+      "Benford probabilities must sum to 1")
+    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-4,
+      "observed proportions must sum to 1")
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
