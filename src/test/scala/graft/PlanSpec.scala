@@ -426,6 +426,41 @@ class PlanSpec extends SparkSpec {
       "rk<=100 must prune per-partition before the full vocabulary sort")
   }
 
+  test("q136 hopping TVF: Expand sits scan-side, BELOW the aggregate exchange") {
+    val plan = formatted(Relational.q136HoppingWindow(spark, Sf))
+    assert(plan.contains("Expand"), "window() TVF should plan an Expand")
+    val expandIdx = plan.indexOf("Expand")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    // executedPlan prints top-down: the exchange node must appear
+    // BEFORE (above) the Expand, i.e. Expand feeds the partial agg
+    assert(exchangeIdx >= 0 && exchangeIdx < expandIdx,
+      "Expand must execute below the aggregate exchange (3x groups, not 3x data)")
+  }
+
+  test("q125 closed-form OLS: single-reduce plan, no data-sized exchange") {
+    val plan = formatted(Relational.q125OlsNormalEq(spark, Sf))
+    // one partial+final aggregate pair over a SinglePartition exchange —
+    // no hashpartitioning exchange may exist anywhere in the plan
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"normal-equation moments must reduce in one pass:\n${plan.take(1200)}")
+  }
+
+  test("q122 attribution: one user exchange serves the window; no range join exists") {
+    val plan = formatted(Relational.q122LastTouchAttribution(spark, Sf))
+    assert(!plan.toLowerCase.contains("join"),
+      "the merged-stream window formulation must plan ZERO joins")
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).size
+    assert(userExchanges == 1,
+      s"expected exactly one user_id exchange, found $userExchanges")
+  }
+
+  test("s14 recall harness: the intersection join never shuffles a data-sized side") {
+    val plan = formatted(Similarity.s14LshRecall(spark, Sf))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "query-count-sized ranking tables should broadcast into the intersection")
+  }
+
   test("spread parallelizes derived compute beyond the single input split") {
     val parts = Tables
       .spread(Tables.documents(spark, Sf))
