@@ -1164,7 +1164,37 @@ object Dedup {
       .orderBy("threshold")
   }
 
+  /** d22 — duplicate-cluster size distribution: how many clusters of
+    * each size exist, the copy mass they carry (size−1 removable
+    * docs per cluster), and the share of the matched population — the
+    * report that decides the dedup POLICY (a corpus of pairs needs a
+    * different keep-rule than one with 100-copy template families;
+    * d20 executes the policy, this sizes it). Rides d6's converged
+    * labels; everything after is cluster-count-sized. All integer
+    * counts — exact hash end to end.
+    */
+  def d22ClusterSizeDist(s: SparkSession, dir: String): DataFrame = {
+    val sizes = d6DupClusters(s, dir)
+      .select(col("cluster_rep"), col("cluster_size"))
+      .distinct()
+    val tot = sizes.agg(
+      sum(col("cluster_size")).as("n_matched_docs"))
+    sizes
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("cluster_size"),
+        col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("docs_in_size"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("removable_docs"),
+        expr("(cluster_size * n_clusters * 10000) div n_matched_docs")
+          .as("doc_share_bp"))
+      .orderBy("cluster_size")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d22_cluster_size_dist" -> d22ClusterSizeDist,
     "d21_threshold_sweep" -> d21ThresholdSweep,
     "d20_canonical_survivor" -> d20CanonicalSurvivor,
     "d19_sorted_neighborhood_multipass" -> d19SortedNeighborhoodMultipass,
@@ -1215,6 +1245,44 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // d6's recursive-CTE components rolled up by cluster size; integer
+    // basis points for the share
+    "d22_cluster_size_dist" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+        |                   FOR i IN range(1, len(t) - 1)]) AS shingles
+        |  FROM tok WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |p0 AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |pq AS (
+        |  SELECT id_a, id_b
+        |  FROM p0 JOIN sizes sa ON id_a = sa.doc_id
+        |          JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pq
+        |          UNION ALL SELECT id_b AS a, id_a AS b FROM pq),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |comp AS (SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id),
+        |cs AS (SELECT cluster_rep, count(*) AS cluster_size
+        |       FROM comp GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cluster_size) AS BIGINT) AS n_matched FROM cs)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |  CAST(cluster_size * count(*) AS BIGINT) AS docs_in_size,
+        |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS removable_docs,
+        |  (CAST(cluster_size * count(*) AS BIGINT) * 10000) // tot.n_matched
+        |    AS doc_share_bp
+        |FROM cs, tot GROUP BY cluster_size, tot.n_matched
+        |ORDER BY cluster_size""".stripMargin,
     // d2's exact-Jaccard construction bucketed by floor(10·J) (same
     // IEEE division + floor), reverse running sum for ≥-threshold
     "d21_threshold_sweep" ->

@@ -5038,7 +5038,99 @@ object Relational {
       .orderBy("digit")
   }
 
+  /** q145 — order fill-rate SLA: per priority, the fraction of line
+    * items shipped within 30 days of order placement and the count of
+    * FULLY on-time orders — the operational complement to q132's
+    * cycle-time percentiles (that says how long the tail is; this
+    * says how much volume meets the promise). All counts exact; the
+    * per-order full-fill test is an integer comparison of two counts;
+    * ratios divide once under round(4). Plan: the per-order
+    * aggregate rides the orders⨝lineitem orderkey clustering, then a
+    * 5-group rollup.
+    */
+  def q145FillRate(s: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables
+      .orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority").as("prio"), col("o_orderdate"))
+      .join(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey"))
+      .withColumn(
+        "on_time",
+        when(
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) <= 30,
+          1L).otherwise(0L))
+      .groupBy(col("o_orderkey"), col("prio"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("on_time")).as("n_on_time"))
+    perOrder
+      .groupBy(col("prio"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("n_on_time") === col("n_lines"), 1L).otherwise(0L))
+          .as("n_full_orders"),
+        sum(col("n_lines")).as("n_lines"),
+        sum(col("n_on_time")).as("n_on_time"),
+        round(
+          sum(col("n_on_time")).cast("double") / sum(col("n_lines")),
+          4).as("line_fill_rate"))
+      .orderBy("prio")
+  }
+
+  /** q146 — Cramér's V association between derived price band and
+    * order priority: does how much a customer spends RELATE to how
+    * urgently they ship — the categorical-association primitive
+    * (chi² normalized to [0,1]) that feature-selection passes run
+    * over candidate column pairs. Bands are the data's own terciles
+    * (exact percentiles, strict-> bucketing on exact cents — q141's
+    * contract); expectations from the margins; every count exact,
+    * chi²/V doubles under round. Plan: one 1-row tercile aggregate
+    * broadcast back, one (band, prio) count aggregate, margins as
+    * tiny broadcast joins.
+    */
+  def q146CramersV(s: SparkSession, dir: String): DataFrame = {
+    val bounds = Tables
+      .orders(s, dir)
+      .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"))
+      .agg(expr("percentile(v, array(0.33333333, 0.66666667))").as("bs"))
+    val cells = Tables
+      .orders(s, dir)
+      .select(
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"),
+        col("o_orderpriority").as("prio"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("band", (size(filter(col("bs"), x => col("v") > x)) + 1).cast("long"))
+      .groupBy(col("band"), col("prio"))
+      .agg(count(lit(1)).as("n"))
+    val rowM = cells.groupBy(col("band")).agg(sum(col("n")).as("nr"))
+    val colM = cells.groupBy(col("prio")).agg(sum(col("n")).as("nc"))
+    val tot = cells.agg(sum(col("n")).as("m"))
+    val scored = cells
+      .join(broadcast(rowM), "band")
+      .join(broadcast(colM), "prio")
+      .crossJoin(broadcast(tot))
+      .withColumn("e", col("nr").cast("double") * col("nc") / col("m"))
+      .withColumn(
+        "chi2c",
+        (col("n") - col("e")) * (col("n") - col("e")) / col("e"))
+    val v = scored
+      .agg(sum(col("chi2c")).as("chi2"), min(col("m")).as("m"))
+      // min(r-1, c-1) = min(3-1, 5-1) = 2
+      .select(sqrt(col("chi2") / (col("m") * 2)).as("v"))
+    scored
+      .crossJoin(broadcast(v))
+      .select(
+        col("band"),
+        col("prio"),
+        col("n"),
+        round(col("e"), 3).as("expected"),
+        round(col("chi2c"), 3).as("chi2_contrib"),
+        round(col("v"), 4).as("cramers_v"))
+      .orderBy("band", "prio")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_fill_rate" -> q145FillRate,
+    "q146_cramers_v" -> q146CramersV,
     "q144_benford" -> q144Benford,
     "q143_mann_whitney" -> q143MannWhitney,
     "q142_ks_drift" -> q142KsDrift,
@@ -5183,6 +5275,54 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // integer on-time counts; full-fill is a count equality; one
+    // division under round(4)
+    "q145_fill_rate" ->
+      """WITH po AS (
+        |  SELECT o.o_orderkey, o.o_orderpriority AS prio,
+        |    count(*) AS n_lines,
+        |    sum(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+        |                            CAST(l.l_shipdate AS DATE)) <= 30
+        |             THEN 1 ELSE 0 END) AS n_on_time
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT prio, count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN n_on_time = n_lines THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_full_orders,
+        |  CAST(sum(n_lines) AS BIGINT) AS n_lines,
+        |  CAST(sum(n_on_time) AS BIGINT) AS n_on_time,
+        |  round(sum(n_on_time)::DOUBLE / sum(n_lines), 4) AS line_fill_rate
+        |FROM po GROUP BY 1 ORDER BY prio""".stripMargin,
+    // data-derived terciles (quantile_cont == exact percentile),
+    // strict-> bucketing, exact cell counts, chi2/V doubles
+    "q146_cramers_v" ->
+      """WITH v0 AS (
+        |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+        |    o_orderpriority AS prio
+        |  FROM orders),
+        |bs AS (
+        |  SELECT quantile_cont(v, [0.33333333, 0.66666667]) AS bs FROM v0),
+        |cells AS (
+        |  SELECT len(list_filter(bs.bs, x -> v0.v > x)) + 1 AS band,
+        |    v0.prio, count(*) AS n
+        |  FROM v0, bs GROUP BY 1, 2),
+        |rm AS (SELECT band, sum(n) AS nr FROM cells GROUP BY 1),
+        |cm AS (SELECT prio, sum(n) AS nc FROM cells GROUP BY 1),
+        |t AS (SELECT sum(n) AS m FROM cells),
+        |sc AS (
+        |  SELECT cells.band, cells.prio, cells.n,
+        |    rm.nr::DOUBLE * cm.nc / t.m AS e
+        |  FROM cells JOIN rm USING (band) JOIN cm USING (prio), t),
+        |chi AS (
+        |  SELECT *, (n - e) * (n - e) / e AS chi2c FROM sc),
+        |vv AS (
+        |  SELECT sqrt(sum(chi2c) / (min(t.m) * 2)) AS v
+        |  FROM chi, t)
+        |SELECT CAST(chi.band AS BIGINT) AS band, chi.prio,
+        |  chi.n, round(chi.e, 3) AS expected,
+        |  round(chi.chi2c, 3) AS chi2_contrib,
+        |  round(vv.v, 4) AS cramers_v
+        |FROM chi, vv ORDER BY band, prio""".stripMargin,
     // first digit from the integer-cents STRING (no float boundary);
     // log10 literals folded identically; ln under round(3)
     "q144_benford" ->

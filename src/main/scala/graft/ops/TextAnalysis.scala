@@ -1055,7 +1055,52 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t25 — per-source language-mix entropy: how concentrated is each
+    * provider's language distribution (−Σ p·ln p over its language
+    * shares), with the majority language and its share — the
+    * data-mix diagnostic that catches a "multilingual" crawl that is
+    * 95% one language before it skews the corpus mix (p3/p9 consume
+    * exactly this kind of stat). Counts exact; the majority argmax
+    * is a combine-enabled max_by over the orderable (count, reversed
+    * lang) struct (deterministic ties, q127's pattern for strings via
+    * negated comparison impossible — so ties break by the LATER lang
+    * under max; acceptable because the tie-break is identical in the
+    * oracle); entropy ln under round(3). One (source, lang)
+    * aggregate, then source-sized rollups.
+    */
+  def t25LangMixEntropy(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables
+      .documents(s, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val tot = c.groupBy(col("source")).agg(sum(col("n")).as("m"))
+    val ent = c
+      .join(tot, "source")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_langs"),
+        min(col("m")).as("n_docs"),
+        round(
+          -sum(
+            (col("n").cast("double") / col("m")) *
+              log(col("n").cast("double") / col("m"))),
+          3).as("lang_entropy"),
+        max_by(col("lang"), struct(col("n"), col("lang"))).as("majority_lang"),
+        max(col("n")).as("majority_n"))
+    ent
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_langs"),
+        col("lang_entropy"),
+        col("majority_lang"),
+        round(col("majority_n").cast("double") / col("n_docs"), 4)
+          .as("majority_share"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_lang_mix_entropy" -> t25LangMixEntropy,
     "t24_ngram_novelty" -> t24NgramNovelty,
     "t23_heaps_law" -> t23HeapsLaw,
     "t21_keyness" -> t21Keyness,
@@ -1083,6 +1128,27 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact counts; majority via the same (n desc, lang desc) order;
+    // entropy ln under round(3)
+    "t25_lang_mix_entropy" ->
+      """WITH c AS (
+        |  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, sum(n) AS m FROM c GROUP BY 1),
+        |mj AS (
+        |  SELECT source, lang AS majority_lang, n AS majority_n FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY source
+        |                                 ORDER BY n DESC, lang DESC) AS rn
+        |    FROM c) WHERE rn = 1),
+        |e AS (
+        |  SELECT c.source, count(*) AS n_langs,
+        |    CAST(min(t.m) AS BIGINT) AS n_docs,
+        |    round(-sum((c.n::DOUBLE / t.m) * ln(c.n::DOUBLE / t.m)), 3)
+        |      AS lang_entropy
+        |  FROM c JOIN t USING (source) GROUP BY 1)
+        |SELECT e.source, e.n_docs, e.n_langs, e.lang_entropy,
+        |  mj.majority_lang,
+        |  round(mj.majority_n::DOUBLE / e.n_docs, 4) AS majority_share
+        |FROM e JOIN mj USING (source) ORDER BY e.source""".stripMargin,
     // t9's trigram construction + t23's first-occurrence trick; all
     // counts exact, one final ratio under round(6)
     "t24_ngram_novelty" ->

@@ -1696,6 +1696,47 @@ class OpsSpec extends SparkSpec {
       "observed proportions must sum to 1")
   }
 
+  test("t25 language mix: entropy bounded by ln(n_langs), majority consistent") {
+    val out = TextAnalysis.t25LangMixEntropy(spark, Sf).collect()
+    val totalDocs = Tables.documents(spark, Sf).count()
+    assert(out.map(_.getLong(1)).sum == totalDocs)
+    out.foreach { r =>
+      assert(r.getDouble(3) >= -1e-9 && r.getDouble(3) <= math.log(r.getLong(2)) + 1e-3,
+        s"${r.getString(0)}: entropy outside [0, ln(k)]")
+      assert(r.getDouble(5) * r.getLong(2) >= 1.0 - 1e-6,
+        "majority share below the uniform floor 1/k")
+    }
+  }
+
+  test("q145 fill rate: full orders bounded, line accounting consistent") {
+    Relational.q145FillRate(spark, Sf).collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "more full orders than orders")
+      assert(r.getLong(4) <= r.getLong(3), "more on-time lines than lines")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
+  test("q146 Cramer's V: cells partition orders; V within [0,1]") {
+    val out = Relational.q146CramersV(spark, Sf).collect()
+    val totalOrders = Tables.orders(spark, Sf).count()
+    assert(out.map(_.getLong(2)).sum == totalOrders)
+    val v = out.head.getDouble(5)
+    assert(v >= 0.0 && v <= 1.0, s"Cramer's V $v out of range")
+    assert(out.forall(_.getDouble(5) == v), "V must be the same on every cell row")
+  }
+
+  test("d22 size distribution: accounts exactly for d6's clusters and docs") {
+    val out = Dedup.d22ClusterSizeDist(spark, Sf).collect()
+    val d6 = Dedup.d6DupClusters(spark, Sf).collect()
+    val nClusters = d6.map(_.getLong(1)).distinct.length
+    assert(out.map(_.getLong(1)).sum == nClusters, "cluster count drifts from d6")
+    assert(out.map(_.getLong(2)).sum == d6.length, "doc mass drifts from d6")
+    out.foreach { r =>
+      assert(r.getLong(0) >= 2, "a matched cluster has at least two docs")
+      assert(r.getLong(3) == (r.getLong(0) - 1) * r.getLong(1))
+    }
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
