@@ -271,6 +271,15 @@ object Dedup {
     * at n=5. A 64-bit hash collision
     * perturbing a count needs two of the distinct shingles to collide
     * (p ≈ V²/2⁶⁵ ≈ 1e-13 here).
+    *
+    * Hint posture: the `broadcast(sets)` below IS a hint on the corpus
+    * itself — legitimate only inside this operator's declared regime
+    * (exact verification of a block set small enough to broadcast; the
+    * dense-vocab fixture). The moment blocks outgrow the broadcast
+    * threshold the regime has changed and the operator to reach for is
+    * [[d2MinHashLsh]]/[[d13InvertedJaccard]], not this one with the
+    * hint removed — an unhinted version of this join would shuffle on
+    * the 5-value `lang` key, which is worse skew than the broadcast.
     */
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val theta = 0.5

@@ -3383,11 +3383,18 @@ object Relational {
     * the visited set, so per-round work is ∝ frontier × degree — on
     * the degree-bounded kNN graph that is O(|frontier|·2k), never
     * edge-list-global. Fixed 4 rounds (the q90 scheduled-pipeline
-    * argument: no convergence actions), frontier and visited set
-    * localCheckpointed per round to keep lineage flat. The oracle
-    * walks the same graph with a depth-bounded recursive CTE and
-    * takes min(hops) — an independent algorithm for the same
-    * distances.
+    * argument: no convergence actions). ONE localCheckpoint per round
+    * — only the new frontier layer is materialized; the visited set is
+    * DERIVED as the union of the already-checkpointed layers (it is
+    * exactly that), so the anti-join reads in-memory blocks with no
+    * extra action. Round-9 A/B at sf0.1 solo, 3 warm passes: the
+    * round-8 shape (checkpoint `next` AND `dist` per round ≈ 10
+    * driver-blocking actions) ran 3.96 s warm / 3.39 s floor; this
+    * shape (5 actions: mirrored + 4 layers) runs 2.74 s warm — the
+    * warm/floor gap the round-8 bench flagged was checkpoint
+    * serialization, not join work. The oracle walks the same graph
+    * with a depth-bounded recursive CTE and takes min(hops) — an
+    * independent algorithm for the same distances.
     */
   def q111BfsHops(s: SparkSession, dir: String): DataFrame = {
     val maxHops = 4
@@ -3396,23 +3403,23 @@ object Relational {
     val mirrored = edges
       .unionAll(edges.select(col("y").as("x"), col("x").as("y")))
       .localCheckpoint() // read once per round
-    var dist = s
-      .range(1)
-      .select(lit(source).as("suppkey"), lit(0L).as("hops"))
-      .localCheckpoint()
-    var frontier = dist.select(col("suppkey"))
+    // layer 0 is a literal 1-row plan — nothing to checkpoint
+    val seed = s.range(1).select(lit(source).as("suppkey"), lit(0L).as("hops"))
+    var layers = Vector(seed)
+    var frontier = seed.select(col("suppkey"))
     for (h <- 1 to maxHops) {
+      val visited = layers.map(_.select(col("suppkey"))).reduce(_ unionAll _)
       val next = mirrored
         .join(frontier.select(col("suppkey").as("x")), "x")
         .select(col("y").as("suppkey"))
         .distinct()
-        .join(dist.select(col("suppkey")), Seq("suppkey"), "left_anti")
+        .join(visited, Seq("suppkey"), "left_anti")
         .select(col("suppkey"), lit(h.toLong).as("hops"))
         .localCheckpoint()
-      dist = dist.unionAll(next).localCheckpoint()
+      layers = layers :+ next
       frontier = next.select(col("suppkey"))
     }
-    dist.orderBy("suppkey")
+    layers.reduce(_ unionAll _).orderBy("suppkey")
   }
 
   /** q112 — HyperLogLog distinct sketch, completing the mergeable-
@@ -4238,8 +4245,17 @@ object Relational {
     * directed (mirrored) edge list — the one-number structural
     * diagnostic (hub-to-hub vs hub-to-leaf wiring) that decides
     * whether degree-targeted partitioning (q107's hub trim) will pay.
-    * Plan: degree table is node-sized and broadcast onto the edge list
-    * twice; `corr` reduces to one row. One edge-sized exchange total.
+    * Plan: the degree table is node-sized and DATA-SCALED (distinct
+    * customers + suppliers grow linearly with the data), so the joins
+    * are deliberately UNHINTED — same posture as q90's per-round
+    * degree join (see tradeGraph's measured note): AQE broadcasts it
+    * at fixture scale (PlanSpec pins this) and degrades gracefully to
+    * SMJ at 100× instead of forcing a driver-OOM BroadcastExchange.
+    * `corr` reduces to one row. One edge-sized exchange total.
+    * Hint audit (round 9): every remaining broadcast()/crossJoin hint
+    * in this file sits on a 1-row bounds/total aggregate, a
+    * band/priority marginal, or a dimension table bounded by the
+    * schema (region/nation/priority) — none on a data-scaled side.
     */
   def q126Assortativity(s: SparkSession, dir: String): DataFrame = {
     val (edges, outdeg, _) = tradeGraph(s, dir)
@@ -4247,8 +4263,8 @@ object Relational {
     val dSrc = outdeg.select(col("src"), col("outdeg").as("deg_src"))
     val dDst = outdeg.select(col("src").as("dst"), col("outdeg").as("deg_dst"))
     edges
-      .join(broadcast(dSrc), "src")
-      .join(broadcast(dDst), "dst")
+      .join(dSrc, "src")
+      .join(dDst, "dst")
       .agg(
         count(lit(1)).as("n_directed_edges"),
         round(corr(col("deg_src"), col("deg_dst")), 4).as("assortativity"))

