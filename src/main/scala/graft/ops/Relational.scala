@@ -5099,7 +5099,9 @@ object Relational {
     * over candidate column pairs. Bands are the data's own terciles
     * (exact percentiles, strict-> bucketing on exact cents — q141's
     * contract); expectations from the margins; every count exact,
-    * chi²/V doubles under round. Plan: one 1-row tercile aggregate
+    * chi²/V doubles under round; the min(r−1, c−1) divisor comes from
+    * the OBSERVED cardinalities on both engines, so collapsed tercile
+    * boundaries can't silently skew V. Plan: one 1-row tercile aggregate
     * broadcast back, one (band, prio) count aggregate, margins as
     * tiny broadcast joins.
     */
@@ -5129,9 +5131,19 @@ object Relational {
         "chi2c",
         (col("n") - col("e")) * (col("n") - col("e")) / col("e"))
     val v = scored
-      .agg(sum(col("chi2c")).as("chi2"), min(col("m")).as("m"))
-      // min(r-1, c-1) = min(3-1, 5-1) = 2
-      .select(sqrt(col("chi2") / (col("m") * 2)).as("v"))
+      .agg(
+        sum(col("chi2c")).as("chi2"),
+        min(col("m")).as("m"),
+        // divisor from the OBSERVED band/priority cardinalities, not a
+        // hardcoded min(3-1, 5-1): if duplicate-heavy totalprice
+        // collapses a tercile boundary, fewer than 3 bands materialize
+        // and a hardcoded 2 would silently deflate V on both engines —
+        // the gate can't catch an error the oracle repeats (round-9
+        // advisor fix). greatest(·, 1) guards the degenerate 1×1 table.
+        greatest(
+          least(count_distinct(col("band")), count_distinct(col("prio"))) - 1,
+          lit(1L)).as("dof"))
+      .select(sqrt(col("chi2") / (col("m") * col("dof"))).as("v"))
     scored
       .crossJoin(broadcast(v))
       .select(
@@ -5144,7 +5156,86 @@ object Relational {
       .orderBy("band", "prio")
   }
 
+  /** q147 — nested-Avro envelope enrichment: builds the CDC-envelope
+    * shape `{id, geo: record{r_regionkey, label}?, tags: array<record
+    * {k, v}>, attrs: map<string,long>}` as a REAL Avro container file
+    * (written with the Avro core jars, content a pure function of the
+    * nation dimension — 25 rows, the one driver-side collect is a
+    * schema-bounded dim), reads it back through [[graft.sources
+    * .AvroLite]]'s round-9 nested decode, and joins it into the
+    * parquet `region` table: two-level struct access (`geo.r_regionkey`
+    * survives a null envelope), a lambda fold over the nested
+    * `array<record>` (`aggregate`, so zero-tag envelopes still count —
+    * explode would drop them), and a map lookup. The oracle reproduces
+    * the same numbers straight from nation⋈region in DuckDB — so the
+    * Avro write→infer→decode→relational path is under the hash gate,
+    * not just spec-checked. Scale: the envelope build is fixture
+    * machinery; the read path is the same per-file-split DSv2 scan the
+    * SourcesSpec pins, and the join's dimension side is
+    * schema-bounded.
+    */
+  def q147AvroNestedEnvelope(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val geoS: Schema = SchemaBuilder.record("geo").fields()
+      .requiredLong("r_regionkey").requiredString("label").endRecord()
+    val tagS: Schema = SchemaBuilder.record("tag").fields()
+      .requiredString("k").requiredLong("v").endRecord()
+    val envS: Schema = SchemaBuilder.record("env").fields()
+      .requiredLong("id")
+      .name("geo").`type`().optional().`type`(geoS)
+      .name("tags").`type`().array().items(tagS).noDefault()
+      .name("attrs").`type`().map().values().longType().noDefault()
+      .endRecord()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q147-avro").toFile
+    tmp.deleteOnExit()
+    val nations = Tables
+      .nation(s, dir)
+      .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+      .collect() // 25-row schema-bounded dimension: fixture build only
+      .sortBy(_.getLong(0))
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](envS))
+    w.create(envS, new java.io.File(tmp, "envelopes.avro"))
+    try nations.foreach { r =>
+      val nk = r.getLong(0)
+      val rec = new GenericData.Record(envS)
+      rec.put("id", nk)
+      if (nk % 5 == 0) rec.put("geo", null)
+      else {
+        val g = new GenericData.Record(geoS)
+        g.put("r_regionkey", r.getLong(2))
+        g.put("label", r.getString(1))
+        rec.put("geo", g)
+      }
+      val tags = new java.util.ArrayList[GenericRecord]()
+      (0L until nk % 3).foreach { j =>
+        val t = new GenericData.Record(tagS)
+        t.put("k", s"t$j"); t.put("v", nk * 10 + j); tags.add(t)
+      }
+      rec.put("tags", tags)
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      m.put("len", r.getString(1).length.toLong)
+      m.put("nk", nk)
+      rec.put("attrs", m)
+      w.append(rec)
+    } finally w.close()
+
+    val env = s.read.format("graft.sources.AvroLite").load(tmp.getAbsolutePath)
+    env
+      // inner join on the nested key: null-geo envelopes drop here
+      .join(Tables.region(s, dir), col("geo.r_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_envelopes"),
+        sum(aggregate(col("tags"), lit(0L), (acc, t) => acc + t.getField("v")))
+          .as("sum_tag_v"),
+        sum(element_at(col("attrs"), "len")).as("sum_label_len"))
+      .orderBy("r_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_avro_nested_envelope" -> q147AvroNestedEnvelope,
     "q145_fill_rate" -> q145FillRate,
     "q146_cramers_v" -> q146CramersV,
     "q144_benford" -> q144Benford,
@@ -5293,6 +5384,22 @@ object Relational {
   val oracles: Map[String, String] = Map(
     // integer on-time counts; full-fill is a count equality; one
     // division under round(4)
+    // the Avro envelope content is a pure function of the nation row
+    // (geo null iff nk%5=0; tags t0..t_{nk%3-1} with v=nk*10+j; attrs
+    // len = length(n_name)), so DuckDB reproduces the aggregate
+    // straight from nation⋈region without reading Avro at all — an
+    // INDEPENDENT derivation of what the nested decode must yield
+    "q147_avro_nested_envelope" ->
+      """SELECT r.r_name,
+        |  count(*) AS n_envelopes,
+        |  CAST(sum(CASE WHEN n.n_nationkey % 3 = 0 THEN 0
+        |                WHEN n.n_nationkey % 3 = 1 THEN n.n_nationkey * 10
+        |                ELSE 2 * (n.n_nationkey * 10) + 1 END) AS BIGINT)
+        |    AS sum_tag_v,
+        |  CAST(sum(length(n.n_name)) AS BIGINT) AS sum_label_len
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE n.n_nationkey % 5 <> 0
+        |GROUP BY 1 ORDER BY r_name""".stripMargin,
     "q145_fill_rate" ->
       """WITH po AS (
         |  SELECT o.o_orderkey, o.o_orderpriority AS prio,
@@ -5332,7 +5439,9 @@ object Relational {
         |chi AS (
         |  SELECT *, (n - e) * (n - e) / e AS chi2c FROM sc),
         |vv AS (
-        |  SELECT sqrt(sum(chi2c) / (min(t.m) * 2)) AS v
+        |  SELECT sqrt(sum(chi2c) / (min(t.m) *
+        |    greatest(least(count(DISTINCT chi.band),
+        |                   count(DISTINCT chi.prio)) - 1, 1))) AS v
         |  FROM chi, t)
         |SELECT CAST(chi.band AS BIGINT) AS band, chi.prio,
         |  chi.n, round(chi.e, 3) AS expected,

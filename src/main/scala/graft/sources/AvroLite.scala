@@ -38,10 +38,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * Usage: `spark.read.format("graft.sources.AvroLite").load(dir)`.
   *
   * Supported Avro types: boolean, int, long, float, double, string,
-  * bytes, enum (as string), fixed (as binary), and the nullable union
-  * `[null, T]` of each — the shapes a data feed actually ships.
-  * Nested records/arrays/maps fail fast at schema inference with a
-  * clear message rather than decoding wrongly.
+  * bytes, enum (as string), fixed (as binary), the nullable union
+  * `[null, T]` of each — and, since round 9, NESTED types to any
+  * depth: records (→ struct), arrays (→ array) and maps (→ map with
+  * string keys), i.e. the CDC-envelope / event-bus shapes
+  * (`{before: record, after: record, tags: array<record>}`). General
+  * multi-branch unions remain out of scope (no canonical relational
+  * mapping); they still fail fast at schema inference.
+  *
+  * Column pruning stays TOP-LEVEL: a projected reader schema drops
+  * whole unprojected columns at decode time; nested fields of a
+  * projected column are decoded in full (the row-major format offers
+  * no intra-record skip anyway — unlike parquet, Avro stores fields
+  * inline, so sub-field pruning saves conversion, not I/O).
   *
   * Scale posture: files are the split unit (an Avro container is
   * block-compressed behind sync markers; finer intra-file splits are
@@ -118,28 +127,40 @@ object AvroLite {
     }
   }
 
+  /** Recursive Avro→Catalyst type mapping. `unwrap` has already been
+    * applied by the caller, so `s` is never a union here.
+    */
+  private def toDataType(s: Schema): DataType = s.getType match {
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.INT     => IntegerType
+    case Schema.Type.LONG    => LongType
+    case Schema.Type.FLOAT   => FloatType
+    case Schema.Type.DOUBLE  => DoubleType
+    case Schema.Type.STRING  => StringType
+    case Schema.Type.ENUM    => StringType
+    case Schema.Type.BYTES   => BinaryType
+    case Schema.Type.FIXED   => BinaryType
+    case Schema.Type.RECORD  => toStruct(s)
+    case Schema.Type.ARRAY =>
+      val (elem, elemNullable) = unwrap(s.getElementType)
+      ArrayType(toDataType(elem), containsNull = elemNullable)
+    case Schema.Type.MAP =>
+      // Avro map keys are always strings
+      val (value, valueNullable) = unwrap(s.getValueType)
+      MapType(StringType, toDataType(value), valueContainsNull = valueNullable)
+    case other =>
+      throw new IllegalArgumentException(
+        s"unsupported Avro type $other " +
+          "(multi-branch unions have no canonical relational mapping)")
+  }
+
   private[sources] def toStruct(schema: Schema): StructType = {
     require(
       schema.getType == Schema.Type.RECORD,
-      s"top-level Avro type must be a record, got ${schema.getType}")
+      s"Avro type must be a record, got ${schema.getType}")
     StructType(schema.getFields.asScala.map { f =>
       val (t, nullable) = unwrap(f.schema())
-      val dt = t.getType match {
-        case Schema.Type.BOOLEAN => BooleanType
-        case Schema.Type.INT     => IntegerType
-        case Schema.Type.LONG    => LongType
-        case Schema.Type.FLOAT   => FloatType
-        case Schema.Type.DOUBLE  => DoubleType
-        case Schema.Type.STRING  => StringType
-        case Schema.Type.ENUM    => StringType
-        case Schema.Type.BYTES   => BinaryType
-        case Schema.Type.FIXED   => BinaryType
-        case other =>
-          throw new IllegalArgumentException(
-            s"unsupported Avro type $other for field ${f.name()} " +
-              "(nested records/arrays/maps are out of AvroLite's scope)")
-      }
-      StructField(f.name(), dt, nullable)
+      StructField(f.name(), toDataType(t), nullable)
     })
   }
 
@@ -159,7 +180,12 @@ object AvroLite {
     Schema.createRecord(writer.getName, writer.getDoc, writer.getNamespace, false, fields)
   }
 
-  /** Avro runtime value → Catalyst value for the supported types. */
+  /** Avro runtime value → Catalyst value, recursing through nested
+    * records (GenericRecord → GenericInternalRow, by position — the
+    * Catalyst struct was built from the same Avro schema, so field
+    * positions align), arrays (java Collection → GenericArrayData) and
+    * maps (java Map with CharSequence keys → ArrayBasedMapData).
+    */
   private[sources] def toCatalyst(v: AnyRef, dt: DataType): Any = v match {
     case null => null
     case _ =>
@@ -172,6 +198,38 @@ object AvroLite {
             case fx: org.apache.avro.generic.GenericFixed => fx.bytes().clone()
             case other => other.asInstanceOf[Array[Byte]]
           }
+        case st: StructType =>
+          val rec = v.asInstanceOf[GenericRecord]
+          val vals = new Array[Any](st.fields.length)
+          var i = 0
+          while (i < st.fields.length) {
+            vals(i) = toCatalyst(rec.get(i), st.fields(i).dataType)
+            i += 1
+          }
+          new GenericInternalRow(vals)
+        case at: ArrayType =>
+          val coll = v.asInstanceOf[java.util.Collection[AnyRef]]
+          val out = new Array[Any](coll.size())
+          var i = 0
+          val it = coll.iterator()
+          while (it.hasNext) { out(i) = toCatalyst(it.next(), at.elementType); i += 1 }
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+        case mt: MapType =>
+          val m = v.asInstanceOf[java.util.Map[AnyRef, AnyRef]]
+          val n = m.size()
+          val keys = new Array[Any](n)
+          val vals = new Array[Any](n)
+          var i = 0
+          val it = m.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            keys(i) = UTF8String.fromString(e.getKey.toString)
+            vals(i) = toCatalyst(e.getValue, mt.valueType)
+            i += 1
+          }
+          new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
         case _ => v // boolean/int/long/float/double arrive as their JVM boxes
       }
   }
@@ -194,8 +252,14 @@ private class AvroLiteScanBuilder(path: String, full: StructType)
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
     // an empty projection (count(*)) is legal: a zero-field Avro
-    // reader record skips every field and just counts container rows
-    required = requiredSchema
+    // reader record skips every field and just counts container rows.
+    // Pruning is TOP-LEVEL by column name: Catalyst's nested-schema
+    // pruning may hand us a struct column with sub-fields dropped, but
+    // the Avro decoder materializes nested records whole (row-major —
+    // there is nothing to skip mid-record), so each kept column is
+    // expanded back to its FULL nested type; positions in toCatalyst
+    // then align with the decoded GenericRecord.
+    required = StructType(requiredSchema.fieldNames.map(full(_)))
   override def build(): Scan = new AvroLiteScan(path, required)
 }
 

@@ -260,4 +260,77 @@ class SourcesSpec extends SparkSpec {
       .join(docs, col("id") === col("doc_id"))
     assert(joined.count() == 30, "avro rows must join against the parquet tables")
   }
+
+  test("AvroLite: two-level nested record with nulls, array<record> and map round-trip") {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    // the CDC-envelope shape: {id, geo: record{code, detail: record}?, tags: array<record>, attrs: map<long>}
+    val detail: Schema = SchemaBuilder.record("detail").fields()
+      .requiredString("city").optionalLong("pop").endRecord()
+    val geo: Schema = SchemaBuilder.record("geo").fields()
+      .requiredLong("code").name("d").`type`(detail).noDefault().endRecord()
+    val tag: Schema = SchemaBuilder.record("tag").fields()
+      .requiredString("k").requiredLong("v").endRecord()
+    val env: Schema = SchemaBuilder.record("env").fields()
+      .requiredLong("id")
+      .name("geo").`type`().optional().`type`(geo) // [null, geo]
+      .name("tags").`type`().array().items(tag).noDefault()
+      .name("attrs").`type`().map().values().longType().noDefault()
+      .endRecord()
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-nested").toFile
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](env))
+    w.create(env, new java.io.File(dir, "n.avro"))
+    try (0 until 20).foreach { i =>
+      val r = new GenericData.Record(env)
+      r.put("id", i.toLong)
+      if (i % 5 == 0) r.put("geo", null)
+      else {
+        val d = new GenericData.Record(detail)
+        d.put("city", s"c$i")
+        d.put("pop", if (i % 3 == 0) null else java.lang.Long.valueOf(i * 100L))
+        val g = new GenericData.Record(geo)
+        g.put("code", i.toLong % 4)
+        g.put("d", d)
+        r.put("geo", g)
+      }
+      val tags = new java.util.ArrayList[GenericRecord]()
+      (0 until i % 3).foreach { j =>
+        val t = new GenericData.Record(tag)
+        t.put("k", s"t$j"); t.put("v", (i * 10 + j).toLong); tags.add(t)
+      }
+      r.put("tags", tags)
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      m.put("len", i.toLong); m.put("sq", (i * i).toLong)
+      r.put("attrs", m)
+      w.append(r)
+    } finally w.close()
+
+    val df = spark.read.format("graft.sources.AvroLite").load(dir.getAbsolutePath)
+    // inferred shape: struct nullability + nested types
+    assert(df.schema("geo").nullable && !df.schema("tags").nullable)
+    assert(df.schema("geo").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]("d")
+      .dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    // two-level field access, null propagation at both levels
+    val got = df
+      .select(
+        col("id"),
+        col("geo.code"),
+        col("geo.d.city").as("city"),
+        col("geo.d.pop").as("pop"),
+        size(col("tags")).as("ntags"),
+        element_at(col("attrs"), "sq").as("sq"))
+      .orderBy("id")
+      .collect()
+    assert(got.length == 20)
+    assert(got(0).isNullAt(1) && got(0).isNullAt(2), "null geo must propagate to sub-fields")
+    assert(got(7).getLong(1) == 3L && got(7).getString(2) == "c7" && got(7).getLong(3) == 700L)
+    assert(got(9).isNullAt(3), "nested optional pop must be null at depth 2 (i%3==0)")
+    assert(got(8).getInt(4) == 2 && got(8).getLong(5) == 64L)
+    // explode of the nested array<record>
+    val tagSum = df.select(explode(col("tags")).as("t"))
+      .agg(sum(col("t.v"))).head().getLong(0)
+    val expected = (0 until 20).flatMap(i => (0 until i % 3).map(j => i * 10L + j)).sum
+    assert(tagSum == expected, s"exploded tag sum $tagSum != $expected")
+  }
 }
