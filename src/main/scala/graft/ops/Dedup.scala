@@ -26,7 +26,7 @@ object Dedup {
     * runs on the hashes. Equal to string-shingle set algebra up to
     * 64-bit collisions (negligible; see the expression's scaladoc).
     */
-  private def docsWithShingles(s: SparkSession, dir: String, n: Int): DataFrame =
+  private[graft] def docsWithShingles(s: SparkSession, dir: String, n: Int): DataFrame =
     shingled(Tables.spread(Tables.documents(s, dir)), n)
 
   /** Same shingling over an arbitrary (doc_id, lang, text) relation —
@@ -384,18 +384,46 @@ object Dedup {
     *
     * At 100 TB: the postings self-join shuffles on the shingle hash —
     * work ∝ Σ df², so a skewed stop-shingle (df in the millions) is
-    * the failure mode; production drops shingles with df above a cap
-    * first (they carry no dedup signal — a shingle shared by a
-    * million docs identifies nothing), which bounds every bucket and
-    * is the standard AllPairs/prefix-filter companion. The fixture's
-    * 5-gram df is naturally ≤ a few, so no cap is needed here.
+    * the failure mode. Since round 9 the guard is CODE, not a comment:
+    * shingles with document frequency above [[D13DfCap]] are dropped
+    * from the index BEFORE the self-join (they carry no dedup signal —
+    * a shingle shared by a million docs identifies nothing), which
+    * bounds every postings bucket at ≤ cap and the pair work at
+    * Σ min(df, cap)² — the standard AllPairs/prefix-filter companion.
+    * Jaccard is then computed over the CAPPED vocabulary on both
+    * engines (set sizes recounted post-cap), so the oracle applies
+    * the identical threshold and the gate stays exact. The df count
+    * groups on the same (lang, shingle) key the self-join shuffles
+    * on, so the cap rides the join's existing exchange. The fixture's
+    * 5-gram df is naturally ≤ a few — the cap provably drops nothing
+    * here (OpsSpec pins capped == uncapped on the fixture, and plants
+    * an ultra-frequent shingle to pin the bound bites when it must).
     */
-  def d13InvertedJaccard(s: SparkSession, dir: String): DataFrame = {
-    val theta = 0.5
-    val sh = docsWithShingles(s, dir, 5)
-    val sizes = sh.select(col("doc_id"), size(col("hs")).as("n"))
+  private[graft] val D13DfCap = 64L
+
+  /** Postings with every (lang, shingle) of document frequency > cap
+    * removed, plus the post-cap per-doc set sizes. `sh` must carry
+    * (doc_id, lang, hs: array<long> of DISTINCT shingle hashes) — so
+    * per-posting count == df.
+    */
+  private[graft] def cappedPostings(sh: DataFrame, dfCap: Long): (DataFrame, DataFrame) = {
     val postings = sh.select(col("doc_id"), col("lang"), explode(col("hs")).as("h"))
-    val pairs = postings
+    val keep = postings
+      .groupBy(col("lang"), col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("lang"), col("h"))
+    val capped = postings.join(keep, Seq("lang", "h"), "left_semi")
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    (capped, sizes)
+  }
+
+  /** Candidate co-occurrence pairs over a (capped) postings list —
+    * exposed separately so the spec can pin the WORK BOUND (candidate
+    * row count), not just the thresholded output.
+    */
+  private[graft] def coOccurrencePairs(postings: DataFrame): DataFrame =
+    postings
       .as("a")
       .join(
         postings.as("b"),
@@ -406,7 +434,10 @@ object Dedup {
         col("b.doc_id").as("id_b"),
         col("a.lang").as("lang"))
       .agg(count(lit(1)).as("shared"))
-    pairs
+
+  private[graft] def invertedJaccardFrom(sh: DataFrame, dfCap: Long, theta: Double): DataFrame = {
+    val (capped, sizes) = cappedPostings(sh, dfCap)
+    coOccurrencePairs(capped)
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
       .withColumn(
@@ -416,6 +447,9 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("lang"), round(col("jac"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
   }
+
+  def d13InvertedJaccard(s: SparkSession, dir: String): DataFrame =
+    invertedJaccardFrom(docsWithShingles(s, dir, 5), D13DfCap, theta = 0.5)
 
   /** d5 — embedding near-dup: cosine-threshold self-join in exact
     * double arithmetic (`zip_with` + `aggregate` fold left-to-right,
@@ -1228,23 +1262,40 @@ object Dedup {
   )
 
   /** Shared ground-truth SQL for shingle-Jaccard near-dup pairs. */
-  private def jaccardOracle(n: Int, langBlocked: Boolean, extraCols: String): String = {
+  private def jaccardOracle(
+      n: Int,
+      langBlocked: Boolean,
+      extraCols: String,
+      dfCap: Option[Long] = None): String = {
     val parts = (0 until n).map(j => s"t[i + $j]").mkString(" || ' ' || ")
     val langJoin = if (langBlocked) " AND a.lang = b.lang" else ""
     val langSel = if (langBlocked) ", a.lang AS lang" else ""
     val langGrp = if (langBlocked) ", a.lang" else ""
+    // with a df cap: drop over-frequent shingles from the index and
+    // recount set sizes over the CAPPED vocabulary — the exact mirror
+    // of cappedPostings on the Spark side
+    val exDef = dfCap match {
+      case Some(cap) =>
+        s"""ex0 AS (SELECT doc_id, lang, unnest(shingles) AS s FROM sh),
+           |keep AS (
+           |  SELECT lang, s FROM ex0 GROUP BY 1, 2 HAVING count(*) <= $cap),
+           |ex AS (SELECT ex0.* FROM ex0 JOIN keep USING (lang, s)),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1)"""
+      case None =>
+        """ex AS (SELECT doc_id, lang, unnest(shingles) AS s FROM sh),
+          |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)"""
+    }
     s"""WITH tok AS (
        |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
        |sh AS (
        |  SELECT doc_id, lang,
        |    list_distinct([$parts FOR i IN range(1, len(t) - ${n - 2})]) AS shingles
        |  FROM tok WHERE len(t) >= $n),
-       |ex AS (SELECT doc_id, lang, unnest(shingles) AS s FROM sh),
+       |${exDef.stripMargin},
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b$langSel, count(*) AS shared
        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id$langJoin
-       |  GROUP BY a.doc_id, b.doc_id$langGrp),
-       |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+       |  GROUP BY a.doc_id, b.doc_id$langGrp)
        |SELECT id_a, id_b$extraCols,
        |  round(shared::DOUBLE / (sa.n + sb.n - shared), 4) AS jaccard
        |FROM pairs JOIN sizes sa ON id_a = sa.doc_id
@@ -1759,7 +1810,8 @@ object Dedup {
     "d4_ngram_jaccard" -> jaccardOracle(2, langBlocked = true, extraCols = ", lang"),
     // same ground-truth shape at n=5 — the sparse-vocabulary regime
     // where the Spark side uses the postings co-occurrence join
-    "d13_inverted_jaccard" -> jaccardOracle(5, langBlocked = true, extraCols = ", lang"),
+    "d13_inverted_jaccard" ->
+      jaccardOracle(5, langBlocked = true, extraCols = ", lang", dfCap = Some(D13DfCap)),
     // asymmetric min-denominator containment over the same 2-gram
     // string shingles d4 uses (hash↔string equality up to negligible
     // 64-bit collisions, same as d4)

@@ -1041,6 +1041,37 @@ class OpsSpec extends SparkSpec {
     assert(p2.contains((1L, 2L)), "reversed-key pass must recover the shared-suffix pair")
   }
 
+  test("d13 df-cap bounds postings work under a planted stop-shingle; fixture output unchanged") {
+    import spark.implicits._
+    // 12 docs all share shingle 999 (the adversarial stop-shingle); only
+    // docs 1 and 2 are genuine near-dups (identical unique shingles).
+    val sh = (
+      Seq(
+        (1L, "en", Array(1L, 2L, 3L, 999L)),
+        (2L, "en", Array(1L, 2L, 3L, 999L))) ++
+        (3L to 12L).map(i => (i, "en", Array(i * 10, i * 10 + 1, 999L)))
+    ).toDF("doc_id", "lang", "hs")
+    // uncapped: every pair co-occurs through 999 -> C(12,2) candidates
+    val (uncapped, _) = Dedup.cappedPostings(sh, dfCap = Long.MaxValue)
+    assert(Dedup.coOccurrencePairs(uncapped).count() == 66L)
+    // capped at 8 < df(999)=12: only the true-dup pair survives as a
+    // candidate AT ALL - the work bound, not just the output filter
+    val (capped, sizes) = Dedup.cappedPostings(sh, dfCap = 8L)
+    val cand = Dedup.coOccurrencePairs(capped).collect()
+    assert(cand.length == 1 && cand(0).getLong(0) == 1L && cand(0).getLong(1) == 2L)
+    // post-cap sizes count the CAPPED vocabulary (4 shingles -> 3)
+    assert(sizes.filter(col("doc_id") === 1L).head().getLong(1) == 3L)
+    // and the capped Jaccard is exact over that vocabulary: 3/3 = 1.0
+    val out = Dedup.invertedJaccardFrom(sh, dfCap = 8L, theta = 0.5).collect()
+    assert(out.length == 1 && out(0).getDouble(3) == 1.0)
+    // on the real fixture the 5-gram df never reaches the cap: the
+    // guard provably drops nothing there (capped == uncapped output)
+    val fx = Dedup.docsWithShingles(spark, Sf, 5)
+    val withCap = Dedup.invertedJaccardFrom(fx, Dedup.D13DfCap, 0.5).collect().toSeq
+    val noCap = Dedup.invertedJaccardFrom(fx, Long.MaxValue, 0.5).collect().toSeq
+    assert(withCap == noCap, "fixture df must stay under the cap")
+  }
+
   test("d19 multipass output is a superset of d17's single pass") {
     val d17 = Dedup.d17SortedNeighborhood(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
