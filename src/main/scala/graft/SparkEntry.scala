@@ -17,12 +17,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Dedup.queries ++ Similarity.queries ++
       TextAnalysis.queries ++ Multimodal.queries ++ Corpus.queries ++
-      Layout.queries
+      Layout.queries ++ graft.streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ Corpus.oracles ++
-      Layout.oracles
+      Layout.oracles ++ graft.streaming.Streams.oracles
 }

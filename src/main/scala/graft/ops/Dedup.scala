@@ -1181,17 +1181,42 @@ object Dedup {
   /** d21 — threshold operating curve: how many near-dup pairs exist
     * at Jaccard ≥ 0.5, 0.6, …, 0.9 — the tuning report an engineer
     * reads BEFORE choosing the dedup threshold (each step of the
-    * curve is removed volume; the elbow is the policy). ONE run of
-    * the d2 machinery at the loosest threshold serves every
-    * tighter one: pairs bucket by floor(10·J) (identical IEEE
-    * division + floor in both engines; J = 1 clamps into the 0.9
-    * bucket) and the ≥-threshold counts are a reverse running sum
+    * curve is removed volume; the elbow is the policy). ONE pair pass
+    * serves every threshold: pairs bucket by floor(10·J) (identical
+    * IEEE division + floor in both engines; J = 1 clamps into the
+    * 0.9 bucket) and the ≥-threshold counts are a reverse running sum
     * over the ≤5-row bucket table — never five pair computations.
-    * Scale posture is d2's: banded candidates, exact verify, no
-    * all-pairs path.
+    *
+    * Candidates come from the EXHAUSTIVE shared-shingle co-occurrence
+    * join (d13's machinery, unblocked), not d2's LSH banding — the
+    * round-9 advisor fix: 32-band minhash recall at the J=0.5
+    * boundary is < 1, so an LSH-fed curve can desync from the
+    * exhaustive oracle on an unlucky fixture even when the current
+    * gate is green; a TUNING report must be exact or it tunes the
+    * wrong threshold. Work is Σ df(shingle)² — the d4/d13 regime rule
+    * applies: exact on sparse vocabularies; on a dense one at 100 TB,
+    * run the sweep on d2's banded candidates instead and read it as a
+    * LOWER envelope with d2's documented ~1e-5..1e-3 per-pair miss
+    * probability (the probabilistic variant is one argument swap).
     */
   def d21ThresholdSweep(s: SparkSession, dir: String): DataFrame = {
-    val buckets = nearDupPairs(docsWithShingles(s, dir, 3), 0.5)
+    val sh = docsWithShingles(s, dir, 3)
+    val sizes = sh.select(col("doc_id"), size(col("hs")).as("n"))
+    val postings = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+    val pairs = postings
+      .as("a")
+      .join(
+        postings.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    val buckets = pairs
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .withColumn(
+        "jac",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jac") >= 0.5)
       .withColumn("bucket", least(floor(col("jac") * 10), lit(9L)))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_pairs"))

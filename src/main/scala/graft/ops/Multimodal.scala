@@ -103,13 +103,19 @@ object Multimodal {
     * are deterministic functions of the payload bytes, pinned by the
     * unit spec AND the DuckDB gate (the fingerprint is mod-arithmetic,
     * so the oracle recomputes every feature from the same bytes).
+    * The decoder arrives through the [[Codec.Provider]] seam — a real
+    * JPEG codec swaps in without touching this plan (MultimodalSpec
+    * proves the swap with [[Codec.XorMaskedProvider]]).
     */
-  def m3ImageFeatures(s: SparkSession, dir: String): DataFrame = {
+  def m3ImageFeatures(
+      s: SparkSession,
+      dir: String,
+      codecs: Codec.Provider = Codec.Stub): DataFrame = {
     import s.implicits._
     val ds: Dataset[MediaRow] = media(s, dir).as[MediaRow]
     ds.mapPartitions { rows =>
       // one (expensive, in real life) codec per partition, closed with it
-      val decoder = FakeImageDecoder.open()
+      val decoder = codecs.openImageDecoder()
       rows.map { m =>
         val d = decoder.decode(m.payload)
         ImageFeatures(m.doc_id, m.format, d.nBytes, d.meanByte, d.fingerprint)
@@ -145,11 +151,14 @@ object Multimodal {
     * the whole output is SQL-expressible and the DuckDB gate checks
     * it end-to-end.
     */
-  def m4Resize(s: SparkSession, dir: String): DataFrame = {
+  def m4Resize(
+      s: SparkSession,
+      dir: String,
+      codecs: Codec.Provider = Codec.Stub): DataFrame = {
     import s.implicits._
     val ds: Dataset[MediaRow] = media(s, dir).as[MediaRow]
     ds.mapPartitions { rows =>
-      val resizer = FakeImageResizer.open(box = 64)
+      val resizer = codecs.openImageResizer(box = 64)
       rows.map { m =>
         val r = resizer.resize(m.width, m.height, m.payload)
         ResizedMeta(m.doc_id, m.format, r.scale, r.width, r.height, r.payload.length)
@@ -323,11 +332,14 @@ object Multimodal {
     * sort. The stub arithmetic is pure byte sums, so the DuckDB
     * oracle re-frames the same bytes and checks every count exactly.
     */
-  def m7AudioFrames(s: SparkSession, dir: String): DataFrame = {
+  def m7AudioFrames(
+      s: SparkSession,
+      dir: String,
+      codecs: Codec.Provider = Codec.Stub): DataFrame = {
     import s.implicits._
     val ds = media(s, dir).select(col("doc_id"), col("payload")).as[AudioRow]
     ds.mapPartitions { rows =>
-      val dec = FakeAudioDecoder.open(frameLen = 200, silenceMeanByte = 92)
+      val dec = codecs.openAudioAnalyzer(frameLen = 200, silenceMeanByte = 92)
       rows.map { r =>
         val f = dec.analyze(r.payload)
         AudioFrames(r.doc_id, f.nFrames, f.nSilent, f.totalEnergy, f.peakEnergy)
@@ -356,12 +368,15 @@ object Multimodal {
     * timeline; scene stats collapse frames before anything crosses a
     * second exchange.
     */
-  def m8SceneCuts(s: SparkSession, dir: String): DataFrame = {
+  def m8SceneCuts(
+      s: SparkSession,
+      dir: String,
+      codecs: Codec.Provider = Codec.Stub): DataFrame = {
     import s.implicits._
     val theta = 1000L
     val ds = media(s, dir).select(col("doc_id"), col("payload")).as[AudioRow]
     val energies = ds.mapPartitions { rows =>
-      val dec = FakeAudioDecoder.open(frameLen = 200, silenceMeanByte = 92)
+      val dec = codecs.openAudioAnalyzer(frameLen = 200, silenceMeanByte = 92)
       rows.map(r => FrameEnergies(r.doc_id, dec.frameEnergies(r.payload)))
     }.toDF()
     val w = org.apache.spark.sql.expressions.Window
@@ -544,14 +559,14 @@ object Multimodal {
     "m11_modality_coverage" -> m11ModalityCoverage,
     "m10_aspect_buckets" -> m10AspectBuckets,
     "m9_chunk_dedup_ratio" -> m9ChunkDedupRatio,
-    "m8_scene_cuts" -> m8SceneCuts,
-    "m7_audio_frames" -> m7AudioFrames,
+    "m8_scene_cuts" -> ((s, d) => m8SceneCuts(s, d)),
+    "m7_audio_frames" -> ((s, d) => m7AudioFrames(s, d)),
     "m6_perceptual_neardup" -> m6PerceptualNearDup,
     "m5_cdc_chunks" -> m5CdcChunks,
     "m1_media_stats" -> m1MediaStats,
     "m2_frame_sample" -> m2FrameSample,
-    "m3_image_features" -> m3ImageFeatures,
-    "m4_resize" -> m4Resize
+    "m3_image_features" -> ((s, d) => m3ImageFeatures(s, d)),
+    "m4_resize" -> ((s, d) => m4Resize(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -840,133 +855,4 @@ object Multimodal {
         |FROM r
         |ORDER BY doc_id""".stripMargin
   )
-}
-
-/** STUB: stands in for a real image scaler (libvips / swscale) that
-  * this container cannot provide. Box-fits (w, h) into `box`×`box`
-  * with one integer scale factor shared by both axes, and subsamples
-  * the payload by the same factor — deterministic integer arithmetic
-  * end-to-end so the DuckDB oracle can verify the full output. The
-  * interface (open once per partition, resize per row) is the real
-  * codec contract.
-  */
-final class FakeImageResizer private (box: Int) {
-
-  final case class Resized(scale: Int, width: Int, height: Int, payload: Array[Byte])
-
-  private def ceilDiv(a: Int, b: Int): Int = (a + b - 1) / b
-
-  def resize(w: Int, h: Int, payload: Array[Byte]): Resized = {
-    val scale = math.max(math.max(ceilDiv(w, box), ceilDiv(h, box)), 1)
-    val out = new Array[Byte](ceilDiv(payload.length max 0, scale) max 0)
-    var i = 0
-    while (i < out.length) {
-      out(i) = payload(i * scale)
-      i += 1
-    }
-    Resized(scale, ceilDiv(w, scale), ceilDiv(h, scale), out)
-  }
-}
-
-object FakeImageResizer {
-  def open(box: Int): FakeImageResizer = new FakeImageResizer(box)
-}
-
-/** STUB: stands in for a real image decoder (libjpeg-turbo / ffmpeg
-  * bindings) that this container cannot provide. Deterministic on the
-  * payload bytes so specs can pin outputs. The interface — open once
-  * per partition, decode per row, stateless output — is the real
-  * contract a native codec would implement.
-  */
-final class FakeImageDecoder private () {
-
-  final case class Decoded(nBytes: Int, meanByte: Double, fingerprint: Long)
-
-  /** Byte-fold features. The fingerprint is a mod-1e9+7 polynomial
-    * (same arithmetic family as t7/m5) rather than FNV: identical
-    * discriminating power for a stub, but free of 64-bit wraparound —
-    * so the DuckDB oracle can recompute it and m3 graduates from a
-    * rows-only check to a full hash-matched gate.
-    */
-  def decode(payload: Array[Byte]): Decoded = {
-    var sum = 0L
-    var fp = 0L
-    var i = 0
-    while (i < payload.length) {
-      sum += payload(i) & 0xFF
-      fp = (fp * 131L + (payload(i) & 0xFF)) % 1000000007L
-      i += 1
-    }
-    val mean = if (payload.length == 0) 0.0 else sum.toDouble / payload.length
-    Decoded(payload.length, mean, fp)
-  }
-}
-
-object FakeImageDecoder {
-  def open(): FakeImageDecoder = new FakeImageDecoder()
-}
-
-/** STUB: stands in for a real audio decoder + framer (ffmpeg/libsndfile
-  * → PCM → fixed windows). Deterministic integer byte arithmetic so
-  * both the unit spec and the DuckDB oracle can recompute every frame.
-  * The interface — open once per partition with the analysis config,
-  * analyze per row — is the contract a native audio library would get.
-  */
-final class FakeAudioDecoder private (frameLen: Int, silenceMeanByte: Int) {
-
-  final case class Frames(
-      nFrames: Int,
-      nSilent: Int,
-      totalEnergy: Long,
-      peakEnergy: Long)
-
-  /** Frame the byte stream; the trailing partial frame counts with its
-    * own length so "silence" (`energy < silenceMeanByte × len`) stays
-    * an exact integer comparison on every frame.
-    */
-  def analyze(payload: Array[Byte]): Frames = {
-    var nFrames = 0
-    var nSilent = 0
-    var total = 0L
-    var peak = 0L
-    var start = 0
-    while (start < payload.length) {
-      val end = math.min(start + frameLen, payload.length)
-      var e = 0L
-      var i = start
-      while (i < end) { e += payload(i) & 0xFF; i += 1 }
-      nFrames += 1
-      if (e < silenceMeanByte.toLong * (end - start)) nSilent += 1
-      total += e
-      if (e > peak) peak = e
-      start = end
-    }
-    Frames(nFrames, nSilent, total, peak)
-  }
-
-  /** Per-frame energies in frame order — the scene-segmentation input
-    * (m8); identical framing rule to [[analyze]] (trailing partial
-    * frame kept at its own length).
-    */
-  def frameEnergies(payload: Array[Byte]): Array[Long] = {
-    val n = (payload.length + frameLen - 1) / frameLen
-    val out = new Array[Long](math.max(n, 0))
-    var f = 0
-    var start = 0
-    while (start < payload.length) {
-      val end = math.min(start + frameLen, payload.length)
-      var e = 0L
-      var i = start
-      while (i < end) { e += payload(i) & 0xFF; i += 1 }
-      out(f) = e
-      f += 1
-      start = end
-    }
-    out
-  }
-}
-
-object FakeAudioDecoder {
-  def open(frameLen: Int, silenceMeanByte: Int): FakeAudioDecoder =
-    new FakeAudioDecoder(frameLen, silenceMeanByte)
 }

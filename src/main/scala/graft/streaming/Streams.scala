@@ -1023,6 +1023,41 @@ object Streams {
       channel: String,
       cents: Long)
 
+  /** Late/out-of-order arrival counters for the gates whose
+    * correctness rests on a PER-KEY EVENT-TIME-ORDERED delivery
+    * contract (last-touch, funnel, rolling anomaly — the PSI gate's
+    * bucket counts commute, so it has no order contract to violate).
+    * Round-9 advisor fix: the contract used to live only in
+    * scaladoc, and a violating row was silently mis-attributed or
+    * skipped; now every row older than the retained state bumps a
+    * named counter and the first few occurrences per gate are logged,
+    * so divergence SURFACES instead of accumulating quietly.
+    *
+    * Counters are JVM-local (per executor on a cluster; exact in
+    * local mode, where the parity specs read them). Production wiring
+    * would forward them to the engine's metrics sink — the seam is
+    * this one object.
+    */
+  object LateArrivals {
+    private val counters =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+    def record(gate: String, detail: => String): Unit = {
+      val n = counters
+        .computeIfAbsent(gate, _ => new java.util.concurrent.atomic.AtomicLong())
+        .incrementAndGet()
+      if (n <= 5L)
+        log.warn(s"[graft] $gate: out-of-order/late row #$n violates the " +
+          s"per-key event-time delivery contract ($detail)")
+    }
+
+    def count(gate: String): Long =
+      Option(counters.get(gate)).map(_.get()).getOrElse(0L)
+
+    def reset(gate: String): Unit = counters.remove(gate)
+  }
+
   /** Per-user last-touch state: the streaming half of batch q122.
     * State is ONE (ts_us, event_id, channel) row per user — the most
     * recent touch seen — so memory is user-count-, never
@@ -1064,6 +1099,14 @@ object Streams {
       var cur: Option[(Long, Long, String)] =
         if (st.exists()) Some(st.get()) else None
       ordered.foreach { e =>
+        // a row older than the retained touch arrived across triggers
+        // out of per-user event-time order: purchases may be
+        // mis-attributed, touches are dropped — count it (advisor fix)
+        if (cur.exists(p => e.ts_us < p._1 ||
+            (e.ts_us == p._1 && e.event_id < p._2)))
+          LateArrivals.record(
+            "last_touch",
+            s"user=$key ts_us=${e.ts_us} behind state ts_us=${cur.get._1}")
         e.cents.foreach { c =>
           val channel = cur match {
             case Some((tUs, _, ch)) if tUs >= e.ts_us - lookbackUs => ch
@@ -1144,6 +1187,14 @@ object Streams {
         if (st.exists()) st.get() else (-1L, -1L, -1L)
       val out = Array.newBuilder[StageCross]
       rows.toArray.sortBy(_.ts_us).foreach { e =>
+        // older than the furthest recorded stage timestamp: the row
+        // arrived out of per-user event-time order across triggers and
+        // cannot advance the funnel it should have (advisor fix)
+        if (e.ts_us < math.max(tView, math.max(tClick, tBuy)))
+          LateArrivals.record(
+            "funnel",
+            s"user=$key ts_us=${e.ts_us} behind stage state " +
+              s"($tView, $tClick, $tBuy)")
         e.event_type match {
           case "view" if tView < 0 =>
             tView = e.ts_us
@@ -1308,8 +1359,18 @@ object Streams {
         var i = 0
         while (i < p.days.length) { acc(p.days(i)) = p.cents(i); i += 1 }
       }
+      // the newest day already committed to state BEFORE this batch:
+      // a partial for an older day arrived after that day closed —
+      // its verdict has already been emitted from incomplete totals
+      // (same-day partials within one batch merge fine; advisor fix)
+      val newestCommitted =
+        if (st.exists() && st.get().days.nonEmpty) st.get().days.max else Long.MinValue
       val touched = scala.collection.mutable.SortedSet.empty[Long]
       rows.foreach { r =>
+        if (r.epoch_day < newestCommitted)
+          LateArrivals.record(
+            "rolling_anomaly",
+            s"type=$key day=${r.epoch_day} behind committed day $newestCommitted")
         acc(r.epoch_day) = acc.getOrElse(r.epoch_day, 0L) + r.cents
         touched += r.epoch_day
       }
@@ -1369,4 +1430,123 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
+
+  /** q148 — the CDC latest-image gate RUN TO COMPLETION under the
+    * driver's DuckDB oracle (round-9 mandate: one streaming surface
+    * under the same independent gate as every batch query, not just
+    * spec-level parity pins). The same synthesized change log as
+    * [[graft.ops.Relational.q102CdcApply]] is written as a 4-file
+    * parquet FEED; a real file-source → `transformWithState`
+    * ([[CdcLatestProcessor]]) → `foreachBatch` parquet-append pipeline
+    * drains it with `Trigger.AvailableNow` + `maxFilesPerTrigger=1`,
+    * so the four log batches arrive as four separate micro-batches and
+    * per-key supersession is genuinely exercised ACROSS state-store
+    * commits. Downstream, the merge-on-read convention (max-seq image
+    * per key) + q102's base/anti-join/rollup tail produce the same
+    * 10-bucket answer as the batch compaction — and the oracle IS
+    * q102's SQL formulation, so DuckDB independently checks the whole
+    * streamed result. Scale posture: images land in an executor-side
+    * file sink per micro-batch (never the driver — update-mode memory
+    * sink would hold the keyed output on the driver); state is one
+    * small row per live key; the fixture feed dirs are temp-scoped.
+    */
+  def q148StreamCdcLatest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = graft.ops.Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val base = o.filter(col("k") % 4 =!= 0)
+    def batch(seq: Long, op: String, rows: DataFrame): DataFrame =
+      rows.select(col("k"), lit(seq).as("seq"), lit(op).as("op"), col("cents"))
+    val batches = Seq(
+      batch(1L, "U", o.filter(col("k") % 10 === 1).withColumn("cents", col("cents") + 111L)),
+      batch(2L, "D", o.filter(col("k") % 20 === 2).withColumn("cents", lit(null).cast("long"))),
+      batch(3L, "I", o.filter(col("k") % 4 === 0)),
+      batch(4L, "U", o.filter(col("k") % 40 === 22).withColumn("cents", col("cents") + 999L)))
+
+    val root = java.nio.file.Files.createTempDirectory("graft-q148").toFile
+    val feed = new java.io.File(root, "feed")
+    val out = new java.io.File(root, "out")
+    val ckpt = new java.io.File(root, "ckpt")
+    // one file per log batch => one micro-batch per log batch below
+    batches.foreach(_.coalesce(1).write.mode("append").parquet(feed.getAbsolutePath))
+
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val changes = s.readStream
+        .schema("k BIGINT, seq BIGINT, op STRING, cents BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.getAbsolutePath)
+        .as[CdcChange]
+      val q = streamingCdcGate(changes).writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (images: Dataset[CdcImage], _: Long) =>
+          images.write.mode("append").parquet(out.getAbsolutePath)
+        }
+        .start()
+      q.awaitTermination()
+    } finally prevProv match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None    => s.conf.unset(provKey)
+    }
+
+    val latest = s.read
+      .parquet(out.getAbsolutePath)
+      .groupBy(col("k"))
+      .agg(max_by(struct(col("op"), col("cents")), col("seq")).as("last"))
+      .select(col("k"), col("last.op").as("op"), col("last.cents").as("cents"))
+    val untouched = base.join(latest.select(col("k")), Seq("k"), "left_anti")
+    val survivors = latest.filter(col("op") =!= "D").select(col("k"), col("cents"))
+    untouched
+      .unionAll(survivors)
+      .groupBy((col("k") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_total"))
+      .orderBy("bucket")
+  }
+
+  /** The streaming module's oracle-gated surface (everything else in
+    * this file is gated by the StreamsSpec parity pins — see the
+    * module scaladoc).
+    */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_stream_cdc_latest" -> q148StreamCdcLatest)
+
+  /** q148's oracle IS the batch q102 formulation: the streamed
+    * latest-image view must compact the identical log to the identical
+    * final state.
+    */
+  val oracles: Map[String, String] = Map(
+    "q148_stream_cdc_latest" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |base AS (SELECT * FROM o WHERE k % 4 <> 0),
+        |log AS (
+        |  SELECT 1 AS seq, 'U' AS op, k, cents + 111 AS cents FROM o WHERE k % 10 = 1
+        |  UNION ALL
+        |  SELECT 2, 'D', k, CAST(NULL AS BIGINT) FROM o WHERE k % 20 = 2
+        |  UNION ALL
+        |  SELECT 3, 'I', k, cents FROM o WHERE k % 4 = 0
+        |  UNION ALL
+        |  SELECT 4, 'U', k, cents + 999 FROM o WHERE k % 40 = 22),
+        |latest AS (
+        |  SELECT k, op, cents FROM (
+        |    SELECT k, op, cents,
+        |      row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |    FROM log) WHERE rn = 1),
+        |fin AS (
+        |  SELECT k, cents FROM base WHERE k NOT IN (SELECT k FROM latest)
+        |  UNION ALL
+        |  SELECT k, cents FROM latest WHERE op <> 'D')
+        |SELECT k % 10 AS bucket, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_total
+        |FROM fin GROUP BY 1 ORDER BY bucket""".stripMargin)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{FakeImageDecoder, FakeImageResizer, Multimodal, Tables}
+import graft.ops.{Codec, FakeImageDecoder, FakeImageResizer, Multimodal, Tables}
 import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing: binary payload schema, metadata-only pruning,
@@ -64,6 +64,41 @@ class MultimodalSpec extends SparkSpec {
       }
       .toMap
     feats.foreach { case (id, f) => assert(local(id) == f, s"doc $id") }
+  }
+
+  test("codec seam: a second provider swaps into m3/m4/m7 without touching the plans") {
+    val alt = new Codec.XorMaskedProvider(0x5A)
+    // m3 under the default provider == m3 with Stub passed explicitly
+    val base = Multimodal.m3ImageFeatures(spark, Sf).limit(30).collect()
+    val stub = Multimodal.m3ImageFeatures(spark, Sf, Codec.Stub).limit(30).collect()
+    assert(base.toSeq == stub.toSeq, "explicit Stub must equal the default")
+    // the swapped codec flows through the SAME operator: same schema,
+    // same row count, same byte counts - different decoded features
+    val swapped = Multimodal.m3ImageFeatures(spark, Sf, alt).limit(30).collect()
+    assert(swapped.length == base.length)
+    base.zip(swapped).foreach { case (b, a) =>
+      assert(b.getLong(0) == a.getLong(0) && b.getInt(2) == a.getInt(2))
+      assert(b.getLong(4) != a.getLong(4), s"doc ${b.getLong(0)}: mask must change the fingerprint")
+    }
+    // and the swapped fingerprint is exactly the stub arithmetic over
+    // the masked bytes - the provider is the only thing that moved
+    val doc0 = Tables.documents(spark, Sf).filter(col("doc_id") === base.head.getLong(0))
+      .select(col("text")).head().getString(0).getBytes("UTF-8")
+    val masked = doc0.map(b => (b ^ 0x5A).toByte)
+    assert(swapped.head.getLong(4) == FakeImageDecoder.open().decode(masked).fingerprint)
+    // m4's output is metadata + lengths only: invariant under any
+    // byte-preserving codec swap (the plan never looks at byte VALUES)
+    val r0 = Multimodal.m4Resize(spark, Sf).limit(20).collect()
+    val r1 = Multimodal.m4Resize(spark, Sf, alt).limit(20).collect()
+    assert(r0.toSeq == r1.toSeq)
+    // m7 energies shift deterministically under the mask
+    val a0 = Multimodal.m7AudioFrames(spark, Sf).limit(10).collect()
+    val a1 = Multimodal.m7AudioFrames(spark, Sf, alt).limit(10).collect()
+    assert(a0.zip(a1).forall { case (x, y) =>
+      x.getLong(0) == y.getLong(0) && x.getInt(1) == y.getInt(1)
+    }, "frame counts depend only on length: invariant under the mask")
+    assert(a0.map(_.getLong(3)).toSeq != a1.map(_.getLong(3)).toSeq,
+      "total energies must differ under the masked codec")
   }
 
   test("stub resizer box-fits with one shared integer scale and subsamples bytes") {

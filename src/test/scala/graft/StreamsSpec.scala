@@ -504,6 +504,44 @@ class StreamsSpec extends SparkSpec {
         s"got ${u1.mkString(", ")}")
     } finally q.stop()
   }
+
+  test("delivery-contract violations bump the LateArrivals counters; in-order stays silent") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    Streams.LateArrivals.reset("last_touch")
+    Streams.LateArrivals.reset("funnel")
+    val in = MemoryStream[Streams.TouchEvent]
+    val q = Streams
+      .streamingAttributionGate(in.toDS())
+      .writeStream.format("memory").queryName("late_counter_attr")
+      .outputMode("update").start()
+    try {
+      // in-order: touch at t=100, purchase at t=200 -> no late rows
+      in.addData(Streams.TouchEvent(1L, 100L, 1L, Some("email"), None))
+      q.processAllAvailable()
+      in.addData(Streams.TouchEvent(1L, 200L, 2L, None, Some(500L)))
+      q.processAllAvailable()
+      assert(Streams.LateArrivals.count("last_touch") == 0L,
+        "ordered delivery must not count as late")
+      // a touch OLDER than the retained state arrives in a later
+      // trigger: silently dropped before, now counted
+      in.addData(Streams.TouchEvent(1L, 50L, 3L, Some("social"), None))
+      q.processAllAvailable()
+      assert(Streams.LateArrivals.count("last_touch") == 1L,
+        "out-of-order touch must bump the counter")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      Streams.LateArrivals.reset("last_touch")
+    }
+  }
 }
 
 /** Streaming-vs-batch consistency on the real events table: the same
