@@ -66,4 +66,77 @@ object Skew {
         sum(col("__n")).as("n"),
         sumCols.map(c => sum(col(s"__sum_$c")).as(s"sum_$c")): _*)
   }
+
+  /** Degree-aware salted rank-contribution join — the round-8 verdict's
+    * stretch experiment, turning the q126/q139 hub diagnostics into an
+    * acted-on partitioning decision for the q90/q127 per-round join
+    * shape (`edges ⋈ ranks ON src` then `GROUP BY dst`).
+    *
+    * Only nodes the degree table flags as HOT (`outdeg ≥ hotDegree`)
+    * are salted: their edges spread over `salts` sub-partitions of the
+    * join key (salt = hash(dst) — deterministic, so re-runs partition
+    * identically) while every cold node keeps salt 0 and pays nothing.
+    * The hot-node set is broadcast BOUNDEDLY by pigeonhole: at most
+    * |E|/hotDegree nodes can have degree ≥ hotDegree, so choosing
+    * hotDegree ≥ |E|/10⁵ caps the broadcast at ~10⁵ ids at ANY corpus
+    * size — a diagnostic-driven bound, not a hope. Result is
+    * row-identical to the plain join (SkewSpec pins it on a
+    * planted-hub graph).
+    *
+    * A/B at sf0.1 (local[32], 32 shuffle partitions, 4 passes, noop
+    * sink) on the tradeGraph amplified with one planted hub wired to
+    * every node ×8 (1.18M edges, hub deg 48113 vs p99 degree 603):
+    * one PageRank contribution round, plain join 0.17–0.20 s warm vs
+    * degree-salted (salts=8, hotDegree=1000) 0.42–0.46 s — a
+    * DOCUMENTED LOSS at this scale, ~2.3×: AQE's skew-join splitter
+    * (on by default) already re-splits the hot src partition at
+    * runtime, and local[32]'s schedulers interleave the hub
+    * partition's work with the other 31, so the salted plan's extra
+    * hot-flag join + rank-row replication is pure overhead the
+    * runtime didn't need. The shape matters when
+    * the skew sits in an AGGREGATION exchange AQE can't re-split
+    * (saltedSumAgg's territory) or when checkpointing a salted layout
+    * that several rounds reuse — q90/q127 keep their unhinted plain
+    * join (q90's comment), with this variant as the measured,
+    * row-identical fallback for genuinely hub-broken fixtures.
+    */
+  def degreeSaltedContributions(
+      edges: DataFrame, // (src, dst)
+      ranks: DataFrame, // (src, rank)
+      deg: DataFrame, // (src, outdeg)
+      hotDegree: Long,
+      salts: Int
+  ): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val hot = deg
+      .filter(col("outdeg") >= hotDegree)
+      .select(col("src"), lit(true).as("__hot"))
+    val e = edges
+      .join(broadcast(hot), Seq("src"), "left")
+      .withColumn(
+        SaltCol,
+        when(col("__hot"), pmod(xxhash64(col("dst")), lit(salts.toLong)).cast("int"))
+          .otherwise(lit(0)))
+      .drop("__hot")
+    val r = ranks
+      .join(broadcast(hot), Seq("src"), "left")
+      .withColumn(
+        SaltCol,
+        explode(
+          when(col("__hot"), sequence(lit(0), lit(salts - 1)))
+            .otherwise(sequence(lit(0), lit(0)))))
+      .drop("__hot")
+    e.join(r, Seq("src", SaltCol))
+      .groupBy(col("dst"))
+      .agg(sum(col("rank")).as("contrib"))
+  }
+
+  /** The plain twin of [[degreeSaltedContributions]] for A/B and
+    * row-identity pinning.
+    */
+  def plainContributions(edges: DataFrame, ranks: DataFrame): DataFrame =
+    edges
+      .join(ranks, Seq("src"))
+      .groupBy(col("dst"))
+      .agg(sum(col("rank")).as("contrib"))
 }

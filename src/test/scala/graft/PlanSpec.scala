@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Multimodal, Relational, Similarity, Tables, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Relational, Similarity, Tables, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -459,6 +459,32 @@ class PlanSpec extends SparkSpec {
     val plan = formatted(Similarity.s14LshRecall(spark, Sf))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       "query-count-sized ranking tables should broadcast into the intersection")
+  }
+
+  test("q146 cell table: one (band, prio) exchange feeds margins, total and the scored join") {
+    // The contingency cells are consumed FOUR times (scored + row
+    // margin + column margin + grand total); the (band, prio) count
+    // aggregate's exchange must be planned once and reused, not
+    // recomputed per consumer. Executed-plan inspection (the q24/t5
+    // caveat: stage reuse is an AQE runtime decision).
+    val q = Relational.q146CramersV(spark, Sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), "AQE final plan not materialized")
+    assert(plan.contains("ReusedQueryStage") || plan.contains("ReusedExchange"),
+      s"cell subtree recomputed per consumer:\n${plan.take(1500)}")
+  }
+
+  test("d22 rides d6's converged labels: the size table's exchange is shared, all downstream cluster-count-sized") {
+    // d6 ends in localCheckpointed labels; d22's distinct (rep, size)
+    // table then feeds BOTH the grand total and the per-size rollup —
+    // one exchange, reused, with nothing data-sized downstream.
+    val q = Dedup.d22ClusterSizeDist(spark, Sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), "AQE final plan not materialized")
+    assert(plan.contains("ReusedQueryStage") || plan.contains("ReusedExchange"),
+      s"the distinct (rep, size) subtree must be computed once:\n${plan.take(1500)}")
   }
 
   test("q126 carries no broadcast hint on the data-scaled degree table; AQE still broadcasts it at fixture scale") {

@@ -34,4 +34,24 @@ class SkewSpec extends SparkSpec {
       assert(math.abs(d.getDouble(2) - s.getDouble(2)) < 1e-6)
     }
   }
+
+  test("degreeSaltedContributions is row-identical to the plain join on a planted-hub graph") {
+    import spark.implicits._
+    // 200 cold nodes in a ring + node 0 wired to everyone (the hub)
+    val ring = (1L until 200L).map(i => (i, i % 199 + 1))
+    val hub = (1L until 200L).map(i => (0L, i))
+    val edges = (ring ++ hub).toDF("src", "dst")
+    val ranks = (0L until 200L).map(i => (i, i * 10L + 1L)).toDF("src", "rank")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // hub deg = 199, cold deg = 1: hotDegree 50 salts ONLY the hub
+    val salted = Skew
+      .degreeSaltedContributions(edges, ranks, deg, hotDegree = 50L, salts = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val plain = Skew
+      .plainContributions(edges, ranks)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(salted == plain, "salting must only change partitioning, never values")
+    // the hot set the broadcast carries is pigeonhole-bounded: here 1
+    assert(deg.filter(col("outdeg") >= 50).count() == 1L)
+  }
 }
