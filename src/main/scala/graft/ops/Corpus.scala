@@ -598,7 +598,81 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** p14 — token-budget waterfilling: allocate a global training-token
+    * budget (90% of available tokens here) across sources with
+    * docs-proportional target weights, each source CAPPED at what it
+    * actually has — the max-min-fair mixture solver a data-mixing
+    * pass runs when target weights ask for more tokens than a source
+    * owns (the p9 temperature mix assumes availability; this solves
+    * the constrained case). Closed form, no iteration: sort sources
+    * by avail/weight ascending; the capped set is a PREFIX of that
+    * order, found by the cross-multiplied integer test
+    * `a_j·Wsuf_j ≤ (B − PA_j)·w_j` (prefix-availability PA, suffix-
+    * weight Wsuf — both window prefix sums); uncapped sources get
+    * `w_s·(B − PA_K) div Wsuf_K` (non-negative integer div — the
+    * module's determinism convention; ordering ties broken by source).
+    * Plan: ONE fact-sized (source) aggregate exchange; the waterfill
+    * itself is a window + two broadcasts over the SOURCE-COUNT-sized
+    * table — at 100 TB the sort the solver needs is over thousands of
+    * sources, never rows. The classic iterative solver is O(sources)
+    * driver rounds; this is zero.
+    */
+  def p14TokenWaterfill(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables
+      .documents(s, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("w"), // docs-proportional target weight
+        sum(size(split(col("text"), " ")).cast("long")).as("a"))
+    val tot = src.agg(
+      sum(col("a")).as("ta"),
+      sum(col("w")).as("tw"),
+      expr("sum(a) * 9 div 10").as("b"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy((col("a").cast("double") / col("w")).asc, col("source").asc)
+    val cum = org.apache.spark.sql.expressions.Window
+      .orderBy((col("a").cast("double") / col("w")).asc, col("source").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ranked = src
+      .crossJoin(broadcast(tot))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("pa", sum(col("a")).over(cum))
+      .withColumn("pw", sum(col("w")).over(cum))
+      .withColumn("wsuf", col("tw") - col("pw"))
+      // source j capped iff its ratio sits at or under the water level
+      // that remains AFTER capping 1..j; (b - pa) < 0 falsifies the
+      // inequality on its own (lhs >= 0), so no separate guard needed
+      .withColumn("cond", col("a") * col("wsuf") <= (col("b") - col("pa")) * col("w"))
+    val kInfo = ranked
+      .agg(max(when(col("cond"), col("rn")).otherwise(0)).as("k"))
+      .join(
+        ranked.select(col("rn").as("k"), col("pa").as("pa_k"), col("wsuf").as("wsuf_k")),
+        Seq("k"),
+        "left")
+      .select(
+        col("k"),
+        coalesce(col("pa_k"), lit(0L)).as("pa_k"),
+        col("wsuf_k")) // null only when k=0; coalesced to tw below
+    ranked
+      .crossJoin(broadcast(kInfo))
+      .withColumn("wsuf_k", coalesce(col("wsuf_k"), col("tw")))
+      .withColumn("capped", (col("rn") <= col("k")).cast("int"))
+      .withColumn(
+        "alloc_tokens",
+        when(col("capped") === 1, col("a"))
+          .otherwise(expr("w * (b - pa_k) div wsuf_k")))
+      .select(
+        col("source"),
+        col("w").as("n_docs"),
+        col("a").as("avail_tokens"),
+        col("capped"),
+        col("alloc_tokens"),
+        expr("alloc_tokens * 10000 div b").as("alloc_share_bp"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p14_token_waterfill" -> p14TokenWaterfill,
     "p13_contamination_report" -> p13ContaminationReport,
     "p12_epoch_shuffle" -> p12EpochShuffle,
     "p11_curriculum_shards" -> p11CurriculumShards,
@@ -617,6 +691,45 @@ object Corpus {
   val oracles: Map[String, String] = Map(
     // d7's 8-gram overlap construction rolled up per source; rates in
     // integer basis points
+    // identical closed-form waterfill: ratio-ascending window, integer
+    // cross-multiplied cut test, div allocations
+    "p14_token_waterfill" ->
+      """WITH src AS (
+        |  SELECT source, count(*) AS w,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS a
+        |  FROM documents GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(w) AS BIGINT) AS tw,
+        |    CAST(sum(a) * 9 // 10 AS BIGINT) AS b
+        |  FROM src),
+        |ranked AS (
+        |  SELECT src.*, tot.tw, tot.b,
+        |    row_number() OVER (ORDER BY a * 1.0 / w ASC, source ASC) AS rn,
+        |    CAST(sum(a) OVER (ORDER BY a * 1.0 / w ASC, source ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pa,
+        |    CAST(sum(w) OVER (ORDER BY a * 1.0 / w ASC, source ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pw
+        |  FROM src, tot),
+        |cnd AS (
+        |  SELECT *, tw - pw AS wsuf,
+        |    a * (tw - pw) <= (b - pa) * w AS cond
+        |  FROM ranked),
+        |ki AS (
+        |  SELECT coalesce(max(CASE WHEN cond THEN rn END), 0) AS k FROM cnd),
+        |kv AS (
+        |  SELECT ki.k,
+        |    coalesce(max(cnd.pa), 0) AS pa_k,
+        |    coalesce(max(cnd.wsuf), (SELECT max(tw) FROM cnd)) AS wsuf_k
+        |  FROM ki LEFT JOIN cnd ON cnd.rn = ki.k GROUP BY ki.k)
+        |SELECT cnd.source, cnd.w AS n_docs, cnd.a AS avail_tokens,
+        |  CAST(CASE WHEN cnd.rn <= kv.k THEN 1 ELSE 0 END AS INT) AS capped,
+        |  CAST(CASE WHEN cnd.rn <= kv.k THEN cnd.a
+        |       ELSE cnd.w * (cnd.b - kv.pa_k) // kv.wsuf_k END AS BIGINT)
+        |    AS alloc_tokens,
+        |  CAST((CASE WHEN cnd.rn <= kv.k THEN cnd.a
+        |        ELSE cnd.w * (cnd.b - kv.pa_k) // kv.wsuf_k END) * 10000 // cnd.b
+        |       AS BIGINT) AS alloc_share_bp
+        |FROM cnd, kv ORDER BY source""".stripMargin,
     "p13_contamination_report" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

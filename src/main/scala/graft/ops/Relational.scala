@@ -5234,7 +5234,135 @@ object Relational {
       .orderBy("r_name")
   }
 
+  /** q149 — PIVOT (cross-tabulation): order revenue as a priority ×
+    * status matrix — the one grouping-sets relative (rollup q10, cube
+    * q11, GROUPING SETS q19) the surface was missing. The pivot
+    * VALUES are enumerated explicitly (`Seq("F","O","P")`): Spark
+    * without them runs an extra distinct-collect job on the driver to
+    * discover columns — at 100 TB that is a full exchange to learn
+    * what the schema already knows. Missing cells coalesce to 0 on
+    * BOTH engines (Spark pivot yields null for an empty cell; the
+    * oracle's conditional aggregation yields 0/NULL — coalesced
+    * identically), so a scale factor where a (priority, status) combo
+    * vanishes cannot hash-split. One exchange; 5×3 cells; exact cents.
+    */
+  def q149Pivot(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderpriority").as("prio"),
+        col("o_orderstatus"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("prio"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    cells
+      .select(
+        col("prio"),
+        coalesce(col("F_n"), lit(0L)).as("f_n"),
+        coalesce(col("F_cents"), lit(0L)).as("f_cents"),
+        coalesce(col("O_n"), lit(0L)).as("o_n"),
+        coalesce(col("O_cents"), lit(0L)).as("o_cents"),
+        coalesce(col("P_n"), lit(0L)).as("p_n"),
+        coalesce(col("P_cents"), lit(0L)).as("p_cents"))
+      .orderBy("prio")
+  }
+
+  /** q150 — MAD robust outlier audit: per priority, the median order
+    * value, the median absolute deviation around it, and how many
+    * orders sit beyond 3×MAD — the robust complement to q119's
+    * winsorized means (median/MAD have a 50% breakdown point; a mean/
+    * stddev fence is itself dragged by the outliers it hunts). All
+    * medians are EXACT percentiles (the q146 convention); deviations
+    * and MADs land on integer or half-integer values — exact in
+    * binary doubles — so the strict-> 3×MAD comparison has no float
+    * boundary for the engines to disagree on. Plan: three aggregate
+    * passes over the order cents, each reduced to a 5-row table
+    * broadcast back — the exchanges are priority-sized, and the
+    * percentile state is per-group bounded by the same argument q28
+    * documents.
+    */
+  def q150MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val med = o.groupBy(col("prio")).agg(expr("percentile(cents, 0.5)").as("med"))
+    val dev = o
+      .join(broadcast(med), "prio")
+      .withColumn("adev", abs(col("cents") - col("med")))
+    val mad = dev.groupBy(col("prio")).agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev
+      .join(broadcast(mad), "prio")
+      .groupBy(col("prio"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("med")), 1).as("median_cents"),
+        round(min(col("mad")), 1).as("mad_cents"),
+        sum((col("adev") > lit(3.0) * col("mad")).cast("long")).as("n_outliers"))
+      .withColumn("outlier_bp", expr("n_outliers * 10000 div n"))
+      .orderBy("prio")
+  }
+
+  /** q151 — decile lift / gains table: rank customers by a
+    * deterministic score (account balance as the stand-in model
+    * score), cut into score deciles, and report each decile's capture
+    * of actual order revenue plus the cumulative gains curve — the
+    * model-evaluation primitive behind every targeting/propensity
+    * readout. ntile(10) runs over the (score desc, custkey) TOTAL
+    * order (the module's determinism convention); revenue is exact
+    * integer cents; shares/lift in integer basis points via
+    * non-negative `div`. Plan: one customer-sized revenue aggregate
+    * joined to the dimension, one ntile window over the
+    * customer-count-sized table (never order rows), then a 10-row
+    * rollup — the window input is the DIMENSION, so the global sort
+    * the gains curve needs is customer-, not fact-sized.
+    */
+  def q151DecileLift(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables
+      .orders(s, dir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+    val scored = Tables
+      .customer(s, dir)
+      .select(
+        col("c_custkey"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("score"))
+      .join(rev, Seq("c_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        col("score"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("c_custkey").asc)
+    val deciled = scored
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("revenue_cents"))
+    val tot = deciled.agg(sum(col("revenue_cents")).as("total_cents"))
+    val cw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("decile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    deciled
+      .withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(cw))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("decile"),
+        col("n_customers"),
+        col("revenue_cents"),
+        col("cum_revenue_cents"),
+        expr("cum_revenue_cents * 10000 div total_cents").as("cum_share_bp"),
+        // lift vs random targeting: capture ÷ (decile/10), in bp
+        expr("(cum_revenue_cents * 10000 div total_cents) * 10 div decile")
+          .as("lift_bp"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_decile_lift" -> q151DecileLift,
+    "q150_mad_outliers" -> q150MadOutliers,
+    "q149_pivot" -> q149Pivot,
     "q147_avro_nested_envelope" -> q147AvroNestedEnvelope,
     "q145_fill_rate" -> q145FillRate,
     "q146_cramers_v" -> q146CramersV,
@@ -5384,6 +5512,74 @@ object Relational {
   val oracles: Map[String, String] = Map(
     // integer on-time counts; full-fill is a count equality; one
     // division under round(4)
+    // conditional aggregation = the pivot; missing cells coalesce to 0
+    // on both engines
+    "q149_pivot" ->
+      """SELECT o_orderpriority AS prio,
+        |  coalesce(count(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS f_n,
+        |  coalesce(CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) AS BIGINT), 0)
+        |    AS f_cents,
+        |  coalesce(count(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS o_n,
+        |  coalesce(CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) AS BIGINT), 0)
+        |    AS o_cents,
+        |  coalesce(count(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS p_n,
+        |  coalesce(CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) AS BIGINT), 0)
+        |    AS p_cents
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
+    // exact medians (quantile_cont == percentile); deviations land on
+    // integer/half-integer values so the 3*MAD strict-> has no float
+    // boundary
+    "q150_mad_outliers" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |med AS (SELECT prio, quantile_cont(cents, 0.5) AS med FROM o GROUP BY 1),
+        |dev AS (
+        |  SELECT o.prio, o.cents, abs(o.cents - med.med) AS adev
+        |  FROM o JOIN med USING (prio)),
+        |mad AS (SELECT prio, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT dev.prio, count(*) AS n,
+        |  round(min(med.med), 1) AS median_cents,
+        |  round(min(mad.mad), 1) AS mad_cents,
+        |  CAST(sum(CASE WHEN dev.adev > 3.0 * mad.mad THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_outliers,
+        |  CAST(sum(CASE WHEN dev.adev > 3.0 * mad.mad THEN 1 ELSE 0 END)
+        |       * 10000 // count(*) AS BIGINT) AS outlier_bp
+        |FROM dev JOIN med USING (prio) JOIN mad USING (prio)
+        |GROUP BY 1 ORDER BY prio""".stripMargin,
+    // same (score desc, custkey) ntile total order; integer bp divs
+    "q151_decile_lift" ->
+      """WITH rev AS (
+        |  SELECT o_custkey AS c_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |scored AS (
+        |  SELECT c.c_custkey,
+        |    CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS score,
+        |    coalesce(rev.cents, 0) AS cents
+        |  FROM customer c LEFT JOIN rev USING (c_custkey)),
+        |d AS (
+        |  SELECT ntile(10) OVER (ORDER BY score DESC, c_custkey ASC) AS decile,
+        |    cents
+        |  FROM scored),
+        |g AS (
+        |  SELECT decile, count(*) AS n_customers,
+        |    CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |  FROM d GROUP BY 1),
+        |c AS (
+        |  SELECT *, CAST(sum(revenue_cents) OVER (ORDER BY decile
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_cents,
+        |    CAST(sum(revenue_cents) OVER () AS BIGINT) AS total_cents
+        |  FROM g)
+        |SELECT decile, n_customers, revenue_cents, cum_revenue_cents,
+        |  cum_revenue_cents * 10000 // total_cents AS cum_share_bp,
+        |  (cum_revenue_cents * 10000 // total_cents) * 10 // decile AS lift_bp
+        |FROM c ORDER BY decile""".stripMargin,
     // the Avro envelope content is a pure function of the nation row
     // (geo null iff nk%5=0; tags t0..t_{nk%3-1} with v=nk*10+j; attrs
     // len = length(n_name)), so DuckDB reproduces the aggregate

@@ -801,7 +801,95 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** s16 — MMR (maximal marginal relevance) diversified top-k: for
+    * each query, greedily pick 4 results maximizing
+    * `λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)` over a 12-candidate pool
+    * — the retrieval diversifier (Carbonell & Goldstein 1998) that
+    * dedups a result list AT QUERY TIME (three near-identical
+    * passages score high on relevance; MMR admits one), the same
+    * primitive a training-data curator uses to draw a DIVERSE
+    * example set rather than k copies of the densest cluster.
+    *
+    * The greedy loop is FIXED-k (4 steps), so it unrolls into one
+    * static plan — no driver actions, no convergence checks; each
+    * step is an anti-join (drop selected), a max-penalty aggregate
+    * against the selected set, and an argmax window, all over the
+    * query-count × 12 candidate table. The candidate pool and its
+    * pairwise-sim table are localCheckpointed once (60 / 660 rows) so
+    * the unrolled steps reread tiny materialized tables instead of
+    * re-deriving the corpus scan per step. Scale: the corpus is
+    * touched EXACTLY ONCE (the s1-shaped candidate generation); at
+    * 100 TB everything after the pool is query-count-sized, which is
+    * the whole point of rerank-style diversification. Determinism:
+    * sims via the shared left-to-right dot fold (bit-equal to
+    * list_inner_product), λ = 0.7 exact doubles on both engines, all
+    * argmaxes tie-broken by vec_id, output rounded at 4.
+    */
+  def s16MmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    val lam = 0.7
+    val nCand = 12
+    val k = 4
+    val all = vecs(s, dir)
+    val queries = all
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    val cands = all
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nCand)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("v"), col("norm"))
+      .localCheckpoint()
+    val cc = cands
+      .as("a")
+      .join(
+        cands.as("b"),
+        col("a.q_id") === col("b.q_id") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        col("a.q_id").as("q_id"),
+        col("a.vec_id").as("id_a"),
+        col("b.vec_id").as("id_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm"))).as("sim"))
+      .localCheckpoint()
+    val pool = cands.select(col("q_id"), col("vec_id"), col("cos"))
+    // step 1: pure relevance argmax (empty selected set, zero penalty)
+    var sel = pool
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("vec_id"), lit(1).as("rank"), (lit(lam) * col("cos")).as("score"))
+    for (step <- 2 to k) {
+      val scored = pool
+        .join(sel.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_anti")
+        .join(cc.withColumnRenamed("id_a", "vec_id"), Seq("q_id", "vec_id"))
+        .join(
+          sel.select(col("q_id"), col("vec_id").as("id_b")),
+          Seq("q_id", "id_b"))
+        .groupBy(col("q_id"), col("vec_id"), col("cos"))
+        .agg(max(col("sim")).as("pen"))
+        // 0.3 as a LITERAL, not `1 - lam`: IEEE 1−0.7 is
+        // 0.30000000000000004, the 0.3 literal is not — the oracle
+        // writes 0.3, so the Scala side must ship the same double
+        .withColumn("score", lit(lam) * col("cos") - lit(0.3) * col("pen"))
+        .withColumn(
+          "rn",
+          row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id").asc)))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("vec_id"), lit(step).as("rank"), col("score"))
+      sel = sel.unionAll(scored)
+    }
+    sel
+      .select(
+        col("q_id"),
+        col("rank"),
+        col("vec_id").as("neighbor_id"),
+        round(col("score"), 4).as("mmr_score"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_mmr_diversify" -> s16MmrDiversify,
     "s12_knn_classify" -> s12KnnClassify,
     "s11_ivf_trained_search" -> s11IvfTrainedSearch,
     "s10_kmeans_train" -> s10KmeansTrain,
@@ -1095,6 +1183,77 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the same fixed-4 greedy unrolled as chained CTEs: per step an
+    // anti-membership filter, a max-penalty aggregate against the
+    // selected set, and a (score desc, vec_id) argmax; 0.7/0.3 double
+    // literals and the list_inner_product fold match the Spark side
+    // bit-for-bit before round(4)
+    "s16_mmr_diversify" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm FROM e),
+        |q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm FROM n WHERE vec_id < 5),
+        |c0 AS (
+        |  SELECT q.q_id, n.vec_id,
+        |    list_inner_product(q.qv, n.v) / (q.qnorm * n.norm) AS cos,
+        |    row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY list_inner_product(q.qv, n.v) / (q.qnorm * n.norm)
+        |        DESC, n.vec_id ASC) AS rn
+        |  FROM q, n WHERE n.vec_id <> q.q_id),
+        |cand AS (SELECT q_id, vec_id, cos FROM c0 WHERE rn <= 12),
+        |cc AS (
+        |  SELECT a.q_id, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_inner_product(na.v, nb.v) / (na.norm * nb.norm) AS sim
+        |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+        |  JOIN n na ON na.vec_id = a.vec_id
+        |  JOIN n nb ON nb.vec_id = b.vec_id),
+        |s1 AS (
+        |  SELECT q_id, vec_id, 1 AS rank, 0.7 * cos AS score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rn FROM cand)
+        |  WHERE rn = 1),
+        |s2 AS (
+        |  SELECT q_id, vec_id, 2 AS rank, score FROM (
+        |    SELECT g.*, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score DESC, vec_id ASC) AS rn FROM (
+        |      SELECT c.q_id, c.vec_id, 0.7 * c.cos - 0.3 * max(cc.sim) AS score
+        |      FROM cand c
+        |      JOIN cc ON cc.q_id = c.q_id AND cc.id_a = c.vec_id
+        |      JOIN s1 ON s1.q_id = cc.q_id AND s1.vec_id = cc.id_b
+        |      WHERE NOT EXISTS (SELECT 1 FROM s1 x
+        |                        WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+        |      GROUP BY c.q_id, c.vec_id, c.cos) g)
+        |  WHERE rn = 1),
+        |sel2 AS (SELECT q_id, vec_id FROM s1 UNION ALL SELECT q_id, vec_id FROM s2),
+        |s3 AS (
+        |  SELECT q_id, vec_id, 3 AS rank, score FROM (
+        |    SELECT g.*, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score DESC, vec_id ASC) AS rn FROM (
+        |      SELECT c.q_id, c.vec_id, 0.7 * c.cos - 0.3 * max(cc.sim) AS score
+        |      FROM cand c
+        |      JOIN cc ON cc.q_id = c.q_id AND cc.id_a = c.vec_id
+        |      JOIN sel2 ON sel2.q_id = cc.q_id AND sel2.vec_id = cc.id_b
+        |      WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+        |                        WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+        |      GROUP BY c.q_id, c.vec_id, c.cos) g)
+        |  WHERE rn = 1),
+        |sel3 AS (SELECT q_id, vec_id FROM sel2 UNION ALL SELECT q_id, vec_id FROM s3),
+        |s4 AS (
+        |  SELECT q_id, vec_id, 4 AS rank, score FROM (
+        |    SELECT g.*, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score DESC, vec_id ASC) AS rn FROM (
+        |      SELECT c.q_id, c.vec_id, 0.7 * c.cos - 0.3 * max(cc.sim) AS score
+        |      FROM cand c
+        |      JOIN cc ON cc.q_id = c.q_id AND cc.id_a = c.vec_id
+        |      JOIN sel3 ON sel3.q_id = cc.q_id AND sel3.vec_id = cc.id_b
+        |      WHERE NOT EXISTS (SELECT 1 FROM sel3 x
+        |                        WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+        |      GROUP BY c.q_id, c.vec_id, c.cos) g)
+        |  WHERE rn = 1)
+        |SELECT q_id, rank, vec_id AS neighbor_id, round(score, 4) AS mmr_score
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+        |ORDER BY q_id, rank""".stripMargin,
     // same left-to-right dot fold (list_inner_product), same total
     // orders on both rankings — prediction matches tie-for-tie
     "s12_knn_classify" ->
