@@ -5359,7 +5359,155 @@ object Relational {
       .orderBy("decile")
   }
 
+  /** q152 — NDCG@10 ranking-quality audit: how well the account-
+    * balance score (q151's stand-in model) orders customers by actual
+    * revenue — DCG of the score-ranked top-10 against the ideal
+    * (revenue-ranked) DCG. Completes the evaluation-metric plane:
+    * s14/s15 grade retrieval recall, q151 grades capture, this grades
+    * ORDER quality with the log-discounted gain every ranking system
+    * reports. Both rankings are total orders ((key desc, custkey));
+    * gains are exact integer cents; the only doubles are the
+    * ln-discount divisions, summed over exactly 10 rows and rounded
+    * at 2/4. Plan: the same customer-dimension window as q151 —
+    * fact rows collapse to one customer aggregate, both top-10s are
+    * WindowGroupLimit-prunable, the DCG join is 10×10 rows.
+    */
+  def q152Ndcg(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val rev = Tables
+      .orders(s, dir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("rel"))
+    val scored = Tables
+      .customer(s, dir)
+      .select(
+        col("c_custkey"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("score"))
+      .join(rev, Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("score"), coalesce(col("rel"), lit(0L)).as("rel"))
+    val byScore = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("c_custkey").asc)
+    val byRel = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rel").desc, col("c_custkey").asc)
+    val top = scored
+      .withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") <= k)
+      .select(col("c_custkey"), col("rel"), col("rn"))
+    val ideal = scored
+      .withColumn("rn", row_number().over(byRel))
+      .filter(col("rn") <= k)
+      .select(col("c_custkey").as("ideal_key"), col("rel").as("irel"), col("rn").as("irn"))
+    val dcg = top.agg(
+      sum(expr("CAST(rel AS DOUBLE) / (ln(rn + 1.0) / ln(2.0))")).as("dcg"))
+    val idcg = ideal.agg(
+      sum(expr("CAST(irel AS DOUBLE) / (ln(irn + 1.0) / ln(2.0))")).as("idcg"))
+    val overlap = top
+      .join(ideal, col("c_custkey") === col("ideal_key"))
+      .agg(count(lit(1)).as("overlap"))
+    dcg
+      .crossJoin(broadcast(idcg))
+      .crossJoin(broadcast(overlap))
+      .select(
+        lit(k).as("k"),
+        col("overlap"),
+        round(col("dcg") / col("idcg"), 4).as("ndcg_at_k"))
+  }
+
+  /** q153 — Theil–Sen robust trend: per event type, the MEDIAN of all
+    * pairwise day-over-day slopes of the daily revenue series — the
+    * outlier-immune trend estimator (29% breakdown point) that
+    * complements q138's least-squares backtest exactly as q150's MAD
+    * complements q119's means (a single flash-sale day drags an OLS
+    * slope arbitrarily; it is one vote among C(n,2) here). The
+    * pairwise self-join is CALENDAR-sized, not data-sized: daily
+    * aggregation collapses the fact table first, so the pair count is
+    * days² per type (~4k at a 90-day window) at ANY corpus size —
+    * the q138 argument, squared but still bounded by the window you
+    * ask about, never by rows. Slopes are single exact-integer-diff
+    * divisions in DOUBLE (cast explicitly — the t27 decimal-literal
+    * lesson); the median is an exact percentile; output under
+    * round(4).
+    */
+  def q153TheilSen(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("y"))
+      .select(
+        col("event_type"),
+        datediff(col("day"), lit("1970-01-01").cast("date")).as("x"),
+        col("y"))
+    val slopes = d
+      .as("a")
+      .join(
+        d.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.x") < col("b.x"))
+      .select(
+        col("a.event_type").as("event_type"),
+        expr("CAST(b.y - a.y AS DOUBLE) / (b.x - a.x)").as("slope"))
+    val days = d.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    slopes
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        expr("percentile(slope, 0.5)").as("med"))
+      .join(days, "event_type")
+      .select(
+        col("event_type"),
+        col("n_days"),
+        col("n_pairs"),
+        round(col("med"), 4).as("theil_sen_cents_per_day"))
+      .orderBy("event_type")
+  }
+
+  /** q154 — distributed Avro write→read under the gate: the order
+    * fact (key, priority, exact cents) is written through
+    * [[graft.sources.AvroLite]]'s DSv2 BATCH sink — four writer
+    * tasks, one container file each, staged then renamed at job
+    * commit so readers never see a partial write — read back through
+    * the same provider's scan, and aggregated; the oracle computes
+    * the identical rollup straight from the parquet `orders`, so any
+    * loss, duplication, or corruption anywhere in the write→commit→
+    * list→decode chain breaks the hash. Complements q147 (which
+    * gates the nested READ path off a driver-built fixture): here the
+    * bytes are produced by executor-side writers. Scale: the write is
+    * embarrassingly parallel (one file per task, no shuffle beyond
+    * the repartition), the commit is a driver-side rename per file —
+    * the O(files) metadata pass every file-format job commit pays.
+    */
+  def q154AvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q154-avro").toFile
+    tmp.deleteOnExit()
+    Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderkey").as("k"),
+        col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .repartition(4)
+      .write
+      .format("graft.sources.AvroLite")
+      .mode("append")
+      .save(tmp.getAbsolutePath)
+    s.read
+      .format("graft.sources.AvroLite")
+      .load(tmp.getAbsolutePath)
+      .groupBy(col("prio"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("cents_total"),
+        sum(col("k")).as("key_sum"))
+      .orderBy("prio")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_avro_roundtrip" -> q154AvroRoundtrip,
+    "q153_theil_sen" -> q153TheilSen,
+    "q152_ndcg" -> q152Ndcg,
     "q151_decile_lift" -> q151DecileLift,
     "q150_mad_outliers" -> q150MadOutliers,
     "q149_pivot" -> q149Pivot,
@@ -5512,6 +5660,70 @@ object Relational {
   val oracles: Map[String, String] = Map(
     // integer on-time counts; full-fill is a count equality; one
     // division under round(4)
+    // straight from parquet orders: the Avro write->read chain must be
+    // lossless for the rollup to hash-match
+    "q154_avro_roundtrip" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS cents_total,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
+    // both top-10s under the same total orders; identical ln-discount
+    // expression; 10-row double sums under round
+    "q152_ndcg" ->
+      """WITH rev AS (
+        |  SELECT o_custkey AS c_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS rel
+        |  FROM orders GROUP BY 1),
+        |scored AS (
+        |  SELECT c.c_custkey,
+        |    CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS score,
+        |    coalesce(rev.rel, 0) AS rel
+        |  FROM customer c LEFT JOIN rev USING (c_custkey)),
+        |top AS (
+        |  SELECT * FROM (
+        |    SELECT c_custkey, rel, row_number() OVER
+        |      (ORDER BY score DESC, c_custkey ASC) AS rn FROM scored)
+        |  WHERE rn <= 10),
+        |ideal AS (
+        |  SELECT * FROM (
+        |    SELECT c_custkey AS ideal_key, rel AS irel, row_number() OVER
+        |      (ORDER BY rel DESC, c_custkey ASC) AS irn FROM scored)
+        |  WHERE irn <= 10),
+        |dcg AS (
+        |  SELECT sum(CAST(rel AS DOUBLE) / (ln(rn + 1.0) / ln(2.0))) AS dcg
+        |  FROM top),
+        |idcg AS (
+        |  SELECT sum(CAST(irel AS DOUBLE) / (ln(irn + 1.0) / ln(2.0))) AS idcg
+        |  FROM ideal),
+        |ov AS (
+        |  SELECT count(*) AS overlap
+        |  FROM top JOIN ideal ON top.c_custkey = ideal.ideal_key)
+        |SELECT 10 AS k, ov.overlap,
+        |  round(dcg.dcg / idcg.idcg, 4) AS ndcg_at_k
+        |FROM dcg, idcg, ov""".stripMargin,
+    // calendar-sized pairwise slopes; exact-integer diffs cast to
+    // DOUBLE; quantile_cont median under round(4)
+    "q153_theil_sen" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |dx AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', day) AS x, y
+        |  FROM d),
+        |sl AS (
+        |  SELECT a.event_type,
+        |    CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+        |  FROM dx a JOIN dx b
+        |    ON a.event_type = b.event_type AND a.x < b.x),
+        |days AS (SELECT event_type, count(*) AS n_days FROM dx GROUP BY 1)
+        |SELECT sl.event_type, days.n_days, count(*) AS n_pairs,
+        |  round(quantile_cont(sl.slope, 0.5), 4) AS theil_sen_cents_per_day
+        |FROM sl JOIN days USING (event_type)
+        |GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
     // conditional aggregation = the pivot; missing cells coalesce to 0
     // on both engines
     "q149_pivot" ->

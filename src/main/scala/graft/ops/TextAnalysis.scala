@@ -1099,7 +1099,125 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** t26 — BM25 ranking (Robertson/Okapi, k1=1.2, b=0.75, Lucene's
+    * +1-smoothed idf) for a fixed 3-term query over the corpus — the
+    * lexical-retrieval scorer that complements t5's tf-idf weights
+    * with the saturation + length normalization every search stack
+    * actually ships. Determinism is by CONSTRUCTION, not hope: the
+    * per-term tf's pivot into COLUMNS (explicitly enumerated values,
+    * 0-coalesced) and the three contributions sum in one fixed
+    * projection-expression order — no double ever crosses an
+    * aggregate whose merge order could vary — so the unrounded score
+    * is bit-identical on both engines and the (score desc, doc_id)
+    * top-15 cannot tie-split. Plan: one token exchange for tf + dl,
+    * a 1-row df/avgdl aggregate broadcast back, TakeOrderedAndProject
+    * for the limit. At 100 TB: everything is (doc, term)-sized; the
+    * only global structure is the 1-row stats table.
+    */
+  def t26Bm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("join", "filter", "window")
+    val toks = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = toks
+      .filter(col("t").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .pivot("t", terms)
+      .agg(count(lit(1)))
+      .select(
+        col("doc_id"),
+        coalesce(col("join"), lit(0L)).as("tf_join"),
+        coalesce(col("filter"), lit(0L)).as("tf_filter"),
+        coalesce(col("window"), lit(0L)).as("tf_window"))
+    val stats = dl
+      .join(tf, Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("dl")).as("tok_total"),
+        sum((coalesce(col("tf_join"), lit(0L)) > 0).cast("long")).as("df_join"),
+        sum((coalesce(col("tf_filter"), lit(0L)) > 0).cast("long")).as("df_filter"),
+        sum((coalesce(col("tf_window"), lit(0L)) > 0).cast("long")).as("df_window"))
+    // every operand pre-cast to DOUBLE: a bare 2.2/0.75 literal parses
+    // as DECIMAL in Spark and the mixed-type chain silently rounds at
+    // decimal scale (the t27 lesson); DuckDB's oracle uses the same
+    // CAST chain so both engines run identical IEEE ops
+    def contrib(tfc: String, dfc: String) =
+      expr(s"""ln((CAST(n AS DOUBLE) - $dfc + 0.5) / ($dfc + 0.5) + 1.0) *
+               (CAST($tfc AS DOUBLE) * 2.2) /
+               (CAST($tfc AS DOUBLE) +
+                1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) /
+                       (CAST(tok_total AS DOUBLE) / n)))""")
+    tf.join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn(
+        "score",
+        contrib("tf_join", "df_join") +
+          contrib("tf_filter", "df_filter") +
+          contrib("tf_window", "df_window"))
+      .filter(col("tf_join") + col("tf_filter") + col("tf_window") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(15)
+      .select(
+        col("doc_id"),
+        col("tf_join"),
+        col("tf_filter"),
+        col("tf_window"),
+        col("dl"),
+        round(col("score"), 4).as("bm25"))
+  }
+
+  /** t27 — PMI collocations: pointwise mutual information of ADJACENT
+    * word bigrams vs their unigram independence baseline — the
+    * collocation extractor ("of course", "machine learning") that
+    * tokenizer/vocab builders run before merging multiword units;
+    * the directional complement of t21's keyness (which compares
+    * corpora, not positions). Bigrams form with a per-doc lag window
+    * (position-ordered, never crossing a document boundary); counts
+    * are exact integers; the single ln lives in one fixed expression
+    * under round(3); ranking is (count desc, w1, w2) — integers and
+    * strings only, so the cut is engine-exact even where PMI ties.
+    * One (w1, w2) exchange over bigram rows; the unigram table and
+    * 1-row totals broadcast back.
+    */
+  def t27PmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val minCount = 20L
+    val toks = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("pos"))
+    val bi = toks
+      .withColumn("w2", lead(col("w"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("w").as("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+    val uni = toks.groupBy(col("w").as("wu")).agg(count(lit(1)).as("c_u"))
+    val tot = toks
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nt"))
+      .agg(sum(col("nt")).as("t_uni"), sum(col("nt") - 1).as("t_bi"))
+    bi.filter(col("c_ab") >= minCount)
+      .join(uni.select(col("wu").as("w1"), col("c_u").as("c_a")), "w1")
+      .join(uni.select(col("wu").as("w2"), col("c_u").as("c_b")), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "pmi",
+        // CAST(...AS DOUBLE), never `* 1.0`: Spark parses the 1.0
+        // literal as DECIMAL and the whole ratio silently rounds at
+        // decimal scale — the t27 hash caught exactly that
+        expr("""ln((CAST(c_ab AS DOUBLE) / t_bi) /
+                   ((CAST(c_a AS DOUBLE) / t_uni) * (CAST(c_b AS DOUBLE) / t_uni)))"""))
+      .orderBy(col("c_ab").desc, col("w1").asc, col("w2").asc)
+      .limit(20)
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        round(col("pmi"), 3).as("pmi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_pmi_collocations" -> t27PmiCollocations,
+    "t26_bm25" -> t26Bm25,
     "t25_lang_mix_entropy" -> t25LangMixEntropy,
     "t24_ngram_novelty" -> t24NgramNovelty,
     "t23_heaps_law" -> t23HeapsLaw,
@@ -1128,6 +1246,91 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical fixed-order contribution sum; conditional-count pivot;
+    // same Lucene idf expression under round(4)
+    "t26_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |tf AS (
+        |  SELECT doc_id,
+        |    count(CASE WHEN t = 'join' THEN 1 END) AS tf_join,
+        |    count(CASE WHEN t = 'filter' THEN 1 END) AS tf_filter,
+        |    count(CASE WHEN t = 'window' THEN 1 END) AS tf_window
+        |  FROM toks GROUP BY 1),
+        |stats AS (
+        |  SELECT count(*) AS n, CAST(sum(dl.dl) AS BIGINT) AS tok_total,
+        |    count(CASE WHEN tf.tf_join > 0 THEN 1 END) AS df_join,
+        |    count(CASE WHEN tf.tf_filter > 0 THEN 1 END) AS df_filter,
+        |    count(CASE WHEN tf.tf_window > 0 THEN 1 END) AS df_window
+        |  FROM dl LEFT JOIN tf USING (doc_id))
+        |SELECT tf.doc_id, tf.tf_join, tf.tf_filter, tf.tf_window, dl.dl,
+        |  round(
+        |    ln((CAST(s.n AS DOUBLE) - s.df_join + 0.5) / (s.df_join + 0.5) + 1.0) *
+        |      (CAST(tf.tf_join AS DOUBLE) * 2.2) /
+        |      (CAST(tf.tf_join AS DOUBLE) +
+        |       1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) /
+        |              (CAST(s.tok_total AS DOUBLE) / s.n))) +
+        |    ln((CAST(s.n AS DOUBLE) - s.df_filter + 0.5) / (s.df_filter + 0.5) + 1.0) *
+        |      (CAST(tf.tf_filter AS DOUBLE) * 2.2) /
+        |      (CAST(tf.tf_filter AS DOUBLE) +
+        |       1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) /
+        |              (CAST(s.tok_total AS DOUBLE) / s.n))) +
+        |    ln((CAST(s.n AS DOUBLE) - s.df_window + 0.5) / (s.df_window + 0.5) + 1.0) *
+        |      (CAST(tf.tf_window AS DOUBLE) * 2.2) /
+        |      (CAST(tf.tf_window AS DOUBLE) +
+        |       1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) /
+        |              (CAST(s.tok_total AS DOUBLE) / s.n))),
+        |    4) AS bm25
+        |FROM tf JOIN dl USING (doc_id), stats s
+        |WHERE tf.tf_join + tf.tf_filter + tf.tf_window > 0
+        |ORDER BY
+        |  ln((CAST(s.n AS DOUBLE) - s.df_join + 0.5) / (s.df_join + 0.5) + 1.0) *
+        |      (CAST(tf.tf_join AS DOUBLE) * 2.2) /
+        |      (CAST(tf.tf_join AS DOUBLE) +
+        |       1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) /
+        |              (CAST(s.tok_total AS DOUBLE) / s.n))) +
+        |  ln((CAST(s.n AS DOUBLE) - s.df_filter + 0.5) / (s.df_filter + 0.5) + 1.0) *
+        |      (CAST(tf.tf_filter AS DOUBLE) * 2.2) /
+        |      (CAST(tf.tf_filter AS DOUBLE) +
+        |       1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) /
+        |              (CAST(s.tok_total AS DOUBLE) / s.n))) +
+        |  ln((CAST(s.n AS DOUBLE) - s.df_window + 0.5) / (s.df_window + 0.5) + 1.0) *
+        |      (CAST(tf.tf_window AS DOUBLE) * 2.2) /
+        |      (CAST(tf.tf_window AS DOUBLE) +
+        |       1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) /
+        |              (CAST(s.tok_total AS DOUBLE) / s.n)))
+        |  DESC, tf.doc_id ASC
+        |LIMIT 15""".stripMargin,
+    // bigrams via list positions (never across docs); integer counts;
+    // one ln under round(3); (count, w1, w2) cut
+    "t27_pmi_collocations" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bi0 AS (
+        |  SELECT unnest([t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]) AS bg
+        |  FROM tok WHERE len(t) >= 2),
+        |bi AS (
+        |  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+        |    count(*) AS c_ab
+        |  FROM bi0 GROUP BY 1, 2),
+        |uni AS (
+        |  SELECT unnest(t) AS wu FROM tok),
+        |uc AS (SELECT wu, count(*) AS c_u FROM uni GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(len(t)) AS BIGINT) AS t_uni,
+        |    CAST(sum(len(t) - 1) AS BIGINT) AS t_bi
+        |  FROM tok)
+        |SELECT bi.w1, bi.w2, bi.c_ab, a.c_u AS c_a, b.c_u AS c_b,
+        |  round(ln((CAST(bi.c_ab AS DOUBLE) / tot.t_bi) /
+        |           ((CAST(a.c_u AS DOUBLE) / tot.t_uni) *
+        |            (CAST(b.c_u AS DOUBLE) / tot.t_uni))), 3)
+        |    AS pmi
+        |FROM bi JOIN uc a ON a.wu = bi.w1
+        |        JOIN uc b ON b.wu = bi.w2, tot
+        |WHERE bi.c_ab >= 20
+        |ORDER BY bi.c_ab DESC, bi.w1 ASC, bi.w2 ASC
+        |LIMIT 20""".stripMargin,
     // exact counts; majority via the same (n desc, lang desc) order;
     // entropy ln under round(3)
     "t25_lang_mix_entropy" ->

@@ -11,7 +11,13 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{
+  SupportsRead,
+  SupportsWrite,
+  Table,
+  TableCapability,
+  TableProvider
+}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{
   Batch,
@@ -21,6 +27,16 @@ import org.apache.spark.sql.connector.read.{
   Scan,
   ScanBuilder,
   SupportsPushDownRequiredColumns
+}
+import org.apache.spark.sql.connector.write.{
+  BatchWrite,
+  DataWriter,
+  DataWriterFactory,
+  LogicalWriteInfo,
+  PhysicalWriteInfo,
+  Write,
+  WriteBuilder,
+  WriterCommitMessage
 }
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -233,17 +249,121 @@ object AvroLite {
         case _ => v // boolean/int/long/float/double arrive as their JVM boxes
       }
   }
+
+  /** Catalyst → Avro schema for the write path (the exact inverse of
+    * [[toDataType]]): nullable fields become `[null, T]` unions;
+    * nested records get deterministic dotted names so re-reading
+    * infers the identical shape.
+    */
+  private[sources] def structToAvro(st: StructType, name: String): Schema = {
+    val fields = new java.util.ArrayList[Schema.Field]()
+    st.fields.foreach { f =>
+      val base = typeToAvro(f.dataType, s"$name.${f.name}")
+      val sch =
+        if (f.nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), base)
+        else base
+      fields.add(
+        if (f.nullable)
+          new Schema.Field(f.name, sch, null, Schema.Field.NULL_DEFAULT_VALUE)
+        else new Schema.Field(f.name, sch, null, null.asInstanceOf[Object]))
+    }
+    val rec = Schema.createRecord(name.replace('.', '_'), null, "graft.avro", false)
+    rec.setFields(fields)
+    rec
+  }
+
+  private def typeToAvro(dt: DataType, name: String): Schema = dt match {
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case LongType    => Schema.create(Schema.Type.LONG)
+    case FloatType   => Schema.create(Schema.Type.FLOAT)
+    case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+    case StringType  => Schema.create(Schema.Type.STRING)
+    case BinaryType  => Schema.create(Schema.Type.BYTES)
+    case st: StructType => structToAvro(st, name)
+    case at: ArrayType =>
+      val e = typeToAvro(at.elementType, s"$name.item")
+      Schema.createArray(
+        if (at.containsNull) Schema.createUnion(Schema.create(Schema.Type.NULL), e) else e)
+    case mt: MapType =>
+      require(mt.keyType == StringType, s"Avro map keys must be strings, got ${mt.keyType}")
+      val v = typeToAvro(mt.valueType, s"$name.value")
+      Schema.createMap(
+        if (mt.valueContainsNull) Schema.createUnion(Schema.create(Schema.Type.NULL), v) else v)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported Spark type for Avro write: $other")
+  }
+
+  /** Catalyst value → Avro runtime value, recursing like [[toCatalyst]]
+    * in reverse. `fieldSchema` is passed for nested records (unions
+    * already unwrapped by the caller where needed — GenericDatumWriter
+    * resolves [null, T] from the runtime value).
+    */
+  private[sources] def toAvroValue(v: Any, dt: DataType, schema: Schema): AnyRef = v match {
+    case null => null
+    case _ =>
+      val nonNull =
+        if (schema.getType == Schema.Type.UNION)
+          schema.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+        else schema
+      dt match {
+        case StringType => v.asInstanceOf[UTF8String].toString
+        case BinaryType => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+        case st: StructType =>
+          val row = v.asInstanceOf[InternalRow]
+          val rec = new org.apache.avro.generic.GenericData.Record(nonNull)
+          var i = 0
+          while (i < st.fields.length) {
+            val f = st.fields(i)
+            val fv =
+              if (row.isNullAt(i)) null
+              else toAvroValue(row.get(i, f.dataType), f.dataType, nonNull.getFields.get(i).schema())
+            rec.put(i, fv)
+            i += 1
+          }
+          rec
+        case at: ArrayType =>
+          val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          val out = new java.util.ArrayList[AnyRef](arr.numElements())
+          var i = 0
+          while (i < arr.numElements()) {
+            out.add(
+              if (arr.isNullAt(i)) null
+              else toAvroValue(arr.get(i, at.elementType), at.elementType, nonNull.getElementType))
+            i += 1
+          }
+          out
+        case mt: MapType =>
+          val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+          val keys = m.keyArray()
+          val vals = m.valueArray()
+          val out = new java.util.HashMap[String, AnyRef](m.numElements())
+          var i = 0
+          while (i < m.numElements()) {
+            out.put(
+              keys.get(i, StringType).asInstanceOf[UTF8String].toString,
+              if (vals.isNullAt(i)) null
+              else toAvroValue(vals.get(i, mt.valueType), mt.valueType, nonNull.getValueType))
+            i += 1
+          }
+          out
+        case _ => v.asInstanceOf[AnyRef] // primitives arrive boxed
+      }
+  }
 }
 
 private class AvroLiteTable(path: String, schema: StructType)
     extends Table
-    with SupportsRead {
+    with SupportsRead
+    with SupportsWrite {
   override def name(): String = s"avro_lite($path)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroLiteScanBuilder(path, schema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new AvroLiteWriteBuilder(path, info.schema(), info.queryId())
 }
 
 private class AvroLiteScanBuilder(path: String, full: StructType)
@@ -308,4 +428,94 @@ private class AvroLiteReaderFactory(readerSchemaJson: String, required: StructTy
       override def close(): Unit = reader.close()
     }
   }
+}
+
+/** DSv2 write path (round 9 — closes the sink side of the Avro
+  * matrix): every task streams its partition into ONE container file
+  * under a query-scoped staging directory; the driver's job commit
+  * renames the files into the target in one pass and deletes staging,
+  * so readers never observe a partial write and an aborted job
+  * publishes nothing (the MemSink transactional contract, on files).
+  * Schema round-trips through [[AvroLite.structToAvro]] — nullable
+  * unions, nested records/arrays/maps — so `write → read` infers the
+  * identical Catalyst shape back (SourcesSpec pins it).
+  */
+private class AvroLiteWriteBuilder(path: String, schema: StructType, queryId: String)
+    extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new AvroLiteBatchWrite(path, schema, queryId)
+  }
+}
+
+private case class AvroLiteCommitMessage(stagedFile: String, finalName: String)
+    extends WriterCommitMessage
+
+private class AvroLiteBatchWrite(path: String, schema: StructType, queryId: String)
+    extends BatchWrite {
+  private def staging = new Path(path, s"_staging_$queryId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val fs = new Path(path).getFileSystem(AvroLite.hadoopConf)
+    fs.mkdirs(staging)
+    new AvroLiteWriterFactory(staging.toString, schema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    messages.foreach { case AvroLiteCommitMessage(staged, finalName) =>
+      val ok = fs.rename(new Path(staged), new Path(path, finalName))
+      require(ok, s"failed to publish $staged -> $finalName")
+    }
+    fs.delete(staging, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    fs.delete(staging, true) // staged-only writes vanish; target untouched
+  }
+}
+
+private class AvroLiteWriterFactory(stagingDir: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new AvroLiteDataWriter(stagingDir, schema, partitionId, taskId)
+}
+
+private class AvroLiteDataWriter(
+    stagingDir: String,
+    schema: StructType,
+    partitionId: Int,
+    taskId: Long)
+    extends DataWriter[InternalRow] {
+  import org.apache.avro.file.DataFileWriter
+  import org.apache.avro.generic.{GenericDatumWriter, GenericRecord}
+
+  private val avroSchema = AvroLite.structToAvro(schema, "row")
+  // task attempt id in the staged name: two attempts of the same
+  // partition never collide, and only the committed attempt is renamed
+  private val finalName = f"part-$partitionId%05d.avro"
+  private val stagedPath = new Path(stagingDir, s"$finalName.$taskId")
+  private val out =
+    stagedPath.getFileSystem(new Configuration()).create(stagedPath, true)
+  private val writer =
+    new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avroSchema))
+      .create(avroSchema, out)
+
+  override def write(record: InternalRow): Unit =
+    writer.append(
+      AvroLite
+        .toAvroValue(record, schema, avroSchema)
+        .asInstanceOf[GenericRecord])
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    AvroLiteCommitMessage(stagedPath.toString, finalName)
+  }
+
+  override def abort(): Unit = {
+    writer.close()
+    stagedPath.getFileSystem(new Configuration()).delete(stagedPath, false)
+  }
+
+  override def close(): Unit = ()
 }

@@ -261,6 +261,40 @@ class SourcesSpec extends SparkSpec {
     assert(joined.count() == 30, "avro rows must join against the parquet tables")
   }
 
+  test("AvroLite write: distributed DSv2 sink round-trips flat + nested rows, staging never published") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-write").toFile
+    val df = (0L until 100L)
+      .map(i => (
+        i,
+        s"name$i",
+        if (i % 4 == 0) None else Some(i * 1.5),
+        (i % 3, s"tag$i"),
+        Seq(i, i + 1),
+        Map("k" -> i)))
+      .toDF("id", "nm", "score", "st", "arr", "mp")
+      .repartition(4) // multiple writer tasks -> multiple part files
+    df.write.format("graft.sources.AvroLite").mode("append").save(dir.getAbsolutePath)
+    val files = dir.listFiles().filter(_.getName.endsWith(".avro"))
+    assert(files.length == 4, s"expected 4 part files, got ${files.map(_.getName).toSeq}")
+    assert(!dir.listFiles().exists(_.getName.startsWith("_staging")),
+      "staging dir must be cleaned on commit")
+    val back = spark.read.format("graft.sources.AvroLite").load(dir.getAbsolutePath)
+    assert(back.count() == 100)
+    // schema round-trip: nullable double, nested struct/array/map
+    assert(back.schema("score").nullable)
+    assert(back.schema("st").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    val r7 = back.filter(col("id") === 7L)
+      .select(col("nm"), col("score"), col("st._2"), element_at(col("arr"), 2),
+        element_at(col("mp"), "k"))
+      .head()
+    assert(r7.getString(0) == "name7" && r7.getDouble(1) == 10.5 &&
+      r7.getString(2) == "tag7" && r7.getLong(3) == 8L && r7.getLong(4) == 7L)
+    assert(back.filter(col("id") === 8L).select(col("score")).head().isNullAt(0))
+    // aggregate over the full round-trip
+    assert(back.agg(sum(col("id"))).head().getLong(0) == (0L until 100L).sum)
+  }
+
   test("AvroLite: two-level nested record with nulls, array<record> and map round-trip") {
     import org.apache.avro.{Schema, SchemaBuilder}
     import org.apache.avro.file.DataFileWriter
