@@ -464,6 +464,75 @@ object Multimodal {
       .orderBy("source")
   }
 
+  /** m12 — content-addressed store GC planner: given a deletion set
+    * (docs with `doc_id % 7 = 0` — a retention policy stand-in), which
+    * chunks does the per-source dedup store actually FREE, and how
+    * many bytes? A chunk is freed only when its LAST referencing doc
+    * dies — the mark-sweep rule every content-addressed store (and
+    * every dedup'd training-corpus blob cache) runs before reclaiming
+    * space; deleting a doc whose chunks are shared reclaims nothing.
+    * Same content-defined chunking as m5/m9 (boundaries follow
+    * content, so shared regions share fingerprints). Exact integers
+    * end-to-end. Plan: ONE (source, fp) exchange carrying 16-byte
+    * keys + two counts — refcount math never re-reads payloads, so at
+    * 100 TB the GC plan costs one fingerprint-table pass, which is
+    * the point of planning deletes on the index instead of the store.
+    */
+  def m12ChunkGc(s: SparkSession, dir: String): DataFrame = {
+    val w = 8
+    val modulus = 32
+    val chunks = Tables
+      .documents(s, dir)
+      .filter(length(col("text")) >= w)
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("text"),
+        graft.functions.CdcCutPoints
+          .cdcCutPoints(col("text"), w, modulus)
+          .as("cuts"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("text"),
+        concat(array(lit(1)), col("cuts")).as("starts"),
+        concat(col("cuts"), array(length(col("text")) + 1)).as("ends"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        explode(
+          transform(
+            sequence(lit(1), size(col("starts"))),
+            j =>
+              struct(
+                md5(
+                  col("text").substr(
+                    element_at(col("starts"), j),
+                    element_at(col("ends"), j) - element_at(col("starts"), j)))
+                  .as("fp"),
+                (element_at(col("ends"), j) - element_at(col("starts"), j))
+                  .cast("long")
+                  .as("len")))).as("c"))
+      .select(col("doc_id"), col("source"), col("c.fp").as("fp"), col("c.len").as("len"))
+    chunks
+      .groupBy(col("source"), col("fp"))
+      .agg(
+        min(col("len")).as("len"),
+        count(lit(1)).as("refs_total"),
+        sum((col("doc_id") % 7 === 0).cast("long")).as("refs_deleted"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_unique_chunks"),
+        sum(col("len")).as("bytes_stored"),
+        sum((col("refs_total") === col("refs_deleted")).cast("long")).as("n_freed"),
+        sum(when(col("refs_total") === col("refs_deleted"), col("len")).otherwise(0L))
+          .as("bytes_freed"),
+        sum((col("refs_deleted") > 0 && col("refs_total") > col("refs_deleted")).cast("long"))
+          .as("n_pinned_by_survivors"))
+      .withColumn("freed_permille", expr("bytes_freed * 1000 div bytes_stored"))
+      .orderBy("source")
+  }
+
   /** m10 — aspect-ratio bucketing: every image is assigned to the
     * nearest of five canonical aspect buckets (1:2, 3:4, 1:1, 4:3,
     * 2:1) and each bucket is cut into fixed-size training batches —
@@ -559,6 +628,7 @@ object Multimodal {
     "m11_modality_coverage" -> m11ModalityCoverage,
     "m10_aspect_buckets" -> m10AspectBuckets,
     "m9_chunk_dedup_ratio" -> m9ChunkDedupRatio,
+    "m12_chunk_gc" -> m12ChunkGc,
     "m8_scene_cuts" -> ((s, d) => m8SceneCuts(s, d)),
     "m7_audio_frames" -> ((s, d) => m7AudioFrames(s, d)),
     "m6_perceptual_neardup" -> m6PerceptualNearDup,
@@ -720,6 +790,55 @@ object Multimodal {
         |FROM cand WHERE bit_count(xor(pa, pb)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
     // m5's chunk replay with lengths, rolled up per source.
+    // same chunking CTEs as m9 with doc_id kept; a chunk frees iff
+    // every referencing doc is in the deletion set
+    "m12_chunk_gc" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text, string_split(text, '') AS cs
+        |  FROM documents WHERE length(text) >= 8),
+        |h AS (
+        |  SELECT doc_id, source, text,
+        |    list_transform(range(1, len(cs) - 6),
+        |      i -> list_reduce(list_prepend(0::BIGINT,
+        |             list_transform(cs[i:i+7], c -> ascii(c)::BIGINT)),
+        |           (a, b) -> (a * 131 + b) % 1000000007)) AS hs
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(list_transform(hs, (x, i) ->
+        |      CASE WHEN x % 32 = 0 AND i + 8 <= length(text)
+        |           THEN i + 8 ELSE -1 END),
+        |      x -> x <> -1) AS cuts
+        |  FROM h),
+        |se AS (
+        |  SELECT doc_id, source, text,
+        |    list_prepend(1, cuts) AS starts,
+        |    list_append(cuts, length(text) + 1) AS ends
+        |  FROM c),
+        |ch AS (
+        |  SELECT doc_id, source, u.fp, u.len
+        |  FROM se, LATERAL (
+        |    SELECT unnest(list_transform(range(1, len(starts) + 1),
+        |        j -> {'fp': md5(substr(text, starts[j]::INT,
+        |                       (ends[j] - starts[j])::INT)),
+        |              'len': (ends[j] - starts[j])::BIGINT}),
+        |      recursive := true) ) u),
+        |rc AS (
+        |  SELECT source, fp, min(len) AS len, count(*) AS refs_total,
+        |    CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS refs_deleted
+        |  FROM ch GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_unique_chunks,
+        |  CAST(sum(len) AS BIGINT) AS bytes_stored,
+        |  CAST(sum(CASE WHEN refs_total = refs_deleted THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_freed,
+        |  CAST(sum(CASE WHEN refs_total = refs_deleted THEN len ELSE 0 END)
+        |       AS BIGINT) AS bytes_freed,
+        |  CAST(sum(CASE WHEN refs_deleted > 0 AND refs_total > refs_deleted
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_pinned_by_survivors,
+        |  CAST(sum(CASE WHEN refs_total = refs_deleted THEN len ELSE 0 END)
+        |       * 1000 // sum(len) AS BIGINT) AS freed_permille
+        |FROM rc GROUP BY 1 ORDER BY source""".stripMargin,
     "m9_chunk_dedup_ratio" ->
       """WITH d AS (
         |  SELECT source, text, string_split(text, '') AS cs

@@ -5504,7 +5504,62 @@ object Relational {
       .orderBy("prio")
   }
 
+  /** q156 — SCD Type-2 dimension build: compress each customer's
+    * order-priority history into versioned validity intervals
+    * (valid_from / valid_to, NULL = current) — the slowly-changing-
+    * dimension construction every warehouse runs to make "what was
+    * this customer's state ON that date" a range join instead of an
+    * event replay (q110 READS a point-in-time snapshot; this BUILDS
+    * the versioned table it reads from). Gaps-and-islands: change
+    * flags via lag over the (date, orderkey) total order, a running
+    * sum converts flags to version ids, one aggregate per version,
+    * lead closes each interval with the next version's start. Plan:
+    * everything rides ONE customer-keyed exchange — both windows and
+    * the version aggregate cluster on custkey, so EnsureRequirements
+    * plants a single shuffle; no self-join, no per-version pass. At
+    * 100 TB this is the standard one-shuffle history compaction.
+    */
+  def q156Scd2Build(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables
+      .orders(s, dir)
+      .select(
+        col("o_custkey").as("c_custkey"),
+        to_date(col("o_orderdate")).as("d"),
+        col("o_orderkey").as("k"),
+        col("o_orderpriority").as("prio"))
+    val seq = Window.partitionBy(col("c_custkey")).orderBy(col("d"), col("k"))
+    val versions = o
+      .withColumn(
+        "chg",
+        (lag(col("prio"), 1).over(seq).isNull ||
+          lag(col("prio"), 1).over(seq) =!= col("prio")).cast("long"))
+      .withColumn("version", sum(col("chg")).over(
+        Window.partitionBy(col("c_custkey")).orderBy(col("d"), col("k"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("c_custkey"), col("version"), col("prio"))
+      .agg(min(col("d")).as("valid_from"), count(lit(1)).as("n_orders"))
+    versions
+      .withColumn(
+        "valid_to",
+        // the 9999-12-31 open-interval sentinel (standard SCD2): also
+        // sidesteps the None-vs-NaT null-date representation gap
+        // between the two engines' parquet readers in the compare
+        coalesce(
+          lead(col("valid_from"), 1).over(
+            Window.partitionBy(col("c_custkey")).orderBy(col("version"))),
+          lit("9999-12-31").cast("date")))
+      .select(
+        col("c_custkey"),
+        col("version"),
+        col("prio"),
+        col("valid_from"),
+        col("valid_to"),
+        col("n_orders"))
+      .orderBy("c_custkey", "version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_scd2_build" -> q156Scd2Build,
     "q154_avro_roundtrip" -> q154AvroRoundtrip,
     "q153_theil_sen" -> q153TheilSen,
     "q152_ndcg" -> q152Ndcg,
@@ -5660,6 +5715,30 @@ object Relational {
   val oracles: Map[String, String] = Map(
     // integer on-time counts; full-fill is a count equality; one
     // division under round(4)
+    // identical gaps-and-islands over the same (date, orderkey) total
+    // order; dates and counts exact
+    "q156_scd2_build" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS c_custkey, CAST(o_orderdate AS DATE) AS d,
+        |    o_orderkey AS k, o_orderpriority AS prio
+        |  FROM orders),
+        |f AS (
+        |  SELECT *, CASE WHEN lag(prio) OVER w IS NULL
+        |                   OR lag(prio) OVER w <> prio THEN 1 ELSE 0 END AS chg
+        |  FROM o WINDOW w AS (PARTITION BY c_custkey ORDER BY d, k)),
+        |v AS (
+        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY c_custkey ORDER BY d, k
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |  FROM f),
+        |g AS (
+        |  SELECT c_custkey, version, prio, min(d) AS valid_from,
+        |    count(*) AS n_orders
+        |  FROM v GROUP BY 1, 2, 3)
+        |SELECT c_custkey, version, prio, valid_from,
+        |  coalesce(lead(valid_from) OVER (PARTITION BY c_custkey
+        |    ORDER BY version), DATE '9999-12-31') AS valid_to,
+        |  n_orders
+        |FROM g ORDER BY c_custkey, version""".stripMargin,
     // straight from parquet orders: the Avro write->read chain must be
     // lossless for the rollup to hash-match
     "q154_avro_roundtrip" ->

@@ -1511,11 +1511,69 @@ object Streams {
       .orderBy("bucket")
   }
 
+  /** q155 — watermark-family windowed aggregation RUN TO COMPLETION
+    * under the oracle: the REAL events fixture parquet is fed as a
+    * file stream (the actual file, not a synthesized feed), tumbling
+    * 1-hour event-time windows aggregate count + exact cents per
+    * (window, type), and the per-type rollup of the final window
+    * table must match DuckDB's date_trunc formulation over the same
+    * parquet — so the stream's windowing, its event-time handling
+    * across the fixture's drifting physical timestamp types
+    * (TIMESTAMP_NANOS→long and NTZ generations both normalize here
+    * exactly as Tables.conform does for batch), and its completeness
+    * (every row in exactly one window) all sit under the hash gate.
+    * Complete-mode memory sink is deliberate and BOUNDED: the sink
+    * holds the window×type table (calendar-sized), not events.
+    */
+  def q155StreamWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    val file = s"$dir/events.parquet"
+    val schema = s.read.option("mergeSchema", "false").parquet(file).schema
+    val feed = java.nio.file.Files.createTempDirectory("graft-q155").toFile
+    feed.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(file),
+      new java.io.File(feed, "events.parquet").toPath)
+    val raw = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed.getAbsolutePath)
+    val ev = schema("ts").dataType.typeName match {
+      case "long" => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case "timestamp_ntz" =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
+    val qname = "q155_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = ev
+      .select(
+        col("ts"),
+        col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qname)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(col("n")).as("n_events"),
+        sum(col("cents")).as("cents_total"),
+        max(col("n")).as("max_window_n"))
+      .orderBy("event_type")
+  }
+
   /** The streaming module's oracle-gated surface (everything else in
     * this file is gated by the StreamsSpec parity pins — see the
     * module scaladoc).
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_stream_window_agg" -> q155StreamWindowAgg,
     "q148_stream_cdc_latest" -> q148StreamCdcLatest)
 
   /** q148's oracle IS the batch q102 formulation: the streamed
@@ -1523,6 +1581,21 @@ object Streams {
     * final state.
     */
   val oracles: Map[String, String] = Map(
+    // every event in exactly one hour window; exact integer cents
+    "q155_stream_window_agg" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS w,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, w, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM e GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS n_windows,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS cents_total,
+        |  CAST(max(n) AS BIGINT) AS max_window_n
+        |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q148_stream_cdc_latest" ->
       """WITH o AS (
         |  SELECT o_orderkey AS k,

@@ -504,6 +504,16 @@ class PlanSpec extends SparkSpec {
       s"AQE should broadcast the fixture-scale degree table unhinted:\n${plan.take(1500)}")
   }
 
+  test("q156 SCD2 build rides one custkey exchange: windows and version aggregate share it") {
+    // HashPartitioning(custkey) satisfies the (custkey, version, prio)
+    // clustering (subset rule) and both window sorts, so the whole
+    // history compaction must plant exactly ONE shuffle.
+    val plan = formatted(Relational.q156Scd2Build(spark, Sf))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"expected exactly one custkey exchange, found $exchanges:\n${plan.take(1500)}")
+  }
+
   test("spread parallelizes derived compute beyond the single input split") {
     val parts = Tables
       .spread(Tables.documents(spark, Sf))
