@@ -5558,7 +5558,35 @@ object Relational {
       .orderBy("c_custkey", "version")
   }
 
+  /** q157 — UNPIVOT (melt): q149's priority × status revenue matrix
+    * back to long form — the wide→long inverse that completes the
+    * reshaping pair (ETL hands wide spreadsheets to long pipelines
+    * constantly). Uses the native `Dataset.unpivot` (Expand under the
+    * hood — one pass, rows × 3, no join), ids = priority, the three
+    * cents columns become (status, cents) pairs. Round-trip property
+    * by construction: grouping the output back by (prio, status)
+    * reproduces q149's cells exactly, and the oracle says so — it
+    * computes the long form DIRECTLY from orders, so pivot→unpivot
+    * must be lossless for the hash to match. Zero-cell rows keep
+    * their 0 (an outer-style melt) — same coalesce contract as q149.
+    */
+  def q157Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = q149Pivot(s, dir)
+    wide
+      .unpivot(
+        Array(col("prio")),
+        Array(col("f_cents"), col("o_cents"), col("p_cents")),
+        "status_col",
+        "cents")
+      .select(
+        col("prio"),
+        upper(substring(col("status_col"), 1, 1)).as("o_orderstatus"),
+        col("cents"))
+      .orderBy("prio", "o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_unpivot" -> q157Unpivot,
     "q156_scd2_build" -> q156Scd2Build,
     "q154_avro_roundtrip" -> q154AvroRoundtrip,
     "q153_theil_sen" -> q153TheilSen,
@@ -5715,6 +5743,21 @@ object Relational {
   val oracles: Map[String, String] = Map(
     // integer on-time counts; full-fill is a count equality; one
     // division under round(4)
+    // the long form computed directly: pivot->unpivot must be lossless
+    "q157_unpivot" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS prio, o_orderstatus,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT p.prio, s.o_orderstatus
+        |  FROM (SELECT DISTINCT prio FROM cells) p,
+        |       (SELECT unnest(['F', 'O', 'P']) AS o_orderstatus) s)
+        |SELECT g.prio, g.o_orderstatus, coalesce(c.cents, 0) AS cents
+        |FROM grid g LEFT JOIN cells c
+        |  ON g.prio = c.prio AND g.o_orderstatus = c.o_orderstatus
+        |ORDER BY g.prio, g.o_orderstatus""".stripMargin,
     // identical gaps-and-islands over the same (date, orderkey) total
     // order; dates and counts exact
     "q156_scd2_build" ->

@@ -1215,7 +1215,50 @@ object TextAnalysis {
         round(col("pmi"), 3).as("pmi"))
   }
 
+  /** t28 — bigram-LM perplexity: train an add-one-smoothed bigram
+    * language model on the corpus and score every document's
+    * perplexity under it — THE classic statistical quality filter
+    * (CCNet/KenLM style): gibberish, boilerplate and wrong-language
+    * text sit far from the corpus LM and score high. p(b|a) =
+    * (c(a,b)+1)/(c(a)+V); ppl = exp(−mean ln p) over the doc's
+    * bigrams. Plan: the LM IS two aggregate tables (bigram counts on
+    * one (w1, w2) exchange, unigram counts vocabulary-sized) joined
+    * back to the doc's bigram stream — training and scoring in one
+    * pass, no per-doc model state. Per-doc ln-sums are the module's
+    * accepted double convention (t19): ~50 terms, output under
+    * round(3), doc_id ordering so the hash never rides a float order.
+    */
+  def t28BigramPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val seqW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("pos"))
+    val bi = toks
+      .withColumn("w2", lead(col("w"), 1).over(seqW))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w").as("w1"), col("w2"))
+    val lmBi = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val lmUni = toks.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c_a"))
+    val vocab = toks.agg(count_distinct(col("w")).as("v"))
+    bi.join(lmBi, Seq("w1", "w2"))
+      .join(lmUni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn(
+        "lnp",
+        expr("ln((CAST(c_ab AS DOUBLE) + 1.0) / (CAST(c_a AS DOUBLE) + v))"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lnp")).as("s"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        round(exp(-col("s") / col("n_bigrams")), 3).as("perplexity"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t28_bigram_perplexity" -> t28BigramPerplexity,
     "t27_pmi_collocations" -> t27PmiCollocations,
     "t26_bm25" -> t26Bm25,
     "t25_lang_mix_entropy" -> t25LangMixEntropy,
@@ -1246,6 +1289,29 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // same add-one LM, same CAST-to-DOUBLE ratio, ln sums per doc
+    // under round(3)
+    "t28_bigram_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bi AS (
+        |  SELECT doc_id,
+        |    unnest([t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]) AS bg
+        |  FROM tok WHERE len(t) >= 2),
+        |bs AS (
+        |  SELECT doc_id, string_split(bg, ' ')[1] AS w1,
+        |    string_split(bg, ' ')[2] AS w2
+        |  FROM bi),
+        |lmb AS (SELECT w1, w2, count(*) AS c_ab FROM bs GROUP BY 1, 2),
+        |uni AS (SELECT unnest(t) AS w1 FROM tok),
+        |lmu AS (SELECT w1, count(*) AS c_a FROM uni GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT w1) AS v FROM uni)
+        |SELECT bs.doc_id, count(*) AS n_bigrams,
+        |  round(exp(-sum(ln((CAST(lmb.c_ab AS DOUBLE) + 1.0) /
+        |                    (CAST(lmu.c_a AS DOUBLE) + voc.v)))
+        |            / count(*)), 3) AS perplexity
+        |FROM bs JOIN lmb USING (w1, w2) JOIN lmu USING (w1), voc
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // identical fixed-order contribution sum; conditional-count pivot;
     // same Lucene idf expression under round(4)
     "t26_bm25" ->

@@ -31,6 +31,45 @@ class ScaleSpec extends SparkSpec {
       Tables.orders(spark, Sf).filter(col("o_orderstatus") === "F").count())
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    // The 100-TB shape: fact partitioned on the join key, dim filter
+    // known only after the dim scan — DPP turns it into a runtime
+    // partition filter on the fact instead of a full scan. Static
+    // pruning (the test above) can't do this; the pruning value is
+    // not in the query text.
+    val dir = Files.createTempDirectory("graft-dpp").resolve("orders").toString
+    Tables
+      .orders(spark, Sf)
+      .write
+      .mode("overwrite")
+      .partitionBy("o_orderpriority")
+      .parquet(dir)
+    import spark.implicits._
+    // the dim must be a FILE relation: a local Seq folds its filter
+    // into the LocalRelation before the PartitionPruning rule runs,
+    // and DPP then sees no selective predicate to propagate
+    val dimDir = Files.createTempDirectory("graft-dpp-dim").resolve("dim").toString
+    Seq(
+      ("1-URGENT", "hot"), ("2-HIGH", "hot"), ("3-MEDIUM", "warm"),
+      ("4-NOT SPECIFIED", "cold"), ("5-LOW", "cold"))
+      .toDF("prio", "tier")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val fact = spark.read.parquet(dir)
+    val q = fact
+      .join(dim, fact("o_orderpriority") === dim("prio"))
+      .filter(col("tier") === "hot")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic pruning subquery on the fact scan:\n${plan.take(1500)}")
+    val expected = Tables
+      .orders(spark, Sf)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .count()
+    assert(q.count() == expected, "pruned join must keep exactly the hot-tier rows")
+  }
+
   test("bucketed tables: equi-join on the bucket key plans without a shuffle") {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     assert(warehouse.nonEmpty)
