@@ -1558,7 +1558,11 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(qname)
+    // the rollup is type-count-sized: materialize it, then DROP the
+    // memory sink's temp view so repeated invocations (bench passes)
+    // don't accumulate window tables on the driver
+    val rows = s
+      .table(qname)
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_windows"),
@@ -1566,6 +1570,11 @@ object Streams {
         sum(col("cents")).as("cents_total"),
         max(col("n")).as("max_window_n"))
       .orderBy("event_type")
+    val out = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows.collect(): _*)),
+      rows.schema)
+    s.catalog.dropTempView(qname)
+    out
   }
 
   /** The streaming module's oracle-gated surface (everything else in
