@@ -1261,7 +1261,77 @@ object Dedup {
       .orderBy("cluster_size")
   }
 
+  /** d23 — AllPairs prefix-filtered similarity join (Bayardo, Ma &
+    * Srikant 2007): the THIRD candidate-generation regime, completing
+    * the set d2 (LSH banding — probabilistic, any vocabulary), d13
+    * (full postings — exact, sparse vocabularies), d23 (prefix
+    * postings — exact, vocabularies with a usable rarity tail). Same
+    * pair semantics as d2 (3-gram global Jaccard ≥ 0.5, exact verify)
+    * — deliberately, so the exhaustive oracle gates all three
+    * machineries against one ground truth.
+    *
+    * The filter: order the vocabulary once by ascending document
+    * frequency (rarest first); each doc indexes only its
+    * `n − ⌈θ·n⌉ + 1` RAREST shingles (its prefix). Two sets with
+    * J ≥ θ must intersect within their prefixes under any SHARED
+    * total order — so the candidate join runs over prefix postings
+    * only, and Σ df² is paid only on the rare tail the ordering
+    * steered the prefixes toward, not on stop-shingles (the same
+    * skew d13 caps away, avoided here by construction). The
+    * global df-rank window is VOCABULARY-sized (the t-family bound:
+    * shingle types, not rows) and ⌈θ·n⌉ is exact integer
+    * `(n + 1) div 2` at θ = 0.5. Verify is the shared sorted-merge
+    * intersect on the full hash sets.
+    */
+  def d23AllPairsPrefix(s: SparkSession, dir: String): DataFrame = {
+    val sh = docsWithShingles(s, dir, 3).localCheckpoint() // postings + both verify sides
+    val postings = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+    val rank = postings
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn(
+        "rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("df").asc, col("h").asc)))
+      .select(col("h"), col("rk"))
+    val prefix = postings
+      .join(rank, "h")
+      .withColumn(
+        "pos",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id"))
+            .orderBy(col("rk"))))
+      .join(sh.select(col("doc_id"), size(col("hs")).as("n")), "doc_id")
+      // prefix length n − ⌈θn⌉ + 1 with θ = 0.5: ⌈n/2⌉ = (n+1) div 2
+      .filter(col("pos") <= col("n") - expr("(n + 1) div 2") + 1)
+      .select(col("doc_id"), col("h"))
+    val cands = prefix
+      .as("a")
+      .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sets = sh.select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
+    cands
+      .join(
+        sets.select(col("doc_id").as("id_a"), col("hs").as("sa"), col("n").as("na")),
+        "id_a")
+      .join(
+        sets.select(col("doc_id").as("id_b"), col("hs").as("sb"), col("n").as("nb")),
+        "id_b")
+      .withColumn(
+        "shared",
+        graft.functions.SortedArrayIntersectCount
+          .sortedIntersectCount(col("sa"), col("sb"))
+          .cast("double"))
+      .withColumn("jac", col("shared") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jac") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d23_allpairs_prefix" -> d23AllPairsPrefix,
     "d22_cluster_size_dist" -> d22ClusterSizeDist,
     "d21_threshold_sweep" -> d21ThresholdSweep,
     "d20_canonical_survivor" -> d20CanonicalSurvivor,
@@ -1752,6 +1822,9 @@ object Dedup {
     // d2's LSH candidates are exact-verified, so its output equals the
     // ground-truth full Jaccard join at the same threshold.
     "d2_dedup_minhash" -> jaccardOracle(3, langBlocked = false, extraCols = ""),
+    // the SAME exhaustive ground truth as d2: LSH banding, full
+    // postings (d13's regime) and prefix postings must all land on it
+    "d23_allpairs_prefix" -> jaccardOracle(3, langBlocked = false, extraCols = ""),
     // Ground-truth clusters: exhaustive Jaccard pairs (same recall
     // argument as d2) closed transitively with a recursive CTE.
     "d6_dup_clusters" ->
