@@ -5585,7 +5585,209 @@ object Relational {
       .orderBy("prio", "o_orderstatus")
   }
 
+  /** q158 — peak concurrency by sweep line: the maximum number of
+    * simultaneously OPEN orders (orderdate → last shipment of the
+    * order) and when it happened — capacity planning's canonical
+    * question, and the one interval shape the surface lacked (q24
+    * joins interval PAIRS; this needs the global profile). The
+    * distributed sweep: each interval emits two integer deltas
+    * (+1 at start, −1 the day after close), deltas AGGREGATE PER DAY
+    * first — one exchange with map-side combine, reducing a
+    * fact-sized event stream to a calendar-sized series — and only
+    * that series (bounded by distinct days, ~2.5k at any SF) flows
+    * through the running-sum window. The peak always lands on a
+    * start day, so ranking delta days loses nothing. Top-10 under
+    * the (concurrency desc, day asc) total order via
+    * TakeOrderedAndProject. At 100 TB the day-aggregate is the
+    * whole cost: one shuffle of pre-combined (day, net) pairs; the
+    * window stage is O(calendar), not O(orders).
+    */
+  def q158PeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables
+      .orders(s, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("sd"))
+      .join(
+        Tables
+          .lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(max(to_date(col("l_shipdate"))).as("ed")),
+        col("o_orderkey") === col("l_orderkey"))
+    val deltas = iv
+      .select(col("sd").as("day"), lit(1L).as("d"))
+      .unionAll(iv.select(date_add(col("ed"), 1).as("day"), lit(-1L).as("d")))
+    deltas
+      .groupBy(col("day"))
+      .agg(sum(col("d")).as("net"))
+      .select(
+        col("day"),
+        sum(col("net"))
+          .over(Window.orderBy(col("day")))
+          .as("open_orders"))
+      .orderBy(col("open_orders").desc, col("day").asc)
+      .limit(10)
+  }
+
+  /** q159 — Spearman rank correlation between daily event volume and
+    * daily event value per event type: the monotone-association twin
+    * of q121/q125's linear statistics, robust to the heavy-tailed
+    * `value` column. Both variables collapse to the calendar-sized
+    * daily series FIRST (one exchange, map-side combine — the q153
+    * posture), then ranks are computed per type over that bounded
+    * series. Ties take AVERAGE ranks, kept exactly integral by the
+    * 2× scaling `2·rank + ties − 1` (= twice the average rank), so
+    * every moment sum below is exact 64-bit integer arithmetic —
+    * doubles appear only in the final rho, whose operand order and
+    * casts are written identically on both engines. Scaling ranks by
+    * 2 leaves Pearson-on-ranks invariant. At 100 TB: ranks are over
+    * days (calendar-bounded), never rows; the only fact-sized work
+    * is the combiner-friendly daily aggregate.
+    */
+  def q159Spearman(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"), sum(col("cents")).as("y"))
+    val byType = Window.partitionBy(col("event_type"))
+    val r = d.select(
+      col("event_type"),
+      (lit(2L) * rank().over(byType.orderBy(col("x")))
+        + count(lit(1)).over(Window.partitionBy(col("event_type"), col("x")))
+        - 1L).as("rx"),
+      (lit(2L) * rank().over(byType.orderBy(col("y")))
+        + count(lit(1)).over(Window.partitionBy(col("event_type"), col("y")))
+        - 1L).as("ry"))
+    r.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("rx")).as("sx"),
+        sum(col("ry")).as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+      .select(
+        col("event_type"),
+        col("n"),
+        round(
+          expr("""(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 | - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 | / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""
+            .stripMargin),
+          4).as("spearman_rho"))
+      .orderBy("event_type")
+  }
+
+  /** q160 — k-core decomposition (k = 3) of the customer–supplier
+    * trade graph by fixed peeling rounds: per round, drop nodes of
+    * degree < k, keep only edges whose BOTH endpoints survive,
+    * recount. The "dense-core extraction" primitive (spam/fraud ring
+    * mining, community seeding) the graph family (q90/q103/q111/
+    * q116/q127) didn't yet cover. Three fixed rounds — the q127
+    * posture: deterministic work, no convergence actions; a
+    * converged core would adopt q97's adaptive-stop machinery. Each
+    * round costs one edge-sized degree aggregate plus two semi-joins
+    * against the node-sized survivor set (data-scaled — unhinted,
+    * AQE decides; the q126 audit posture), and each round's edge set
+    * is localCheckpointed once: it feeds the next round AND its own
+    * two stat aggregates, so the checkpoint replaces three
+    * re-derivations (the q111 mandate pattern). Output is the
+    * per-round (nodes, half-edges) survival curve — mirrored edge
+    * rows, so halfedges = 2·undirected-edges, kept directed to stay
+    * in integers.
+    */
+  def q160KCore(s: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val (edges0, _, _) = tradeGraph(s, dir)
+    var e = edges0
+    val stats = (1 to 3).map { round =>
+      val keep = e
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("node"))
+      e = e
+        .join(keep.select(col("node").as("src")), "src", "left_semi")
+        .join(keep.select(col("node").as("dst")), "dst", "left_semi")
+        .localCheckpoint() // read 3×: next round + the two stat aggs
+      keep
+        .agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(e.agg(count(lit(1)).as("n_halfedges")))
+        .select(lit(round).as("round"), col("n_nodes"), col("n_halfedges"))
+    }
+    stats.reduce(_ unionAll _).orderBy("round")
+  }
+
+  /** q161 — one-pass Pearson correlation matrix over the four
+    * lineitem measures (quantity, price, discount, tax): the
+    * profiling sweep a feature-engineering pass runs before
+    * modeling. ONE aggregate computes n plus all 14 moment sums
+    * (4 sums, 4 squares, 6 cross-products) in a single scan — never
+    * 6 separate corr() passes — then the 6 pairs unpivot from that
+    * 1-row frame. Measures are scaled to exact integers (cents /
+    * basis points) and every moment accumulates in DECIMAL(38,0)
+    * (Σ price² passes 2^63 already at sf0.1; DuckDB's HUGEINT sums
+    * mirror it), so both engines feed IDENTICAL exact integers into
+    * the identically-written double formula — cross-engine drift
+    * cannot enter before the final round(4). At 100 TB: one
+    * map-side-combined scan, a 1-row result; nothing else moves.
+    */
+  def q161CorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val m = Tables
+      .lineitem(s, dir)
+      .select(
+        floor(col("l_quantity") * 100 + 0.5).cast("long").as("q"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("p"),
+        floor(col("l_discount") * 10000 + 0.5).cast("long").as("d"),
+        floor(col("l_tax") * 10000 + 0.5).cast("long").as("t"))
+    val names = Seq("q" -> "quantity", "p" -> "price", "d" -> "discount", "t" -> "tax")
+    val sums =
+      Seq(count(lit(1)).as("n")) ++
+        names.map { case (c, _) => sum(col(c).cast(dec)).as(s"s_$c") } ++
+        (for {
+          (a, i) <- names.map(_._1).zipWithIndex
+          b <- names.map(_._1).drop(i)
+        } yield sum((col(a) * col(b)).cast(dec)).as(s"s_$a$b"))
+    val agg = m.agg(sums.head, sums.tail: _*)
+    val pairs = for {
+      (a, i) <- names.zipWithIndex
+      b <- names.drop(i + 1)
+    } yield (a, b)
+    // one stack() generator over the 1-row aggregate — the 6 pairs
+    // fan out WITHOUT re-running the scan (6 union branches would)
+    def rExpr(a: String, b: String): String =
+      s"""round((CAST(n AS DOUBLE) * CAST(s_$a$b AS DOUBLE)
+         | - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+         | / sqrt((CAST(n AS DOUBLE) * CAST(s_$a$a AS DOUBLE)
+         |          - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+         |        * (CAST(n AS DOUBLE) * CAST(s_$b$b AS DOUBLE)
+         |           - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))), 4)"""
+        .stripMargin
+    val cells = pairs
+      .map { case ((a, an), (b, bn)) =>
+        // pair labels alphabetical (r is symmetric); moment keys keep
+        // their generation order (s_qp exists, s_pq doesn't)
+        val (xn, yn) = if (an <= bn) (an, bn) else (bn, an)
+        s"'$xn', '$yn', ${rExpr(a, b)}"
+      }
+      .mkString(", ")
+    agg
+      .selectExpr("n", s"stack(6, $cells) AS (x_var, y_var, pearson_r)")
+      .select(col("x_var"), col("y_var"), col("n"), col("pearson_r"))
+      .orderBy("x_var", "y_var")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_corr_matrix" -> q161CorrMatrix,
+    "q160_kcore" -> q160KCore,
+    "q159_spearman" -> q159Spearman,
+    "q158_peak_concurrency" -> q158PeakConcurrency,
     "q157_unpivot" -> q157Unpivot,
     "q156_scd2_build" -> q156Scd2Build,
     "q154_avro_roundtrip" -> q154AvroRoundtrip,
@@ -5741,6 +5943,155 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same sweep line: integer deltas, day-aggregated, calendar-sized
+    // running sum; peak rows land on start days on both engines
+    "q158_peak_concurrency" ->
+      """WITH iv AS (
+        |  SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS sd,
+        |    CAST(max(l.l_shipdate) AS DATE) AS ed
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2),
+        |del AS (
+        |  SELECT sd AS day, 1 AS d FROM iv
+        |  UNION ALL
+        |  SELECT ed + 1 AS day, -1 AS d FROM iv),
+        |net AS (
+        |  SELECT day, CAST(sum(d) AS BIGINT) AS net
+        |  FROM del GROUP BY 1)
+        |SELECT day,
+        |  CAST(sum(net) OVER (ORDER BY day) AS BIGINT) AS open_orders
+        |FROM net
+        |ORDER BY open_orders DESC, day ASC
+        |LIMIT 10""".stripMargin,
+    // identical 2x-scaled average ranks (exact integers); the rho
+    // formula is textually identical double arithmetic on both engines
+    "q159_spearman" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+        |      + count(*) OVER (PARTITION BY event_type, x) - 1 AS rx,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+        |      + count(*) OVER (PARTITION BY event_type, y) - 1 AS ry
+        |  FROM d),
+        |s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+        |    CAST(sum(rx * rx) AS BIGINT) AS sxx,
+        |    CAST(sum(ry * ry) AS BIGINT) AS syy,
+        |    CAST(sum(rx * ry) AS BIGINT) AS sxy
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+        |    AS spearman_rho
+        |FROM s ORDER BY event_type""".stripMargin,
+    // three chained peel rounds as CTEs; mirrored (directed) edge
+    // counts keep everything integer
+    "q160_kcore" ->
+      """WITH fwd AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e0 AS (SELECT src, dst FROM fwd
+        |       UNION ALL SELECT dst AS src, src AS dst FROM fwd),
+        |k1 AS (SELECT src AS node FROM e0 GROUP BY 1 HAVING count(*) >= 3),
+        |e1 AS (SELECT e0.src, e0.dst FROM e0
+        |       JOIN k1 a ON e0.src = a.node JOIN k1 b ON e0.dst = b.node),
+        |k2 AS (SELECT src AS node FROM e1 GROUP BY 1 HAVING count(*) >= 3),
+        |e2 AS (SELECT e1.src, e1.dst FROM e1
+        |       JOIN k2 a ON e1.src = a.node JOIN k2 b ON e1.dst = b.node),
+        |k3 AS (SELECT src AS node FROM e2 GROUP BY 1 HAVING count(*) >= 3),
+        |e3 AS (SELECT e2.src, e2.dst FROM e2
+        |       JOIN k3 a ON e2.src = a.node JOIN k3 b ON e2.dst = b.node)
+        |SELECT 1 AS round,
+        |  CAST((SELECT count(*) FROM k1) AS BIGINT) AS n_nodes,
+        |  CAST((SELECT count(*) FROM e1) AS BIGINT) AS n_halfedges
+        |UNION ALL SELECT 2,
+        |  CAST((SELECT count(*) FROM k2) AS BIGINT),
+        |  CAST((SELECT count(*) FROM e2) AS BIGINT)
+        |UNION ALL SELECT 3,
+        |  CAST((SELECT count(*) FROM k3) AS BIGINT),
+        |  CAST((SELECT count(*) FROM e3) AS BIGINT)
+        |ORDER BY round""".stripMargin,
+    // HUGEINT moment sums mirror the DECIMAL(38,0) accumulators; the
+    // pair formulas are textually identical double arithmetic
+    "q161_corr_matrix" ->
+      """WITH m AS (
+        |  SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+        |    CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS d,
+        |    CAST(floor(l_tax * 10000 + 0.5) AS BIGINT) AS t
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(q) AS s_q, sum(p) AS s_p, sum(d) AS s_d, sum(t) AS s_t,
+        |    sum(q * q) AS s_qq, sum(q * p) AS s_qp, sum(q * d) AS s_qd,
+        |    sum(q * t) AS s_qt, sum(p * p) AS s_pp, sum(p * d) AS s_pd,
+        |    sum(p * t) AS s_pt, sum(d * d) AS s_dd, sum(d * t) AS s_dt,
+        |    sum(t * t) AS s_tt
+        |  FROM m)
+        |SELECT 'discount' AS x_var, 'price' AS y_var, n,
+        |  round((CAST(n AS DOUBLE) * CAST(s_pd AS DOUBLE)
+        |  - CAST(s_d AS DOUBLE) * CAST(s_p AS DOUBLE))
+        |  / sqrt((CAST(n AS DOUBLE) * CAST(s_dd AS DOUBLE)
+        |           - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(s_pp AS DOUBLE)
+        |            - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))), 4)
+        |    AS pearson_r FROM s
+        |UNION ALL
+        |SELECT 'discount', 'tax', n,
+        |  round((CAST(n AS DOUBLE) * CAST(s_dt AS DOUBLE)
+        |  - CAST(s_d AS DOUBLE) * CAST(s_t AS DOUBLE))
+        |  / sqrt((CAST(n AS DOUBLE) * CAST(s_dd AS DOUBLE)
+        |           - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(s_tt AS DOUBLE)
+        |            - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE))), 4)
+        |  FROM s
+        |UNION ALL
+        |SELECT 'price', 'tax', n,
+        |  round((CAST(n AS DOUBLE) * CAST(s_pt AS DOUBLE)
+        |  - CAST(s_p AS DOUBLE) * CAST(s_t AS DOUBLE))
+        |  / sqrt((CAST(n AS DOUBLE) * CAST(s_pp AS DOUBLE)
+        |           - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(s_tt AS DOUBLE)
+        |            - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE))), 4)
+        |  FROM s
+        |UNION ALL
+        |SELECT 'discount', 'quantity', n,
+        |  round((CAST(n AS DOUBLE) * CAST(s_qd AS DOUBLE)
+        |  - CAST(s_q AS DOUBLE) * CAST(s_d AS DOUBLE))
+        |  / sqrt((CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE)
+        |           - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(s_dd AS DOUBLE)
+        |            - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))), 4)
+        |  FROM s
+        |UNION ALL
+        |SELECT 'price', 'quantity', n,
+        |  round((CAST(n AS DOUBLE) * CAST(s_qp AS DOUBLE)
+        |  - CAST(s_q AS DOUBLE) * CAST(s_p AS DOUBLE))
+        |  / sqrt((CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE)
+        |           - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(s_pp AS DOUBLE)
+        |            - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))), 4)
+        |  FROM s
+        |UNION ALL
+        |SELECT 'quantity', 'tax', n,
+        |  round((CAST(n AS DOUBLE) * CAST(s_qt AS DOUBLE)
+        |  - CAST(s_q AS DOUBLE) * CAST(s_t AS DOUBLE))
+        |  / sqrt((CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE)
+        |           - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(s_tt AS DOUBLE)
+        |            - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE))), 4)
+        |  FROM s
+        |ORDER BY x_var, y_var""".stripMargin,
     // integer on-time counts; full-fill is a count equality; one
     // division under round(4)
     // the long form computed directly: pivot->unpivot must be lossless

@@ -1768,6 +1768,69 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q158 peak concurrency: rows ranked, peak bounded by the order universe") {
+    val out = Relational.q158PeakConcurrency(spark, Sf).collect()
+    assert(out.length == 10)
+    val conc = out.map(_.getLong(1))
+    assert(conc.toSeq == conc.sortBy(-_).toSeq, "rows must be concurrency-descending")
+    assert(conc.forall(_ >= 1), "every reported day has at least one open order")
+    val ordersWithLines = Tables
+      .orders(spark, Sf)
+      .join(Tables.lineitem(spark, Sf).select(col("l_orderkey")).distinct(),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .count()
+    assert(conc.head <= ordersWithLines, "peak cannot exceed the interval count")
+  }
+
+  test("q159 Spearman: rho within [-1,1]; n matches the distinct day count") {
+    val out = Relational.q159Spearman(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9,
+        s"${r.getString(0)}: rho ${r.getDouble(2)} outside [-1,1]")
+    }
+    val days = Tables
+      .events(spark, Sf)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .distinct()
+      .groupBy("event_type")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    out.foreach(r => assert(r.getLong(1) == days(r.getString(0)),
+      s"${r.getString(0)}: n drifts from the daily series length"))
+  }
+
+  test("q160 k-core: survival curve monotone; mirrored edge counts stay even") {
+    val out = Relational.q160KCore(spark, Sf).collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val nodes = out.map(_.getLong(1))
+    val halfedges = out.map(_.getLong(2))
+    assert(nodes.zip(nodes.tail).forall { case (a, b) => b <= a },
+      "peeling can only shrink the node set")
+    assert(halfedges.zip(halfedges.tail).forall { case (a, b) => b <= a },
+      "peeling can only shrink the edge set")
+    assert(halfedges.forall(_ % 2 == 0), "mirrored edges come in pairs")
+    // every survivor of round i carries >= k incident half-edges there,
+    // so the counts must satisfy the degree-sum bound
+    out.foreach(r => assert(r.getLong(2) >= 3 * r.getLong(1) || r.getLong(1) == 0,
+      s"round ${r.getInt(0)}: degree-sum bound violated"))
+  }
+
+  test("q161 correlation matrix: 6 alphabetical pairs, r in [-1,1], shared n") {
+    val out = Relational.q161CorrMatrix(spark, Sf).collect()
+    assert(out.length == 6)
+    val pairs = out.map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.forall { case (x, y) => x < y }, "pair labels must be alphabetical")
+    assert(pairs.distinct.length == 6, "no duplicate pairs")
+    val n = Tables.lineitem(spark, Sf).count()
+    out.foreach { r =>
+      assert(r.getLong(2) == n, "every pair sees the full scan")
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9, "Pearson r outside [-1,1]")
+    }
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
