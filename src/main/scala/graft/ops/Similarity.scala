@@ -520,8 +520,12 @@ object Similarity {
     * within-cell variance — and thus quant_err — is orders of
     * magnitude smaller.
     */
-  def s8PqAdcSearch(s: SparkSession, dir: String): DataFrame = {
-    val base = pqDistances(s, dir)
+  /** PQ-reconstructed corpus `(vec_id, rec)` — each vector replaced by
+    * the concatenation of its assigned codebook entries. Shared by the
+    * pure-ADC ranking (s8) and the shortlist-refine pipeline (s17).
+    */
+  private def pqReconstructed(s: SparkSession, dir: String): DataFrame =
+    pqDistances(s, dir)
       .select(
         col("vec_id"),
         col("cents"),
@@ -538,6 +542,9 @@ object Similarity {
                 element_at(col("cents"), element_at(col("codes"), m + 1)),
                 m * PqD + 1,
                 lit(PqD)))).as("rec"))
+
+  def s8PqAdcSearch(s: SparkSession, dir: String): DataFrame = {
+    val base = pqReconstructed(s, dir)
     val queries = Tables
       .embeddings(s, dir)
       .filter(col("vec_id") < 20)
@@ -888,7 +895,57 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** s17 — two-stage shortlist-refine search (the IVFADC+refine /
+    * "re-ranking" production pattern): the CHEAP representation (PQ
+    * codes, s8's ADC distance) ranks the whole corpus and keeps a
+    * 50-deep shortlist; only those 50 rows per query fetch their FULL
+    * vector for an exact re-rank, and the final top-5 is by TRUE
+    * squared L2. This is the operator that makes lossy indexes
+    * shippable: the coarse stage's quantization error (s8's honest
+    * ~0.2 recall@5) is repaired wherever the true neighbor made the
+    * shortlist at all, at the cost of 50 full-vector reads per query
+    * instead of N.
+    *
+    * Scale: stage 1 touches only codes (corpus vectors cross no
+    * exchange — s8's shape); stage 2's full-vector fetch is a join of
+    * the QUERY-COUNT-sized shortlist (50·|Q| rows — broadcast is
+    * legitimate, it never scales with the corpus) against the vector
+    * store, reading 50·|Q| vectors total. Both stages deterministic
+    * (ADC and L2 folds bit-identical across engines, ties by vec_id),
+    * so the refined ranking is fully hash-checked; the
+    * refine-beats-ADC recall contract is pinned in the spec vs s1.
+    */
+  def s17AdcRefine(s: SparkSession, dir: String): DataFrame = {
+    val shortlistK = 50
+    val e = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = e
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("vec_id").asc)
+    val shortlist = pqReconstructed(s, dir)
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("adc", graft.functions.VectorOps.squaredDistance(col("qv"), col("rec")))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= shortlistK)
+      .select(col("q_id"), col("qv"), col("vec_id"), col("adc"), col("adc_rank"))
+    val wExact = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("vec_id").asc)
+    e.join(broadcast(shortlist), "vec_id") // shortlist is |Q|·50 rows — never corpus-scaled
+      .withColumn("d2", graft.functions.VectorOps.squaredDistance(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= 5)
+      .select(
+        col("q_id"),
+        col("vec_id").as("neighbor_id"),
+        col("rank"),
+        round(col("d2"), 6).as("l2_sq"),
+        col("adc_rank"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_adc_refine" -> s17AdcRefine,
     "s16_mmr_diversify" -> s16MmrDiversify,
     "s12_knn_classify" -> s12KnnClassify,
     "s11_ivf_trained_search" -> s11IvfTrainedSearch,
@@ -1320,6 +1377,57 @@ object Similarity {
     // Recomputes s7's codes, reconstructs each corpus vector from its
     // codebook entries, ranks by exact 64-dim squared distance to the
     // (float-exact) query — the ADC identity. Ties break on vec_id.
+    // s8's replay, shortlist widened to 50, then the exact-L2 re-rank
+    // over the fetched full vectors; both folds bit-identical
+    "s17_adc_refine" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT list(v ORDER BY vec_id) AS cents FROM e WHERE vec_id < 16),
+        |enc AS (
+        |  SELECT vec_id,
+        |    list_transform(range(0, 8), m ->
+        |      list_transform(c.cents, cv ->
+        |        list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+        |          k -> (v[m * 8 + k] - cv[m * 8 + k]) *
+        |               (v[m * 8 + k] - cv[m * 8 + k]))), (a, b) -> a + b))) AS dd
+        |  FROM e, c),
+        |codes AS (
+        |  SELECT vec_id,
+        |    list_transform(dd, d -> list_position(d, list_min(d))) AS code
+        |  FROM enc),
+        |rec AS (
+        |  SELECT vec_id,
+        |    flatten(list_transform(range(0, 8),
+        |      m -> c.cents[code[m + 1]][m * 8 + 1 : m * 8 + 8])) AS rec
+        |  FROM codes, c),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q_id, r.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        |      k -> (qv[k] - rec[k]) * (qv[k] - rec[k]))), (a, b) -> a + b) AS adc
+        |  FROM q JOIN rec r ON r.vec_id <> q_id),
+        |shortlist AS (
+        |  SELECT q_id, neighbor_id, adc,
+        |    row_number() OVER (
+        |      PARTITION BY q_id ORDER BY adc ASC, neighbor_id ASC) AS adc_rank
+        |  FROM scored QUALIFY adc_rank <= 50),
+        |refined AS (
+        |  SELECT s.q_id, s.neighbor_id, s.adc_rank,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        |      k -> (q.qv[k] - e.v[k]) * (q.qv[k] - e.v[k]))), (a, b) -> a + b)
+        |      AS d2
+        |  FROM shortlist s
+        |  JOIN e ON e.vec_id = s.neighbor_id
+        |  JOIN q ON q.q_id = s.q_id),
+        |ranked AS (
+        |  SELECT q_id, neighbor_id, d2, adc_rank,
+        |    row_number() OVER (
+        |      PARTITION BY q_id ORDER BY d2 ASC, neighbor_id ASC) AS rank
+        |  FROM refined)
+        |SELECT q_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+        |  round(d2, 6) AS l2_sq, CAST(adc_rank AS INTEGER) AS adc_rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
     "s8_pq_adc_search" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

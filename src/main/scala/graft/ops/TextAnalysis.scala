@@ -1257,7 +1257,64 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t29 — FORCAST readability per language: the one readability
+    * formula DESIGNED for unpunctuated text (forms, listings — and
+    * this corpus, which has no sentence marks), so unlike Flesch its
+    * sentence term doesn't degenerate. grade = 20 − 15·(monosyllabic
+    * share), with syllables approximated as vowel-letter groups
+    * (`[aeiouy]+`) — the standard heuristic. Everything per-doc is an
+    * INTEGER count (words, vowel groups, monosyllables); groups sum
+    * those exactly and derive every ratio from the pooled sums, so no
+    * double ever crosses an aggregation boundary — the module's
+    * summation-order rule. min/max of the per-doc grade are
+    * order-independent and safe. One scan, one combiner-friendly
+    * exchange on `lang`; the regex work is codegen'd
+    * `regexp_extract_all`/`filter`, no UDFs.
+    */
+  def t29Readability(s: SparkSession, dir: String): DataFrame = {
+    val syl = "[aeiouy]+"
+    val perDoc = Tables
+      .documents(s, dir)
+      .withColumn("t", toks)
+      .select(
+        col("lang"),
+        size(col("t")).cast("long").as("nw"),
+        size(regexp_extract_all(col("text"), lit(syl), lit(0)))
+          .cast("long")
+          .as("vg"),
+        size(filter(col("t"), w => size(regexp_extract_all(w, lit(syl), lit(0))) === 1))
+          .cast("long")
+          .as("mono"))
+      .withColumn(
+        "grade",
+        expr("CAST(20 AS DOUBLE) - CAST(15 AS DOUBLE) * CAST(mono AS DOUBLE) / CAST(nw AS DOUBLE)"))
+    perDoc
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("total_words"),
+        sum(col("vg")).as("s_vg"),
+        sum(col("mono")).as("s_mono"),
+        round(min(col("grade")), 3).as("min_grade"),
+        round(max(col("grade")), 3).as("max_grade"))
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("total_words"),
+        round(expr("CAST(s_vg AS DOUBLE) / CAST(total_words AS DOUBLE)"), 4)
+          .as("syllables_per_word"),
+        round(expr("CAST(s_mono AS DOUBLE) / CAST(total_words AS DOUBLE)"), 4)
+          .as("mono_share"),
+        round(
+          expr("CAST(20 AS DOUBLE) - CAST(15 AS DOUBLE) * CAST(s_mono AS DOUBLE) / CAST(total_words AS DOUBLE)"),
+          3).as("forcast_grade"),
+        col("min_grade"),
+        col("max_grade"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t29_readability" -> t29Readability,
     "t28_bigram_perplexity" -> t28BigramPerplexity,
     "t27_pmi_collocations" -> t27PmiCollocations,
     "t26_bm25" -> t26Bm25,
@@ -1289,6 +1346,35 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical vowel-group syllable heuristic; every ratio from
+    // pooled integer sums, grades min/max'd (order-independent)
+    "t29_readability" ->
+      """WITH pd AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |    CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS vg,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> len(regexp_extract_all(w, '[aeiouy]+')) = 1)) AS BIGINT)
+        |      AS mono
+        |  FROM documents),
+        |pg AS (
+        |  SELECT lang, nw, vg, mono,
+        |    CAST(20 AS DOUBLE) - CAST(15 AS DOUBLE) * CAST(mono AS DOUBLE)
+        |      / CAST(nw AS DOUBLE) AS grade
+        |  FROM pd)
+        |SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nw) AS BIGINT) AS total_words,
+        |  round(CAST(sum(vg) AS DOUBLE) / CAST(sum(nw) AS DOUBLE), 4)
+        |    AS syllables_per_word,
+        |  round(CAST(sum(mono) AS DOUBLE) / CAST(sum(nw) AS DOUBLE), 4)
+        |    AS mono_share,
+        |  round(CAST(20 AS DOUBLE) - CAST(15 AS DOUBLE)
+        |    * CAST(sum(mono) AS DOUBLE) / CAST(sum(nw) AS DOUBLE), 3)
+        |    AS forcast_grade,
+        |  round(min(grade), 3) AS min_grade,
+        |  round(max(grade), 3) AS max_grade
+        |FROM pg GROUP BY 1 ORDER BY lang""".stripMargin,
     // same add-one LM, same CAST-to-DOUBLE ratio, ln sums per doc
     // under round(3)
     "t28_bigram_perplexity" ->

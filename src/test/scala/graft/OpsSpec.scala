@@ -1831,6 +1831,66 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("t29 readability: pooled words match the corpus; grades stay in FORCAST range") {
+    val out = TextAnalysis.t29Readability(spark, Sf).collect()
+    val corpusTokens = Tables
+      .documents(spark, Sf)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n"))
+      .head()
+      .getLong(0)
+    assert(out.map(_.getLong(2)).sum == corpusTokens, "pooled words drift from the corpus")
+    out.foreach { r =>
+      val (pooled, lo, hi) = (r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      assert(pooled >= 5.0 - 1e-9 && pooled <= 20.0 + 1e-9,
+        s"${r.getString(0)}: grade $pooled outside [5,20] (mono share must be in [0,1])")
+      assert(lo - 1e-9 <= pooled && pooled <= hi + 1e-9,
+        s"${r.getString(0)}: pooled grade outside the per-doc envelope")
+      assert(r.getDouble(3) >= 1.0, "every corpus word has at least one vowel group")
+    }
+  }
+
+  test("s17 refine: exact-L2 recall@5 at least matches pure ADC (the refine contract)") {
+    // exact L2 ground truth, computed driver-side on the fixture vectors
+    val vecs = Tables
+      .embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val byId = vecs.toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + (a(i) - b(i)) * (a(i) - b(i)))
+    val truth: Map[Long, Set[Long]] = (0L until 20L).map { q =>
+      val qv = byId(q)
+      q -> vecs
+        .filter(_._1 != q)
+        .map { case (id, v) => (d2(qv, v), id) }
+        .sortBy(identity)
+        .take(5)
+        .map(_._2)
+        .toSet
+    }.toMap
+    def recall(rows: Array[(Long, Long)]): Double = {
+      val hits = rows.count { case (q, n) => truth(q).contains(n) }
+      hits.toDouble / (20 * 5)
+    }
+    val refined = Similarity
+      .s17AdcRefine(spark, Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adc = Similarity
+      .s8PqAdcSearch(spark, Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (rRef, rAdc) = (recall(refined), recall(adc))
+    assert(rRef >= rAdc - 1e-9,
+      s"refine recall $rRef fell below pure-ADC recall $rAdc")
+    assert(rRef >= 0.5, s"50-deep shortlist + exact re-rank should recover most of top-5 (got $rRef)")
+    refined.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length == 5, s"query $q: expected exactly 5 refined neighbors")
+    }
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
