@@ -514,6 +514,34 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one custkey exchange, found $exchanges:\n${plan.take(1500)}")
   }
 
+  test("q161 correlation matrix: the 6-pair fan-out reuses ONE lineitem scan and aggregate") {
+    // stack() over the 1-row aggregate — 6 union branches would plan 6
+    // scans and 6 full aggregates; the generator must plan exactly one
+    val plan = formatted(Relational.q161CorrMatrix(spark, Sf))
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"all 14 moments must ride one scan, saw $scans:\n${plan.take(1500)}")
+    val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs <= 2, s"one partial+final moment aggregate expected, saw $aggs")
+  }
+
+  test("q158 sweep line: deltas aggregate per day BEFORE the running-sum window") {
+    // the fact-sized delta stream must hit a hash aggregate (map-side
+    // combine) ahead of the calendar-sized window; a window directly
+    // over fact rows would be the unbounded single-partition trap
+    val df = Relational.q158PeakConcurrency(spark, Sf)
+    val plan = formatted(df)
+    val lines = plan.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("RunningWindowFunction")) match {
+      case -1 => lines.indexWhere(_.contains("Window"))
+      case i  => i
+    }
+    val aggBelow = lines.drop(winIdx).exists(_.contains("HashAggregate"))
+    assert(winIdx >= 0, s"expected a window node:\n${plan.take(1500)}")
+    assert(aggBelow, s"day aggregate must sit below the window:\n${plan.take(2000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-10 must plan as a heap, not a global sort")
+  }
+
   test("spread parallelizes derived compute beyond the single input split") {
     val parts = Tables
       .spread(Tables.documents(spark, Sf))
