@@ -5783,7 +5783,138 @@ object Relational {
       .orderBy("x_var", "y_var")
   }
 
+  /** q162 — data-driven multi-touch attribution by Markov removal
+    * effect: the conversion-probability drop when each channel is
+    * removed from the first-order journey chain — the principled
+    * alternative to q122's last-touch rule. Journeys truncate at the
+    * user's FIRST purchase; states are start → {click, error, signup,
+    * view} → conv/null. The chain solves by SIX fixed value-iteration
+    * rounds in scale-1e6 FIXED POINT (the q90 convention: every
+    * product ≤ 1e12, every `div` on non-negative operands, so both
+    * engines produce bit-identical integers — no double ever appears).
+    * All five scenarios (base + 4 removals) iterate together as one
+    * scenario-keyed frame. Scale: the ONLY fact-sized work is the
+    * journey window + transition count (one user exchange, map-side
+    * combine); the transition table is channels² ≈ 30 rows and
+    * localCheckpoints once so the 6 chained iterations never re-derive
+    * the scan. Removal monotonicity (base ≥ removed) is spec-pinned.
+    */
+  def q162RemovalEffect(s: SparkSession, dir: String): DataFrame = {
+    val scale = 1000000L
+    val channels = Seq("click", "error", "signup", "view")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val rn = Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        col("event_type"))
+      .withColumn("rn", row_number().over(w))
+    val prank = rn
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(col("rn")).as("pr"))
+    val kept = rn
+      .join(prank, Seq("user_id"), "left")
+      .filter(col("pr").isNull || col("rn") <= col("pr"))
+      .withColumn("last_rn", max(col("rn")).over(Window.partitionBy(col("user_id"))))
+    val trans = kept
+      .select(
+        col("user_id"),
+        coalesce(lag(col("event_type"), 1).over(w), lit("start")).as("f"),
+        when(col("event_type") === "purchase", lit("conv"))
+          .otherwise(col("event_type"))
+          .as("t"),
+        col("rn"),
+        col("last_rn"),
+        col("event_type"))
+      .select(col("f"), col("t"))
+      .unionAll(
+        // non-purchasers terminate into the null state
+        kept
+          .filter(col("rn") === col("last_rn") && col("event_type") =!= "purchase")
+          .select(col("event_type").as("f"), lit("null").as("t")))
+    val counts = trans.groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
+    val p = counts
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("f"))))
+      .filter(col("t") =!= "null") // null-state mass contributes v=0
+      .select(col("f"), col("t"), expr(s"(n * ${scale}L) div tot").as("pfp"))
+      .localCheckpoint() // ~30 rows, read by all 6 iteration rounds
+    val scen = (Seq("none") ++ channels).map(r => s"'$r'").mkString(", ")
+    val scenarios = s.range(1).select(explode(expr(s"array($scen)")).as("r"))
+    val states = p.select(col("f").as("state")).distinct()
+    var v = states
+      .crossJoin(scenarios)
+      .select(col("r"), col("state"), lit(0L).as("val"))
+    for (_ <- 1 to 6) {
+      v = p
+        .crossJoin(scenarios)
+        .join(
+          v.select(col("r").as("vr"), col("state").as("vs"), col("val")),
+          col("vr") === col("r") && col("vs") === col("t"),
+          "left")
+        .withColumn(
+          "vj",
+          when(col("t") === "conv", lit(scale)).otherwise(coalesce(col("val"), lit(0L))))
+        .groupBy(col("r"), col("f"))
+        .agg(sum(expr(s"(pfp * vj) div ${scale}L")).as("s"))
+        .select(
+          col("r"),
+          col("f").as("state"),
+          when(col("f") === col("r"), lit(0L)).otherwise(col("s")).as("val"))
+    }
+    val fin = v.filter(col("state") === "start").select(col("r"), col("val"))
+    val base = fin.filter(col("r") === "none").select(col("val").as("base_cvr_fp"))
+    fin
+      .filter(col("r") =!= "none")
+      .crossJoin(broadcast(base))
+      .select(
+        col("r").as("channel"),
+        col("val").as("removed_cvr_fp"),
+        col("base_cvr_fp"),
+        expr("((base_cvr_fp - val) * 10000L) div base_cvr_fp").as("removal_effect_bp"))
+      .orderBy("channel")
+  }
+
+  /** q163 — progressive tier allocation (tax-bracket arithmetic):
+    * every order's value is SPLIT across price bands — first 1 000.00
+    * into tier 1, the next 1 000.00 into tier 2, the remainder into
+    * tier 3 — and each band sums per priority. Distinct from q70's
+    * binning, which assigns whole rows to buckets: here a single row's
+    * amount straddles bands, the piecewise `least/greatest` shape every
+    * billing/royalty/tax engine runs. Pure scan-side integer
+    * arithmetic on cents + one combiner-friendly aggregate — nothing
+    * else moves at any scale. Conservation (t1+t2+t3 = total) is
+    * spec-pinned.
+    */
+  def q163TieredBilling(s: SparkSession, dir: String): DataFrame = {
+    val b1 = 100000L // 1000.00 in cents
+    val b2 = 200000L
+    Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .select(
+        col("prio"),
+        col("cents"),
+        least(col("cents"), lit(b1)).as("t1"),
+        least(greatest(col("cents") - b1, lit(0L)), lit(b1)).as("t2"),
+        greatest(col("cents") - b2, lit(0L)).as("t3"))
+      .groupBy(col("prio"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("t1")).as("tier1_cents"),
+        sum(col("t2")).as("tier2_cents"),
+        sum(col("t3")).as("tier3_cents"),
+        sum(when(col("cents") > b2, 1L).otherwise(0L)).as("n_tier3_orders"))
+      .orderBy("prio")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_tiered_billing" -> q163TieredBilling,
+    "q162_removal_effect" -> q162RemovalEffect,
     "q161_corr_matrix" -> q161CorrMatrix,
     "q160_kcore" -> q160KCore,
     "q159_spearman" -> q159Spearman,
@@ -5943,6 +6074,76 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same journeys, same scale-1e6 fixed-point chain, six unrolled
+    // value-iteration CTEs — every integer bit-identical by design
+    "q162_removal_effect" ->
+      ("""WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+        |    row_number() OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |pr AS (SELECT user_id, min(rn) AS pr FROM ev
+        |       WHERE event_type = 'purchase' GROUP BY 1),
+        |kept AS (
+        |  SELECT ev.user_id, ev.us, ev.event_id, ev.event_type, ev.rn,
+        |    max(ev.rn) OVER (PARTITION BY ev.user_id) AS last_rn
+        |  FROM ev LEFT JOIN pr USING (user_id)
+        |  WHERE pr.pr IS NULL OR ev.rn <= pr.pr),
+        |tr AS (
+        |  SELECT coalesce(lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id), 'start') AS f,
+        |    CASE WHEN event_type = 'purchase' THEN 'conv'
+        |         ELSE event_type END AS t
+        |  FROM kept
+        |  UNION ALL
+        |  SELECT event_type AS f, 'null' AS t FROM kept
+        |  WHERE rn = last_rn AND event_type <> 'purchase'),
+        |cnt AS (SELECT f, t, count(*) AS n FROM tr GROUP BY 1, 2),
+        |p AS (
+        |  SELECT f, t, pfp FROM (
+        |    SELECT f, t,
+        |      (n * 1000000) // sum(n) OVER (PARTITION BY f) AS pfp
+        |    FROM cnt) WHERE t <> 'null'),
+        |scen AS (SELECT unnest(['none','click','error','signup','view']) AS r),
+        |st AS (SELECT DISTINCT f AS state FROM p),
+        |v0 AS (SELECT r, state, CAST(0 AS BIGINT) AS val
+        |       FROM st CROSS JOIN scen),
+        |""".stripMargin +
+        (1 to 6)
+          .map { i =>
+            s"""it$i AS (
+             |  SELECT s.r, p.f AS state,
+             |    CAST(CASE WHEN p.f = s.r THEN 0 ELSE
+             |      sum((p.pfp * (CASE WHEN p.t = 'conv' THEN 1000000
+             |        ELSE coalesce(v.val, 0) END)) // 1000000)
+             |      END AS BIGINT) AS val
+             |  FROM p CROSS JOIN scen s
+             |  LEFT JOIN it${i - 1} v ON v.r = s.r AND v.state = p.t
+             |  GROUP BY s.r, p.f),
+             |""".stripMargin.replace("it0", "v0")
+          }
+          .mkString +
+        """fin AS (SELECT r, val FROM it6 WHERE state = 'start'),
+        |b AS (SELECT val AS base_cvr_fp FROM fin WHERE r = 'none')
+        |SELECT f.r AS channel, f.val AS removed_cvr_fp, b.base_cvr_fp,
+        |  CAST(((b.base_cvr_fp - f.val) * 10000) // b.base_cvr_fp
+        |    AS BIGINT) AS removal_effect_bp
+        |FROM fin f CROSS JOIN b
+        |WHERE f.r <> 'none' ORDER BY channel""".stripMargin),
+    // identical least/greatest piecewise split on integer cents
+    "q163_tiered_billing" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT prio, count(*) AS n_orders,
+        |  CAST(sum(least(cents, 100000)) AS BIGINT) AS tier1_cents,
+        |  CAST(sum(least(greatest(cents - 100000, 0), 100000)) AS BIGINT)
+        |    AS tier2_cents,
+        |  CAST(sum(greatest(cents - 200000, 0)) AS BIGINT) AS tier3_cents,
+        |  CAST(sum(CASE WHEN cents > 200000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_tier3_orders
+        |FROM o GROUP BY 1 ORDER BY prio""".stripMargin,
     // same sweep line: integer deltas, day-aggregated, calendar-sized
     // running sum; peak rows land on start days on both engines
     "q158_peak_concurrency" ->

@@ -1891,6 +1891,40 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q162 removal effect: removal can only hurt; effects bounded in basis points") {
+    val out = Relational.q162RemovalEffect(spark, Sf).collect()
+    assert(out.map(_.getString(0)).toSet == Set("click", "error", "signup", "view"))
+    out.foreach { r =>
+      val (removed, base, bp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(base > 0, "fixture journeys must convert at some rate")
+      assert(base <= 1000000L, "fixed-point probability above 1.0")
+      assert(removed >= 0 && removed <= base,
+        s"${r.getString(0)}: removing a channel increased conversion ($removed > $base)")
+      assert(bp >= 0 && bp <= 10000, s"${r.getString(0)}: effect $bp outside [0,10000]")
+    }
+  }
+
+  test("q163 tiered billing: bands conserve every cent and respect their caps") {
+    val out = Relational.q163TieredBilling(spark, Sf).collect()
+    val totals = Tables
+      .orders(spark, Sf)
+      .select(
+        col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("prio")
+      .agg(sum("cents").as("total"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    out.foreach { r =>
+      val (prio, n) = (r.getString(0), r.getLong(1))
+      val (t1, t2, t3) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(t1 + t2 + t3 == totals(prio), s"$prio: split loses cents")
+      assert(t1 <= n * 100000L && t2 <= n * 100000L, s"$prio: band exceeds its cap")
+      assert(r.getLong(5) <= n, s"$prio: more tier-3 orders than orders")
+    }
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
