@@ -1313,7 +1313,70 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** t30 — RAKE keyword-phrase extraction (Rose et al. 2010): candidate
+    * phrases are maximal stopword-free token runs (gaps-and-islands on
+    * the token stream — a NEW shape for the text family; q56/q156 use
+    * it on timelines), capped to the standard 2–4-word candidate
+    * window, scored by the classic degree/frequency word statistic and
+    * summed per phrase. Determinism: word scores are integer
+    * fixed-point (`(deg·10⁴) div freq`, non-negative), phrase scores
+    * integer sums, phrase text rebuilt from an `array_sort` of
+    * (pos, word) structs — never `collect_list` order. Top-3 per
+    * language under a (score desc, phrase) total order.
+    *
+    * Scale: tokens cross one doc-keyed exchange that BOTH windows
+    * (island id + phrase length) share via the subset rule; word
+    * stats are vocabulary-sized; candidates are ≤ 4-token rows;
+    * the per-lang top-3 prunes through WindowGroupLimit. No
+    * doc × vocab densification anywhere.
+    */
+  def t30RakePhrases(s: SparkSession, dir: String): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p0"))
+    val ns = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("lang"), posexplode(toks).as(Seq("p0", "w")))
+      .filter(!col("w").isin(FunctionWords: _*))
+      .withColumn("isl", col("p0") - row_number().over(byDoc))
+    val cand = ns
+      .withColumn("plen", count(lit(1)).over(Window.partitionBy(col("doc_id"), col("isl"))))
+      .filter(col("plen").between(2, 4))
+    val ws = cand
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+    val ph = cand
+      .join(ws, Seq("lang", "w"))
+      .withColumn("sfp", expr("(deg * 10000L) div freq"))
+      .groupBy(col("lang"), col("doc_id"), col("isl"))
+      .agg(
+        concat_ws(
+          " ",
+          transform(
+            array_sort(collect_list(struct(col("p0"), col("w")))),
+            c => c.getField("w"))).as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum(col("sfp")).as("score_fp"))
+    ph.groupBy(col("lang"), col("phrase"))
+      .agg(
+        max(col("n_words")).as("n_words"),
+        count(lit(1)).as("n_occurrences"),
+        max(col("score_fp")).as("score_fp"))
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("score_fp").desc, col("phrase").asc)))
+      .filter(col("rank") <= 3)
+      .select(
+        col("lang"),
+        col("rank"),
+        col("phrase"),
+        col("n_words"),
+        col("n_occurrences"),
+        col("score_fp"))
+      .orderBy("lang", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t30_rake_phrases" -> t30RakePhrases,
     "t29_readability" -> t29Readability,
     "t28_bigram_perplexity" -> t28BigramPerplexity,
     "t27_pmi_collocations" -> t27PmiCollocations,
@@ -1346,6 +1409,52 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // same islands, same 2-4 candidate cap, same integer fixed-point
+    // word scores; phrase text rebuilt position-ordered on both engines
+    "t30_rake_phrases" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |pos AS (
+        |  SELECT doc_id, lang, u.pos, u.w
+        |  FROM tok,
+        |    unnest([{'pos': i, 'w': t[i]} FOR i IN range(1, len(t) + 1)])
+        |      AS s(u)),
+        |ns AS (
+        |  SELECT doc_id, lang, pos, w,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM pos WHERE w NOT IN ('the', 'a')),
+        |pl AS (
+        |  SELECT doc_id, lang, isl, pos, w,
+        |    count(*) OVER (PARTITION BY doc_id, isl) AS plen
+        |  FROM ns),
+        |cand AS (SELECT * FROM pl WHERE plen BETWEEN 2 AND 4),
+        |ws AS (
+        |  SELECT lang, w, CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(plen) AS BIGINT) AS deg
+        |  FROM cand GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT cand.doc_id, cand.lang, cand.isl, cand.pos, cand.w,
+        |    (ws.deg * 10000) // ws.freq AS sfp
+        |  FROM cand JOIN ws ON ws.lang = cand.lang AND ws.w = cand.w),
+        |ph AS (
+        |  SELECT lang, doc_id, isl,
+        |    string_agg(w, ' ' ORDER BY pos) AS phrase,
+        |    CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(sfp) AS BIGINT) AS score_fp
+        |  FROM sc GROUP BY 1, 2, 3),
+        |dist AS (
+        |  SELECT lang, phrase, max(n_words) AS n_words,
+        |    CAST(count(*) AS BIGINT) AS n_occurrences,
+        |    max(score_fp) AS score_fp
+        |  FROM ph GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT lang, phrase, n_words, n_occurrences, score_fp,
+        |    row_number() OVER (
+        |      PARTITION BY lang ORDER BY score_fp DESC, phrase ASC) AS rank
+        |  FROM dist)
+        |SELECT lang, CAST(rank AS INTEGER) AS rank, phrase, n_words,
+        |  n_occurrences, score_fp
+        |FROM rk WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
     // identical vowel-group syllable heuristic; every ratio from
     // pooled integer sums, grades min/max'd (order-independent)
     "t29_readability" ->

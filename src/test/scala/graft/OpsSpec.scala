@@ -1925,6 +1925,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("t30 RAKE: phrases are stopword-free runs inside the candidate cap") {
+    val out = TextAnalysis.t30RakePhrases(spark, Sf).collect()
+    val langs = out.map(_.getString(0)).distinct
+    langs.foreach { l =>
+      assert(out.filter(_.getString(0) == l).map(_.getInt(1)).toSeq == Seq(1, 2, 3),
+        s"$l: expected ranks 1..3")
+    }
+    out.foreach { r =>
+      val words = r.getString(2).split(" ")
+      assert(words.length == r.getLong(3), "n_words must match the phrase text")
+      assert(r.getLong(3) >= 2 && r.getLong(3) <= 4, "candidate cap violated")
+      assert(!words.exists(TextAnalysis.FunctionWords.contains),
+        s"stopword leaked into phrase '${r.getString(2)}'")
+      assert(r.getLong(5) > 0, "phrase score must be positive")
+      assert(r.getLong(4) >= 1)
+    }
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
