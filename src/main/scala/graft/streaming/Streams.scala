@@ -1581,7 +1581,76 @@ object Streams {
     * this file is gated by the StreamsSpec parity pins — see the
     * module scaladoc).
     */
+  /** q164 — stream-stream INTERVAL JOIN run to completion under the
+    * oracle (streaming gate #3, joining the CDC/state gate q148 and
+    * the windowed-agg gate q155): the real events fixture feeds ONE
+    * file stream split into two filtered branches — clicks and
+    * purchases — that SELF-join on user with the purchase bound to a
+    * 30-minute window after the click, exactly the
+    * [[clickAttribution]] operator. The feed arrives as two
+    * time-ordered half files (`maxFilesPerTrigger=1`, so the join's
+    * cross-micro-batch state retention is genuinely exercised: file-1
+    * clicks must still match file-2 purchases out of the state
+    * store). REPLAY watermark: 45 days — wider than the fixture's
+    * 30-day horizon — so completeness is deterministic no matter how
+    * the file source orders the halves; the production 10-minute
+    * eviction contract is pinned separately
+    * (StreamBatchParitySpec's as-of/attribution twins). Pairs land
+    * executor-side per micro-batch (q148's foreachBatch parquet
+    * pattern — never a driver memory sink); the batch tail rolls
+    * them up and DuckDB independently recomputes the whole join.
+    */
+  def q164StreamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.ops.Tables
+      .events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"), col("value"))
+    // deterministic midpoint split into two time-ordered feed files
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val root = java.nio.file.Files.createTempDirectory("graft-q164").toFile
+    val feed = new java.io.File(root, "feed")
+    val out = new java.io.File(root, "out")
+    val ckpt = new java.io.File(root, "ckpt")
+    ev.filter(col("ts") < lit(cut)).coalesce(1).write.mode("append").parquet(feed.getAbsolutePath)
+    ev.filter(col("ts") >= lit(cut)).coalesce(1).write.mode("append").parquet(feed.getAbsolutePath)
+
+    val raw = s.readStream
+      .schema("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed.getAbsolutePath)
+    val pairs = clickAttribution(
+      clicks = raw.filter(col("event_type") === "click"),
+      purchases = raw.filter(col("event_type") === "purchase"),
+      watermarkDelay = "45 days",
+      attributionWindow = "30 minutes",
+      joinType = "inner")
+    val q = pairs.writeStream
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(out.getAbsolutePath)
+      }
+      .start()
+    q.awaitTermination()
+
+    // batch tail: purchase value re-attaches by id (clickAttribution's
+    // contract emits ids + timestamps only), then the bucket rollup
+    val cents = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    s.read
+      .parquet(out.getAbsolutePath)
+      .join(cents, "purchase_id")
+      .groupBy((col("user_id") % 10L).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("purchase_id")).as("n_purchases"),
+        sum(col("cents")).as("cents_total"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_stream_interval_join" -> q164StreamIntervalJoin,
     "q155_stream_window_agg" -> q155StreamWindowAgg,
     "q148_stream_cdc_latest" -> q148StreamCdcLatest)
 
@@ -1590,6 +1659,25 @@ object Streams {
     * final state.
     */
   val oracles: Map[String, String] = Map(
+    // the whole stream-stream interval join recomputed relationally:
+    // same user key, same inclusive 30-minute bound, same bucket rollup
+    "q164_stream_interval_join" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, ts AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id, ts AS pts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |pr AS (
+        |  SELECT c.user_id, p.purchase_id, c.click_id, p.cents
+        |  FROM c JOIN p ON p.user_id = c.user_id
+        |    AND p.pts >= c.cts
+        |    AND p.pts <= c.cts + INTERVAL 30 MINUTE)
+        |SELECT user_id % 10 AS bucket, count(*) AS n_pairs,
+        |  CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+        |  CAST(sum(cents) AS BIGINT) AS cents_total
+        |FROM pr GROUP BY 1 ORDER BY bucket""".stripMargin,
     // every event in exactly one hour window; exact integer cents
     "q155_stream_window_agg" ->
       """WITH e AS (
