@@ -944,7 +944,87 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** s18 — IVF index PERSISTENCE and serving (the build/serve split
+    * every production vector store runs): s10's trained centroids and
+    * the corpus cell assignments are WRITTEN to parquet as two
+    * id-only tables — centroids posexploded to scalar (cell, dim,
+    * val) rows, assignments as (vec_id, cell); a fresh reader then
+    * reconstructs the index and serves s11's exact search against it,
+    * re-fetching candidate VECTORS from the base table by id (the
+    * index never stores vectors twice — the production layout). The
+    * served top-5 must equal the in-memory s11 ranking bit-for-bit —
+    * quantized-integer doubles round-trip parquet losslessly — so the
+    * oracle IS s11's SQL. At scale: the assignment table is the only
+    * corpus-sized artifact (2 longs/row), centroids are K·dim rows,
+    * and serving reads `nprobe/K` of the corpus via the cell join.
+    */
+  def s18IvfPersist(s: SparkSession, dir: String): DataFrame = {
+    val (_, cents) = kmeansRounds(s, dir)
+    val ints = quantized(s, dir)
+    val scored = ints
+      .crossJoin(broadcast(cents))
+      .select(
+        col("vec_id"),
+        col("cell"),
+        graft.functions.VectorOps
+          .squaredDistance(col("v"), col("c"))
+          .cast("long")
+          .as("d2"))
+    val asg = scored
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"))
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s18-ivf").toFile
+    tmp.deleteOnExit()
+    val centPath = new java.io.File(tmp, "centroids").getAbsolutePath
+    val asgPath = new java.io.File(tmp, "assignments").getAbsolutePath
+    cents
+      .select(col("cell"), posexplode(col("c")).as(Seq("dim", "val")))
+      .write
+      .mode("overwrite")
+      .parquet(centPath)
+    asg.write.mode("overwrite").parquet(asgPath)
+
+    // ---- serve path: ONLY the loaded index + the base vector table ----
+    val loadedCents = s.read
+      .parquet(centPath)
+      .groupBy(col("cell"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("val")))), c =>
+          c.getField("val")).as("c"))
+    val loadedAsg = s.read.parquet(asgPath)
+    val byQ = Window.partitionBy(col("q_id")).orderBy(col("d2c").asc, col("cell").asc)
+    val qp = ints
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .crossJoin(broadcast(loadedCents))
+      .withColumn(
+        "d2c",
+        graft.functions.VectorOps.squaredDistance(col("qv"), col("c")).cast("long"))
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("qv"), col("cell"))
+    val byRank = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("vec_id").asc)
+    qp.join(loadedAsg, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(ints, "vec_id") // candidate vectors re-fetched from the base table
+      .select(
+        col("q_id"),
+        col("vec_id"),
+        graft.functions.VectorOps
+          .squaredDistance(col("qv"), col("v"))
+          .cast("long")
+          .as("d2"))
+      .distinct()
+      .withColumn("rank", row_number().over(byRank))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("d2"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_ivf_persist" -> s18IvfPersist,
     "s17_adc_refine" -> s17AdcRefine,
     "s16_mmr_diversify" -> s16MmrDiversify,
     "s12_knn_classify" -> s12KnnClassify,
@@ -1240,6 +1320,9 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the persisted-and-reloaded index must serve s11's exact ranking
+    // (lossless integer-double round-trip), so the oracle IS s11's SQL
+    "s18_ivf_persist" -> s11OracleSql,
     // the same fixed-4 greedy unrolled as chained CTEs: per step an
     // anti-membership filter, a max-penalty aggregate against the
     // selected set, and a (score desc, vec_id) argmax; 0.7/0.3 double

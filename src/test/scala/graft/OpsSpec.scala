@@ -1943,6 +1943,15 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("s18 persisted index serves exactly the in-memory s11 ranking") {
+    val served = Similarity.s18IvfPersist(spark, Sf).collect().map(_.toSeq)
+    val inMem = Similarity.s11IvfTrainedSearch(spark, Sf).collect().map(_.toSeq)
+    assert(served.length == inMem.length, "served ranking lost or invented rows")
+    served.zip(inMem).foreach { case (a, b) =>
+      assert(a == b, s"round-trip drift: served $a vs in-memory $b")
+    }
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
