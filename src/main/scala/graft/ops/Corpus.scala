@@ -671,7 +671,44 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** p15 — reproducible dataset MANIFEST per source: the content
+    * identity a training run records so "which data did we train on"
+    * has a checkable answer. Per source: doc/distinct-fingerprint
+    * counts, char mass, the lexicographic fingerprint range, and an
+    * ORDER-INSENSITIVE content checksum — each doc contributes a
+    * polynomial hash of its md5's first 8 hex chars reduced mod
+    * 1e9+7, and the shard checksum is the plain sum, so any
+    * permutation (or re-partitioning) of the same docs produces the
+    * same manifest while any content change moves it. All integer
+    * arithmetic: ascii·131^i ≤ 7e16 per doc, reduced before summing
+    * (the q79 overflow rule; a 1e12-doc shard would lift the sum to
+    * the module's decimal convention). One scan, one
+    * combiner-friendly source exchange.
+    */
+  def p15ShardManifest(s: SparkSession, dir: String): DataFrame = {
+    val M = 1000000007L
+    Tables
+      .documents(s, dir)
+      .select(col("source"), col("n_chars"), md5(col("text")).as("fp"))
+      .withColumn(
+        "h",
+        expr(s"""aggregate(
+               |  transform(split(substring(fp, 1, 8), ''),
+               |            (c, i) -> ascii(c) * CAST(pow(131, i) AS BIGINT)),
+               |  0L, (a, x) -> a + x) % ${M}L""".stripMargin))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct_fp"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("h")).as("content_checksum"),
+        min(col("fp")).as("min_fp"),
+        max(col("fp")).as("max_fp"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p15_shard_manifest" -> p15ShardManifest,
     "p14_token_waterfill" -> p14TokenWaterfill,
     "p13_contamination_report" -> p13ContaminationReport,
     "p12_epoch_shuffle" -> p12EpochShuffle,
@@ -689,6 +726,24 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    // same per-doc polynomial over the md5 prefix (1-based comprehension
+    // index shifted to match Spark's 0-based transform), plain sums
+    "p15_shard_manifest" ->
+      """WITH d AS (
+        |  SELECT source, n_chars, md5(text) AS fp,
+        |    string_split(substr(md5(text), 1, 8), '') AS cs
+        |  FROM documents),
+        |h AS (
+        |  SELECT source, n_chars, fp,
+        |    list_sum([ascii(cs[i]) * CAST(pow(131, i - 1) AS BIGINT)
+        |              FOR i IN range(1, 9)]) % 1000000007 AS h
+        |  FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(h) AS BIGINT) AS content_checksum,
+        |  min(fp) AS min_fp, max(fp) AS max_fp
+        |FROM h GROUP BY 1 ORDER BY source""".stripMargin,
     // d7's 8-gram overlap construction rolled up per source; rates in
     // integer basis points
     // identical closed-form waterfill: ratio-ascending window, integer

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column operators: image/audio/video as opaque `binary`
@@ -624,11 +625,64 @@ object Multimodal {
       .orderBy("source")
   }
 
+  /** m13 — voice-activity segmentation for audio-shaped media: frames
+    * classify as active/silent under m7's energy convention
+    * (active ⇔ energy ≥ 92·frame_len), consecutive active frames
+    * merge into segments via gaps-and-islands, and segments shorter
+    * than 2 frames drop (the min-duration debounce every VAD
+    * applies). Complements m8: scene cuts find BOUNDARIES on energy
+    * jumps; this extracts the active REGIONS against an absolute
+    * threshold — the speech-mining primitive that decides which audio
+    * spans are worth transcribing. Same scale posture as m8: decode
+    * once per payload (stub codec behind the [[Codec.Provider]]
+    * seam), only 16-byte (doc, energy) frame rows cross the one
+    * doc-keyed exchange both windows share, per-doc stats collapse
+    * before output.
+    */
+  def m13VadSegments(
+      s: SparkSession,
+      dir: String,
+      codecs: Codec.Provider = Codec.Stub): DataFrame = {
+    import s.implicits._
+    val thr = 92L * 200L
+    val ds = media(s, dir).select(col("doc_id"), col("payload")).as[AudioRow]
+    val energies = ds.mapPartitions { rows =>
+      val dec = codecs.openAudioAnalyzer(frameLen = 200, silenceMeanByte = 92)
+      rows.map(r => FrameEnergies(r.doc_id, dec.frameEnergies(r.payload)))
+    }.toDF()
+    val fr = energies.select(col("doc_id"), posexplode(col("energies")).as(Seq("i0", "e")))
+    val tot = fr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+    val seg = fr
+      .filter(col("e") >= thr)
+      .withColumn(
+        "isl",
+        col("i0") - row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("i0"))))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(count(lit(1)).as("len"))
+      .filter(col("len") >= 2)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(col("len")).as("active_frames"),
+        max(col("len")).as("longest_segment"))
+    tot
+      .join(seg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_frames"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("active_frames"), lit(0L)).as("active_frames"),
+        coalesce(col("longest_segment"), lit(0L)).as("longest_segment"))
+      .withColumn("speech_bp", expr("(active_frames * 10000L) div n_frames"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m11_modality_coverage" -> m11ModalityCoverage,
     "m10_aspect_buckets" -> m10AspectBuckets,
     "m9_chunk_dedup_ratio" -> m9ChunkDedupRatio,
     "m12_chunk_gc" -> m12ChunkGc,
+    "m13_vad_segments" -> ((s, d) => m13VadSegments(s, d)),
     "m8_scene_cuts" -> ((s, d) => m8SceneCuts(s, d)),
     "m7_audio_frames" -> ((s, d) => m7AudioFrames(s, d)),
     "m6_perceptual_neardup" -> m6PerceptualNearDup,
@@ -695,6 +749,44 @@ object Multimodal {
         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
     // m7's framing replayed, then the same lag/running-sum scene
     // segmentation in window functions; all exact integers.
+    // same framing, same absolute threshold, same 2-frame debounce
+    "m13_vad_segments" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)
+        |      AS bytes,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, nb + 1, 200),
+        |      s -> list_sum(bytes[s : least(s + 199, nb)])) AS energies
+        |  FROM m),
+        |fr AS (
+        |  SELECT doc_id, i, energies[i] AS e
+        |  FROM f, LATERAL (SELECT unnest(range(1, len(energies) + 1)) AS i)),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames
+        |        FROM fr GROUP BY 1),
+        |act AS (
+        |  SELECT doc_id, i,
+        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+        |  FROM fr WHERE e >= 18400),
+        |seg AS (
+        |  SELECT doc_id, isl, count(*) AS len
+        |  FROM act GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+        |    CAST(sum(len) AS BIGINT) AS active_frames,
+        |    CAST(max(len) AS BIGINT) AS longest_segment
+        |  FROM seg GROUP BY 1)
+        |SELECT t.doc_id, t.n_frames,
+        |  coalesce(sg.n_segments, 0) AS n_segments,
+        |  coalesce(sg.active_frames, 0) AS active_frames,
+        |  coalesce(sg.longest_segment, 0) AS longest_segment,
+        |  CAST((coalesce(sg.active_frames, 0) * 10000) // t.n_frames
+        |    AS BIGINT) AS speech_bp
+        |FROM tot t LEFT JOIN sg USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "m8_scene_cuts" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -5912,7 +5912,105 @@ object Relational {
       .orderBy("prio")
   }
 
+  /** q165 — percent-of-parent hierarchical shares: every nation's
+    * revenue as basis points of its REGION and of the WORLD — the
+    * "% of parent" measure every OLAP front-end derives, as one
+    * dimension-sized window pass. The fact side collapses to (region,
+    * nation, cents) FIRST (q03's star-join machinery: dims broadcast,
+    * one combiner-friendly aggregate); shares then cross-multiply in
+    * integers over the 25-row rollup — `(cents·10⁴) div parent` on
+    * non-negative longs, exact on both engines. At 100 TB nothing
+    * after the first aggregate exceeds dimension size.
+    */
+  def q165PctOfParent(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables
+      .lineitem(s, dir)
+      .select(col("l_orderkey"), floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("c"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(
+        broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(
+        broadcast(Tables.nation(s, dir).select(
+          col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(
+        broadcast(Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(sum(col("c")).as("cents"))
+    cents
+      .select(
+        col("region"),
+        col("nation"),
+        col("cents"),
+        sum(col("cents")).over(Window.partitionBy(col("region"))).as("rc"),
+        sum(col("cents")).over(Window.partitionBy()).as("tc"))
+      .select(
+        col("region"),
+        col("nation"),
+        col("cents"),
+        expr("(cents * 10000L) div rc").as("pct_of_region_bp"),
+        expr("(cents * 10000L) div tc").as("pct_of_total_bp"))
+      .orderBy("region", "nation")
+  }
+
+  /** q166 — referential-integrity conformance audit: for each FK edge
+    * of the star schema, orphaned child rows (FK with no parent) and
+    * parent coverage (parents actually referenced) — the data-quality
+    * sweep every warehouse load gate runs. Each edge is one left-anti
+    * orphan count plus one distinct-FK/semi-join coverage pair; all
+    * four edges union into a single conformance table with
+    * basis-point rates by integer division. At scale each edge costs
+    * a key-only shuffle (or broadcast for dimension parents); child
+    * payloads never move. A healthy fixture reports zero orphans —
+    * the coverage columns carry the data-dependent signal the hash
+    * gate pins.
+    */
+  def q166FkOrphans(s: SparkSession, dir: String): DataFrame = {
+    def edge(
+        name: String,
+        child: DataFrame,
+        fk: String,
+        parent: DataFrame,
+        pk: String): DataFrame = {
+      val c = child.select(col(fk).as("fk"))
+      val p = parent.select(col(pk).as("pk"))
+      val nChild = c.agg(count(lit(1)).as("n_child"))
+      val nOrphan = c
+        .join(p, col("fk") === col("pk"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val nParent = p.agg(count(lit(1)).as("n_parents"))
+      val nRef = p
+        .join(c.distinct(), col("pk") === col("fk"), "left_semi")
+        .agg(count(lit(1)).as("n_referenced"))
+      nChild
+        .crossJoin(nOrphan)
+        .crossJoin(nParent)
+        .crossJoin(nRef)
+        .select(
+          lit(name).as("fk_edge"),
+          col("n_child"),
+          col("n_orphans"),
+          expr("(n_orphans * 10000L) div n_child").as("orphan_bp"),
+          col("n_parents"),
+          col("n_referenced"),
+          expr("(n_referenced * 10000L) div n_parents").as("coverage_bp"))
+    }
+    val li = Tables.lineitem(s, dir)
+    Seq(
+      edge("lineitem.orderkey", li, "l_orderkey", Tables.orders(s, dir), "o_orderkey"),
+      edge("lineitem.partkey", li, "l_partkey", Tables.part(s, dir), "p_partkey"),
+      edge("lineitem.suppkey", li, "l_suppkey", Tables.supplier(s, dir), "s_suppkey"),
+      edge("orders.custkey", Tables.orders(s, dir), "o_custkey", Tables.customer(s, dir), "c_custkey"))
+      .reduce(_ unionAll _)
+      .orderBy("fk_edge")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_fk_orphans" -> q166FkOrphans,
+    "q165_pct_of_parent" -> q165PctOfParent,
     "q163_tiered_billing" -> q163TieredBilling,
     "q162_removal_effect" -> q162RemovalEffect,
     "q161_corr_matrix" -> q161CorrMatrix,
@@ -6074,6 +6172,75 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same star rollup; shares cross-multiply in integers
+    "q165_pct_of_parent" ->
+      """WITH c AS (
+        |  SELECT r.r_name AS region, n.n_name AS nation,
+        |    CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer cu ON o.o_custkey = cu.c_custkey
+        |  JOIN nation n ON cu.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT region, nation, cents,
+        |  CAST((cents * 10000) // sum(cents) OVER (PARTITION BY region)
+        |    AS BIGINT) AS pct_of_region_bp,
+        |  CAST((cents * 10000) // sum(cents) OVER ()
+        |    AS BIGINT) AS pct_of_total_bp
+        |FROM c ORDER BY region, nation""".stripMargin,
+    // four anti-join/semi-join audits, integer basis points
+    "q166_fk_orphans" ->
+      """WITH e1 AS (
+        |  SELECT 'lineitem.orderkey' AS fk_edge,
+        |    (SELECT count(*) FROM lineitem) AS n_child,
+        |    (SELECT count(*) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                       WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+        |    (SELECT count(*) FROM orders) AS n_parents,
+        |    (SELECT count(*) FROM orders o
+        |     WHERE EXISTS (SELECT 1 FROM lineitem l
+        |                   WHERE l.l_orderkey = o.o_orderkey)) AS n_referenced),
+        |e2 AS (
+        |  SELECT 'lineitem.partkey',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM part p
+        |                       WHERE p.p_partkey = l.l_partkey)),
+        |    (SELECT count(*) FROM part),
+        |    (SELECT count(*) FROM part p
+        |     WHERE EXISTS (SELECT 1 FROM lineitem l
+        |                   WHERE l.l_partkey = p.p_partkey))),
+        |e3 AS (
+        |  SELECT 'lineitem.suppkey',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM supplier s
+        |                       WHERE s.s_suppkey = l.l_suppkey)),
+        |    (SELECT count(*) FROM supplier),
+        |    (SELECT count(*) FROM supplier s
+        |     WHERE EXISTS (SELECT 1 FROM lineitem l
+        |                   WHERE l.l_suppkey = s.s_suppkey))),
+        |e4 AS (
+        |  SELECT 'orders.custkey',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = o.o_custkey)),
+        |    (SELECT count(*) FROM customer),
+        |    (SELECT count(*) FROM customer c
+        |     WHERE EXISTS (SELECT 1 FROM orders o
+        |                   WHERE o.o_custkey = c.c_custkey))),
+        |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+        |      UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4)
+        |SELECT fk_edge, CAST(n_child AS BIGINT) AS n_child,
+        |  CAST(n_orphans AS BIGINT) AS n_orphans,
+        |  CAST((n_orphans * 10000) // n_child AS BIGINT) AS orphan_bp,
+        |  CAST(n_parents AS BIGINT) AS n_parents,
+        |  CAST(n_referenced AS BIGINT) AS n_referenced,
+        |  CAST((n_referenced * 10000) // n_parents AS BIGINT) AS coverage_bp
+        |FROM u ORDER BY fk_edge""".stripMargin,
     // same journeys, same scale-1e6 fixed-point chain, six unrolled
     // value-iteration CTEs — every integer bit-identical by design
     "q162_removal_effect" ->

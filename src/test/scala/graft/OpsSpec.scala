@@ -1952,6 +1952,64 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q165 percent-of-parent: floor shares sum to just under the whole") {
+    val out = Relational.q165PctOfParent(spark, Sf).collect()
+    val byRegion = out.groupBy(_.getString(0))
+    byRegion.foreach { case (region, rows) =>
+      val s = rows.map(_.getLong(3)).sum
+      assert(s <= 10000 && s > 10000 - rows.length,
+        s"$region: region shares sum $s outside the floor-division envelope")
+    }
+    val totalShare = out.map(_.getLong(4)).sum
+    assert(totalShare <= 10000 && totalShare > 10000 - out.length,
+      s"world shares sum $totalShare outside the floor-division envelope")
+  }
+
+  test("q166 FK audit: the star schema is conformant; coverage well-formed") {
+    val out = Relational.q166FkOrphans(spark, Sf).collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.getLong(2) == 0, s"${r.getString(0)}: fixture should have no orphans")
+      assert(r.getLong(3) == 0)
+      assert(r.getLong(5) <= r.getLong(4), s"${r.getString(0)}: referenced > parents")
+      assert(r.getLong(6) >= 0 && r.getLong(6) <= 10000)
+    }
+  }
+
+  test("m13 VAD: segment accounting consistent with the debounce") {
+    val out = Multimodal.m13VadSegments(spark, Sf).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val (nf, ns, af, ls) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(af <= nf, "more active frames than frames")
+      assert(ls <= af, "longest segment exceeds active mass")
+      assert(ns * 2 <= af || ns == 0, "a kept segment has at least 2 frames")
+      assert(r.getLong(5) <= 10000)
+    }
+  }
+
+  test("p15 manifest: checksum is order-insensitive and matches a driver replay") {
+    val out = Corpus.p15ShardManifest(spark, Sf).collect()
+    val docs = Tables
+      .documents(spark, Sf)
+      .select(col("source"), md5(col("text")).as("fp"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def polyHash(fp: String): Long =
+      fp.take(8).zipWithIndex.map { case (c, i) =>
+        c.toLong * math.pow(131, i).toLong
+      }.sum % 1000000007L
+    val expect = docs
+      .groupBy(_._1)
+      .map { case (src, rows) => src -> rows.map(r => polyHash(r._2)).sum }
+    out.foreach { r =>
+      assert(r.getLong(4) == expect(r.getString(0)),
+        s"${r.getString(0)}: checksum drifts from the driver-side replay")
+      assert(r.getLong(2) <= r.getLong(1), "distinct fingerprints exceed docs")
+      assert(r.getString(5) <= r.getString(6), "fingerprint range inverted")
+    }
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
