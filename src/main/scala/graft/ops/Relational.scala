@@ -6008,7 +6008,48 @@ object Relational {
       .orderBy("fk_edge")
   }
 
+  /** q167 — CUSUM sequential drift detector per experiment arm: the
+    * classic Page (1954) cumulative-sum chart over the daily
+    * conversion stream, watching for the purchase share drifting
+    * above its 1-in-5 reference. Each day contributes the integer
+    * increment `5·conv − trials` (zero-mean at the reference rate);
+    * the one-sided CUSUM S_t = max(0, S_{t−1} + x_t) evaluates in
+    * CLOSED FORM as `cum − min(0, running-min(cum))` — two window
+    * passes over the calendar-sized daily series, no recursion, no
+    * doubles anywhere (unlike ln-based SPRT, the 5× integer
+    * reference makes the whole chart exact, so the alarm
+    * threshold compare cannot knife-edge across engines).
+    * Complements q115 (retrospective global changepoint) and q134
+    * (rolling z-anomaly): CUSUM is the ONLINE detector with bounded
+    * memory. Scale: one combiner-friendly (variant, day) aggregate
+    * is the only fact-sized work; both windows ride one variant
+    * exchange (subset rule).
+    */
+  def q167CusumDrift(s: SparkSession, dir: String): DataFrame = {
+    val byV = Window.partitionBy(col("variant")).orderBy(col("day"))
+    Tables
+      .events(s, dir)
+      .select(
+        (col("user_id") % 2L).as("variant"),
+        to_date(col("ts")).as("day"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("isconv"))
+      .groupBy(col("variant"), col("day"))
+      .agg(count(lit(1)).as("trials"), sum(col("isconv")).as("conv"))
+      .withColumn("cum", sum(col("conv") * 5L - col("trials")).over(byV))
+      .withColumn("runmin", least(min(col("cum")).over(byV), lit(0L)))
+      .withColumn("cusum", col("cum") - col("runmin"))
+      .select(
+        col("variant"),
+        col("day"),
+        col("trials"),
+        col("conv"),
+        col("cusum"),
+        (col("cusum") >= 20L).as("alarm"))
+      .orderBy("variant", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_cusum_drift" -> q167CusumDrift,
     "q166_fk_orphans" -> q166FkOrphans,
     "q165_pct_of_parent" -> q165PctOfParent,
     "q163_tiered_billing" -> q163TieredBilling,
@@ -6172,6 +6213,29 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical integer CUSUM closed form; boolean alarm cannot
+    // knife-edge because the chart is exact
+    "q167_cusum_drift" ->
+      """WITH d AS (
+        |  SELECT user_id % 2 AS variant, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS trials,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS conv
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT variant, day, trials, conv,
+        |    CAST(sum(conv * 5 - trials) OVER (
+        |      PARTITION BY variant ORDER BY day) AS BIGINT) AS cum
+        |  FROM d),
+        |m AS (
+        |  SELECT variant, day, trials, conv, cum,
+        |    least(CAST(min(cum) OVER (
+        |      PARTITION BY variant ORDER BY day) AS BIGINT), 0) AS runmin
+        |  FROM c)
+        |SELECT variant, day, trials, conv,
+        |  CAST(cum - runmin AS BIGINT) AS cusum,
+        |  (cum - runmin) >= 20 AS alarm
+        |FROM m ORDER BY variant, day""".stripMargin,
     // same star rollup; shares cross-multiply in integers
     "q165_pct_of_parent" ->
       """WITH c AS (

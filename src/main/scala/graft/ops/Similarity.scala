@@ -1023,7 +1023,75 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** s19 — FILTERED vector search (attribute-constrained ANN): s3's
+    * IVF probe with a metadata predicate — neighbors must share the
+    * query's `label` — pushed INTO the candidate scan. This is the
+    * production-critical variant every vector store ships
+    * (tenant/language/recency filters): post-filtering an unfiltered
+    * top-k silently starves queries whose matches are rare in the
+    * top-k, so the filter must apply BEFORE ranking, inside the
+    * probed cells — exactly what the label equi-condition on the
+    * cell join does here. Deterministic end-to-end (s3's centroids,
+    * ties by vec_id), so the filtered ranking itself is
+    * hash-checked; queries whose probed cells hold fewer than 5
+    * same-label neighbors return short — the honest contract, pinned
+    * in the spec. At 100 TB the label predicate rides the same cell
+    * partition (or a (cell, label) sub-partition) and prunes
+    * candidate I/O, never recall-after-the-fact.
+    */
+  def s19FilteredSearch(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val nprobe = 4
+    val all = vecs(s, dir)
+      .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")), "vec_id")
+    val centroids = all
+      .filter(pmod(col("vec_id"), lit(125)) === 0)
+      .withColumn("cell", (col("vec_id") / 125).cast("int"))
+      .filter(col("cell") < k)
+      .select(col("cell"), col("v").as("cv"), col("norm").as("cnorm"))
+    val byVec = Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val assigned = all
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+      .withColumn("crn", row_number().over(byVec))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("norm"), col("label"), col("cell"))
+    val queries = all
+      .filter(col("vec_id") < 20)
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+      .withColumn("crn", row_number().over(byVec))
+      .filter(col("crn") <= nprobe)
+      .select(
+        col("vec_id").as("q_id"),
+        col("v").as("qv"),
+        col("norm").as("qnorm"),
+        col("label").as("q_label"),
+        col("cell").as("qcell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    assigned
+      // the filter is part of the join condition — candidates prune
+      // BEFORE scoring, the pre-filtered (not post-filtered) contract
+      .join(
+        broadcast(queries),
+        col("cell") === col("qcell") && col("label") === col("q_label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(
+        col("q_id"),
+        col("vec_id").as("neighbor_id"),
+        col("q_label").as("label"),
+        col("rank"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_filtered_search" -> s19FilteredSearch,
     "s18_ivf_persist" -> s18IvfPersist,
     "s17_adc_refine" -> s17AdcRefine,
     "s16_mmr_diversify" -> s16MmrDiversify,
@@ -1320,6 +1388,43 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // s3's replay with the label predicate inside the candidate join
+    "s19_filtered_search" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, label,
+        |        sqrt(list_inner_product(v, v)) AS norm FROM e),
+        |cent AS (
+        |  SELECT CAST(vec_id // 125 AS INTEGER) AS cell, v AS cv,
+        |    norm AS cnorm
+        |  FROM n WHERE vec_id % 125 = 0 AND vec_id // 125 < 16),
+        |assign0 AS (
+        |  SELECT n.vec_id, n.label, c.cell,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_inner_product(n.v, c.cv) / (n.norm * c.cnorm)
+        |        DESC, c.cell ASC) AS crn
+        |  FROM n, cent c),
+        |assigned AS (
+        |  SELECT vec_id, label, cell FROM assign0 WHERE crn = 1),
+        |qprobe AS (
+        |  SELECT vec_id AS q_id, label AS q_label, cell
+        |  FROM assign0 WHERE vec_id < 20 AND crn <= 4),
+        |scored AS (
+        |  SELECT q.q_id, a.vec_id AS neighbor_id, q.q_label,
+        |    list_inner_product(qn.v, an.v) / (qn.norm * an.norm) AS cos,
+        |    row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY list_inner_product(qn.v, an.v) / (qn.norm * an.norm)
+        |        DESC, a.vec_id ASC) AS rank
+        |  FROM qprobe q
+        |  JOIN assigned a ON q.cell = a.cell AND a.label = q.q_label
+        |  JOIN n qn ON q.q_id = qn.vec_id
+        |  JOIN n an ON a.vec_id = an.vec_id
+        |  WHERE a.vec_id <> q.q_id)
+        |SELECT q_id, neighbor_id, q_label AS label,
+        |  CAST(rank AS INTEGER) AS rank, round(cos, 4) AS cosine
+        |FROM scored WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
     // the persisted-and-reloaded index must serve s11's exact ranking
     // (lossless integer-double round-trip), so the oracle IS s11's SQL
     "s18_ivf_persist" -> s11OracleSql,

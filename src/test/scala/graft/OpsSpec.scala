@@ -2010,6 +2010,45 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("s19 filtered search: every neighbor shares the query's label; ranks contiguous") {
+    val labels = Tables
+      .embeddings(spark, Sf)
+      .select(col("vec_id"), col("label"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    val out = Similarity.s19FilteredSearch(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getInt(2) == labels(r.getLong(0)), "emitted label must be the query's")
+      assert(labels(r.getLong(1)) == labels(r.getLong(0)),
+        s"neighbor ${r.getLong(1)} violates the label filter for query ${r.getLong(0)}")
+    }
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val ranks = rows.map(_.getInt(3)).sorted.toSeq
+      assert(ranks == (1 to ranks.length), s"query $q: ranks not contiguous: $ranks")
+    }
+  }
+
+  test("q167 CUSUM: chart non-negative, zero exactly at running-min contact") {
+    val out = Relational.q167CusumDrift(spark, Sf).collect()
+    assert(out.map(_.getLong(0)).distinct.sorted.toSeq == Seq(0L, 1L))
+    out.foreach { r =>
+      assert(r.getLong(4) >= 0, "CUSUM must be non-negative by construction")
+      assert(r.getBoolean(5) == (r.getLong(4) >= 20), "alarm contradicts the chart")
+      assert(r.getLong(3) <= r.getLong(2), "more conversions than trials")
+    }
+    // replay the recursion driver-side: S_t = max(0, S_{t-1} + x_t)
+    out.groupBy(_.getLong(0)).foreach { case (v, rows) =>
+      var st = 0L
+      rows.sortBy(_.getDate(1).toString).foreach { r =>
+        st = math.max(0L, st + (5L * r.getLong(3) - r.getLong(2)))
+        assert(st == r.getLong(4),
+          s"variant $v day ${r.getDate(1)}: closed form $st != ${r.getLong(4)}")
+      }
+    }
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
