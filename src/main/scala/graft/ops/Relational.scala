@@ -6048,7 +6048,91 @@ object Relational {
       .orderBy("variant", "day")
   }
 
+  /** q168 — Kaplan–Meier survival estimator for user churn with
+    * right-censoring: duration = days between a user's first and last
+    * event; a user still active within 7 days of the observation
+    * horizon is CENSORED (we never saw them churn) and leaves the
+    * risk set without an event — the estimator the retention family
+    * (q52/q130) approximates with fixed windows, done properly. The
+    * survival curve is the product Π(1 − dᵢ/nᵢ) over event times,
+    * computed as exp of the running ln-sum — the one place doubles
+    * enter, ordered identically on both engines and rounded at 4;
+    * `ln(0)` at a final full-churn step degrades to exactly 0 on
+    * both. Scale: one user rollup (combiner-friendly), then
+    * everything lives on the ≤31-row duration table; at-risk counts
+    * come from a reverse running sum, never a per-t rescan.
+    */
+  def q168KaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables
+      .events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("fd"), max(col("day")).as("ld"))
+    val horizon = users.agg(max(col("ld")).as("hz"))
+    val obs = users
+      .crossJoin(broadcast(horizon))
+      .select(
+        datediff(col("ld"), col("fd")).cast("long").as("t"),
+        (datediff(col("hz"), col("ld")) > 7).cast("long").as("churned"))
+    val byT = obs
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("leaving"), sum(col("churned")).as("d"))
+    // n_at_risk(t) = users with duration >= t: reverse running sum
+    val wDesc = Window.orderBy(col("t").desc)
+    val wAsc = Window.orderBy(col("t").asc)
+    byT
+      .withColumn("n", sum(col("leaving")).over(wDesc))
+      .withColumn(
+        "lnf",
+        expr("ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE))"))
+      .withColumn("survival", round(exp(sum(col("lnf")).over(wAsc)), 4))
+      .select(
+        col("t").as("t_days"),
+        col("n").as("n_at_risk"),
+        col("d").as("d_churned"),
+        col("leaving").as("n_leaving"),
+        col("survival"))
+      .orderBy("t_days")
+  }
+
+  /** q169 — order↔line monetary reconciliation: does the order header
+    * total agree with the sum of its line extended prices? The
+    * close-of-books audit every finance pipeline runs. All cents
+    * exact integers; the header/lines diff distribution (over/under/
+    * exact counts, bounds, net drift) rolls up per priority. TPC-H
+    * headers include tax/discount so the fixture reports systematic
+    * non-zero drift — the data-dependent signal the hash pins. One
+    * line-side aggregate + one header join, both on orderkey; at
+    * scale this is a single co-keyed exchange.
+    */
+  def q169Reconciliation(s: SparkSession, dir: String): DataFrame = {
+    val lines = Tables
+      .lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("line_cents"))
+    Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("hdr_cents"))
+      .join(lines, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("diff", col("hdr_cents") - col("line_cents"))
+      .groupBy(col("prio"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("diff") === 0L, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("diff") > 0L, 1L).otherwise(0L)).as("n_over"),
+        sum(when(col("diff") < 0L, 1L).otherwise(0L)).as("n_under"),
+        min(col("diff")).as("min_diff"),
+        max(col("diff")).as("max_diff"),
+        sum(col("diff")).as("net_drift_cents"))
+      .orderBy("prio")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_reconciliation" -> q169Reconciliation,
+    "q168_kaplan_meier" -> q168KaplanMeier,
     "q167_cusum_drift" -> q167CusumDrift,
     "q166_fk_orphans" -> q166FkOrphans,
     "q165_pct_of_parent" -> q165PctOfParent,
@@ -6213,6 +6297,55 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical KM product via ordered ln-sum; reverse running sum
+    // for the risk set
+    "q168_kaplan_meier" ->
+      """WITH u AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS fd,
+        |    max(CAST(ts AS DATE)) AS ld
+        |  FROM events GROUP BY 1),
+        |hz AS (SELECT max(ld) AS hz FROM u),
+        |obs AS (
+        |  SELECT CAST(date_diff('day', fd, ld) AS BIGINT) AS t,
+        |    CASE WHEN date_diff('day', ld, hz.hz) > 7 THEN 1 ELSE 0 END
+        |      AS churned
+        |  FROM u, hz),
+        |byt AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS leaving,
+        |    CAST(sum(churned) AS BIGINT) AS d
+        |  FROM obs GROUP BY 1),
+        |risk AS (
+        |  SELECT t, leaving, d,
+        |    CAST(sum(leaving) OVER (ORDER BY t DESC) AS BIGINT) AS n
+        |  FROM byt),
+        |lnf AS (
+        |  SELECT t, n, d, leaving,
+        |    ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE)) AS lnf
+        |  FROM risk)
+        |SELECT t AS t_days, n AS n_at_risk, d AS d_churned,
+        |  leaving AS n_leaving,
+        |  round(exp(sum(lnf) OVER (ORDER BY t ASC)), 4) AS survival
+        |FROM lnf ORDER BY t_days""".stripMargin,
+    // exact integer cents on both sides of the reconciliation
+    "q169_reconciliation" ->
+      """WITH l AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS line_cents
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT o.o_orderpriority AS prio,
+        |    CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+        |      - l.line_cents AS diff
+        |  FROM orders o JOIN l ON o.o_orderkey = l.l_orderkey)
+        |SELECT prio, count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN diff = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+        |  CAST(sum(CASE WHEN diff < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_under,
+        |  CAST(min(diff) AS BIGINT) AS min_diff,
+        |  CAST(max(diff) AS BIGINT) AS max_diff,
+        |  CAST(sum(diff) AS BIGINT) AS net_drift_cents
+        |FROM j GROUP BY 1 ORDER BY prio""".stripMargin,
     // identical integer CUSUM closed form; boolean alarm cannot
     // knife-edge because the chart is exact
     "q167_cusum_drift" ->

@@ -1090,7 +1090,71 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** s20 — classification evaluation report: s12's kNN auto-labeler
+    * rolled into the per-class precision / recall / F1 table (the
+    * sklearn `classification_report` shape) — the eval artifact that
+    * decides whether machine labels are good enough to train on,
+    * joining the retrieval-eval harnesses (s14/s15 recall) on the
+    * classification side. Everything integer: per-class tp/fp/fn by
+    * conditional aggregation, metrics as basis points by
+    * cross-multiplied floor division, F1 as the bp-level harmonic
+    * mean `2·p·r div (p+r)`, −1 sentinel where a class was never
+    * predicted (0/0 has no defensible value and NULL semantics
+    * differ). Scale: the report is classes² bounded — two
+    * conditional aggregates over the prediction stream, label-sized
+    * joins.
+    */
+  def s20ClassifyEval(s: SparkSession, dir: String): DataFrame = {
+    val preds = s12KnnClassify(s, dir).select(col("true_label"), col("pred_label"))
+    val classes = preds
+      .select(col("true_label").as("cls"))
+      .unionAll(preds.select(col("pred_label").as("cls")))
+      .distinct()
+    val byTrue = preds
+      .groupBy(col("true_label").as("cls"))
+      .agg(
+        count(lit(1)).as("support"),
+        sum(when(col("true_label") === col("pred_label"), 1L).otherwise(0L)).as("tp"))
+    val byPred = preds
+      .groupBy(col("pred_label").as("cls"))
+      .agg(count(lit(1)).as("predicted"))
+    classes
+      .join(byTrue, Seq("cls"), "left")
+      .join(byPred, Seq("cls"), "left")
+      .select(
+        col("cls").as("label"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("predicted"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
+        (coalesce(col("support"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fn"),
+        coalesce(col("predicted"), lit(0L)).as("predicted"))
+      .withColumn(
+        "precision_bp",
+        when(col("predicted") > 0L, expr("(tp * 10000L) div predicted")).otherwise(lit(-1L)))
+      .withColumn(
+        "recall_bp",
+        when(col("support") > 0L, expr("(tp * 10000L) div support")).otherwise(lit(-1L)))
+      .withColumn(
+        "f1_bp",
+        when(
+          col("precision_bp") >= 0L && col("recall_bp") >= 0L &&
+            col("precision_bp") + col("recall_bp") > 0L,
+          expr("(2 * precision_bp * recall_bp) div (precision_bp + recall_bp)"))
+          .otherwise(lit(-1L)))
+      .select(
+        col("label"),
+        col("support"),
+        col("tp"),
+        col("fp"),
+        col("fn"),
+        col("precision_bp"),
+        col("recall_bp"),
+        col("f1_bp"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_classify_eval" -> s20ClassifyEval,
     "s19_filtered_search" -> s19FilteredSearch,
     "s18_ivf_persist" -> s18IvfPersist,
     "s17_adc_refine" -> s17AdcRefine,
@@ -1388,6 +1452,69 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // s12's prediction replay + the integer classification report
+    "s20_classify_eval" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |        sqrt(list_inner_product(v, v)) AS norm FROM e),
+        |q AS (SELECT vec_id AS q_id, label AS true_label, v AS qv,
+        |        norm AS qn FROM n WHERE vec_id < 20),
+        |c AS (SELECT * FROM n WHERE vec_id >= 20),
+        |sc AS (
+        |  SELECT q.q_id, q.true_label, c.vec_id, c.label,
+        |    list_inner_product(q.qv, c.v) / (q.qn * c.norm) AS cos
+        |  FROM q, c),
+        |tk AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rk FROM sc)
+        |  WHERE rk <= 9),
+        |v AS (
+        |  SELECT q_id, true_label, label, count(*) AS n_votes
+        |  FROM tk GROUP BY 1, 2, 3),
+        |preds AS (
+        |  SELECT q_id, true_label, label AS pred_label
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |          ORDER BY n_votes DESC, label ASC) AS vr FROM v)
+        |  WHERE vr = 1),
+        |cls AS (
+        |  SELECT DISTINCT true_label AS cls FROM preds
+        |  UNION SELECT DISTINCT pred_label FROM preds),
+        |bt AS (
+        |  SELECT true_label AS cls, CAST(count(*) AS BIGINT) AS support,
+        |    CAST(sum(CASE WHEN true_label = pred_label THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS tp
+        |  FROM preds GROUP BY 1),
+        |bp AS (
+        |  SELECT pred_label AS cls, CAST(count(*) AS BIGINT) AS predicted
+        |  FROM preds GROUP BY 1),
+        |r AS (
+        |  SELECT cls.cls AS label,
+        |    coalesce(bt.support, 0) AS support,
+        |    coalesce(bt.tp, 0) AS tp,
+        |    coalesce(bp.predicted, 0) - coalesce(bt.tp, 0) AS fp,
+        |    coalesce(bt.support, 0) - coalesce(bt.tp, 0) AS fn,
+        |    coalesce(bp.predicted, 0) AS predicted
+        |  FROM cls LEFT JOIN bt ON cls.cls = bt.cls
+        |  LEFT JOIN bp ON cls.cls = bp.cls),
+        |m AS (
+        |  SELECT label, support, tp, fp, fn,
+        |    CASE WHEN predicted > 0 THEN (tp * 10000) // predicted
+        |         ELSE -1 END AS precision_bp,
+        |    CASE WHEN support > 0 THEN (tp * 10000) // support
+        |         ELSE -1 END AS recall_bp
+        |  FROM r)
+        |SELECT label, CAST(support AS BIGINT) AS support,
+        |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CAST(fn AS BIGINT) AS fn,
+        |  CAST(precision_bp AS BIGINT) AS precision_bp,
+        |  CAST(recall_bp AS BIGINT) AS recall_bp,
+        |  CAST(CASE WHEN precision_bp >= 0 AND recall_bp >= 0
+        |              AND precision_bp + recall_bp > 0
+        |       THEN (2 * precision_bp * recall_bp) // (precision_bp + recall_bp)
+        |       ELSE -1 END AS BIGINT) AS f1_bp
+        |FROM m ORDER BY label""".stripMargin,
     // s3's replay with the label predicate inside the candidate join
     "s19_filtered_search" ->
       """WITH e AS (

@@ -2049,6 +2049,47 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q168 Kaplan-Meier: curve monotone in [0,1]; risk set accounts for everyone") {
+    val out = Relational.q168KaplanMeier(spark, Sf).collect()
+    val nUsers = Tables.events(spark, Sf).select("user_id").distinct().count()
+    assert(out.map(_.getLong(3)).sum == nUsers, "leaving counts must partition users")
+    assert(out.head.getLong(1) == nUsers, "everyone is at risk at the first event time")
+    val surv = out.map(_.getDouble(4))
+    assert(surv.forall(v => v >= 0.0 && v <= 1.0))
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a + 1e-9 },
+      "survival must be non-increasing")
+    val risk = out.map(_.getLong(1))
+    assert(risk.zip(risk.tail).forall { case (a, b) => b <= a },
+      "risk set can only shrink over time")
+  }
+
+  test("q169 reconciliation: sign counts partition orders; drift bounded by extremes") {
+    Relational.q169Reconciliation(spark, Sf).collect().foreach { r =>
+      val n = r.getLong(1)
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) == n,
+        s"${r.getString(0)}: exact/over/under must partition orders")
+      assert(r.getLong(5) <= r.getLong(6), "min diff above max diff")
+      assert(r.getLong(7) >= r.getLong(5) * n && r.getLong(7) <= r.getLong(6) * n,
+        s"${r.getString(0)}: net drift outside the per-order envelope")
+    }
+  }
+
+  test("s20 classification report: counts reconcile; F1 is the bp harmonic mean") {
+    val out = Similarity.s20ClassifyEval(spark, Sf).collect()
+    assert(out.map(_.getLong(1)).sum == 20, "support must sum to the query count")
+    out.foreach { r =>
+      val (sup, tp, fp, fn) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(tp <= sup && tp + fn == sup, "per-class accounting broken")
+      assert(fp >= 0 && fn >= 0)
+      val (p, rec, f1) = (r.getLong(5), r.getLong(6), r.getLong(7))
+      Seq(p, rec, f1).foreach(v => assert(v == -1 || (v >= 0 && v <= 10000)))
+      if (p >= 0 && rec >= 0 && p + rec > 0) {
+        assert(f1 <= math.max(p, rec) && f1 >= math.min(p, rec) - 1,
+          s"label ${r.getInt(0)}: F1 $f1 outside the harmonic-mean envelope [$p, $rec]")
+      }
+    }
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
