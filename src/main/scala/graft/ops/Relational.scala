@@ -6130,7 +6130,47 @@ object Relational {
       .orderBy("prio")
   }
 
+  /** q170 — incremental top-k maintenance (ranking IVM, completing
+    * the q100/q101 join/agg IVM family): a stored per-priority top-5
+    * leaderboard (orders before 2000-01-01) absorbs an insert batch
+    * (orders after) by merging the STORED k rows with the delta's own
+    * top-k and re-ranking — never rescanning the base table. Sound
+    * for insert-only streams: a post-merge winner must come from the
+    * old top-k or the delta. The ORACLE computes the leaderboard
+    * from scratch over all orders, so the hash equality IS the proof
+    * that incremental == full refresh. Per refresh at scale: the
+    * delta top-k is the only fact-sized work (one combiner-friendly
+    * rank per group); the merge touches 2k rows per group.
+    */
+  def q170TopkIvm(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = "2000-01-01"
+    val o = Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderpriority").as("prio"),
+        col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+        to_date(col("o_orderdate")).as("d"))
+    val wp = Window
+      .partitionBy(col("prio"))
+      .orderBy(col("cents").desc, col("o_orderkey").asc)
+    def topk(side: DataFrame, origin: String): DataFrame =
+      side
+        .withColumn("rn", row_number().over(wp))
+        .filter(col("rn") <= 5)
+        .select(col("prio"), col("o_orderkey"), col("cents"), lit(origin).as("origin"))
+    val stored = topk(o.filter(col("d") < lit(cutoff).cast("date")), "base")
+    val deltaTop = topk(o.filter(col("d") >= lit(cutoff).cast("date")), "delta")
+    stored
+      .unionAll(deltaTop)
+      .withColumn("rank", row_number().over(wp))
+      .filter(col("rank") <= 5)
+      .select(col("prio"), col("rank"), col("o_orderkey"), col("cents"), col("origin"))
+      .orderBy("prio", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_topk_ivm" -> q170TopkIvm,
     "q169_reconciliation" -> q169Reconciliation,
     "q168_kaplan_meier" -> q168KaplanMeier,
     "q167_cusum_drift" -> q167CusumDrift,
@@ -6297,6 +6337,23 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // FULL refresh from scratch — hash equality proves the Spark
+    // side's incremental merge reproduces it exactly
+    "q170_topk_ivm" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS prio, o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    CASE WHEN CAST(o_orderdate AS DATE) < DATE '2000-01-01'
+        |         THEN 'base' ELSE 'delta' END AS origin
+        |  FROM orders),
+        |r AS (
+        |  SELECT prio, o_orderkey, cents, origin,
+        |    row_number() OVER (PARTITION BY prio
+        |      ORDER BY cents DESC, o_orderkey ASC) AS rank
+        |  FROM o)
+        |SELECT prio, CAST(rank AS INTEGER) AS rank, o_orderkey, cents, origin
+        |FROM r WHERE rank <= 5
+        |ORDER BY prio, rank""".stripMargin,
     // identical KM product via ordered ln-sum; reverse running sum
     // for the risk set
     "q168_kaplan_meier" ->

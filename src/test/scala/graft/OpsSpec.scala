@@ -2090,6 +2090,32 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q170 top-k IVM: merge of stored + delta equals the from-scratch leaderboard") {
+    val out = Relational.q170TopkIvm(spark, Sf).collect()
+    // from-scratch driver replay over all orders
+    val full = Tables
+      .orders(spark, Sf)
+      .select(
+        col("o_orderpriority").as("prio"),
+        col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .collect()
+      .groupBy(_.getString(0))
+      .toSeq
+      .flatMap { case (prio, rows) =>
+        rows
+          .map(r => (r.getLong(1), r.getLong(2)))
+          .sortBy { case (k, c) => (-c, k) }
+          .take(5)
+          .zipWithIndex
+          .map { case ((k, c), i) => (prio, i + 1, k, c) }
+      }
+      .toSet
+    assert(out.map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet == full,
+      "incremental maintenance diverges from the full refresh")
+    out.foreach(r => assert(Set("base", "delta").contains(r.getString(4))))
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
