@@ -677,7 +677,42 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** m14 — modality-ratio training-batch composition: the multimodal
+    * dataloader's batch planner. Rows of each modality take a
+    * deterministic per-modality sequence number and fold into 4-slot
+    * batches at the 2:1:1 target ratio (2 jpeg, 1 png, 1 webp per
+    * batch) by integer division — no shuffle of payloads, no driver
+    * loop; the batch id IS arithmetic on the sequence number. The
+    * composition report (per-batch modality counts, byte mass,
+    * ratio-complete flag) is what the training job validates before
+    * an epoch; tail batches where a modality exhausted report
+    * `ratio_complete = false` honestly. Scale: one narrow
+    * (doc_id, format, nbytes) projection crosses a format-keyed
+    * window exchange; payload bytes never move.
+    */
+  def m14BatchCompose(s: SparkSession, dir: String): DataFrame = {
+    val wf = Window.partitionBy(col("format")).orderBy(col("doc_id"))
+    media(s, dir)
+      .select(col("doc_id"), col("format"), length(col("payload")).cast("long").as("nb"))
+      .withColumn("rn", row_number().over(wf))
+      .withColumn(
+        "batch_id",
+        expr("CAST((rn - 1) div (CASE format WHEN 'jpeg' THEN 2 ELSE 1 END) AS BIGINT)"))
+      .groupBy(col("batch_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("format") === "jpeg", 1L).otherwise(0L)).as("n_jpeg"),
+        sum(when(col("format") === "png", 1L).otherwise(0L)).as("n_png"),
+        sum(when(col("format") === "webp", 1L).otherwise(0L)).as("n_webp"),
+        sum(col("nb")).as("total_bytes"))
+      .withColumn(
+        "ratio_complete",
+        col("n_jpeg") === 2L && col("n_png") === 1L && col("n_webp") === 1L)
+      .orderBy("batch_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m14_batch_compose" -> m14BatchCompose,
     "m11_modality_coverage" -> m11ModalityCoverage,
     "m10_aspect_buckets" -> m10AspectBuckets,
     "m9_chunk_dedup_ratio" -> m9ChunkDedupRatio,
@@ -749,6 +784,37 @@ object Multimodal {
         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
     // m7's framing replayed, then the same lag/running-sum scene
     // segmentation in window functions; all exact integers.
+    // same doc_id-derived formats, same per-modality sequence + integer
+    // batch fold
+    "m14_batch_compose" ->
+      """WITH med AS (
+        |  SELECT doc_id,
+        |    ['jpeg', 'png', 'webp'][CAST(doc_id % 3 AS INTEGER) + 1]
+        |      AS format,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |  FROM documents),
+        |sl AS (
+        |  SELECT format, nb,
+        |    row_number() OVER (PARTITION BY format ORDER BY doc_id) AS rn
+        |  FROM med),
+        |b AS (
+        |  SELECT format, nb,
+        |    CAST((rn - 1) // (CASE format WHEN 'jpeg' THEN 2 ELSE 1 END)
+        |         AS BIGINT) AS batch_id
+        |  FROM sl)
+        |SELECT batch_id, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN format = 'jpeg' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_jpeg,
+        |  CAST(sum(CASE WHEN format = 'png' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_png,
+        |  CAST(sum(CASE WHEN format = 'webp' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_webp,
+        |  CAST(sum(nb) AS BIGINT) AS total_bytes,
+        |  (sum(CASE WHEN format = 'jpeg' THEN 1 ELSE 0 END) = 2
+        |   AND sum(CASE WHEN format = 'png' THEN 1 ELSE 0 END) = 1
+        |   AND sum(CASE WHEN format = 'webp' THEN 1 ELSE 0 END) = 1)
+        |    AS ratio_complete
+        |FROM b GROUP BY 1 ORDER BY batch_id""".stripMargin,
     // same framing, same absolute threshold, same 2-frame debounce
     "m13_vad_segments" ->
       """WITH m AS (

@@ -2116,6 +2116,25 @@ class OpsSpec extends SparkSpec {
     out.foreach(r => assert(Set("base", "delta").contains(r.getString(4))))
   }
 
+  test("m14 batch composition: every row lands in exactly one batch; full batches lead") {
+    val out = Multimodal.m14BatchCompose(spark, Sf).collect()
+    val nDocs = Tables.documents(spark, Sf).count()
+    assert(out.map(_.getLong(1)).sum == nDocs, "rows must partition into batches")
+    out.foreach { r =>
+      assert(r.getLong(2) <= 2 && r.getLong(3) <= 1 && r.getLong(4) <= 1,
+        s"batch ${r.getLong(0)}: quota exceeded")
+      assert(r.getBoolean(6) ==
+        (r.getLong(2) == 2 && r.getLong(3) == 1 && r.getLong(4) == 1))
+    }
+    // ratio-complete batches form a prefix: once any modality is
+    // exhausted it can never recover
+    val flags = out.sortBy(_.getLong(0)).map(_.getBoolean(6))
+    val firstIncomplete = flags.indexOf(false)
+    if (firstIncomplete >= 0)
+      assert(!flags.drop(firstIncomplete).contains(true),
+        "a complete batch appeared after a modality ran dry")
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet

@@ -542,6 +542,22 @@ class PlanSpec extends SparkSpec {
       "top-10 must plan as a heap, not a global sort")
   }
 
+  test("s19 filtered search: query set broadcasts; per-query top-5 prunes via WindowGroupLimit") {
+    val plan = formatted(Similarity.s19FilteredSearch(spark, Sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the query-count-sized probe side must broadcast:\n${plan.take(1500)}")
+    assert(plan.contains("WindowGroupLimit"),
+      "rank<=5 must prune per partition before the window sort")
+  }
+
+  test("q165 percent-of-parent: all three dimensions broadcast; one fact aggregate") {
+    val plan = formatted(Relational.q165PctOfParent(spark, Sf))
+    val bcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bcasts >= 3,
+      s"customer/nation/region should all broadcast-join, saw $bcasts:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("spread parallelizes derived compute beyond the single input split") {
     val parts = Tables
       .spread(Tables.documents(spark, Sf))
