@@ -711,7 +711,55 @@ object Multimodal {
       .orderBy("batch_id")
   }
 
+  /** m15 — cross-modal retrieval plumbing: a TEXT query searches the
+    * EMBEDDING-space corpus (the CLIP-style text→image lookup). The
+    * text encoder is — per the module's codec convention — a
+    * deterministic stand-in (per-dimension sums of the portable
+    * polynomial word hash mod a dimension-varying base), so the
+    * retrieval semantics are arbitrary-but-exact and the ENTIRE
+    * pipeline shape is real and hash-checked: in-engine query
+    * encoding as one scan-side expression (no UDF, no driver
+    * encode), the query-count-sized encoded set broadcast against
+    * the vector corpus, cosine ranking with per-partition top-k
+    * pruning. Swapping the real dual encoder in changes the
+    * expression, not the plan. At 100 TB: corpus vectors never
+    * shuffle; the only exchange carries (q, vec, cos) rows to the
+    * ranking window.
+    */
+  def m15CrossmodalRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val enc =
+      """transform(sequence(1, 64), j ->
+        |  CAST(aggregate(split(text, ' '), 0L, (acc, w) ->
+        |    acc + ((aggregate(
+        |      transform(split(substring(w, 1, 8), ''),
+        |                (c, i) -> ascii(c) * CAST(pow(131, i) AS BIGINT)),
+        |      0L, (a, x) -> a + x) % 1000000007) % (700 + j))) AS DOUBLE))"""
+        .stripMargin
+    val queries = Tables
+      .documents(s, dir)
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id").as("q_doc_id"), expr(enc).as("qv"))
+      .withColumn("qnorm", sqrt(Similarity.dot(col("qv"), col("qv"))))
+    val corpus = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val w = Window
+      .partitionBy(col("q_doc_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    corpus
+      .crossJoin(broadcast(queries))
+      .withColumn(
+        "cos",
+        Similarity.dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_doc_id"), col("rank"), col("vec_id"), round(col("cos"), 4).as("cosine"))
+      .orderBy("q_doc_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m15_crossmodal_retrieval" -> m15CrossmodalRetrieval,
     "m14_batch_compose" -> m14BatchCompose,
     "m11_modality_coverage" -> m11ModalityCoverage,
     "m10_aspect_buckets" -> m10AspectBuckets,
@@ -784,6 +832,37 @@ object Multimodal {
         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
     // m7's framing replayed, then the same lag/running-sum scene
     // segmentation in window functions; all exact integers.
+    // same deterministic text encoder (comprehension index shifted to
+    // Spark's 0-based transform), same cosine fold
+    "m15_crossmodal_retrieval" ->
+      """WITH q AS (
+        |  SELECT doc_id AS q_doc_id,
+        |    [CAST(list_sum([
+        |       ((list_sum([ascii(string_split(substr(w, 1, 8), '')[i])
+        |                   * CAST(pow(131, i - 1) AS BIGINT)
+        |                   FOR i IN range(1,
+        |                     len(string_split(substr(w, 1, 8), '')) + 1)])
+        |         % 1000000007) % (700 + j))
+        |       FOR w IN string_split(text, ' ')]) AS DOUBLE)
+        |     FOR j IN range(1, 65)] AS qv
+        |  FROM documents WHERE doc_id < 10),
+        |n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings),
+        |sc AS (
+        |  SELECT q.q_doc_id, n.vec_id,
+        |    list_inner_product(q.qv, n.v) /
+        |      (sqrt(list_inner_product(q.qv, q.qv))
+        |       * sqrt(list_inner_product(n.v, n.v))) AS cos
+        |  FROM q, n),
+        |rk AS (
+        |  SELECT q_doc_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_doc_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rank
+        |  FROM sc)
+        |SELECT q_doc_id, CAST(rank AS INTEGER) AS rank, vec_id,
+        |  round(cos, 4) AS cosine
+        |FROM rk WHERE rank <= 3
+        |ORDER BY q_doc_id, rank""".stripMargin,
     // same doc_id-derived formats, same per-modality sequence + integer
     // batch fold
     "m14_batch_compose" ->

@@ -6169,7 +6169,51 @@ object Relational {
       .orderBy("prio", "rank")
   }
 
+  /** q171 — hashing-trick collision audit: the featurizer every
+    * large-scale linear/GBM pipeline runs (hash words into 4096
+    * feature buckets) plus the audit that decides whether the hash
+    * width is large enough — distinct words vs occupied buckets,
+    * collision rate, and the heaviest bucket's vocabulary load, per
+    * language. The hash is the repo's portable polynomial
+    * (ascii·131^i over the first 8 chars, mod 1e9+7 — p15's
+    * convention) reduced mod 4096, so both engines bucket every word
+    * identically. One token exchange builds the (lang, word) vocab;
+    * everything after is vocabulary-sized. At 100 TB the audit costs
+    * one distinct-aggregate pass — far cheaper than discovering
+    * collisions from a degraded model.
+    */
+  def q171FeatureHashing(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables
+      .documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+      .withColumn(
+        "bucket",
+        expr("""(aggregate(
+               |  transform(split(substring(w, 1, 8), ''),
+               |            (c, i) -> ascii(c) * CAST(pow(131, i) AS BIGINT)),
+               |  0L, (a, x) -> a + x) % 1000000007) % 4096""".stripMargin))
+    val perBucket = vocab
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("load"))
+    perBucket
+      .groupBy(col("lang"))
+      .agg(
+        sum(col("load")).as("n_distinct_words"),
+        count(lit(1)).as("n_buckets_used"),
+        max(col("load")).as("max_bucket_load"))
+      .select(
+        col("lang"),
+        col("n_distinct_words"),
+        col("n_buckets_used"),
+        expr("((n_distinct_words - n_buckets_used) * 10000L) div n_distinct_words")
+          .as("collision_rate_bp"),
+        col("max_bucket_load"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_feature_hashing" -> q171FeatureHashing,
     "q170_topk_ivm" -> q170TopkIvm,
     "q169_reconciliation" -> q169Reconciliation,
     "q168_kaplan_meier" -> q168KaplanMeier,
@@ -6337,6 +6381,30 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical polynomial bucket hash (1-based comprehension shifted
+    // to Spark's 0-based transform); audit over the bucketed vocab
+    "q171_feature_hashing" ->
+      """WITH v AS (
+        |  SELECT DISTINCT lang, w FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS w
+        |    FROM documents)),
+        |b AS (
+        |  SELECT lang, w,
+        |    (list_sum([ascii(string_split(substr(w, 1, 8), '')[i])
+        |               * CAST(pow(131, i - 1) AS BIGINT)
+        |               FOR i IN range(1, len(string_split(substr(w, 1, 8), '')) + 1)])
+        |     % 1000000007) % 4096 AS bucket
+        |  FROM v),
+        |pb AS (
+        |  SELECT lang, bucket, CAST(count(*) AS BIGINT) AS load
+        |  FROM b GROUP BY 1, 2)
+        |SELECT lang,
+        |  CAST(sum(load) AS BIGINT) AS n_distinct_words,
+        |  CAST(count(*) AS BIGINT) AS n_buckets_used,
+        |  CAST(((sum(load) - count(*)) * 10000) // sum(load) AS BIGINT)
+        |    AS collision_rate_bp,
+        |  CAST(max(load) AS BIGINT) AS max_bucket_load
+        |FROM pb GROUP BY 1 ORDER BY lang""".stripMargin,
     // FULL refresh from scratch — hash equality proves the Spark
     // side's incremental merge reproduces it exactly
     "q170_topk_ivm" ->

@@ -2135,6 +2135,32 @@ class OpsSpec extends SparkSpec {
         "a complete batch appeared after a modality ran dry")
   }
 
+  test("q171 feature hashing: pigeonhole bounds hold; collisions consistent") {
+    val out = Relational.q171FeatureHashing(spark, Sf).collect()
+    out.foreach { r =>
+      val (words, buckets, rateBp, maxLoad) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(buckets <= words, "more occupied buckets than words")
+      assert(buckets <= 4096, "bucket count exceeds the hash width")
+      assert(rateBp == (words - buckets) * 10000 / words, "rate formula drifted")
+      assert(maxLoad >= (words + 4095) / 4096,
+        "max load below the pigeonhole floor")
+      assert(maxLoad <= words - buckets + 1, "max load exceeds the collision mass")
+    }
+  }
+
+  test("m15 cross-modal: every query retrieves a full ranked list from the corpus") {
+    val out = Multimodal.m15CrossmodalRetrieval(spark, Sf).collect()
+    assert(out.length == 30, "10 text queries x top-3")
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3), s"query $q ranks broken")
+      val cs = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => b <= a + 1e-9 },
+        s"query $q: cosine not non-increasing down the ranking")
+      cs.foreach(c => assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+    }
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
