@@ -6212,7 +6212,85 @@ object Relational {
       .orderBy("lang")
   }
 
+  /** q172 — bitmap lag-k retention: each user's 30-day activity
+    * becomes ONE 64-bit mask (`bit_or(1 << day_offset)` — the
+    * ClickHouse/roaring-style bitmap-analytics technique), and
+    * "active on two days k apart" is the integer test
+    * `mask & (mask >> k) ≠ 0` — no self-join, no window, no
+    * per-day rows after the fold. All 7 lags compute as conditional
+    * sums over the SAME user-mask aggregate and fan out via stack()
+    * (the q161 pattern: one scan, one aggregate). Contrast with
+    * q52/q130, which re-join event rows per cohort week: here the
+    * fact stream folds to one long per user and every lag is
+    * bit-arithmetic. Day offsets anchor to the fixture's 2024-01-01
+    * epoch (a 30-day horizon fits one word; a production year uses a
+    * 6-word array or roaring bitmap — same algebra, wider lanes).
+    */
+  def q172BitmapRetention(s: SparkSession, dir: String): DataFrame = {
+    val masks = Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("off"))
+      .groupBy(col("user_id"))
+      .agg(bit_or(expr("shiftleft(1L, off)")).as("mask"))
+    val lagSums =
+      Seq(count(lit(1)).as("n_users")) ++
+        (1 to 7).map(k =>
+          sum(when(expr(s"(mask & (mask >> $k)) != 0"), 1L).otherwise(0L))
+            .as(s"r$k"))
+    val agg = masks.agg(lagSums.head, lagSums.tail: _*)
+    val cells = (1 to 7).map(k => s"${k}L, r$k").mkString(", ")
+    agg
+      .selectExpr("n_users", s"stack(7, $cells) AS (lag_days, n_retained)")
+      .select(
+        col("lag_days"),
+        col("n_users"),
+        col("n_retained"),
+        expr("(n_retained * 10000L) div n_users").as("retention_bp"))
+      .orderBy("lag_days")
+  }
+
+  /** q173 — STL-lite weekday seasonal decomposition: the daily
+    * revenue series splits into a centered 7-day moving-average
+    * TREND and a per-ISO-weekday SEASONAL index computed from the
+    * trend-removed residuals — what q123 (raw dow averages)
+    * conflates when the series drifts. Exactness discipline: only
+    * FULL 7-day windows enter (n7 = 7), so the scaled residual
+    * `7·y − Σ₇y` is an exact integer, seasonal indexes are single
+    * divisions of exact sums, and doubles appear nowhere before the
+    * final round. The rows-frame runs over the day-aggregated,
+    * calendar-sized series (one combiner-friendly fact aggregate
+    * first — the q158/q153 posture); a dense daily calendar is a
+    * fixture invariant (gap-filling is q49/q118's job).
+    */
+  def q173StlLite(s: SparkSession, dir: String): DataFrame = {
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    Tables
+      .events(s, dir)
+      .select(
+        to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("day"))
+      .agg(sum(col("cents")).as("y"))
+      .withColumn("ts7", sum(col("y")).over(w7))
+      .withColumn("n7", count(lit(1)).over(w7))
+      .filter(col("n7") === 7)
+      .withColumn("r7", lit(7L) * col("y") - col("ts7"))
+      .groupBy(expr("extract(DAYOFWEEK_ISO FROM day)").cast("long").as("dow_iso"))
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).as("sy"), sum(col("r7")).as("sr"))
+      .select(
+        col("dow_iso"),
+        col("n_days"),
+        round(expr("CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE)"), 2).as("avg_cents"),
+        round(expr("CAST(sr AS DOUBLE) / CAST(7 * n_days AS DOUBLE)"), 3)
+          .as("seasonal_cents"))
+      .orderBy("dow_iso")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_stl_lite" -> q173StlLite,
+    "q172_bitmap_retention" -> q172BitmapRetention,
     "q171_feature_hashing" -> q171FeatureHashing,
     "q170_topk_ivm" -> q170TopkIvm,
     "q169_reconciliation" -> q169Reconciliation,
@@ -6381,6 +6459,57 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same full-window integer residuals; isodow matches DAYOFWEEK_ISO
+    "q173_stl_lite" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS y
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT day, y,
+        |    CAST(sum(y) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS ts7,
+        |    count(*) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+        |  FROM d),
+        |r AS (
+        |  SELECT day, y, 7 * y - ts7 AS r7 FROM w WHERE n7 = 7)
+        |SELECT CAST(isodow(day) AS BIGINT) AS dow_iso,
+        |  count(*) AS n_days,
+        |  round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 2)
+        |    AS avg_cents,
+        |  round(CAST(sum(r7) AS DOUBLE) / CAST(7 * count(*) AS DOUBLE), 3)
+        |    AS seasonal_cents
+        |FROM r GROUP BY 1 ORDER BY dow_iso""".stripMargin,
+    // identical 1<<offset masks and shift-AND lag tests
+    "q172_bitmap_retention" ->
+      ("""WITH m AS (
+        |  SELECT user_id,
+        |    bit_or(1::BIGINT << date_diff('day', DATE '2024-01-01',
+        |                                  CAST(ts AS DATE))) AS mask
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |""".stripMargin +
+        (1 to 7)
+          .map(k =>
+            s"""    CAST(sum(CASE WHEN (mask & (mask >> $k)) != 0
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS r$k""".stripMargin)
+          .mkString(",\n") +
+        "\n" +
+        """  FROM m),
+        |u AS (
+        |""".stripMargin +
+        (1 to 7)
+          .map(k =>
+            s"  SELECT CAST($k AS BIGINT) AS lag_days, n_users, r$k AS n_retained FROM a")
+          .mkString("\n  UNION ALL\n") +
+        "\n" +
+        """)
+        |SELECT lag_days, n_users, n_retained,
+        |  CAST((n_retained * 10000) // n_users AS BIGINT) AS retention_bp
+        |FROM u ORDER BY lag_days""".stripMargin),
     // identical polynomial bucket hash (1-based comprehension shifted
     // to Spark's 0-based transform); audit over the bucketed vocab
     "q171_feature_hashing" ->

@@ -1375,7 +1375,68 @@ object TextAnalysis {
       .orderBy("lang", "rank")
   }
 
+  /** t31 — BPE merge training (Sennrich et al. 2016), the actual
+    * tokenizer-training primitive t6's fixed regex only mimics: 3
+    * unrolled merge rounds over the corpus-weighted word vocabulary.
+    * Words become space-joined symbol strings; each round counts
+    * adjacent symbol pairs weighted by word frequency (one
+    * vocabulary-sized exchange — the corpus-sized token explode
+    * happens ONCE, before round 1), picks the (freq desc, pair asc)
+    * argmax, and applies the merge as a broadcast 1-row
+    * `replace(' x y ' → ' xy ')` — both engines' replace() is
+    * non-overlapping left-to-right, so consecutive-pair greediness
+    * ('x y x y' merges once) is identical by construction. Output is
+    * the learned merge table: (step, pair, merged, weighted freq).
+    * At 100 TB the state is the VOCABULARY (words × symbol strings),
+    * not the corpus; real trainers run thousands of rounds over
+    * exactly this per-round shape.
+    */
+  def t31BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    var vocab = Tables
+      .documents(s, dir)
+      .select(explode(toks).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" ")).as("sym"),
+        col("n"))
+      .localCheckpoint() // vocabulary-sized; 3 rounds re-read it
+    // CASE guard: Spark's sequence(1, 0) DESCENDS instead of emitting
+    // empty, so 1-symbol words (fully merged or single-char) need an
+    // explicit empty-pairs branch
+    val pairsOf = expr(
+      """CASE WHEN size(split(trim(sym), ' ')) >= 2 THEN
+        |  transform(
+        |    sequence(1, size(split(trim(sym), ' ')) - 1),
+        |    i -> concat(element_at(split(trim(sym), ' '), i), ' ',
+        |                element_at(split(trim(sym), ' '), i + 1)))
+        |ELSE array() END""".stripMargin)
+    val steps = (1 to 3).map { step =>
+      val best = vocab
+        .select(col("n"), explode(pairsOf).as("p"))
+        .groupBy(col("p"))
+        .agg(sum(col("n")).as("freq"))
+        .orderBy(col("freq").desc, col("p").asc)
+        .limit(1)
+        .localCheckpoint() // 1 row, read by the merge AND the report
+      vocab = vocab
+        .crossJoin(broadcast(best.select(col("p"))))
+        .select(
+          expr("replace(sym, ' ' || p || ' ', ' ' || replace(p, ' ', '') || ' ')")
+            .as("sym"),
+          col("n"))
+        .localCheckpoint()
+      best.select(
+        lit(step).as("step"),
+        col("p").as("pair"),
+        expr("replace(p, ' ', '')").as("merged"),
+        col("freq"))
+    }
+    steps.reduce(_ unionAll _).orderBy("step")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t31_bpe_train" -> t31BpeTrain,
     "t30_rake_phrases" -> t30RakePhrases,
     "t29_readability" -> t29Readability,
     "t28_bigram_perplexity" -> t28BigramPerplexity,
@@ -1409,6 +1470,45 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // same corpus-weighted vocabulary, 3 unrolled merge CTE rounds;
+    // replace() greediness identical on both engines
+    "t31_bpe_train" ->
+      ("""WITH wv AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1),
+        |v0 AS (
+        |  SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' '
+        |    AS sym, n
+        |  FROM wv),
+        |""".stripMargin +
+        (1 to 3)
+          .map { i =>
+            s"""p$i AS (
+             |  SELECT u.p, CAST(sum(n) AS BIGINT) AS freq FROM (
+             |    SELECT n,
+             |      unnest([ss[k] || ' ' || ss[k + 1]
+             |              FOR k IN range(1, len(ss))]) AS p
+             |    FROM (SELECT string_split(trim(sym), ' ') AS ss, n
+             |          FROM v${i - 1})) u
+             |  GROUP BY 1),
+             |b$i AS (
+             |  SELECT p, freq FROM p$i
+             |  ORDER BY freq DESC, p ASC LIMIT 1),
+             |v$i AS (
+             |  SELECT replace(sym, ' ' || b$i.p || ' ',
+             |                 ' ' || replace(b$i.p, ' ', '') || ' ') AS sym, n
+             |  FROM v${i - 1}, b$i),
+             |""".stripMargin
+          }
+          .mkString +
+        """fin AS (
+        |  SELECT 1 AS step, p, freq FROM b1
+        |  UNION ALL SELECT 2, p, freq FROM b2
+        |  UNION ALL SELECT 3, p, freq FROM b3)
+        |SELECT CAST(step AS INTEGER) AS step, p AS pair,
+        |  replace(p, ' ', '') AS merged, freq
+        |FROM fin ORDER BY step""".stripMargin),
     // same islands, same 2-4 candidate cap, same integer fixed-point
     // word scores; phrase text rebuilt position-ordered on both engines
     "t30_rake_phrases" ->

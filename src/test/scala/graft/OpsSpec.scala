@@ -2161,6 +2161,59 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q172 bitmap retention: lag counts match a driver-side mask replay") {
+    val out = Relational.q172BitmapRetention(spark, Sf).collect()
+    val masks = Tables
+      .events(spark, Sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (_, rows) =>
+        rows.foldLeft(0L) { (m, r) =>
+          val off = (r.getDate(1).toLocalDate.toEpochDay -
+            java.time.LocalDate.parse("2024-01-01").toEpochDay).toInt
+          m | (1L << off)
+        }
+      }
+      .toSeq
+    assert(out.length == 7)
+    out.foreach { r =>
+      val k = r.getLong(0).toInt
+      assert(r.getLong(1) == masks.length, "user count drifted")
+      val expect = masks.count(m => (m & (m >> k)) != 0)
+      assert(r.getLong(2) == expect, s"lag $k: ${r.getLong(2)} != replayed $expect")
+    }
+  }
+
+  test("q173 STL-lite: interior days partition across weekdays") {
+    val out = Relational.q173StlLite(spark, Sf).collect()
+    val nDays = Tables
+      .events(spark, Sf)
+      .select(to_date(col("ts")).as("day"))
+      .distinct()
+      .count()
+    assert(out.map(_.getLong(1)).sum == nDays - 6,
+      "full-window interior must be total days minus the 6 edge days")
+    out.foreach { r =>
+      assert(r.getLong(0) >= 1 && r.getLong(0) <= 7)
+      assert(r.getDouble(2) > 0, "daily revenue must be positive")
+    }
+  }
+
+  test("t31 BPE: merge frequencies non-increasing; merges well-formed and distinct") {
+    val out = TextAnalysis.t31BpeTrain(spark, Sf).collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val freqs = out.map(_.getLong(3))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => b <= a },
+      "a later merge cannot beat an earlier round's global max")
+    assert(out.map(_.getString(1)).distinct.length == 3, "merged pairs must differ")
+    out.foreach { r =>
+      assert(r.getString(2) == r.getString(1).replace(" ", ""),
+        "merged symbol must be the pair with the space removed")
+      assert(r.getLong(3) > 0)
+    }
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
