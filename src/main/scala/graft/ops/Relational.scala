@@ -6288,7 +6288,102 @@ object Relational {
       .orderBy("dow_iso")
   }
 
+  /** q174 — sequential purchase rules ("customers who bought brand A
+    * later bought brand B"): the TEMPORAL directed variant of q93's
+    * same-basket co-occurrence, the next-purchase recommendation
+    * primitive. State collapses to each customer's FIRST purchase
+    * date per brand (customer × ≤25 brand rows — the brand dimension
+    * bounds the pair space by construction, so the within-customer
+    * pair join can never blow up at any corpus size), pairs require
+    * STRICTLY earlier first purchase (same-day ties count neither
+    * direction — deterministic), and rules rank by integer
+    * cross-multiplied lift with a support floor. Work: one
+    * (cust, brand) exchange, a bounded self-join, brand²-sized
+    * everything after.
+    */
+  def q174NextPurchase(s: SparkSession, dir: String): DataFrame = {
+    val cb = Tables
+      .orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+      .join(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(
+        Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("o_custkey").as("cust"), col("p_brand").as("brand"))
+      .agg(min(col("d")).as("fd"))
+    val nTotal = cb.select(col("cust")).distinct().agg(count(lit(1)).as("n_total"))
+    val perBrand = cb.groupBy(col("brand")).agg(count(lit(1)).as("n_cust"))
+    val pairs = cb
+      .as("a")
+      .join(cb.as("b"), col("a.cust") === col("b.cust") && col("a.fd") < col("b.fd"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+    pairs
+      .join(perBrand.select(col("brand").as("brand_a"), col("n_cust").as("n_a")), "brand_a")
+      .join(perBrand.select(col("brand").as("brand_b"), col("n_cust").as("n_b")), "brand_b")
+      .crossJoin(broadcast(nTotal))
+      .select(
+        col("brand_a"),
+        col("brand_b"),
+        col("n_ab"),
+        expr("(n_ab * 10000L) div n_a").as("confidence_bp"),
+        expr("(n_ab * n_total * 10000L) div (n_a * n_b)").as("lift_bp"))
+      .orderBy(col("lift_bp").desc, col("brand_a").asc, col("brand_b").asc)
+      .limit(10)
+  }
+
+  /** q175 — price-volume decomposition (the FP&A "PVM bridge"):
+    * per-brand revenue change 1997 → 1998 split into a VOLUME effect
+    * (quantity change at the old realized price) and a PRICE effect
+    * (everything else — computed as the exact remainder BEFORE
+    * rounding, so the bridge reconciles to the integer revenue delta
+    * by construction; the spec pins conservation at the rounding
+    * tolerance). Quantities and cents are exact integers per
+    * brand-year out of one conditional aggregate (one fact scan);
+    * doubles appear only in the two published effect columns. The
+    * brand dimension bounds everything after the scan.
+    */
+  def q175PvmDecomposition(s: SparkSession, dir: String): DataFrame = {
+    val by = Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_partkey"),
+        year(col("l_shipdate")).as("yr"),
+        floor(col("l_quantity") + 0.5).cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      .filter(col("yr").isin(1997, 1998))
+      .join(
+        Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(when(col("yr") === 1997, col("qty")).otherwise(0L)).as("q0"),
+        sum(when(col("yr") === 1997, col("cents")).otherwise(0L)).as("rev0"),
+        sum(when(col("yr") === 1998, col("qty")).otherwise(0L)).as("q1"),
+        sum(when(col("yr") === 1998, col("cents")).otherwise(0L)).as("rev1"))
+      .filter(col("q0") > 0L && col("q1") > 0L)
+    by.select(
+      col("p_brand"),
+      col("rev0"),
+      col("rev1"),
+      (col("rev1") - col("rev0")).as("delta_cents"),
+      round(
+        expr("CAST(q1 - q0 AS DOUBLE) * CAST(rev0 AS DOUBLE) / CAST(q0 AS DOUBLE)"),
+        2).as("volume_effect"),
+      round(
+        expr("""CAST(rev1 - rev0 AS DOUBLE)
+               | - CAST(q1 - q0 AS DOUBLE) * CAST(rev0 AS DOUBLE)
+               |   / CAST(q0 AS DOUBLE)""".stripMargin),
+        2).as("price_effect"))
+      .orderBy("p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_pvm_decomposition" -> q175PvmDecomposition,
+    "q174_next_purchase" -> q174NextPurchase,
     "q173_stl_lite" -> q173StlLite,
     "q172_bitmap_retention" -> q172BitmapRetention,
     "q171_feature_hashing" -> q171FeatureHashing,
@@ -6459,6 +6554,62 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same first-purchase collapse, strict-earlier pairs, integer lift
+    "q174_next_purchase" ->
+      """WITH cb AS (
+        |  SELECT o.o_custkey AS cust, p.p_brand AS brand,
+        |    min(CAST(o.o_orderdate AS DATE)) AS fd
+        |  FROM orders o
+        |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT CAST(count(DISTINCT cust) AS BIGINT) AS n_total
+        |        FROM cb),
+        |pb AS (SELECT brand, CAST(count(*) AS BIGINT) AS n_cust
+        |       FROM cb GROUP BY 1),
+        |pr AS (
+        |  SELECT a.brand AS brand_a, b.brand AS brand_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM cb a JOIN cb b ON a.cust = b.cust AND a.fd < b.fd
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT pr.brand_a, pr.brand_b, pr.n_ab,
+        |  CAST((pr.n_ab * 10000) // na.n_cust AS BIGINT) AS confidence_bp,
+        |  CAST((pr.n_ab * tot.n_total * 10000) // (na.n_cust * nb.n_cust)
+        |    AS BIGINT) AS lift_bp
+        |FROM pr
+        |JOIN pb na ON na.brand = pr.brand_a
+        |JOIN pb nb ON nb.brand = pr.brand_b
+        |CROSS JOIN tot
+        |ORDER BY lift_bp DESC, brand_a ASC, brand_b ASC
+        |LIMIT 10""".stripMargin,
+    // same conditional brand-year aggregate; price effect is the exact
+    // pre-rounding remainder
+    "q175_pvm_decomposition" ->
+      """WITH by AS (
+        |  SELECT p.p_brand,
+        |    CAST(sum(CASE WHEN year(l.l_shipdate) = 1997
+        |      THEN CAST(floor(l.l_quantity + 0.5) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS q0,
+        |    CAST(sum(CASE WHEN year(l.l_shipdate) = 1997
+        |      THEN CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS rev0,
+        |    CAST(sum(CASE WHEN year(l.l_shipdate) = 1998
+        |      THEN CAST(floor(l.l_quantity + 0.5) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS q1,
+        |    CAST(sum(CASE WHEN year(l.l_shipdate) = 1998
+        |      THEN CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS rev1
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE year(l.l_shipdate) IN (1997, 1998)
+        |  GROUP BY 1)
+        |SELECT p_brand, rev0, rev1, rev1 - rev0 AS delta_cents,
+        |  round(CAST(q1 - q0 AS DOUBLE) * CAST(rev0 AS DOUBLE)
+        |        / CAST(q0 AS DOUBLE), 2) AS volume_effect,
+        |  round(CAST(rev1 - rev0 AS DOUBLE)
+        |        - CAST(q1 - q0 AS DOUBLE) * CAST(rev0 AS DOUBLE)
+        |          / CAST(q0 AS DOUBLE), 2) AS price_effect
+        |FROM by WHERE q0 > 0 AND q1 > 0
+        |ORDER BY p_brand""".stripMargin,
     // same full-window integer residuals; isodow matches DAYOFWEEK_ISO
     "q173_stl_lite" ->
       """WITH d AS (

@@ -1153,7 +1153,89 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** s21 — embedding-distribution drift monitor: did the vector
+    * population move between two corpus snapshots (here the vec_id
+    * parity halves)? Two signals per IVF cell — the ML-ops extension
+    * of q141's scalar PSI into vector space: (1) cell-population PSI
+    * contribution under Laplace +1 smoothing (so an empty cell on one
+    * half cannot produce ln(0) on any fixture), and (2) the L2 shift
+    * between the halves' per-cell centroids. Exactness: assignments
+    * use s3's deterministic sampled centroids; centroid means come
+    * from the 1e6-quantized integer space (s10's convention), so the
+    * per-dimension numerator `sa·n_b − sb·n_a` is an exact long,
+    * its square accumulates in DECIMAL(38,0) (order-independent —
+    * a double dot here would be summation-order-dependent), and
+    * doubles appear only in the two published columns. Scale: one
+    * corpus-sized assignment pass, one (cell, dim) exchange; output
+    * is K rows.
+    */
+  def s21EmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val all = vecs(s, dir)
+    val centroids = all
+      .filter(pmod(col("vec_id"), lit(125)) === 0)
+      .withColumn("cell", (col("vec_id") / 125).cast("int"))
+      .filter(col("cell") < k)
+      .select(col("cell"), col("v").as("cv"), col("norm").as("cnorm"))
+    val byVec = Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val assigned = all
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+      .withColumn("crn", row_number().over(byVec))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), (col("vec_id") % 2L).as("half"), col("cell"))
+    val counts = assigned
+      .groupBy(col("cell"))
+      .agg(
+        sum(when(col("half") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("half") === 1L, 1L).otherwise(0L)).as("n_b"))
+    val totals = counts.agg(
+      sum(col("n_a")).as("ta"),
+      sum(col("n_b")).as("tb"))
+    val dims = assigned
+      .join(quantized(s, dir), "vec_id")
+      .select(col("cell"), col("half"), posexplode(col("v")).as(Seq("dim", "val")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(
+        sum(when(col("half") === 0L, col("val")).otherwise(lit(0.0)))
+          .cast("long")
+          .as("sa"),
+        sum(when(col("half") === 1L, col("val")).otherwise(lit(0.0)))
+          .cast("long")
+          .as("sb"))
+    val shift = dims
+      .join(broadcast(counts), "cell")
+      .select(
+        col("cell"),
+        expr("CAST(sa * n_b - sb * n_a AS DECIMAL(38,0))").as("num"),
+        col("n_a"),
+        col("n_b"))
+      .groupBy(col("cell"))
+      .agg(sum(expr("num * num")).as("d2"), max(col("n_a") * col("n_b")).as("nab"))
+      .select(
+        col("cell"),
+        expr("""round(sqrt(CAST(d2 AS DOUBLE)) / CAST(nab AS DOUBLE)
+               |      / CAST(1000000 AS DOUBLE), 4)""".stripMargin)
+          .as("centroid_shift"))
+    counts
+      .crossJoin(broadcast(totals))
+      .select(
+        col("cell"),
+        col("n_a"),
+        col("n_b"),
+        expr("""round((CAST(n_a + 1 AS DOUBLE) / CAST(ta + 16 AS DOUBLE)
+               |  - CAST(n_b + 1 AS DOUBLE) / CAST(tb + 16 AS DOUBLE))
+               | * ln((CAST(n_a + 1 AS DOUBLE) / CAST(ta + 16 AS DOUBLE))
+               |      / (CAST(n_b + 1 AS DOUBLE) / CAST(tb + 16 AS DOUBLE))), 6)"""
+          .stripMargin).as("psi_contrib"))
+      .join(shift, "cell")
+      .orderBy("cell")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s21_embedding_drift" -> s21EmbeddingDrift,
     "s20_classify_eval" -> s20ClassifyEval,
     "s19_filtered_search" -> s19FilteredSearch,
     "s18_ivf_persist" -> s18IvfPersist,
@@ -1452,6 +1534,68 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same assignment replay, same exact integer centroid numerators
+    // (HUGEINT squares mirror DECIMAL(38,0)), same smoothed PSI text
+    "s21_embedding_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm
+        |      FROM e),
+        |cent AS (
+        |  SELECT CAST(vec_id // 125 AS INTEGER) AS cell, v AS cv,
+        |    norm AS cnorm
+        |  FROM n WHERE vec_id % 125 = 0 AND vec_id // 125 < 16),
+        |assign0 AS (
+        |  SELECT n.vec_id, c.cell,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_inner_product(n.v, c.cv) / (n.norm * c.cnorm)
+        |        DESC, c.cell ASC) AS crn
+        |  FROM n, cent c),
+        |asg AS (
+        |  SELECT vec_id, vec_id % 2 AS half, cell
+        |  FROM assign0 WHERE crn = 1),
+        |cnt AS (
+        |  SELECT cell,
+        |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM asg GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |               CAST(sum(n_b) AS BIGINT) AS tb FROM cnt),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(v, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))
+        |      AS qv
+        |  FROM e),
+        |dm0 AS (
+        |  SELECT q.vec_id, u.dim, u.val
+        |  FROM q,
+        |    unnest([{'dim': k, 'val': qv[k]}
+        |            FOR k IN range(1, len(qv) + 1)]) AS s(u)),
+        |dm AS (
+        |  SELECT asg.cell, dm0.dim,
+        |    CAST(sum(CASE WHEN asg.half = 0 THEN dm0.val ELSE 0 END)
+        |         AS BIGINT) AS sa,
+        |    CAST(sum(CASE WHEN asg.half = 1 THEN dm0.val ELSE 0 END)
+        |         AS BIGINT) AS sb
+        |  FROM asg JOIN dm0 ON asg.vec_id = dm0.vec_id
+        |  GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT dm.cell,
+        |    sum(CAST(dm.sa * cnt.n_b - dm.sb * cnt.n_a AS HUGEINT)
+        |        * (dm.sa * cnt.n_b - dm.sb * cnt.n_a)) AS d2,
+        |    max(cnt.n_a * cnt.n_b) AS nab
+        |  FROM dm JOIN cnt ON dm.cell = cnt.cell
+        |  GROUP BY 1)
+        |SELECT cnt.cell, cnt.n_a, cnt.n_b,
+        |  round((CAST(cnt.n_a + 1 AS DOUBLE) / CAST(tot.ta + 16 AS DOUBLE)
+        |    - CAST(cnt.n_b + 1 AS DOUBLE) / CAST(tot.tb + 16 AS DOUBLE))
+        |   * ln((CAST(cnt.n_a + 1 AS DOUBLE) / CAST(tot.ta + 16 AS DOUBLE))
+        |        / (CAST(cnt.n_b + 1 AS DOUBLE) / CAST(tot.tb + 16 AS DOUBLE))),
+        |    6) AS psi_contrib,
+        |  round(sqrt(CAST(sh.d2 AS DOUBLE)) / CAST(sh.nab AS DOUBLE)
+        |        / CAST(1000000 AS DOUBLE), 4) AS centroid_shift
+        |FROM cnt CROSS JOIN tot JOIN sh ON cnt.cell = sh.cell
+        |ORDER BY cnt.cell""".stripMargin,
     // s12's prediction replay + the integer classification report
     "s20_classify_eval" ->
       """WITH e AS (

@@ -2214,6 +2214,43 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q174 next-purchase rules: support floor holds; ranking consistent") {
+    val out = Relational.q174NextPurchase(spark, Sf).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    val lifts = out.map(_.getLong(4))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => b <= a },
+      "rules must rank by lift descending")
+    out.foreach { r =>
+      assert(r.getLong(2) >= 5, "support floor violated")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 10000, "confidence out of range")
+      assert(r.getString(0) != r.getString(1) || r.getLong(2) == 0,
+        "a brand cannot strictly precede itself on first-purchase dates")
+    }
+  }
+
+  test("q175 PVM bridge: effects reconcile to the revenue delta within rounding") {
+    val out = Relational.q175PvmDecomposition(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val delta = r.getLong(3).toDouble
+      val sum = r.getDouble(4) + r.getDouble(5)
+      assert(math.abs(sum - delta) <= 0.021,
+        s"${r.getString(0)}: bridge ${sum} vs delta $delta off past rounding")
+    }
+  }
+
+  test("s21 embedding drift: halves account for the corpus; PSI terms non-negative") {
+    val out = Similarity.s21EmbeddingDrift(spark, Sf).collect()
+    val n = Tables.embeddings(spark, Sf).count()
+    assert(out.map(r => r.getLong(1) + r.getLong(2)).sum == n,
+      "cell populations must partition the corpus")
+    out.foreach { r =>
+      assert(r.getDouble(3) >= -1e-9,
+        s"cell ${r.getInt(0)}: a PSI contribution is (sa-sb)ln(sa/sb) >= 0 always")
+      assert(r.getDouble(4) >= 0.0, "centroid shift is a distance")
+    }
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
