@@ -6381,7 +6381,99 @@ object Relational {
       .orderBy("p_brand")
   }
 
+  /** q176 — largest-remainder (Hamilton) apportionment: split a fixed
+    * integer budget of 10 000 units per REGION across its nations in
+    * proportion to revenue, with the floor quotas topped up by
+    * remainder rank — the exact-integer allocation every budgeting /
+    * forecast-reconciliation / seat-assignment pipeline needs where
+    * q165's independent floor divisions leave units on the table.
+    * Everything is integer: quota numerators `cents·10⁴`, floor
+    * shares by `div`, remainders ranked by (remainder desc, nation
+    * asc), and the per-region leftover tops up exactly that many
+    * nations — Σ alloc = 10 000 per region BY CONSTRUCTION
+    * (spec-pinned). Work: q165's star collapse, then windows over
+    * the 25-row rollup.
+    */
+  def q176LargestRemainder(s: SparkSession, dir: String): DataFrame = {
+    val budget = 10000L
+    val cents = Tables
+      .lineitem(s, dir)
+      .select(col("l_orderkey"), floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("c"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(
+        broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(
+        broadcast(Tables.nation(s, dir).select(
+          col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(
+        broadcast(Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(sum(col("c")).as("cents"))
+    val byRegion = Window.partitionBy(col("region"))
+    val q = cents
+      .withColumn("total", sum(col("cents")).over(byRegion))
+      .withColumn("floor_alloc", expr(s"(cents * ${budget}L) div total"))
+      .withColumn("rem", expr(s"cents * ${budget}L - floor_alloc * total"))
+      .withColumn("leftover", lit(budget) - sum(col("floor_alloc")).over(byRegion))
+      .withColumn(
+        "rr",
+        row_number().over(byRegion.orderBy(col("rem").desc, col("nation").asc)))
+    q.select(
+      col("region"),
+      col("nation"),
+      col("cents"),
+      col("floor_alloc"),
+      when(col("rr") <= col("leftover"), 1L).otherwise(0L).as("extra"),
+      (col("floor_alloc") +
+        when(col("rr") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
+      .orderBy("region", "nation")
+  }
+
+  /** q177 — row-pattern recognition (MATCH_RECOGNIZE-lite): find
+    * strict V-shaped bottoms in the daily revenue series — two
+    * strictly-decreasing days into a trough, two strictly-increasing
+    * days out — per event type. Spark has no MATCH_RECOGNIZE; the
+    * pattern compiles to lag/lead predicates over ONE type-keyed
+    * window pass, which is exactly how a row-pattern engine would
+    * execute this fixed-length pattern (variable-length patterns
+    * are q17/q105's session machinery). All comparisons are exact
+    * integer cents; the output carries the trough depth on both
+    * flanks. One combiner-friendly daily aggregate, one window
+    * exchange, calendar-sized everything.
+    */
+  def q177VPattern(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("y"))
+      .withColumn("l2", lag(col("y"), 2).over(w))
+      .withColumn("l1", lag(col("y"), 1).over(w))
+      .withColumn("r1", lead(col("y"), 1).over(w))
+      .withColumn("r2", lead(col("y"), 2).over(w))
+      .filter(
+        col("l2") > col("l1") && col("l1") > col("y") &&
+          col("y") < col("r1") && col("r1") < col("r2"))
+      .select(
+        col("event_type"),
+        col("day"),
+        col("y").as("trough_cents"),
+        (col("l2") - col("y")).as("drop_cents"),
+        (col("r2") - col("y")).as("rise_cents"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_v_pattern" -> q177VPattern,
+    "q176_largest_remainder" -> q176LargestRemainder,
     "q175_pvm_decomposition" -> q175PvmDecomposition,
     "q174_next_purchase" -> q174NextPurchase,
     "q173_stl_lite" -> q173StlLite,
@@ -6554,6 +6646,58 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical integer quotas, remainders, and remainder ranking
+    "q176_largest_remainder" ->
+      """WITH c AS (
+        |  SELECT r.r_name AS region, n.n_name AS nation,
+        |    CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer cu ON o.o_custkey = cu.c_custkey
+        |  JOIN nation n ON cu.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2),
+        |q AS (
+        |  SELECT region, nation, cents,
+        |    sum(cents) OVER (PARTITION BY region) AS total
+        |  FROM c),
+        |f AS (
+        |  SELECT region, nation, cents,
+        |    CAST((cents * 10000) // total AS BIGINT) AS floor_alloc,
+        |    cents * 10000 - ((cents * 10000) // total) * total AS rem
+        |  FROM q),
+        |l AS (
+        |  SELECT region, nation, cents, floor_alloc,
+        |    10000 - sum(floor_alloc) OVER (PARTITION BY region) AS leftover,
+        |    row_number() OVER (PARTITION BY region
+        |      ORDER BY rem DESC, nation ASC) AS rr
+        |  FROM f)
+        |SELECT region, nation, cents, floor_alloc,
+        |  CAST(CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        |  CAST(floor_alloc + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM l ORDER BY region, nation""".stripMargin,
+    // same lag/lead predicates over the same daily integer series
+    "q177_v_pattern" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS y
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, y,
+        |    lag(y, 2) OVER (PARTITION BY event_type ORDER BY day) AS l2,
+        |    lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+        |    lead(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS r1,
+        |    lead(y, 2) OVER (PARTITION BY event_type ORDER BY day) AS r2
+        |  FROM d)
+        |SELECT event_type, day, y AS trough_cents,
+        |  CAST(l2 - y AS BIGINT) AS drop_cents,
+        |  CAST(r2 - y AS BIGINT) AS rise_cents
+        |FROM w
+        |WHERE l2 > l1 AND l1 > y AND y < r1 AND r1 < r2
+        |ORDER BY event_type, day""".stripMargin,
     // same first-purchase collapse, strict-earlier pairs, integer lift
     "q174_next_purchase" ->
       """WITH cb AS (

@@ -2251,6 +2251,50 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q176 apportionment: every region's allocations sum to exactly the budget") {
+    val out = Relational.q176LargestRemainder(spark, Sf).collect()
+    out.groupBy(_.getString(0)).foreach { case (region, rows) =>
+      assert(rows.map(_.getLong(5)).sum == 10000L,
+        s"$region: largest-remainder must hand out the whole budget")
+      rows.foreach { r =>
+        assert(r.getLong(4) == 0L || r.getLong(4) == 1L)
+        assert(r.getLong(5) - r.getLong(3) == r.getLong(4),
+          "alloc must be floor + extra")
+      }
+    }
+  }
+
+  test("q177 V-pattern: every match is a strict local trough with rising flanks") {
+    val out = Relational.q177VPattern(spark, Sf).collect()
+    // replay the pattern driver-side over the daily series
+    val series = Tables
+      .events(spark, Sf)
+      .select(
+        col("event_type"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("y"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rows) =>
+        t -> rows.sortBy(_.getDate(1).toString).map(r => (r.getDate(1).toString, r.getLong(2)))
+      }
+    val expected = series.toSeq.flatMap { case (t, arr) =>
+      (2 until arr.length - 2).collect {
+        case i
+            if arr(i - 2)._2 > arr(i - 1)._2 && arr(i - 1)._2 > arr(i)._2 &&
+              arr(i)._2 < arr(i + 1)._2 && arr(i + 1)._2 < arr(i + 2)._2 =>
+          (t, arr(i)._1)
+      }
+    }.toSet
+    assert(out.map(r => (r.getString(0), r.getDate(1).toString)).toSet == expected,
+      "pattern matches must equal the driver replay")
+    out.foreach { r =>
+      assert(r.getLong(3) > 0 && r.getLong(4) > 0, "flank depths must be positive")
+    }
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
