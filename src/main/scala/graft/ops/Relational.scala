@@ -6471,7 +6471,55 @@ object Relational {
       .orderBy("event_type", "day")
   }
 
+  /** q178 — straight-line revenue recognition: each order's cents
+    * spread EVENLY across the calendar months from order to last
+    * shipment, with the division remainder recognized earliest-first
+    * (the per-order largest-remainder rule — q176's apportionment at
+    * row grain), then rolled up to the recognized-revenue calendar.
+    * Month arithmetic stays in INTEGER month indexes (y·12 + m), so
+    * no months_between float edge exists, and conservation —
+    * Σ recognized = Σ order cents — holds exactly by construction
+    * (spec-pinned). Scale: the explode emits one row per
+    * order-month (shipment spans are a few months), aggregated with
+    * map-side combine; everything else is calendar-sized.
+    */
+  def q178RevenueRecognition(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("mi0"))
+      .join(
+        Tables
+          .lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(max(year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1).as("mi1")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(
+        col("cents"),
+        col("mi0"),
+        (greatest(col("mi1"), col("mi0")) - col("mi0") + 1).cast("long").as("m"))
+    iv.select(
+      col("cents"),
+      col("mi0"),
+      col("m"),
+      explode(expr("sequence(0L, m - 1)")).as("k"))
+      .select(
+        (col("mi0") + col("k")).as("mi"),
+        (expr("cents div m") +
+          when(col("k") < expr("cents % m"), 1L).otherwise(0L)).as("alloc"))
+      .groupBy(col("mi"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("alloc")).as("recognized_cents"))
+      .select(
+        (expr("mi div 12") * 100 + expr("mi % 12") + 1).as("ym"),
+        col("n_orders"),
+        col("recognized_cents"))
+      .orderBy("ym")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_revenue_recognition" -> q178RevenueRecognition,
     "q177_v_pattern" -> q177VPattern,
     "q176_largest_remainder" -> q176LargestRemainder,
     "q175_pvm_decomposition" -> q175PvmDecomposition,
@@ -6646,6 +6694,29 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same integer month indexes, same earliest-first remainder rule
+    "q178_revenue_recognition" ->
+      """WITH iv AS (
+        |  SELECT CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1 AS mi0,
+        |    greatest(l.mi1, year(o.o_orderdate) * 12
+        |             + month(o.o_orderdate) - 1)
+        |      - (year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1) + 1
+        |      AS m
+        |  FROM orders o
+        |  JOIN (SELECT l_orderkey,
+        |          max(year(l_shipdate) * 12 + month(l_shipdate) - 1) AS mi1
+        |        FROM lineitem GROUP BY 1) l
+        |    ON o.o_orderkey = l.l_orderkey),
+        |ex AS (
+        |  SELECT mi0 + u.k AS mi,
+        |    cents // m + CASE WHEN u.k < cents % m THEN 1 ELSE 0 END
+        |      AS alloc
+        |  FROM iv, unnest(range(0, m)) AS u(k))
+        |SELECT CAST((mi // 12) * 100 + mi % 12 + 1 AS BIGINT) AS ym,
+        |  count(*) AS n_orders,
+        |  CAST(sum(alloc) AS BIGINT) AS recognized_cents
+        |FROM ex GROUP BY 1 ORDER BY ym""".stripMargin,
     // identical integer quotas, remainders, and remainder ranking
     "q176_largest_remainder" ->
       """WITH c AS (

@@ -1435,7 +1435,61 @@ object TextAnalysis {
     steps.reduce(_ unionAll _).orderBy("step")
   }
 
+  /** t32 — quality-signal calibration: does a cheap per-doc quality
+    * score actually predict duplication? The validation report every
+    * data-curation pipeline owes its filters: docs decile by the t29
+    * FORCAST grade (ntile over the (grade, doc_id) total order — the
+    * module's tie rule), join their exact-duplicate status (d1's
+    * md5 grouping), and report per-decile duplicate rates. A flat
+    * curve says the signal is uninformative for dedup; a slope says
+    * gate on it. Cross-family composition (text signal × dedup
+    * label) with integer rates; the only doubles are the per-doc
+    * grades, bit-identical on both engines before the ntile order.
+    * One token-stats scan + one fingerprint aggregate, both
+    * combiner-friendly; deciles are corpus-row-sized windows over a
+    * 2-column projection.
+    */
+  def t32SignalCalibration(s: SparkSession, dir: String): DataFrame = {
+    val syl = "[aeiouy]+"
+    val perDoc = Tables
+      .documents(s, dir)
+      .withColumn("t", toks)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("fp"),
+        size(col("t")).cast("long").as("nw"),
+        size(filter(col("t"), w => size(regexp_extract_all(w, lit(syl), lit(0))) === 1))
+          .cast("long")
+          .as("mono"))
+      .withColumn(
+        "grade",
+        expr("CAST(20 AS DOUBLE) - CAST(15 AS DOUBLE) * CAST(mono AS DOUBLE) / CAST(nw AS DOUBLE)"))
+    val copies = perDoc
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"))
+    perDoc
+      .join(copies, "fp")
+      .withColumn(
+        "decile",
+        ntile(10).over(Window.orderBy(col("grade"), col("doc_id"))))
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_copies") > 1L, 1L).otherwise(0L)).as("n_dup_docs"),
+        round(min(col("grade")), 3).as("min_grade"),
+        round(max(col("grade")), 3).as("max_grade"))
+      .select(
+        col("decile").cast("long").as("decile"),
+        col("n_docs"),
+        col("n_dup_docs"),
+        expr("(n_dup_docs * 10000L) div n_docs").as("dup_rate_bp"),
+        col("min_grade"),
+        col("max_grade"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t32_signal_calibration" -> t32SignalCalibration,
     "t31_bpe_train" -> t31BpeTrain,
     "t30_rake_phrases" -> t30RakePhrases,
     "t29_readability" -> t29Readability,
@@ -1470,6 +1524,35 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // same grades, same (grade, doc_id) ntile order, same dup labels
+    "t32_signal_calibration" ->
+      """WITH pd AS (
+        |  SELECT doc_id, md5(text) AS fp,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> len(regexp_extract_all(w, '[aeiouy]+')) = 1)) AS BIGINT)
+        |      AS mono
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, fp,
+        |    CAST(20 AS DOUBLE) - CAST(15 AS DOUBLE) * CAST(mono AS DOUBLE)
+        |      / CAST(nw AS DOUBLE) AS grade
+        |  FROM pd),
+        |cp AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_copies
+        |       FROM g GROUP BY 1),
+        |d AS (
+        |  SELECT g.doc_id, g.grade, cp.n_copies,
+        |    ntile(10) OVER (ORDER BY g.grade, g.doc_id) AS decile
+        |  FROM g JOIN cp ON g.fp = cp.fp)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs,
+        |  CAST((sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) * 10000)
+        |       // count(*) AS BIGINT) AS dup_rate_bp,
+        |  round(min(grade), 3) AS min_grade,
+        |  round(max(grade), 3) AS max_grade
+        |FROM d GROUP BY 1 ORDER BY decile""".stripMargin,
     // same corpus-weighted vocabulary, 3 unrolled merge CTE rounds;
     // replace() greediness identical on both engines
     "t31_bpe_train" ->

@@ -2295,6 +2295,43 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q178 revenue recognition conserves every cent of every order") {
+    val out = Relational.q178RevenueRecognition(spark, Sf).collect()
+    val totalCents = Tables
+      .orders(spark, Sf)
+      .join(
+        Tables.lineitem(spark, Sf).select(col("l_orderkey")).distinct(),
+        col("o_orderkey") === col("l_orderkey"),
+        "left_semi")
+      .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("c"))
+      .agg(sum("c"))
+      .head()
+      .getLong(0)
+    assert(out.map(_.getLong(2)).sum == totalCents,
+      "recognized revenue must equal total order cents exactly")
+    val yms = out.map(_.getLong(0))
+    assert(yms.forall(ym => ym % 100 >= 1 && ym % 100 <= 12), "malformed year-month")
+    assert(yms.sorted.toSeq == yms.toSeq)
+  }
+
+  test("t32 calibration: deciles partition the corpus; grade bands ordered") {
+    val cal = TextAnalysis.t32SignalCalibration(spark, Sf).collect()
+    assert(cal.map(_.getLong(0)).toSeq == (1L to 10L))
+    val nDocs = Tables.documents(spark, Sf).count()
+    assert(cal.map(_.getLong(1)).sum == nDocs, "deciles must partition the corpus")
+    cal.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 10000)
+      assert(r.getDouble(4) <= r.getDouble(5) + 1e-9, "band min above band max")
+    }
+    // bands must be non-overlapping in decile order
+    val maxes = cal.map(_.getDouble(5))
+    val mins = cal.map(_.getDouble(4))
+    mins.tail.zip(maxes).foreach { case (lo, prevHi) =>
+      assert(lo >= prevHi - 1e-9, "decile grade bands out of order")
+    }
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
