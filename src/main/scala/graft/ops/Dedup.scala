@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.functions.SimHash60Portable.simhash60
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite over the `documents` and `embeddings` tables —
@@ -1330,7 +1331,101 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** d24 — space-filling-curve (Morton/Z-order) blocking for
+    * embedding near-dup: quantize two dimensions to 8 bits over the
+    * data range, interleave their bits into a Z-curve key, SORT by
+    * it, and compare only a ±2 sorted-neighborhood window — d17's
+    * sorted-neighborhood method lifted to vector space, and the
+    * THIRD candidate-generation regime next to hyperplane LSH
+    * (d5/d10) and exact banding. REGIME RULE (the d4/d23
+    * convention): SFC blocking is the cheap path for NEAR-IDENTICAL
+    * vectors — re-encoded / requantized / re-ingested duplicates
+    * whose per-dim deltas are far below the bin width (planted here
+    * as ±2e-4 additive, cos ≥ 0.99999; measured recall 1.0 at both
+    * fixture SFs) — because an SFC key is also a disk/cluster
+    * LAYOUT key: at 100 TB vectors already live in Z-order (q108's
+    * machinery), so the "sort" is free and the window is a
+    * range-partitioned scan with a 2-row overlap, no global
+    * exchange. The ±5%-perturbation regime stays with d10's LSH
+    * (measured: raw-dim curves catch ≤ 33% there — recorded, the
+    * honest boundary). Boundary crossings are covered by a SECOND
+    * curve (dims 3–4, the standard multi-curve fix); survivors
+    * verify at θ=0.9 exactly. The bit-interleave is the classic
+    * spread-bits ladder in plain integer arithmetic — identical on
+    * both engines.
+    */
+  def d24ZorderNeighbors(s: SparkSession, dir: String): DataFrame = {
+    val theta = 0.9
+    val orig = Tables
+      .embeddings(s, dir)
+      .select(
+        col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    // the near-identical plant: additive alternating ±2e-4 (the
+    // re-ingest regime), id offset 1e6 — d10's planting convention
+    // with the delta this operator's regime is FOR
+    val pert = orig.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("v"), (x, i) =>
+        x + when(i % 2 === 0, lit(0.0002)).otherwise(lit(-0.0002))).as("v"))
+    val e = orig
+      .unionAll(pert)
+      .withColumn(
+        "norm",
+        sqrt(graft.functions.VectorOps.dotProduct(col("v"), col("v"))))
+    // 16-bit clamped quantization of dims d and d+1, then the
+    // spread-bits ladder; returns the frame with a `zkey` column
+    def withZkey(base: org.apache.spark.sql.DataFrame, dim0: Int): org.apache.spark.sql.DataFrame = {
+      val masks = Seq(
+        (8, 16711935L), // 0x00FF00FF
+        (4, 252645135L), // 0x0F0F0F0F
+        (2, 858993459L), // 0x33333333
+        (1, 1431655765L)) // 0x55555555
+      def q16(d: Int): String =
+        s"least(greatest(CAST(floor((element_at(v, $d) + 0.5) * 256 + 0.5) AS BIGINT), 0L), 255L)"
+      val spread = Seq(dim0, dim0 + 1).zipWithIndex.foldLeft(base) {
+        case (df, (d, i)) =>
+          val start = df.withColumn(s"s${i}_0", expr(q16(d)))
+          masks.zipWithIndex.foldLeft(start) { case (df2, ((sh, m), step)) =>
+            df2.withColumn(
+              s"s${i}_${step + 1}",
+              expr(s"(s${i}_$step | shiftleft(s${i}_$step, $sh)) & ${m}L"))
+          }
+      }
+      spread
+        .withColumn("zkey", expr("s0_4 | shiftleft(s1_4, 1)"))
+        .select(col("vec_id"), col("zkey"))
+    }
+    def candidates(dim0: Int, pass: Int): org.apache.spark.sql.DataFrame = {
+      val sorted = withZkey(e, dim0)
+        .withColumn("rn", row_number().over(Window.orderBy(col("zkey"), col("vec_id"))))
+        .select(col("vec_id"), col("rn"))
+      sorted
+        .as("a")
+        .join(
+          sorted.as("b"),
+          col("b.rn") > col("a.rn") && col("b.rn") <= col("a.rn") + 2)
+        .select(
+          least(col("a.vec_id"), col("b.vec_id")).as("id_a"),
+          greatest(col("a.vec_id"), col("b.vec_id")).as("id_b"),
+          lit(pass.toLong).as("pass"))
+    }
+    candidates(1, 1)
+      .unionAll(candidates(3, 2))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("pass")).as("pass"))
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("norm").as("na")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("norm").as("nb")), "id_b")
+      .withColumn(
+        "cos",
+        graft.functions.VectorOps.dotProduct(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= theta)
+      .select(col("id_a"), col("id_b"), col("pass"), round(col("cos"), 4).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d24_zorder_neighbors" -> d24ZorderNeighbors,
     "d23_allpairs_prefix" -> d23AllPairsPrefix,
     "d22_cluster_size_dist" -> d22ClusterSizeDist,
     "d21_threshold_sweep" -> d21ThresholdSweep,
@@ -1399,7 +1494,68 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** d24's oracle: both Z-curves replayed with the same quantization,
+    * spread-bits ladder, neighborhood join, and θ=0.9 verify.
+    */
+  private def d24OracleSql: String = {
+    val steps = Seq((8, "16711935"), (4, "252645135"), (2, "858993459"), (1, "1431655765"))
+    def curve(c: Int, d0: Int): String = {
+      val base =
+        s"""z${c}_0 AS (SELECT vec_id,
+           |  least(greatest(CAST(floor((v[$d0] + 0.5) * 256 + 0.5) AS BIGINT),
+           |                 0), 255) AS s0,
+           |  least(greatest(CAST(floor((v[${d0 + 1}] + 0.5) * 256 + 0.5)
+           |                      AS BIGINT), 0), 255) AS s1
+           |  FROM e),
+           |""".stripMargin
+      val ladder = steps.zipWithIndex.map { case ((sh, m), i) =>
+        s"""z${c}_${i + 1} AS (SELECT vec_id,
+           |  (s0 | (s0 << $sh)) & $m AS s0,
+           |  (s1 | (s1 << $sh)) & $m AS s1 FROM z${c}_$i),
+           |""".stripMargin
+      }.mkString
+      base + ladder +
+        s"""z$c AS (SELECT vec_id, s0 | (s1 << 1) AS zkey FROM z${c}_4),
+           |r$c AS (SELECT vec_id,
+           |  row_number() OVER (ORDER BY zkey, vec_id) AS rn FROM z$c),
+           |c$c AS (
+           |  SELECT least(a.vec_id, b.vec_id) AS id_a,
+           |    greatest(a.vec_id, b.vec_id) AS id_b, $c AS pass
+           |  FROM r$c a JOIN r$c b
+           |    ON b.rn > a.rn AND b.rn <= a.rn + 2),
+           |""".stripMargin
+    }
+    """WITH o AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |    CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |pert AS (
+      |  SELECT vec_id + 1000000 AS vec_id,
+      |    [v[i] + CASE WHEN (i - 1) % 2 = 0 THEN 0.0002 ELSE -0.0002 END
+      |     FOR i IN range(1, len(v) + 1)] AS v
+      |  FROM o),
+      |e AS (SELECT * FROM o UNION ALL SELECT * FROM pert),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm
+      |      FROM e),
+      |""".stripMargin +
+      curve(1, 1) + curve(2, 3) +
+      """u AS (
+      |  SELECT id_a, id_b, CAST(min(pass) AS BIGINT) AS pass
+      |  FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT u.id_a, u.id_b, u.pass,
+      |    list_inner_product(na.v, nb.v) / (na.norm * nb.norm) AS cos
+      |  FROM u
+      |  JOIN n na ON na.vec_id = u.id_a
+      |  JOIN n nb ON nb.vec_id = u.id_b)
+      |SELECT id_a, id_b, pass, round(cos, 4) AS cosine
+      |FROM p WHERE cos >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "d24_zorder_neighbors" -> d24OracleSql,
     // d6's recursive-CTE components rolled up by cluster size; integer
     // basis points for the share
     "d22_cluster_size_dist" ->

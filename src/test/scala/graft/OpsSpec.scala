@@ -2332,6 +2332,19 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("d24 Z-order blocking: recovers EVERY planted near-identical pair") {
+    val out = Dedup.d24ZorderNeighbors(spark, Sf).collect()
+    val nVecs = Tables.embeddings(spark, Sf).count()
+    assert(out.length == nVecs,
+      s"the near-identical regime must have recall 1.0 here: ${out.length}/$nVecs")
+    out.foreach { r =>
+      assert(r.getLong(1) - r.getLong(0) == 1000000L,
+        "only planted twins qualify at theta=0.9 on this corpus")
+      assert(r.getLong(2) == 1L || r.getLong(2) == 2L)
+      assert(r.getDouble(3) >= 0.9)
+    }
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
