@@ -6518,7 +6518,62 @@ object Relational {
       .orderBy("ym")
   }
 
+  /** q179 — duplicate-payment detection: two orders by the SAME
+    * customer for the SAME cent amount within 7 days — the
+    * accounts-payable fraud/error sweep every finance control runs.
+    * The fixture's order stream has no natural repeats (verified:
+    * zero same-customer same-$10-bucket pairs inside 30 days), so a
+    * duplicated batch is PLANTED in-query — every 40th order
+    * re-submitted 2 days later with a shifted key — the d10/d24
+    * fixture convention, and exactly the double-submission shape the
+    * control exists to catch. The self-join blocks on (custkey,
+    * cents) EQUALITY first — the candidate space is the
+    * duplicate-amount group, never customer × customer — then the
+    * ±7-day band and key ordering prune pairs. Per-priority rollup:
+    * pair counts, money at risk, repeat-gap bounds. All integer;
+    * one co-keyed exchange at any scale (amount-equal groups are
+    * tiny; a heavy-hitter amount would take d13's df-cap treatment).
+    */
+  def q179DupPayments(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+        to_date(col("o_orderdate")).as("d"))
+    val resubmitted = base
+      .filter(col("o_orderkey") % 40 === 0)
+      .select(
+        (col("o_orderkey") + lit(1000000000L)).as("o_orderkey"),
+        col("o_custkey"),
+        col("prio"),
+        col("cents"),
+        date_add(col("d"), 2).as("d"))
+    val o = base.unionAll(resubmitted)
+    o.as("a")
+      .join(
+        o.as("b"),
+        col("a.o_custkey") === col("b.o_custkey") &&
+          col("a.cents") === col("b.cents") &&
+          col("a.o_orderkey") < col("b.o_orderkey") &&
+          abs(datediff(col("b.d"), col("a.d"))) <= 7)
+      .select(
+        col("a.prio").as("prio"),
+        col("a.cents").as("cents"),
+        abs(datediff(col("b.d"), col("a.d"))).cast("long").as("gap_days"))
+      .groupBy(col("prio"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("cents")).as("at_risk_cents"),
+        min(col("gap_days")).as("min_gap_days"),
+        max(col("gap_days")).as("max_gap_days"))
+      .orderBy("prio")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_dup_payments" -> q179DupPayments,
     "q178_revenue_recognition" -> q178RevenueRecognition,
     "q177_v_pattern" -> q177VPattern,
     "q176_largest_remainder" -> q176LargestRemainder,
@@ -6694,6 +6749,30 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same planted resubmission batch, same equality-blocked self-join
+    "q179_dup_payments" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority AS prio,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(o_orderdate AS DATE) AS d
+        |  FROM orders),
+        |resub AS (
+        |  SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey, prio,
+        |    cents, d + 2 AS d
+        |  FROM base WHERE o_orderkey % 40 = 0),
+        |o AS (SELECT * FROM base UNION ALL SELECT * FROM resub),
+        |pr AS (
+        |  SELECT a.prio, a.cents,
+        |    CAST(abs(date_diff('day', a.d, b.d)) AS BIGINT) AS gap_days
+        |  FROM o a JOIN o b
+        |    ON a.o_custkey = b.o_custkey AND a.cents = b.cents
+        |    AND a.o_orderkey < b.o_orderkey
+        |    AND abs(date_diff('day', a.d, b.d)) <= 7)
+        |SELECT prio, count(*) AS n_pairs,
+        |  CAST(sum(cents) AS BIGINT) AS at_risk_cents,
+        |  CAST(min(gap_days) AS BIGINT) AS min_gap_days,
+        |  CAST(max(gap_days) AS BIGINT) AS max_gap_days
+        |FROM pr GROUP BY 1 ORDER BY prio""".stripMargin,
     // same integer month indexes, same earliest-first remainder rule
     "q178_revenue_recognition" ->
       """WITH iv AS (

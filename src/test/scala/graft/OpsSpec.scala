@@ -2345,6 +2345,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q179 dup payments: exactly the planted resubmissions are flagged") {
+    val out = Relational.q179DupPayments(spark, Sf).collect()
+    val planted = Tables
+      .orders(spark, Sf)
+      .filter(col("o_orderkey") % 40 === 0)
+      .count()
+    assert(out.map(_.getLong(1)).sum == planted,
+      "each planted resubmission forms exactly one pair, nothing else matches")
+    out.foreach { r =>
+      assert(r.getLong(3) == 2 && r.getLong(4) == 2,
+        "every planted gap is exactly 2 days")
+      assert(r.getLong(2) > 0)
+    }
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
