@@ -707,7 +707,43 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** p16 — effective-sample-size report: when documents weight by
+    * length (token-proportional sampling, loss weighting), how many
+    * EFFECTIVE documents does each source really contribute? Kish's
+    * ESS = (Σw)²/Σw² — a source of 1 000 docs dominated by a few
+    * giants may carry the effective mass of 100 — and the ess/n
+    * ratio is the heavy-tail warning the mixture designer (p9/p14)
+    * reads before trusting per-doc counts. Weights are the exact
+    * integer `n_chars`; both moment sums are exact longs (a 1e12-doc
+    * source lifts Σw² to the module's decimal convention), and the
+    * two published ratios are single double divisions of exact
+    * operands. One combiner-friendly source aggregate; nothing else
+    * moves.
+    */
+  def p16EssReport(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(col("source"), col("n_chars").cast("long").as("w"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("w")).as("sw"),
+        sum(col("w") * col("w")).as("sw2"))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("sw").as("total_chars"),
+        round(
+          expr("CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE)"),
+          3).as("ess"),
+        round(
+          expr("""CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE)
+                 | / CAST(n_docs AS DOUBLE)""".stripMargin),
+          4).as("ess_ratio"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p16_ess_report" -> p16EssReport,
     "p15_shard_manifest" -> p15ShardManifest,
     "p14_token_waterfill" -> p14TokenWaterfill,
     "p13_contamination_report" -> p13ContaminationReport,
@@ -726,6 +762,19 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    // same exact integer moments; ratios as single double divisions
+    "p16_ess_report" ->
+      """WITH m AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sw,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sw2
+        |  FROM documents GROUP BY 1)
+        |SELECT source, n_docs, sw AS total_chars,
+        |  round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+        |        / CAST(sw2 AS DOUBLE), 3) AS ess,
+        |  round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE)
+        |    / CAST(n_docs AS DOUBLE), 4) AS ess_ratio
+        |FROM m ORDER BY source""".stripMargin,
     // same per-doc polynomial over the md5 prefix (1-based comprehension
     // index shifted to match Spark's 0-based transform), plain sums
     "p15_shard_manifest" ->

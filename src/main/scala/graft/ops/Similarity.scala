@@ -1234,7 +1234,48 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** s22 — recall@k CURVE for the LSH index (k = 1..5): s14 reports
+    * the single recall@5 number; the curve says WHERE the index
+    * loses neighbors — a rank-1 miss (wrong top hit) is a different
+    * failure than a rank-5 tail miss, and the tuning response
+    * (more tables vs deeper re-rank) differs accordingly. One pass:
+    * the exact and LSH rankings join once on (query, neighbor) with
+    * BOTH rank columns, and every k-level is a conditional count
+    * `max(exact_rank, lsh_rank) ≤ k` over that same join — never 5
+    * recomputations. All integers; rates in basis points. Output is
+    * 5 rows.
+    */
+  def s22RecallCurve(s: SparkSession, dir: String): DataFrame = {
+    val exact = s1KnnBruteForce(s, dir).select(
+      col("q_id"),
+      col("neighbor_id"),
+      col("rank").as("er"))
+    val approx = s2KnnLsh(s, dir).select(
+      col("q_id"),
+      col("neighbor_id"),
+      col("rank").as("ar"))
+    val nq = exact
+      .select(col("q_id"))
+      .distinct()
+      .agg(count(lit(1)).as("nq")) // 1-row; broadcast back, no driver action
+    val joined = exact.join(approx, Seq("q_id", "neighbor_id"))
+    val sums =
+      (1 to 5).map(k =>
+        sum(when(greatest(col("er"), col("ar")) <= k, 1L).otherwise(0L)).as(s"h$k"))
+    val agg = joined.agg(sums.head, sums.tail: _*)
+    val cells = (1 to 5).map(k => s"${k}L, h$k").mkString(", ")
+    agg
+      .selectExpr(s"stack(5, $cells) AS (k, hits)")
+      .crossJoin(broadcast(nq))
+      .select(
+        col("k"),
+        col("hits"),
+        expr("(hits * 10000L) div (nq * k)").as("recall_bp"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s22_recall_curve" -> s22RecallCurve,
     "s21_embedding_drift" -> s21EmbeddingDrift,
     "s20_classify_eval" -> s20ClassifyEval,
     "s19_filtered_search" -> s19FilteredSearch,
@@ -1380,6 +1421,50 @@ object Similarity {
   /** s14's oracle: the s1 ranking and the full s2 pipeline replayed as
     * nested CTE subqueries, intersected per query.
     */
+  /** s22's oracle: s1 and s2 replayed WITH their rank columns; every
+    * k-level is a conditional count over the single rank join.
+    */
+  private def s22OracleSql: String = {
+    val levels = (1 to 5)
+      .map(k =>
+        s"""    CAST(sum(CASE WHEN greatest(er, ar) <= $k THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS h$k""".stripMargin)
+      .mkString(",\n")
+    val union = (1 to 5)
+      .map(k => s"  SELECT $k AS k, h$k AS hits FROM a")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH ex AS (
+       |  SELECT q_id, neighbor_id, rank AS er FROM (
+       |    WITH e AS (
+       |      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |    n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm
+       |          FROM e),
+       |    scored AS (
+       |      SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |        row_number() OVER (
+       |          PARTITION BY q.vec_id
+       |          ORDER BY list_inner_product(q.v, c.v) / (q.norm * c.norm)
+       |                     DESC,
+       |                   c.vec_id ASC) AS rank
+       |      FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
+       |    SELECT q_id, neighbor_id, rank FROM scored WHERE rank <= 5)),
+       |ap AS (
+       |  SELECT q_id, neighbor_id, rank AS ar FROM ($s2OracleSql)),
+       |j AS (
+       |  SELECT ex.q_id, ex.er, ap.ar
+       |  FROM ex JOIN ap USING (q_id, neighbor_id)),
+       |nqs AS (SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS nq FROM ex),
+       |a AS (
+       |  SELECT
+       |$levels
+       |  FROM j),
+       |u AS (
+       |$union)
+       |SELECT CAST(k AS BIGINT) AS k, hits,
+       |  CAST((hits * 10000) // (nqs.nq * k) AS BIGINT) AS recall_bp
+       |FROM u, nqs ORDER BY k""".stripMargin
+  }
+
   private def s14OracleSql: String =
     s"""WITH s1r AS (
        |  SELECT q_id, neighbor_id FROM (
@@ -1534,6 +1619,7 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "s22_recall_curve" -> s22OracleSql,
     // same assignment replay, same exact integer centroid numerators
     // (HUGEINT squares mirror DECIMAL(38,0)), same smoothed PSI text
     "s21_embedding_drift" ->

@@ -2360,6 +2360,36 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("s22 recall curve: consistent with s14's single point; hits monotone in k") {
+    val curve = Similarity.s22RecallCurve(spark, Sf).collect()
+    assert(curve.map(_.getLong(0)).toSeq == (1L to 5L))
+    val hits = curve.map(_.getLong(1))
+    assert(hits.zip(hits.tail).forall { case (a, b) => b >= a },
+      "hit counts can only grow with k")
+    curve.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) <= 10000))
+    // the k=5 level must agree with s14's aggregate recall@5
+    val s14Hits = Similarity.s14LshRecall(spark, Sf).collect().map(_.getLong(1)).sum
+    assert(hits.last == s14Hits, s"curve@5 ${hits.last} != s14 total $s14Hits")
+  }
+
+  test("p16 ESS: bounded by n_docs, floored at 1; totals reconcile") {
+    val out = Corpus.p16EssReport(spark, Sf).collect()
+    val totals = Tables
+      .documents(spark, Sf)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("c"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    out.foreach { r =>
+      val (n, c) = totals(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == c, "totals drift")
+      assert(r.getDouble(3) >= 1.0 - 1e-9, "ESS of positive weights is at least 1")
+      assert(r.getDouble(3) <= n + 1e-9, "ESS cannot exceed the doc count")
+      assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1.0 + 1e-9)
+    }
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
