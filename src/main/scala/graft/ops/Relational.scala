@@ -6572,7 +6572,60 @@ object Relational {
       .orderBy("prio")
   }
 
+  /** q180 — non-dominated sorting (NSGA-style Pareto FRONT RANKS):
+    * q104 extracts the first skyline; multi-objective selection needs
+    * the next fronts too — "if the frontier options are exhausted,
+    * what's the second-best tier?" Three peeling rounds, each
+    * re-running q104's exact sort-sweep dominance test (min-date
+    * among lower-(price, date) predecessors) on what the previous
+    * rounds left — the q160/q127 fixed-round posture, with each
+    * remainder localCheckpointed (read by its own sweep AND the next
+    * round). Per (flag, front) the rollup carries population and
+    * price-range stats. At scale each round costs one (flag)-keyed
+    * sort window over the DISTINCT (price, date) cells — fact rows
+    * collapsed before any window, as in q104.
+    */
+  def q180ParetoFronts(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("flag"))
+      .orderBy(col("price_cents").asc, col("ship_date").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    var rem = Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_returnflag").as("flag"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("price_cents"),
+        col("l_shipdate").cast("date").as("ship_date"))
+      .groupBy(col("flag"), col("price_cents"), col("ship_date"))
+      .agg(count(lit(1)).as("n_lines"))
+      .localCheckpoint()
+    val fronts = (1 to 3).map { front =>
+      val swept = rem.withColumn("md", min(col("ship_date")).over(w))
+      val keep = swept.filter(col("md").isNull || col("md") > col("ship_date"))
+      rem = swept
+        .filter(!(col("md").isNull || col("md") > col("ship_date")))
+        .drop("md")
+        .localCheckpoint()
+      keep
+        .groupBy(col("flag"))
+        .agg(
+          count(lit(1)).as("n_points"),
+          sum(col("n_lines")).as("total_lines"),
+          min(col("price_cents")).as("min_price_cents"),
+          max(col("price_cents")).as("max_price_cents"))
+        .select(
+          col("flag"),
+          lit(front).as("front"),
+          col("n_points"),
+          col("total_lines"),
+          col("min_price_cents"),
+          col("max_price_cents"))
+    }
+    fronts.reduce(_ unionAll _).orderBy("flag", "front")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_pareto_fronts" -> q180ParetoFronts,
     "q179_dup_payments" -> q179DupPayments,
     "q178_revenue_recognition" -> q178RevenueRecognition,
     "q177_v_pattern" -> q177VPattern,
@@ -6749,6 +6802,41 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // q104's sweep dominance test peeled three times as chained CTEs
+    "q180_pareto_fronts" ->
+      ("""WITH rem1 AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      AS price_cents,
+        |    CAST(l_shipdate AS DATE) AS ship_date,
+        |    CAST(count(*) AS BIGINT) AS n_lines
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |""".stripMargin +
+        (1 to 3)
+          .map { i =>
+            s"""sw$i AS (
+             |  SELECT *, min(ship_date) OVER (PARTITION BY flag
+             |    ORDER BY price_cents ASC, ship_date ASC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS md
+             |  FROM rem$i),
+             |f$i AS (
+             |  SELECT flag, $i AS front, count(*) AS n_points,
+             |    CAST(sum(n_lines) AS BIGINT) AS total_lines,
+             |    CAST(min(price_cents) AS BIGINT) AS min_price_cents,
+             |    CAST(max(price_cents) AS BIGINT) AS max_price_cents
+             |  FROM sw$i WHERE md IS NULL OR md > ship_date
+             |  GROUP BY 1),
+             |rem${i + 1} AS (
+             |  SELECT flag, price_cents, ship_date, n_lines FROM sw$i
+             |  WHERE NOT (md IS NULL OR md > ship_date)),
+             |""".stripMargin
+          }
+          .mkString +
+        """u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+        |       UNION ALL SELECT * FROM f3)
+        |SELECT flag, CAST(front AS INTEGER) AS front, n_points,
+        |  total_lines, min_price_cents, max_price_cents
+        |FROM u ORDER BY flag, front""".stripMargin),
     // same planted resubmission batch, same equality-blocked self-join
     "q179_dup_payments" ->
       """WITH base AS (

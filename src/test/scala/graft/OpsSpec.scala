@@ -2390,6 +2390,23 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q180 Pareto fronts: front 1 equals q104's skyline; fronts disjoint by construction") {
+    val out = Relational.q180ParetoFronts(spark, Sf).collect()
+    assert(out.map(r => (r.getString(0), r.getInt(1))).distinct.length == out.length)
+    val sky = Relational.q104Skyline(spark, Sf).collect().groupBy(_.getString(0))
+    out.filter(_.getInt(1) == 1).foreach { r =>
+      assert(r.getLong(2) == sky(r.getString(0)).length,
+        s"${r.getString(0)}: front-1 population must equal q104's skyline")
+    }
+    out.groupBy(_.getString(0)).foreach { case (flag, rows) =>
+      val byFront = rows.sortBy(_.getInt(1))
+      // deeper fronts cannot undercut the frontier's best price
+      val minPrices = byFront.map(_.getLong(4))
+      assert(minPrices.zip(minPrices.tail).forall { case (a, b) => b >= a },
+        s"$flag: a later front found a strictly better min price")
+    }
+  }
+
   test("d16 on the fixture: roles partition d6's node set; cores dominate their label") {
     val d16 = Dedup.d16DensityClusters(spark, Sf).collect()
     val d6Nodes = Dedup.d6DupClusters(spark, Sf).collect().map(_.getLong(0)).toSet
