@@ -6624,7 +6624,146 @@ object Relational {
     fronts.reduce(_ unionAll _).orderBy("flag", "front")
   }
 
+  /** q181 — Kendall tau-b rank correlation between monthly order
+    * volume and monthly revenue per nation: does a nation's busier
+    * month also tend to be its richer month — the RANK-based
+    * association q159 (Spearman) approximates and q161 (Pearson)
+    * linearizes; tau-b is the one that handles ties honestly, which
+    * matters on integer order counts. Pair enumeration runs over the
+    * (nation, month) AGGREGATE — bounded by nations × calendar months
+    * at ANY data scale, never over raw orders — so the self-join is a
+    * constant-sized table crossed within nation blocks. Concordance is
+    * pure integer sign logic on exact counts/cents (no product that
+    * could overflow, no float until the final tau), and tau-b's
+    * denominator is a sqrt of exact integer pair counts, rounded well
+    * above libm ulp.
+    */
+  def q181KendallTau(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables
+      .orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(
+        col("n_name"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("mth"))
+      .agg(
+        count(lit(1)).as("x"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("y"))
+    val pairs = monthly
+      .as("a")
+      .join(
+        monthly.as("b"),
+        col("a.n_name") === col("b.n_name") && col("a.mth") < col("b.mth"))
+      .select(
+        col("a.n_name").as("n_name"),
+        ((col("a.x") > col("b.x") && col("a.y") > col("b.y")) ||
+          (col("a.x") < col("b.x") && col("a.y") < col("b.y")))
+          .cast("long").as("conc"),
+        ((col("a.x") > col("b.x") && col("a.y") < col("b.y")) ||
+          (col("a.x") < col("b.x") && col("a.y") > col("b.y")))
+          .cast("long").as("disc"),
+        (col("a.x") === col("b.x")).cast("long").as("tx"),
+        (col("a.y") === col("b.y")).cast("long").as("ty"))
+    pairs
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("conc")).as("concordant"),
+        sum(col("disc")).as("discordant"),
+        sum(col("tx")).as("ties_x"),
+        sum(col("ty")).as("ties_y"))
+      .withColumn(
+        "tau_b",
+        when(
+          (col("n_pairs") - col("ties_x")) * (col("n_pairs") - col("ties_y")) === 0,
+          lit(null).cast("double"))
+          .otherwise(round(
+            (col("concordant") - col("discordant")).cast("double") /
+              sqrt(((col("n_pairs") - col("ties_x")) *
+                (col("n_pairs") - col("ties_y"))).cast("double")),
+            4)))
+      .orderBy("n_name")
+  }
+
+  /** q182 — D'Hondt divisor apportionment of a fixed budget: allocate
+    * 20 "capacity slots" to nations proportional to revenue, by the
+    * highest-averages method (the divisor-family complement of q176's
+    * largest-remainder method — the two disagree exactly where
+    * apportionment paradoxes live, which is why a planner runs both).
+    * The quotient table is nations × 20 divisors — bounded by the
+    * dimension and the slot count at ANY data scale — so the global
+    * row_number window ranks a constant-sized relation, never data.
+    * Each quotient is one IEEE division of exact revenue cents by a
+    * small integer (correctly rounded, so both engines produce the
+    * identical double); ties break (nation, divisor) deterministically.
+    */
+  def q182Dhondt(s: SparkSession, dir: String): DataFrame = {
+    val seats = 20
+    val rev = Tables
+      .orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("revenue_cents"))
+    val w = Window.orderBy(col("q").desc, col("n_name").asc, col("d").asc)
+    val won = rev
+      .select(
+        col("n_name"),
+        col("revenue_cents"),
+        explode(sequence(lit(1), lit(seats))).as("d"))
+      .withColumn("q", col("revenue_cents").cast("double") / col("d"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= seats)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_seats"))
+    rev
+      .join(won, Seq("n_name"), "left")
+      .select(
+        col("n_name"),
+        col("revenue_cents"),
+        coalesce(col("n_seats"), lit(0L)).as("n_seats"))
+      .orderBy("n_name")
+  }
+
+  /** q184 — business-day fulfilment latency: order→ship latency
+    * counted in WEEKDAYS (the SLA clock operations teams actually
+    * run), per order priority. The weekday count uses the closed-form
+    * prefix function f(d) = 5·⌊dse/7⌋ + min(dse mod 7, 5) against a
+    * Monday epoch (1970-01-05) — business days elapsed = f(ship) −
+    * f(order) — so the whole computation is integer date arithmetic
+    * inside the row scan (no calendar table join, no per-day explode;
+    * at 100 TB a calendar-spine join here would be a pointless
+    * broadcast and an explode would be a 5× row blow-up). div/mod run
+    * on non-negative day counts only (fixture dates are all
+    * post-epoch), where floor- and truncate-division agree across
+    * engines.
+    */
+  def q184BusinessDays(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("o_orderpriority"),
+        datediff(col("l_shipdate").cast("date"), to_date(lit("1970-01-05"))).as("dss"),
+        datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-05"))).as("dso"))
+      .withColumn(
+        "bd",
+        expr("((dss div 7) * 5 + least(dss % 7, 5)) - ((dso div 7) * 5 + least(dso % 7, 5))"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum(col("bd")).cast("double") / count(lit(1)), 4).as("avg_bd"),
+        min(col("bd")).as("min_bd"),
+        max(col("bd")).as("max_bd"),
+        round(
+          sum((col("bd") <= 5).cast("long")).cast("double") * 100 / count(lit(1)),
+          2).as("pct_within_5bd"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_kendall_tau" -> q181KendallTau,
+    "q182_dhondt" -> q182Dhondt,
+    "q184_business_days" -> q184BusinessDays,
     "q180_pareto_fronts" -> q180ParetoFronts,
     "q179_dup_payments" -> q179DupPayments,
     "q178_revenue_recognition" -> q178RevenueRecognition,
@@ -6802,6 +6941,81 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q181_kendall_tau" ->
+      """WITH m AS (
+        |  SELECT n_name, date_trunc('month', o_orderdate) AS mth,
+        |    CAST(count(*) AS BIGINT) AS x,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.n_name AS n_name,
+        |    CASE WHEN (a.x > b.x AND a.y > b.y)
+        |           OR (a.x < b.x AND a.y < b.y) THEN 1 ELSE 0 END AS conc,
+        |    CASE WHEN (a.x > b.x AND a.y < b.y)
+        |           OR (a.x < b.x AND a.y > b.y) THEN 1 ELSE 0 END AS disc,
+        |    CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+        |    CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+        |  FROM m a JOIN m b ON a.n_name = b.n_name AND a.mth < b.mth)
+        |SELECT n_name,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(conc) AS BIGINT) AS concordant,
+        |  CAST(sum(disc) AS BIGINT) AS discordant,
+        |  CAST(sum(tx) AS BIGINT) AS ties_x,
+        |  CAST(sum(ty) AS BIGINT) AS ties_y,
+        |  CASE WHEN (count(*) - sum(tx)) * (count(*) - sum(ty)) = 0
+        |       THEN NULL
+        |       ELSE round((sum(conc) - sum(disc))::DOUBLE /
+        |         sqrt(((count(*) - sum(tx)) *
+        |               (count(*) - sum(ty)))::DOUBLE), 4)
+        |  END AS tau_b
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q182_dhondt" ->
+      """WITH rev AS (
+        |  SELECT n_name,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS revenue_cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1),
+        |quot AS (
+        |  SELECT n_name, revenue_cents, ds.d,
+        |    revenue_cents::DOUBLE / ds.d AS q
+        |  FROM rev CROSS JOIN (SELECT unnest(range(1, 21)) AS d) ds),
+        |won AS (
+        |  SELECT n_name, CAST(count(*) AS BIGINT) AS n_seats FROM (
+        |    SELECT n_name,
+        |      row_number() OVER (ORDER BY q DESC, n_name ASC, d ASC) AS rk
+        |    FROM quot) WHERE rk <= 20 GROUP BY 1)
+        |SELECT rev.n_name, revenue_cents,
+        |  COALESCE(n_seats, 0) AS n_seats
+        |FROM rev LEFT JOIN won ON rev.n_name = won.n_name
+        |ORDER BY 1""".stripMargin,
+    "q184_business_days" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority,
+        |    datediff('day', DATE '1970-01-05', CAST(l_shipdate AS DATE))
+        |      AS dss,
+        |    datediff('day', DATE '1970-01-05', CAST(o_orderdate AS DATE))
+        |      AS dso
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |l AS (
+        |  SELECT o_orderpriority,
+        |    ((dss // 7) * 5 + least(dss % 7, 5)) -
+        |    ((dso // 7) * 5 + least(dso % 7, 5)) AS bd
+        |  FROM b)
+        |SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  round(sum(bd)::DOUBLE / count(*), 4) AS avg_bd,
+        |  CAST(min(bd) AS BIGINT) AS min_bd,
+        |  CAST(max(bd) AS BIGINT) AS max_bd,
+        |  round(sum(CASE WHEN bd <= 5 THEN 1 ELSE 0 END)::DOUBLE * 100 /
+        |    count(*), 2) AS pct_within_5bd
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     // q104's sweep dominance test peeled three times as chained CTEs
     "q180_pareto_fronts" ->
       ("""WITH rem1 AS (
