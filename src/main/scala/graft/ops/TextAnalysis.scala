@@ -1488,7 +1488,85 @@ object TextAnalysis {
       .orderBy("decile")
   }
 
+  /** t33 — trained multinomial Naive Bayes language classifier with a
+    * held-out confusion matrix: the fastText-style SUPERVISED filter
+    * every LLM data pipeline runs (language/quality gating), where t3
+    * is the zero-shot heuristic. Train on the hash split's 80%
+    * (`doc_id % 5 ≠ 4` — p4/s12's convention), score the held-out 20%,
+    * report the (true_lang, predicted_lang) confusion counts.
+    *
+    * Determinism is the interesting part: the usual NB score is a
+    * FLOAT sum of log-probabilities, and float sums are
+    * order-dependent — two engines summing in different orders can
+    * flip a near-tied argmax. Here every log-probability is quantized
+    * ONCE to integer micro-nats (`round(ln(p)·1e6)` — q112's
+    * integer-algebra posture), so the per-document score is an EXACT
+    * integer sum and the argmax is exact integer comparison with a
+    * lexicographic tie-break; the only float op either engine performs
+    * is one correctly-rounded division feeding one ln() per DISTINCT
+    * (lang, token), never per document.
+    *
+    * Scale: model tables are vocabulary-sized ((lang, w) counts);
+    * the scoring join expands held-out tokens by the LANGUAGE count —
+    * a small constant — then left-joins the model on (lang, w); the
+    * confusion matrix is langs² rows. Nothing driver-sized, no
+    * .count() actions: V and doc totals ride as 1-row broadcast
+    * aggregates.
+    */
+  def t33NbClassifier(s: SparkSession, dir: String): DataFrame = {
+    val tm = Tables
+      .spread(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("m"))
+    val train = tm.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+    val test = tm.filter(pmod(col("doc_id"), lit(5)) === 4)
+    val counts = train.groupBy(col("lang"), col("w")).agg(sum(col("m")).as("c"))
+    val nLang = counts.groupBy(col("lang")).agg(sum(col("c")).as("n_tok"))
+    val v = counts.select(col("w")).distinct().agg(count(lit(1)).as("v"))
+    val priors = train
+      .select(col("doc_id"), col("lang"))
+      .distinct()
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs_lang"))
+    val tot = priors.agg(sum(col("n_docs_lang")).as("n_docs_tot"))
+    val lm = nLang
+      .join(priors, "lang")
+      .crossJoin(broadcast(v))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("lang").as("cand"),
+        round(log(col("n_docs_lang").cast("double") / col("n_docs_tot").cast("double")) * 1e6)
+          .cast("long").as("prior_micro"),
+        round(log(lit(1.0) / (col("n_tok") + col("v")).cast("double")) * 1e6)
+          .cast("long").as("oov_micro"))
+    val ts = counts
+      .join(nLang, "lang")
+      .crossJoin(broadcast(v))
+      .select(
+        col("lang").as("cand"),
+        col("w"),
+        round(log((col("c") + 1).cast("double") / (col("n_tok") + col("v")).cast("double")) * 1e6)
+          .cast("long").as("w_micro"))
+    val scored = test
+      .select(col("doc_id"), col("lang").as("true_lang"), col("w"), col("m"))
+      .crossJoin(broadcast(lm))
+      .join(ts, Seq("cand", "w"), "left")
+      .groupBy(col("doc_id"), col("true_lang"), col("cand"))
+      .agg(
+        (min(col("prior_micro")) +
+          sum(col("m") * coalesce(col("w_micro"), col("oov_micro")))).as("score"))
+    val rk = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand").asc)
+    scored
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") === 1)
+      .groupBy(col("true_lang"), col("cand").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t33_nb_classifier" -> t33NbClassifier,
     "t32_signal_calibration" -> t32SignalCalibration,
     "t31_bpe_train" -> t31BpeTrain,
     "t30_rake_phrases" -> t30RakePhrases,
@@ -1524,6 +1602,55 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // same 80/20 hash split, same integer micro-nat quantization of
+    // every log-probability, same (score desc, lang asc) argmax
+    "t33_nb_classifier" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tm AS (
+        |  SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS m
+        |  FROM tok GROUP BY 1, 2, 3),
+        |train AS (SELECT * FROM tm WHERE doc_id % 5 <> 4),
+        |test AS (SELECT * FROM tm WHERE doc_id % 5 = 4),
+        |counts AS (
+        |  SELECT lang, w, CAST(sum(m) AS BIGINT) AS c
+        |  FROM train GROUP BY 1, 2),
+        |nl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tok
+        |       FROM counts GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM counts),
+        |pri AS (
+        |  SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_lang
+        |  FROM train GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_docs_lang) AS BIGINT) AS n_docs_tot
+        |        FROM pri),
+        |lm AS (
+        |  SELECT nl.lang AS cand,
+        |    CAST(round(ln(n_docs_lang::DOUBLE / n_docs_tot) * 1e6)
+        |      AS BIGINT) AS prior_micro,
+        |    CAST(round(ln(1::DOUBLE / (n_tok + v.v)) * 1e6)
+        |      AS BIGINT) AS oov_micro
+        |  FROM nl JOIN pri ON nl.lang = pri.lang CROSS JOIN v CROSS JOIN tot),
+        |ts AS (
+        |  SELECT counts.lang AS cand, w,
+        |    CAST(round(ln((c + 1)::DOUBLE / (n_tok + v.v)) * 1e6)
+        |      AS BIGINT) AS w_micro
+        |  FROM counts JOIN nl ON counts.lang = nl.lang CROSS JOIN v),
+        |sc AS (
+        |  SELECT t.doc_id, t.lang AS true_lang, lm.cand,
+        |    CAST(min(lm.prior_micro) +
+        |      sum(t.m * COALESCE(ts.w_micro, lm.oov_micro)) AS BIGINT)
+        |      AS score
+        |  FROM test t CROSS JOIN lm
+        |  LEFT JOIN ts ON ts.cand = lm.cand AND ts.w = t.w
+        |  GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT doc_id, true_lang, cand AS pred_lang,
+        |    row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rk
+        |  FROM sc)
+        |SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM pred WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // same grades, same (grade, doc_id) ntile order, same dup labels
     "t32_signal_calibration" ->
       """WITH pd AS (
