@@ -6760,7 +6760,84 @@ object Relational {
           2).as("pct_within_5bd"))
       .orderBy("o_orderpriority")
 
+  /** q183 — geo nearest-pair per nation: the haversine/great-circle
+    * function family (radians/sin/cos/asin/sqrt) over synthetic
+    * key-derived coordinates (deterministic tenth-degree grid points —
+    * the fixture carries no geo columns, so the coordinates are a
+    * documented pure function of the keys, identical in both engines).
+    *
+    * The determinism trick mirrors q112/t33's integer-algebra posture:
+    * the NEAREST selection never touches a trig double — candidates
+    * rank by an EXACT integer surrogate (squared tenth-degree grid
+    * distance with longitude wraparound), with (d2, custkey, suppkey)
+    * as the total order, and the one haversine kilometre figure per
+    * nation is computed only for the winning pair, as an output-only
+    * column rounded far above sin/cos libm ulp. Ranking by the true
+    * haversine double would bet the hash gate on cross-libm trig
+    * agreement; ranking by integers bets nothing.
+    *
+    * Scale: the candidate join is customer×supplier WITHIN a nation
+    * key — at 100 TB that is the blocked/equi-join shape (d17's
+    * posture), and the surrogate metric means the per-block top-1 is
+    * a WindowGroupLimit partial rank, never a global sort of trig
+    * values. The per-nation average grid distance is an exact integer
+    * mean.
+    */
+  def q183GeoNearest(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables
+      .customer(s, dir)
+      .select(
+        col("c_custkey"),
+        col("c_nationkey"),
+        (col("c_custkey") * 41 % 1700 - 850).as("clat"),
+        (col("c_custkey") * 97 % 3600 - 1800).as("clon"))
+    val supp = Tables
+      .supplier(s, dir)
+      .select(
+        col("s_suppkey"),
+        col("s_nationkey"),
+        (col("s_suppkey") * 37 % 1700 - 850).as("slat"),
+        (col("s_suppkey") * 73 % 3600 - 1800).as("slon"))
+    val pairs = cust
+      .join(supp, col("c_nationkey") === col("s_nationkey"))
+      .withColumn("dlat", abs(col("clat") - col("slat")))
+      .withColumn("dlon0", abs(col("clon") - col("slon")))
+      .withColumn("dlon", least(col("dlon0"), lit(3600) - col("dlon0")))
+      .withColumn("d2", col("dlat") * col("dlat") + col("dlon") * col("dlon"))
+    val w = Window
+      .partitionBy(col("c_nationkey"))
+      .orderBy(col("d2").asc, col("c_custkey").asc, col("s_suppkey").asc)
+    val stats = pairs
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(sum(col("d2")).cast("double") / count(lit(1)), 2).as("avg_grid_d2"))
+    val km = {
+      def rad(c: org.apache.spark.sql.Column) = radians(c.cast("double") / 10)
+      val a =
+        pow(sin((rad(col("clat")) - rad(col("slat"))) / 2), 2) +
+          cos(rad(col("clat"))) * cos(rad(col("slat"))) *
+          pow(sin((rad(col("clon")) - rad(col("slon"))) / 2), 2)
+      round(asin(sqrt(a)) * 2 * 6371, 2)
+    }
+    pairs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(stats, "c_nationkey")
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("n_name"),
+        col("n_pairs"),
+        col("avg_grid_d2"),
+        col("c_custkey").as("nearest_custkey"),
+        col("s_suppkey").as("nearest_suppkey"),
+        col("d2").as("grid_d2"),
+        km.as("km"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_geo_nearest" -> q183GeoNearest,
     "q181_kendall_tau" -> q181KendallTau,
     "q182_dhondt" -> q182Dhondt,
     "q184_business_days" -> q184BusinessDays,
@@ -6941,6 +7018,50 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q183_geo_nearest" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    c_custkey * 41 % 1700 - 850 AS clat,
+        |    c_custkey * 97 % 3600 - 1800 AS clon
+        |  FROM customer),
+        |supp AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |    s_suppkey * 37 % 1700 - 850 AS slat,
+        |    s_suppkey * 73 % 3600 - 1800 AS slon
+        |  FROM supplier),
+        |pairs AS (
+        |  SELECT c_custkey, c_nationkey, s_suppkey, clat, clon, slat, slon,
+        |    abs(clat - slat) * abs(clat - slat) +
+        |    least(abs(clon - slon), 3600 - abs(clon - slon)) *
+        |    least(abs(clon - slon), 3600 - abs(clon - slon)) AS d2
+        |  FROM cust JOIN supp ON c_nationkey = s_nationkey),
+        |stats AS (
+        |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    round(sum(d2)::DOUBLE / count(*), 2) AS avg_grid_d2
+        |  FROM pairs GROUP BY 1),
+        |best AS (
+        |  SELECT * FROM (
+        |    SELECT c_nationkey, c_custkey, s_suppkey, clat, clon, slat,
+        |      slon, d2,
+        |      row_number() OVER (PARTITION BY c_nationkey
+        |        ORDER BY d2 ASC, c_custkey ASC, s_suppkey ASC) AS rk
+        |    FROM pairs) WHERE rk = 1)
+        |SELECT n_name, n_pairs, avg_grid_d2,
+        |  CAST(c_custkey AS BIGINT) AS nearest_custkey,
+        |  CAST(s_suppkey AS BIGINT) AS nearest_suppkey,
+        |  CAST(d2 AS BIGINT) AS grid_d2,
+        |  round(asin(sqrt(
+        |    pow(sin((radians(clat::DOUBLE / 10) -
+        |             radians(slat::DOUBLE / 10)) / 2), 2) +
+        |    cos(radians(clat::DOUBLE / 10)) *
+        |    cos(radians(slat::DOUBLE / 10)) *
+        |    pow(sin((radians(clon::DOUBLE / 10) -
+        |             radians(slon::DOUBLE / 10)) / 2), 2)
+        |  )) * 2 * 6371, 2) AS km
+        |FROM best
+        |JOIN stats ON best.c_nationkey = stats.c_nationkey
+        |JOIN nation ON best.c_nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin,
     "q181_kendall_tau" ->
       """WITH m AS (
         |  SELECT n_name, date_trunc('month', o_orderdate) AS mth,
