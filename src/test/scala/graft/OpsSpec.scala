@@ -2420,4 +2420,141 @@ class OpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q182 D'Hondt: exactly 20 seats allocated, monotone in revenue") {
+    val out = Relational.q182Dhondt(spark, Sf).collect()
+    assert(out.map(_.getLong(2)).sum == 20L, "the house must seat exactly 20")
+    // highest-averages apportionment is vote-monotone: more revenue
+    // can never mean fewer seats
+    out.foreach { a =>
+      out.foreach { b =>
+        if (a.getLong(1) > b.getLong(1))
+          assert(a.getLong(2) >= b.getLong(2),
+            s"${a.getString(0)} out-earns ${b.getString(0)} but got fewer seats")
+      }
+    }
+  }
+
+  test("q181 Kendall tau-b agrees with a brute-force replay") {
+    val monthly = Tables
+      .orders(spark, Sf)
+      .join(Tables.customer(spark, Sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, Sf), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(
+        col("n_name"),
+        date_trunc("month", col("o_orderdate")).as("mth"))
+      .agg(
+        count(lit(1)).as("x"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val out = Relational.q181KendallTau(spark, Sf).collect()
+    out.foreach { r =>
+      val pts = monthly(r.getString(0)).map(t => (t._2, t._3)).toSeq
+      val pairs = for {
+        i <- pts.indices; j <- pts.indices if i < j
+      } yield (pts(i), pts(j))
+      val conc = pairs.count { case ((x1, y1), (x2, y2)) =>
+        (x1 > x2 && y1 > y2) || (x1 < x2 && y1 < y2)
+      }
+      val disc = pairs.count { case ((x1, y1), (x2, y2)) =>
+        (x1 > x2 && y1 < y2) || (x1 < x2 && y1 > y2)
+      }
+      assert(r.getLong(1) == pairs.length && r.getLong(2) == conc &&
+        r.getLong(3) == disc,
+        s"${r.getString(0)}: pair census drifted from the replay")
+      if (!r.isNullAt(6)) assert(math.abs(r.getDouble(6)) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q184 business days agree with a walk-the-calendar replay") {
+    val raw = Tables
+      .lineitem(spark, Sf)
+      .join(Tables.orders(spark, Sf), col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("o_orderpriority"),
+        col("o_orderdate").cast("date"),
+        col("l_shipdate").cast("date"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getDate(2).toLocalDate))
+    // independent algorithm: literally walk the days and count weekdays
+    // (signed — the synthetic fixture contains ship < order pairs)
+    def walk(a: java.time.LocalDate, b: java.time.LocalDate): Long = {
+      def fwd(x: java.time.LocalDate, y: java.time.LocalDate): Long =
+        Iterator.iterate(x)(_.plusDays(1)).takeWhile(_.isBefore(y))
+          .count(d => d.getDayOfWeek.getValue <= 5).toLong
+      if (a.isBefore(b) || a.isEqual(b)) fwd(a, b) else -fwd(b, a)
+    }
+    val expected = raw.groupBy(_._1).map { case (p, rows) =>
+      val bds = rows.map(t => walk(t._2, t._3))
+      p -> (rows.length.toLong, bds.sum, bds.min, bds.max,
+        bds.count(_ <= 5).toLong)
+    }
+    Relational.q184BusinessDays(spark, Sf).collect().foreach { r =>
+      val (n, sumBd, minBd, maxBd, within) = expected(r.getString(0))
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getDouble(2) - sumBd.toDouble / n) < 1e-3,
+        s"${r.getString(0)}: avg drifted from the calendar walk")
+      assert(r.getLong(3) == minBd && r.getLong(4) == maxBd)
+      assert(math.abs(r.getDouble(5) - within * 100.0 / n) < 0.01)
+    }
+  }
+
+  test("t33 NB classifier: one prediction per held-out doc, beats chance") {
+    val cm = TextAnalysis.t33NbClassifier(spark, Sf).collect()
+    val holdout = Tables
+      .documents(spark, Sf)
+      .filter(pmod(col("doc_id"), lit(5)) === 4)
+      .count()
+    assert(cm.map(_.getLong(2)).sum == holdout,
+      "confusion matrix must cover every held-out doc exactly once")
+    val correct = cm.filter(r => r.getString(0) == r.getString(1))
+      .map(_.getLong(2)).sum
+    val nLangs = Tables.documents(spark, Sf).select("lang").distinct().count()
+    assert(correct.toDouble / holdout > 1.0 / nLangs,
+      "a trained classifier must beat uniform chance on its own corpus")
+  }
+
+  test("d25 estimator audit: estimates exact, d2's LSH pairs are a subset") {
+    val d25 = Dedup.d25MinhashError(spark, Sf).collect()
+    d25.foreach { r =>
+      val m = r.getLong(3)
+      assert(m >= 0 && m <= 16)
+      assert(math.abs(r.getDouble(4) - m / 16.0) < 1e-12, "estimate = matches/16")
+      assert(r.getDouble(5) <= 1.0 + 1e-9)
+    }
+    val d25Pairs = d25.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d2Pairs = Dedup.d2MinHashLsh(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d2Pairs.subsetOf(d25Pairs),
+      "exhaustive J>=0.5 audit must contain every LSH-found pair")
+  }
+
+  test("q183 geo nearest: winner matches a brute-force minimum per nation") {
+    val cust = Tables.customer(spark, Sf)
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue()))
+    val supp = Tables.supplier(spark, Sf)
+      .select("s_suppkey", "s_nationkey").collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue()))
+    def d2(c: Long, s: Long): Long = {
+      val dlat = math.abs((c * 41 % 1700 - 850) - (s * 37 % 1700 - 850))
+      val dl0 = math.abs((c * 97 % 3600 - 1800) - (s * 73 % 3600 - 1800))
+      val dlon = math.min(dl0, 3600 - dl0)
+      dlat * dlat + dlon * dlon
+    }
+    val best = cust.groupBy(_._2).flatMap { case (nk, cs) =>
+      val pairs = for { (c, _) <- cs; (s, snk) <- supp if snk == nk }
+        yield (d2(c, s), c, s)
+      // sf0.001 leaves some nations supplier-less — the join drops them
+      if (pairs.isEmpty) None else Some(nk -> pairs.min)
+    }
+    Relational.q183GeoNearest(spark, Sf).collect().foreach { r =>
+      // recover the nation key through the brute-force winner identity
+      val hit = best.values.find(b => b._2 == r.getLong(3) && b._3 == r.getLong(4))
+      assert(hit.isDefined && hit.get._1 == r.getLong(5),
+        s"${r.getString(0)}: ranked winner is not the brute-force minimum")
+    }
+  }
 }
