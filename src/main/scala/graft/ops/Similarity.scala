@@ -1287,6 +1287,7 @@ object Similarity {
     "s10_kmeans_train" -> s10KmeansTrain,
     "s9_radius_search" -> s9RadiusSearch,
     "s14_lsh_recall" -> s14LshRecall,
+    "s23_pq_recall" -> s23PqRecall,
     "s15_ivf_recall" -> s15IvfRecall,
     "s13_cluster_quality" -> s13ClusterQuality,
     "s6_centroid_assign" -> s6CentroidAssign,
@@ -1354,6 +1355,70 @@ object Similarity {
         round(col("hits").cast("double") / 5.0, 4).as("recall_at_5"))
       .orderBy("q_id")
   }
+
+  /** s23 — PQ/ADC recall evaluation: s14/s15's harness pointed at the
+    * product-quantized index (s7/s8), completing the recall trilogy —
+    * hyperplane LSH (s14), coarse IVF (s15), and now PQ compression.
+    * Unlike the first two, PQ's loss has a different CAUSE (metric
+    * distortion from 64-dim → 8-codeword reconstruction, not candidate
+    * pruning), so its recall number answers a different design
+    * question: how much top-5 agreement survives 32× compression.
+    * Same composition shape: two deterministic rankings, intersection
+    * per query, query-count-sized everything after the shared scan;
+    * at 100 TB the eval runs on a sampled query set and the exact arm
+    * is the only brute-force pass (the price of ground truth — s1's
+    * scaladoc). Measured at sf0.01: mean recall@5 = 0.17 — the
+    * random-uniform fixture has no cluster structure for 16 codewords
+    * to exploit, the honest "PQ alone is a compressor, not an index"
+    * number that motivates s17's ADC-then-exact-refine two-stage.
+    */
+  def s23PqRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = s1KnnBruteForce(s, dir).select(col("q_id"), col("neighbor_id"))
+    val approx = s8PqAdcSearch(s, dir).select(col("q_id"), col("neighbor_id"))
+    val hits = exact
+      .join(approx, Seq("q_id", "neighbor_id"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("hits"))
+    exact
+      .select(col("q_id"))
+      .distinct()
+      .join(hits, Seq("q_id"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .select(
+        col("q_id"),
+        col("hits"),
+        round(col("hits").cast("double") / 5.0, 4).as("recall_at_5"))
+      .orderBy("q_id")
+  }
+
+  /** s23's oracle: the s14 harness with s8's replay as the approximate
+    * arm.
+    */
+  private def s23OracleSql: String =
+    s"""WITH s1r AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    WITH e AS (
+       |      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |    n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm
+       |          FROM e),
+       |    scored AS (
+       |      SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |        row_number() OVER (
+       |          PARTITION BY q.vec_id
+       |          ORDER BY list_inner_product(q.v, c.v) / (q.norm * c.norm)
+       |                     DESC,
+       |                   c.vec_id ASC) AS rank
+       |      FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
+       |    SELECT q_id, neighbor_id FROM scored WHERE rank <= 5)),
+       |s8r AS (
+       |  SELECT q_id, neighbor_id FROM ($s8OracleSql)),
+       |h AS (
+       |  SELECT s1r.q_id, count(*) AS hits
+       |  FROM s1r JOIN s8r USING (q_id, neighbor_id) GROUP BY 1),
+       |qs AS (SELECT DISTINCT q_id FROM s1r)
+       |SELECT qs.q_id, COALESCE(h.hits, 0) AS hits,
+       |  round(COALESCE(h.hits, 0)::DOUBLE / 5.0, 4) AS recall_at_5
+       |FROM qs LEFT JOIN h USING (q_id) ORDER BY qs.q_id""".stripMargin
 
   /** s15's oracle: s1 + the full s3 pipeline, intersected per query. */
   private def s15OracleSql: String =
@@ -1464,6 +1529,46 @@ object Similarity {
        |  CAST((hits * 10000) // (nqs.nq * k) AS BIGINT) AS recall_bp
        |FROM u, nqs ORDER BY k""".stripMargin
   }
+
+  /** s8's DuckDB oracle — standalone so s23's recall harness can
+    * embed the same replay as a subquery (the s14/s2 pattern).
+    */
+  private def s8OracleSql: String =
+    """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT list(v ORDER BY vec_id) AS cents FROM e WHERE vec_id < 16),
+        |enc AS (
+        |  SELECT vec_id,
+        |    list_transform(range(0, 8), m ->
+        |      list_transform(c.cents, cv ->
+        |        list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+        |          k -> (v[m * 8 + k] - cv[m * 8 + k]) *
+        |               (v[m * 8 + k] - cv[m * 8 + k]))), (a, b) -> a + b))) AS dd
+        |  FROM e, c),
+        |codes AS (
+        |  SELECT vec_id,
+        |    list_transform(dd, d -> list_position(d, list_min(d))) AS code
+        |  FROM enc),
+        |rec AS (
+        |  SELECT vec_id,
+        |    flatten(list_transform(range(0, 8),
+        |      m -> c.cents[code[m + 1]][m * 8 + 1 : m * 8 + 8])) AS rec
+        |  FROM codes, c),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q_id, r.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        |      k -> (qv[k] - rec[k]) * (qv[k] - rec[k]))), (a, b) -> a + b) AS adc
+        |  FROM q JOIN rec r ON r.vec_id <> q_id),
+        |ranked AS (
+        |  SELECT q_id, neighbor_id, adc,
+        |    row_number() OVER (
+        |      PARTITION BY q_id ORDER BY adc ASC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT q_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+        |  round(adc, 6) AS adc_dist
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin
 
   private def s14OracleSql: String =
     s"""WITH s1r AS (
@@ -1973,45 +2078,11 @@ object Similarity {
         |  round(d2, 6) AS l2_sq, CAST(adc_rank AS INTEGER) AS adc_rank
         |FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
-    "s8_pq_adc_search" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |c AS (SELECT list(v ORDER BY vec_id) AS cents FROM e WHERE vec_id < 16),
-        |enc AS (
-        |  SELECT vec_id,
-        |    list_transform(range(0, 8), m ->
-        |      list_transform(c.cents, cv ->
-        |        list_reduce(list_prepend(0.0, list_transform(range(1, 9),
-        |          k -> (v[m * 8 + k] - cv[m * 8 + k]) *
-        |               (v[m * 8 + k] - cv[m * 8 + k]))), (a, b) -> a + b))) AS dd
-        |  FROM e, c),
-        |codes AS (
-        |  SELECT vec_id,
-        |    list_transform(dd, d -> list_position(d, list_min(d))) AS code
-        |  FROM enc),
-        |rec AS (
-        |  SELECT vec_id,
-        |    flatten(list_transform(range(0, 8),
-        |      m -> c.cents[code[m + 1]][m * 8 + 1 : m * 8 + 8])) AS rec
-        |  FROM codes, c),
-        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
-        |scored AS (
-        |  SELECT q_id, r.vec_id AS neighbor_id,
-        |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
-        |      k -> (qv[k] - rec[k]) * (qv[k] - rec[k]))), (a, b) -> a + b) AS adc
-        |  FROM q JOIN rec r ON r.vec_id <> q_id),
-        |ranked AS (
-        |  SELECT q_id, neighbor_id, adc,
-        |    row_number() OVER (
-        |      PARTITION BY q_id ORDER BY adc ASC, neighbor_id ASC) AS rank
-        |  FROM scored)
-        |SELECT q_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
-        |  round(adc, 6) AS adc_dist
-        |FROM ranked WHERE rank <= 5
-        |ORDER BY q_id, rank""".stripMargin,
+    "s8_pq_adc_search" -> s8OracleSql,
     // both deterministic pipelines replayed and intersected; the
     // recall table hash-matches per query
     "s14_lsh_recall" -> s14OracleSql,
+    "s23_pq_recall" -> s23OracleSql,
     "s15_ivf_recall" -> s15OracleSql,
     // s6's deterministic centroids + assignment rule; silhouette from
     // the same double expressions, masked at round(4)
