@@ -6836,7 +6836,67 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** q185 — Simpson's-paradox detector: the sign of the
+    * discount→quantity association computed overall AND within each
+    * return-flag segment, flagging segments whose slope sign REVERSES
+    * the pooled slope — the aggregation-bias audit every metrics team
+    * runs before trusting a topline trend (a pooled slope can
+    * contradict every stratum when segment sizes confound; Simpson
+    * 1951). q92's exact-integer OLS machinery: all sums and the
+    * slope numerator/denominator are DECIMAL(38,0)-exact, the SIGN
+    * comparisons are exact integer algebra (never a float), and the
+    * pooled row is the algebraic rollup of the segment sums (one scan,
+    * no second pass). Only the reported slope itself is a double,
+    * rounded at 6. Plan: one partial+final aggregate on a 4-value key,
+    * a 4-row rollup, a 1-row broadcast of the pooled sign back across
+    * the segments.
+    */
+  def q185SimpsonParadox(s: SparkSession, dir: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(20,0)")
+    val segs = Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_returnflag").as("seg"),
+        floor(col("l_discount") * 10000 + 0.5).cast("long").as("x"),
+        floor(col("l_quantity") + 0.5).cast("long").as("y"))
+      .groupBy(col("seg"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"),
+        sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x") * col("y"))).as("sxy"),
+        sum(dec(col("x") * col("x"))).as("sxx"))
+    val overall = segs
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("sx")).as("sx"),
+        sum(col("sy")).as("sy"),
+        sum(col("sxy")).as("sxy"),
+        sum(col("sxx")).as("sxx"))
+      .select(lit("ALL").as("seg"), col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"))
+    val scored = segs
+      .unionByName(overall)
+      .withColumn("num", dec(col("n")) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", dec(col("n")) * col("sxx") - col("sx") * col("sx"))
+      .withColumn(
+        "sign",
+        when(col("num") > 0, 1L).when(col("num") < 0, -1L).otherwise(0L))
+    val pooledSign = scored
+      .filter(col("seg") === "ALL")
+      .select(col("sign").as("osign"))
+    scored
+      .crossJoin(broadcast(pooledSign))
+      .select(
+        col("seg"),
+        col("n").as("n_rows"),
+        round(col("num").cast("double") / col("den").cast("double"), 6).as("slope"),
+        col("sign"),
+        (col("sign") * col("osign") === -1).cast("long").as("reversed"))
+      .orderBy("seg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_simpson_paradox" -> q185SimpsonParadox,
     "q183_geo_nearest" -> q183GeoNearest,
     "q181_kendall_tau" -> q181KendallTau,
     "q182_dhondt" -> q182Dhondt,
@@ -7018,6 +7078,39 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q185_simpson_paradox" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS seg,
+        |    CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |sa AS (
+        |  SELECT seg, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx,
+        |    CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(x * x) AS HUGEINT) AS sxx
+        |  FROM base GROUP BY 1),
+        |al AS (
+        |  SELECT 'ALL' AS seg, sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+        |    sum(sxy) AS sxy, sum(sxx) AS sxx
+        |  FROM sa),
+        |u AS (SELECT * FROM sa UNION ALL SELECT * FROM al),
+        |sc AS (
+        |  SELECT seg, n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+        |  FROM u),
+        |ov AS (
+        |  SELECT CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+        |    AS osign
+        |  FROM sc WHERE seg = 'ALL')
+        |SELECT seg, CAST(n AS BIGINT) AS n_rows,
+        |  round(num::DOUBLE / den::DOUBLE, 6) AS slope,
+        |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+        |    AS BIGINT) AS sign,
+        |  CAST(CASE WHEN (CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1
+        |                       ELSE 0 END) * osign = -1
+        |            THEN 1 ELSE 0 END AS BIGINT) AS reversed
+        |FROM sc CROSS JOIN ov ORDER BY seg""".stripMargin,
     "q183_geo_nearest" ->
       """WITH cust AS (
         |  SELECT c_custkey, c_nationkey,
