@@ -2531,6 +2531,52 @@ class OpsSpec extends SparkSpec {
       "exhaustive J>=0.5 audit must contain every LSH-found pair")
   }
 
+  test("q185 Simpson detector: pooled row is the rollup, signs exact") {
+    val out = Relational.q185SimpsonParadox(spark, Sf).collect()
+    val all = out.filter(_.getString(0) == "ALL")
+    assert(all.length == 1, "exactly one pooled row")
+    assert(all.head.getLong(4) == 0L, "the pooled row can never reverse itself")
+    assert(out.map(_.getLong(1)).max == all.head.getLong(1),
+      "pooled n is the largest")
+    assert(all.head.getLong(1) == out.filter(_.getString(0) != "ALL")
+      .map(_.getLong(1)).sum, "pooled n must be the exact segment rollup")
+    out.foreach { r =>
+      assert(math.abs(r.getLong(3)) <= 1)
+      if (r.getLong(4) == 1L)
+        assert(r.getLong(3) * all.head.getLong(3) == -1L,
+          "reversed flag must mean opposite nonzero signs")
+    }
+  }
+
+  test("s23 PQ recall: hits replay as the s1 x s8 intersection") {
+    val exact = Similarity.s1KnnBruteForce(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.s8PqAdcSearch(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Similarity.s23PqRecall(spark, Sf).collect().foreach { r =>
+      val q = r.getLong(0)
+      val expect = exact.filter(_._1 == q).intersect(approx.filter(_._1 == q)).size
+      assert(r.getLong(1) == expect.toLong, s"q$q hits drifted from the replay")
+      assert(math.abs(r.getDouble(2) - expect / 5.0) < 1e-9)
+    }
+  }
+
+  test("d26 blocking audit: one truth set, and it is exactly d25's pair set") {
+    val out = Dedup.d26BlockingEfficiency(spark, Sf).collect()
+    assert(out.length == 4)
+    assert(out.map(_.getLong(2)).distinct.length == 1,
+      "every strategy is audited against the same truth")
+    val nTruth = out.head.getLong(2)
+    val d25Pairs = Dedup.d25MinhashError(spark, Sf).count()
+    assert(nTruth == d25Pairs,
+      "d26's truth and d25's audited pairs are the same exhaustive J>=0.5 set")
+    out.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "cannot catch more than the truth")
+      assert(r.getLong(3) <= math.max(r.getLong(1), 1),
+        "cannot catch more than was generated")
+    }
+  }
+
   test("q183 geo nearest: winner matches a brute-force minimum per nation") {
     val cust = Tables.customer(spark, Sf)
       .select("c_custkey", "c_nationkey").collect()
