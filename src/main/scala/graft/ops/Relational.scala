@@ -6895,7 +6895,51 @@ object Relational {
       .orderBy("seg")
   }
 
+  /** q186 — JSONL roundtrip with corrupt-line quarantine: the
+    * line-delimited JSON shape LLM corpora actually ship in
+    * (one document per line — SPLITTABLE, so a 100 TB corpus scans as
+    * independent 128 MB blocks, unlike the reference's whole-file
+    * `multiLine` mode where one file = one task = one parse,
+    * Normalize.scala's S3 contract). Writes the documents table as
+    * JSONL (Spark's json writer is JSONL by construction), plants
+    * three malformed lines, reads back with an EXPLICIT schema in
+    * PERMISSIVE mode with a corrupt-record column — schema-on-read
+    * with quarantine accounting, never an abort — and rolls up per
+    * language with the quarantined count as its own `__corrupt__`
+    * bucket. The oracle reproduces the rollup from the parquet truth
+    * plus the planted-corruption literal. Exact integers everywhere.
+    */
+  def q186JsonlQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q186-jsonl").toFile
+    tmp.deleteOnExit()
+    Tables
+      .documents(s, dir)
+      .write
+      .mode("overwrite")
+      .json(tmp.getAbsolutePath)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp.getAbsolutePath, "planted-corrupt.json"),
+      "{\"doc_id\": 12,\n{ not json at all\n\"scalar\"\n".getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING, lang STRING, source STRING, " +
+        "n_chars LONG, _corrupt STRING")
+    s.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(tmp.getAbsolutePath)
+      .groupBy(
+        when(col("_corrupt").isNotNull, lit("__corrupt__"))
+          .otherwise(col("lang")).as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("chars_total"),
+        coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_jsonl_quarantine" -> q186JsonlQuarantine,
     "q185_simpson_paradox" -> q185SimpsonParadox,
     "q183_geo_nearest" -> q183GeoNearest,
     "q181_kendall_tau" -> q181KendallTau,
@@ -7078,6 +7122,16 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // parquet truth + the planted-corruption literal
+    "q186_jsonl_quarantine" ->
+      """SELECT * FROM (
+        |  SELECT lang AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |  FROM documents GROUP BY 1
+        |  UNION ALL
+        |  SELECT '__corrupt__', 3, 0, 0)
+        |ORDER BY bucket""".stripMargin,
     "q185_simpson_paradox" ->
       """WITH base AS (
         |  SELECT l_returnflag AS seg,
