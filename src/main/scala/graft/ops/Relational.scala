@@ -6938,7 +6938,71 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** q187 — position-based (U-shaped) multi-touch attribution:
+    * q122 gives the LAST touch all the credit and q162 removes
+    * channels counterfactually; this is the third standard model —
+    * 40% to the first touch, 40% to the last, 20% split across the
+    * middles — which is where attribution meets q176's apportionment
+    * problem: the 20% must split across (k−2) middle touches EXACTLY,
+    * so credit is integer basis points with the division remainder
+    * assigned to the earliest middles (largest-remainder with equal
+    * fractions = deterministic positional assignment; Σbp = 10000 per
+    * purchase by construction, pinned in OpsSpec). Credit value stays
+    * exact as cents·bp integers; `div`/`%` run on non-negative
+    * operands only. Plan: the purchase×touch pairing is a user-keyed
+    * equi-join with a 7-day interval predicate (q24's shape — bounded
+    * by the window, never user-history-global), then both window
+    * functions ride the same purchase-keyed exchange.
+    */
+  def q187PositionAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val touches = ev
+      .filter(col("event_type").isin("click", "view"))
+      .select(
+        col("user_id"),
+        col("ts").as("tts"),
+        col("event_id").as("tid"),
+        col("event_type").as("channel"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("ts").as("pts"),
+        col("event_id").as("pid"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val joined = purchases
+      .join(touches, Seq("user_id"))
+      .filter(
+        col("tts") < col("pts") &&
+          col("tts") >= col("pts") - expr("INTERVAL 7 DAYS"))
+    val byPos = Window.partitionBy(col("pid")).orderBy(col("tts").asc, col("tid").asc)
+    val perP = Window.partitionBy(col("pid"))
+    joined
+      .withColumn("pos", row_number().over(byPos))
+      .withColumn("k", count(lit(1)).over(perP))
+      .withColumn(
+        "bp",
+        when(col("k") === 1, 10000L)
+          .when(col("k") === 2, 5000L)
+          .when(col("pos") === 1 || col("pos") === col("k"), 4000L)
+          .otherwise(expr(
+            "2000L div (k - 2) + CASE WHEN pos - 1 <= 2000L % (k - 2) THEN 1 ELSE 0 END")))
+      .withColumn(
+        "pos_class",
+        when(col("k") === 1, "only")
+          .when(col("pos") === 1, "first")
+          .when(col("pos") === col("k"), "last")
+          .otherwise(lit("middle")))
+      .groupBy(col("channel"), col("pos_class"))
+      .agg(
+        count(lit(1)).as("n_credits"),
+        sum(col("cents") * col("bp")).as("bp_cents"))
+      .withColumn("attributed_cents", expr("bp_cents div 10000"))
+      .orderBy("channel", "pos_class")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_position_attribution" -> q187PositionAttribution,
     "q186_jsonl_quarantine" -> q186JsonlQuarantine,
     "q185_simpson_paradox" -> q185SimpsonParadox,
     "q183_geo_nearest" -> q183GeoNearest,
@@ -7122,6 +7186,38 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q187_position_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, ts AS tts, event_id AS tid,
+        |    event_type AS channel
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |p AS (
+        |  SELECT user_id, ts AS pts, event_id AS pid,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.pid, p.cents, t.tts, t.tid, t.channel
+        |  FROM p JOIN t USING (user_id)
+        |  WHERE t.tts < p.pts AND t.tts >= p.pts - INTERVAL 7 DAY),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY pid ORDER BY tts, tid) AS pos,
+        |    count(*) OVER (PARTITION BY pid) AS k
+        |  FROM j),
+        |c AS (
+        |  SELECT channel, cents,
+        |    CASE WHEN k = 1 THEN 'only' WHEN pos = 1 THEN 'first'
+        |         WHEN pos = k THEN 'last' ELSE 'middle' END AS pos_class,
+        |    CASE WHEN k = 1 THEN 10000 WHEN k = 2 THEN 5000
+        |         WHEN pos = 1 OR pos = k THEN 4000
+        |         ELSE 2000 // (k - 2) +
+        |           CASE WHEN pos - 1 <= 2000 % (k - 2) THEN 1 ELSE 0 END
+        |    END AS bp
+        |  FROM r)
+        |SELECT channel, pos_class, CAST(count(*) AS BIGINT) AS n_credits,
+        |  CAST(sum(cents * bp) AS BIGINT) AS bp_cents,
+        |  CAST(sum(cents * bp) // 10000 AS BIGINT) AS attributed_cents
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // parquet truth + the planted-corruption literal
     "q186_jsonl_quarantine" ->
       """SELECT * FROM (
