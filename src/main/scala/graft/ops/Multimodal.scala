@@ -758,7 +758,68 @@ object Multimodal {
       .orderBy("q_doc_id", "rank")
   }
 
+  /** m16 — cross-asset duplicate-FRAME detection: m2 samples frames,
+    * m6 perceptual-hashes whole assets; this composes them into the
+    * video-dedup primitive neither gives alone — find asset PAIRS that
+    * share content at the frame level (re-uploads, clips, intros)
+    * even when the whole-asset hash differs. Each 32-byte frame
+    * window gets a 32-bit mean-threshold perceptual hash (bit k =
+    * byte_k above the window mean — exact integer algebra, the m6
+    * convention on the ASCII payload derivation), shared frames come
+    * from an exact hash equi-join (never frame×frame), and pairs need
+    * ≥ 2 matching frames to suppress lone 32-bit collisions. Overlap
+    * is basis points of the left asset's frames matched. At 100 TB
+    * the frame table is (assets × frames/asset) rows of (id, int32) —
+    * the join shuffles on the hash key exactly like d1; no payload
+    * byte crosses the exchange.
+    */
+  def m16FrameDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .spread(Tables.documents(s, dir))
+      .filter(length(col("text")) >= 64)
+    // one projection from (text, f) — an intermediate `cs` alias here
+    // trips CollapseProject's attribute tracking under nested lambdas
+    // (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND), so the window array is
+    // inlined into the fold
+    val csExpr =
+      "transform(split(substring(text, CAST(f * 32 + 1 AS INT), 32), ''), " +
+        "c -> CAST(ascii(c) AS BIGINT))"
+    val ph = d
+      .select(
+        col("doc_id"),
+        col("text"),
+        explode(sequence(lit(0L), expr("CAST(length(text) div 32 AS LONG) - 1"))).as("f"))
+      .select(
+        col("doc_id"),
+        col("f"),
+        expr(s"aggregate(sequence(0, 31), 0L, (acc, k) -> acc * 2L + " +
+          s"IF(element_at($csExpr, k + 1) * 32L > " +
+          s"aggregate($csExpr, 0L, (a, x) -> a + x), 1L, 0L))").as("ph"))
+    val agg = ph
+      .as("a")
+      .join(ph.as("b"), col("a.ph") === col("b.ph") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        count_distinct(col("a.f")).as("a_frames_hit"))
+      .filter(col("n_pairs") >= 2)
+    val sizes = d.select(col("doc_id"), expr("CAST(length(text) div 32 AS LONG)").as("nf"))
+    agg
+      .join(sizes.select(col("doc_id").as("id_a"), col("nf").as("fa")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("nf").as("fb")), "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        col("n_pairs"),
+        col("a_frames_hit"),
+        col("fa"),
+        col("fb"),
+        expr("a_frames_hit * 10000L div fa").as("overlap_bp"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m16_frame_dedup" -> m16FrameDedup,
     "m15_crossmodal_retrieval" -> m15CrossmodalRetrieval,
     "m14_batch_compose" -> m14BatchCompose,
     "m11_modality_coverage" -> m11ModalityCoverage,
@@ -777,6 +838,42 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // same 32-byte windows, same bit order (MSB = byte 0), same
+    // >=2-match floor and bp floor division
+    "m16_frame_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) // 32 AS nf
+        |  FROM documents WHERE length(text) >= 64),
+        |fr0 AS (
+        |  SELECT doc_id, text, unnest(range(0, nf)) AS f FROM d),
+        |fr1 AS (
+        |  SELECT doc_id, f,
+        |    list_transform(
+        |      string_split(substr(text, CAST(f * 32 + 1 AS INTEGER), 32), ''),
+        |      c -> ascii(c)::BIGINT) AS cs
+        |  FROM fr0),
+        |ph AS (
+        |  SELECT doc_id, f,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(0, 32), k ->
+        |        CASE WHEN cs[CAST(k AS INTEGER) + 1] * 32 >
+        |          list_reduce(list_prepend(0::BIGINT, cs), (a, b) -> a + b)
+        |        THEN 1::BIGINT ELSE 0::BIGINT END)),
+        |      (acc, b) -> acc * 2 + b) AS ph
+        |  FROM fr1),
+        |agg AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(count(DISTINCT a.f) AS BIGINT) AS a_frames_hit
+        |  FROM ph a JOIN ph b ON a.ph = b.ph AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT id_a, id_b, n_pairs, a_frames_hit,
+        |  CAST(sa.nf AS BIGINT) AS fa, CAST(sb.nf AS BIGINT) AS fb,
+        |  a_frames_hit * 10000 // sa.nf AS overlap_bp
+        |FROM agg
+        |JOIN d sa ON id_a = sa.doc_id
+        |JOIN d sb ON id_b = sb.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
     // id-keyed coverage joins; payload bytes from the same UTF-8
     // derivation; basis points by integer floor division
     "m11_modality_coverage" ->
