@@ -7001,7 +7001,51 @@ object Relational {
       .orderBy("channel", "pos_class")
   }
 
+  /** q188 — functional-dependency audit: does column A determine
+    * column B — the profiling pass schema-inference and
+    * key-discovery tools run before trusting a join key or declaring
+    * a primary key (q166 audits REFERENTIAL integrity; this audits
+    * DETERMINATION). Four candidate FDs over the star schema, one row
+    * each: LHS cardinality, how many LHS values map to >1 distinct
+    * RHS (violators), violation basis points, and the smallest
+    * violating LHS value as the reproducible counterexample. Each FD
+    * is one (lhs → distinct-rhs-count) aggregate — two map-side
+    * partial aggregates back to back, nothing row-sized past the
+    * first exchange; `min` gives the deterministic exemplar. Exact
+    * integers throughout.
+    */
+  def q188FdAudit(s: SparkSession, dir: String): DataFrame = {
+    def fd(name: String, rel: DataFrame, lhs: String, rhs: String): DataFrame =
+      rel
+        .groupBy(col(lhs).as("k"))
+        .agg(count_distinct(col(rhs)).as("nd"))
+        .agg(
+          count(lit(1)).as("n_lhs"),
+          sum((col("nd") > 1).cast("long")).as("n_violating"),
+          min(when(col("nd") > 1, col("k"))).as("min_violator"))
+        .select(
+          lit(name).as("fd"),
+          col("n_lhs"),
+          col("n_violating"),
+          expr("n_violating * 10000L div n_lhs").as("violation_bp"),
+          col("min_violator").cast("long").as("min_violator"))
+    val li = Tables.lineitem(s, dir)
+    val oc = Tables
+      .orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    Seq(
+      fd("l_orderkey->o_custkey", li.join(oc, col("l_orderkey") === col("o_orderkey")),
+        "l_orderkey", "o_custkey"),
+      fd("l_partkey->l_suppkey", li, "l_partkey", "l_suppkey"),
+      fd("l_orderkey->l_returnflag", li, "l_orderkey", "l_returnflag"),
+      fd("o_custkey->o_orderpriority",
+        Tables.orders(s, dir), "o_custkey", "o_orderpriority"))
+      .reduce(_ unionAll _)
+      .orderBy("fd")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_fd_audit" -> q188FdAudit,
     "q187_position_attribution" -> q187PositionAttribution,
     "q186_jsonl_quarantine" -> q186JsonlQuarantine,
     "q185_simpson_paradox" -> q185SimpsonParadox,
@@ -7186,6 +7230,33 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q188_fd_audit" ->
+      """WITH f1 AS (
+        |  SELECT 'l_orderkey->o_custkey' AS fd, l_orderkey AS k,
+        |    count(DISTINCT o_custkey) AS nd
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |f2 AS (
+        |  SELECT 'l_partkey->l_suppkey' AS fd, l_partkey AS k,
+        |    count(DISTINCT l_suppkey) AS nd
+        |  FROM lineitem GROUP BY 1, 2),
+        |f3 AS (
+        |  SELECT 'l_orderkey->l_returnflag' AS fd, l_orderkey AS k,
+        |    count(DISTINCT l_returnflag) AS nd
+        |  FROM lineitem GROUP BY 1, 2),
+        |f4 AS (
+        |  SELECT 'o_custkey->o_orderpriority' AS fd, o_custkey AS k,
+        |    count(DISTINCT o_orderpriority) AS nd
+        |  FROM orders GROUP BY 1, 2),
+        |u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+        |      UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4)
+        |SELECT fd, CAST(count(*) AS BIGINT) AS n_lhs,
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating,
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 10000 // count(*) AS violation_bp,
+        |  CAST(min(CASE WHEN nd > 1 THEN k END) AS BIGINT) AS min_violator
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "q187_position_attribution" ->
       """WITH t AS (
         |  SELECT user_id, ts AS tts, event_id AS tid,
