@@ -2577,6 +2577,58 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q186 JSONL quarantine: exactly the planted corruption, nothing lost") {
+    val out = Relational.q186JsonlQuarantine(spark, Sf).collect()
+    val corrupt = out.filter(_.getString(0) == "__corrupt__")
+    assert(corrupt.length == 1 && corrupt.head.getLong(1) == 3L,
+      "exactly the three planted bad lines quarantine")
+    assert(corrupt.head.getLong(2) == 0L && corrupt.head.getLong(3) == 0L)
+    val total = Tables.documents(spark, Sf).count()
+    assert(out.map(_.getLong(1)).sum == total + 3,
+      "every document and every bad line is accounted for")
+  }
+
+  test("q187 attribution conserves value: total bp-cents = 10000 x attributable cents") {
+    val ev = Tables.events(spark, Sf)
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts").as("tts"))
+    val attributable = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .join(touches, Seq("user_id"))
+      .filter(col("tts") < col("pts") &&
+        col("tts") >= col("pts") - expr("INTERVAL 7 DAYS"))
+      .select(col("event_id"), col("cents")).distinct()
+      .agg(sum(col("cents"))).collect().head.getLong(0)
+    val out = Relational.q187PositionAttribution(spark, Sf).collect()
+    assert(out.map(_.getLong(3)).sum == attributable * 10000L,
+      "U-shaped credit must conserve each purchase's full 10000 bp")
+  }
+
+  test("q188 FD audit: the FK-derived dependency can never be violated") {
+    val out = Relational.q188FdAudit(spark, Sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("l_orderkey->o_custkey").getLong(2) == 0L,
+      "an order has exactly one customer by construction")
+    assert(out("l_orderkey->o_custkey").isNullAt(4))
+    out.values.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) <= 10000L)
+      if (r.getLong(2) > 0) assert(!r.isNullAt(4), "violators need an exemplar")
+    }
+  }
+
+  test("m16 frame dedup: overlap bounded, pairs replay for the top hit") {
+    val out = Multimodal.m16FrameDedup(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) >= 2, "the >=2 collision floor holds")
+      assert(r.getLong(3) <= r.getLong(4), "cannot hit more frames than exist")
+      assert(r.getLong(6) <= 10000L)
+      assert(r.getLong(0) < r.getLong(1), "pairs are ordered")
+    }
+  }
+
   test("q183 geo nearest: winner matches a brute-force minimum per nation") {
     val cust = Tables.customer(spark, Sf)
       .select("c_custkey", "c_nationkey").collect()
