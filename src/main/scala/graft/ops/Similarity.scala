@@ -1287,6 +1287,7 @@ object Similarity {
     "s10_kmeans_train" -> s10KmeansTrain,
     "s9_radius_search" -> s9RadiusSearch,
     "s14_lsh_recall" -> s14LshRecall,
+    "s24_nprobe_curve" -> s24NprobeCurve,
     "s23_pq_recall" -> s23PqRecall,
     "s15_ivf_recall" -> s15IvfRecall,
     "s13_cluster_quality" -> s13ClusterQuality,
@@ -1390,6 +1391,110 @@ object Similarity {
         round(col("hits").cast("double") / 5.0, 4).as("recall_at_5"))
       .orderBy("q_id")
   }
+
+  /** s24 — IVF nprobe operating curve: recall@5 as a function of how
+    * many cells a query probes (1..8) — d21's threshold-sweep idea
+    * pointed at ANN tuning. The trick that makes this ONE pass instead
+    * of eight searches: a true exact-top-5 neighbor is found by IVF at
+    * probe depth p iff its ASSIGNED cell ranks ≤ p in the query's
+    * probe order (within a probed cell nothing outscores a true
+    * top-5 member, so candidate-set membership is the only gate) — so
+    * the whole curve is "rank of the neighbor's cell" histogrammed and
+    * forward-cumulated, the d21 running-sum shape. s15's nprobe=4
+    * point must sit ON this curve (pinned in OpsSpec). Exact integer
+    * counts; basis points by nonneg div; cell ranks use s3's
+    * deterministic (cosine desc, cell asc) order. At 100 TB: one
+    * centroid broadcast, one exact-arm pass (the price of ground
+    * truth), the probe table is queries × 16 rows.
+    */
+  def s24NprobeCurve(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val all = vecs(s, dir)
+    val centroids = all
+      .filter(pmod(col("vec_id"), lit(125)) === 0)
+      .withColumn("cell", (col("vec_id") / 125).cast("int"))
+      .filter(col("cell") < k)
+      .select(col("cell"), col("v").as("cv"), col("norm").as("cnorm"))
+    val byVec = Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val ranked = all
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+      .withColumn("crn", row_number().over(byVec))
+    val assigned = ranked
+      .filter(col("crn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cell"))
+    val cellRank = ranked
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("cell"), col("crn"))
+    val exact = s1KnnBruteForce(s, dir).select(col("q_id"), col("neighbor_id"))
+    val byRank = exact
+      .join(assigned, "neighbor_id")
+      .join(cellRank, Seq("q_id", "cell"))
+      .groupBy(col("crn"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = exact.agg(count(lit(1)).as("n_possible"))
+    s.range(1, 9)
+      .select(col("id").as("nprobe"))
+      .join(byRank, col("crn") <= col("nprobe"), "left")
+      .groupBy(col("nprobe"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_hits"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("nprobe"),
+        col("n_hits"),
+        col("n_possible"),
+        expr("n_hits * 10000L div n_possible").as("recall_bp"))
+      .orderBy("nprobe")
+  }
+
+  /** s24's oracle: the same cell-rank histogram forward-cumulated over
+    * the probe depths.
+    */
+  private def s24OracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm
+       |      FROM e),
+       |cent AS (
+       |  SELECT CAST(vec_id // 125 AS INTEGER) AS cell, v AS cv,
+       |    norm AS cnorm
+       |  FROM n WHERE vec_id % 125 = 0 AND vec_id // 125 < 16),
+       |assign0 AS (
+       |  SELECT n.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY n.vec_id
+       |      ORDER BY list_inner_product(n.v, c.cv) / (n.norm * c.cnorm)
+       |        DESC, c.cell ASC) AS crn
+       |  FROM n, cent c),
+       |assigned AS (
+       |  SELECT vec_id AS neighbor_id, cell FROM assign0 WHERE crn = 1),
+       |cellrank AS (
+       |  SELECT vec_id AS q_id, cell, crn FROM assign0 WHERE vec_id < 20),
+       |s1r AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (
+       |        PARTITION BY q.vec_id
+       |        ORDER BY list_inner_product(q.v, c.v) / (q.norm * c.norm)
+       |          DESC, c.vec_id ASC) AS rank
+       |    FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
+       |  WHERE rank <= 5),
+       |need AS (
+       |  SELECT s1r.q_id, cr.crn
+       |  FROM s1r
+       |  JOIN assigned a USING (neighbor_id)
+       |  JOIN cellrank cr ON cr.q_id = s1r.q_id AND cr.cell = a.cell),
+       |byrank AS (SELECT crn, count(*) AS cnt FROM need GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_possible FROM s1r),
+       |probes AS (SELECT unnest(range(1, 9)) AS nprobe)
+       |SELECT p.nprobe,
+       |  CAST(COALESCE(sum(b.cnt), 0) AS BIGINT) AS n_hits,
+       |  (SELECT CAST(n_possible AS BIGINT) FROM tot) AS n_possible,
+       |  CAST(COALESCE(sum(b.cnt), 0) * 10000 //
+       |    (SELECT n_possible FROM tot) AS BIGINT) AS recall_bp
+       |FROM probes p LEFT JOIN byrank b ON b.crn <= p.nprobe
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** s23's oracle: the s14 harness with s8's replay as the approximate
     * arm.
@@ -2082,6 +2187,7 @@ object Similarity {
     // both deterministic pipelines replayed and intersected; the
     // recall table hash-matches per query
     "s14_lsh_recall" -> s14OracleSql,
+    "s24_nprobe_curve" -> s24OracleSql,
     "s23_pq_recall" -> s23OracleSql,
     "s15_ivf_recall" -> s15OracleSql,
     // s6's deterministic centroids + assignment rule; silhouette from
