@@ -2629,6 +2629,18 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("s24 nprobe curve: monotone, and the p=4 point equals s15's recall") {
+    val curve = Similarity.s24NprobeCurve(spark, Sf).collect()
+    assert(curve.map(_.getLong(0)).toSeq == (1L to 8L))
+    val hits = curve.map(_.getLong(1))
+    assert(hits.zip(hits.tail).forall { case (a, b) => b >= a },
+      "probing more cells can only find more")
+    val s15Hits = Similarity.s15IvfRecall(spark, Sf).collect()
+      .map(_.getLong(1)).sum
+    assert(hits(3) == s15Hits,
+      s"curve@4 ${hits(3)} must equal s15's realized nprobe=4 recall $s15Hits")
+  }
+
   test("q183 geo nearest: winner matches a brute-force minimum per nation") {
     val cust = Tables.customer(spark, Sf)
       .select("c_custkey", "c_nationkey").collect()
