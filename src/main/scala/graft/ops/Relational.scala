@@ -7044,7 +7044,59 @@ object Relational {
       .orderBy("fd")
   }
 
+  /** q189 — clamped running balance with overdraft rejection: a
+    * prepaid wallet per user (signup/click events credit, purchases
+    * debit), where the balance CANNOT go negative — a debit beyond
+    * the balance is partially filled and the shortfall rejected. This
+    * is the canonical ORDER-DEPENDENT per-key fold that no window
+    * function expresses (the clamp makes each step depend on the
+    * clamped value of the previous step — prefix sums don't compose),
+    * and the standard batch answer is the one streaming state would
+    * give: collect each key's history into a sorted array and fold it
+    * with a codegen'd higher-order `aggregate` — per-key sequential
+    * semantics, corpus-level parallelism. The array is bounded by ONE
+    * user's activity (exactly the state a transformWithState twin
+    * would hold — this is the batch face of that pattern). All state
+    * integer cents; the fold's (balance, rejected, clamps) struct is
+    * exact algebra both engines replay element-for-element in the
+    * same (ts, event_id) total order.
+    */
+  def q189ClampedBalance(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .filter(col("event_type").isin("signup", "click", "purchase"))
+      .select(
+        col("user_id"),
+        col("ts"),
+        col("event_id"),
+        when(col("event_type") === "purchase",
+          -floor(col("value") * 100 + 0.5).cast("long"))
+          .otherwise(floor(col("value") * 100 + 0.5).cast("long")).as("delta"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_sort(collect_list(struct(col("ts"), col("event_id"), col("delta"))))
+          .as("hist"))
+      .withColumn(
+        "fold",
+        // branch-free clamp algebra: max(bal+d, 0) / max(-d-bal, 0)
+        // covers credits and debits in one expression
+        expr("""aggregate(hist,
+          named_struct('rej', 0L, 'nc', 0L, 'bal', 0L),
+          (acc, x) -> named_struct(
+            'rej', acc.rej + greatest(-x.delta - acc.bal, 0L),
+            'nc', acc.nc + IF(-x.delta > acc.bal, 1L, 0L),
+            'bal', greatest(acc.bal + x.delta, 0L)))"""))
+      .select(
+        col("user_id"),
+        col("n_events"),
+        col("fold.bal").as("final_balance_cents"),
+        col("fold.rej").as("rejected_cents"),
+        col("fold.nc").as("n_overdrafts"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_clamped_balance" -> q189ClampedBalance,
     "q188_fd_audit" -> q188FdAudit,
     "q187_position_attribution" -> q187PositionAttribution,
     "q186_jsonl_quarantine" -> q186JsonlQuarantine,
@@ -7230,6 +7282,43 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same (ts, event_id) fold order; the homogeneous-struct trick
+    // lets list_reduce carry (rej, nc, bal) state with element deltas
+    // riding the bal field. Field ORDER is load-bearing: DuckDB 1.0's
+    // list_reduce evaluates struct_pack fields against a sequentially
+    // MUTATED accumulator, so the bal field everything reads must be
+    // assigned LAST (measured: rej doubled with bal first)
+    "q189_clamped_balance" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN -CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |      ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS delta
+        |  FROM events
+        |  WHERE event_type IN ('signup', 'click', 'purchase')),
+        |h AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    list(struct_pack(rej := 0::BIGINT, nc := 0::BIGINT,
+        |                     bal := delta)
+        |         ORDER BY ts, event_id) AS hist
+        |  FROM ev GROUP BY 1),
+        |f AS (
+        |  SELECT user_id, n_events,
+        |    list_reduce(
+        |      list_prepend(
+        |        struct_pack(rej := 0::BIGINT, nc := 0::BIGINT,
+        |                    bal := 0::BIGINT), hist),
+        |      (acc, x) -> struct_pack(
+        |        rej := acc.rej + greatest(-x.bal - acc.bal, 0::BIGINT),
+        |        nc := acc.nc + CASE WHEN -x.bal > acc.bal
+        |                            THEN 1::BIGINT ELSE 0::BIGINT END,
+        |        bal := greatest(acc.bal + x.bal, 0::BIGINT))) AS fold
+        |  FROM h)
+        |SELECT user_id, n_events,
+        |  fold.bal AS final_balance_cents,
+        |  fold.rej AS rejected_cents,
+        |  fold.nc AS n_overdrafts
+        |FROM f ORDER BY user_id""".stripMargin,
     "q188_fd_audit" ->
       """WITH f1 AS (
         |  SELECT 'l_orderkey->o_custkey' AS fd, l_orderkey AS k,
