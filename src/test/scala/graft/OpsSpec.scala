@@ -2641,6 +2641,41 @@ class OpsSpec extends SparkSpec {
       s"curve@4 ${hits(3)} must equal s15's realized nprobe=4 recall $s15Hits")
   }
 
+  test("q189 clamped balance: agrees with an imperative replay") {
+    val raw = Tables.events(spark, Sf)
+      .filter(col("event_type").isin("signup", "click", "purchase"))
+      .select(
+        col("user_id"),
+        col("ts"),
+        col("event_id"),
+        when(col("event_type") === "purchase",
+          -floor(col("value") * 100 + 0.5).cast("long"))
+          .otherwise(floor(col("value") * 100 + 0.5).cast("long")))
+      .collect()
+      .map { r =>
+        val i = r.getTimestamp(1).toInstant // micros, not millis: ties matter
+        (r.getLong(0), (i.getEpochSecond * 1000000L + i.getNano / 1000L,
+          r.getLong(2), r.getLong(3)))
+      }
+    val expected = raw.groupBy(_._1).map { case (u, rows) =>
+      var bal = 0L; var rej = 0L; var nc = 0L
+      rows.map(_._2).sortBy(t => (t._1, t._2)).foreach { case (_, _, d) =>
+        if (-d > bal) { nc += 1 }
+        rej += math.max(-d - bal, 0L)
+        bal = math.max(bal + d, 0L)
+      }
+      u -> (rows.length.toLong, bal, rej, nc)
+    }
+    val out = Relational.q189ClampedBalance(spark, Sf).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val (n, bal, rej, nc) = expected(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == bal &&
+        r.getLong(3) == rej && r.getLong(4) == nc,
+        s"user ${r.getLong(0)}: fold drifted from the imperative replay")
+    }
+  }
+
   test("q183 geo nearest: winner matches a brute-force minimum per nation") {
     val cust = Tables.customer(spark, Sf)
       .select("c_custkey", "c_nationkey").collect()
