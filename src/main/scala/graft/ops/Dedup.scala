@@ -1636,7 +1636,83 @@ object Dedup {
       .orderBy("strategy")
   }
 
+  /** d27 — LSH band-count operating curve: recall and candidate cost
+    * of r=2 MinHash banding as the band count sweeps 1..8 — d21 tunes
+    * the THRESHOLD, d26 compares STRATEGIES, this tunes the one knob
+    * inside the winning strategy (more bands = more recall = more
+    * candidates; theory says P(caught) = 1−(1−J²)^b). ONE band join
+    * serves the whole sweep: each candidate pair records the SMALLEST
+    * band index where its signatures collide, the histogram of those
+    * minima forward-cumulates into per-b candidate counts (s24's
+    * cell-rank trick pointed at banding), and truth pairs join once.
+    * Exact integers; portable signatures (d25's family) so the oracle
+    * replays every collision. Measured at sf0.01: band 0 alone
+    * catches 24/25 truth pairs (J ≈ 0.9 ⇒ per-band hit rate J² ≈
+    * 0.8), two bands reach full recall with 28 candidates, and bands
+    * 7–8 add 9 more candidates for zero recall — exactly the "stop
+    * adding bands" elbow the curve exists to show.
+    */
+  def d27BandSweep(s: SparkSession, dir: String): DataFrame = {
+    val sets = portableShingleSets(s, dir).localCheckpoint()
+    val postings = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val sizes = sets.select(col("doc_id"), col("n"))
+    val truth = postings
+      .as("a")
+      .join(
+        postings.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .filter(
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")) >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    val banded = sets.select(
+      col("doc_id"),
+      explode(array((0 until 8).map { b =>
+        struct(
+          lit(b.toLong).as("band"),
+          element_at(col("sig"), 2 * b + 1).as("h1"),
+          element_at(col("sig"), 2 * b + 2).as("h2"))
+      }: _*)).as("bk"))
+    val minBand = banded
+      .as("a")
+      .join(
+        banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(min(col("a.bk.band")).as("mj"))
+    val hist = minBand
+      .join(truth, Seq("id_a", "id_b"), "left_semi")
+      .groupBy(col("mj"))
+      .agg(count(lit(1)).as("n_caught_at"))
+      .join(
+        minBand.groupBy(col("mj")).agg(count(lit(1)).as("n_cand_at")),
+        Seq("mj"),
+        "right")
+      .na.fill(0L, Seq("n_caught_at"))
+    val tot = truth.agg(count(lit(1)).as("n_truth"))
+    s.range(1, 9)
+      .select(col("id").as("n_bands"))
+      .join(hist, col("mj") < col("n_bands"), "left")
+      .groupBy(col("n_bands"))
+      .agg(
+        coalesce(sum(col("n_cand_at")), lit(0L)).as("n_candidates"),
+        coalesce(sum(col("n_caught_at")), lit(0L)).as("n_caught"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("n_bands"),
+        col("n_candidates"),
+        col("n_caught"),
+        col("n_truth"),
+        expr("CASE WHEN n_truth = 0 THEN NULL ELSE n_caught * 10000L div n_truth END")
+          .as("recall_bp"))
+      .orderBy("n_bands")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d27_band_sweep" -> d27BandSweep,
     "d26_blocking_efficiency" -> d26BlockingEfficiency,
     "d25_minhash_error" -> d25MinhashError,
     "d24_zorder_neighbors" -> d24ZorderNeighbors,
@@ -1805,6 +1881,73 @@ object Dedup {
        |FROM rows0 ORDER BY strategy""".stripMargin
   }
 
+  /** d27's oracle: the same min-collision-band histogram, forward-
+    * cumulated over band counts.
+    */
+  private def d27OracleSql: String = {
+    val sigList = D25As
+      .zip(D25Bs)
+      .map { case (a, b) => s"list_min([(h * $a + $b) % $D25P FOR h IN hs])" }
+      .mkString(",\n|      ")
+    val bandSelects = (0 until 8)
+      .map(b =>
+        s"SELECT doc_id, $b AS band, sig[${2 * b + 1}] AS h1, sig[${2 * b + 2}] AS h2 FROM sets")
+      .mkString("\n|  UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |ss AS (
+       |  SELECT doc_id,
+       |    [t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+       |     FOR i IN range(1, len(t) - 1)] AS sl
+       |  FROM tok WHERE len(t) >= 3),
+       |sh AS (
+       |  SELECT doc_id, list_distinct([
+       |    list_reduce(
+       |      list_prepend(0::BIGINT,
+       |        [ord(c)::BIGINT FOR c IN string_split_regex(x, '')]),
+       |      (a, h) -> (a * 131 + h) % 1000000007)
+       |    FOR x IN sl]) AS hs FROM ss),
+       |sets AS (
+       |  SELECT doc_id, hs, len(hs) AS n,
+       |    [$sigList] AS sig
+       |  FROM sh),
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM sets),
+       |truth AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+       |    FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2) p
+       |  JOIN sets sa ON p.id_a = sa.doc_id
+       |  JOIN sets sb ON p.id_b = sb.doc_id
+       |  WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.5),
+       |bnd AS (
+       |  $bandSelects),
+       |minband AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, min(a.band) AS mj
+       |  FROM bnd a JOIN bnd b
+       |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+       |      AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |hist AS (
+       |  SELECT m.mj, count(*) AS n_cand_at,
+       |    sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS n_caught_at
+       |  FROM minband m
+       |  LEFT JOIN truth t ON m.id_a = t.id_a AND m.id_b = t.id_b
+       |  GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_truth FROM truth),
+       |probes AS (SELECT unnest(range(1, 9)) AS n_bands)
+       |SELECT p.n_bands,
+       |  CAST(COALESCE(sum(h.n_cand_at), 0) AS BIGINT) AS n_candidates,
+       |  CAST(COALESCE(sum(h.n_caught_at), 0) AS BIGINT) AS n_caught,
+       |  (SELECT CAST(n_truth AS BIGINT) FROM tot) AS n_truth,
+       |  CASE WHEN (SELECT n_truth FROM tot) = 0 THEN NULL
+       |       ELSE CAST(COALESCE(sum(h.n_caught_at), 0) * 10000 //
+       |         (SELECT n_truth FROM tot) AS BIGINT) END AS recall_bp
+       |FROM probes p LEFT JOIN hist h ON h.mj < p.n_bands
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** d25's oracle: the same portable shingle fold, the same 16 affine
     * minima (unrolled — no comprehension-binding pitfalls), the same
     * hash-deduped sets and exact-Jaccard pair join.
@@ -1915,6 +2058,7 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "d27_band_sweep" -> d27OracleSql,
     "d26_blocking_efficiency" -> d26OracleSql,
     "d25_minhash_error" -> d25OracleSql,
     "d24_zorder_neighbors" -> d24OracleSql,
