@@ -2676,6 +2676,19 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("d27 band sweep: monotone, and b=8 equals d26's minhash_lsh row") {
+    val curve = Dedup.d27BandSweep(spark, Sf).collect()
+    assert(curve.map(_.getLong(0)).toSeq == (1L to 8L))
+    val cands = curve.map(_.getLong(1))
+    val caught = curve.map(_.getLong(2))
+    assert(cands.zip(cands.tail).forall { case (a, b) => b >= a })
+    assert(caught.zip(caught.tail).forall { case (a, b) => b >= a })
+    val d26 = Dedup.d26BlockingEfficiency(spark, Sf).collect()
+      .find(_.getString(0) == "minhash_lsh").get
+    assert(cands.last == d26.getLong(1) && caught.last == d26.getLong(3),
+      "the full-width sweep point must equal d26's audited 8x2 banding")
+  }
+
   test("q183 geo nearest: winner matches a brute-force minimum per nation") {
     val cust = Tables.customer(spark, Sf)
       .select("c_custkey", "c_nationkey").collect()
