@@ -715,6 +715,81 @@ object Streams {
         OutputMode.Update())
   }
 
+  final case class WalletEvent(user_id: Long, ts_us: Long, event_id: Long, delta: Long)
+
+  final case class WalletState(
+      user_id: Long,
+      n_events: Long,
+      final_balance_cents: Long,
+      rejected_cents: Long,
+      n_overdrafts: Long)
+
+  /** Per-user clamped-wallet state: the streaming half of batch q189's
+    * sorted-array fold — the SAME branch-free clamp algebra
+    * (bal' = max(bal+δ, 0); rejected += max(−δ−bal, 0)) applied as
+    * events arrive, with ValueState holding exactly the (n, rej, nc,
+    * bal, last_ts) tuple the batch fold threads. Rows WITHIN a trigger
+    * are sorted by (ts_us, event_id) before folding, so intra-batch
+    * arrival order cannot diverge from the batch total order; ACROSS
+    * triggers the gate shares the last-touch/funnel gates' per-key
+    * event-time delivery contract, and a violating row bumps
+    * [[LateArrivals]] ("wallet") instead of silently folding out of
+    * order. Update-mode emission: one snapshot per touched user per
+    * trigger; the LAST snapshot equals the batch row (pinned in
+    * StreamBatchParitySpec).
+    */
+  class WalletProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long,
+        WalletEvent,
+        WalletState] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    // (n_events, rejected, overdrafts, balance, last (ts_us, event_id))
+    @transient private var st: ValueState[(Long, Long, Long, Long, (Long, Long))] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long, Long, (Long, Long))](
+        "wallet",
+        Encoders.product[(Long, Long, Long, Long, (Long, Long))],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[WalletEvent],
+        timerValues: TimerValues): Iterator[WalletState] = {
+      var (n, rej, nc, bal, last) =
+        if (st.exists()) st.get() else (0L, 0L, 0L, 0L, (Long.MinValue, Long.MinValue))
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        if (Ordering[(Long, Long)].lt((e.ts_us, e.event_id), last))
+          LateArrivals.record(
+            "wallet",
+            s"user=$key event=${e.event_id} ts_us=${e.ts_us} after state at $last")
+        n += 1
+        if (-e.delta > bal) nc += 1
+        rej += math.max(-e.delta - bal, 0L)
+        bal = math.max(bal + e.delta, 0L)
+        last = (e.ts_us, e.event_id)
+      }
+      st.update((n, rej, nc, bal, last))
+      Iterator.single(WalletState(key, n, bal, rej, nc))
+    }
+  }
+
+  /** Clamped prepaid-wallet balances over a WalletEvent stream —
+    * q189's batch fold as arbitrary streaming state.
+    */
+  def streamingWalletGate(events: Dataset[WalletEvent]): Dataset[WalletState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new WalletProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Gap-based sessionization via `flatMapGroupsWithState`: one small
     * state row per active user; a session closes when the event-time
     * watermark passes its last event + gap, at which point it is

@@ -1451,6 +1451,60 @@ class StreamBatchParitySpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming wallet gate replays q189's batch fold exactly") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the batch twin's exact input, in the contract's event-time order
+    val evs = graft.ops.Tables.events(spark, Sf)
+      .filter(col("event_type").isin("signup", "click", "purchase"))
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id"),
+        when(col("event_type") === "purchase",
+          -floor(col("value") * 100 + 0.5).cast("long"))
+          .otherwise(floor(col("value") * 100 + 0.5).cast("long")).as("delta"))
+      .collect()
+      .map(r => graft.streaming.Streams.WalletEvent(
+        r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(e => (e.ts_us, e.event_id))
+    val in = MemoryStream[graft.streaming.Streams.WalletEvent]
+    val q = graft.streaming.Streams.streamingWalletGate(in.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("wallet_gate")
+      .outputMode("update")
+      .start()
+    try {
+      // two triggers split mid-history: state must carry across
+      val (first, second) = evs.splitAt(evs.length / 2)
+      in.addData(first.toSeq)
+      q.processAllAvailable()
+      in.addData(second.toSeq)
+      q.processAllAvailable()
+      val latest = spark.table("wallet_gate").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).maxBy(_._1) }
+      val batch = graft.ops.Relational.q189ClampedBalance(spark, Sf).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      assert(latest == batch,
+        "the streamed wallet snapshots must equal q189's batch rows bit-for-bit")
+      assert(graft.streaming.Streams.LateArrivals.count("wallet") == 0L,
+        "ordered delivery must not trip the late counter")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v2) => spark.conf.set(key, v2)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
 
 /** Companion buffer for the gate-restart test: foreachBatch closures
