@@ -742,7 +742,63 @@ object Corpus {
           4).as("ess_ratio"))
       .orderBy("source")
 
+  /** p17 — pipeline stage waterfall: the one-page accounting table a
+    * data lead reads after a corpus build — per stage (raw → quality
+    * gate → exact dedup → near-dup removal), surviving docs and
+    * tokens, what the stage removed, and the removal rate in basis
+    * points. p1/p2 run the chain and report per-language FINALS; this
+    * reports the CHAIN ITSELF, which is where "the quality gate ate
+    * 40% of tokens before dedup saw them" becomes visible. Stage sets
+    * are p2's exact constructions (same md5 representative, same
+    * unblocked θ=0.5 near-dup removal), each collapsed to a 1-row
+    * aggregate; the waterfall columns are a lag window over the 4-row
+    * stage table. Exact integers; removal bp by nonneg div.
+    */
+  def p17StageWaterfall(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .spread(Tables.documents(s, dir))
+      .withColumn("nt", size(split(col("text"), " ")).cast("long"))
+    val quality = d.filter(col("nt") >= 25)
+    val surv = quality
+      .groupBy(col("lang"), md5(col("text")).as("fp"))
+      .agg(
+        min(col("doc_id")).as("doc_id"),
+        first(col("text")).as("text"),
+        first(col("nt")).as("nt"))
+    val removed = Dedup
+      .nearDupPairs(
+        Dedup.shingled(surv.select(col("doc_id"), col("lang"), col("text")), 3),
+        0.5)
+      .select(col("id_b").as("doc_id"))
+      .distinct()
+    val fin = surv.join(removed, Seq("doc_id"), "left_anti")
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("nt")), lit(0L)).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    val stages = stage("1_raw", d)
+      .unionAll(stage("2_quality_gate", quality))
+      .unionAll(stage("3_exact_dedup", surv))
+      .unionAll(stage("4_near_dedup", fin))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("stage"))
+    stages
+      .withColumn("prev_docs", lag(col("n_docs"), 1).over(w))
+      .withColumn("prev_tokens", lag(col("n_tokens"), 1).over(w))
+      .select(
+        col("stage"),
+        col("n_docs"),
+        col("n_tokens"),
+        coalesce(col("prev_docs") - col("n_docs"), lit(0L)).as("docs_removed"),
+        coalesce(col("prev_tokens") - col("n_tokens"), lit(0L)).as("tokens_removed"),
+        when(col("prev_docs").isNull || col("prev_docs") === 0, lit(0L))
+          .otherwise(expr("(prev_docs - n_docs) * 10000L div prev_docs"))
+          .as("removed_bp"))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p17_stage_waterfall" -> p17StageWaterfall,
     "p16_ess_report" -> p16EssReport,
     "p15_shard_manifest" -> p15ShardManifest,
     "p14_token_waterfill" -> p14TokenWaterfill,
@@ -762,6 +818,62 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    // p2's stage constructions collapsed to the 4-row waterfall
+    "p17_stage_waterfall" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |q AS (SELECT * FROM d WHERE nt >= 25),
+        |surv AS (
+        |  SELECT lang, md5(text) AS fp, min(doc_id) AS doc_id,
+        |    min(text) AS text, min(nt) AS nt
+        |  FROM q GROUP BY lang, md5(text)),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM surv),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+        |                   FOR i IN range(1, len(t) - 1)]) AS shingles
+        |  FROM tok WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |rm AS (
+        |  SELECT DISTINCT id_b AS doc_id
+        |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+        |             JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.5),
+        |fin AS (
+        |  SELECT * FROM surv
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM rm)),
+        |st AS (
+        |  SELECT '1_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(nt) AS BIGINT) AS n_tokens FROM d
+        |  UNION ALL
+        |  SELECT '2_quality_gate', CAST(count(*) AS BIGINT),
+        |    CAST(sum(nt) AS BIGINT) FROM q
+        |  UNION ALL
+        |  SELECT '3_exact_dedup', CAST(count(*) AS BIGINT),
+        |    CAST(sum(nt) AS BIGINT) FROM surv
+        |  UNION ALL
+        |  SELECT '4_near_dedup', CAST(count(*) AS BIGINT),
+        |    CAST(sum(nt) AS BIGINT) FROM fin),
+        |l AS (
+        |  SELECT stage, n_docs, n_tokens,
+        |    lag(n_docs) OVER (ORDER BY stage) AS prev_docs,
+        |    lag(n_tokens) OVER (ORDER BY stage) AS prev_tokens
+        |  FROM st)
+        |SELECT stage, n_docs, n_tokens,
+        |  CAST(COALESCE(prev_docs - n_docs, 0) AS BIGINT) AS docs_removed,
+        |  CAST(COALESCE(prev_tokens - n_tokens, 0) AS BIGINT)
+        |    AS tokens_removed,
+        |  CAST(CASE WHEN prev_docs IS NULL OR prev_docs = 0 THEN 0
+        |            ELSE (prev_docs - n_docs) * 10000 // prev_docs END
+        |    AS BIGINT) AS removed_bp
+        |FROM l ORDER BY stage""".stripMargin,
     // same exact integer moments; ratios as single double divisions
     "p16_ess_report" ->
       """WITH m AS (

@@ -1565,7 +1565,47 @@ object TextAnalysis {
       .orderBy("true_lang", "pred_lang")
   }
 
+  /** t34 — source-vocabulary overlap matrix: pairwise Jaccard between
+    * each source's distinct token vocabulary — the lexical-diversity
+    * diagnostic a mixture designer reads NEXT TO the doc-level near-dup
+    * matrix (d18): two sources can share zero documents yet be
+    * lexically interchangeable (wasted mixture slots), or share docs
+    * but cover disjoint vocabulary tails. One (source, token) distinct
+    * aggregate feeds both the sizes and the shared-count self-join;
+    * the join key is the token, so work is Σ df(token)² over the
+    * SOURCE-level vocabulary (bounded by sources², not documents) and
+    * the output is sources-choose-2 rows. Exact integers; one double
+    * division under round.
+    */
+  def t34SourceVocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables
+      .spread(Tables.documents(s, dir))
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+    val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    vocab
+      .as("a")
+      .join(
+        vocab.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+      .select(
+        col("src_a"),
+        col("src_b"),
+        col("na"),
+        col("nb"),
+        col("shared"),
+        round(
+          col("shared").cast("double") / (col("na") + col("nb") - col("shared")),
+          4).as("vocab_jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t34_source_vocab_overlap" -> t34SourceVocabOverlap,
     "t33_nb_classifier" -> t33NbClassifier,
     "t32_signal_calibration" -> t32SignalCalibration,
     "t31_bpe_train" -> t31BpeTrain,
@@ -1602,6 +1642,24 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t34_source_vocab_overlap" ->
+      """WITH v AS (
+        |  SELECT DISTINCT source, w FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents)),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |       FROM v GROUP BY 1),
+        |sh AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(count(*) AS BIGINT) AS shared
+        |  FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, sa.n AS na, sb.n AS nb, shared,
+        |  round(shared::DOUBLE / (sa.n + sb.n - shared), 4)
+        |    AS vocab_jaccard
+        |FROM sh JOIN sz sa ON src_a = sa.source
+        |        JOIN sz sb ON src_b = sb.source
+        |ORDER BY src_a, src_b""".stripMargin,
     // same 80/20 hash split, same integer micro-nat quantization of
     // every log-probability, same (score desc, lang asc) argmax
     "t33_nb_classifier" ->
