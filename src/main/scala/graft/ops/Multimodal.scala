@@ -777,10 +777,16 @@ object Multimodal {
     val d = Tables
       .spread(Tables.documents(s, dir))
       .filter(length(col("text")) >= 64)
-    // one projection from (text, f) — an intermediate `cs` alias here
-    // trips CollapseProject's attribute tracking under nested lambdas
-    // (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND), so the window array is
-    // inlined into the fold
+    // Three shapes were measured at sf0.1 solo. (a) An intermediate
+    // `cs` ARRAY alias trips CollapseProject's attribute tracking
+    // under nested lambdas (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND), and
+    // inlining the array into a per-BIT lambda rebuilds it 64× per
+    // frame: 4.9 s. (b) 1-char substring() per byte avoids the array
+    // but UTF8String.substring is O(offset), so each probe rescans the
+    // text: 16.7 s. (c) This shape: the window array is built exactly
+    // once per COLUMN (a scalar `total` column survives the optimizer
+    // where an array alias doesn't), and the bit fold walks the array
+    // in order — MSB first — so no index arithmetic at all: 3.0 s.
     val csExpr =
       "transform(split(substring(text, CAST(f * 32 + 1 AS INT), 32), ''), " +
         "c -> CAST(ascii(c) AS BIGINT))"
@@ -789,12 +795,12 @@ object Multimodal {
         col("doc_id"),
         col("text"),
         explode(sequence(lit(0L), expr("CAST(length(text) div 32 AS LONG) - 1"))).as("f"))
+      .withColumn("total", expr(s"aggregate($csExpr, 0L, (a, x) -> a + x)"))
       .select(
         col("doc_id"),
         col("f"),
-        expr(s"aggregate(sequence(0, 31), 0L, (acc, k) -> acc * 2L + " +
-          s"IF(element_at($csExpr, k + 1) * 32L > " +
-          s"aggregate($csExpr, 0L, (a, x) -> a + x), 1L, 0L))").as("ph"))
+        expr(s"aggregate($csExpr, 0L, (acc, c) -> " +
+          "acc * 2L + IF(c * 32L > total, 1L, 0L))").as("ph"))
     val agg = ph
       .as("a")
       .join(ph.as("b"), col("a.ph") === col("b.ph") && col("a.doc_id") < col("b.doc_id"))
