@@ -1287,6 +1287,7 @@ object Similarity {
     "s10_kmeans_train" -> s10KmeansTrain,
     "s9_radius_search" -> s9RadiusSearch,
     "s14_lsh_recall" -> s14LshRecall,
+    "s25_hybrid_rrf" -> s25HybridRrf,
     "s24_nprobe_curve" -> s24NprobeCurve,
     "s23_pq_recall" -> s23PqRecall,
     "s15_ivf_recall" -> s15IvfRecall,
@@ -1448,6 +1449,101 @@ object Similarity {
         expr("n_hits * 10000L div n_possible").as("recall_bp"))
       .orderBy("nprobe")
   }
+
+  /** s25 — hybrid retrieval via reciprocal-rank fusion: the standard
+    * two-tower serving pattern (a lexical BM25 arm and a dense
+    * vector arm retrieve independently; RRF merges the rankings with
+    * score = Σ 1/(60+rank) — Cormack et al. 2009's k=60), which is
+    * how production RAG retrieval actually ships: neither arm alone,
+    * never a trained re-ranker on the first hop. Arms: t26's BM25
+    * top-15 (text arm, its exact replay) and cosine-vs-query-vector
+    * top-15 over the documents' embeddings (vec_id = doc_id, m15's
+    * pairing; query = vector 0). Fusion math: ranks are exact ints;
+    * each RRF term is ONE IEEE division and the two-term sum is
+    * written in fixed (text + vec) order, so both engines produce the
+    * identical double — no order-dependent float aggregation
+    * anywhere. Scale: each arm is its own production shape (t26's
+    * corpus-wide scan, one broadcast query vector); the fusion joins
+    * two 15-row lists.
+    */
+  def s25HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val textArm = graft.ops.TextAnalysis
+      .t26Bm25(s, dir)
+      .select(
+        col("doc_id"),
+        row_number()
+          .over(Window.orderBy(col("bm25").desc, col("doc_id").asc))
+          .cast("long")
+          .as("rank_text"))
+    val docVecs = vecs(s, dir)
+      .join(
+        Tables.documents(s, dir).select(col("doc_id")),
+        col("vec_id") === col("doc_id"))
+    val qv = vecs(s, dir)
+      .filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("norm").as("qnorm"))
+    val vecArm = docVecs
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
+      .withColumn(
+        "rank_vec",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+      .filter(col("rank_vec") <= 15)
+      .select(col("doc_id"), col("rank_vec"))
+    textArm
+      .join(vecArm, Seq("doc_id"), "full_outer")
+      .withColumn(
+        "rrf",
+        expr("coalesce(CAST(1 AS DOUBLE) / (60 + rank_text), CAST(0 AS DOUBLE)) + " +
+          "coalesce(CAST(1 AS DOUBLE) / (60 + rank_vec), CAST(0 AS DOUBLE))"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("rrf").desc, col("doc_id").asc)))
+      .filter(col("rk") <= 10)
+      .select(
+        col("doc_id"),
+        col("rank_text"),
+        col("rank_vec"),
+        round(col("rrf"), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+  }
+
+  /** s25's oracle: t26's replay as the text arm, the cosine ranking as
+    * the vector arm, the same fixed-order two-term RRF sum.
+    */
+  private def s25OracleSql: String =
+    s"""WITH t26 AS (${graft.ops.TextAnalysis.t26OracleSql}),
+       |ta AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank_text
+       |  FROM t26),
+       |e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm
+       |      FROM e),
+       |dv AS (
+       |  SELECT n.* FROM n JOIN documents ON vec_id = doc_id),
+       |q AS (SELECT v AS qv, norm AS qnorm FROM n WHERE vec_id = 0),
+       |va AS (
+       |  SELECT vec_id AS doc_id, rank_vec FROM (
+       |    SELECT dv.vec_id,
+       |      row_number() OVER (
+       |        ORDER BY list_inner_product(dv.v, q.qv) / (dv.norm * q.qnorm)
+       |          DESC, dv.vec_id ASC) AS rank_vec
+       |    FROM dv, q WHERE dv.vec_id <> 0)
+       |  WHERE rank_vec <= 15),
+       |fused AS (
+       |  SELECT COALESCE(ta.doc_id, va.doc_id) AS doc_id,
+       |    CAST(rank_text AS BIGINT) AS rank_text,
+       |    CAST(rank_vec AS BIGINT) AS rank_vec,
+       |    COALESCE(CAST(1 AS DOUBLE) / (60 + rank_text), CAST(0 AS DOUBLE)) +
+       |    COALESCE(CAST(1 AS DOUBLE) / (60 + rank_vec), CAST(0 AS DOUBLE))
+       |      AS rrf
+       |  FROM ta FULL OUTER JOIN va ON ta.doc_id = va.doc_id)
+       |SELECT doc_id, rank_text, rank_vec, round(rrf, 6) AS rrf FROM (
+       |  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rk
+       |  FROM fused)
+       |WHERE rk <= 10
+       |ORDER BY rrf DESC, doc_id ASC""".stripMargin
 
   /** s24's oracle: the same cell-rank histogram forward-cumulated over
     * the probe depths.
@@ -2187,6 +2283,7 @@ object Similarity {
     // both deterministic pipelines replayed and intersected; the
     // recall table hash-matches per query
     "s14_lsh_recall" -> s14OracleSql,
+    "s25_hybrid_rrf" -> s25OracleSql,
     "s24_nprobe_curve" -> s24OracleSql,
     "s23_pq_recall" -> s23OracleSql,
     "s15_ivf_recall" -> s15OracleSql,

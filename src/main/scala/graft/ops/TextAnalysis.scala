@@ -1641,6 +1641,64 @@ object TextAnalysis {
     "t6_subword_tokens" -> t6SubwordTokens
   )
 
+  /** t26's oracle — standalone so s25's hybrid-fusion harness can
+    * embed the identical BM25 replay as its text arm.
+    */
+  private[ops] def t26OracleSql: String =
+    """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |tf AS (
+        |  SELECT doc_id,
+        |    count(CASE WHEN t = 'join' THEN 1 END) AS tf_join,
+        |    count(CASE WHEN t = 'filter' THEN 1 END) AS tf_filter,
+        |    count(CASE WHEN t = 'window' THEN 1 END) AS tf_window
+        |  FROM toks GROUP BY 1),
+        |stats AS (
+        |  SELECT count(*) AS n, CAST(sum(dl.dl) AS BIGINT) AS tok_total,
+        |    count(CASE WHEN tf.tf_join > 0 THEN 1 END) AS df_join,
+        |    count(CASE WHEN tf.tf_filter > 0 THEN 1 END) AS df_filter,
+        |    count(CASE WHEN tf.tf_window > 0 THEN 1 END) AS df_window
+        |  FROM dl LEFT JOIN tf USING (doc_id))
+        |SELECT tf.doc_id, tf.tf_join, tf.tf_filter, tf.tf_window, dl.dl,
+        |  round(
+        |    ln((CAST(s.n AS DOUBLE) - s.df_join + 0.5) / (s.df_join + 0.5) + 1.0) *
+        |      (CAST(tf.tf_join AS DOUBLE) * 2.2) /
+        |      (CAST(tf.tf_join AS DOUBLE) +
+        |       1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) /
+        |              (CAST(s.tok_total AS DOUBLE) / s.n))) +
+        |    ln((CAST(s.n AS DOUBLE) - s.df_filter + 0.5) / (s.df_filter + 0.5) + 1.0) *
+        |      (CAST(tf.tf_filter AS DOUBLE) * 2.2) /
+        |      (CAST(tf.tf_filter AS DOUBLE) +
+        |       1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) /
+        |              (CAST(s.tok_total AS DOUBLE) / s.n))) +
+        |    ln((CAST(s.n AS DOUBLE) - s.df_window + 0.5) / (s.df_window + 0.5) + 1.0) *
+        |      (CAST(tf.tf_window AS DOUBLE) * 2.2) /
+        |      (CAST(tf.tf_window AS DOUBLE) +
+        |       1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) /
+        |              (CAST(s.tok_total AS DOUBLE) / s.n))),
+        |    4) AS bm25
+        |FROM tf JOIN dl USING (doc_id), stats s
+        |WHERE tf.tf_join + tf.tf_filter + tf.tf_window > 0
+        |ORDER BY
+        |  ln((CAST(s.n AS DOUBLE) - s.df_join + 0.5) / (s.df_join + 0.5) + 1.0) *
+        |      (CAST(tf.tf_join AS DOUBLE) * 2.2) /
+        |      (CAST(tf.tf_join AS DOUBLE) +
+        |       1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) /
+        |              (CAST(s.tok_total AS DOUBLE) / s.n))) +
+        |  ln((CAST(s.n AS DOUBLE) - s.df_filter + 0.5) / (s.df_filter + 0.5) + 1.0) *
+        |      (CAST(tf.tf_filter AS DOUBLE) * 2.2) /
+        |      (CAST(tf.tf_filter AS DOUBLE) +
+        |       1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) /
+        |              (CAST(s.tok_total AS DOUBLE) / s.n))) +
+        |  ln((CAST(s.n AS DOUBLE) - s.df_window + 0.5) / (s.df_window + 0.5) + 1.0) *
+        |      (CAST(tf.tf_window AS DOUBLE) * 2.2) /
+        |      (CAST(tf.tf_window AS DOUBLE) +
+        |       1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) /
+        |              (CAST(s.tok_total AS DOUBLE) / s.n)))
+        |  DESC, tf.doc_id ASC
+        |LIMIT 15""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "t34_source_vocab_overlap" ->
       """WITH v AS (
@@ -1877,60 +1935,7 @@ object TextAnalysis {
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // identical fixed-order contribution sum; conditional-count pivot;
     // same Lucene idf expression under round(4)
-    "t26_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-        |tf AS (
-        |  SELECT doc_id,
-        |    count(CASE WHEN t = 'join' THEN 1 END) AS tf_join,
-        |    count(CASE WHEN t = 'filter' THEN 1 END) AS tf_filter,
-        |    count(CASE WHEN t = 'window' THEN 1 END) AS tf_window
-        |  FROM toks GROUP BY 1),
-        |stats AS (
-        |  SELECT count(*) AS n, CAST(sum(dl.dl) AS BIGINT) AS tok_total,
-        |    count(CASE WHEN tf.tf_join > 0 THEN 1 END) AS df_join,
-        |    count(CASE WHEN tf.tf_filter > 0 THEN 1 END) AS df_filter,
-        |    count(CASE WHEN tf.tf_window > 0 THEN 1 END) AS df_window
-        |  FROM dl LEFT JOIN tf USING (doc_id))
-        |SELECT tf.doc_id, tf.tf_join, tf.tf_filter, tf.tf_window, dl.dl,
-        |  round(
-        |    ln((CAST(s.n AS DOUBLE) - s.df_join + 0.5) / (s.df_join + 0.5) + 1.0) *
-        |      (CAST(tf.tf_join AS DOUBLE) * 2.2) /
-        |      (CAST(tf.tf_join AS DOUBLE) +
-        |       1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) /
-        |              (CAST(s.tok_total AS DOUBLE) / s.n))) +
-        |    ln((CAST(s.n AS DOUBLE) - s.df_filter + 0.5) / (s.df_filter + 0.5) + 1.0) *
-        |      (CAST(tf.tf_filter AS DOUBLE) * 2.2) /
-        |      (CAST(tf.tf_filter AS DOUBLE) +
-        |       1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) /
-        |              (CAST(s.tok_total AS DOUBLE) / s.n))) +
-        |    ln((CAST(s.n AS DOUBLE) - s.df_window + 0.5) / (s.df_window + 0.5) + 1.0) *
-        |      (CAST(tf.tf_window AS DOUBLE) * 2.2) /
-        |      (CAST(tf.tf_window AS DOUBLE) +
-        |       1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) /
-        |              (CAST(s.tok_total AS DOUBLE) / s.n))),
-        |    4) AS bm25
-        |FROM tf JOIN dl USING (doc_id), stats s
-        |WHERE tf.tf_join + tf.tf_filter + tf.tf_window > 0
-        |ORDER BY
-        |  ln((CAST(s.n AS DOUBLE) - s.df_join + 0.5) / (s.df_join + 0.5) + 1.0) *
-        |      (CAST(tf.tf_join AS DOUBLE) * 2.2) /
-        |      (CAST(tf.tf_join AS DOUBLE) +
-        |       1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) /
-        |              (CAST(s.tok_total AS DOUBLE) / s.n))) +
-        |  ln((CAST(s.n AS DOUBLE) - s.df_filter + 0.5) / (s.df_filter + 0.5) + 1.0) *
-        |      (CAST(tf.tf_filter AS DOUBLE) * 2.2) /
-        |      (CAST(tf.tf_filter AS DOUBLE) +
-        |       1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) /
-        |              (CAST(s.tok_total AS DOUBLE) / s.n))) +
-        |  ln((CAST(s.n AS DOUBLE) - s.df_window + 0.5) / (s.df_window + 0.5) + 1.0) *
-        |      (CAST(tf.tf_window AS DOUBLE) * 2.2) /
-        |      (CAST(tf.tf_window AS DOUBLE) +
-        |       1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) /
-        |              (CAST(s.tok_total AS DOUBLE) / s.n)))
-        |  DESC, tf.doc_id ASC
-        |LIMIT 15""".stripMargin,
+    "t26_bm25" -> t26OracleSql,
     // bigrams via list positions (never across docs); integer counts;
     // one ln under round(3); (count, w1, w2) cut
     "t27_pmi_collocations" ->
