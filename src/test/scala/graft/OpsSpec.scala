@@ -2689,6 +2689,48 @@ class OpsSpec extends SparkSpec {
       "the full-width sweep point must equal d26's audited 8x2 banding")
   }
 
+  test("p17 waterfall: monotone stages, final stage reconciles with p2") {
+    val out = Corpus.p17StageWaterfall(spark, Sf).collect()
+    assert(out.map(_.getString(0)).toSeq ==
+      Seq("1_raw", "2_quality_gate", "3_exact_dedup", "4_near_dedup"))
+    val docs = out.map(_.getLong(1))
+    assert(docs.zip(docs.tail).forall { case (a, b) => b <= a },
+      "a pipeline stage can only remove documents")
+    out.foreach { r =>
+      assert(r.getLong(3) >= 0 && r.getLong(4) >= 0 && r.getLong(5) <= 10000L)
+    }
+    val p2 = Corpus.p2CorpusNearDedup(spark, Sf).collect()
+    assert(out.last.getLong(1) == p2.map(_.getLong(1)).sum &&
+      out.last.getLong(2) == p2.map(_.getLong(2)).sum,
+      "stage 4 must be exactly p2's per-language finals rolled up")
+  }
+
+  test("t34 vocab overlap: bounded Jaccard, shared never exceeds either side") {
+    val out = TextAnalysis.t34SourceVocabOverlap(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs ordered")
+      assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)))
+      assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("s25 RRF: scores replay from the ranks, every hit has an arm") {
+    val out = Similarity.s25HybridRrf(spark, Sf).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    out.foreach { r =>
+      val rt = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val rv = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(rt.isDefined || rv.isDefined, "a fused doc must come from an arm")
+      val expect = rt.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rv.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(3) - expect) < 1e-6,
+        s"doc ${r.getLong(0)}: fused score drifted from the rank formula")
+    }
+    val scores = out.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q183 geo nearest: winner matches a brute-force minimum per nation") {
     val cust = Tables.customer(spark, Sf)
       .select("c_custkey", "c_nationkey").collect()
