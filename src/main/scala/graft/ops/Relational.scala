@@ -7095,7 +7095,50 @@ object Relational {
         col("fold.nc").as("n_overdrafts"))
       .orderBy("user_id")
 
+  /** q190 — time-weighted average value (TWAP) per user-day: each
+    * observation holds until the NEXT one, so its weight is the
+    * holding duration — the finance/metering aggregation (TWAP,
+    * time-in-state billing, average concurrent load) that a plain
+    * AVG silently gets wrong whenever sampling is irregular. Weights
+    * are exact integer SECONDS from the (ts, event_id)-ordered lead
+    * (micros diff floor-divided — both div operands non-negative);
+    * the weighted sum is exact cents·seconds integers; and the TWAP
+    * itself is an exact integer floor division, so no float ever
+    * aggregates. A day's last observation has no successor and
+    * carries zero weight (the right-open-interval convention);
+    * single-event days therefore drop. Plan: ONE (user, day)-keyed
+    * exchange carries the lead window and the aggregate; nothing else
+    * shuffles.
+    */
+  def q190Twap(s: SparkSession, dir: String): DataFrame = {
+    Tables
+      .events(s, dir)
+      .filter(col("event_type") === "view")
+      .select(
+        col("user_id"),
+        col("ts").cast("date").as("day"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("dur_s", expr("(lead(us, 1) OVER (PARTITION BY user_id, day ORDER BY us ASC, event_id ASC) - us) div 1000000"))
+      .filter(col("dur_s").isNotNull)
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("dur_s")).as("held_s"),
+        sum(col("cents") * col("dur_s")).as("ws"))
+      .filter(col("held_s") > 0)
+      .select(
+        col("user_id"),
+        col("day"),
+        col("n_intervals"),
+        col("held_s"),
+        expr("ws div held_s").as("twap_cents"))
+      .orderBy("user_id", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_twap" -> q190Twap,
     "q189_clamped_balance" -> q189ClampedBalance,
     "q188_fd_audit" -> q188FdAudit,
     "q187_position_attribution" -> q187PositionAttribution,
@@ -7282,6 +7325,24 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q190_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS us,
+        |    event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'view'),
+        |l AS (
+        |  SELECT *, (lead(us) OVER (
+        |    PARTITION BY user_id, day ORDER BY us, event_id) - us)
+        |    // 1000000 AS dur_s
+        |  FROM e),
+        |a AS (
+        |  SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_intervals,
+        |    CAST(sum(dur_s) AS BIGINT) AS held_s,
+        |    CAST(sum(cents * dur_s) AS BIGINT) AS ws
+        |  FROM l WHERE dur_s IS NOT NULL GROUP BY 1, 2)
+        |SELECT user_id, day, n_intervals, held_s,
+        |  CAST(ws // held_s AS BIGINT) AS twap_cents
+        |FROM a WHERE held_s > 0 ORDER BY 1, 2""".stripMargin,
     // same (ts, event_id) fold order; the homogeneous-struct trick
     // lets list_reduce carry (rej, nc, bal) state with element deltas
     // riding the bal field. Field ORDER is load-bearing: DuckDB 1.0's
