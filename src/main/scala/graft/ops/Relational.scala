@@ -7137,7 +7137,101 @@ object Relational {
       .orderBy("user_id", "day")
   }
 
+  /** q191 — Theil-T inequality with between/within decomposition:
+    * how unequal is customer revenue, and how much of that inequality
+    * lives BETWEEN nations vs WITHIN them — the property that makes
+    * Theil the inequality measure analysts decompose (q137's Gini
+    * can't split additively; Theil T = Σ_g s_g·T_g + Σ_g s_g·ln(μ_g/μ)
+    * exactly). Determinism: a naive Σ (x/μ)ln(x/μ) is an
+    * order-dependent float sum, so every log is quantized ONCE to
+    * integer micro-nats (t33's convention) and all weighted sums run
+    * as exact DECIMAL(38,0) integer algebra — the only doubles are
+    * one division feeding each ln() and the final report columns.
+    * Quantization perturbs the decomposition identity by ≤ 2e-6 per
+    * term; the spec pins |total − (between + within)| ≤ 1e-4.
+    * Plan: one customer-revenue aggregate, nation and grand rollups
+    * broadcast back, one pass of per-customer integer terms into a
+    * nation-keyed aggregate.
+    */
+  def q191TheilDecomposition(s: SparkSession, dir: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def lnq(arg: String) =
+      s"CAST(round(ln($arg) * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+    val cust = Tables
+      .orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("x"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("x"))
+    val grand = cust.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val groups = cust
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("ng"), sum(col("x")).as("sxg"))
+    val terms = cust
+      .join(broadcast(groups), "n_name")
+      .crossJoin(broadcast(grand))
+      .select(
+        col("n_name"),
+        dec(col("x")).as("xd"),
+        expr(lnq("CAST(x AS DOUBLE) * CAST(ng AS DOUBLE) / CAST(sxg AS DOUBLE)"))
+          .as("lq_within"),
+        expr(lnq("CAST(x AS DOUBLE) * CAST(n AS DOUBLE) / CAST(sx AS DOUBLE)"))
+          .as("lq_total"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(col("xd") * dec(col("lq_within"))).as("num_within"),
+        sum(col("xd") * dec(col("lq_total"))).as("num_total"))
+    val perNation = groups
+      .join(terms, "n_name")
+      .crossJoin(broadcast(grand))
+      .select(
+        col("n_name").as("segment"),
+        col("ng").as("n_cust"),
+        col("sxg").as("rev_cents"),
+        round(
+          col("num_within").cast("double") /
+            (col("sxg").cast("double") * 1000000), 6).as("t_within"),
+        expr(lnq("CAST(sxg AS DOUBLE) * CAST(n AS DOUBLE) / " +
+          "(CAST(sx AS DOUBLE) * CAST(ng AS DOUBLE))")).as("lq_between"),
+        col("num_within"),
+        col("num_total"),
+        dec(col("sxg")).as("sxgd"))
+    val all = perNation
+      .crossJoin(broadcast(grand))
+      .agg(
+        sum(col("n_cust")).as("n_cust"),
+        sum(col("rev_cents")).as("rev_cents"),
+        round(
+          sum(col("num_within")).cast("double") /
+            (min(col("sx")).cast("double") * 1000000), 6).as("t_within"),
+        round(
+          sum(col("sxgd") * dec(col("lq_between"))).cast("double") /
+            (min(col("sx")).cast("double") * 1000000), 6).as("t_between"),
+        round(
+          sum(col("num_total")).cast("double") /
+            (min(col("sx")).cast("double") * 1000000), 6).as("t_total"))
+      .select(
+        lit("ALL").as("segment"),
+        col("n_cust"),
+        col("rev_cents"),
+        col("t_within"),
+        col("t_between"),
+        col("t_total"))
+    perNation
+      .select(
+        col("segment"),
+        col("n_cust"),
+        col("rev_cents"),
+        col("t_within"),
+        lit(null).cast("double").as("t_between"),
+        lit(null).cast("double").as("t_total"))
+      .unionAll(all)
+      .orderBy("segment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_theil_decomposition" -> q191TheilDecomposition,
     "q190_twap" -> q190Twap,
     "q189_clamped_balance" -> q189ClampedBalance,
     "q188_fd_audit" -> q188FdAudit,
@@ -7325,6 +7419,58 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q191_theil_decomposition" ->
+      """WITH cr AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |cust AS (
+        |  SELECT n_name, x FROM cr
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |grand AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
+        |  FROM cust),
+        |groups AS (
+        |  SELECT n_name, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(x) AS BIGINT) AS sxg
+        |  FROM cust GROUP BY 1),
+        |terms AS (
+        |  SELECT c.n_name,
+        |    sum(CAST(x AS HUGEINT) *
+        |      CAST(round(ln(x::DOUBLE * ng::DOUBLE / sxg::DOUBLE) *
+        |        CAST(1000000 AS DOUBLE)) AS HUGEINT)) AS num_within,
+        |    sum(CAST(x AS HUGEINT) *
+        |      CAST(round(ln(x::DOUBLE * n::DOUBLE / sx::DOUBLE) *
+        |        CAST(1000000 AS DOUBLE)) AS HUGEINT)) AS num_total
+        |  FROM cust c JOIN groups g ON c.n_name = g.n_name CROSS JOIN grand
+        |  GROUP BY 1),
+        |pn AS (
+        |  SELECT g.n_name AS segment, ng AS n_cust, sxg AS rev_cents,
+        |    round(num_within::DOUBLE / (sxg::DOUBLE * 1000000), 6)
+        |      AS t_within,
+        |    CAST(round(ln(sxg::DOUBLE * n::DOUBLE /
+        |      (sx::DOUBLE * ng::DOUBLE)) * CAST(1000000 AS DOUBLE))
+        |      AS HUGEINT) AS lq_between,
+        |    num_within, num_total, CAST(sxg AS HUGEINT) AS sxgd
+        |  FROM groups g JOIN terms t ON g.n_name = t.n_name
+        |  CROSS JOIN grand),
+        |allr AS (
+        |  SELECT 'ALL' AS segment,
+        |    CAST(sum(n_cust) AS BIGINT) AS n_cust,
+        |    CAST(sum(rev_cents) AS BIGINT) AS rev_cents,
+        |    round(sum(num_within)::DOUBLE /
+        |      (min(sx)::DOUBLE * 1000000), 6) AS t_within,
+        |    round(sum(sxgd * lq_between)::DOUBLE /
+        |      (min(sx)::DOUBLE * 1000000), 6) AS t_between,
+        |    round(sum(num_total)::DOUBLE /
+        |      (min(sx)::DOUBLE * 1000000), 6) AS t_total
+        |  FROM pn CROSS JOIN grand)
+        |SELECT segment, n_cust, rev_cents, t_within,
+        |  NULL::DOUBLE AS t_between, NULL::DOUBLE AS t_total FROM pn
+        |UNION ALL SELECT * FROM allr
+        |ORDER BY segment""".stripMargin,
     "q190_twap" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS us,
