@@ -2731,6 +2731,41 @@ class OpsSpec extends SparkSpec {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q191 Theil: decomposition identity holds within quantization error") {
+    val out = Relational.q191TheilDecomposition(spark, Sf).collect()
+    val all = out.filter(_.getString(0) == "ALL")
+    assert(all.length == 1)
+    val a = all.head
+    assert(math.abs(a.getDouble(5) - (a.getDouble(3) + a.getDouble(4))) <= 1e-4,
+      "T_total must equal T_within + T_between up to micro-nat quantization")
+    assert(a.getDouble(5) >= 0, "Theil T is non-negative")
+    assert(a.getLong(1) == out.filter(_.getString(0) != "ALL").map(_.getLong(1)).sum)
+    out.filter(_.getString(0) != "ALL").foreach { r =>
+      assert(r.isNullAt(4) && r.isNullAt(5))
+      assert(r.getDouble(3) >= -1e-6, "within-group Theil is non-negative")
+    }
+  }
+
+  test("q190 TWAP: weighted means sit inside each day's value range") {
+    val out = Relational.q190Twap(spark, Sf).collect()
+    assert(out.nonEmpty)
+    val bounds = Tables.events(spark, Sf)
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(
+        min(floor(col("value") * 100 + 0.5).cast("long")).as("lo"),
+        max(floor(col("value") * 100 + 0.5).cast("long")).as("hi"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    out.foreach { r =>
+      val (lo, hi) = bounds((r.getLong(0), r.getDate(1).toString))
+      assert(r.getLong(4) >= lo - 1 && r.getLong(4) <= hi,
+        s"user ${r.getLong(0)} ${r.getDate(1)}: TWAP escaped the value range")
+      assert(r.getLong(3) > 0)
+    }
+  }
+
   test("q183 geo nearest: winner matches a brute-force minimum per nation") {
     val cust = Tables.customer(spark, Sf)
       .select("c_custkey", "c_nationkey").collect()
