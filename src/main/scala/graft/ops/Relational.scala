@@ -7230,7 +7230,63 @@ object Relational {
       .orderBy("segment")
   }
 
+  /** q192 — lagged cross-correlation between two daily series (click
+    * volume vs purchase revenue): Pearson r at every lag in −7..+7 —
+    * the lead/lag detector ("does marketing activity LEAD revenue by
+    * N days?") behind transfer-function and ad-effectiveness models;
+    * q121 autocorrelates ONE series, this cross-correlates two.
+    * Positive lag = clicks lead revenue. Each lag re-aligns the pair
+    * set, so all five moments (n, Σx, Σy, Σxy, Σx², Σy²) are computed
+    * PER LAG on the aligned days — q92's exact-integer OLS machinery
+    * widened with Σy²; r's numerator/denominator are DECIMAL(38,0)
+    * exact, one sqrt+division double at the end under round. Plan:
+    * the daily series are calendar-bounded aggregates; the lag
+    * explosion is 15× a calendar-sized table; everything after is a
+    * 15-row rollup. Nothing data-sized past the first two aggregates.
+    */
+  def q192LagCorrelation(s: SparkSession, dir: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val ev = Tables.events(s, dir)
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .groupBy(col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).as("x"))
+    val revenue = ev
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("ts").cast("date").as("d"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("y"))
+    val aligned = clicks
+      .select(col("d"), col("x"), explode(sequence(lit(-7), lit(7))).as("lag"))
+      .join(
+        revenue.select(col("d").as("dy"), col("y")),
+        expr("dy = date_add(d, lag)"))
+    aligned
+      .groupBy(col("lag"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(dec(col("x"))).as("sx"),
+        sum(dec(col("y"))).as("sy"),
+        // products as decimal×decimal: a long x·y would wrap once a
+        // day's cents pass ~3e9·3e9 at full scale
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+      .withColumn("num", dec(col("n_days")) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("denx", dec(col("n_days")) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("deny", dec(col("n_days")) * col("syy") - col("sy") * col("sy"))
+      .select(
+        col("lag").cast("long").as("lag_days"),
+        col("n_days"),
+        when(col("denx") === 0 || col("deny") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            col("num").cast("double") /
+              sqrt(col("denx").cast("double") * col("deny").cast("double")),
+            4)).as("r"))
+      .orderBy("lag_days")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_lag_correlation" -> q192LagCorrelation,
     "q191_theil_decomposition" -> q191TheilDecomposition,
     "q190_twap" -> q190Twap,
     "q189_clamped_balance" -> q189ClampedBalance,
@@ -7419,6 +7475,35 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q192_lag_correlation" ->
+      """WITH c AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |r AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |lags AS (SELECT unnest(range(-7, 8)) AS lag),
+        |al AS (
+        |  SELECT lag, x, y FROM c CROSS JOIN lags
+        |  JOIN r ON r.d = c.d + to_days(CAST(lag AS INTEGER))),
+        |m AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+        |    sum(CAST(x AS HUGEINT)) AS sx,
+        |    sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+        |  FROM al GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag_days, n_days,
+        |  CASE WHEN n_days * sxx - sx * sx = 0
+        |         OR n_days * syy - sy * sy = 0 THEN NULL
+        |       ELSE round((n_days * sxy - sx * sy)::DOUBLE /
+        |         sqrt((n_days * sxx - sx * sx)::DOUBLE *
+        |              (n_days * syy - sy * sy)::DOUBLE), 4)
+        |  END AS r
+        |FROM m ORDER BY lag_days""".stripMargin,
     "q191_theil_decomposition" ->
       """WITH cr AS (
         |  SELECT o_custkey,
