@@ -1724,7 +1724,98 @@ object Streams {
       .orderBy("bucket")
   }
 
+  /** q193 — the clamped-wallet gate RUN TO COMPLETION under the
+    * driver's DuckDB oracle (streaming gate #4, and the first whose
+    * state is an ORDER-DEPENDENT fold rather than a commutative
+    * aggregate — the hardest parity class). The batch twin's exact
+    * input (signup/click credits, purchase debits) is written as a
+    * 3-file CHRONOLOGICAL parquet feed — ntile(3) over the global
+    * (ts_us, event_id) order, each file internally sorted — so
+    * `maxFilesPerTrigger=1` delivers three micro-batches that honor
+    * the per-key event-time contract across state-store commits (and
+    * [[WalletProcessor]] sorts within each batch, so intra-batch file
+    * row order is immaterial; the LateArrivals counter stays 0 by
+    * construction). foreachBatch appends update-mode snapshots to an
+    * executor-side parquet sink; merge-on-read keeps each user's
+    * max-n_events snapshot (n_events is strictly monotone per user,
+    * so it is the version column). The oracle is literally
+    * q189_clamped_balance's SQL — DuckDB replays the fold and the
+    * streamed state must land on it bit-for-bit.
+    */
+  def q193StreamWallet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val evs = graft.ops.Tables
+      .events(s, dir)
+      .filter(col("event_type").isin("signup", "click", "purchase"))
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id"),
+        when(col("event_type") === "purchase",
+          -floor(col("value") * 100 + 0.5).cast("long"))
+          .otherwise(floor(col("value") * 100 + 0.5).cast("long")).as("delta"))
+      .withColumn("fidx", ntile(3).over(w))
+    val root = java.nio.file.Files.createTempDirectory("graft-q193").toFile
+    val feed = new java.io.File(root, "feed")
+    val out = new java.io.File(root, "out")
+    val ckpt = new java.io.File(root, "ckpt")
+    (1 to 3).foreach { i =>
+      evs
+        .filter(col("fidx") === i)
+        .drop("fidx")
+        .coalesce(1)
+        .sortWithinPartitions(col("ts_us"), col("event_id"))
+        .write
+        .mode("append")
+        .parquet(feed.getAbsolutePath)
+    }
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = s.readStream
+        .schema("user_id BIGINT, ts_us BIGINT, event_id BIGINT, delta BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.getAbsolutePath)
+        .as[WalletEvent]
+      val q = streamingWalletGate(in).writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (snaps: Dataset[WalletState], _: Long) =>
+          snaps.write.mode("append").parquet(out.getAbsolutePath)
+        }
+        .start()
+      q.awaitTermination()
+    } finally prevProv match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None    => s.conf.unset(provKey)
+    }
+    s.read
+      .parquet(out.getAbsolutePath)
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(
+          struct(
+            col("n_events"),
+            col("final_balance_cents"),
+            col("rejected_cents"),
+            col("n_overdrafts")),
+          col("n_events")).as("last"))
+      .select(
+        col("user_id"),
+        col("last.n_events").as("n_events"),
+        col("last.final_balance_cents").as("final_balance_cents"),
+        col("last.rejected_cents").as("rejected_cents"),
+        col("last.n_overdrafts").as("n_overdrafts"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_stream_wallet" -> q193StreamWallet,
     "q164_stream_interval_join" -> q164StreamIntervalJoin,
     "q155_stream_window_agg" -> q155StreamWindowAgg,
     "q148_stream_cdc_latest" -> q148StreamCdcLatest)
@@ -1734,6 +1825,10 @@ object Streams {
     * final state.
     */
   val oracles: Map[String, String] = Map(
+    // the streamed order-dependent fold must land exactly on the
+    // batch twin's replay
+    "q193_stream_wallet" ->
+      graft.ops.Relational.oracles("q189_clamped_balance"),
     // the whole stream-stream interval join recomputed relationally:
     // same user key, same inclusive 30-minute bound, same bucket rollup
     "q164_stream_interval_join" ->
