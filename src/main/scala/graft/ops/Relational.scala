@@ -7285,7 +7285,62 @@ object Relational {
       .orderBy("lag_days")
   }
 
+  /** q194 — attribution-window sensitivity sweep: how much purchase
+    * volume is attributable (≥1 touch within w days before) as the
+    * lookback sweeps {1, 3, 7, 14, 30} — the tuning table that
+    * justifies q122/q187's hardcoded 7 (the elbow is the policy, the
+    * d21/s24/d27 operating-curve discipline pointed at attribution).
+    * ONE pass: each purchase's gap to its MOST RECENT prior touch is
+    * an exact integer day count (micros div, non-negative), the gap
+    * histogram forward-cumulates into all five windows, and coverage
+    * is basis points of ALL purchases (the no-touch ones included in
+    * the denominator). Plan: one user-keyed purchase×touch join
+    * (bounded by per-user activity), a purchase-keyed max aggregate,
+    * then calendar-bounded rollups.
+    */
+  def q194AttributionWindowSweep(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val touches = ev
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("event_id").as("pid"),
+        unix_micros(col("ts")).as("pus"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val tot = purchases.agg(
+      count(lit(1)).as("n_total"),
+      sum(col("cents")).as("cents_total"))
+    val hist = purchases
+      .join(touches, Seq("user_id"))
+      .filter(col("tus") < col("pus"))
+      .groupBy(col("pid"), col("pus"), col("cents"))
+      .agg(max(col("tus")).as("lus"))
+      .withColumn("gap_days", expr("(pus - lus) div 86400000000L"))
+      .groupBy(col("gap_days"))
+      .agg(count(lit(1)).as("n_at"), sum(col("cents")).as("cents_at"))
+    s.range(0, 5)
+      .select(element_at(array(lit(1L), lit(3L), lit(7L), lit(14L), lit(30L)),
+        (col("id") + 1).cast("int")).as("window_days"))
+      .join(hist, col("gap_days") < col("window_days"), "left")
+      .groupBy(col("window_days"))
+      .agg(
+        coalesce(sum(col("n_at")), lit(0L)).as("n_attributed"),
+        coalesce(sum(col("cents_at")), lit(0L)).as("cents_attributed"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("window_days"),
+        col("n_attributed"),
+        col("cents_attributed"),
+        col("n_total"),
+        expr("n_attributed * 10000L div n_total").as("coverage_bp"))
+      .orderBy("window_days")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_attribution_window_sweep" -> q194AttributionWindowSweep,
     "q192_lag_correlation" -> q192LagCorrelation,
     "q191_theil_decomposition" -> q191TheilDecomposition,
     "q190_twap" -> q190Twap,
@@ -7475,6 +7530,36 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q194_attribution_window_sweep" ->
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(ts) AS tus
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |p AS (
+        |  SELECT user_id, event_id AS pid, epoch_us(ts) AS pus,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(sum(cents) AS BIGINT) AS cents_total
+        |  FROM p),
+        |lastt AS (
+        |  SELECT pid, pus, cents, max(tus) AS lus
+        |  FROM p JOIN t USING (user_id) WHERE tus < pus
+        |  GROUP BY 1, 2, 3),
+        |hist AS (
+        |  SELECT (pus - lus) // 86400000000 AS gap_days,
+        |    CAST(count(*) AS BIGINT) AS n_at,
+        |    CAST(sum(cents) AS BIGINT) AS cents_at
+        |  FROM lastt GROUP BY 1),
+        |wins AS (SELECT unnest([1, 3, 7, 14, 30]) AS window_days)
+        |SELECT CAST(w.window_days AS BIGINT) AS window_days,
+        |  CAST(COALESCE(sum(h.n_at), 0) AS BIGINT) AS n_attributed,
+        |  CAST(COALESCE(sum(h.cents_at), 0) AS BIGINT) AS cents_attributed,
+        |  (SELECT n_total FROM tot) AS n_total,
+        |  CAST(COALESCE(sum(h.n_at), 0) * 10000 //
+        |    (SELECT n_total FROM tot) AS BIGINT) AS coverage_bp
+        |FROM wins w LEFT JOIN hist h ON h.gap_days < w.window_days
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q192_lag_correlation" ->
       """WITH c AS (
         |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
