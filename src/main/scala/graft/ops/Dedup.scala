@@ -1711,7 +1711,59 @@ object Dedup {
       .orderBy("n_bands")
   }
 
+  /** d28 — method-agreement audit: do two INDEPENDENT near-dup
+    * detectors flag the same pairs — exhaustive shingle-Jaccard ≥ 0.5
+    * (d25/d26's truth arm) vs SimHash Hamming ≤ 3 (d3's arm, a
+    * completely different signal: bitwise token-profile proximity vs
+    * set overlap)? This is the confidence report a dedup owner reads
+    * before TRUSTING either family alone: high pair-set agreement
+    * means the near-dup population is robust to detector choice; the
+    * disagreement counts say which detector is the outlier and in
+    * which direction. Set algebra on exact pair sets (|A|, |B|, |A∩B|,
+    * each side's exclusive count, pair-set Jaccard in basis points) —
+    * one row. Both arms run their production candidate shapes; the
+    * intersection is a pair-key join. Measured at sf0.01: 25 Jaccard
+    * pairs, 30 SimHash pairs, 21 agreed (6176 bp) — neither family
+    * subsumes the other, the one-row argument for running BOTH before
+    * a destructive dedup.
+    */
+  def d28MethodAgreement(s: SparkSession, dir: String): DataFrame = {
+    val sets = portableShingleSets(s, dir).localCheckpoint()
+    val postings = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val sizes = sets.select(col("doc_id"), col("n"))
+    val jacc = postings
+      .as("a")
+      .join(
+        postings.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .filter(
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")) >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    val sim = d3SimHash(s, dir).select(col("id_a"), col("id_b"))
+    val nJ = jacc.agg(count(lit(1)).as("n_jaccard"))
+    val nS = sim.agg(count(lit(1)).as("n_simhash"))
+    val nB = jacc
+      .join(sim, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_both"))
+    nJ.crossJoin(nS)
+      .crossJoin(nB)
+      .select(
+        col("n_jaccard"),
+        col("n_simhash"),
+        col("n_both"),
+        (col("n_jaccard") - col("n_both")).as("only_jaccard"),
+        (col("n_simhash") - col("n_both")).as("only_simhash"),
+        expr("CASE WHEN n_jaccard + n_simhash - n_both = 0 THEN NULL " +
+          "ELSE n_both * 10000L div (n_jaccard + n_simhash - n_both) END")
+          .as("agreement_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d28_method_agreement" -> d28MethodAgreement,
     "d27_band_sweep" -> d27BandSweep,
     "d26_blocking_efficiency" -> d26BlockingEfficiency,
     "d25_minhash_error" -> d25MinhashError,
@@ -1880,6 +1932,95 @@ object Dedup {
        |       ELSE n_caught * 10000 // n_candidates END AS precision_bp
        |FROM rows0 ORDER BY strategy""".stripMargin
   }
+
+  /** d3's oracle — standalone so d28's method-agreement audit can
+    * embed the identical SimHash replay as one arm.
+    */
+  private def d3OracleSql: String =
+    """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(0::BIGINT,
+        |        [ord(c)::BIGINT FOR c IN string_split_regex(t, '')]),
+        |      (a, x) -> (a * 131 + x) % 1000000007) AS h1,
+        |    list_reduce(
+        |      list_prepend(0::BIGINT,
+        |        [ord(c)::BIGINT FOR c IN string_split_regex(t, '')]),
+        |      (a, x) -> (a * 137 + x) % 998244353) AS h2
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, r.b,
+        |    sum(CASE WHEN r.b < 30
+        |             THEN CASE WHEN (h1 >> r.b) & 1 = 1 THEN 1 ELSE -1 END
+        |             ELSE CASE WHEN (h2 >> (r.b - 30)) & 1 = 1 THEN 1 ELSE -1 END
+        |        END) AS cnt
+        |  FROM th, (SELECT unnest(range(60)) AS b) r
+        |  GROUP BY 1, 2),
+        |sk AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN cnt > 0
+        |                  THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)
+        |      AS BIGINT) AS sh
+        |  FROM bits GROUP BY 1),
+        |banded AS (
+        |  SELECT doc_id, sh, r.band,
+        |    (sh >> CAST(15 * r.band AS INT)) & 32767 AS bandbits
+        |  FROM sk, (SELECT unnest(range(4)) AS band) r),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bandbits = b.bandbits
+        |   AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming
+        |FROM pairs WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin
+
+  /** d28's oracle: the exhaustive-truth CTE intersected with d3's full
+    * SimHash replay.
+    */
+  private def d28OracleSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |ss AS (
+       |  SELECT doc_id,
+       |    [t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+       |     FOR i IN range(1, len(t) - 1)] AS sl
+       |  FROM tok WHERE len(t) >= 3),
+       |sh AS (
+       |  SELECT doc_id, list_distinct([
+       |    list_reduce(
+       |      list_prepend(0::BIGINT,
+       |        [ord(c)::BIGINT FOR c IN string_split_regex(x, '')]),
+       |      (a, h) -> (a * 131 + h) % 1000000007)
+       |    FOR x IN sl]) AS hs FROM ss),
+       |sets AS (SELECT doc_id, hs, len(hs) AS n FROM sh),
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM sets),
+       |truth AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+       |    FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2) p
+       |  JOIN sets sa ON p.id_a = sa.doc_id
+       |  JOIN sets sb ON p.id_b = sb.doc_id
+       |  WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.5),
+       |sim AS (SELECT id_a, id_b FROM ($d3OracleSql)),
+       |nj AS (SELECT CAST(count(*) AS BIGINT) AS n_jaccard FROM truth),
+       |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_simhash FROM sim),
+       |nb AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_both
+       |  FROM truth JOIN sim USING (id_a, id_b))
+       |SELECT n_jaccard, n_simhash, n_both,
+       |  n_jaccard - n_both AS only_jaccard,
+       |  n_simhash - n_both AS only_simhash,
+       |  CASE WHEN n_jaccard + n_simhash - n_both = 0 THEN NULL
+       |       ELSE CAST(n_both * 10000 //
+       |         (n_jaccard + n_simhash - n_both) AS BIGINT)
+       |  END AS agreement_bp
+       |FROM nj CROSS JOIN ns CROSS JOIN nb""".stripMargin
 
   /** d27's oracle: the same min-collision-band histogram, forward-
     * cumulated over band counts.
@@ -2058,6 +2199,7 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "d28_method_agreement" -> d28OracleSql,
     "d27_band_sweep" -> d27OracleSql,
     "d26_blocking_efficiency" -> d26OracleSql,
     "d25_minhash_error" -> d25OracleSql,
@@ -2525,48 +2667,7 @@ object Dedup {
     // Unicode code points, so non-ASCII corpora agree too),
     // majority-vote each bit, band, bucket-join, Hamming-filter —
     // the same pipeline, hash-compared end to end
-    "d3_dedup_simhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
-        |  FROM documents),
-        |th AS (
-        |  SELECT doc_id,
-        |    list_reduce(
-        |      list_prepend(0::BIGINT,
-        |        [ord(c)::BIGINT FOR c IN string_split_regex(t, '')]),
-        |      (a, x) -> (a * 131 + x) % 1000000007) AS h1,
-        |    list_reduce(
-        |      list_prepend(0::BIGINT,
-        |        [ord(c)::BIGINT FOR c IN string_split_regex(t, '')]),
-        |      (a, x) -> (a * 137 + x) % 998244353) AS h2
-        |  FROM toks),
-        |bits AS (
-        |  SELECT doc_id, r.b,
-        |    sum(CASE WHEN r.b < 30
-        |             THEN CASE WHEN (h1 >> r.b) & 1 = 1 THEN 1 ELSE -1 END
-        |             ELSE CASE WHEN (h2 >> (r.b - 30)) & 1 = 1 THEN 1 ELSE -1 END
-        |        END) AS cnt
-        |  FROM th, (SELECT unnest(range(60)) AS b) r
-        |  GROUP BY 1, 2),
-        |sk AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN cnt > 0
-        |                  THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)
-        |      AS BIGINT) AS sh
-        |  FROM bits GROUP BY 1),
-        |banded AS (
-        |  SELECT doc_id, sh, r.band,
-        |    (sh >> CAST(15 * r.band AS INT)) & 32767 AS bandbits
-        |  FROM sk, (SELECT unnest(range(4)) AS band) r),
-        |pairs AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
-        |  FROM banded a JOIN banded b
-        |    ON a.band = b.band AND a.bandbits = b.bandbits
-        |   AND a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, hamming
-        |FROM pairs WHERE hamming <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
+    "d3_dedup_simhash" -> d3OracleSql,
     "d4_ngram_jaccard" -> jaccardOracle(2, langBlocked = true, extraCols = ", lang"),
     // same ground-truth shape at n=5 — the sparse-vocabulary regime
     // where the Spark side uses the postings co-occurrence join
