@@ -2766,6 +2766,54 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q192 lag correlation: full sweep, r bounded, lag 0 replays Pearson") {
+    val out = Relational.q192LagCorrelation(spark, Sf).collect()
+    assert(out.map(_.getLong(0)).toSeq == (-7L to 7L))
+    out.filter(!_.isNullAt(2)).foreach(r =>
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    // replay lag 0 from the daily series
+    val ev = Tables.events(spark, Sf)
+    val x = ev.filter(col("event_type") === "click")
+      .groupBy(col("ts").cast("date").as("d")).agg(count(lit(1)).as("x"))
+    val y = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("ts").cast("date").as("d"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("y"))
+    val pts = x.join(y, "d").collect().map(r => (r.getLong(1), r.getLong(2)))
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum.toDouble, pts.map(_._2).sum.toDouble)
+    val sxy = pts.map(p => p._1.toDouble * p._2).sum
+    val sxx = pts.map(p => p._1.toDouble * p._1).sum
+    val syy = pts.map(p => p._2.toDouble * p._2).sum
+    val r0 = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val got = out.find(_.getLong(0) == 0L).get.getDouble(2)
+    assert(math.abs(got - r0) < 1e-3, s"lag-0 r $got != replay $r0")
+  }
+
+  test("q194 window sweep: monotone coverage, 7-day point matches q122's reach") {
+    val out = Relational.q194AttributionWindowSweep(spark, Sf).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L, 7L, 14L, 30L))
+    val ns = out.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => b >= a },
+      "a wider window can only attribute more")
+    out.foreach(r => assert(r.getLong(1) <= r.getLong(3) &&
+      r.getLong(4) <= 10000L))
+    // q122's non-'none' purchases = purchases with a touch within 7 days
+    val q122NonNone = Relational.q122LastTouchAttribution(spark, Sf).collect()
+      .filter(_.getString(0) != "none").map(_.getLong(1)).sum
+    assert(out.find(_.getLong(0) == 7L).get.getLong(1) == q122NonNone,
+      "the sweep's 7-day point must equal q122's attributed population")
+  }
+
+  test("d28 agreement: counts are consistent set algebra") {
+    val r = Dedup.d28MethodAgreement(spark, Sf).collect().head
+    val (nj, ns, nb) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nb <= math.min(nj, ns))
+    assert(r.getLong(3) == nj - nb && r.getLong(4) == ns - nb)
+    assert(r.getLong(5) == nb * 10000 / (nj + ns - nb))
+    // the truth arm is d25's audited pair set
+    assert(nj == Dedup.d25MinhashError(spark, Sf).count())
+  }
+
   test("q183 geo nearest: winner matches a brute-force minimum per nation") {
     val cust = Tables.customer(spark, Sf)
       .select("c_custkey", "c_nationkey").collect()
