@@ -777,30 +777,31 @@ object Multimodal {
     val d = Tables
       .spread(Tables.documents(s, dir))
       .filter(length(col("text")) >= 64)
-    // Three shapes were measured at sf0.1 solo. (a) An intermediate
+    // Four shapes were measured at sf0.1 solo. (a) An intermediate
     // `cs` ARRAY alias trips CollapseProject's attribute tracking
     // under nested lambdas (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND), and
     // inlining the array into a per-BIT lambda rebuilds it 64× per
     // frame: 4.9 s. (b) 1-char substring() per byte avoids the array
     // but UTF8String.substring is O(offset), so each probe rescans the
-    // text: 16.7 s. (c) This shape: the window array is built exactly
-    // once per COLUMN (a scalar `total` column survives the optimizer
-    // where an array alias doesn't), and the bit fold walks the array
-    // in order — MSB first — so no index arithmetic at all: 3.0 s.
-    val csExpr =
-      "transform(split(substring(text, CAST(f * 32 + 1 AS INT), 32), ''), " +
-        "c -> CAST(ascii(c) AS BIGINT))"
+    // text: 16.7 s. (c) one array build per COLUMN (scalar `total`
+    // survives the optimizer where an array alias doesn't): 3.0 s.
+    // (d) This shape: m6's fused native kernel
+    // ([[graft.functions.MeanThresholdBits]]) on the ONE substring per
+    // frame — with a 32-byte window and 32 bits each span is a single
+    // byte, so bit k = byte_k·32 > total with weight 2^k (LSB = byte
+    // 0), no interpreted lambda anywhere: 1.0 s warm.
     val ph = d
       .select(
         col("doc_id"),
         col("text"),
         explode(sequence(lit(0L), expr("CAST(length(text) div 32 AS LONG) - 1"))).as("f"))
-      .withColumn("total", expr(s"aggregate($csExpr, 0L, (a, x) -> a + x)"))
       .select(
         col("doc_id"),
         col("f"),
-        expr(s"aggregate($csExpr, 0L, (acc, c) -> " +
-          "acc * 2L + IF(c * 32L > total, 1L, 0L))").as("ph"))
+        graft.functions.MeanThresholdBits
+          .meanThresholdBitsOfString(
+            expr("substring(text, CAST(f * 32 + 1 AS INT), 32)"), 32, 0)
+          .as("ph"))
     val agg = ph
       .as("a")
       .join(ph.as("b"), col("a.ph") === col("b.ph") && col("a.doc_id") < col("b.doc_id"))
@@ -864,8 +865,9 @@ object Multimodal {
         |      list_transform(range(0, 32), k ->
         |        CASE WHEN cs[CAST(k AS INTEGER) + 1] * 32 >
         |          list_reduce(list_prepend(0::BIGINT, cs), (a, b) -> a + b)
-        |        THEN 1::BIGINT ELSE 0::BIGINT END)),
-        |      (acc, b) -> acc * 2 + b) AS ph
+        |        THEN (1::BIGINT << CAST(k AS INTEGER))
+        |        ELSE 0::BIGINT END)),
+        |      (acc, b) -> acc + b) AS ph
         |  FROM fr1),
         |agg AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
