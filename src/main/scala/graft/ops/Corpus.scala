@@ -797,7 +797,59 @@ object Corpus {
       .orderBy("stage")
   }
 
+  /** p18 — DSIR-style importance SELECTION (the hashed-n-gram
+    * importance-resampling estimator of Xie et al., "Data Selection
+    * for Language Models via Importance Resampling", NeurIPS 2023):
+    * score every raw document by how target-like its token
+    * distribution is — Σ_tokens ln(p_target(bucket)/p_raw(bucket)) —
+    * and keep the top-k. The target here is the corpus's English
+    * slice (standing in for "curated high-quality data"); features
+    * are unigrams hashed into 256 buckets via the first two md5 hex
+    * chars (md5 is bit-identical across engines — d1's convention —
+    * so the bucketing needs no portable-hash machinery).
+    *
+    * Determinism: the ONLY float math is one ln() per DISTINCT bucket
+    * (256 of them), quantized once to integer micro-nats (t33's
+    * posture); per-document scores are exact integer sums and the
+    * top-k order is (weight, doc_id) — total. The published method
+    * Gumbel-resamples; the deterministic top-k variant is the
+    * scheduled-pipeline face (and the paper's Table 4 ablation).
+    *
+    * Scale posture: two bucket aggregates (≤ 256 rows each) feed a
+    * broadcast log-ratio table; the document score is one map-side
+    * combine over the token stream + one key exchange; the top-k is
+    * TakeOrdered. Nothing vocabulary- or corpus-sized crosses to the
+    * driver.
+    */
+  def p18DsirSelection(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables
+      .spread(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), col("lang"), substring(md5(col("w")), 1, 2).as("bkt"))
+    val tgt = b.filter(col("lang") === "en").groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
+    val raw = b.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
+    val tt = tgt.agg(sum(col("ct")).as("t"))
+    val rt = raw.agg(sum(col("cr")).as("r"))
+    val lr = raw
+      .join(tgt, Seq("bkt"), "left")
+      .crossJoin(broadcast(tt))
+      .crossJoin(broadcast(rt))
+      .select(
+        col("bkt"),
+        expr("""CAST(round(ln(
+               |  (CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(t + 256 AS DOUBLE))
+               |  / (CAST(cr + 1 AS DOUBLE) / CAST(r + 256 AS DOUBLE))) * 1e6)
+               |AS BIGINT)""".stripMargin).as("lr_micro"))
+    b.join(broadcast(lr), "bkt")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr_micro")).as("weight_micro"))
+      .orderBy(col("weight_micro").desc, col("doc_id").asc)
+      .limit(100)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("weight_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p18_dsir_selection" -> p18DsirSelection,
     "p17_stage_waterfall" -> p17StageWaterfall,
     "p16_ess_report" -> p16EssReport,
     "p15_shard_manifest" -> p15ShardManifest,
@@ -818,6 +870,32 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical formula text on both engines: one ln per bucket,
+    // micro-nat quantized, exact integer doc sums, total top-k order
+    "p18_dsir_selection" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang, substring(md5(w), 1, 2) AS bkt FROM tok),
+        |tgt AS (
+        |  SELECT bkt, count(*) AS ct FROM b WHERE lang = 'en' GROUP BY bkt),
+        |raw AS (SELECT bkt, count(*) AS cr FROM b GROUP BY bkt),
+        |tt AS (SELECT sum(ct) AS t FROM tgt),
+        |rt AS (SELECT sum(cr) AS r FROM raw),
+        |lr AS (
+        |  SELECT raw.bkt,
+        |    CAST(round(ln(
+        |      (CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(t + 256 AS DOUBLE))
+        |      / (CAST(cr + 1 AS DOUBLE) / CAST(r + 256 AS DOUBLE))) * 1e6)
+        |    AS BIGINT) AS lr_micro
+        |  FROM raw LEFT JOIN tgt USING (bkt), tt, rt)
+        |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(lr_micro) AS BIGINT) AS weight_micro
+        |FROM b JOIN lr USING (bkt)
+        |GROUP BY doc_id, lang
+        |ORDER BY weight_micro DESC, doc_id
+        |LIMIT 100""".stripMargin,
     // p2's stage constructions collapsed to the 4-row waterfall
     "p17_stage_waterfall" ->
       """WITH d AS (

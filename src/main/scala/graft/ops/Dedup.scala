@@ -1762,7 +1762,106 @@ object Dedup {
           .as("agreement_bp"))
   }
 
+  /** Alternating large-star/small-star rounds over a canonical
+    * (hi, lo) edge set until fixpoint; returns (id → component-min
+    * label, rounds taken). Exposed for the planted-path spec, which
+    * pins the diameter-INDEPENDENCE this buys over Hash-Min.
+    */
+  private[graft] def twoStarLabels(pairs: DataFrame): (DataFrame, Int) = {
+    // large-star: every neighbor BIGGER than the center re-links to
+    // the min of the closed neighborhood. Each original edge appears
+    // exactly once in the group of its smaller endpoint, so the
+    // output REPLACES the edge set. min-over-partition rides one
+    // window exchange on the symmetrized pair graph.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e
+        .select(col("hi").as("u"), col("lo").as("v"))
+        .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
+      val w = Window.partitionBy(col("u"))
+      sym
+        .withColumn("m", least(min(col("v")).over(w), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+    }
+    // small-star: group the hi→lo edges by their LARGER endpoint;
+    // the center and every small neighbor re-link to the group min.
+    def smallStar(e: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("hi"))
+      val m = e.withColumn("m", min(col("lo")).over(w))
+      m.select(col("lo").as("hi"), col("m").as("lo"))
+        .unionAll(m.select(col("hi"), col("m").as("lo")))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+    }
+    var edges = pairs
+      .select(
+        greatest(col("id_a"), col("id_b")).cast("long").as("hi"),
+        least(col("id_a"), col("id_b")).cast("long").as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint()
+    // every node of the original graph, BEFORE rounds collapse
+    // component minima out of the hi side
+    val nodes = edges
+      .select(col("hi").as("id"))
+      .union(edges.select(col("lo").as("id")))
+      .distinct()
+      .localCheckpoint()
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0) {
+      rounds += 1
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // distinct sets: equal counts + no novel edges ⇒ identical.
+      // Two bounded actions per round on the PAIR graph (the same
+      // budget d6's moved-count spends), never on the corpus.
+      val nc = next.count()
+      changed =
+        if (nc != edges.count()) 1L
+        else next.join(edges, Seq("hi", "lo"), "left_anti").count()
+      edges = next
+    }
+    val labels = nodes
+      .join(edges.select(col("hi").as("id"), col("lo")), Seq("id"), "left")
+      .groupBy(col("id"))
+      .agg(coalesce(min(col("lo")), min(col("id"))).as("label"))
+    (labels, rounds)
+  }
+
+  /** d30 — connected components via ALTERNATING LARGE-STAR/SMALL-STAR
+    * (the two-phase algorithm of Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC 2014): the same dedup-cluster
+    * output as d6, computed by an algorithm whose round count is
+    * O(log n) in the component size instead of Hash-Min's O(diameter).
+    * On near-dup cliques both converge in 2–3 rounds, but a 100 TB
+    * pair graph is not all cliques — chain-shaped components (template
+    * families, boilerplate drift, crawl mirrors of mirrors) give
+    * Hash-Min one full shuffle round PER HOP, while star rounds halve
+    * path lengths (OpsSpec pins a planted 33-node path: 32 Hash-Min
+    * rounds collapse in ≤ 8 star rounds). This is the variant a
+    * scheduled pipeline runs when component shape is unknown.
+    *
+    * Scale posture: every round is two window exchanges + a distinct
+    * over the PAIR GRAPH only (θ-matched edges — orders of magnitude
+    * smaller than the corpus), lineage truncated per round; the output
+    * is pinned row-for-row ≡ d6 (same oracle SQL, same recursive-CTE
+    * ground truth), so the two CC engines gate each other.
+    */
+  def d30CcTwoStar(s: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairs(docsWithShingles(s, dir, 3), 0.5)
+      .select(col("id_a"), col("id_b"))
+    val (labels, _) = twoStarLabels(pairs)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_rep"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d30_cc_twostar" -> d30CcTwoStar,
     "d28_method_agreement" -> d28MethodAgreement,
     "d27_band_sweep" -> d27BandSweep,
     "d26_blocking_efficiency" -> d26BlockingEfficiency,
@@ -2198,6 +2297,41 @@ object Dedup {
       |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Ground-truth near-dup clusters: exhaustive Jaccard pairs closed
+    * transitively with a recursive CTE — gates BOTH CC engines (d6
+    * Hash-Min and d30 two-star), which must agree row-for-row.
+    */
+  private val ccClustersOracle: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+      |                   FOR i IN range(1, len(t) - 1)]) AS shingles
+      |  FROM tok WHERE len(t) >= 3),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |p0 AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+      |pq AS (
+      |  SELECT id_a, id_b
+      |  FROM p0 JOIN sizes sa ON id_a = sa.doc_id
+      |          JOIN sizes sb ON id_b = sb.doc_id
+      |  WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.5),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pq
+      |          UNION ALL SELECT id_b AS a, id_a AS b FROM pq),
+      |reach(id, r) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+      |comp AS (SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id)
+      |SELECT c.id AS doc_id, c.cluster_rep, cnt.cluster_size
+      |FROM comp c JOIN (SELECT cluster_rep, count(*) AS cluster_size
+      |                  FROM comp GROUP BY 1) cnt USING (cluster_rep)
+      |ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d28_method_agreement" -> d28OracleSql,
     "d27_band_sweep" -> d27OracleSql,
@@ -2631,36 +2765,10 @@ object Dedup {
     "d23_allpairs_prefix" -> jaccardOracle(3, langBlocked = false, extraCols = ""),
     // Ground-truth clusters: exhaustive Jaccard pairs (same recall
     // argument as d2) closed transitively with a recursive CTE.
-    "d6_dup_clusters" ->
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
-        |                   FOR i IN range(1, len(t) - 1)]) AS shingles
-        |  FROM tok WHERE len(t) >= 3),
-        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        |p0 AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
-        |pq AS (
-        |  SELECT id_a, id_b
-        |  FROM p0 JOIN sizes sa ON id_a = sa.doc_id
-        |          JOIN sizes sb ON id_b = sb.doc_id
-        |  WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.5),
-        |edges AS (SELECT id_a AS a, id_b AS b FROM pq
-        |          UNION ALL SELECT id_b AS a, id_a AS b FROM pq),
-        |reach(id, r) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
-        |comp AS (SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id)
-        |SELECT c.id AS doc_id, c.cluster_rep, cnt.cluster_size
-        |FROM comp c JOIN (SELECT cluster_rep, count(*) AS cluster_size
-        |                  FROM comp GROUP BY 1) cnt USING (cluster_rep)
-        |ORDER BY doc_id""".stripMargin,
+    "d6_dup_clusters" -> ccClustersOracle,
+    // d30 computes the SAME component decomposition with the two-star
+    // algorithm — one ground truth gates both CC engines
+    "d30_cc_twostar" -> ccClustersOracle,
     // d3's portable polynomial token hashes let DuckDB rebuild the
     // 60-bit sketch exactly: fold (acc*base+codepoint) % prime per
     // token (ord() per split character below — both engines fold

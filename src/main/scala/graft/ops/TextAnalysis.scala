@@ -1604,7 +1604,60 @@ object TextAnalysis {
       .orderBy("src_a", "src_b")
   }
 
+  /** t35 — Good–Turing frequency-of-frequencies table: for TRIGRAM
+    * count r = 1..10, how many types occur exactly r times (N_r), and
+    * the Turing-smoothed count r* = (r+1)·N_{r+1}/N_r — the classic
+    * LM smoothing estimate (Good 1953) that t13/t17's add-one models
+    * approximate crudely, plus the Good–Turing unseen-probability mass
+    * p0 = N_1/N (the singleton share of all trigram occurrences). A
+    * corpus builder reads this to size OOV handling and to spot count
+    * inflation from boilerplate (N_1 collapses when templates
+    * dominate). Trigrams, not unigrams, because the fixture's small
+    * closed vocabulary has NO rare unigrams (every word occurs ≥ 26×
+    * at sf0.01 — measured) while the trigram spectrum is the textbook
+    * decaying shape (N_1 = 9 424, N_2 = 4 532, … N_8 = 1); real
+    * corpora show the same regime shift one n-gram order earlier.
+    *
+    * Every published number is EXACT integer algebra: N_r and the
+    * occurrence total are exact counts, r* ships as micro-units by
+    * non-negative integer floor division ((r+1)·N_{r+1}·10⁶ div N_r
+    * — no float ever, so no cross-engine rounding bets), and p0 in
+    * basis points the same way. Scale: one (trigram) exchange for the
+    * count table — windows stream off the token array through the
+    * [[graft.functions.WordNgrams]] generator — then the frequency
+    * SPECTRUM (≤ max-count rows — t15's argument) self-joins on r+1;
+    * the output is 10 rows.
+    */
+  def t35GoodTuring(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables
+      .spread(Tables.documents(s, dir))
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(graft.functions.WordNgrams.wordNgrams(col("t"), 3).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+    val nr = counts.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+    val tot = counts.agg(
+      sum(col("c")).as("n_tokens"),
+      coalesce(sum(when(col("c") === 1, lit(1L))), lit(0L)).as("n_singletons"))
+    nr.as("a")
+      .join(
+        nr.select(col("r").as("r1"), col("n_r").as("n_next")).as("b"),
+        col("a.r") + 1 === col("r1"),
+        "left")
+      .filter(col("a.r").between(1, 10))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("a.r").as("r"),
+        col("a.n_r").as("n_r"),
+        coalesce(col("n_next"), lit(0L)).as("n_next"),
+        expr("(r + 1) * coalesce(n_next, 0) * 1000000L div n_r").as("r_star_micro"),
+        expr("n_singletons * 10000L div n_tokens").as("unseen_mass_bp"))
+      .orderBy("r")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t35_good_turing" -> t35GoodTuring,
     "t34_source_vocab_overlap" -> t34SourceVocabOverlap,
     "t33_nb_classifier" -> t33NbClassifier,
     "t32_signal_calibration" -> t32SignalCalibration,
@@ -1700,6 +1753,30 @@ object TextAnalysis {
         |LIMIT 15""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // exact integer algebra end to end — floor division on
+    // non-negative operands matches Spark's div exactly
+    "t35_good_turing" ->
+      """WITH tok AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT unnest([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+        |                 FOR i IN range(1, len(t) - 1)]) AS w
+        |  FROM tok),
+        |cnt AS (SELECT w, count(*) AS c FROM sh GROUP BY w),
+        |nr AS (SELECT c AS r, count(*) AS n_r FROM cnt GROUP BY c),
+        |tot AS (
+        |  SELECT sum(c) AS n_tokens,
+        |    coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0) AS n_singletons
+        |  FROM cnt)
+        |SELECT CAST(a.r AS BIGINT) AS r, CAST(a.n_r AS BIGINT) AS n_r,
+        |  CAST(coalesce(b.n_r, 0) AS BIGINT) AS n_next,
+        |  CAST((a.r + 1) * coalesce(b.n_r, 0) * 1000000 // a.n_r AS BIGINT)
+        |    AS r_star_micro,
+        |  CAST(n_singletons * 10000 // n_tokens AS BIGINT) AS unseen_mass_bp
+        |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1, tot
+        |WHERE a.r BETWEEN 1 AND 10
+        |ORDER BY r""".stripMargin,
     "t34_source_vocab_overlap" ->
       """WITH v AS (
         |  SELECT DISTINCT source, w FROM (

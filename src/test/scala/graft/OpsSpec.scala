@@ -1118,6 +1118,99 @@ class OpsSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getString(1))).toMap == expect)
   }
 
+  test("d30 two-star CC: row-for-row equal to d6 Hash-Min on the fixture") {
+    val d6 = Dedup.d6DupClusters(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val d30 = Dedup.d30CcTwoStar(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(d6.nonEmpty, "fixture must yield clusters")
+    assert(d30 == d6, "the two CC engines must agree exactly")
+  }
+
+  test("d30 two-star CC: a planted 33-node path collapses in far fewer rounds than its diameter") {
+    // path 0-1-2-...-32: Hash-Min needs 32 rounds (one per hop) to
+    // drag label 0 to the far end; star rounds halve path lengths.
+    import spark.implicits._
+    val path = (0L until 32L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.twoStarLabels(path)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 33 && got.values.forall(_ == 0L),
+      "every path node must label to the component min")
+    assert(rounds <= 8, s"two-star took $rounds rounds on a 33-node path; expected O(log n)")
+    // a clique converges immediately: one round + the fixpoint check
+    val clique = (for {a <- 0L until 6L; b <- (a + 1) until 6L} yield (a, b))
+      .toDF("id_a", "id_b")
+    val (cl, cr) = Dedup.twoStarLabels(clique)
+    assert(cl.collect().forall(_.getLong(1) == 0L) && cr <= 3)
+  }
+
+  test("t35 Good-Turing: spectrum and smoothed counts replay imperatively") {
+    val texts = graft.ops.Tables.documents(spark, Sf)
+      .select(col("text")).collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { tx =>
+      val t = tx.split(" ", -1)
+      if (t.length >= 3)
+        (0 to t.length - 3).foreach { i =>
+          val g = s"${t(i)} ${t(i + 1)} ${t(i + 2)}"
+          counts(g) = counts.getOrElse(g, 0L) + 1L
+        }
+    }
+    val nr = counts.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTok = counts.values.sum
+    val n1 = counts.values.count(_ == 1L).toLong
+    val out = TextAnalysis.t35GoodTuring(spark, Sf).collect()
+    assert(out.nonEmpty && out.forall(r => r.getLong(0) >= 1 && r.getLong(0) <= 10))
+    out.foreach { r =>
+      val (rr, gotNr, gotNext, rStar, bp) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(gotNr == nr.getOrElse(rr, 0L), s"N_$rr")
+      assert(gotNext == nr.getOrElse(rr + 1, 0L), s"N_${rr + 1}")
+      assert(rStar == (rr + 1) * gotNext * 1000000L / gotNr, s"r*($rr)")
+      assert(bp == n1 * 10000L / nTok, "unseen mass")
+    }
+    assert(out.map(_.getLong(0)).toSet == nr.keySet.filter(r => r >= 1 && r <= 10),
+      "every populated spectrum row in 1..10 must appear")
+  }
+
+  test("p18 DSIR selection: the full top-100 replays from an imperative estimator") {
+    val docs = graft.ops.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bucket(w: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      f"${d(0) & 0xff}%02x".take(2)
+    }
+    val tgt = scala.collection.mutable.Map.empty[String, Long]
+    val raw = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, lang, text) =>
+      text.split(" ", -1).foreach { w =>
+        val b = bucket(w)
+        raw(b) = raw.getOrElse(b, 0L) + 1
+        if (lang == "en") tgt(b) = tgt.getOrElse(b, 0L) + 1
+      }
+    }
+    val t = tgt.values.sum; val r0 = raw.values.sum
+    val lr = raw.keys.map { b =>
+      val x = ((tgt.getOrElse(b, 0L) + 1).toDouble / (t + 256).toDouble) /
+        ((raw(b) + 1).toDouble / (r0 + 256).toDouble)
+      b -> java.math.BigDecimal.valueOf(math.log(x) * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    }.toMap
+    val want = docs.map { case (id, lang, text) =>
+      val ws = text.split(" ", -1)
+      (id, lang, ws.length.toLong, ws.map(w => lr(bucket(w))).sum)
+    }.sortBy { case (id, _, _, wt) => (-wt, id) }.take(100).toSeq
+    val got = Corpus.p18DsirSelection(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, "selection must equal the imperative DSIR replay")
+    // the estimator must actually enrich for the target slice
+    val enSel = got.count(_._2 == "en").toDouble / got.size
+    val enAll = docs.count(_._2 == "en").toDouble / docs.length
+    assert(enSel > enAll, s"selected en share $enSel must exceed corpus share $enAll")
+  }
+
   test("d20 survivorship: one survivor per cluster, longest-then-lowest-id, exact accounting") {
     val d6 = Dedup.d6DupClusters(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))) // (doc_id, cluster_rep)
