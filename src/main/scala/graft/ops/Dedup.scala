@@ -1762,6 +1762,128 @@ object Dedup {
           .as("agreement_bp"))
   }
 
+  /** d29 — Fellegi–Sunter probabilistic record linkage (the 1969
+    * model behind every serious entity-resolution system): score
+    * blocked candidate pairs by the LOG-LIKELIHOOD RATIO of their
+    * field-agreement pattern γ — Σ_f γ_f·ln(m_f/u_f) +
+    * (1−γ_f)·ln((1−m_f)/(1−u_f)) — and link pairs with positive
+    * total evidence. d8's edit-distance canonicalizer answers "which
+    * strings are close"; this answers "how much EVIDENCE is that,
+    * given how often random pairs agree by chance". The m
+    * probabilities (P(agree | true match)) are fixed model constants;
+    * the u probabilities (P(agree | non-match)) are ESTIMATED FROM
+    * THE BLOCKED PAIR POPULATION itself with add-one smoothing —
+    * matches are rare, so the population agreement rate is the
+    * standard u estimate. The fixture has no natural duplicate
+    * customers (names are unique by construction), so a resubmitted
+    * batch is planted in-query — every 20th customer re-entered with
+    * a typo'd name tail and a 50-cent balance drift (q179/d10's
+    * convention).
+    *
+    * Comparison vector: γ1 name edit-distance ≤ 2 (threshold
+    * levenshtein — banded DP, same as d8), γ2 balance within 100
+    * cents (exact integer cents), γ3 mid-digit name block equal.
+    * Determinism: u_f are exact integer ratios; each of the 6
+    * log-weights is ONE ln() quantized to integer micro-nats (t33's
+    * posture), so every pair score is an exact integer sum and the
+    * match decision (score > 0) is exact.
+    *
+    * Scale posture: candidate pairs come only from the
+    * (nation, segment) equi-join blocks — never all-pairs; the u
+    * estimate is one 1-row aggregate over the pair table, broadcast
+    * back; one comparison pass, no per-row UDFs (levenshtein and the
+    * case arms are codegen'd builtins).
+    */
+  def d29FellegiSunter(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .customer(s, dir)
+      .select(
+        col("c_custkey").cast("long").as("id"),
+        col("c_name").as("name"),
+        col("c_nationkey").cast("int").as("nat"),
+        col("c_mktsegment").as("seg"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("cents"))
+    val dup = base
+      .filter(col("id") % 20 === 0)
+      .select(
+        (col("id") + 10000000L).as("id"),
+        concat(substring(col("name"), 1, 17), lit("x")).as("name"),
+        col("nat"),
+        col("seg"),
+        (col("cents") + 50L).as("cents"))
+    val rec = Tables.spread(base.unionAll(dup)).localCheckpoint()
+    val pr = rec
+      .as("a")
+      .join(
+        rec.as("b"),
+        col("a.nat") === col("b.nat") && col("a.seg") === col("b.seg") &&
+          col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"),
+        col("b.id").as("id_b"),
+        when(levenshtein(col("a.name"), col("b.name"), 2) >= 0, lit(1L))
+          .otherwise(lit(0L)).as("g1"),
+        when(abs(col("a.cents") - col("b.cents")) <= 100, lit(1L))
+          .otherwise(lit(0L)).as("g2"),
+        when(substring(col("a.name"), 15, 3) === substring(col("b.name"), 15, 3), lit(1L))
+          .otherwise(lit(0L)).as("g3"))
+      .localCheckpoint() // read twice: the u-estimate and the scoring pass
+    val u = pr.agg(
+      count(lit(1)).as("n"),
+      sum(col("g1")).as("a1"),
+      sum(col("g2")).as("a2"),
+      sum(col("g3")).as("a3"))
+    // one ln per (field, arm), quantized once — identical formula
+    // text on both engines; m-probabilities are model literals
+    val w = u.select(
+      expr("""CAST(round(ln(CAST(0.95 AS DOUBLE)
+             |  / (CAST(a1 + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE))) * 1e6) AS BIGINT)"""
+        .stripMargin).as("w1y"),
+      expr("""CAST(round(ln(CAST(0.05 AS DOUBLE)
+             |  / (1.0e0 - CAST(a1 + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE))) * 1e6) AS BIGINT)"""
+        .stripMargin).as("w1n"),
+      expr("""CAST(round(ln(CAST(0.9 AS DOUBLE)
+             |  / (CAST(a2 + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE))) * 1e6) AS BIGINT)"""
+        .stripMargin).as("w2y"),
+      expr("""CAST(round(ln(CAST(0.1 AS DOUBLE)
+             |  / (1.0e0 - CAST(a2 + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE))) * 1e6) AS BIGINT)"""
+        .stripMargin).as("w2n"),
+      expr("""CAST(round(ln(CAST(0.97 AS DOUBLE)
+             |  / (CAST(a3 + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE))) * 1e6) AS BIGINT)"""
+        .stripMargin).as("w3y"),
+      expr("""CAST(round(ln(CAST(0.03 AS DOUBLE)
+             |  / (1.0e0 - CAST(a3 + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE))) * 1e6) AS BIGINT)"""
+        .stripMargin).as("w3n"))
+    pr.crossJoin(broadcast(w))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        col("g1"),
+        col("g2"),
+        col("g3"),
+        (when(col("g1") === 1, col("w1y")).otherwise(col("w1n")) +
+          when(col("g2") === 1, col("w2y")).otherwise(col("w2n")) +
+          when(col("g3") === 1, col("w3y")).otherwise(col("w3n"))).as("score_micro"),
+        col("w1y"),
+        col("w2y"),
+        col("w3y"))
+      .filter(col("score_micro") > 0)
+      // the classic FS trichotomy: evidence at the upper threshold
+      // auto-links; positive-but-weaker evidence goes to clerical
+      // review (here: adjacent-id name neighbors that happen to share
+      // a balance-or-digit field — real pipelines route these to a
+      // human or a stronger second-pass comparator). The upper
+      // threshold is MODEL-DERIVED (the all-fields-agree score), not
+      // a constant — u-estimates shift with corpus size, so any fixed
+      // cutoff would be scale-dependent.
+      .withColumn(
+        "decision",
+        when(col("score_micro") >= col("w1y") + col("w2y") + col("w3y"), lit("link"))
+          .otherwise(lit("review")))
+      .select("id_a", "id_b", "g1", "g2", "g3", "score_micro", "decision")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Alternating large-star/small-star rounds over a canonical
     * (hi, lo) edge set until fixpoint; returns (id → component-min
     * label, rounds taken). Exposed for the planted-path spec, which
@@ -1861,6 +1983,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d29_fellegi_sunter" -> d29FellegiSunter,
     "d30_cc_twostar" -> d30CcTwoStar,
     "d28_method_agreement" -> d28MethodAgreement,
     "d27_band_sweep" -> d27BandSweep,
@@ -2769,6 +2892,60 @@ object Dedup {
     // d30 computes the SAME component decomposition with the two-star
     // algorithm — one ground truth gates both CC engines
     "d30_cc_twostar" -> ccClustersOracle,
+    // identical planted batch, identical u-estimate and micro-nat
+    // weight formulas; DuckDB's un-thresholded levenshtein <= 2 is
+    // Spark's threshold form's exact semantics
+    "d29_fellegi_sunter" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+        |    c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM customer),
+        |dup AS (
+        |  SELECT id + 10000000, substring(name, 1, 17) || 'x', nat, seg,
+        |    cents + 50
+        |  FROM base WHERE id % 20 = 0),
+        |rec AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
+        |pr AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CASE WHEN levenshtein(a.name, b.name) <= 2 THEN 1 ELSE 0 END AS g1,
+        |    CASE WHEN abs(a.cents - b.cents) <= 100 THEN 1 ELSE 0 END AS g2,
+        |    CASE WHEN substring(a.name, 15, 3) = substring(b.name, 15, 3)
+        |         THEN 1 ELSE 0 END AS g3
+        |  FROM rec a JOIN rec b
+        |    ON a.nat = b.nat AND a.seg = b.seg AND a.id < b.id),
+        |u AS (
+        |  SELECT count(*) AS n, sum(g1) AS a1, sum(g2) AS a2, sum(g3) AS a3
+        |  FROM pr),
+        |w AS (
+        |  SELECT
+        |    CAST(round(ln(CAST(0.95 AS DOUBLE)
+        |      / (CAST(a1 + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE))) * 1e6) AS BIGINT) AS w1y,
+        |    CAST(round(ln(CAST(0.05 AS DOUBLE)
+        |      / (1.0e0 - CAST(a1 + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE))) * 1e6) AS BIGINT) AS w1n,
+        |    CAST(round(ln(CAST(0.9 AS DOUBLE)
+        |      / (CAST(a2 + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE))) * 1e6) AS BIGINT) AS w2y,
+        |    CAST(round(ln(CAST(0.1 AS DOUBLE)
+        |      / (1.0e0 - CAST(a2 + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE))) * 1e6) AS BIGINT) AS w2n,
+        |    CAST(round(ln(CAST(0.97 AS DOUBLE)
+        |      / (CAST(a3 + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE))) * 1e6) AS BIGINT) AS w3y,
+        |    CAST(round(ln(CAST(0.03 AS DOUBLE)
+        |      / (1.0e0 - CAST(a3 + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE))) * 1e6) AS BIGINT) AS w3n
+        |  FROM u)
+        |SELECT id_a, id_b, CAST(g1 AS BIGINT) AS g1, CAST(g2 AS BIGINT) AS g2,
+        |  CAST(g3 AS BIGINT) AS g3,
+        |  CAST(CASE WHEN g1 = 1 THEN w1y ELSE w1n END
+        |     + CASE WHEN g2 = 1 THEN w2y ELSE w2n END
+        |     + CASE WHEN g3 = 1 THEN w3y ELSE w3n END AS BIGINT) AS score_micro,
+        |  CASE WHEN CASE WHEN g1 = 1 THEN w1y ELSE w1n END
+        |          + CASE WHEN g2 = 1 THEN w2y ELSE w2n END
+        |          + CASE WHEN g3 = 1 THEN w3y ELSE w3n END >= w1y + w2y + w3y
+        |       THEN 'link' ELSE 'review' END AS decision
+        |FROM pr, w
+        |WHERE CASE WHEN g1 = 1 THEN w1y ELSE w1n END
+        |    + CASE WHEN g2 = 1 THEN w2y ELSE w2n END
+        |    + CASE WHEN g3 = 1 THEN w3y ELSE w3n END > 0
+        |ORDER BY id_a, id_b""".stripMargin,
     // d3's portable polynomial token hashes let DuckDB rebuild the
     // 60-bit sketch exactly: fold (acc*base+codepoint) % prime per
     // token (ord() per split character below — both engines fold

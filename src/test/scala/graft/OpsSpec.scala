@@ -1144,6 +1144,20 @@ class OpsSpec extends SparkSpec {
     assert(cl.collect().forall(_.getLong(1) == 0L) && cr <= 3)
   }
 
+  test("d29 Fellegi-Sunter: links are exactly the planted resubmissions; reviews score lower") {
+    val out = Dedup.d29FellegiSunter(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(5), r.getString(6)))
+    val links = out.filter(_._4 == "link")
+    val reviews = out.filter(_._4 == "review")
+    val nCust = graft.ops.Tables.customer(spark, Sf).count()
+    val planted = (0L until nCust by 20L).map(id => (id, id + 10000000L)).toSet
+    assert(links.map(l => (l._1, l._2)).toSet == planted,
+      "the link tier must be exactly the planted batch")
+    assert(reviews.forall(r => links.forall(_._3 > r._3)),
+      "every link must outscore every review")
+    assert(out.forall(_._3 > 0), "published pairs all carry positive evidence")
+  }
+
   test("t35 Good-Turing: spectrum and smoothed counts replay imperatively") {
     val texts = graft.ops.Tables.documents(spark, Sf)
       .select(col("text")).collect().map(_.getString(0))
