@@ -1933,17 +1933,20 @@ object Dedup {
       .localCheckpoint()
     var rounds = 0
     var changed = 1L
+    var edgeCount = edges.count()
     while (changed > 0) {
       rounds += 1
       val next = smallStar(largeStar(edges)).localCheckpoint()
       // distinct sets: equal counts + no novel edges ⇒ identical.
       // Two bounded actions per round on the PAIR graph (the same
-      // budget d6's moved-count spends), never on the corpus.
+      // budget d6's moved-count spends), never on the corpus; the
+      // previous round's count rides a driver var, not a re-count.
       val nc = next.count()
       changed =
-        if (nc != edges.count()) 1L
+        if (nc != edgeCount) 1L
         else next.join(edges, Seq("hi", "lo"), "left_anti").count()
       edges = next
+      edgeCount = nc
     }
     val labels = nodes
       .join(edges.select(col("hi").as("id"), col("lo")), Seq("id"), "left")

@@ -1144,6 +1144,19 @@ class OpsSpec extends SparkSpec {
     assert(cl.collect().forall(_.getLong(1) == 0L) && cr <= 3)
   }
 
+  test("s26 int8 recall: near-lossless next to PQ's compression loss") {
+    val r26 = Similarity.s26Int8Recall(spark, Sf).collect()
+      .map(r => r.getDouble(2))
+    assert(r26.length == 20 && r26.forall(_ >= 0.6),
+      "every query's int8 recall must clear the shippable floor")
+    val mean26 = r26.sum / r26.length
+    val r23 = Similarity.s23PqRecall(spark, Sf).collect().map(_.getDouble(2))
+    val mean23 = r23.sum / r23.length
+    assert(mean26 >= 0.9, s"int8 mean recall $mean26 must be near-lossless")
+    assert(mean26 > mean23,
+      "4x scalar quantization must beat 32x PQ on recall — the capacity-table ordering")
+  }
+
   test("d29 Fellegi-Sunter: links are exactly the planted resubmissions; reviews score lower") {
     val out = Dedup.d29FellegiSunter(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(5), r.getString(6)))
