@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Relational, Similarity, Tables, TextAnalysis}
+import graft.ops.{Corpus, Dedup, Multimodal, Relational, Similarity, Tables, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -556,6 +556,23 @@ class PlanSpec extends SparkSpec {
     assert(bcasts >= 3,
       s"customer/nation/region should all broadcast-join, saw $bcasts:\n${plan.take(1500)}")
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("p18 DSIR: the bucket log-ratio table broadcasts; the doc score is one aggregate + TakeOrdered") {
+    val plan = formatted(Corpus.p18DsirSelection(spark, Sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 256-row lr table must broadcast to the token stream:\n${plan.take(1200)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the top-100 must be TakeOrdered, never a global sort")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("d29 linkage: candidates come from the blocked equi-join, never a cartesian; weights broadcast") {
+    val plan = formatted(Dedup.d29FellegiSunter(spark, Sf))
+    assert(!plan.contains("CartesianProduct"),
+      "pair generation must ride the (nation, segment) equi-join")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "the 1-row weight table must broadcast back to the pair table")
   }
 
   test("spread parallelizes derived compute beyond the single input split") {
