@@ -1453,16 +1453,17 @@ object Similarity {
         col("mnb") * col("sa") * col("sqa") +
         col("sa") * col("sb") * dot(col("qa"), col("qb"))) / (col("rna") * col("rnb"))
     val byQ = Window.partitionBy(col("q_id")).orderBy(col("acos").desc, col("neighbor_id").asc)
-    val approx = qs
-      .crossJoin(
-        q.select(
-          col("vec_id").as("neighbor_id"),
-          col("mn").as("mnb"),
-          col("scale").as("sb"),
-          col("qv").as("qb"),
-          col("sq").as("sqb"),
-          col("rnorm").as("rnb")))
-      .filter(col("neighbor_id") =!= col("q_id"))
+    // corpus side stays distributed; the 20-query side broadcasts
+    // (s1's shape — never the reverse at 100 TB)
+    val approx = q
+      .select(
+        col("vec_id").as("neighbor_id"),
+        col("mn").as("mnb"),
+        col("scale").as("sb"),
+        col("qv").as("qb"),
+        col("sq").as("sqb"),
+        col("rnorm").as("rnb"))
+      .join(broadcast(qs), col("neighbor_id") =!= col("q_id"))
       .withColumn("acos", cos)
       .withColumn("rank", row_number().over(byQ))
       .filter(col("rank") <= 5)
