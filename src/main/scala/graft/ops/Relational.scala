@@ -7339,7 +7339,71 @@ object Relational {
       .orderBy("window_days")
   }
 
+  /** q195 — FIFO lot matching by CUMULATIVE-INTERVAL OVERLAP: the
+    * ledger primitive behind COGS/cost-basis accounting, credit
+    * burn-down, and inventory consumption — allocate each outflow
+    * against the earliest unconsumed inflows, demonstrated on the
+    * order ledger (fulfilled 'F' orders are the acquisition lots,
+    * open 'O' orders the obligations consuming them, per customer in
+    * (date, key) order). The set-based identity that makes this a
+    * JOIN instead of a per-row loop: give every lot its cumulative
+    * cents interval [Σprev, Σ) on each side; FIFO matches are exactly
+    * the pairwise interval overlaps, with matched quantity
+    * min(hi_b, hi_s) − max(lo_b, lo_s). No iteration, no state —
+    * two running-sum windows and one overlap join.
+    *
+    * Scale posture: both ledgers ride ONE custkey exchange (the two
+    * windows and the join share it — partitionBy and join key agree);
+    * the overlap join looks quadratic but FIFO overlap is LINEAR by
+    * construction (each matched pair ends at least one of the two
+    * lots, so matches ≤ buys + sells − 1 per key), and it never
+    * crosses customers. Exact integer cents; (o_orderdate,
+    * o_orderkey) is a total order, so the allocation is
+    * deterministic.
+    */
+  def q195FifoMatch(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables
+      .orders(s, dir)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("o_orderstatus"),
+        col("o_orderdate"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    def ledger(status: String): DataFrame = {
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.filter(col("o_orderstatus") === status)
+        .withColumn("hi", sum(col("cents")).over(w))
+        .withColumn("lo", col("hi") - col("cents"))
+    }
+    val buys = ledger("F").select(
+      col("o_custkey"),
+      col("o_orderkey").as("buy_key"),
+      col("lo").as("blo"),
+      col("hi").as("bhi"))
+    val sells = ledger("O").select(
+      col("o_custkey"),
+      col("o_orderkey").as("sell_key"),
+      col("lo").as("slo"),
+      col("hi").as("shi"))
+    buys
+      .join(
+        sells,
+        buys("o_custkey") === sells("o_custkey") &&
+          col("blo") < col("shi") && col("slo") < col("bhi"))
+      .select(
+        buys("o_custkey").as("custkey"),
+        col("buy_key"),
+        col("sell_key"),
+        (least(col("bhi"), col("shi")) - greatest(col("blo"), col("slo")))
+          .as("matched_cents"))
+      .orderBy("custkey", "buy_key", "sell_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_fifo_match" -> q195FifoMatch,
     "q194_attribution_window_sweep" -> q194AttributionWindowSweep,
     "q192_lag_correlation" -> q192LagCorrelation,
     "q191_theil_decomposition" -> q191TheilDecomposition,
@@ -7530,6 +7594,36 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same cumulative-interval construction in SQL: running sums,
+    // overlap join inside the customer, exact integer cents
+    "q195_fifo_match" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (
+        |  SELECT o_custkey, o_orderkey AS buy_key,
+        |    sum(cents) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS UNBOUNDED PRECEDING) AS bhi,
+        |    sum(cents) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS UNBOUNDED PRECEDING) - cents AS blo
+        |  FROM o WHERE o_orderstatus = 'F'),
+        |s AS (
+        |  SELECT o_custkey, o_orderkey AS sell_key,
+        |    sum(cents) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS UNBOUNDED PRECEDING) AS shi,
+        |    sum(cents) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS UNBOUNDED PRECEDING) - cents AS slo
+        |  FROM o WHERE o_orderstatus = 'O')
+        |SELECT b.o_custkey AS custkey, buy_key, sell_key,
+        |  CAST(least(bhi, shi) - greatest(blo, slo) AS BIGINT) AS matched_cents
+        |FROM b JOIN s
+        |  ON b.o_custkey = s.o_custkey AND blo < shi AND slo < bhi
+        |ORDER BY custkey, buy_key, sell_key""".stripMargin,
     "q194_attribution_window_sweep" ->
       """WITH t AS (
         |  SELECT user_id, epoch_us(ts) AS tus

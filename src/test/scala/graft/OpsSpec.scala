@@ -1144,6 +1144,39 @@ class OpsSpec extends SparkSpec {
     assert(cl.collect().forall(_.getLong(1) == 0L) && cr <= 3)
   }
 
+  test("q195 FIFO matching: the overlap join replays an imperative FIFO allocator exactly") {
+    val orders = graft.ops.Tables.orders(spark, Sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate"), expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3), r.getLong(4)))
+    val want = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    orders.groupBy(_._1).foreach { case (cust, os) =>
+      def side(st: String) = os.filter(_._3 == st).sortBy(o => (o._4.getTime, o._2))
+        .map(o => (o._2, o._5)).toList
+      var bi = side("F"); var si = side("O")
+      var bLeft = if (bi.nonEmpty) bi.head._2 else 0L
+      var sLeft = if (si.nonEmpty) si.head._2 else 0L
+      while (bi.nonEmpty && si.nonEmpty) {
+        val m = bLeft.min(sLeft)
+        if (m > 0) want += ((cust, bi.head._1, si.head._1, m))
+        bLeft -= m; sLeft -= m
+        if (bLeft == 0) { bi = bi.tail; bLeft = if (bi.nonEmpty) bi.head._2 else 0L }
+        if (sLeft == 0) { si = si.tail; sLeft = if (si.nonEmpty) si.head._2 else 0L }
+      }
+    }
+    val got = Relational.q195FifoMatch(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want.toSet, "overlap-join FIFO must equal the pointer-walk FIFO")
+    // conservation: per customer, matched total = min(side totals)
+    val byCust = got.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    orders.groupBy(_._1).foreach { case (cust, os) =>
+      val tb = os.filter(_._3 == "F").map(_._5).sum
+      val ts = os.filter(_._3 == "O").map(_._5).sum
+      assert(byCust.getOrElse(cust, 0L) == tb.min(ts), s"conservation at customer $cust")
+    }
+  }
+
   test("s26 int8 recall: near-lossless next to PQ's compression loss") {
     val r26 = Similarity.s26Int8Recall(spark, Sf).collect()
       .map(r => r.getDouble(2))
