@@ -7402,7 +7402,66 @@ object Relational {
       .orderBy("custkey", "buy_key", "sell_key")
   }
 
+  /** q196 — Holt double-exponential-smoothing backtest (level +
+    * trend, α = β = 0.5): the one-step-ahead forecast error of a
+    * REAL smoother next to q138's naive/seasonal baselines — the
+    * skill ratio that tells a capacity planner whether trend-aware
+    * smoothing actually earns its state on this series. The smoother
+    * is an order-dependent FOLD over each series (q189's machinery
+    * pointed at continuous state): one day exchange builds the
+    * (event_type, day) series, `collect_list` + `array_sort` + one
+    * codegen'd `aggregate` HOF folds it — series-length state, no
+    * per-row UDF, no iteration.
+    *
+    * Cross-engine float discipline: all smoothing coefficients are
+    * DYADIC (0.5/0.25/0.75 — exact halvings), every update is written
+    * with IDENTICAL formula text on both engines in the same
+    * association order, and both folds step strictly in (day) order —
+    * so although doubles round past day ~14, they round IDENTICALLY
+    * (IEEE ops are correctly rounded, same sequence ⇒ same bits); the
+    * oracle replays the fold as a recursive CTE, which sidesteps
+    * DuckDB list_reduce's sequential-accumulator-mutation footgun
+    * (q189) entirely. Trend updates use the algebraic form
+    * b' = 0.25y − 0.25l + 0.75b so each step reads only OLD state.
+    */
+  def q196HoltBacktest(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).cast("double").as("y"))
+    d.groupBy(col("event_type"))
+      .agg(expr("transform(array_sort(collect_list(struct(day, y))), p -> p.y)").as("ys"))
+      .filter(size(col("ys")) >= 3)
+      .withColumn(
+        "f",
+        expr("""aggregate(slice(ys, 3, size(ys) - 2),
+          named_struct(
+            'l', CAST(element_at(ys, 2) AS DOUBLE),
+            'b', CAST(element_at(ys, 2) - element_at(ys, 1) AS DOUBLE),
+            'prev', CAST(element_at(ys, 2) AS DOUBLE),
+            'sae_h', 0e0, 'sae_n', 0e0, 'n', 0L),
+          (acc, y) -> named_struct(
+            'l', 0.5e0 * y + 0.5e0 * acc.l + 0.5e0 * acc.b,
+            'b', 0.25e0 * y - 0.25e0 * acc.l + 0.75e0 * acc.b,
+            'prev', CAST(y AS DOUBLE),
+            'sae_h', acc.sae_h + abs(y - (acc.l + acc.b)),
+            'sae_n', acc.sae_n + abs(y - acc.prev),
+            'n', acc.n + 1L))"""))
+      .select(
+        col("event_type"),
+        col("f.n").as("n_scored"),
+        round(col("f.sae_h") / col("f.n"), 4).as("holt_mae"),
+        round(col("f.sae_n") / col("f.n"), 4).as("naive_mae"),
+        round(col("f.sae_h") / col("f.sae_n"), 4).as("skill_ratio"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_holt_backtest" -> q196HoltBacktest,
     "q195_fifo_match" -> q195FifoMatch,
     "q194_attribution_window_sweep" -> q194AttributionWindowSweep,
     "q192_lag_correlation" -> q192LagCorrelation,
@@ -7594,6 +7653,40 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // the fold replayed as a recursive CTE stepping the SAME update
+    // expressions in the same association order (dyadic coefficients,
+    // identical formula text) — no list_reduce mutation semantics
+    "q196_holt_backtest" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+        |  FROM d),
+        |mx AS (SELECT event_type, max(t) AS tmax FROM r GROUP BY 1),
+        |step(event_type, t, l, b, prev, sae_h, sae_n, n) AS (
+        |  SELECT r2.event_type, 2, r2.y, r2.y - r1.y, r2.y, 0e0, 0e0, 0
+        |  FROM r r2 JOIN r r1
+        |    ON r1.event_type = r2.event_type AND r1.t = 1 AND r2.t = 2
+        |  UNION ALL
+        |  SELECT s.event_type, s.t + 1,
+        |    0.5e0 * r.y + 0.5e0 * s.l + 0.5e0 * s.b,
+        |    0.25e0 * r.y - 0.25e0 * s.l + 0.75e0 * s.b,
+        |    r.y,
+        |    s.sae_h + abs(r.y - (s.l + s.b)),
+        |    s.sae_n + abs(r.y - s.prev),
+        |    s.n + 1
+        |  FROM step s JOIN r ON r.event_type = s.event_type AND r.t = s.t + 1)
+        |SELECT st.event_type, CAST(st.n AS BIGINT) AS n_scored,
+        |  round(st.sae_h / st.n, 4) AS holt_mae,
+        |  round(st.sae_n / st.n, 4) AS naive_mae,
+        |  round(st.sae_h / st.sae_n, 4) AS skill_ratio
+        |FROM step st JOIN mx
+        |  ON st.event_type = mx.event_type AND st.t = mx.tmax
+        |WHERE mx.tmax >= 3
+        |ORDER BY st.event_type""".stripMargin,
     // the same cumulative-interval construction in SQL: running sums,
     // overlap join inside the customer, exact integer cents
     "q195_fifo_match" ->

@@ -1177,6 +1177,36 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q196 Holt backtest: the aggregate-HOF fold replays an imperative smoother exactly") {
+    val series = graft.ops.Tables.events(spark, Sf)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).cast("double").as("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+    val want = series.groupBy(_._1).collect { case (et, rows) if rows.length >= 3 =>
+      val ys = rows.sortBy(_._2).map(_._3)
+      var l = ys(1); var b = ys(1) - ys(0); var prev = ys(1)
+      var saeH = 0.0; var saeN = 0.0; var n = 0L
+      ys.drop(2).foreach { y =>
+        saeH += math.abs(y - (l + b))
+        saeN += math.abs(y - prev)
+        n += 1
+        val l2 = 0.5 * y + 0.5 * l + 0.5 * b
+        val b2 = 0.25 * y - 0.25 * l + 0.75 * b
+        l = l2; b = b2; prev = y
+      }
+      def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      (et, n, r4(saeH / n), r4(saeN / n), r4(saeH / saeN))
+    }.toSet
+    val got = Relational.q196HoltBacktest(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toSet
+    assert(got == want, "fold must equal the imperative Holt smoother")
+  }
+
   test("s26 int8 recall: near-lossless next to PQ's compression loss") {
     val r26 = Similarity.s26Int8Recall(spark, Sf).collect()
       .map(r => r.getDouble(2))
