@@ -7460,7 +7460,95 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q197 — SCD2 MERGE-APPLY: apply a change batch to a versioned
+    * (type-2) dimension — the nightly warehouse primitive that q156
+    * (build history from scratch) and q77 (type-1 upsert) bracket but
+    * neither performs: changed keys CLOSE their open version at the
+    * change's effective date and append a new open one, unchanged
+    * keys pass through untouched, and unseen keys insert. Base = each
+    * customer's priority tier from their first pre-cut order; delta =
+    * their latest on/after-cut order (both ends of each version use
+    * the (date, key) total order, and the open-version end date is
+    * the 9999-12-31 sentinel rather than NULL — the cross-engine
+    * DATE-null convention). The full outer join classifies every key
+    * into exactly one of the four MERGE arms; closed + new rows are
+    * emitted from the same matched row, so no key is read twice.
+    *
+    * Scale posture: ONE custkey exchange serves both first/last
+    * version windows and the merge join (partition keys agree); the
+    * output is dimension-sized. No sort beyond the per-key windows;
+    * the arms are a codegen'd CASE fan-out, not separate passes.
+    */
+  def q197Scd2Merge(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit(java.sql.Date.valueOf("1995-06-01"))
+    val o = Tables
+      .orders(s, dir)
+      .select(
+        col("o_custkey").as("custkey"),
+        to_date(col("o_orderdate")).as("d"),
+        col("o_orderkey").as("okey"),
+        col("o_orderpriority").as("tier"))
+    val wAsc = Window.partitionBy(col("custkey")).orderBy(col("d").asc, col("okey").asc)
+    val base = o
+      .filter(col("d") < cut)
+      .withColumn("rn", row_number().over(wAsc))
+      .filter(col("rn") === 1)
+      .select(col("custkey"), col("tier").as("cur_tier"), col("d").as("cur_from"))
+    val wDesc = Window.partitionBy(col("custkey")).orderBy(col("d").desc, col("okey").desc)
+    val delta = o
+      .filter(col("d") >= cut)
+      .withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") === 1)
+      .select(col("custkey"), col("tier").as("new_tier"), col("d").as("eff"))
+    val sentinel = lit(java.sql.Date.valueOf("9999-12-31"))
+    val m = base.join(delta, Seq("custkey"), "full_outer")
+    // arm 1+2: matched & changed → closed old version + new open one;
+    // arm 3: matched & same, or base-only → untouched open version;
+    // arm 4: delta-only → fresh insert
+    val closed = m
+      .filter(col("cur_tier").isNotNull && col("new_tier").isNotNull &&
+        col("cur_tier") =!= col("new_tier"))
+      .select(
+        col("custkey"),
+        col("cur_tier").as("tier"),
+        col("cur_from").as("valid_from"),
+        col("eff").as("valid_to"),
+        lit(0L).as("is_current"))
+    val opened = m
+      .filter(col("cur_tier").isNotNull && col("new_tier").isNotNull &&
+        col("cur_tier") =!= col("new_tier"))
+      .select(
+        col("custkey"),
+        col("new_tier").as("tier"),
+        col("eff").as("valid_from"),
+        sentinel.as("valid_to"),
+        lit(1L).as("is_current"))
+    val untouched = m
+      .filter(col("cur_tier").isNotNull &&
+        (col("new_tier").isNull || col("cur_tier") === col("new_tier")))
+      .select(
+        col("custkey"),
+        col("cur_tier").as("tier"),
+        col("cur_from").as("valid_from"),
+        sentinel.as("valid_to"),
+        lit(1L).as("is_current"))
+    val inserted = m
+      .filter(col("cur_tier").isNull && col("new_tier").isNotNull)
+      .select(
+        col("custkey"),
+        col("new_tier").as("tier"),
+        col("eff").as("valid_from"),
+        sentinel.as("valid_to"),
+        lit(1L).as("is_current"))
+    closed
+      .unionAll(opened)
+      .unionAll(untouched)
+      .unionAll(inserted)
+      .orderBy("custkey", "valid_from", "is_current")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_scd2_merge" -> q197Scd2Merge,
     "q196_holt_backtest" -> q196HoltBacktest,
     "q195_fifo_match" -> q195FifoMatch,
     "q194_attribution_window_sweep" -> q194AttributionWindowSweep,
@@ -7653,6 +7741,42 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same four-arm merge classification over first/last version
+    // windows; open versions carry the 9999-12-31 sentinel date
+    "q197_scd2_merge" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS d,
+        |    o_orderkey AS okey, o_orderpriority AS tier
+        |  FROM orders),
+        |base AS (
+        |  SELECT custkey, tier AS cur_tier, d AS cur_from FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY custkey ORDER BY d ASC, okey ASC) AS rn
+        |    FROM o WHERE d < DATE '1995-06-01')
+        |  WHERE rn = 1),
+        |delta AS (
+        |  SELECT custkey, tier AS new_tier, d AS eff FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY custkey ORDER BY d DESC, okey DESC) AS rn
+        |    FROM o WHERE d >= DATE '1995-06-01')
+        |  WHERE rn = 1),
+        |m AS (SELECT * FROM base FULL OUTER JOIN delta USING (custkey))
+        |SELECT custkey, cur_tier AS tier, cur_from AS valid_from,
+        |  eff AS valid_to, CAST(0 AS BIGINT) AS is_current
+        |FROM m WHERE cur_tier IS NOT NULL AND new_tier IS NOT NULL
+        |  AND cur_tier <> new_tier
+        |UNION ALL
+        |SELECT custkey, new_tier, eff, DATE '9999-12-31', 1
+        |FROM m WHERE cur_tier IS NOT NULL AND new_tier IS NOT NULL
+        |  AND cur_tier <> new_tier
+        |UNION ALL
+        |SELECT custkey, cur_tier, cur_from, DATE '9999-12-31', 1
+        |FROM m WHERE cur_tier IS NOT NULL
+        |  AND (new_tier IS NULL OR cur_tier = new_tier)
+        |UNION ALL
+        |SELECT custkey, new_tier, eff, DATE '9999-12-31', 1
+        |FROM m WHERE cur_tier IS NULL AND new_tier IS NOT NULL
+        |ORDER BY custkey, valid_from, is_current""".stripMargin,
     // the fold replayed as a recursive CTE stepping the SAME update
     // expressions in the same association order (dyadic coefficients,
     // identical formula text) — no list_reduce mutation semantics

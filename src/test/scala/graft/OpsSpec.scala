@@ -1177,6 +1177,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q197 SCD2 merge: one current version per key; closed versions chain into their successor") {
+    val out = Relational.q197Scd2Merge(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toString,
+        r.getDate(3).toString, r.getLong(4)))
+    val byKey = out.groupBy(_._1)
+    byKey.foreach { case (k, rows) =>
+      val current = rows.filter(_._5 == 1L)
+      val closed = rows.filter(_._5 == 0L)
+      assert(current.length == 1, s"customer $k must carry exactly one open version")
+      assert(current.head._4 == "9999-12-31", "open versions end at the sentinel")
+      assert(closed.length <= 1, "a single-batch apply closes at most one version")
+      closed.foreach { c =>
+        assert(c._4 == current.head._3,
+          s"customer $k: closed valid_to must equal the successor's valid_from")
+        assert(c._2 != current.head._2, "a closed version implies the tier changed")
+      }
+    }
+    assert(out.exists(_._5 == 0L), "the fixture batch must close at least one version")
+  }
+
   test("q196 Holt backtest: the aggregate-HOF fold replays an imperative smoother exactly") {
     val series = graft.ops.Tables.events(spark, Sf)
       .select(col("event_type"), to_date(col("ts")).as("day"),
