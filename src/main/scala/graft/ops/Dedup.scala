@@ -1985,7 +1985,61 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d31 — INCREMENTAL connected-components maintenance (CC IVM,
+    * completing the engine's incremental-view family: q100 join IVM,
+    * q101 aggregate IVM, q170 top-k IVM — now the graph one): when a
+    * new batch of near-dup evidence arrives, do NOT re-run CC on the
+    * whole pair graph — contract each delta edge to its endpoints'
+    * EXISTING labels and run CC on the contracted label graph, which
+    * is cluster-count-sized (here: the planted batch links the six
+    * smallest cluster representatives pairwise, the delta a crawl
+    * refresh typically produces). The final labeling is one broadcast
+    * remap of the base labels through the contracted components — at
+    * 100 TB the incremental pass touches delta + clusters, never the
+    * corpus-sized pair graph. The contracted CC itself reuses d30's
+    * two-star fixpoint, so both CC engines gate each other here too.
+    * Incremental ≡ full-recompute is pinned in OpsSpec (the q64/q100
+    * identity discipline), and the oracle recomputes the merged
+    * closure from scratch.
+    */
+  def d31CcIncremental(s: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairs(docsWithShingles(s, dir, 3), 0.5)
+      .select(col("id_a"), col("id_b"))
+    val (baseLabels, _) = twoStarLabels(pairs)
+    val bl = baseLabels.localCheckpoint()
+    // the delta batch: reps ranked by id, adjacent odd/even pairs —
+    // the reps table is CLUSTER-count-sized, so the global rank
+    // window is bounded by construction
+    val reps = bl
+      .select(col("label"))
+      .distinct()
+      .withColumn("rk", row_number().over(Window.orderBy(col("label"))))
+      .filter(col("rk") <= 6)
+    val delta = reps
+      .filter(col("rk") % 2 === 1)
+      .select(expr("(rk + 1) div 2").as("g"), col("label").as("id_a"))
+      .join(
+        reps.filter(col("rk") % 2 === 0).select(expr("rk div 2").as("g"), col("label").as("id_b")),
+        "g")
+      .select(col("id_a"), col("id_b"))
+    // contract: CC over the label graph only (≤ 6 nodes here;
+    // cluster-count-bounded in general)
+    val (merged, _) = twoStarLabels(delta)
+    val remapped = bl
+      .join(
+        broadcast(merged.toDF("label", "new_label")),
+        Seq("label"),
+        "left")
+      .select(col("id"), coalesce(col("new_label"), col("label")).as("label"))
+    val sizes = remapped.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    remapped
+      .join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_rep"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d31_cc_incremental" -> d31CcIncremental,
     "d29_fellegi_sunter" -> d29FellegiSunter,
     "d30_cc_twostar" -> d30CcTwoStar,
     "d28_method_agreement" -> d28MethodAgreement,
@@ -2895,6 +2949,55 @@ object Dedup {
     // d30 computes the SAME component decomposition with the two-star
     // algorithm — one ground truth gates both CC engines
     "d30_cc_twostar" -> ccClustersOracle,
+    // base closure → ranked reps → planted delta batch → merged
+    // closure, all recomputed from scratch (the incremental path must
+    // land on the full recompute exactly)
+    "d31_cc_incremental" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+        |                   FOR i IN range(1, len(t) - 1)]) AS shingles
+        |  FROM tok WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |p0 AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |pq AS (
+        |  SELECT id_a, id_b
+        |  FROM p0 JOIN sizes sa ON id_a = sa.doc_id
+        |          JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pq
+        |          UNION ALL SELECT id_b AS a, id_a AS b FROM pq),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+        |rr AS (
+        |  SELECT rep, row_number() OVER (ORDER BY rep) AS rk
+        |  FROM (SELECT DISTINCT rep FROM comp)),
+        |delta AS (
+        |  SELECT a.rep AS da, b.rep AS db
+        |  FROM rr a JOIN rr b ON b.rk = a.rk + 1
+        |  WHERE a.rk % 2 = 1 AND a.rk <= 6),
+        |edges2 AS (
+        |  SELECT a, b FROM edges
+        |  UNION ALL SELECT da, db FROM delta
+        |  UNION ALL SELECT db, da FROM delta),
+        |reach2(id, r) AS (
+        |  SELECT a, a FROM edges2
+        |  UNION
+        |  SELECT reach2.id, e.b FROM reach2 JOIN edges2 e ON reach2.r = e.a),
+        |comp2 AS (SELECT id, min(r) AS cluster_rep FROM reach2 GROUP BY id)
+        |SELECT c.id AS doc_id, c.cluster_rep, cnt.cluster_size
+        |FROM comp2 c JOIN (SELECT cluster_rep, count(*) AS cluster_size
+        |                   FROM comp2 GROUP BY 1) cnt USING (cluster_rep)
+        |ORDER BY doc_id""".stripMargin,
     // identical planted batch, identical u-estimate and micro-nat
     // weight formulas; DuckDB's un-thresholded levenshtein <= 2 is
     // Spark's threshold form's exact semantics

@@ -1240,6 +1240,28 @@ class OpsSpec extends SparkSpec {
       "4x scalar quantization must beat 32x PQ on recall — the capacity-table ordering")
   }
 
+  test("d31 incremental CC: the contracted-graph remap equals a full recompute over base + delta") {
+    import spark.implicits._
+    val inc = Dedup.d31CcIncremental(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // full recompute: base pairs + the same rep-pairing delta batch
+    val base = Dedup.d6DupClusters(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val reps = base.map(_._2).distinct.sorted.take(6)
+    assert(reps.length == 6, "fixture must have at least six clusters to merge")
+    val deltaPairs = reps.grouped(2).map(p => (p(0), p(1))).toSeq
+    val basePairs = base.flatMap { case (id, rep) => if (id != rep) Some((rep, id)) else None }
+    val all = (basePairs.toSeq ++ deltaPairs).toDF("id_a", "id_b")
+    val (full, _) = Dedup.twoStarLabels(all)
+    val fullLabels = full.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val fullSizes = fullLabels.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val want = fullLabels.map { case (id, l) => (id, l, fullSizes(l)) }.toSet
+    assert(inc == want, "incremental maintenance must equal the full recompute")
+    val nBase = base.map(_._2).distinct.length
+    assert(inc.map(_._2).size == nBase - 3,
+      "three disjoint rep pairs must merge exactly three clusters away")
+  }
+
   test("d29 Fellegi-Sunter: links are exactly the planted resubmissions; reviews score lower") {
     val out = Dedup.d29FellegiSunter(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(5), r.getString(6)))
