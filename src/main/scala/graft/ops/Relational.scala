@@ -7547,7 +7547,76 @@ object Relational {
       .orderBy("custkey", "valid_from", "is_current")
   }
 
+  /** q198 — CUPED variance-reduced A/B readout (Deng et al., WSDM
+    * 2013 — the pre-experiment-covariate adjustment every large
+    * experimentation platform applies before calling a winner): the
+    * raw arm difference in post-period purchase cents, next to the
+    * CUPED-adjusted difference ỹ = y − θ·x using each user's
+    * PRE-period spend as the covariate, with θ = cov(x,y)/var(x)
+    * pooled across arms and the achieved variance reduction ρ². q124
+    * reports the naive Welch readout; this is the production one —
+    * on a fixture where assignment is a user-id hash the adjustment
+    * is honest (covariate independent of arm).
+    *
+    * Determinism: per-user (x, y) are exact integer cents; all five
+    * pooled moments and the per-arm sums accumulate in DECIMAL(38,0)
+    * (q125's convention — Σxy passes 2^63 long before 100 TB); θ, ρ²
+    * and the two differences are a fixed double expression over those
+    * exact integers with identical text on both engines. Plan: ONE
+    * user exchange builds the covariate table; everything after is a
+    * 1-row reduce + a 2-row arm rollup.
+    */
+  def q198CupedAb(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cut = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+    val u = Tables
+      .events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        when(col("ts") < cut, floor(col("value") * 100 + 0.5).cast("long"))
+          .otherwise(lit(0L)).as("xc"),
+        when(col("ts") >= cut, floor(col("value") * 100 + 0.5).cast("long"))
+          .otherwise(lit(0L)).as("yc"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("xc")).as("x"), sum(col("yc")).as("y"))
+      .withColumn("arm", col("user_id") % 2L)
+    val pooled = u.agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum((col("x").cast(dec) * col("x").cast(dec))).as("sxx"),
+      sum((col("x").cast(dec) * col("y").cast(dec))).as("sxy"),
+      sum((col("y").cast(dec) * col("y").cast(dec))).as("syy"))
+    val arms = u
+      .groupBy(col("arm"))
+      .agg(
+        count(lit(1)).cast(dec).as("na"),
+        sum(col("x").cast(dec)).as("sxa"),
+        sum(col("y").cast(dec)).as("sya"))
+    val a0 = arms.filter(col("arm") === 0L).select(
+      col("na").as("n0"), col("sxa").as("sx0"), col("sya").as("sy0"))
+    val a1 = arms.filter(col("arm") === 1L).select(
+      col("na").as("n1"), col("sxa").as("sx1"), col("sya").as("sy1"))
+    val joined = pooled.crossJoin(broadcast(a0)).crossJoin(broadcast(a1))
+    val names = Seq("n", "sx", "sy", "sxx", "sxy", "syy", "n0", "sx0", "sy0", "n1", "sx1", "sy1")
+    joined
+      .select(names.map(c => col(c).cast("double").as(c)): _*)
+      .select(
+        expr("CAST(n0 AS BIGINT)").as("n_arm0"),
+        expr("CAST(n1 AS BIGINT)").as("n_arm1"),
+        expr("round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)").as("theta"),
+        expr("round(sy1 / n1 - sy0 / n0, 4)").as("raw_diff"),
+        expr("""round((sy1 / n1 - sy0 / n0)
+               | - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+               |   * (sx1 / n1 - sx0 / n0), 4)""".stripMargin).as("adj_diff"),
+        expr("""round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+               | / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)""".stripMargin)
+          .as("rho_sq"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_cuped_ab" -> q198CupedAb,
     "q197_scd2_merge" -> q197Scd2Merge,
     "q196_holt_backtest" -> q196HoltBacktest,
     "q195_fifo_match" -> q195FifoMatch,
@@ -7741,6 +7810,41 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact hugeint moments cast to double feeding the identical
+    // theta/rho-squared expressions
+    "q198_cuped_ab" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |        THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS x,
+        |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |        THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS y,
+        |    user_id % 2 AS arm
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id),
+        |pm AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM p),
+        |am AS (
+        |  SELECT arm, count(*) AS na, sum(x) AS sxa, sum(y) AS sya
+        |  FROM p GROUP BY arm),
+        |a0 AS (SELECT CAST(na AS DOUBLE) AS n0, CAST(sxa AS DOUBLE) AS sx0,
+        |         CAST(sya AS DOUBLE) AS sy0 FROM am WHERE arm = 0),
+        |a1 AS (SELECT CAST(na AS DOUBLE) AS n1, CAST(sxa AS DOUBLE) AS sx1,
+        |         CAST(sya AS DOUBLE) AS sy1 FROM am WHERE arm = 1)
+        |SELECT CAST(n0 AS BIGINT) AS n_arm0, CAST(n1 AS BIGINT) AS n_arm1,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta,
+        |  round(sy1 / n1 - sy0 / n0, 4) AS raw_diff,
+        |  round((sy1 / n1 - sy0 / n0)
+        |   - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+        |     * (sx1 / n1 - sx0 / n0), 4) AS adj_diff,
+        |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |   / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS rho_sq
+        |FROM pm, a0, a1""".stripMargin,
     // same four-arm merge classification over first/last version
     // windows; open versions carry the 9999-12-31 sentinel date
     "q197_scd2_merge" ->

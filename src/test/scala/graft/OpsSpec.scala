@@ -1177,6 +1177,39 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q198 CUPED: theta and the adjusted difference replay imperatively; rho_sq bounded") {
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00").getTime
+    val users = graft.ops.Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), floor(col("value") * 100 + 0.5).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (uid, rows) =>
+        (uid % 2,
+          rows.filter(_._2 < cut).map(_._3).sum.toDouble,
+          rows.filter(_._2 >= cut).map(_._3).sum.toDouble)
+      }.toSeq
+    val n = users.size.toDouble
+    val sx = users.map(_._2).sum; val sy = users.map(_._3).sum
+    val sxx = users.map(u => u._2 * u._2).sum
+    val sxy = users.map(u => u._2 * u._3).sum
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    def armMean(a: Long, f: ((Long, Double, Double)) => Double) = {
+      val g = users.filter(_._1 == a); g.map(f).sum / g.size
+    }
+    val raw = armMean(1, _._3) - armMean(0, _._3)
+    val adj = raw - theta * (armMean(1, _._2) - armMean(0, _._2))
+    val out = Relational.q198CupedAb(spark, Sf).collect().head
+    def r(x: Double, sc: Int) = java.math.BigDecimal.valueOf(x)
+      .setScale(sc, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(math.abs(out.getDouble(2) - r(theta, 6)) < 2e-6, "theta replay")
+    assert(math.abs(out.getDouble(3) - r(raw, 4)) < 2e-4, "raw diff replay")
+    assert(math.abs(out.getDouble(4) - r(adj, 4)) < 2e-4, "adjusted diff replay")
+    val rho = out.getDouble(5)
+    assert(rho >= 0.0 && rho <= 1.0, "rho_sq must be a squared correlation")
+  }
+
   test("q197 SCD2 merge: one current version per key; closed versions chain into their successor") {
     val out = Relational.q197Scd2Merge(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toString,
