@@ -1278,6 +1278,7 @@ object Similarity {
     "s22_recall_curve" -> s22RecallCurve,
     "s21_embedding_drift" -> s21EmbeddingDrift,
     "s26_int8_recall" -> s26Int8Recall,
+    "s27_effective_dim" -> s27EffectiveDim,
     "s20_classify_eval" -> s20ClassifyEval,
     "s19_filtered_search" -> s19FilteredSearch,
     "s18_ivf_persist" -> s18IvfPersist,
@@ -1483,6 +1484,54 @@ object Similarity {
         col("hits"),
         round(col("hits").cast("double") / 5.0, 4).as("recall_at_5"))
       .orderBy("q_id")
+  }
+
+  /** s27 — effective-dimensionality report: per-coordinate variance
+    * of the embedding corpus, each dimension's share of total variance
+    * (basis points, with the cumulative running share), and the
+    * PARTICIPATION RATIO PR = (Σσ²)²/Σσ⁴ — the "how many dimensions
+    * actually carry signal" number (isotropic 64-dim ⇒ PR ≈ 64; rank-
+    * collapsed embeddings ⇒ PR ≪ dim) that decides whether PCA-style
+    * projection should run BEFORE the s5/s7 quantizers in the
+    * compression stack. Diagonal-covariance PR, the standard cheap
+    * proxy — full spectral PR needs an eigensolve no SQL engine runs.
+    *
+    * Determinism: coordinates quantize ONCE to integer micro-units
+    * (floor(x·10⁶ + 0.5) — q68's integer-moments posture), so every
+    * per-dim moment is an EXACT integer sum in DECIMAL(38,0) (Σx²
+    * passes 2^63 well before 100 TB vectors) and the variance algebra
+    * is exact cross-multiplied integers; the published share/PR are
+    * fixed double expressions over those exact operands. Plan: one
+    * posexplode + ONE 64-group aggregate; the spectrum table is
+    * dim-sized, the rest is windows over 64 rows.
+    */
+  def s27EffectiveDim(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val m = Tables
+      .embeddings(s, dir)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .select(col("dim"), expr("CAST(floor(x * 1000000 + 0.5) AS BIGINT)").as("xq"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("xq").cast(dec)).as("sx"),
+        sum(col("xq").cast(dec) * col("xq").cast(dec)).as("sxx"))
+      // n·Σx² − (Σx)² = n²·variance — exact integers throughout
+      .select(col("dim"), (col("n") * col("sxx") - col("sx") * col("sx")).as("v2"))
+    val tot = m.agg(
+      sum(col("v2")).as("tv"),
+      sum(col("v2").cast("double") * col("v2").cast("double")).as("tv2"))
+    val wCum = Window.orderBy(col("v2").desc, col("dim").asc)
+    m.crossJoin(broadcast(tot))
+      .select(
+        col("dim"),
+        expr("CAST(v2 * 10000 div tv AS BIGINT)").as("var_share_bp"),
+        sum(expr("CAST(v2 * 10000 div tv AS BIGINT)"))
+          .over(wCum)
+          .as("cum_share_bp"),
+        expr("round(CAST(tv AS DOUBLE) * CAST(tv AS DOUBLE) / tv2, 3)")
+          .as("participation_ratio"))
+      .orderBy(col("var_share_bp").desc, col("dim").asc)
   }
 
   /** s24 — IVF nprobe operating curve: recall@5 as a function of how
@@ -2433,6 +2482,30 @@ object Similarity {
     "s24_nprobe_curve" -> s24OracleSql,
     "s23_pq_recall" -> s23OracleSql,
     "s26_int8_recall" -> s26OracleSql,
+    // integer micro-unit moments (exact), cross-multiplied variance,
+    // shares by hugeint floor division — identical algebra
+    "s27_effective_dim" ->
+      """WITH x AS (
+        |  SELECT CAST(t.i - 1 AS INTEGER) AS dim,
+        |    CAST(floor(v[t.i] * 1000000 + 0.5) AS BIGINT) AS xq
+        |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |    range(1, 65) t(i)),
+        |m AS (
+        |  SELECT dim, count(*) AS n, sum(xq) AS sx, sum(xq * xq) AS sxx
+        |  FROM x GROUP BY dim),
+        |v AS (SELECT dim, n * sxx - sx * sx AS v2 FROM m),
+        |tot AS (
+        |  SELECT sum(v2) AS tv,
+        |    sum(CAST(v2 AS DOUBLE) * CAST(v2 AS DOUBLE)) AS tv2
+        |  FROM v)
+        |SELECT dim, CAST(v2 * 10000 // tv AS BIGINT) AS var_share_bp,
+        |  CAST(sum(v2 * 10000 // tv) OVER (
+        |    ORDER BY v2 DESC, dim ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum_share_bp,
+        |  round(CAST(tv AS DOUBLE) * CAST(tv AS DOUBLE) / tv2, 3)
+        |    AS participation_ratio
+        |FROM v, tot
+        |ORDER BY var_share_bp DESC, dim""".stripMargin,
     "s15_ivf_recall" -> s15OracleSql,
     // s6's deterministic centroids + assignment rule; silhouette from
     // the same double expressions, masked at round(4)

@@ -1260,6 +1260,21 @@ class OpsSpec extends SparkSpec {
     assert(got == want, "fold must equal the imperative Holt smoother")
   }
 
+  test("s27 effective dimensionality: shares account for total variance; PR near dim on the isotropic fixture") {
+    val out = Similarity.s27EffectiveDim(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 64, "one row per embedding dimension")
+    val shareSum = out.map(_._2).sum
+    assert(shareSum >= 9936 && shareSum <= 10000,
+      s"floor-division shares must sum to ~10000 bp (got $shareSum)")
+    assert(out.last._3 == shareSum, "the cumulative column must end at the total")
+    val pr = out.head._4
+    assert(out.forall(_._4 == pr), "PR is a corpus constant")
+    // the synthetic embeddings are near-isotropic: PR must sit near 64,
+    // which is exactly the "don't bother with PCA here" reading
+    assert(pr > 48 && pr <= 64.5, s"participation ratio $pr out of the isotropic band")
+  }
+
   test("s26 int8 recall: near-lossless next to PQ's compression loss") {
     val r26 = Similarity.s26Int8Recall(spark, Sf).collect()
       .map(r => r.getDouble(2))
