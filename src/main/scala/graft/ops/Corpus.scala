@@ -848,7 +848,89 @@ object Corpus {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("weight_micro"))
   }
 
+  /** p19 — the per-source DATA CARD: the one-page per-source table a
+    * model release attaches (Datasheets-for-Datasets distilled to the
+    * signals this engine already gates individually) — volume (docs,
+    * tokens, languages), exact-duplicate rate (d1/t12's md5-keep
+    * construction), quality-gate pass rate (p1's ≥ 25-token gate),
+    * eval-contamination rate over the training split (d7/p13's
+    * 8-shingle broadcast join), and the Kish effective-sample-size
+    * ratio (p16's heavy-tail warning) — one row per source, every
+    * rate in basis points by non-negative integer division. The point
+    * of shipping it as ONE query: a release pipeline wants these
+    * signals computed on the SAME snapshot atomically, not stitched
+    * from five reports that may straddle an ingest.
+    *
+    * Plan: one documents scan fans into four source-keyed aggregates
+    * (Catalyst shares the scan); the contamination arm reuses the
+    * broadcast eval-shingle set, so the train side never shuffles;
+    * the final assembly joins source-count-sized tables.
+    */
+  def p19DataCard(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val d = Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("lang"),
+        col("text"),
+        size(split(col("text"), " ")).cast("long").as("nt"),
+        col("n_chars").cast("long").as("nc"))
+    val keep = d.groupBy(md5(col("text")).as("fp")).agg(min(col("doc_id")).as("keep_id"))
+    val base = d
+      .join(keep, md5(col("text")) === col("fp"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("nt")).as("n_tokens"),
+        round(avg(col("nt")), 2).as("avg_tokens"),
+        sum((col("doc_id") =!= col("keep_id")).cast("long")).as("n_copies"),
+        sum((col("nt") >= 25).cast("long")).as("n_quality"),
+        sum(col("nc")).as("sw"),
+        sum(col("nc") * col("nc")).as("sw2"))
+    val sh = d
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= k)
+      .select(
+        col("doc_id"),
+        col("source"),
+        graft.functions.WordNgrams.wordNgrams(col("t"), k).as("sh"))
+    val evalSh = sh.filter(col("doc_id") % 10 === 0).select(col("sh")).distinct()
+    val contaminated = sh
+      .filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(evalSh), "sh")
+      .select(col("doc_id"), col("source"))
+      .distinct()
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_contam"))
+    val train = d
+      .filter(col("doc_id") % 10 =!= 0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train"))
+    base
+      .join(train, Seq("source"), "left")
+      .join(contaminated, Seq("source"), "left")
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_langs"),
+        col("n_tokens"),
+        col("avg_tokens"),
+        expr("n_copies * 10000L div n_docs").as("dup_bp"),
+        expr("n_quality * 10000L div n_docs").as("quality_bp"),
+        expr("""CASE WHEN coalesce(n_train, 0L) = 0L THEN 0L
+               |ELSE coalesce(n_contam, 0L) * 10000L div n_train END"""
+          .stripMargin).as("contam_bp"),
+        expr("""round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+               | / CAST(sw2 AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)"""
+          .stripMargin).as("ess_ratio"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p19_data_card" -> p19DataCard,
     "p18_dsir_selection" -> p18DsirSelection,
     "p17_stage_waterfall" -> p17StageWaterfall,
     "p16_ess_report" -> p16EssReport,
@@ -870,6 +952,58 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    // every signal recomputed on the same snapshot: md5-keep dup rate,
+    // 25-token quality gate, 8-shingle contamination over the train
+    // split, Kish ESS ratio — rates in basis points by nonneg div
+    "p19_data_card" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST(n_chars AS BIGINT) AS nc
+        |  FROM documents),
+        |keep AS (
+        |  SELECT md5(text) AS fp, min(doc_id) AS keep_id
+        |  FROM d GROUP BY md5(text)),
+        |base AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    count(DISTINCT lang) AS n_langs,
+        |    sum(nt) AS n_tokens,
+        |    round(avg(nt), 2) AS avg_tokens,
+        |    sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS n_copies,
+        |    sum(CASE WHEN nt >= 25 THEN 1 ELSE 0 END) AS n_quality,
+        |    sum(nc) AS sw, sum(nc * nc) AS sw2
+        |  FROM d JOIN keep ON md5(d.text) = keep.fp
+        |  GROUP BY source),
+        |tok AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM d
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(1, len(t) - 6),
+        |      i -> array_to_string(t[i:i+7], ' '))) AS sh
+        |  FROM tok),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0),
+        |contam AS (
+        |  SELECT source, count(DISTINCT doc_id) AS n_contam
+        |  FROM sh JOIN ev USING (sh) WHERE doc_id % 10 <> 0
+        |  GROUP BY source),
+        |train AS (
+        |  SELECT source, count(*) AS n_train FROM d
+        |  WHERE doc_id % 10 <> 0 GROUP BY source)
+        |SELECT b.source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_langs AS BIGINT) AS n_langs,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens, avg_tokens,
+        |  CAST(n_copies * 10000 // n_docs AS BIGINT) AS dup_bp,
+        |  CAST(n_quality * 10000 // n_docs AS BIGINT) AS quality_bp,
+        |  CAST(CASE WHEN coalesce(n_train, 0) = 0 THEN 0
+        |    ELSE coalesce(n_contam, 0) * 10000 // n_train END AS BIGINT)
+        |    AS contam_bp,
+        |  round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+        |   / CAST(sw2 AS DOUBLE) / CAST(n_docs AS DOUBLE), 4) AS ess_ratio
+        |FROM base b
+        |LEFT JOIN train USING (source)
+        |LEFT JOIN contam USING (source)
+        |ORDER BY source""".stripMargin,
     // identical formula text on both engines: one ln per bucket,
     // micro-nat quantized, exact integer doc sums, total top-k order
     "p18_dsir_selection" ->

@@ -1260,6 +1260,24 @@ class OpsSpec extends SparkSpec {
     assert(got == want, "fold must equal the imperative Holt smoother")
   }
 
+  test("p19 data card: each column agrees with the standalone report it distills") {
+    val card = Corpus.p19DataCard(spark, Sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // volume + dup columns ≡ t12's standalone report
+    TextAnalysis.t12SourceStats(spark, Sf).collect().foreach { r =>
+      val c = card(r.getString(0))
+      assert(c.getLong(1) == r.getLong(1), "n_docs drifts from t12")
+      assert(c.getLong(2) == r.getLong(2), "n_langs drifts from t12")
+      assert(c.getLong(5) == r.getLong(4) * 10000L / r.getLong(1), "dup_bp drifts from t12")
+    }
+    // ESS ratio ≡ p16's (p16 rounds the ratio at 4 as well)
+    Corpus.p16EssReport(spark, Sf).collect().foreach { r =>
+      assert(card(r.getString(0)).getDouble(8) == r.getDouble(4),
+        s"ess_ratio drifts from p16 for ${r.getString(0)}")
+    }
+    assert(card.values.forall(r => r.getLong(6) >= 0 && r.getLong(6) <= 10000))
+  }
+
   test("s27 effective dimensionality: shares account for total variance; PR near dim on the isotropic fixture") {
     val out = Similarity.s27EffectiveDim(spark, Sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
