@@ -825,7 +825,57 @@ object Multimodal {
       .orderBy("id_a", "id_b")
   }
 
+  /** m17 — gated-loudness normalization audit (the EBU R128 SHAPE
+    * distilled to the stub codec's integer energies): per audio
+    * asset, frame energies above the absolute silence gate (m7's
+    * 92-mean-byte convention × 200-byte frames = 18 400) form the
+    * gated set; report its mean (the integrated-loudness proxy), its
+    * p10→p95 spread (the loudness-range proxy) and the gain factor
+    * to a target level in basis points — the table a media-ingest
+    * pipeline reads to decide which assets need normalization before
+    * feature extraction. Assets with NO gated frames (all-silence)
+    * drop, as R128's gate does.
+    *
+    * Exactness: energies are exact integers from the codec seam;
+    * percentiles are POSITIONAL picks on the sorted gated array
+    * (index = (n−1)·q as integer floor division — no interpolation,
+    * no floats anywhere in the row). Plan: decode once per payload
+    * (mapPartitions codec contract), then per-row array algebra —
+    * payloads never shuffle, no window, no exchange beyond the sort
+    * for output order.
+    */
+  def m17LoudnessAudit(
+      s: SparkSession,
+      dir: String,
+      codecs: Codec.Provider = Codec.Stub): DataFrame = {
+    import s.implicits._
+    val ds = media(s, dir).select(col("doc_id"), col("payload")).as[AudioRow]
+    val energies = ds.mapPartitions { rows =>
+      val dec = codecs.openAudioAnalyzer(frameLen = 200, silenceMeanByte = 92)
+      rows.map(r => FrameEnergies(r.doc_id, dec.frameEnergies(r.payload)))
+    }.toDF()
+    energies
+      .select(
+        col("doc_id"),
+        size(col("energies")).cast("long").as("n_frames"),
+        array_sort(filter(col("energies"), e => e > lit(18400L))).as("g"))
+      .withColumn("n_gated", size(col("g")).cast("long"))
+      .filter(col("n_gated") > 0)
+      .select(
+        col("doc_id"),
+        col("n_frames"),
+        col("n_gated"),
+        expr("aggregate(g, 0L, (a, x) -> a + x) div n_gated").as("mean_gated"),
+        (expr("element_at(g, CAST((n_gated - 1) * 95 div 100 + 1 AS INT))") -
+          expr("element_at(g, CAST((n_gated - 1) * 10 div 100 + 1 AS INT))"))
+          .as("lra"),
+        expr("20000 * 10000L div (aggregate(g, 0L, (a, x) -> a + x) div n_gated)")
+          .as("gain_bp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m17_loudness_audit" -> ((s, d) => m17LoudnessAudit(s, d)),
     "m16_frame_dedup" -> m16FrameDedup,
     "m15_crossmodal_retrieval" -> m15CrossmodalRetrieval,
     "m14_batch_compose" -> m14BatchCompose,
@@ -845,6 +895,35 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // same 200-byte framing as m7/m8, same absolute gate, positional
+    // percentiles by integer floor division on the sorted gated list
+    "m17_loudness_audit" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)
+        |      AS bytes,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, nb + 1, 200),
+        |      s -> list_sum(bytes[s : least(s + 199, nb)])) AS energies
+        |  FROM m),
+        |g AS (
+        |  SELECT doc_id, CAST(len(energies) AS BIGINT) AS n_frames,
+        |    list_sort(list_filter(energies, e -> e > 18400)) AS g
+        |  FROM f),
+        |k AS (
+        |  SELECT doc_id, n_frames, CAST(len(g) AS BIGINT) AS n_gated, g
+        |  FROM g WHERE len(g) > 0)
+        |SELECT doc_id, n_frames, n_gated,
+        |  CAST(list_sum(g) // n_gated AS BIGINT) AS mean_gated,
+        |  CAST(g[CAST((n_gated - 1) * 95 // 100 + 1 AS INTEGER)]
+        |     - g[CAST((n_gated - 1) * 10 // 100 + 1 AS INTEGER)] AS BIGINT)
+        |    AS lra,
+        |  CAST(20000 * 10000 // (list_sum(g) // n_gated) AS BIGINT) AS gain_bp
+        |FROM k
+        |ORDER BY doc_id""".stripMargin,
     // same 32-byte windows, same bit order (MSB = byte 0), same
     // >=2-match floor and bp floor division
     "m16_frame_dedup" ->

@@ -1260,6 +1260,26 @@ class OpsSpec extends SparkSpec {
     assert(got == want, "fold must equal the imperative Holt smoother")
   }
 
+  test("m17 loudness audit: gated subset of m7's frames; gain inverts the mean; lra non-negative") {
+    val m7 = Multimodal.m7AudioFrames(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1).toLong, r.getInt(2).toLong)).toMap
+    val out = Multimodal.m17LoudnessAudit(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (id, nf, ng, mean, lra, gain) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val (m7Frames, m7Silent) = m7(id)
+      assert(nf == m7Frames, s"frame count drifts from m7 for $id")
+      assert(ng <= nf, "gated cannot exceed total")
+      // ±2 slack: the short last frame and the exact-92-mean edge sit
+      // on different sides of m7's mean test vs the absolute gate
+      assert(ng >= nf - m7Silent - 2,
+        s"gate must roughly exclude m7's silent frames for $id")
+      assert(lra >= 0, "p95 - p10 ordering")
+      assert(gain == 20000L * 10000L / mean, "gain must invert the gated mean")
+    }
+  }
+
   test("p19 data card: each column agrees with the standalone report it distills") {
     val card = Corpus.p19DataCard(spark, Sf).collect()
       .map(r => r.getString(0) -> r).toMap
