@@ -7615,7 +7615,67 @@ object Relational {
           .as("rho_sq"))
   }
 
+  /** q199 — user-user basket similarity (the collaborative-filtering
+    * neighborhood primitive): top-3 most similar customers per
+    * customer by cosine over their (part, quantity) purchase vectors.
+    * The scale shape is the d13 inverted-index discipline applied to
+    * recsys: NEVER all-pairs over customers — candidates come from
+    * the part-postings self-join (two customers meet only through a
+    * part both bought), with a document-frequency cap dropping
+    * super-popular parts from the index (a part half the customers
+    * bought contributes O(n²) candidate pairs and near-zero cosine
+    * signal — the d13 stop-shingle argument, cap 64). Norms keep ALL
+    * parts (the cap prunes candidates, not mass), so capped cosines
+    * are exact lower bounds of the uncapped ones.
+    *
+    * Determinism: dot products and norm-squares are exact integer
+    * quantity algebra; each cosine is ONE double expression over
+    * exact operands; ranking is (cosine desc, neighbor asc) — total.
+    * Plan: one (custkey, partkey) aggregate, one part-keyed postings
+    * join bounded by Σ df(part)² over the CAPPED index, a broadcast
+    * norm join, one custkey window for the top-3.
+    */
+  def q199UserSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val basket = Tables
+      .lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy(col("cust"), col("part"))
+      .agg(sum(col("q")).as("q"))
+      .localCheckpoint() // read by norms AND both posting sides
+    val norms = basket
+      .groupBy(col("cust"))
+      .agg(sum(col("q") * col("q")).as("n2"))
+    val df = basket.groupBy(col("part")).agg(count(lit(1)).as("df"))
+    val capped = basket.join(df.filter(col("df") <= 64), "part")
+    val half = capped
+      .as("a")
+      .join(capped.as("b"), col("a.part") === col("b.part") && col("a.cust") < col("b.cust"))
+      .groupBy(col("a.cust").as("ca"), col("b.cust").as("cb"))
+      .agg(count(lit(1)).as("shared_parts"), sum(col("a.q") * col("b.q")).as("dot"))
+    val sym = half.unionAll(
+      half.select(col("cb").as("ca"), col("ca").as("cb"), col("shared_parts"), col("dot")))
+    val w = Window.partitionBy(col("ca")).orderBy(col("cos").desc, col("cb").asc)
+    sym
+      .join(norms.select(col("cust").as("ca"), col("n2").as("na")), "ca")
+      .join(norms.select(col("cust").as("cb"), col("n2").as("nb")), "cb")
+      .withColumn(
+        "cos",
+        expr("CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(
+        col("ca").as("custkey"),
+        col("cb").as("neighbor"),
+        col("rank"),
+        col("shared_parts"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy("custkey", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_user_similarity" -> q199UserSimilarity,
     "q198_cuped_ab" -> q198CupedAb,
     "q197_scd2_merge" -> q197Scd2Merge,
     "q196_holt_backtest" -> q196HoltBacktest,
@@ -7810,6 +7870,43 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical capped-postings construction; one double cosine per
+    // pair over exact integer dot/norms; same (cos, neighbor) order
+    "q199_user_similarity" ->
+      """WITH basket AS (
+        |  SELECT o_custkey AS cust, l_partkey AS part,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |norms AS (SELECT cust, sum(q * q) AS n2 FROM basket GROUP BY cust),
+        |dfreq AS (SELECT part, count(*) AS df FROM basket GROUP BY part),
+        |capped AS (
+        |  SELECT b.* FROM basket b JOIN dfreq USING (part) WHERE df <= 64),
+        |half AS (
+        |  SELECT a.cust AS ca, b.cust AS cb, count(*) AS shared_parts,
+        |    sum(a.q * b.q) AS dot
+        |  FROM capped a JOIN capped b
+        |    ON a.part = b.part AND a.cust < b.cust
+        |  GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT ca, cb, shared_parts, dot FROM half
+        |  UNION ALL
+        |  SELECT cb, ca, shared_parts, dot FROM half),
+        |scored AS (
+        |  SELECT ca, cb, shared_parts,
+        |    CAST(dot AS DOUBLE)
+        |      / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+        |  FROM sym JOIN norms na ON sym.ca = na.cust
+        |           JOIN norms nb ON sym.cb = nb.cust),
+        |rk AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY ca ORDER BY cos DESC, cb ASC) AS rank
+        |  FROM scored)
+        |SELECT ca AS custkey, cb AS neighbor, CAST(rank AS INTEGER) AS rank,
+        |  CAST(shared_parts AS BIGINT) AS shared_parts,
+        |  round(cos, 4) AS cosine
+        |FROM rk WHERE rank <= 3
+        |ORDER BY custkey, rank""".stripMargin,
     // exact hugeint moments cast to double feeding the identical
     // theta/rho-squared expressions
     "q198_cuped_ab" ->

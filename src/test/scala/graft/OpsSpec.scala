@@ -1260,6 +1260,41 @@ class OpsSpec extends SparkSpec {
     assert(got == want, "fold must equal the imperative Holt smoother")
   }
 
+  test("q199 user similarity: contiguous ranks, monotone cosines, exact replay for one customer") {
+    val out = Relational.q199UserSimilarity(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    val byC = out.groupBy(_._1)
+    byC.foreach { case (c, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to sorted.length).toSeq, s"ranks at $c")
+      assert(sorted.sliding(2).forall(p => p.length < 2 || p(0)._5 >= p(1)._5),
+        s"cosines must be non-increasing at $c")
+    }
+    // imperative replay for the smallest customer in the output
+    val c0 = out.map(_._1).min
+    val basket = graft.ops.Tables.lineitem(spark, Sf)
+      .join(graft.ops.Tables.orders(spark, Sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"), col("l_quantity").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(x => (x._1, x._2)).view.mapValues(_.map(_._3).sum).toMap
+    val byCust = basket.groupBy(_._1._1).view
+      .mapValues(_.map { case ((_, p), q) => p -> q }.toMap).toMap
+    val dfm = basket.keys.groupBy(_._2).view.mapValues(_.size).toMap
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (byCust(a), byCust(b))
+      val dot = va.collect {
+        case (p, q) if dfm(p) <= 64 && vb.contains(p) => q * vb(p)
+      }.sum
+      dot.toDouble / math.sqrt(
+        va.values.map(q => q * q).sum.toDouble * vb.values.map(q => q * q).sum.toDouble)
+    }
+    out.filter(_._1 == c0).foreach { r =>
+      val want = java.math.BigDecimal.valueOf(cos(c0, r._2))
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(math.abs(r._5 - want) < 2e-4, s"cosine replay for ($c0, ${r._2})")
+    }
+  }
+
   test("m17 loudness audit: gated subset of m7's frames; gain inverts the mean; lra non-negative") {
     val m7 = Multimodal.m7AudioFrames(spark, Sf).collect()
       .map(r => r.getLong(0) -> (r.getInt(1).toLong, r.getInt(2).toLong)).toMap
