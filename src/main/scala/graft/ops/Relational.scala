@@ -7633,7 +7633,13 @@ object Relational {
     * exact operands; ranking is (cosine desc, neighbor asc) — total.
     * Plan: one (custkey, partkey) aggregate, one part-keyed postings
     * join bounded by Σ df(part)² over the CAPPED index, a broadcast
-    * norm join, one custkey window for the top-3.
+    * norm join, one custkey window for the top-3. Measured at sf0.1:
+    * 600k basket rows, 20k parts, df avg 30 / max 53 (cap unhit),
+    * Σ df² = 18.6M candidate pairs → 6.6 s warm — the honest price
+    * of the EXACT arm; when df grows faster than the catalog, the
+    * production escape hatches are a tighter cap (the d13 regime
+    * rule) or the engine's LSH family (d10/s2) as candidate
+    * generator with this join demoted to verify-only.
     */
   def q199UserSimilarity(s: SparkSession, dir: String): DataFrame = {
     val basket = Tables
