@@ -7680,7 +7680,72 @@ object Relational {
       .orderBy("custkey", "rank")
   }
 
+  /** q200 — exact SHAPLEY-VALUE attribution over the 3-channel touch
+    * game, completing the attribution family (q122 last-touch, q187
+    * U-shaped, q162 Markov removal-effect, q194 window sweep) with
+    * the axiomatic one: the coalition value v(S) = purchases whose
+    * 7-day pre-purchase touch set ⊆ S, and each channel's credit is
+    * its Shapley value. With 3 channels the marginal-contribution
+    * sum collapses to a CLOSED FORM over the 8 exact-set counts —
+    * 6·φ_V = 6c_V + 3c_VC + 3c_VS + 2c_VCS (symmetric for the
+    * others; Σ6φ = 6·touched, spec-pinned conservation) — so the
+    * whole computation is: one q122-style user-blocked touch join,
+    * ONE 8-row exact-set count pivot, integer arithmetic. Exact
+    * integer numerators; credit in milli-conversions and share in
+    * basis points by non-negative floor division.
+    *
+    * Scale: the touch join is user-blocked with a 7-day band (the
+    * q187 shape — never a cross join); the pivot is 1 row; the
+    * output is 3 rows. Nothing after the join exceeds constant size.
+    */
+  def q200ShapleyAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"))
+    val touches = ev
+      .filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id"), col("event_type").as("ch"), col("ts").as("tts"))
+    val sets = purchases
+      .join(
+        touches,
+        Seq("user_id"),
+        "left")
+      .filter(
+        col("tts").isNull ||
+          (col("tts") < col("pts") &&
+            col("tts") >= col("pts") - expr("INTERVAL 7 DAYS")))
+      .groupBy(col("pid"))
+      .agg(
+        max(when(col("ch") === "view", 1L).otherwise(0L)).as("hv"),
+        max(when(col("ch") === "click", 1L).otherwise(0L)).as("hc"),
+        max(when(col("ch") === "signup", 1L).otherwise(0L)).as("hs"))
+    val pivot = sets.agg(
+      sum(when(col("hv") === 1 && col("hc") === 0 && col("hs") === 0, 1L).otherwise(0L)).as("c100"),
+      sum(when(col("hv") === 0 && col("hc") === 1 && col("hs") === 0, 1L).otherwise(0L)).as("c010"),
+      sum(when(col("hv") === 0 && col("hc") === 0 && col("hs") === 1, 1L).otherwise(0L)).as("c001"),
+      sum(when(col("hv") === 1 && col("hc") === 1 && col("hs") === 0, 1L).otherwise(0L)).as("c110"),
+      sum(when(col("hv") === 1 && col("hc") === 0 && col("hs") === 1, 1L).otherwise(0L)).as("c101"),
+      sum(when(col("hv") === 0 && col("hc") === 1 && col("hs") === 1, 1L).otherwise(0L)).as("c011"),
+      sum(when(col("hv") === 1 && col("hc") === 1 && col("hs") === 1, 1L).otherwise(0L)).as("c111"))
+    pivot
+      .select(expr("""stack(3,
+        |'click',  6 * c010 + 3 * c110 + 3 * c011 + 2 * c111,
+        |'signup', 6 * c001 + 3 * c101 + 3 * c011 + 2 * c111,
+        |'view',   6 * c100 + 3 * c110 + 3 * c101 + 2 * c111) AS (channel, num6)"""
+        .stripMargin),
+        (col("c100") + col("c010") + col("c001") + col("c110") +
+          col("c101") + col("c011") + col("c111")).as("touched"))
+      .select(
+        col("channel"),
+        expr("num6 * 1000L div 6").as("phi_milli"),
+        expr("CASE WHEN touched = 0 THEN 0L ELSE num6 * 10000L div (6 * touched) END")
+          .as("share_bp"))
+      .orderBy("channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_shapley_attribution" -> q200ShapleyAttribution,
     "q199_user_similarity" -> q199UserSimilarity,
     "q198_cuped_ab" -> q198CupedAb,
     "q197_scd2_merge" -> q197Scd2Merge,
@@ -7876,6 +7941,50 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same exact-set pivot and closed-form Shapley numerators;
+    // credits by non-negative integer floor division
+    "q200_shapley_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS pid, ts AS pts FROM events
+        |  WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, event_type AS ch, ts AS tts FROM events
+        |  WHERE event_type IN ('view', 'click', 'signup')),
+        |sets AS (
+        |  SELECT pid,
+        |    max(CASE WHEN ch = 'view' AND tts < pts
+        |          AND tts >= pts - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS hv,
+        |    max(CASE WHEN ch = 'click' AND tts < pts
+        |          AND tts >= pts - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS hc,
+        |    max(CASE WHEN ch = 'signup' AND tts < pts
+        |          AND tts >= pts - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS hs
+        |  FROM p LEFT JOIN t USING (user_id)
+        |  GROUP BY pid),
+        |pv AS (
+        |  SELECT
+        |    sum(CASE WHEN hv=1 AND hc=0 AND hs=0 THEN 1 ELSE 0 END) AS c100,
+        |    sum(CASE WHEN hv=0 AND hc=1 AND hs=0 THEN 1 ELSE 0 END) AS c010,
+        |    sum(CASE WHEN hv=0 AND hc=0 AND hs=1 THEN 1 ELSE 0 END) AS c001,
+        |    sum(CASE WHEN hv=1 AND hc=1 AND hs=0 THEN 1 ELSE 0 END) AS c110,
+        |    sum(CASE WHEN hv=1 AND hc=0 AND hs=1 THEN 1 ELSE 0 END) AS c101,
+        |    sum(CASE WHEN hv=0 AND hc=1 AND hs=1 THEN 1 ELSE 0 END) AS c011,
+        |    sum(CASE WHEN hv=1 AND hc=1 AND hs=1 THEN 1 ELSE 0 END) AS c111
+        |  FROM sets),
+        |base AS (
+        |  SELECT *, c100+c010+c001+c110+c101+c011+c111 AS touched FROM pv),
+        |out AS (
+        |  SELECT 'click' AS channel,
+        |    6*c010 + 3*c110 + 3*c011 + 2*c111 AS num6, touched FROM base
+        |  UNION ALL
+        |  SELECT 'signup', 6*c001 + 3*c101 + 3*c011 + 2*c111, touched FROM base
+        |  UNION ALL
+        |  SELECT 'view', 6*c100 + 3*c110 + 3*c101 + 2*c111, touched FROM base)
+        |SELECT channel,
+        |  CAST(num6 * 1000 // 6 AS BIGINT) AS phi_milli,
+        |  CAST(CASE WHEN touched = 0 THEN 0
+        |    ELSE num6 * 10000 // (6 * touched) END AS BIGINT) AS share_bp
+        |FROM out
+        |ORDER BY channel""".stripMargin,
     // identical capped-postings construction; one double cosine per
     // pair over exact integer dot/norms; same (cos, neighbor) order
     "q199_user_similarity" ->

@@ -1656,7 +1656,75 @@ object TextAnalysis {
       .orderBy("r")
   }
 
+  /** t36 — pairwise source-divergence matrix (Jensen–Shannon): the
+    * DISTRIBUTIONAL companion to t34's vocabulary-overlap matrix —
+    * two sources can share every word yet use them at wildly
+    * different rates (t34 says "same lexicon", this says "different
+    * dialect"). JSD(P,Q) = ½KL(P‖M) + ½KL(Q‖M), M = ½(P+Q), over
+    * add-one-smoothed unigram distributions; symmetric, bounded by
+    * ln 2, and defined even on disjoint vocabularies — exactly why
+    * mixture designers use it over raw KL (t19's asymmetric per-doc
+    * form). Reported in milli-nats.
+    *
+    * Determinism: per-(pair, term) contributions are each ONE ln()
+    * over exact integer count ratios with identical formula text on
+    * both engines, quantized to integer micro-nats BEFORE the sum
+    * (t33's posture — the pair sum is exact integer addition, so
+    * accumulation order cannot drift), divided down to milli-nats at
+    * the end. Scale: (source, term) counts are vocabulary-sized; the
+    * pair fan-out is sources²·vocab — catalog-bounded, never
+    * corpus-bounded; one exchange builds the counts, the rest rides
+    * broadcast totals.
+    */
+  def t36SourceJsd(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables
+      .spread(Tables.documents(s, dir))
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // read by totals, the vocab size, and both pair sides
+    val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("t"))
+    val vocab = counts.select(col("w")).distinct().agg(count(lit(1)).as("v"))
+    // every (ordered pair, term in EITHER source's vocab) row; terms
+    // absent from one side enter with count 0 (add-one smoothing
+    // keeps the log finite). JSD is defined over the pair's union
+    // vocabulary — identical definition in the oracle.
+    val allPairs = totals
+      .select(col("source").as("sa"), col("t").as("ta"))
+      .join(totals.select(col("source").as("sb"), col("t").as("tb")), col("sa") < col("sb"))
+    val expanded = counts
+      .select(col("w"), col("source"), col("c"))
+      .join(broadcast(allPairs), col("source") === col("sa") || col("source") === col("sb"))
+      .groupBy(col("sa"), col("sb"), col("ta"), col("tb"), col("w"))
+      .agg(
+        coalesce(sum(when(col("source") === col("sa"), col("c"))), lit(0L)).as("ca"),
+        coalesce(sum(when(col("source") === col("sb"), col("c"))), lit(0L)).as("cb"))
+    expanded
+      .crossJoin(broadcast(vocab))
+      .withColumn(
+        "contrib",
+        expr("""CAST(round((
+               |  (CAST(ca + 1 AS DOUBLE) / CAST(ta + v AS DOUBLE)) / 2.0e0 *
+               |    ln((CAST(ca + 1 AS DOUBLE) / CAST(ta + v AS DOUBLE)) /
+               |       ((CAST(ca + 1 AS DOUBLE) / CAST(ta + v AS DOUBLE)
+               |         + CAST(cb + 1 AS DOUBLE) / CAST(tb + v AS DOUBLE)) / 2.0e0))
+               |  + (CAST(cb + 1 AS DOUBLE) / CAST(tb + v AS DOUBLE)) / 2.0e0 *
+               |    ln((CAST(cb + 1 AS DOUBLE) / CAST(tb + v AS DOUBLE)) /
+               |       ((CAST(ca + 1 AS DOUBLE) / CAST(ta + v AS DOUBLE)
+               |         + CAST(cb + 1 AS DOUBLE) / CAST(tb + v AS DOUBLE)) / 2.0e0))
+               |) * 1e6) AS BIGINT)""".stripMargin))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("jsd_micro"))
+      .select(
+        col("sa").as("src_a"),
+        col("sb").as("src_b"),
+        col("n_terms"),
+        expr("jsd_micro div 1000").as("jsd_milli_nat"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t36_source_jsd" -> t36SourceJsd,
     "t35_good_turing" -> t35GoodTuring,
     "t34_source_vocab_overlap" -> t34SourceVocabOverlap,
     "t33_nb_classifier" -> t33NbClassifier,
@@ -1753,6 +1821,43 @@ object TextAnalysis {
         |LIMIT 15""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // union-vocabulary smoothed JSD, per-term micro-nat quantization
+    // BEFORE the pair sum — identical formula text both engines
+    "t36_source_jsd" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT source, sum(c) AS t FROM cnt GROUP BY source),
+        |voc AS (SELECT count(DISTINCT w) AS v FROM cnt),
+        |pairs AS (
+        |  SELECT a.source AS sa, a.t AS ta, b.source AS sb, b.t AS tb
+        |  FROM tot a JOIN tot b ON a.source < b.source),
+        |ex AS (
+        |  SELECT sa, sb, ta, tb, w,
+        |    coalesce(sum(CASE WHEN cnt.source = sa THEN c END), 0) AS ca,
+        |    coalesce(sum(CASE WHEN cnt.source = sb THEN c END), 0) AS cb
+        |  FROM cnt JOIN pairs ON cnt.source = sa OR cnt.source = sb
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |contrib AS (
+        |  SELECT sa, sb,
+        |    CAST(round((
+        |      (CAST(ca + 1 AS DOUBLE) / CAST(ta + v AS DOUBLE)) / 2.0e0 *
+        |        ln((CAST(ca + 1 AS DOUBLE) / CAST(ta + v AS DOUBLE)) /
+        |           ((CAST(ca + 1 AS DOUBLE) / CAST(ta + v AS DOUBLE)
+        |             + CAST(cb + 1 AS DOUBLE) / CAST(tb + v AS DOUBLE)) / 2.0e0))
+        |      + (CAST(cb + 1 AS DOUBLE) / CAST(tb + v AS DOUBLE)) / 2.0e0 *
+        |        ln((CAST(cb + 1 AS DOUBLE) / CAST(tb + v AS DOUBLE)) /
+        |           ((CAST(ca + 1 AS DOUBLE) / CAST(ta + v AS DOUBLE)
+        |             + CAST(cb + 1 AS DOUBLE) / CAST(tb + v AS DOUBLE)) / 2.0e0))
+        |    ) * 1e6) AS BIGINT) AS m
+        |  FROM ex, voc)
+        |SELECT sa AS src_a, sb AS src_b,
+        |  CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(m) // 1000 AS BIGINT) AS jsd_milli_nat
+        |FROM contrib
+        |GROUP BY sa, sb
+        |ORDER BY src_a, src_b""".stripMargin,
     // exact integer algebra end to end — floor division on
     // non-negative operands matches Spark's div exactly
     "t35_good_turing" ->

@@ -1260,6 +1260,50 @@ class OpsSpec extends SparkSpec {
     assert(got == want, "fold must equal the imperative Holt smoother")
   }
 
+  test("t36 source JSD: bounded by ln2, non-negative, one row per unordered pair") {
+    val out = TextAnalysis.t36SourceJsd(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val nSrc = graft.ops.Tables.documents(spark, Sf)
+      .select(col("source")).distinct().count().toInt
+    assert(out.length == nSrc * (nSrc - 1) / 2, "one row per unordered source pair")
+    out.foreach { case (a, b, nTerms, jsd) =>
+      assert(a < b, "canonical pair order")
+      assert(nTerms > 0)
+      assert(jsd >= 0 && jsd <= 694, s"JSD($a,$b)=$jsd milli-nats outside [0, ln2]")
+    }
+    assert(out.exists(_._4 > 0), "the 20-source fixture is not distributionally uniform")
+  }
+
+  test("q200 Shapley attribution: efficiency axiom — credits sum to the touched conversions") {
+    val out = Relational.q200ShapleyAttribution(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).sorted.toSeq == Seq("click", "signup", "view"))
+    // replay the exact-set pivot imperatively
+    val cut = 7L * 24 * 3600 * 1000
+    val ev = graft.ops.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3).getTime))
+    val touchesByUser = ev.filter(e => Set("view", "click", "signup")(e._3)).groupBy(_._1)
+    val counts = scala.collection.mutable.Map.empty[(Int, Int, Int), Long].withDefaultValue(0L)
+    ev.filter(_._3 == "purchase").foreach { p =>
+      val ts = touchesByUser.getOrElse(p._1, Array.empty)
+        .filter(t => t._4 < p._4 && t._4 >= p._4 - cut).map(_._3).toSet
+      val k = (if (ts("view")) 1 else 0, if (ts("click")) 1 else 0, if (ts("signup")) 1 else 0)
+      counts(k) += 1
+    }
+    def c(v: Int, cl: Int, sg: Int) = counts((v, cl, sg))
+    val numView = 6 * c(1, 0, 0) + 3 * c(1, 1, 0) + 3 * c(1, 0, 1) + 2 * c(1, 1, 1)
+    val numClick = 6 * c(0, 1, 0) + 3 * c(1, 1, 0) + 3 * c(0, 1, 1) + 2 * c(1, 1, 1)
+    val numSignup = 6 * c(0, 0, 1) + 3 * c(1, 0, 1) + 3 * c(0, 1, 1) + 2 * c(1, 1, 1)
+    val touched = counts.filterKeys(_ != ((0, 0, 0))).values.sum
+    assert(numView + numClick + numSignup == 6 * touched, "efficiency axiom on numerators")
+    val want = Map("view" -> numView, "click" -> numClick, "signup" -> numSignup)
+    out.foreach { case (ch, phi, share) =>
+      assert(phi == want(ch) * 1000L / 6, s"phi replay for $ch")
+      assert(share == want(ch) * 10000L / (6 * touched), s"share replay for $ch")
+    }
+  }
+
   test("q199 user similarity: contiguous ranks, monotone cosines, exact replay for one customer") {
     val out = Relational.q199UserSimilarity(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
