@@ -2038,7 +2038,62 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d32 — analytic LSH parameter auto-tuner: the closed-form
+    * companion to d27's MEASURED band curve. For every (bands b,
+    * rows-per-band r) layout of a 64-hash MinHash signature
+    * (b·r ≤ 64), the S-curve gives collision probability
+    * 1 − (1 − J^r)^b; the tuner reports, per layout, the recall at
+    * the duplicate threshold (J = 0.5, d2's operating point) and the
+    * false-candidate rate at background similarity (J = 0.1, the
+    * candidate-cost driver), then flags the chosen config: the
+    * feasible layout (recall ≥ 0.95) with the LOWEST background
+    * collision rate, ties to fewer hash evaluations then more bands.
+    * This is how an engine picks b/r BEFORE touching data — d27 then
+    * validates the choice empirically (the spec cross-pins d2's
+    * shipped 32×2 layout as feasible here and its analytic recall
+    * against d25's measured estimator error envelope).
+    *
+    * Determinism: the S-curve values quantize once to integer
+    * micro-units (pow/ln-free form — exact repeated multiplication
+    * is NOT used; both engines evaluate the same `power()` calls on
+    * the same literals, then round), and the argmin runs on the
+    * quantized integers with a total tie-break — no float
+    * comparisons decide anything. The grid is 64·8 rows of pure
+    * literals: zero data touched, the decision table a scheduler
+    * materializes next to the corpus-derived reports.
+    */
+  def d32LshTuner(s: SparkSession, dir: String): DataFrame = {
+    val grid = s
+      .range(1, 65)
+      .select(col("id").as("b"))
+      .crossJoin(s.range(1, 9).select(col("id").as("r")))
+      .filter(col("b") * col("r") <= 64)
+    val scored = grid.select(
+      col("b"),
+      col("r"),
+      (col("b") * col("r")).as("n_hashes"),
+      expr("""CAST(round((1.0e0 - power(1.0e0 - power(CAST(0.5 AS DOUBLE),
+             |  CAST(r AS DOUBLE)), CAST(b AS DOUBLE))) * 1e6) AS BIGINT)"""
+        .stripMargin).as("recall_micro"),
+      expr("""CAST(round((1.0e0 - power(1.0e0 - power(CAST(0.1 AS DOUBLE),
+             |  CAST(r AS DOUBLE)), CAST(b AS DOUBLE))) * 1e6) AS BIGINT)"""
+        .stripMargin).as("bg_collision_micro"))
+    val w = Window.orderBy(
+      col("feasible").desc,
+      col("bg_collision_micro").asc,
+      col("n_hashes").asc,
+      col("b").desc)
+    scored
+      .withColumn("feasible", (col("recall_micro") >= 950000L).cast("long"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("chosen", (col("rk") === 1 && col("feasible") === 1L).cast("long"))
+      .select(col("b"), col("r"), col("n_hashes"), col("recall_micro"),
+        col("bg_collision_micro"), col("feasible"), col("chosen"))
+      .orderBy("b", "r")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d32_lsh_tuner" -> d32LshTuner,
     "d31_cc_incremental" -> d31CcIncremental,
     "d29_fellegi_sunter" -> d29FellegiSunter,
     "d30_cc_twostar" -> d30CcTwoStar,
@@ -2949,6 +3004,38 @@ object Dedup {
     // d30 computes the SAME component decomposition with the two-star
     // algorithm — one ground truth gates both CC engines
     "d30_cc_twostar" -> ccClustersOracle,
+    // same literal grid, same S-curve power() calls quantized at 1e6,
+    // same total-order argmin — zero data touched on either engine
+    "d32_lsh_tuner" ->
+      """WITH grid AS (
+        |  SELECT b.i AS b, r.i AS r
+        |  FROM range(1, 65) b(i), range(1, 9) r(i)
+        |  WHERE b.i * r.i <= 64),
+        |scored AS (
+        |  SELECT b, r, b * r AS n_hashes,
+        |    CAST(round((1.0e0 - power(1.0e0 - power(CAST(0.5 AS DOUBLE),
+        |      CAST(r AS DOUBLE)), CAST(b AS DOUBLE))) * 1e6) AS BIGINT)
+        |      AS recall_micro,
+        |    CAST(round((1.0e0 - power(1.0e0 - power(CAST(0.1 AS DOUBLE),
+        |      CAST(r AS DOUBLE)), CAST(b AS DOUBLE))) * 1e6) AS BIGINT)
+        |      AS bg_collision_micro
+        |  FROM grid),
+        |f AS (
+        |  SELECT *, CASE WHEN recall_micro >= 950000 THEN 1 ELSE 0 END
+        |    AS feasible
+        |  FROM scored),
+        |rk AS (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY feasible DESC, bg_collision_micro ASC,
+        |             n_hashes ASC, b DESC) AS rk
+        |  FROM f)
+        |SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r,
+        |  CAST(n_hashes AS BIGINT) AS n_hashes, recall_micro,
+        |  bg_collision_micro, CAST(feasible AS BIGINT) AS feasible,
+        |  CAST(CASE WHEN rk = 1 AND feasible = 1 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS chosen
+        |FROM rk
+        |ORDER BY b, r""".stripMargin,
     // base closure → ranked reps → planted delta batch → merged
     // closure, all recomputed from scratch (the incremental path must
     // land on the full recompute exactly)

@@ -1260,6 +1260,23 @@ class OpsSpec extends SparkSpec {
     assert(got == want, "fold must equal the imperative Holt smoother")
   }
 
+  test("d32 LSH tuner: one chosen config, minimal background collisions among feasible; d2's layout feasible") {
+    val out = Dedup.d32LshTuner(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    val chosen = out.filter(_._7 == 1L)
+    assert(chosen.length == 1, "exactly one chosen configuration")
+    val c = chosen.head
+    assert(c._6 == 1L && c._4 >= 950000L, "the chosen config must be feasible")
+    val feasible = out.filter(_._6 == 1L)
+    assert(feasible.forall(f => c._5 <= f._5), "chosen minimizes background collisions")
+    val d2Layout = out.find(r => r._1 == 32 && r._2 == 2).get
+    assert(d2Layout._6 == 1L, "the shipped 32x2 signature layout must be analytically feasible")
+    // analytic recall replay for the shipped layout: 1 - (1 - 0.5^2)^32
+    val want = math.round((1.0 - math.pow(1.0 - math.pow(0.5, 2.0), 32.0)) * 1e6)
+    assert(d2Layout._4 == want, "S-curve replay at (32, 2)")
+  }
+
   test("t36 source JSD: bounded by ln2, non-negative, one row per unordered pair") {
     val out = TextAnalysis.t36SourceJsd(spark, Sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
