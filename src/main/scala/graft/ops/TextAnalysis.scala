@@ -1723,7 +1723,57 @@ object TextAnalysis {
       .orderBy("src_a", "src_b")
   }
 
+  /** t37 — contamination SEVERITY ranking: d7/p13 answer "which
+    * training docs share any 8-shingle with the eval split"; this
+    * ranks them by HOW contaminated — per training doc, the eval doc
+    * it overlaps most, the shared-shingle count, and the containment
+    * (shared / train-doc shingles) in basis points. A decontamination
+    * pass reads this to split "drop outright" (near-verbatim eval
+    * copies) from "trim the quoted passage" (glancing overlap) —
+    * membership alone can't make that call. Top-50 by (containment
+    * desc, doc_id) — a total order, exact integers throughout.
+    *
+    * Scale: the eval shingle set broadcasts (benchmark-sized, d7's
+    * argument); the per-(train, eval) overlap count rides the
+    * broadcast join's output keyed by train doc; one window picks
+    * each doc's worst eval partner; TakeOrdered emits the top-50.
+    */
+  def t37ContaminationRank(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val sh = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), graft.functions.WordNgrams.wordNgrams(col("t"), k).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val evalSh = sh
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("eval_id"), col("sh"))
+    val overlaps = sh
+      .filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(evalSh), "sh")
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared"))
+    val w = Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("shared").desc, col("eval_id").asc)
+    overlaps
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(sizes, "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_sh").as("n_shingles"),
+        col("eval_id").as("worst_eval_id"),
+        col("shared"),
+        expr("shared * 10000L div n_sh").as("containment_bp"))
+      .orderBy(col("containment_bp").desc, col("doc_id").asc)
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t37_contamination_rank" -> t37ContaminationRank,
     "t36_source_jsd" -> t36SourceJsd,
     "t35_good_turing" -> t35GoodTuring,
     "t34_source_vocab_overlap" -> t34SourceVocabOverlap,
@@ -1821,6 +1871,35 @@ object TextAnalysis {
         |LIMIT 15""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same distinct 8-shingle overlap, worst-partner window and
+    // containment basis points; the top-50 order is total
+    "t37_contamination_rank" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 6),
+        |      i -> array_to_string(t[i:i+7], ' '))) AS sh
+        |  FROM d),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 10 = 0),
+        |ov AS (
+        |  SELECT sh.doc_id, ev.eval_id, count(*) AS shared
+        |  FROM sh JOIN ev USING (sh)
+        |  WHERE sh.doc_id % 10 <> 0
+        |  GROUP BY 1, 2),
+        |best AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY shared DESC, eval_id ASC) AS rk
+        |  FROM ov)
+        |SELECT b.doc_id, CAST(n_sh AS BIGINT) AS n_shingles,
+        |  b.eval_id AS worst_eval_id, CAST(shared AS BIGINT) AS shared,
+        |  CAST(shared * 10000 // n_sh AS BIGINT) AS containment_bp
+        |FROM best b JOIN sizes USING (doc_id)
+        |WHERE rk = 1
+        |ORDER BY containment_bp DESC, doc_id ASC
+        |LIMIT 50""".stripMargin,
     // union-vocabulary smoothed JSD, per-term micro-nat quantization
     // BEFORE the pair sum — identical formula text both engines
     "t36_source_jsd" ->

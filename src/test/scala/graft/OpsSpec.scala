@@ -1260,6 +1260,20 @@ class OpsSpec extends SparkSpec {
     assert(got == want, "fold must equal the imperative Holt smoother")
   }
 
+  test("t37 contamination rank: same population as d7, per-pair shared bounded by d7's union count") {
+    val t37 = TextAnalysis.t37ContaminationRank(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val d7 = Dedup.d7Decontaminate(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t37.map(_._1).toSet == d7.keySet,
+      "severity ranking must cover exactly d7's contaminated population (fits in top-50 here)")
+    t37.foreach { case (id, nSh, evalId, shared, bp) =>
+      assert(evalId % 10 == 0, "worst partner must be an eval doc")
+      assert(shared <= d7(id), "per-pair overlap cannot exceed the union overlap")
+      assert(shared <= nSh && bp == shared * 10000L / nSh && bp <= 10000L)
+    }
+  }
+
   test("d32 LSH tuner: one chosen config, minimal background collisions among feasible; d2's layout feasible") {
     val out = Dedup.d32LshTuner(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
