@@ -929,7 +929,44 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** p20 — dedup HOLDOUT carve-out: keep a fixed ~5% hash slice of
+    * exact-duplicate clusters UNdeduplicated — the controlled
+    * experiment the dedup literature runs to measure what duplication
+    * does to memorization/loss downstream (you cannot measure the
+    * effect of dedup if you dedup everything). The slice is keyed on
+    * the cluster fingerprint's first md5 hex byte (≤ '0c' → 13/256 ≈
+    * 5.1%), so membership is a pure function of CONTENT — stable
+    * across reruns, ingests, and engines, never a row sample. Per
+    * language: total docs, docs kept under full dedup, docs kept with
+    * the holdout carved out, holdout cluster count, and the extra
+    * copies deliberately retained (the treatment mass).
+    *
+    * Exact integers end to end. Plan: one fingerprint aggregate (d1's
+    * shape) feeds both arms; the per-language rollup is
+    * catalog-sized; nothing beyond the one fp exchange moves.
+    */
+  def p20DedupHoldout(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"))
+    val clusters = d
+      .groupBy(col("lang"), col("fp"))
+      .agg(count(lit(1)).as("sz"))
+      .withColumn("held", (substring(col("fp"), 1, 2) <= "0c").cast("long"))
+    clusters
+      .groupBy(col("lang"))
+      .agg(
+        sum(col("sz")).as("n_docs"),
+        count(lit(1)).as("n_kept_dedup"),
+        sum(when(col("held") === 1L, col("sz")).otherwise(lit(1L))).as("n_kept_holdout"),
+        sum(col("held")).as("n_holdout_clusters"),
+        sum(when(col("held") === 1L, col("sz") - 1).otherwise(lit(0L)))
+          .as("extra_copies_retained"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p20_dedup_holdout" -> p20DedupHoldout,
     "p19_data_card" -> p19DataCard,
     "p18_dsir_selection" -> p18DsirSelection,
     "p17_stage_waterfall" -> p17StageWaterfall,
@@ -952,6 +989,25 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    // same content-keyed holdout slice and per-language accounting
+    "p20_dedup_holdout" ->
+      """WITH cl AS (
+        |  SELECT lang, md5(text) AS fp, count(*) AS sz,
+        |    CASE WHEN substring(md5(text), 1, 2) <= '0c' THEN 1 ELSE 0 END
+        |      AS held
+        |  FROM documents
+        |  GROUP BY lang, md5(text))
+        |SELECT lang,
+        |  CAST(sum(sz) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_kept_dedup,
+        |  CAST(sum(CASE WHEN held = 1 THEN sz ELSE 1 END) AS BIGINT)
+        |    AS n_kept_holdout,
+        |  CAST(sum(held) AS BIGINT) AS n_holdout_clusters,
+        |  CAST(sum(CASE WHEN held = 1 THEN sz - 1 ELSE 0 END) AS BIGINT)
+        |    AS extra_copies_retained
+        |FROM cl
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     // every signal recomputed on the same snapshot: md5-keep dup rate,
     // 25-token quality gate, 8-shingle contamination over the train
     // split, Kish ESS ratio — rates in basis points by nonneg div

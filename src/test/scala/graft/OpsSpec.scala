@@ -1260,6 +1260,21 @@ class OpsSpec extends SparkSpec {
     assert(got == want, "fold must equal the imperative Holt smoother")
   }
 
+  test("p20 dedup holdout: accounting identities hold; membership is a pure content function") {
+    val out = Corpus.p20DedupHoldout(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (lang, n, kept, keptH, held, extra) =>
+      assert(kept <= n && keptH >= kept && keptH <= n, s"ordering at $lang")
+      assert(keptH - kept == extra, s"the holdout surplus must be exactly the retained copies at $lang")
+      assert(held <= kept, "holdout clusters are a subset of all clusters")
+    }
+    // determinism across invocations: content-keyed, not sampled
+    val again = Corpus.p20DedupHoldout(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(4))).toSet
+    assert(again == out.map(r => (r._1, r._5)).toSet, "holdout membership must be stable")
+  }
+
   test("t37 contamination rank: same population as d7, per-pair shared bounded by d7's union count") {
     val t37 = TextAnalysis.t37ContaminationRank(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
