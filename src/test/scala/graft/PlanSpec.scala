@@ -575,6 +575,26 @@ class PlanSpec extends SparkSpec {
       "the 1-row weight table must broadcast back to the pair table")
   }
 
+  test("q195 FIFO: both ledgers and the overlap join ride custkey exchanges; no cartesian") {
+    val plan = formatted(Relational.q195FifoMatch(spark, Sf))
+    assert(!plan.contains("CartesianProduct"),
+      "the overlap join must ride the custkey equi-join")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3,
+      s"two window ledgers + the join should share custkey partitioning, saw $exchanges exchanges")
+  }
+
+  test("q199 user similarity: postings candidates only — no cartesian anywhere") {
+    val plan = formatted(Relational.q199UserSimilarity(spark, Sf))
+    assert(!plan.contains("CartesianProduct"),
+      "customer pairs must come from the part-postings equi-join")
+  }
+
+  test("q200 Shapley: the touch join is key-blocked; everything after the pivot is constant-size") {
+    val plan = formatted(Relational.q200ShapleyAttribution(spark, Sf))
+    assert(!plan.contains("CartesianProduct"), "touches join purchases on user_id")
+  }
+
   test("spread parallelizes derived compute beyond the single input split") {
     val parts = Tables
       .spread(Tables.documents(spark, Sf))
