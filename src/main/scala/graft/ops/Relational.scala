@@ -7744,7 +7744,61 @@ object Relational {
       .orderBy("channel")
   }
 
+  /** q201 — rank-MOBILITY matrix: customers' spend quintile in the
+    * early period vs the late period (cut 1998-05-01, the order
+    * horizon's midpoint) as a 5×5
+    * transition matrix with row shares — the rank-persistence
+    * analysis (economics' income-mobility table, retail's
+    * tier-migration report) that q57's state transition matrix does
+    * for categorical states, done here for RANKS, whose quintile
+    * boundaries must be recomputed per period. High diagonal mass =
+    * sticky tiers; q129/q130's cohort machinery tells you WHO, this
+    * tells you whether rank itself persists. Only customers active
+    * in BOTH periods enter (a rank needs both coordinates).
+    *
+    * Determinism: period spend is exact integer cents; quintiles are
+    * `ntile(5)` over the TOTAL order (cents, custkey) — the module's
+    * ntile convention — so bucket assignment is exact on both
+    * engines; shares in basis points by non-negative div. Plan: one
+    * custkey aggregate serves both period sums (conditional
+    * aggregation — the periods never scan twice), two bounded
+    * windows over the customer-sized table, a 25-row rollup.
+    */
+  def q201RankMobility(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit(java.sql.Timestamp.valueOf("1998-05-01 00:00:00"))
+    val spend = Tables
+      .orders(s, dir)
+      .select(
+        col("o_custkey"),
+        col("o_orderdate"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(when(col("o_orderdate") < cut, col("cents")).otherwise(lit(0L))).as("c1"),
+        sum(when(col("o_orderdate") >= cut, col("cents")).otherwise(lit(0L))).as("c2"),
+        max(when(col("o_orderdate") < cut, 1L).otherwise(0L)).as("in1"),
+        max(when(col("o_orderdate") >= cut, 1L).otherwise(0L)).as("in2"))
+      .filter(col("in1") === 1L && col("in2") === 1L)
+    val w1 = Window.orderBy(col("c1").asc, col("o_custkey").asc)
+    val w2 = Window.orderBy(col("c2").asc, col("o_custkey").asc)
+    val tiers = spend
+      .withColumn("q_early", ntile(5).over(w1))
+      .withColumn("q_late", ntile(5).over(w2))
+    val rowTot = Window.partitionBy(col("q_early"))
+    tiers
+      .groupBy(col("q_early"), col("q_late"))
+      .agg(count(lit(1)).as("n_customers"))
+      .withColumn("row_n", sum(col("n_customers")).over(rowTot))
+      .select(
+        col("q_early"),
+        col("q_late"),
+        col("n_customers"),
+        expr("n_customers * 10000L div row_n").as("row_share_bp"))
+      .orderBy("q_early", "q_late")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_rank_mobility" -> q201RankMobility,
     "q200_shapley_attribution" -> q200ShapleyAttribution,
     "q199_user_similarity" -> q199UserSimilarity,
     "q198_cuped_ab" -> q198CupedAb,
@@ -7941,6 +7995,39 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same both-period gate, same (cents, custkey) total-order
+    // ntile(5) per period, shares by nonneg div
+    "q201_rank_mobility" ->
+      """WITH s AS (
+        |  SELECT o_custkey,
+        |    sum(CASE WHEN o_orderdate < TIMESTAMP '1998-05-01 00:00:00'
+        |        THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |        ELSE 0 END) AS c1,
+        |    sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-05-01 00:00:00'
+        |        THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |        ELSE 0 END) AS c2,
+        |    max(CASE WHEN o_orderdate < TIMESTAMP '1998-05-01 00:00:00'
+        |        THEN 1 ELSE 0 END) AS in1,
+        |    max(CASE WHEN o_orderdate >= TIMESTAMP '1998-05-01 00:00:00'
+        |        THEN 1 ELSE 0 END) AS in2
+        |  FROM orders
+        |  GROUP BY o_custkey),
+        |t AS (
+        |  SELECT o_custkey,
+        |    ntile(5) OVER (ORDER BY c1 ASC, o_custkey ASC) AS q_early,
+        |    ntile(5) OVER (ORDER BY c2 ASC, o_custkey ASC) AS q_late
+        |  FROM s WHERE in1 = 1 AND in2 = 1),
+        |m AS (
+        |  SELECT q_early, q_late, count(*) AS n_customers
+        |  FROM t GROUP BY 1, 2)
+        |SELECT CAST(q_early AS INTEGER) AS q_early,
+        |  CAST(q_late AS INTEGER) AS q_late,
+        |  CAST(n_customers AS BIGINT) AS n_customers,
+        |  CAST(n_customers * 10000 //
+        |    sum(n_customers) OVER (PARTITION BY q_early) AS BIGINT)
+        |    AS row_share_bp
+        |FROM m
+        |ORDER BY q_early, q_late""".stripMargin,
     // same exact-set pivot and closed-form Shapley numerators;
     // credits by non-negative integer floor division
     "q200_shapley_attribution" ->

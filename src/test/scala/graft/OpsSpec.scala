@@ -1260,6 +1260,23 @@ class OpsSpec extends SparkSpec {
     assert(got == want, "fold must equal the imperative Holt smoother")
   }
 
+  test("q201 rank mobility: quintile margins balance; row shares account to 10000 bp") {
+    val out = Relational.q201RankMobility(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val total = out.map(_._3).sum
+    val early = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val late = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // ntile margins: each quintile holds n/5 customers, ±1
+    Seq(early, late).foreach { m =>
+      assert(m.keySet.subsetOf((1 to 5).toSet))
+      m.values.foreach(v => assert(math.abs(v - total / 5) <= 1, s"margin $v vs ${total / 5}"))
+    }
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val bp = rows.map(_._4).sum
+      assert(bp >= 10000 - rows.length && bp <= 10000, s"row $q shares sum $bp")
+    }
+  }
+
   test("p20 dedup holdout: accounting identities hold; membership is a pure content function") {
     val out = Corpus.p20DedupHoldout(spark, Sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
