@@ -478,14 +478,17 @@ object Corpus {
     * distinct/total tokens in BASIS POINTS via integer floor division
     * (`(n_distinct·10000) div n_tokens`), so the sort key is an exact
     * integer and the shard boundary can never sit on a float
-    * knife-edge; ties broken by doc_id. `ntile(8)` over that total
-    * order is the standard-SQL even split both engines implement
-    * identically (first shards take the remainder). Plan: per-doc
-    * stats are a scan-local project (no exchange), the ntile is ONE
-    * global sort of doc-count-sized rows (id + two ints — not text),
-    * and the shard rollup rides the same order. At 100 TB the global
-    * sort is a range-partitioned sort of ~10⁹ 24-byte rows, the
-    * documented cost of a total curriculum order; text never moves.
+    * knife-edge; ties broken by doc_id. Shards replicate the
+    * standard-SQL ntile(8) even split (first shards take the
+    * remainder), assigned by [[ExactNtile]]'s bounded-histogram
+    * boundaries (round-10 fix: the previous unpartitioned ntile
+    * window single-task-sorted every document row). Plan: per-doc
+    * stats are a scan-local project, the density histogram is
+    * domain-bounded (density_bp ∈ [0, 10⁴]), 7 boundary keys
+    * broadcast, and assignment is scan-side — at 100 TB no task ever
+    * sorts more than one density block of distinct values; text
+    * never moves. Fixture cost (sf0.1 warm): 0.35 s → 1.28 s, the
+    * distributed shape's fixed overhead.
     */
   def p11CurriculumShards(s: SparkSession, dir: String): DataFrame = {
     val scored = Tables
@@ -495,10 +498,14 @@ object Corpus {
         size(split(col("text"), " ")).cast("long").as("nt"),
         size(array_distinct(split(col("text"), " "))).cast("long").as("nd"))
       .withColumn("density_bp", expr("(nd * 10000) div nt"))
-    val win = org.apache.spark.sql.expressions.Window
-      .orderBy(col("density_bp").asc, col("doc_id").asc)
-    scored
-      .withColumn("shard", ntile(8).over(win))
+    ExactNtile
+      .withBucket(
+        scored,
+        8,
+        "density_bp",
+        "doc_id",
+        m => floor(m / lit(512.0)).cast("long"),
+        "shard")
       .groupBy(col("shard"))
       .agg(
         count(lit(1)).as("n_docs"),

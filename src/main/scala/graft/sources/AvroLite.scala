@@ -58,9 +58,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * `[null, T]` of each — and, since round 9, NESTED types to any
   * depth: records (→ struct), arrays (→ array) and maps (→ map with
   * string keys), i.e. the CDC-envelope / event-bus shapes
-  * (`{before: record, after: record, tags: array<record>}`). General
-  * multi-branch unions remain out of scope (no canonical relational
-  * mapping); they still fail fast at schema inference.
+  * (`{before: record, after: record, tags: array<record>}`). Since
+  * round 10, LOGICAL types on read AND write: `date` → DateType,
+  * `timestamp-millis`/`timestamp-micros` → TimestampType (epoch
+  * micros in Catalyst; millis scale on decode), `decimal` over
+  * bytes/fixed → DecimalType(p, s) — the annotations every real
+  * CDC/Kafka-Connect feed stamps on its time and money columns.
+  * General multi-branch unions remain out of scope (no canonical
+  * relational mapping); they still fail fast at schema inference.
   *
   * Column pruning stays TOP-LEVEL: a projected reader schema drops
   * whole unprojected columns at decode time; nested fields of a
@@ -97,6 +102,26 @@ object AvroLite {
 
   private[sources] def hadoopConf: Configuration =
     SparkSession.active.sparkContext.hadoopConfiguration
+
+  /** Serializable carrier for the SESSION Hadoop configuration, so
+    * executor-side readers/writers and the driver-side commit all
+    * resolve FileSystems with the same settings (fs.defaultFS,
+    * object-store credentials, custom schemes) instead of a bare
+    * `new Configuration()` that only works on the default local FS.
+    */
+  private[sources] class ConfCarrier(@transient private var conf: Configuration)
+      extends Serializable {
+    def value: Configuration = conf
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new Configuration(false)
+      conf.readFields(in)
+    }
+  }
 
   private[sources] def listFiles(path: String): Seq[String] = {
     val p = new Path(path)
@@ -145,8 +170,32 @@ object AvroLite {
 
   /** Recursive Avro→Catalyst type mapping. `unwrap` has already been
     * applied by the caller, so `s` is never a union here.
+    *
+    * LOGICAL types (round 10 — the semantics real feeds lean on:
+    * Kafka Connect / CDC envelopes stamp every time and money column
+    * with one): `date` (int) → DateType, `timestamp-millis`/
+    * `timestamp-micros` (long) → TimestampType, `decimal`
+    * (bytes/fixed) → DecimalType(p, s). Values convert in
+    * [[toCatalyst]] (Catalyst timestamps are epoch MICROS, so millis
+    * scale by 1000; decimal unscaled big-endian bytes rebuild at the
+    * schema's scale). `time-*` and `local-timestamp-*` stay raw
+    * ints/longs — Catalyst has no time-of-day type and the fixture
+    * contract pins UTC session time, so no silent re-zoning.
     */
-  private def toDataType(s: Schema): DataType = s.getType match {
+  private def toDataType(s: Schema): DataType = (s.getType, logicalName(s)) match {
+    case (Schema.Type.INT, Some("date")) => DateType
+    case (Schema.Type.LONG, Some("timestamp-millis" | "timestamp-micros")) =>
+      TimestampType
+    case (Schema.Type.BYTES | Schema.Type.FIXED, Some("decimal")) =>
+      val d = s.getLogicalType.asInstanceOf[org.apache.avro.LogicalTypes.Decimal]
+      DecimalType(d.getPrecision, d.getScale)
+    case (t, _) => toDataTypePhysical(t, s)
+  }
+
+  private[sources] def logicalName(s: Schema): Option[String] =
+    Option(s.getLogicalType).map(_.getName)
+
+  private def toDataTypePhysical(t: Schema.Type, s: Schema): DataType = t match {
     case Schema.Type.BOOLEAN => BooleanType
     case Schema.Type.INT     => IntegerType
     case Schema.Type.LONG    => LongType
@@ -201,12 +250,35 @@ object AvroLite {
     * Catalyst struct was built from the same Avro schema, so field
     * positions align), arrays (java Collection → GenericArrayData) and
     * maps (java Map with CharSequence keys → ArrayBasedMapData).
+    * `sch` is the (possibly union-wrapped) Avro schema of `v` — it
+    * carries the logical-type annotations the raw decoded value
+    * needs: timestamp-millis longs scale to Catalyst's epoch micros,
+    * date ints pass through as days, decimal bytes rebuild as the
+    * unscaled big-endian integer at the schema's scale.
     */
-  private[sources] def toCatalyst(v: AnyRef, dt: DataType): Any = v match {
+  private[sources] def toCatalyst(v: AnyRef, dt: DataType, sch: Schema): Any = v match {
     case null => null
     case _ =>
+      val s =
+        if (sch.getType == Schema.Type.UNION)
+          sch.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+        else sch
       dt match {
         case StringType => UTF8String.fromString(v.toString)
+        case TimestampType =>
+          val raw = v.asInstanceOf[java.lang.Long].longValue()
+          if (logicalName(s).contains("timestamp-millis")) raw * 1000L else raw
+        case DateType => v // int days since epoch, both sides
+        case d: DecimalType =>
+          val bytes = v match {
+            case bb: java.nio.ByteBuffer =>
+              val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+            case fx: org.apache.avro.generic.GenericFixed => fx.bytes()
+          }
+          Decimal(
+            new java.math.BigDecimal(new java.math.BigInteger(bytes), d.scale),
+            d.precision,
+            d.scale)
         case BinaryType =>
           v match {
             case bb: java.nio.ByteBuffer =>
@@ -219,7 +291,8 @@ object AvroLite {
           val vals = new Array[Any](st.fields.length)
           var i = 0
           while (i < st.fields.length) {
-            vals(i) = toCatalyst(rec.get(i), st.fields(i).dataType)
+            vals(i) =
+              toCatalyst(rec.get(i), st.fields(i).dataType, s.getFields.get(i).schema())
             i += 1
           }
           new GenericInternalRow(vals)
@@ -228,7 +301,10 @@ object AvroLite {
           val out = new Array[Any](coll.size())
           var i = 0
           val it = coll.iterator()
-          while (it.hasNext) { out(i) = toCatalyst(it.next(), at.elementType); i += 1 }
+          while (it.hasNext) {
+            out(i) = toCatalyst(it.next(), at.elementType, s.getElementType)
+            i += 1
+          }
           new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
         case mt: MapType =>
           val m = v.asInstanceOf[java.util.Map[AnyRef, AnyRef]]
@@ -240,7 +316,7 @@ object AvroLite {
           while (it.hasNext) {
             val e = it.next()
             keys(i) = UTF8String.fromString(e.getKey.toString)
-            vals(i) = toCatalyst(e.getValue, mt.valueType)
+            vals(i) = toCatalyst(e.getValue, mt.valueType, s.getValueType)
             i += 1
           }
           new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
@@ -280,6 +356,19 @@ object AvroLite {
     case DoubleType  => Schema.create(Schema.Type.DOUBLE)
     case StringType  => Schema.create(Schema.Type.STRING)
     case BinaryType  => Schema.create(Schema.Type.BYTES)
+    // logical types, the exact inverse of the read mapping: Catalyst
+    // timestamps are epoch micros -> timestamp-micros; dates are days
+    // -> date; decimals -> bytes-backed decimal(p, s)
+    case TimestampType =>
+      org.apache.avro.LogicalTypes
+        .timestampMicros()
+        .addToSchema(Schema.create(Schema.Type.LONG))
+    case DateType =>
+      org.apache.avro.LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case d: DecimalType =>
+      org.apache.avro.LogicalTypes
+        .decimal(d.precision, d.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
     case st: StructType => structToAvro(st, name)
     case at: ArrayType =>
       val e = typeToAvro(at.elementType, s"$name.item")
@@ -309,6 +398,18 @@ object AvroLite {
       dt match {
         case StringType => v.asInstanceOf[UTF8String].toString
         case BinaryType => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+        // logical types: Catalyst micros/days pass through raw; the
+        // schema (built by typeToAvro) is always timestamp-micros, so
+        // no scaling on the write side
+        case TimestampType => v.asInstanceOf[java.lang.Long]
+        case DateType      => v.asInstanceOf[java.lang.Integer]
+        case d: DecimalType =>
+          java.nio.ByteBuffer.wrap(
+            v.asInstanceOf[Decimal]
+              .toJavaBigDecimal
+              .setScale(d.scale)
+              .unscaledValue()
+              .toByteArray)
         case st: StructType =>
           val row = v.asInstanceOf[InternalRow]
           val rec = new org.apache.avro.generic.GenericData.Record(nonNull)
@@ -396,13 +497,21 @@ private class AvroLiteScan(path: String, required: StructType) extends Scan with
     val files = AvroLite.listFiles(path)
     val (writer, _) = AvroLite.openSchema(files.head)
     val readerJson = AvroLite.prunedAvroSchema(writer, required).toString
-    new AvroLiteReaderFactory(readerJson, required)
+    // session Hadoop conf ships with the factory so executor-side
+    // FsInput resolves the SAME filesystems the driver listed
+    new AvroLiteReaderFactory(
+      readerJson,
+      required,
+      new AvroLite.ConfCarrier(AvroLite.hadoopConf))
   }
 }
 
 private case class AvroLitePartition(file: String) extends InputPartition
 
-private class AvroLiteReaderFactory(readerSchemaJson: String, required: StructType)
+private class AvroLiteReaderFactory(
+    readerSchemaJson: String,
+    required: StructType,
+    conf: AvroLite.ConfCarrier)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[AvroLitePartition].file
@@ -410,7 +519,7 @@ private class AvroLiteReaderFactory(readerSchemaJson: String, required: StructTy
     // writer schema comes from the container header; the parsed reader
     // schema projects it
     val datum = new GenericDatumReader[GenericRecord](null, readerSchema)
-    val in = new FsInput(new Path(file), new Configuration())
+    val in = new FsInput(new Path(file), conf.value)
     val reader = DataFileReader.openReader(in, datum)
     val types = required.fields.map(_.dataType)
     new PartitionReader[InternalRow] {
@@ -420,7 +529,8 @@ private class AvroLiteReaderFactory(readerSchemaJson: String, required: StructTy
         val vals = new Array[Any](types.length)
         var i = 0
         while (i < types.length) {
-          vals(i) = AvroLite.toCatalyst(rec.get(i), types(i))
+          vals(i) = AvroLite
+            .toCatalyst(rec.get(i), types(i), readerSchema.getFields.get(i).schema())
           i += 1
         }
         new GenericInternalRow(vals)
@@ -453,37 +563,55 @@ private case class AvroLiteCommitMessage(stagedFile: String, finalName: String)
 private class AvroLiteBatchWrite(path: String, schema: StructType, queryId: String)
     extends BatchWrite {
   private def staging = new Path(path, s"_staging_$queryId")
+  // captured ONCE from the session on the driver; the same carrier
+  // serves createBatchWriterFactory, the executor-side writers and
+  // the driver-side commit/abort, so a non-default fs.defaultFS or
+  // object-store credentials apply to the WHOLE write path
+  private val conf = new AvroLite.ConfCarrier(AvroLite.hadoopConf)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val fs = new Path(path).getFileSystem(AvroLite.hadoopConf)
+    val fs = new Path(path).getFileSystem(conf.value)
     fs.mkdirs(staging)
-    new AvroLiteWriterFactory(staging.toString, schema)
+    new AvroLiteWriterFactory(staging.toString, schema, queryId, conf)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(conf.value)
     messages.foreach { case AvroLiteCommitMessage(staged, finalName) =>
-      val ok = fs.rename(new Path(staged), new Path(path, finalName))
+      val target = new Path(path, finalName)
+      // fail fast instead of racing rename semantics: local rename(2)
+      // silently REPLACES an existing target while HDFS returns
+      // false — neither is an acceptable way to discover a collision
+      require(
+        !fs.exists(target),
+        s"publish target $target already exists — refusing to overwrite")
+      val ok = fs.rename(new Path(staged), target)
       require(ok, s"failed to publish $staged -> $finalName")
     }
     fs.delete(staging, true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(conf.value)
     fs.delete(staging, true) // staged-only writes vanish; target untouched
   }
 }
 
-private class AvroLiteWriterFactory(stagingDir: String, schema: StructType)
+private class AvroLiteWriterFactory(
+    stagingDir: String,
+    schema: StructType,
+    queryId: String,
+    conf: AvroLite.ConfCarrier)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new AvroLiteDataWriter(stagingDir, schema, partitionId, taskId)
+    new AvroLiteDataWriter(stagingDir, schema, queryId, conf, partitionId, taskId)
 }
 
 private class AvroLiteDataWriter(
     stagingDir: String,
     schema: StructType,
+    queryId: String,
+    conf: AvroLite.ConfCarrier,
     partitionId: Int,
     taskId: Long)
     extends DataWriter[InternalRow] {
@@ -491,12 +619,17 @@ private class AvroLiteDataWriter(
   import org.apache.avro.generic.{GenericDatumWriter, GenericRecord}
 
   private val avroSchema = AvroLite.structToAvro(schema, "row")
-  // task attempt id in the staged name: two attempts of the same
+  // job-unique published name: a SECOND append job into the same
+  // directory must never rename onto a prior job's part files (local
+  // rename(2) would silently replace them; HDFS would fail the
+  // commit) — the queryId suffix keeps every job's files disjoint,
+  // and commit() above still fail-fasts on any residual collision.
+  // Task attempt id in the staged name: two attempts of the same
   // partition never collide, and only the committed attempt is renamed
-  private val finalName = f"part-$partitionId%05d.avro"
+  private val finalName = f"part-$partitionId%05d-$queryId.avro"
   private val stagedPath = new Path(stagingDir, s"$finalName.$taskId")
   private val out =
-    stagedPath.getFileSystem(new Configuration()).create(stagedPath, true)
+    stagedPath.getFileSystem(conf.value).create(stagedPath, true)
   private val writer =
     new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avroSchema))
       .create(avroSchema, out)
@@ -514,7 +647,7 @@ private class AvroLiteDataWriter(
 
   override def abort(): Unit = {
     writer.close()
-    stagedPath.getFileSystem(new Configuration()).delete(stagedPath, false)
+    stagedPath.getFileSystem(conf.value).delete(stagedPath, false)
   }
 
   override def close(): Unit = ()

@@ -42,6 +42,37 @@ object Streams {
     */
   private def timerMsAfter(us: Long): Long = Math.floorDiv(us, 1000L) + 1L
 
+  /** Temp root for a run-to-completion gate, RECURSIVELY deleted on
+    * JVM exit (ADVICE closure: `File.deleteOnExit` only removes empty
+    * dirs, so repeated verify/bench passes were accumulating feed
+    * parquet + RocksDB checkpoint trees under /tmp unbounded). Eager
+    * deletion is not an option — the gates RETURN DataFrames that
+    * lazily re-read their `out` directory.
+    */
+  private def gateTempRoot(prefix: String): java.io.File = {
+    val root = java.nio.file.Files.createTempDirectory(prefix).toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles()
+        if (cs != null) cs.foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }))
+    root
+  }
+
+  /** Serializes the gated queries' session-conf mutation of the
+    * state-store provider (ADVICE closure): the override is GLOBAL to
+    * the SparkSession, so two gates racing set/restore — or a gate
+    * racing any other live streaming query — could leak RocksDB onto
+    * an unrelated query or restore the wrong previous value. Gates
+    * hold this monitor across set → run → restore; Verify/Bench run
+    * queries sequentially already, so the lock documents and enforces
+    * the contract rather than changing behavior.
+    */
+  private val providerConfLock = new Object
+
   /** Incremental ingestion: the streaming version of the reference's
     * staged-JSON → normalize → parquet pipeline
     * (reference: src/processor.rs:17-97). New JSON envelope files
@@ -1541,7 +1572,7 @@ object Streams {
       batch(3L, "I", o.filter(col("k") % 4 === 0)),
       batch(4L, "U", o.filter(col("k") % 40 === 22).withColumn("cents", col("cents") + 999L)))
 
-    val root = java.nio.file.Files.createTempDirectory("graft-q148").toFile
+    val root = gateTempRoot("graft-q148")
     val feed = new java.io.File(root, "feed")
     val out = new java.io.File(root, "out")
     val ckpt = new java.io.File(root, "ckpt")
@@ -1549,6 +1580,7 @@ object Streams {
     batches.foreach(_.coalesce(1).write.mode("append").parquet(feed.getAbsolutePath))
 
     val provKey = "spark.sql.streaming.stateStore.providerClass"
+    providerConfLock.synchronized {
     val prevProv = s.conf.getOption(provKey)
     s.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -1570,6 +1602,7 @@ object Streams {
     } finally prevProv match {
       case Some(v) => s.conf.set(provKey, v)
       case None    => s.conf.unset(provKey)
+    }
     }
 
     val latest = s.read
@@ -1603,8 +1636,7 @@ object Streams {
   def q155StreamWindowAgg(s: SparkSession, dir: String): DataFrame = {
     val file = s"$dir/events.parquet"
     val schema = s.read.option("mergeSchema", "false").parquet(file).schema
-    val feed = java.nio.file.Files.createTempDirectory("graft-q155").toFile
-    feed.deleteOnExit()
+    val feed = gateTempRoot("graft-q155")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(file),
       new java.io.File(feed, "events.parquet").toPath)
@@ -1682,7 +1714,7 @@ object Streams {
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"), col("value"))
     // deterministic midpoint split into two time-ordered feed files
     val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
-    val root = java.nio.file.Files.createTempDirectory("graft-q164").toFile
+    val root = gateTempRoot("graft-q164")
     val feed = new java.io.File(root, "feed")
     val out = new java.io.File(root, "out")
     val ckpt = new java.io.File(root, "ckpt")
@@ -1757,7 +1789,7 @@ object Streams {
           -floor(col("value") * 100 + 0.5).cast("long"))
           .otherwise(floor(col("value") * 100 + 0.5).cast("long")).as("delta"))
       .withColumn("fidx", ntile(3).over(w))
-    val root = java.nio.file.Files.createTempDirectory("graft-q193").toFile
+    val root = gateTempRoot("graft-q193")
     val feed = new java.io.File(root, "feed")
     val out = new java.io.File(root, "out")
     val ckpt = new java.io.File(root, "ckpt")
@@ -1772,6 +1804,7 @@ object Streams {
         .parquet(feed.getAbsolutePath)
     }
     val provKey = "spark.sql.streaming.stateStore.providerClass"
+    providerConfLock.synchronized {
     val prevProv = s.conf.getOption(provKey)
     s.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -1793,6 +1826,7 @@ object Streams {
     } finally prevProv match {
       case Some(v) => s.conf.set(provKey, v)
       case None    => s.conf.unset(provKey)
+    }
     }
     s.read
       .parquet(out.getAbsolutePath)

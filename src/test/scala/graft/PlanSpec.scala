@@ -504,6 +504,81 @@ class PlanSpec extends SparkSpec {
       s"AQE should broadcast the fixture-scale degree table unhinted:\n${plan.take(1500)}")
   }
 
+  test("tree-wide standing gate: no unpartitioned Window over a non-aggregate input in any declared query") {
+    // The round-9 demerit class as a PERMANENT tripwire (round-10
+    // mandate 8): an empty-partition-spec Window whose input is not
+    // bounded moves a data-scaled table through ONE task — the plan
+    // Spark itself warns about. A window input counts as bounded if
+    // its subtree holds an Aggregate (grouping-cardinality-bounded:
+    // block totals, rollups, vocabularies), a GlobalLimit (top-k
+    // already taken distributively — q152/s25's re-number-after-
+    // limit shape), or touches no data relation at all (literal /
+    // Range parameter grids — d32). Anything else must be fixed with
+    // ExactNtile / a two-phase prefix pass, or allow-listed here
+    // WITH a boundedness argument.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate,
+      GlobalLimit,
+      LocalRelation,
+      LogicalPlan,
+      OneRowRelation,
+      Range => LRange,
+      Window => LWindow
+    }
+    // run-to-completion streaming gates execute on construction and
+    // carry their own plan pins in StreamsSpec; skip re-running them
+    val skip = graft.streaming.Streams.queries.keySet
+    val allow = Map[String, String]() // name -> boundedness argument
+    def bounded(p: LogicalPlan): Boolean =
+      p.collectFirst {
+        case _: Aggregate   => ()
+        case _: GlobalLimit => ()
+      }.isDefined
+    def touchesData(p: LogicalPlan): Boolean =
+      p.collectLeaves().exists {
+        case _: LRange         => false
+        case _: LocalRelation  => false
+        case _: OneRowRelation => false
+        case _                 => true
+      }
+    val offenders = SparkEntry.queries.toSeq
+      .filter { case (name, _) => !skip(name) && !allow.contains(name) }
+      .sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, Sf).queryExecution.optimizedPlan
+        val bad = plan.collect {
+          case w: LWindow
+              if w.partitionSpec.isEmpty && !bounded(w.child) && touchesData(w.child) =>
+            w
+        }
+        if (bad.nonEmpty) Seq(s"$name (${bad.size} window(s))") else Nil
+      }
+    assert(
+      offenders.isEmpty,
+      s"unpartitioned Window over non-aggregate input in:\n  ${offenders.mkString("\n  ")}")
+  }
+
+  test("q165/q176 carry no broadcast hint on the data-scaled customer table; AQE still broadcasts at fixture scale") {
+    // Round-10 fix of the round-9 demerit: both queries forced
+    // broadcast(customer) — a data-scaled side, the exact shape the
+    // q93/q126 precedent forbids. Hints must be GONE, and AQE must
+    // still pick broadcast at fixture size on its own.
+    for ((name, q) <- Seq(
+        "q165" -> Relational.q165PctOfParent(spark, Sf),
+        "q176" -> Relational.q176LargestRemainder(spark, Sf))) {
+      val hinted = q.queryExecution.analyzed
+        .collect { case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h }
+        .flatMap(_.child.collectLeaves().flatMap(_.output.map(_.name)))
+      assert(!hinted.exists(_.startsWith("c_")),
+        s"$name must not hint the customer side, hinted outputs: $hinted")
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"$name AQE final plan not materialized")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"AQE should broadcast the fixture-scale customer unhinted in $name:\n${plan.take(1500)}")
+    }
+  }
+
   test("q156 SCD2 build rides one custkey exchange: windows and version aggregate share it") {
     // HashPartitioning(custkey) satisfies the (custkey, version, prio)
     // clustering (subset rule) and both window sorts, so the whole

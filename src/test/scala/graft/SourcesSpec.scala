@@ -367,4 +367,93 @@ class SourcesSpec extends SparkSpec {
     val expected = (0 until 20).flatMap(i => (0 until i % 3).map(j => i * 10L + j)).sum
     assert(tagSum == expected, s"exploded tag sum $tagSum != $expected")
   }
+
+  test("AvroLite: logical types decode — timestamp-millis/micros, date, decimal, nullable unions") {
+    import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.spark.sql.types._
+    val tsMs = LogicalTypes.timestampMillis().addToSchema(Schema.create(Schema.Type.LONG))
+    val tsUs = LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    val dt = LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    val dec = LogicalTypes.decimal(10, 3).addToSchema(Schema.create(Schema.Type.BYTES))
+    val rec: Schema = SchemaBuilder.record("lt").fields()
+      .requiredLong("id")
+      .name("ts_ms").`type`(tsMs).noDefault()
+      .name("ts_us").`type`(tsUs).noDefault()
+      .name("d").`type`(dt).noDefault()
+      .name("amt").`type`(dec).noDefault()
+      .name("maybe_ts").`type`(Schema.createUnion(Schema.create(Schema.Type.NULL), tsUs))
+      .withDefault(null)
+      .endRecord()
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-logical").toFile
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](rec))
+    w.create(rec, new java.io.File(dir, "lt.avro"))
+    def decBytes(unscaled: Long): java.nio.ByteBuffer =
+      java.nio.ByteBuffer.wrap(java.math.BigInteger.valueOf(unscaled).toByteArray)
+    try (0 until 4).foreach { i =>
+      val r = new GenericData.Record(rec)
+      r.put("id", i.toLong)
+      r.put("ts_ms", 1700000000000L + i) // epoch millis
+      r.put("ts_us", 1700000000000000L + i) // epoch micros
+      r.put("d", 19700 + i) // days since epoch
+      r.put("amt", decBytes(if (i == 3) -1234567L else 1000L * i + 5)) // scale 3
+      r.put("maybe_ts", if (i % 2 == 0) null else java.lang.Long.valueOf(1700000000000000L + i))
+      w.append(r)
+    } finally w.close()
+    val df = spark.read.format("graft.sources.AvroLite").load(dir.getAbsolutePath)
+    assert(df.schema("ts_ms").dataType == TimestampType)
+    assert(df.schema("ts_us").dataType == TimestampType)
+    assert(df.schema("d").dataType == DateType)
+    assert(df.schema("amt").dataType == DecimalType(10, 3))
+    assert(df.schema("maybe_ts").dataType == TimestampType && df.schema("maybe_ts").nullable)
+    val got = df
+      .select(
+        col("id"),
+        unix_micros(col("ts_ms")).as("ms_us"),
+        unix_micros(col("ts_us")).as("us_us"),
+        datediff(col("d"), lit("1970-01-01").cast("date")).as("days"),
+        col("amt"),
+        col("maybe_ts"))
+      .orderBy("id")
+      .collect()
+    assert(got(1).getLong(1) == 1700000000001000L, "millis must scale to Catalyst micros")
+    assert(got(1).getLong(2) == 1700000000000001L, "micros must pass through unscaled")
+    assert(got(2).getInt(3) == 19702, "date days must pass through")
+    assert(got(2).getDecimal(4) == new java.math.BigDecimal("2.005"))
+    assert(got(3).getDecimal(4) == new java.math.BigDecimal("-1234.567"),
+      "negative unscaled decimal must decode with its sign")
+    assert(got(0).isNullAt(5) && !got(1).isNullAt(5), "nullable logical union")
+  }
+
+  test("AvroLite write: logical types round-trip through the DSv2 sink; two append jobs coexist") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-lt-write").toFile
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 12:34:56.789123"),
+        java.sql.Date.valueOf("2024-03-01"), BigDecimal("12345.67")),
+      (2L, java.sql.Timestamp.valueOf("1969-12-31 23:59:59.999999"),
+        java.sql.Date.valueOf("1969-12-31"), BigDecimal("-0.01")))
+      .toDF("id", "ts", "d", "amt")
+      .select(col("id"), col("ts"), col("d"), col("amt").cast(DecimalType(12, 2)).as("amt"))
+    df.write.format("graft.sources.AvroLite").mode("append").save(dir.getAbsolutePath)
+    val back = spark.read.format("graft.sources.AvroLite").load(dir.getAbsolutePath)
+    assert(back.schema("ts").dataType == TimestampType)
+    assert(back.schema("d").dataType == DateType)
+    assert(back.schema("amt").dataType == DecimalType(12, 2))
+    val o = df.orderBy("id").collect()
+    val b = back.orderBy("id").collect()
+    assert(o.sameElements(b), "logical-typed rows must round-trip bit-exactly")
+    // ADVICE closure: published names are job-unique, so a SECOND
+    // append job must add files, not silently replace the first
+    // job's (local rename(2) replaces; HDFS fails the commit)
+    val firstFiles = dir.listFiles().filter(_.getName.endsWith(".avro")).map(_.getName).toSet
+    df.write.format("graft.sources.AvroLite").mode("append").save(dir.getAbsolutePath)
+    val afterFiles = dir.listFiles().filter(_.getName.endsWith(".avro")).map(_.getName).toSet
+    assert(firstFiles.subsetOf(afterFiles) && afterFiles.size > firstFiles.size,
+      s"second append must not overwrite: before=$firstFiles after=$afterFiles")
+    val twice = spark.read.format("graft.sources.AvroLite").load(dir.getAbsolutePath)
+    assert(twice.count() == 4, "both jobs' rows must survive")
+  }
 }
