@@ -7921,24 +7921,31 @@ object Relational {
     * cosine, but candidates come from d10/s2-style hyperplane
     * banding instead of the df-capped part-postings join — the arm a
     * production recsys switches to when Σ df² outgrows the catalog.
-    * Each customer's sparse (part, qty) vector projects onto 16
+    * Each customer's sparse (part, qty) vector projects onto 48
     * pseudo-random ±1 hyperplanes (sign of Σ q·r(part, h); r derived
     * from one md5 hex digit — the d1/p18 portable-hash convention,
-    * so both engines band identically), the 16 sign bits split into
-    * 4 bands × 4 bits, and two customers become a candidate pair iff
+    * so both engines band identically), the 48 sign bits split into
+    * 12 bands × 4 bits, and two customers become a candidate pair iff
     * they collide in SOME band. Exact integer dot/norm verification
     * then runs ONLY on candidate pairs, and the top-3 ranking is
     * q199's (cosine desc, neighbor asc).
     *
-    * Scale: signatures cost basket_rows × 16 map-side rows into a
+    * Scale: signatures cost basket_rows × 48 map-side rows into a
     * (cust, h)-keyed aggregate; the band self-join is an EQUI-join
     * on (band, 4-bit key) — candidates bound by band-bucket
     * occupancy, tunable by (bands, rows) exactly as d32's analytic
     * tuner prescribes, with NO df cap needed; verification expands
     * each candidate pair by its basket length through two part-keyed
-    * joins. Nothing is ever all-pairs. OpsSpec pins top-3 agreement
-    * vs the exact q199 control on the fixture; the honest trade is
-    * recall-for-cost, and the measured floor rides in the spec.
+    * joins. Nothing is ever all-pairs. MEASURED top-3 agreement vs
+    * the exact q199 control (the honest recall-for-cost trade, the
+    * s23 convention): layout sweep at sf0.001 gave 0.42 (4×4),
+    * 0.74 (8×4), 0.85 (12×4 — shipped); at sf0.01 the 12×4 recall
+    * is 0.67 with 622k candidate pairs — moderate-cosine top-3
+    * neighbors are hyperplane LSH's hard regime, which is exactly
+    * why the exact postings arm stays as the control. At real n the
+    * 4-bit band key space saturates (candidates → n²/2^bits); band
+    * width must grow with log n — d32's tuner trade, noted there.
+    * OpsSpec pins agreement ≥ 0.8 at sf0.001.
     */
   def q203UserSimilarityLsh(s: SparkSession, dir: String): DataFrame = {
     val basket = Tables
@@ -7954,7 +7961,7 @@ object Relational {
       .agg(sum(col("q") * col("q")).as("n2"))
     val sig = basket
       .select(col("cust"), col("part"), col("q"),
-        explode(sequence(lit(0), lit(15))).as("h"))
+        explode(sequence(lit(0), lit(47))).as("h"))
       .withColumn(
         "r",
         when(
@@ -8203,8 +8210,8 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     // same basket/norm algebra as q199's oracle; candidates via the
-    // SAME 16-bit hyperplane banding (md5-hex-digit signs — the
-    // portable-hash convention), 4 bands x 4 bits, verified exactly
+    // SAME 48-bit hyperplane banding (md5-hex-digit signs — the
+    // portable-hash convention), 12 bands x 4 bits, verified exactly
     "q203_user_similarity_lsh" ->
       """WITH basket AS (
         |  SELECT o_custkey AS cust, l_partkey AS part,
@@ -8218,7 +8225,7 @@ object Relational {
         |        md5(part::VARCHAR || '_' || h::VARCHAR), 1, 1)
         |        IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END)) >= 0
         |      THEN 1 ELSE 0 END AS bit
-        |  FROM basket, (SELECT unnest(range(0, 16)) AS h)
+        |  FROM basket, (SELECT unnest(range(0, 48)) AS h)
         |  GROUP BY cust, h),
         |bands AS (
         |  SELECT cust, h // 4 AS band,

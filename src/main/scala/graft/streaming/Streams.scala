@@ -1848,7 +1848,118 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** q204 — streaming MinHash near-dup gate RUN TO COMPLETION under
+    * the oracle (round-10 mandate: the fifth gate, promoting
+    * [[streamingNearDupGate]] from its spec-only parity pins — LLM
+    * ingest's hottest path). The documents fixture splits into three
+    * deterministic shards (`doc_id % 3`) fed one file per
+    * micro-batch, so the RocksDB band-bucket state genuinely crosses
+    * commits; every emitted [[BandHit]] candidate edge then passes
+    * d2's exact-verification consumer step (sorted-hash-set
+    * intersection, jac ≥ 0.5), and the rollup reports per-lang
+    * counts and the id-sum of FLAGGED docs (any side of a verified
+    * edge).
+    *
+    * Why flags, not pairs: the stream links arrivals to the bucket
+    * REPRESENTATIVE, so inside a k-clique of mutual near-dups it
+    * emits a star (k−1 edges), not the C(k,2) pairs d2 reports — the
+    * flagged-doc SET, however, is order-free and equals exhaustive
+    * truth: a doc with any θ-partner shares a bucket with its
+    * cluster w.h.p. (d2's (1−s²)^32 recall bound), and a bucket's
+    * representative is itself a cluster member unless an UNRELATED
+    * doc matched a 128-bit band key by chance (~2⁻¹²⁸ per band) —
+    * so every flagged-by-truth doc gains at least one VERIFIED
+    * stream edge regardless of arrival order. The DuckDB oracle is
+    * therefore d2's exhaustive exact-Jaccard SQL (no minhash
+    * replication needed), rolled up to the same flag counts.
+    *
+    * Scale: state ∝ occupied buckets (≤ 32 per unique doc, TTL-able),
+    * per-trigger work ∝ arriving docs × 32; the verify join expands
+    * only emitted candidate edges; the corpus is never re-banded.
+    */
+  def q204StreamNeardup(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.ops.Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val root = gateTempRoot("graft-q204")
+    val feed = new java.io.File(root, "feed")
+    val out = new java.io.File(root, "out")
+    val ckpt = new java.io.File(root, "ckpt")
+    (0 to 2).foreach { i =>
+      docs
+        .filter(col("doc_id") % 3 === i)
+        .coalesce(1)
+        .write
+        .mode("append")
+        .parquet(feed.getAbsolutePath)
+    }
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    providerConfLock.synchronized {
+      val prevProv = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val in = s.readStream
+          .schema("doc_id BIGINT, lang STRING, text STRING")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(feed.getAbsolutePath)
+        val q = streamingNearDupGate(in.select(col("doc_id"), col("text"))).writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (hits: Dataset[BandHit], _: Long) =>
+            hits.write.mode("append").parquet(out.getAbsolutePath)
+          }
+          .start()
+        q.awaitTermination()
+      } finally prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+    }
+    // d2's consumer step: exact verification of the emitted candidate
+    // edges on the sorted shingle-hash sets, then the flag rollup
+    val edges = s.read
+      .parquet(out.getAbsolutePath)
+      .select(col("doc_id"), col("rep_doc_id"))
+      .distinct()
+    val sets = graft.ops.Dedup
+      .docsWithShingles(s, dir, 3)
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
+    val verified = edges
+      .join(
+        sets.withColumnRenamed("hs", "sa").withColumnRenamed("n", "na"),
+        "doc_id")
+      .join(
+        sets
+          .withColumnRenamed("doc_id", "rep_doc_id")
+          .withColumnRenamed("hs", "sb")
+          .withColumnRenamed("n", "nb"),
+        "rep_doc_id")
+      .withColumn(
+        "shared",
+        graft.functions.SortedArrayIntersectCount
+          .sortedIntersectCount(col("sa"), col("sb"))
+          .cast("double"))
+      .filter(col("shared") / (col("na") + col("nb") - col("shared")) >= 0.5)
+    val flagged = verified
+      .select(col("doc_id"))
+      .unionAll(verified.select(col("rep_doc_id").as("doc_id")))
+      .distinct()
+      .withColumn("f", lit(1L))
+    docs
+      .select(col("doc_id"), col("lang"))
+      .join(flagged, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("f"), lit(0L))).as("n_neardup_docs"),
+        sum(when(col("f") === 1L, col("doc_id")).otherwise(0L)).as("neardup_id_sum"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_stream_neardup" -> q204StreamNeardup,
     "q193_stream_wallet" -> q193StreamWallet,
     "q164_stream_interval_join" -> q164StreamIntervalJoin,
     "q155_stream_window_agg" -> q155StreamWindowAgg,
@@ -1859,6 +1970,40 @@ object Streams {
     * final state.
     */
   val oracles: Map[String, String] = Map(
+    // d2's exhaustive exact-Jaccard SQL (no minhash replication —
+    // the gate's verified flag set equals truth per the recall
+    // argument in the scaladoc), rolled up to per-lang flag counts
+    "q204_stream_neardup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+        |      FOR i IN range(1, len(t) - 1)]) AS shingles
+        |  FROM tok WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |ver AS (
+        |  SELECT id_a, id_b
+        |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+        |             JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.5),
+        |fl AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT id_a AS doc_id FROM ver
+        |    UNION ALL SELECT id_b AS doc_id FROM ver))
+        |SELECT d.lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_neardup_docs,
+        |  CAST(sum(CASE WHEN fl.doc_id IS NOT NULL THEN d.doc_id ELSE 0 END)
+        |       AS BIGINT) AS neardup_id_sum
+        |FROM documents d LEFT JOIN fl USING (doc_id)
+        |GROUP BY 1 ORDER BY d.lang""".stripMargin,
     // the streamed order-dependent fold must land exactly on the
     // batch twin's replay
     "q193_stream_wallet" ->

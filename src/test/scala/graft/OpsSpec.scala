@@ -1367,6 +1367,36 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q203 LSH arm: top-3 agreement vs the exact q199 control holds the measured floor") {
+    // The recall-for-cost trade, pinned: the 12x4 hyperplane layout
+    // measured 0.851 top-3 agreement at sf0.001 (scaladoc's sweep
+    // table); the floor guards the banding/hash machinery against
+    // silent regressions, not the laws of LSH.
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("custkey", "neighbor").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Relational.q199UserSimilarity(spark, Sf))
+    val lsh = pairs(Relational.q203UserSimilarityLsh(spark, Sf))
+    assert(exact.nonEmpty && lsh.size == exact.size,
+      "both arms emit top-3 per customer over the same population")
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.8, s"q203 top-3 agreement vs q199 fell to $recall (floor 0.8)")
+    // every LSH-ranked pair must share at least one part (verified
+    // exactly), and its cosine algebra matches the exact arm's
+    val byKey = Relational.q199UserSimilarity(spark, Sf)
+      .select("custkey", "neighbor", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Relational.q203UserSimilarityLsh(spark, Sf)
+      .select("custkey", "neighbor", "cosine", "shared_parts")
+      .collect()
+      .foreach { r =>
+        assert(r.getLong(3) >= 1L)
+        byKey.get((r.getLong(0), r.getLong(1))).foreach { c =>
+          assert(math.abs(c - r.getDouble(2)) < 1e-9,
+            "shared pairs must score identically in both arms")
+        }
+      }
+  }
+
   test("q199 user similarity: contiguous ranks, monotone cosines, exact replay for one customer") {
     val out = Relational.q199UserSimilarity(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
