@@ -49,6 +49,19 @@ object Codec {
     def frameEnergies(payload: Array[Byte]): Array[Long]
   }
 
+  /** Per-row perceptual hash (m18's handle): a 64-bit dHash emitted
+    * as FOUR 16-bit words (0..65535) — word granularity is the
+    * operator contract because m18's pigeonhole banding keys on
+    * exact word equality, and 16-bit ints sidestep the sign/shift
+    * portability traps a packed 64-bit hash would carry across
+    * engines. A real codec downsamples to a 9×8 grayscale grid and
+    * emits horizontal gradient signs; the stub derives the "pixels"
+    * from payload bytes deterministically.
+    */
+  trait ImageHasher {
+    def dhashWords(payload: Array[Byte]): Array[Int]
+  }
+
   /** The injection point. Implementations MUST be cheap to construct
     * and serializable — the expensive native setup belongs in the
     * `open*` calls, which the operators invoke once per partition.
@@ -57,6 +70,7 @@ object Codec {
     def openImageDecoder(): ImageDecoder
     def openImageResizer(box: Int): ImageResizer
     def openAudioAnalyzer(frameLen: Int, silenceMeanByte: Int): AudioAnalyzer
+    def openImageHasher(): ImageHasher
   }
 
   /** The deterministic offline stubs — the default provider, whose
@@ -67,6 +81,7 @@ object Codec {
     override def openImageResizer(box: Int): ImageResizer = new FakeImageResizer(box)
     override def openAudioAnalyzer(frameLen: Int, silenceMeanByte: Int): AudioAnalyzer =
       new FakeAudioDecoder(frameLen, silenceMeanByte)
+    override def openImageHasher(): ImageHasher = new FakeImageHasher()
   }
 
   /** A SECOND fake codec family, existing to prove the seam: it
@@ -98,6 +113,10 @@ object Codec {
         override def frameEnergies(payload: Array[Byte]): Array[Long] =
           inner.frameEnergies(m(payload))
       }
+    }
+    override def openImageHasher(): ImageHasher = {
+      val inner = new FakeImageHasher()
+      (payload: Array[Byte]) => inner.dhashWords(m(payload))
     }
   }
 }
@@ -220,4 +239,33 @@ final class FakeAudioDecoder private[ops] (frameLen: Int, silenceMeanByte: Int)
 object FakeAudioDecoder {
   def open(frameLen: Int, silenceMeanByte: Int): FakeAudioDecoder =
     new FakeAudioDecoder(frameLen, silenceMeanByte)
+}
+
+/** STUB: stands in for a real perceptual hasher (a decoder + 9×8
+  * grayscale downsample + dHash). The stub's "pixel" (r, c) is the
+  * payload byte at index (r·9 + c) mod len — deterministic on the
+  * bytes, oracle-replicable — and the dHash bit is the horizontal
+  * gradient sign pixel(r, c+1) > pixel(r, c), packed little-endian
+  * into four 16-bit words (bit b → word b/16, position b mod 16).
+  */
+final class FakeImageHasher private[ops] () extends Codec.ImageHasher {
+  override def dhashWords(payload: Array[Byte]): Array[Int] = {
+    val out = new Array[Int](4)
+    val n = payload.length
+    if (n == 0) return out
+    var b = 0
+    while (b < 64) {
+      val r = b / 8
+      val c = b % 8
+      val p0 = payload((r * 9 + c) % n) & 0xFF
+      val p1 = payload((r * 9 + c + 1) % n) & 0xFF
+      if (p1 > p0) out(b / 16) |= 1 << (b % 16)
+      b += 1
+    }
+    out
+  }
+}
+
+object FakeImageHasher {
+  def open(): FakeImageHasher = new FakeImageHasher()
 }

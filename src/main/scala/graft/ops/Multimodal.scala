@@ -887,7 +887,80 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Four 16-bit dHash words per asset (m18's signature row). */
+  final case class DhashWords(doc_id: Long, w0: Int, w1: Int, w2: Int, w3: Int)
+
+  /** m18 — perceptual near-duplicate images via dHash + PIGEONHOLE
+    * banding: every asset's 64-bit dHash (horizontal gradient signs
+    * over a 9×8 grayscale grid — the standard perceptual fingerprint;
+    * stub pixels derive from payload bytes behind the
+    * [[Codec.Provider]] seam) splits into four 16-bit words, and two
+    * assets become a candidate pair iff they agree EXACTLY on some
+    * word. Unlike m16's exact frame-fingerprint equality, this finds
+    * near-identical images that differ by re-encode noise: matches
+    * are pairs at Hamming distance ≤ 3 over the 64 bits, and the
+    * banding is EXACT, not probabilistic — 4 disjoint words, ≤ 3
+    * differing bits, so by pigeonhole every true match shares ≥ 1
+    * untouched word (recall 1.0 by construction; contrast d10's
+    * probabilistic hyperplane bands). Verification is
+    * `bit_count(xor)` over the words — pure integer algebra both
+    * engines share.
+    *
+    * Scale: signatures are one decode pass (mapPartitions codec
+    * contract, payloads never shuffle); candidates come from an
+    * EQUI-join on (word_index, word) — bucket-occupancy-bounded, the
+    * d13 posture; verification touches only candidate pairs. At
+    * 100 TB the word index is the standard pHash dedup index shape
+    * (4 postings per asset).
+    */
+  def m18DhashNearDup(
+      s: SparkSession,
+      dir: String,
+      codecs: Codec.Provider = Codec.Stub): DataFrame = {
+    import s.implicits._
+    val ds = media(s, dir).select(col("doc_id"), col("payload")).as[AudioRow]
+    val words = ds
+      .mapPartitions { rows =>
+        val h = codecs.openImageHasher()
+        rows.map { r =>
+          val w = h.dhashWords(r.payload)
+          DhashWords(r.doc_id, w(0), w(1), w(2), w(3))
+        }
+      }
+      .toDF()
+      .localCheckpoint() // read by the banding AND both verify sides
+    val keyed = words.select(
+      col("doc_id"),
+      posexplode(array(col("w0"), col("w1"), col("w2"), col("w3")))
+        .as(Seq("band", "w")))
+    val cand = keyed
+      .as("a")
+      .join(
+        keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.w") === col("b.w") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(
+        words.select(col("doc_id").as("id_a"), col("w0").as("a0"), col("w1").as("a1"),
+          col("w2").as("a2"), col("w3").as("a3")),
+        "id_a")
+      .join(
+        words.select(col("doc_id").as("id_b"), col("w0").as("b0"), col("w1").as("b1"),
+          col("w2").as("b2"), col("w3").as("b3")),
+        "id_b")
+      .withColumn(
+        "hamming",
+        expr("""CAST(bit_count(a0 ^ b0) + bit_count(a1 ^ b1)
+               |     + bit_count(a2 ^ b2) + bit_count(a3 ^ b3) AS BIGINT)""".stripMargin))
+      .filter(col("hamming") <= 3L)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m18_dhash_neardup" -> ((s, d) => m18DhashNearDup(s, d)),
     "m17_loudness_audit" -> ((s, d) => m17LoudnessAudit(s, d)),
     "m16_frame_dedup" -> m16FrameDedup,
     "m15_crossmodal_retrieval" -> m15CrossmodalRetrieval,
@@ -908,6 +981,49 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // the stub dHash replayed: pixel (r, c) = payload byte
+    // (r*9 + c) mod nb, gradient-sign bits packed little-endian into
+    // four 16-bit words, pigeonhole word-equality banding, then
+    // bit_count(xor) Hamming verify <= 3
+    "m18_dhash_neardup" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)
+        |      AS bytes,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, wi,
+        |    CAST(list_sum([
+        |      CASE WHEN
+        |        bytes[(((wi * 16 + j) // 8) * 9 + ((wi * 16 + j) % 8) + 1)
+        |              % nb + 1]
+        |        > bytes[(((wi * 16 + j) // 8) * 9 + ((wi * 16 + j) % 8))
+        |                % nb + 1]
+        |      THEN CAST(power(2, j) AS BIGINT) ELSE 0 END
+        |      FOR j IN range(0, 16)]) AS BIGINT) AS w
+        |  FROM m, (SELECT unnest(range(0, 4)) AS wi)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM w a JOIN w b
+        |    ON a.wi = b.wi AND a.w = b.w AND a.doc_id < b.doc_id),
+        |sig AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN wi = 0 THEN w END) AS w0,
+        |    max(CASE WHEN wi = 1 THEN w END) AS w1,
+        |    max(CASE WHEN wi = 2 THEN w END) AS w2,
+        |    max(CASE WHEN wi = 3 THEN w END) AS w3
+        |  FROM w GROUP BY 1),
+        |h AS (
+        |  SELECT id_a, id_b,
+        |    bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+        |    + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3))
+        |      AS hamming
+        |  FROM cand
+        |    JOIN sig a ON id_a = a.doc_id
+        |    JOIN sig b ON id_b = b.doc_id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM h WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
     // same 200-byte framing as m7/m8, same absolute gate, positional
     // percentiles by integer floor division on the sorted gated list
     "m17_loudness_audit" ->

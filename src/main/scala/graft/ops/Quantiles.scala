@@ -71,29 +71,9 @@ object ExactNtile {
     // recompute multiplicatively: measured 6.4 s → 0.9 s at sf0.1)
     val base = df.localCheckpoint()
 
-    // 1. domain-bounded histogram (one data-sized exchange)
+    // 1.+2. domain-bounded histogram with exact cumulative ranks
     val hist = base.groupBy(m.as("m")).agg(count(lit(1)).as("freq"))
-
-    // 2. two-phase prefix sum in the ntile order (q70's shape)
-    val histB = hist.withColumn("blk", blockOf(col("m")))
-    val blkOrd = if (metricDesc) col("blk").desc else col("blk").asc
-    val mOrd = if (metricDesc) col("m").desc else col("m").asc
-    val blkOff = histB
-      .groupBy(col("blk"))
-      .agg(sum(col("freq")).as("btot"))
-      .select(
-        col("blk"),
-        (sum(col("btot")).over(Window.orderBy(blkOrd)) - col("btot")).as("boff"))
-    val cum = histB
-      .withColumn(
-        "within",
-        sum(col("freq")).over(Window.partitionBy(col("blk")).orderBy(mOrd)))
-      .join(broadcast(blkOff), "blk")
-      // value m covers 1-based ranks (lo_rank, hi_rank]
-      .select(
-        col("m"),
-        (col("boff") + col("within") - col("freq")).as("lo_rank"),
-        (col("boff") + col("within")).as("hi_rank"))
+    val cum = cumulativeRanks(hist, blockOf, metricDesc)
 
     // 3. the k-1 boundary ranks -> covering value + position in ties
     val spec = hist
@@ -135,5 +115,37 @@ object ExactNtile {
     base.crossJoin(broadcast(barr))
       .withColumn(bucketCol, bucket)
       .drop("bs")
+  }
+
+  /** Exact cumulative ranks over a value histogram — q70's two-phase
+    * prefix sum as a reusable kernel. Input: `hist` with columns
+    * (m, freq). Output: (m, lo_rank, hi_rank) where the rows carrying
+    * value m occupy 1-based ranks (lo_rank, hi_rank] in the
+    * [metricDesc ? descending : ascending] metric order. Only the
+    * per-block TOTALS (rows ∝ domain / block width) cross an
+    * unpartitioned window; within-block running sums are partitioned.
+    */
+  def cumulativeRanks(
+      hist: DataFrame,
+      blockOf: Column => Column,
+      metricDesc: Boolean = false): DataFrame = {
+    val histB = hist.withColumn("blk", blockOf(col("m")))
+    val blkOrd = if (metricDesc) col("blk").desc else col("blk").asc
+    val mOrd = if (metricDesc) col("m").desc else col("m").asc
+    val blkOff = histB
+      .groupBy(col("blk"))
+      .agg(sum(col("freq")).as("btot"))
+      .select(
+        col("blk"),
+        (sum(col("btot")).over(Window.orderBy(blkOrd)) - col("btot")).as("boff"))
+    histB
+      .withColumn(
+        "within",
+        sum(col("freq")).over(Window.partitionBy(col("blk")).orderBy(mOrd)))
+      .join(broadcast(blkOff), "blk")
+      .select(
+        col("m"),
+        (col("boff") + col("within") - col("freq")).as("lo_rank"),
+        (col("boff") + col("within")).as("hi_rank"))
   }
 }

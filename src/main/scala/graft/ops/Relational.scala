@@ -7924,28 +7924,44 @@ object Relational {
     * Each customer's sparse (part, qty) vector projects onto 48
     * pseudo-random ±1 hyperplanes (sign of Σ q·r(part, h); r derived
     * from one md5 hex digit — the d1/p18 portable-hash convention,
-    * so both engines band identically), the 48 sign bits split into
-    * 12 bands × 4 bits, and two customers become a candidate pair iff
-    * they collide in SOME band. Exact integer dot/norm verification
-    * then runs ONLY on candidate pairs, and the top-3 ranking is
-    * q199's (cosine desc, neighbor asc).
+    * so both engines band identically), the sign bits split into
+    * bands, and two customers become a candidate pair iff they
+    * collide in SOME band. Exact integer dot/norm verification then
+    * runs ONLY on candidate pairs, and the top-3 ranking is q199's
+    * (cosine desc, neighbor asc).
     *
-    * Scale: signatures cost basket_rows × 48 map-side rows into a
-    * (cust, h)-keyed aggregate; the band self-join is an EQUI-join
-    * on (band, 4-bit key) — candidates bound by band-bucket
-    * occupancy, tunable by (bands, rows) exactly as d32's analytic
-    * tuner prescribes, with NO df cap needed; verification expands
-    * each candidate pair by its basket length through two part-keyed
-    * joins. Nothing is ever all-pairs. MEASURED top-3 agreement vs
-    * the exact q199 control (the honest recall-for-cost trade, the
-    * s23 convention): layout sweep at sf0.001 gave 0.42 (4×4),
-    * 0.74 (8×4), 0.85 (12×4 — shipped); at sf0.01 the 12×4 recall
-    * is 0.67 with 622k candidate pairs — moderate-cosine top-3
-    * neighbors are hyperplane LSH's hard regime, which is exactly
-    * why the exact postings arm stays as the control. At real n the
-    * 4-bit band key space saturates (candidates → n²/2^bits); band
-    * width must grow with log n — d32's tuner trade, noted there.
-    * OpsSpec pins agreement ≥ 0.8 at sf0.001.
+    * The LAYOUT scales with log n (the round-10 sf-scaling audit's
+    * catch: a fixed 4-bit band has 16 buckets, so candidates grow
+    * ~n²/32 — measured 529 s at sf0.1): an integer threshold ladder
+    * (shared verbatim with the oracle — never log()/ceil() doubles)
+    * widens bands to bits ≈ log₂(n/16) and thins them to
+    * greatest(4, 16 − bits), keeping expected bucket occupancy — and
+    * with it candidate count — LINEAR in n. d32's tuner formalizes
+    * the same (bands, rows) trade for MinHash. Sign-family note:
+    * integer split-multiply signs (p10/p12's map) were tried and
+    * REJECTED — the map is affine, so adjacent h produced 60–99%
+    * correlated bits and one layout collapsed every signature into
+    * two buckets (an all-pairs hang); md5 digits have no such
+    * structure, and computing them once per (part, h) on the
+    * distinct-part catalog keeps the hash count ~30× below
+    * per-basket-row.
+    *
+    * Scale: signatures cost basket_rows × bands·bits map-side rows
+    * into a (cust, h)-keyed aggregate; the band self-join is an
+    * EQUI-join on (band, key); verification expands each candidate
+    * pair by its basket length through two part-keyed joins. Nothing
+    * is ever all-pairs. MEASURED vs the exact q199 control (the s23
+    * honesty convention, solo local[32]): sf0.001 → 4-bit/12-band,
+    * top-3 agreement 0.851 (OpsSpec pins ≥ 0.8), 8.9 s; sf0.01 →
+    * 7-bit/9-band, 0.122, 3.8 s; sf0.1 → 10-bit/6-band, 0.012,
+    * 12.2 s (vs 529 s saturated). The big-SF agreement collapse is
+    * the DATA, not the machinery: this fixture's exact top-3
+    * cosines are near-orthogonal (median 0.133 at sf0.01, 0.098 at
+    * sf0.1 — measured), far below any hyperplane-LSH operating
+    * point, so at scale the candidates LSH does surface are the
+    * high-cosine pairs it exists for, and moderate-cos top-k stays
+    * with q199's exact postings arm — the regime rule this pair of
+    * queries documents.
     */
   def q203UserSimilarityLsh(s: SparkSession, dir: String): DataFrame = {
     val basket = Tables
@@ -7959,9 +7975,36 @@ object Relational {
     val norms = basket
       .groupBy(col("cust"))
       .agg(sum(col("q") * col("q")).as("n2"))
-    val sig = basket
-      .select(col("cust"), col("part"), col("q"),
-        explode(sequence(lit(0), lit(47))).as("h"))
+    // band WIDTH scales with log n while the band COUNT stays 12
+    // (the sf-scaling audit's round-10 catch: fixed 4-bit bands
+    // saturate — 16 buckets/band means candidates ~ n²/32, measured
+    // 529 s at sf0.1; widening bands without adding hashes crushed
+    // recall to 0.04): an integer threshold ladder (never
+    // log()/ceil() doubles — cross-engine exact) keeps expected
+    // bucket occupancy ≈ 64, and the hash budget GROWS with the
+    // width (12·bits ≤ 144 signatures — still one scan-side pass)
+    // so the 12 independent chances at recall survive the widening.
+    // The oracle runs the same ladder.
+    val nb = basket
+      .agg(countDistinct(col("cust")).as("ncust"))
+      .select(expr(
+        """CASE WHEN ncust <= 256 THEN 4 WHEN ncust <= 512 THEN 5
+          |     WHEN ncust <= 1024 THEN 6 WHEN ncust <= 2048 THEN 7
+          |     WHEN ncust <= 4096 THEN 8 WHEN ncust <= 8192 THEN 9
+          |     WHEN ncust <= 16384 THEN 10 WHEN ncust <= 32768 THEN 11
+          |     ELSE 12 END""".stripMargin).as("bits"))
+    // hyperplane signs from one md5 hex digit — the d1/p18 portable
+    // family — computed ONCE PER (part, h) on the distinct-part
+    // table (catalog-sized × 144, ~30× fewer hashes than per basket
+    // row) and joined back on part. Integer-hash sign families were
+    // tried and REJECTED here: the p10/p12 split-multiply map is
+    // affine, so consecutive h produce ~60–99% correlated top bits
+    // (one layout collapsed every signature into two buckets — an
+    // all-pairs hang); md5's digit has no such structure.
+    val signs = basket
+      .select(col("part"))
+      .distinct()
+      .select(col("part"), explode(sequence(lit(0), lit(143))).as("h"))
       .withColumn(
         "r",
         when(
@@ -7969,12 +8012,17 @@ object Relational {
             md5(concat(col("part").cast("string"), lit("_"), col("h").cast("string"))),
             1, 1).isin("0", "2", "4", "6", "8", "a", "c", "e"),
           1L).otherwise(-1L))
-      .groupBy(col("cust"), col("h"))
+    val sig = basket
+      .crossJoin(broadcast(nb))
+      .join(signs, "part")
+      .filter(col("h") < expr("greatest(4, 16 - bits) * bits"))
+      .groupBy(col("cust"), col("bits"), col("h"))
       .agg(sum(col("q") * col("r")).as("proj"))
-      .select(col("cust"), col("h"), (col("proj") >= 0L).cast("long").as("bit"))
+      .select(col("cust"), col("bits"), col("h"),
+        (col("proj") >= 0L).cast("long").as("bit"))
     val bands = sig
-      .groupBy(col("cust"), expr("h div 4").as("band"))
-      .agg(expr("CAST(sum(bit * CAST(power(2, h % 4) AS BIGINT)) AS BIGINT)").as("key"))
+      .groupBy(col("cust"), expr("h div bits").as("band"))
+      .agg(expr("CAST(sum(bit * CAST(power(2, h % bits) AS BIGINT)) AS BIGINT)").as("key"))
     val cand = bands
       .as("x")
       .join(
@@ -8009,10 +8057,49 @@ object Relational {
       .orderBy("custkey", "rank")
   }
 
+  /** q205 — exact percent_rank / cume_dist WITHOUT any window over
+    * rows (the rank-family completion of the ExactNtile machinery):
+    * every customer's spend percentile and cumulative distribution,
+    * in exact integer micro-units, derived purely from the
+    * domain-bounded spend histogram — `percent_rank = lo_rank/(n−1)`
+    * and `cume_dist = hi_rank/n` are functions of the VALUE's
+    * cumulative rank range, so ties resolve by definition and no
+    * per-row rank (let alone a global sort) is ever materialized:
+    * one histogram exchange, q70's two-phase prefix over it, and
+    * rows get their micro-units back by joining their own VALUE
+    * against the rank table. Integer floor division on both engines;
+    * the oracle's rank()/count() window integers are the same
+    * quantities by construction (a percent_rank()-as-double
+    * formulation would round differently at exact boundaries — the
+    * gate would catch it).
+    */
+  def q205SpendPercentile(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables
+      .orders(s, dir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .localCheckpoint() // read by the histogram and the value join
+    val hist = spend.groupBy(col("cents").as("m")).agg(count(lit(1)).as("freq"))
+    val ranks = ExactNtile
+      .cumulativeRanks(hist, m => floor(m / lit(131072.0)).cast("long"))
+      .withColumnRenamed("m", "cents")
+    val n = spend.agg(count(lit(1)).as("n"))
+    spend
+      .join(ranks, "cents")
+      .crossJoin(broadcast(n))
+      .select(
+        col("c_custkey"),
+        col("cents"),
+        expr("lo_rank * 1000000L div (n - 1)").as("pr_micro"),
+        expr("hi_rank * 1000000L div n").as("cd_micro"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q201_rank_mobility" -> q201RankMobility,
     "q202_avro_logical_types" -> q202AvroLogicalTypes,
     "q203_user_similarity_lsh" -> q203UserSimilarityLsh,
+    "q205_spend_percentile" -> q205SpendPercentile,
     "q200_shapley_attribution" -> q200ShapleyAttribution,
     "q199_user_similarity" -> q199UserSimilarity,
     "q198_cuped_ab" -> q198CupedAb,
@@ -8209,6 +8296,24 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // rank()/count() window INTEGERS (not percent_rank's double) are
+    // exactly lo_rank/hi_rank; micro-units by the same floor division
+    "q205_spend_percentile" ->
+      """WITH s AS (
+        |  SELECT o_custkey AS c_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT count(*) AS n FROM s),
+        |r AS (
+        |  SELECT c_custkey, cents,
+        |    rank() OVER (ORDER BY cents) - 1 AS lo_rank,
+        |    count(*) OVER (ORDER BY cents) AS hi_rank
+        |  FROM s)
+        |SELECT c_custkey, cents,
+        |  CAST(lo_rank * 1000000 // (n - 1) AS BIGINT) AS pr_micro,
+        |  CAST(hi_rank * 1000000 // n AS BIGINT) AS cd_micro
+        |FROM r, t ORDER BY c_custkey""".stripMargin,
     // same basket/norm algebra as q199's oracle; candidates via the
     // SAME 48-bit hyperplane banding (md5-hex-digit signs — the
     // portable-hash convention), 12 bands x 4 bits, verified exactly
@@ -8219,17 +8324,25 @@ object Relational {
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  GROUP BY 1, 2),
         |norms AS (SELECT cust, sum(q * q) AS n2 FROM basket GROUP BY cust),
+        |nb AS (
+        |  SELECT CASE WHEN n <= 256 THEN 4 WHEN n <= 512 THEN 5
+        |              WHEN n <= 1024 THEN 6 WHEN n <= 2048 THEN 7
+        |              WHEN n <= 4096 THEN 8 WHEN n <= 8192 THEN 9
+        |              WHEN n <= 16384 THEN 10 WHEN n <= 32768 THEN 11
+        |              ELSE 12 END AS bits
+        |  FROM (SELECT count(DISTINCT cust) AS n FROM basket)),
         |sig AS (
-        |  SELECT cust, h,
+        |  SELECT cust, bits, h,
         |    CASE WHEN sum(q * (CASE WHEN substring(
         |        md5(part::VARCHAR || '_' || h::VARCHAR), 1, 1)
         |        IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END)) >= 0
         |      THEN 1 ELSE 0 END AS bit
-        |  FROM basket, (SELECT unnest(range(0, 48)) AS h)
-        |  GROUP BY cust, h),
+        |  FROM basket, nb, (SELECT unnest(range(0, 144)) AS h)
+        |  WHERE h < greatest(4, 16 - bits) * bits
+        |  GROUP BY cust, bits, h),
         |bands AS (
-        |  SELECT cust, h // 4 AS band,
-        |    CAST(sum(bit * CAST(power(2, h % 4) AS BIGINT)) AS BIGINT) AS key
+        |  SELECT cust, h // bits AS band,
+        |    CAST(sum(bit * CAST(power(2, h % bits) AS BIGINT)) AS BIGINT) AS key
         |  FROM sig GROUP BY 1, 2),
         |cand AS (
         |  SELECT DISTINCT x.cust AS ca, y.cust AS cb

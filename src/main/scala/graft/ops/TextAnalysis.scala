@@ -1782,7 +1782,73 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** t38 — repetition quality signals (the Gopher-rules repetitious-
+    * text filters, Rae et al. 2021 §A1.1): per document, (a) the
+    * TOP-BIGRAM fraction — tokens covered by the single most frequent
+    * 2-gram, the "same phrase over and over" detector — and (b) the
+    * DUPLICATE-5-GRAM fraction — 5-gram occurrences beyond each
+    * gram's first, the boilerplate/loop detector; both in integer
+    * basis points over exact token counts, rolled up per language
+    * with flag counts at the published thresholds (top-bigram > 0.20,
+    * dup-5-gram > 0.30 — literals shared with the oracle). These are
+    * the signals an LLM-ingest pipeline gates on BEFORE any
+    * cross-doc dedup: intra-document repetition is invisible to
+    * d1/d2 by construction. Plan: n-grams explode scan-side into a
+    * (doc, gram)-keyed combiner-friendly count (d13's postings
+    * discipline — grams never carry text beyond their own tokens),
+    * per-doc maxima/distincts collapse on the doc key, and the
+    * language rollup is lang-count-sized. No window, no all-pairs,
+    * nothing driver-sized at any scale.
+    */
+  def t38RepetitionSignals(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("lang"), toks.as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+    val topBigram = tok
+      .filter(col("n") >= 2L)
+      .select(
+        col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+          .as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("maxc"))
+    val dup5 = tok
+      .filter(col("n") >= 5L)
+      .select(
+        col("doc_id"),
+        explode(expr(
+          """transform(sequence(1, size(t) - 4), i -> concat(
+            |  element_at(t, i), ' ', element_at(t, i + 1), ' ',
+            |  element_at(t, i + 2), ' ', element_at(t, i + 3), ' ',
+            |  element_at(t, i + 4)))""".stripMargin)).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n5"), countDistinct(col("g")).as("nd5"))
+    tok
+      .select(col("doc_id"), col("lang"), col("n"))
+      .join(topBigram, Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(
+        col("lang"),
+        col("n"),
+        expr("coalesce(maxc, 0L) * 2 * 10000 div n").as("top2_bp"),
+        expr("CASE WHEN n5 IS NULL THEN 0L ELSE (n5 - nd5) * 10000 div n5 END")
+          .as("dup5_bp"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("sum(top2_bp) div count(*)").as("avg_top2_bp"),
+        sum(when(col("top2_bp") > 2000L, 1L).otherwise(0L)).as("n_top2_flagged"),
+        expr("sum(dup5_bp) div count(*)").as("avg_dup5_bp"),
+        sum(when(col("dup5_bp") > 3000L, 1L).otherwise(0L)).as("n_dup5_flagged"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t38_repetition_signals" -> t38RepetitionSignals,
     "t37_contamination_rank" -> t37ContaminationRank,
     "t36_source_jsd" -> t36SourceJsd,
     "t35_good_turing" -> t35GoodTuring,
@@ -1881,6 +1947,44 @@ object TextAnalysis {
         |LIMIT 15""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same tokenization, same 2-/5-gram enumeration, same bp floor
+    // division and the same literal thresholds (2000 / 3000 bp)
+    "t38_repetition_signals" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+        |  WHERE len(t) >= 2),
+        |topb AS (
+        |  SELECT doc_id, max(c) AS maxc FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |g5 AS (
+        |  SELECT doc_id, count(*) AS n5, count(DISTINCT g) AS nd5 FROM (
+        |    SELECT doc_id,
+        |      t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' ||
+        |      t[i + 3] || ' ' || t[i + 4] AS g
+        |    FROM tok, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+        |    WHERE len(t) >= 5)
+        |  GROUP BY 1),
+        |per AS (
+        |  SELECT tok.lang,
+        |    coalesce(topb.maxc, 0) * 2 * 10000 // len(tok.t) AS top2_bp,
+        |    CASE WHEN g5.n5 IS NULL THEN 0
+        |         ELSE (g5.n5 - g5.nd5) * 10000 // g5.n5 END AS dup5_bp
+        |  FROM tok
+        |    LEFT JOIN topb USING (doc_id)
+        |    LEFT JOIN g5 USING (doc_id))
+        |SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(top2_bp) // count(*) AS BIGINT) AS avg_top2_bp,
+        |  CAST(sum(CASE WHEN top2_bp > 2000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_top2_flagged,
+        |  CAST(sum(dup5_bp) // count(*) AS BIGINT) AS avg_dup5_bp,
+        |  CAST(sum(CASE WHEN dup5_bp > 3000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup5_flagged
+        |FROM per GROUP BY 1 ORDER BY lang""".stripMargin,
     // same distinct 8-shingle overlap, worst-partner window and
     // containment basis points; the top-50 order is total
     "t37_contamination_rank" ->

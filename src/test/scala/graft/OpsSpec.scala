@@ -1432,6 +1432,98 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("m18 dHash near-dup: pigeonhole banding equals exhaustive all-pairs hamming <= 3") {
+    // Recall is total BY CONSTRUCTION (4 disjoint words, <= 3
+    // differing bits => >= 1 untouched word) — so the banded output
+    // must EQUAL a brute-force all-pairs sweep, not approximate it.
+    val hasher = graft.ops.Codec.Stub.openImageHasher()
+    val docs = Tables
+      .documents(spark, Sf)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> hasher.dhashWords(r.getString(1).getBytes("UTF-8")))
+    def ham(a: Array[Int], b: Array[Int]): Int =
+      (0 until 4).map(i => Integer.bitCount(a(i) ^ b(i))).sum
+    val expected = (for {
+      i <- docs.indices.iterator
+      j <- (i + 1) until docs.length
+      (ida, wa) = docs(i)
+      (idb, wb) = docs(j)
+      h = ham(wa, wb)
+      if h <= 3
+    } yield (math.min(ida, idb), math.max(ida, idb)) -> h.toLong).toMap
+    val got = Multimodal.m18DhashNearDup(spark, Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(expected.nonEmpty, "fixture must contain hamming<=3 asset pairs")
+    assert(got == expected,
+      s"banded output != exhaustive truth: missing=${(expected.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- expected.keySet).take(5)}")
+    // the codec seam: a swapped provider changes signatures through
+    // the SAME plan; hamming stays bounded by the verify filter
+    val swapped =
+      Multimodal.m18DhashNearDup(spark, Sf, new graft.ops.Codec.XorMaskedProvider(0x5c))
+        .collect()
+    assert(swapped.forall(_.getLong(2) <= 3L))
+  }
+
+  test("q205 percentiles: monotone in cents, cume_dist tops at 1e6, replay for extremes") {
+    val out = Relational.q205SpendPercentile(spark, Sf)
+      .orderBy(col("cents"), col("c_custkey"))
+      .collect()
+    assert(out.nonEmpty)
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(2) <= b.getLong(2), "percent_rank must be monotone in cents")
+        assert(a.getLong(3) <= b.getLong(3), "cume_dist must be monotone in cents")
+      case _ =>
+    }
+    assert(out.last.getLong(3) == 1000000L, "max cume_dist must be exactly 1")
+    assert(out.head.getLong(2) == 0L, "min percent_rank must be exactly 0")
+    val n = out.length.toLong
+    // replay: the largest-spend row's percent_rank is lo_rank/(n-1)
+    // with lo_rank = rows strictly below the max cents value
+    val maxCents = out.map(_.getLong(1)).max
+    val below = out.count(_.getLong(1) < maxCents).toLong
+    out.filter(_.getLong(1) == maxCents).foreach { r =>
+      assert(r.getLong(2) == below * 1000000L / (n - 1))
+    }
+  }
+
+  test("t38 repetition signals: imperative replay reproduces one language's whole rollup") {
+    val rows = Tables
+      .documents(spark, Sf)
+      .select(col("lang"), col("text"))
+      .filter(col("lang") === "en")
+      .collect()
+    def perDoc(text: String): (Long, Long) = {
+      val t = text.split(" ")
+      val top2 =
+        if (t.length >= 2)
+          t.sliding(2).map(_.mkString(" ")).toSeq.groupBy(identity).values.map(_.size).max
+        else 0
+      val top2Bp = top2.toLong * 2 * 10000 / t.length
+      val g5 = if (t.length >= 5) t.sliding(5).map(_.mkString(" ")).toSeq else Seq.empty
+      val dup5Bp =
+        if (g5.isEmpty) 0L else (g5.size - g5.distinct.size).toLong * 10000 / g5.size
+      (top2Bp, dup5Bp)
+    }
+    val per = rows.map(r => perDoc(r.getString(1)))
+    val exp = (
+      per.length.toLong,
+      per.map(_._1).sum / per.length,
+      per.count(_._1 > 2000L).toLong,
+      per.map(_._2).sum / per.length,
+      per.count(_._2 > 3000L).toLong)
+    val got = TextAnalysis.t38RepetitionSignals(spark, Sf)
+      .filter(col("lang") === "en")
+      .head()
+    assert(
+      (got.getLong(1), got.getLong(2), got.getLong(3), got.getLong(4), got.getLong(5)) == exp,
+      s"en rollup mismatch: got $got expected $exp")
+  }
+
   test("m17 loudness audit: gated subset of m7's frames; gain inverts the mean; lra non-negative") {
     val m7 = Multimodal.m7AudioFrames(spark, Sf).collect()
       .map(r => r.getLong(0) -> (r.getInt(1).toLong, r.getInt(2).toLong)).toMap
