@@ -1432,6 +1432,39 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("d33 fuzzy join: every planted typo pair is captured (segment pigeonhole recall)") {
+    val reps = Tables
+      .part(spark, Sf)
+      .groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).as("id"))
+      .filter(col("id") % 17 === 5)
+    val nPlanted = reps.count()
+    assert(nPlanted > 0, "fixture must plant typo variants")
+    val out = Dedup.d33FuzzyJoin(spark, Sf).collect()
+    assert(out.forall(r => r.getLong(0) >= 1 && r.getLong(0) <= 2), "verify bound")
+    // each planted variant differs from its original by <= 2
+    // substitutions, so the thirds pigeonhole MUST surface it and the
+    // planted-pair count is at least one pair per plant
+    val plantedPairs = out.map(_.getLong(2)).sum
+    assert(plantedPairs >= nPlanted,
+      s"pigeonhole lost planted pairs: $plantedPairs < $nPlanted")
+    // replay the plant's distance rule in Scala for one part
+    val name = reps.select(col("p_name")).orderBy("p_name").head().getString(0)
+    val variant = name.substring(0, 2) + "zz" + name.substring(4)
+    val d = {
+      val (a, b) = (name, variant)
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(
+          math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    assert(d <= 2, s"plant must stay within the verify bound, got $d")
+  }
+
   test("m18 dHash near-dup: pigeonhole banding equals exhaustive all-pairs hamming <= 3") {
     // Recall is total BY CONSTRUCTION (4 disjoint words, <= 3
     // differing bits => >= 1 untouched word) — so the banded output
