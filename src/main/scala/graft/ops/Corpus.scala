@@ -972,7 +972,84 @@ object Corpus {
       .orderBy("lang")
   }
 
+  /** p21 — EPOCH-REPETITION mixing plan for the data-constrained
+    * regime (Muennighoff et al. 2023, "Scaling Data-Constrained
+    * Language Models": when the token budget EXCEEDS the unique
+    * corpus, repeating good data up to ~4 epochs retains most of its
+    * value, decaying steeply after). p14's waterfill solves budget <
+    * corpus; this solves budget > corpus: each source offers up to 4
+    * epoch units, unit (s, e) is worth q_s · decay_e (decay =
+    * 10000/7000/4900/3430 bp — the ~0.7 per-epoch retention ladder)
+    * and costs the source's token count; the greedy fill by value is
+    * OPTIMAL for this separable concave objective (each source's
+    * units enter in epoch order by construction — decay is strictly
+    * decreasing — so greedy = exact LP solution with one fractional
+    * boundary unit). Quality q_s here is the source's type-token
+    * ratio in basis points — a deterministic lexical-diversity proxy
+    * standing in for whatever model-based scorer a production
+    * pipeline plugs into the same slot. All-integer arithmetic:
+    * values are bp × bp products, the budget line is one cumulative
+    * sum, and the single boundary unit gets an exact floor-division
+    * partial share.
+    *
+    * Scale: one (source, token) aggregate exchange over the corpus;
+    * the greedy fill's unpartitioned window runs over the
+    * SOURCE-COUNT × 4 unit table — Aggregate-bounded (thousands of
+    * sources, never rows), the standing PlanSpec gate's explicit
+    * allowance. Budget = 2× corpus tokens, a literal both engines
+    * share.
+    */
+  def p21EpochMix(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables
+      .documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+    val src = tok
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("tok"), countDistinct(col("t")).as("types"))
+      .withColumn("q_bp", expr("types * 10000 div tok"))
+    val tot = src.agg((sum(col("tok")) * 2).as("b"))
+    val units = src
+      .select(
+        col("source"),
+        col("tok"),
+        col("q_bp"),
+        explode(sequence(lit(1), lit(4))).as("e"))
+      .withColumn(
+        "value",
+        col("q_bp") * expr(
+          "CASE e WHEN 1 THEN 10000 WHEN 2 THEN 7000 WHEN 3 THEN 4900 ELSE 3430 END"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("value").desc, col("source").asc, col("e").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    units
+      .withColumn("cum", sum(col("tok")).over(ord))
+      .crossJoin(broadcast(tot))
+      .withColumn("prev_cum", col("cum") - col("tok"))
+      .withColumn("full_u", when(col("cum") <= col("b"), 1L).otherwise(0L))
+      .withColumn(
+        "part_bp",
+        when(
+          col("cum") > col("b") && col("prev_cum") < col("b"),
+          expr("(b - prev_cum) * 10000 div tok")).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(
+        max(col("tok")).as("tok_total"),
+        max(col("q_bp")).as("quality_bp"),
+        sum(col("full_u")).as("full_epochs"),
+        sum(col("part_bp")).as("partial_bp"))
+      .select(
+        col("source"),
+        col("tok_total"),
+        col("quality_bp"),
+        col("full_epochs"),
+        col("partial_bp"),
+        expr("full_epochs * tok_total + partial_bp * tok_total div 10000")
+          .as("tokens_alloc"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p21_epoch_mix" -> p21EpochMix,
     "p20_dedup_holdout" -> p20DedupHoldout,
     "p19_data_card" -> p19DataCard,
     "p18_dsir_selection" -> p18DsirSelection,
@@ -996,6 +1073,39 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    // same type-token quality, same decay ladder, same greedy line
+    // (value desc, source, epoch) and the same fractional boundary
+    "p21_epoch_mix" ->
+      """WITH tokens AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+        |src AS (
+        |  SELECT source, count(*) AS tok, count(DISTINCT t) AS types
+        |  FROM tokens GROUP BY 1),
+        |q AS (SELECT source, tok, types * 10000 // tok AS q_bp FROM src),
+        |tot AS (SELECT 2 * sum(tok) AS b FROM src),
+        |units AS (
+        |  SELECT source, tok, q_bp, e,
+        |    q_bp * (CASE e WHEN 1 THEN 10000 WHEN 2 THEN 7000
+        |                   WHEN 3 THEN 4900 ELSE 3430 END) AS val
+        |  FROM q, (SELECT unnest(range(1, 5)) AS e)),
+        |g AS (
+        |  SELECT *, sum(tok) OVER (ORDER BY val DESC, source ASC, e ASC
+        |                           ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM units),
+        |per AS (
+        |  SELECT source, tok, q_bp,
+        |    CASE WHEN cum <= b THEN 1 ELSE 0 END AS full_u,
+        |    CASE WHEN cum > b AND cum - tok < b
+        |         THEN (b - (cum - tok)) * 10000 // tok ELSE 0 END AS part_bp
+        |  FROM g, tot)
+        |SELECT source,
+        |  CAST(max(tok) AS BIGINT) AS tok_total,
+        |  CAST(max(q_bp) AS BIGINT) AS quality_bp,
+        |  CAST(sum(full_u) AS BIGINT) AS full_epochs,
+        |  CAST(sum(part_bp) AS BIGINT) AS partial_bp,
+        |  CAST(sum(full_u) * max(tok)
+        |    + sum(part_bp) * max(tok) // 10000 AS BIGINT) AS tokens_alloc
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
     // same content-keyed holdout slice and per-language accounting
     "p20_dedup_holdout" ->
       """WITH cl AS (

@@ -2210,7 +2210,86 @@ object Dedup {
       .orderBy("dist")
   }
 
+  /** d34 — MAXIMAL duplicated-SPAN extraction (the trimming half of
+    * Lee et al. 2022 that d11 stops short of): d11 reports HOW MUCH
+    * of a document is duplicated-window mass; a pipeline that TRIMS
+    * instead of drops needs WHERE — contiguous token ranges it can
+    * cut while keeping the rest. Every 8-token window carries its
+    * START POSITION through d11's cross-doc duplicated-fingerprint
+    * test (document frequency ≥ 2 over distinct docs — intra-doc
+    * repetition stays t38's job), and per document the surviving
+    * positions merge into maximal spans: window length is FIXED, so
+    * span ends are monotone in starts and a start-gap > 8 is exactly
+    * a break in coverage — the lag/flag/prefix-sum island idiom
+    * (q56's), partitioned BY DOCUMENT (never global; a document's
+    * own window positions are document-length-bounded, the same
+    * bound any per-doc text op already carries). Output per affected
+    * doc: span count, duplicated token mass, longest span and basis
+    * points of the doc covered — `dup_bp = 10000` IS "this doc is a
+    * verbatim composite; drop, don't trim".
+    *
+    * At 100 TB: positions ride the same map-side-combined
+    * (fp, doc, pos) flow as d11 (text never crosses an exchange);
+    * the duplicated-fp relation is duplicated-mass-sized and AQE
+    * broadcasts it; island numbering shuffles once on doc_id.
+    */
+  def d34DupSpans(s: SparkSession, dir: String): DataFrame = {
+    val w = 8
+    val wins = Tables
+      .spread(Tables.documents(s, dir))
+      .filter(size(toks) >= w)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        graft.functions.RollingFingerprints.rollingFingerprints(toks, w).as("wh"))
+    val pos = wins.select(
+      col("doc_id"),
+      col("n_tokens"),
+      posexplode(col("wh")))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("pos") + 1).cast("long").as("p"),
+        col("col").as("fp"))
+    val dupFps = pos
+      .select(col("fp"), col("doc_id"))
+      .distinct()
+      .groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select("fp")
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val spans = pos
+      .join(dupFps, "fp")
+      .withColumn("prev", lag(col("p"), 1).over(ord))
+      .withColumn(
+        "brk",
+        when(col("prev").isNull || col("p") - col("prev") > w, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(
+        max(col("n_tokens")).as("n_tokens"),
+        (max(col("p")) + (w - 1) - min(col("p")) + 1).as("span_len"))
+    spans
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_len")).as("dup_tokens"),
+        max(col("span_len")).as("longest_span"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_spans"),
+        col("dup_tokens"),
+        col("longest_span"),
+        expr("dup_tokens * 10000 div n_tokens").as("dup_bp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d34_dup_spans" -> d34DupSpans,
     "d33_fuzzy_join" -> d33FuzzyJoin,
     "d32_lsh_tuner" -> d32LshTuner,
     "d31_cc_incremental" -> d31CcIncremental,
@@ -2687,6 +2766,47 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // d11's rolling-fingerprint arithmetic with POSITIONS kept, the
+    // same df>=2 distinct-doc dup test, and the same gap>8 island merge
+    "d34_dup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |w AS (
+        |  SELECT doc_id, len(t) AS n_tokens, list_transform(t, w -> list_reduce(
+        |      list_prepend(0::BIGINT,
+        |        list_transform(string_split(w, ''), c -> ascii(c)::BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 1000000007)) AS whs
+        |  FROM d WHERE len(t) >= 8),
+        |v AS (
+        |  SELECT doc_id, n_tokens, i AS p,
+        |    list_reduce(list_prepend(0::BIGINT, whs[i:i+7]),
+        |      (h, x) -> (h * 1000003 + x) % 1000000007) AS fp
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(whs) - 6)) AS i)),
+        |dup AS (
+        |  SELECT fp FROM (SELECT DISTINCT fp, doc_id FROM v)
+        |  GROUP BY fp HAVING count(*) >= 2),
+        |hit AS (
+        |  SELECT v.doc_id, v.n_tokens, v.p,
+        |    CASE WHEN lag(v.p) OVER (PARTITION BY v.doc_id ORDER BY v.p) IS NULL
+        |         OR v.p - lag(v.p) OVER (PARTITION BY v.doc_id ORDER BY v.p) > 8
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM v JOIN dup USING (fp)),
+        |isl AS (
+        |  SELECT doc_id, n_tokens, p,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+        |                   ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM hit),
+        |spans AS (
+        |  SELECT doc_id, island, max(n_tokens) AS n_tokens,
+        |    max(p) + 7 - min(p) + 1 AS span_len
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(span_len) AS BIGINT) AS dup_tokens,
+        |  CAST(max(span_len) AS BIGINT) AS longest_span,
+        |  CAST(sum(span_len) * 10000 // max(n_tokens) AS BIGINT) AS dup_bp
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same distinct-name collapse, same plant, same thirds
     // pigeonhole, same levenshtein in [1, 2]
     "d33_fuzzy_join" ->

@@ -959,7 +959,51 @@ object Multimodal {
       .orderBy("id_a", "id_b")
   }
 
+  /** m19 — size-sanity audit: flag assets whose PAYLOAD BYTE COUNT is
+    * implausible for their claimed dimensions — the cheapest corrupt-
+    * file detector an ingest pipeline runs BEFORE spending a decode
+    * (m3) on an asset: a jpeg a tenth of its expected size is a
+    * truncated upload; one 2× over is a mislabeled container or an
+    * embedded duplicate stream. Expected bytes = pixels ÷ a per-format
+    * compression prior (jpeg 10 / png 3 / webp 12 — literals standing
+    * in for the measured priors a production pipeline would fit);
+    * the suspect gates are PURE MULTIPLICATIVE integer comparisons
+    * (2·actual < expected, 2·actual > 3·expected) so no division —
+    * let alone a negative floor-vs-truncate division, the known
+    * cross-engine trap — sits on a flag boundary. Metadata-plane
+    * only: width/height and payload LENGTH, never decoded bytes
+    * (m1's doctrine); one scan, one format-sized rollup.
+    */
+  def m19SizeSanity(s: SparkSession, dir: String): DataFrame =
+    media(s, dir)
+      .select(
+        col("format"),
+        (col("width").cast("long") * col("height")).as("px"),
+        length(col("payload")).cast("long").as("actual"))
+      .withColumn(
+        "expected",
+        expr("px div CASE format WHEN 'jpeg' THEN 10 WHEN 'png' THEN 3 ELSE 12 END"))
+      .groupBy(col("format"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(when(col("actual") * 2 < col("expected"), 1L).otherwise(0L))
+          .as("n_trunc_suspect"),
+        sum(when(col("actual") * 2 > col("expected") * 3, 1L).otherwise(0L))
+          .as("n_bloat_suspect"),
+        sum(col("actual")).as("actual_bytes"),
+        sum(col("expected")).as("expected_bytes"))
+      .select(
+        col("format"),
+        col("n_assets"),
+        col("n_trunc_suspect"),
+        col("n_bloat_suspect"),
+        col("actual_bytes"),
+        col("expected_bytes"),
+        expr("actual_bytes * 10000 div expected_bytes").as("fill_bp"))
+      .orderBy("format")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m19_size_sanity" -> m19SizeSanity,
     "m18_dhash_neardup" -> ((s, d) => m18DhashNearDup(s, d)),
     "m17_loudness_audit" -> ((s, d) => m17LoudnessAudit(s, d)),
     "m16_frame_dedup" -> m16FrameDedup,
@@ -981,6 +1025,30 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // same media-view replay, same compression priors, same pure
+    // multiplicative suspect gates and non-negative fill division
+    "m19_size_sanity" ->
+      """WITH m AS (
+        |  SELECT
+        |    ['jpeg','png','webp'][(doc_id % 3 + 1)::INT] AS format,
+        |    (64 + (doc_id * 7) % 193) * (64 + (doc_id * 13) % 129) AS px,
+        |    octet_length(encode(text)) AS actual
+        |  FROM documents),
+        |e AS (
+        |  SELECT format, actual,
+        |    px // (CASE format WHEN 'jpeg' THEN 10 WHEN 'png' THEN 3
+        |           ELSE 12 END) AS expected
+        |  FROM m)
+        |SELECT format,
+        |  CAST(count(*) AS BIGINT) AS n_assets,
+        |  CAST(sum(CASE WHEN actual * 2 < expected THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_trunc_suspect,
+        |  CAST(sum(CASE WHEN actual * 2 > expected * 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bloat_suspect,
+        |  CAST(sum(actual) AS BIGINT) AS actual_bytes,
+        |  CAST(sum(expected) AS BIGINT) AS expected_bytes,
+        |  CAST(sum(actual) * 10000 // sum(expected) AS BIGINT) AS fill_bp
+        |FROM e GROUP BY format ORDER BY format""".stripMargin,
     // the stub dHash replayed: pixel (r, c) = payload byte
     // (r*9 + c) mod nb, gradient-sign bits packed little-endian into
     // four 16-bit words, pigeonhole word-equality banding, then

@@ -8095,7 +8095,195 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** q206 — POISSON-BOOTSTRAP confidence intervals for per-segment
+    * mean spend (Chamandy et al. 2012, "Estimating uncertainty for
+    * massive data streams": resampling-with-replacement is
+    * un-distributable — a classical bootstrap replicate needs a
+    * global draw of n rows — but Poisson(1) per-row weights
+    * approximate the multinomial exactly in distribution as n grows,
+    * and a weight is a pure function of the row, so ALL R replicates
+    * compute in ONE pass with map-side combine and no shuffle beyond
+    * the (segment × replicate) partial aggregate). Determinism is the
+    * whole design: the per-(row, replicate) uniform is the first 8
+    * md5 hex digits (the q203/d1 portable-hash convention — both
+    * engines produce identical digests), the Poisson(1) inverse CDF
+    * is a fixed integer threshold table (floor(2³² · P(X ≤ i)),
+    * literals shared with the oracle — no exp/transcendentals at eval
+    * time), and replicate means are integer hundredth-of-a-cent
+    * micro-units via floor division. CI bounds are the 2nd-smallest /
+    * 2nd-largest of the R = 32 replicate means (the ~93.75%
+    * order-statistic interval): the per-segment replicate table is
+    * AGGREGATE-bounded at segments × 32 rows, so sorting it inside
+    * `array_sort(collect_list(...))` is driver-free and
+    * constant-sized at any corpus scale. At 100 TB: one scan of the
+    * narrow (key, segment, cents) projection, a 32× scan-side
+    * explode of 16-byte rows, one combiner-friendly exchange on
+    * (segment, replicate) — weights with w = 0 (37% of rows) drop
+    * before the exchange — then bounded-cardinality rollups. No
+    * window over rows, no global sort, nothing driver-sized.
+    */
+  def q206PoissonBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val reps = 32
+    val base = Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderkey").as("k"),
+        col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val point = base
+      .groupBy(col("prio"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        expr("sum(cents) * 10000L div count(*)").as("mean_hcents"))
+    // Poisson(1) inverse-CDF thresholds at 32-bit integer resolution:
+    // floor(2^32 * P(X <= i)) for i = 0..7, mass beyond 8 (~1e-9) capped.
+    val boot = base
+      .select(col("k"), col("prio"), col("cents"),
+        explode(sequence(lit(0), lit(reps - 1))).as("r"))
+      .withColumn(
+        "h",
+        expr("CAST(conv(substring(md5(concat(CAST(k AS STRING), ':', " +
+          "CAST(r AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn(
+        "w",
+        expr("""CASE WHEN h < 1580030168 THEN 0 WHEN h < 3160060337 THEN 1
+                 WHEN h < 3950075421 THEN 2 WHEN h < 4213413783 THEN 3
+                 WHEN h < 4279248373 THEN 4 WHEN h < 4292415291 THEN 5
+                 WHEN h < 4294609777 THEN 6 WHEN h < 4294923276 THEN 7
+                 ELSE 8 END"""))
+      .filter(col("w") > 0)
+      .groupBy(col("prio"), col("r"))
+      .agg(expr("sum(w * cents) * 10000L div sum(w)").as("mean_r"))
+      .groupBy(col("prio"))
+      .agg(array_sort(collect_list(col("mean_r"))).as("ms"))
+      .select(
+        col("prio"),
+        expr("element_at(ms, 2)").as("ci_lo_hcents"),
+        expr("element_at(ms, size(ms) - 1)").as("ci_hi_hcents"))
+    point
+      .join(boot, "prio")
+      .select(
+        col("prio").as("o_orderpriority"),
+        col("n_orders"),
+        col("mean_hcents"),
+        col("ci_lo_hcents"),
+        col("ci_hi_hcents"),
+        (col("ci_hi_hcents") - col("ci_lo_hcents")).as("width_hcents"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q208 — LINK PREDICTION over the co-sourcing graph via the
+    * resource-allocation index (Zhou, Lü & Zhang 2009): for every
+    * non-adjacent supplier pair, RA = Σ_{v ∈ common neighbors}
+    * 1/deg(v) — the strongest of the local similarity indices in
+    * their benchmark and, unlike Adamic–Adar's 1/log deg, EXACT in
+    * integer micro-units (1000000 div deg), so the top-50 ranking is
+    * a pure-integer total order with no transcendental at a rank
+    * boundary (the t16/p10 determinism doctrine). Completes the
+    * graph family: q103/q116 census the EXISTING topology, q111
+    * walks it, q127 labels it — this predicts its MISSING edges,
+    * the "recommend a second source" question.
+    *
+    * Plan: the shared [[knnEdges]] list (degree-capped ≤ 2k per
+    * node) checkpoints once and serves adjacency, degrees and the
+    * known-edge anti-join; the wedge self-join is Σ deg² on that
+    * capped list (q116's triangle-join envelope); everything after
+    * the (a, b) rollup is candidate-sized and the top-50 plans as
+    * TakeOrderedAndProject — per-partition heaps, never a global
+    * sort.
+    */
+  def q208LinkPrediction(s: SparkSession, dir: String): DataFrame = {
+    val edges = knnEdges(s, dir, 5).localCheckpoint()
+    val adj = edges
+      .select(col("x").as("v"), col("y").as("n"))
+      .unionAll(edges.select(col("y").as("v"), col("x").as("n")))
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val cand = adj
+      .as("l")
+      .join(adj.as("r"), col("l.v") === col("r.v") && col("l.n") < col("r.n"))
+      .select(col("l.n").as("a"), col("r.n").as("b"), col("l.v").as("via"))
+      .join(deg.withColumnRenamed("v", "via"), "via")
+      .groupBy(col("a"), col("b"))
+      .agg(
+        count(lit(1)).as("common_neighbors"),
+        sum(expr("1000000 div deg")).as("ra_micro"))
+    cand
+      .join(
+        edges.select(col("x").as("a"), col("y").as("b")),
+        Seq("a", "b"),
+        "left_anti")
+      .select(
+        col("a").as("supp_a"),
+        col("b").as("supp_b"),
+        col("common_neighbors"),
+        col("ra_micro"))
+      .orderBy(col("ra_micro").desc, col("common_neighbors").desc,
+        col("supp_a").asc, col("supp_b").asc)
+      .limit(50)
+  }
+
+  /** q209 — MANN–KENDALL trend test per event type (Mann 1945,
+    * Kendall 1975): S = Σ_{i<j} sign(x_j − x_i) over the day-ordered
+    * daily-revenue series — the standard NON-PARAMETRIC "is this
+    * metric trending" test (no normality assumption, robust to the
+    * spikes that wreck q92's OLS slope; the q181 Kendall-τ machinery
+    * pointed at time itself). Reported EXACTLY in integers: the S
+    * statistic, the pair count, and the tie-corrected variance
+    * numerator 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) — the
+    * z-score is one sqrt away for the consumer, but the rank
+    * boundary the engine guarantees (trend direction and the
+    * statistic itself) never touches a float.
+    *
+    * Plan: one calendar-bounded daily aggregate per type, then the
+    * pairwise join runs over AGGREGATE-BOUNDED day tables (n ≈
+    * horizon days — pairs are n²/2 per type on a calendar-sized
+    * relation, schema-bounded at any corpus scale); tie groups are a
+    * second bounded aggregate. No window at all.
+    */
+  def q209MannKendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("v"))
+      .localCheckpoint() // pair join reads it twice, ties once
+    val pairs = daily
+      .as("a")
+      .join(
+        daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(
+        sum(
+          when(col("b.v") > col("a.v"), 1L)
+            .when(col("b.v") < col("a.v"), -1L)
+            .otherwise(0L)).as("s_stat"),
+        count(lit(1)).as("n_pairs"))
+    val nd = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    val ties = daily
+      .groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("t"))
+      .filter(col("t") >= 2)
+      .groupBy(col("event_type"))
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tsum"))
+    nd.join(pairs, "event_type")
+      .join(ties, Seq("event_type"), "left")
+      .select(
+        col("event_type"),
+        col("n_days"),
+        col("n_pairs"),
+        col("s_stat"),
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - coalesce(tsum, 0L)")
+          .as("var18"),
+        when(col("s_stat") > 0L, lit("up"))
+          .when(col("s_stat") < 0L, lit("down"))
+          .otherwise(lit("flat")).as("trend"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_mann_kendall" -> q209MannKendall,
+    "q208_link_prediction" -> q208LinkPrediction,
+    "q206_poisson_bootstrap" -> q206PoissonBootstrap,
     "q201_rank_mobility" -> q201RankMobility,
     "q202_avro_logical_types" -> q202AvroLogicalTypes,
     "q203_user_similarity_lsh" -> q203UserSimilarityLsh,
@@ -8296,6 +8484,103 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same daily cents rollup, same sign-pair sum and the same
+    // tie-corrected 18*Var(S) integer numerator
+    "q209_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.event_type,
+        |    sum(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END) AS s_stat,
+        |    count(*) AS n_pairs
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY 1),
+        |nd AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type, sum(t * (t - 1) * (2 * t + 5)) AS tsum
+        |  FROM (SELECT event_type, v, count(*) AS t FROM daily
+        |        GROUP BY 1, 2 HAVING count(*) >= 2)
+        |  GROUP BY 1)
+        |SELECT nd.event_type,
+        |  CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(s_stat AS BIGINT) AS s_stat,
+        |  CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+        |    - coalesce(tsum, 0) AS BIGINT) AS var18,
+        |  CASE WHEN s_stat > 0 THEN 'up' WHEN s_stat < 0 THEN 'down'
+        |       ELSE 'flat' END AS trend
+        |FROM nd JOIN pairs USING (event_type)
+        |  LEFT JOIN ties USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    // q103's knn-edge replay, then the same wedge join, the same
+    // integer micro-unit RA sum and the same NOT-EXISTS anti filter
+    "q208_link_prediction" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+        |pr AS (
+        |  SELECT a.s AS sa, b.s AS sb, count(*) AS c
+        |  FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+        |  GROUP BY 1, 2),
+        |d AS (SELECT sa AS u, sb AS v, c FROM pr
+        |      UNION ALL SELECT sb, sa, c FROM pr),
+        |knn AS (
+        |  SELECT u, v FROM (
+        |    SELECT u, v,
+        |      row_number() OVER (PARTITION BY u ORDER BY c DESC, v ASC) AS rk
+        |    FROM d) WHERE rk <= 5),
+        |e AS (SELECT DISTINCT least(u, v) AS x, greatest(u, v) AS y FROM knn),
+        |adj AS (SELECT x AS v, y AS n FROM e UNION ALL SELECT y, x FROM e),
+        |deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY 1),
+        |cand AS (
+        |  SELECT l.n AS a, r.n AS b, count(*) AS cn,
+        |    sum(1000000 // dg.deg) AS ra
+        |  FROM adj l JOIN adj r ON l.v = r.v AND l.n < r.n
+        |  JOIN deg dg ON dg.v = l.v
+        |  GROUP BY 1, 2)
+        |SELECT a AS supp_a, b AS supp_b,
+        |  CAST(cn AS BIGINT) AS common_neighbors,
+        |  CAST(ra AS BIGINT) AS ra_micro
+        |FROM cand
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.x = cand.a AND e.y = cand.b)
+        |ORDER BY ra DESC, cn DESC, a, b
+        |LIMIT 50""".stripMargin,
+    // same md5-hex uniform, same integer Poisson(1) threshold table,
+    // same hundredth-of-a-cent floor division and order-statistic CI
+    "q206_poisson_bootstrap" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |rep AS (
+        |  SELECT prio, r, cents,
+        |    ('0x' || substr(md5(k::VARCHAR || ':' || r::VARCHAR), 1, 8))::BIGINT AS h
+        |  FROM base, (SELECT unnest(range(0, 32)) AS r)),
+        |wtab AS (
+        |  SELECT prio, r, cents,
+        |    CASE WHEN h < 1580030168 THEN 0 WHEN h < 3160060337 THEN 1
+        |         WHEN h < 3950075421 THEN 2 WHEN h < 4213413783 THEN 3
+        |         WHEN h < 4279248373 THEN 4 WHEN h < 4292415291 THEN 5
+        |         WHEN h < 4294609777 THEN 6 WHEN h < 4294923276 THEN 7
+        |         ELSE 8 END AS w
+        |  FROM rep),
+        |means AS (
+        |  SELECT prio, r,
+        |    CAST(sum(w * cents) * 10000 // sum(w) AS BIGINT) AS mean_r
+        |  FROM wtab WHERE w > 0 GROUP BY prio, r),
+        |boot AS (
+        |  SELECT prio, list_sort(list(mean_r)) AS ms FROM means GROUP BY prio),
+        |point AS (
+        |  SELECT prio, CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(cents) * 10000 // count(*) AS BIGINT) AS mean_hcents
+        |  FROM base GROUP BY prio)
+        |SELECT p.prio AS o_orderpriority, p.n_orders, p.mean_hcents,
+        |  CAST(b.ms[2] AS BIGINT) AS ci_lo_hcents,
+        |  CAST(b.ms[len(b.ms) - 1] AS BIGINT) AS ci_hi_hcents,
+        |  CAST(b.ms[len(b.ms) - 1] - b.ms[2] AS BIGINT) AS width_hcents
+        |FROM point p JOIN boot b USING (prio)
+        |ORDER BY o_orderpriority""".stripMargin,
     // rank()/count() window INTEGERS (not percent_rank's double) are
     // exactly lo_rank/hi_rank; micro-units by the same floor division
     "q205_spend_percentile" ->

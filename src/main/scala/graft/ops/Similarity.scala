@@ -1274,7 +1274,72 @@ object Similarity {
       .orderBy("k")
   }
 
+  /** s28 — VOTE-SHARE CALIBRATION of the kNN classifier (the
+    * reliability-diagram half of the eval harness s20's
+    * precision/recall report doesn't cover): a classifier's
+    * confidence is only useful if "9 of 9 neighbors agree" actually
+    * MEANS more than "5 of 9" — selective prediction, active-learning
+    * triage and auto-labeling pipelines all threshold on it. Every
+    * 5th vector holds out as a query, the rest vote (s12's 9-NN,
+    * identical cosine tie-breaks); per winning-vote-count bin the
+    * report compares claimed confidence (votes/9) against measured
+    * accuracy, both in integer basis points — the per-bin |gap| is
+    * the ECE integrand, and a bin whose acc_bp sits far under its
+    * conf_bp is exactly where an auto-labeler must abstain.
+    *
+    * Determinism: cosine ranks tie-break by vec_id and votes by
+    * label (s12's verified convention — both engines share the
+    * left-to-right dot fold); bins, counts and basis points are
+    * exact integers. Scale: the hold-out is eval-set-sized and
+    * BROADCASTS; the corpus is scanned once; everything after the
+    * per-query argmax is ≤ 9 rows. The per-query top-9 window
+    * partitions by q_id — never global.
+    */
+  def s28VoteCalibration(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val queries = e
+      .filter(col("vec_id") % 5 === 0)
+      .select(
+        col("vec_id").as("q_id"),
+        col("label").as("true_label"),
+        col("v").as("qv"),
+        col("norm").as("qnorm"))
+    val corpus = e.filter(col("vec_id") % 5 =!= 0)
+    val byCos = Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val votes = corpus
+      .join(broadcast(queries))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+      .withColumn("rank", row_number().over(byCos))
+      .filter(col("rank") <= 9)
+      .groupBy(col("q_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val byVotes = Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("n_votes").desc, col("label").asc)
+    votes
+      .withColumn("vr", row_number().over(byVotes))
+      .filter(col("vr") === 1)
+      .groupBy(col("n_votes").as("conf_votes"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("label") === col("true_label"), 1L).otherwise(0L)).as("n_correct"))
+      .select(
+        col("conf_votes"),
+        col("n"),
+        col("n_correct"),
+        expr("n_correct * 10000 div n").as("acc_bp"),
+        expr("conf_votes * 10000 div 9").as("conf_bp"),
+        expr("abs(n_correct * 10000 div n - conf_votes * 10000 div 9)").as("gap_bp"))
+      .orderBy("conf_votes")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s28_vote_calibration" -> s28VoteCalibration,
     "s22_recall_curve" -> s22RecallCurve,
     "s21_embedding_drift" -> s21EmbeddingDrift,
     "s26_int8_recall" -> s26Int8Recall,
@@ -2120,6 +2185,42 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // s12's cosine/vote/tie-break replay on the %5 hold-out, rolled
+    // up per winning-vote bin with the same integer basis points
+    "s28_vote_calibration" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |        sqrt(list_inner_product(v, v)) AS norm FROM e),
+        |q AS (SELECT vec_id AS q_id, label AS true_label, v AS qv,
+        |        norm AS qn FROM n WHERE vec_id % 5 = 0),
+        |c AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
+        |sc AS (
+        |  SELECT q.q_id, q.true_label, c.vec_id, c.label,
+        |    list_inner_product(q.qv, c.v) / (q.qn * c.norm) AS cos
+        |  FROM q, c),
+        |tk AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rk FROM sc)
+        |  WHERE rk <= 9),
+        |v AS (
+        |  SELECT q_id, true_label, label, count(*) AS n_votes
+        |  FROM tk GROUP BY 1, 2, 3),
+        |win AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |          ORDER BY n_votes DESC, label ASC) AS vr FROM v)
+        |  WHERE vr = 1)
+        |SELECT CAST(n_votes AS BIGINT) AS conf_votes,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  CAST(sum(CASE WHEN label = true_label THEN 1 ELSE 0 END)
+        |    * 10000 // count(*) AS BIGINT) AS acc_bp,
+        |  CAST(n_votes * 10000 // 9 AS BIGINT) AS conf_bp,
+        |  CAST(abs(sum(CASE WHEN label = true_label THEN 1 ELSE 0 END)
+        |    * 10000 // count(*) - n_votes * 10000 // 9) AS BIGINT) AS gap_bp
+        |FROM win GROUP BY n_votes ORDER BY conf_votes""".stripMargin,
     "s22_recall_curve" -> s22OracleSql,
     // same assignment replay, same exact integer centroid numerators
     // (HUGEINT squares mirror DECIMAL(38,0)), same smoothed PSI text

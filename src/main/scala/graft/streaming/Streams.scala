@@ -1958,7 +1958,176 @@ object Streams {
       .orderBy("lang")
   }
 
+  /** q207 — gap-based SESSIONIZATION run to completion under the
+    * oracle (streaming gate #6, promoting [[sessionize]] from its
+    * spec-only parity pins): the events fixture splits into two
+    * time-ordered halves fed one file per micro-batch, so sessions
+    * STRADDLING the cut are held open in `flatMapGroupsWithState`
+    * state across a checkpoint commit and only close when the second
+    * file's successor event (or the event-time timeout) arrives —
+    * the merging-session state shape the windowed-agg gate (q155)
+    * cannot exercise. The batch tail keeps NON-FINAL sessions only
+    * (session_end < the user's max event time): every non-final
+    * session is closed deterministically IN-FUNCTION by its
+    * successor event regardless of watermark arithmetic, while each
+    * user's trailing session — whose emission depends on the
+    * timeout-vs-final-watermark boundary — is excluded on BOTH
+    * sides, so the gate pins the sessionizer's cross-batch state
+    * exactly without encoding engine-private watermark rounding into
+    * the oracle. DuckDB recomputes the identical gap>30min session
+    * assignment (q65's verified boundary: a gap of EXACTLY 30
+    * minutes stays in-session) and the identical non-final filter.
+    *
+    * Scale: one state row per ACTIVE user (timeout frees it), sorted
+    * per-user per-batch event slices, and the tail is the emitted
+    * session table — session-count-sized, never raw events.
+    */
+  def q207StreamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.ops.Tables
+      .events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val root = gateTempRoot("graft-q207")
+    val feed = new java.io.File(root, "feed")
+    val out = new java.io.File(root, "out")
+    val ckpt = new java.io.File(root, "ckpt")
+    ev.filter(col("ts") < lit(cut)).coalesce(1).write.mode("append").parquet(feed.getAbsolutePath)
+    ev.filter(col("ts") >= lit(cut)).coalesce(1).write.mode("append").parquet(feed.getAbsolutePath)
+
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    providerConfLock.synchronized {
+      val prevProv = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val in = s.readStream
+          .schema("user_id BIGINT, ts TIMESTAMP, event_type STRING")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(feed.getAbsolutePath)
+          .as[Event]
+        val q = sessionize(in, gapMinutes = 30, watermarkDelay = "10 minutes").writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (sessions: Dataset[Session], _: Long) =>
+            sessions.write.mode("append").parquet(out.getAbsolutePath)
+          }
+          .start()
+        q.awaitTermination()
+      } finally prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+    }
+    // batch tail: non-final sessions only (see scaladoc), then the
+    // bucket rollup; distinct() guards a retried micro-batch's
+    // re-appended parquet exactly as q204's edge dedup does
+    val userMax = ev.groupBy(col("user_id")).agg(max(col("ts")).as("maxts"))
+    s.read
+      .parquet(out.getAbsolutePath)
+      .distinct()
+      .join(userMax, "user_id")
+      .filter(col("session_end") < col("maxts"))
+      .groupBy((col("user_id") % 10L).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events").cast("long")).as("n_events"),
+        sum(unix_micros(col("session_end")) - unix_micros(col("session_start")))
+          .as("dur_us_total"),
+        max(col("n_events").cast("long")).as("max_session_events"))
+      .orderBy("bucket")
+  }
+
+  /** q210 — streaming KMV distinct-count gate RUN TO COMPLETION under
+    * the oracle (streaming gate #7, and the first to put the Spark 4
+    * `transformWithState` surface — named ValueState, the
+    * StatefulProcessor API — under the DuckDB hash gate; the six
+    * earlier gates exercise windowed aggs, stream-stream joins and
+    * `flatMapGroupsWithState`). Events split into three user-keyed
+    * shards fed one file per micro-batch, so every group's sorted
+    * k-minimum-values state merges across RocksDB commits; the batch
+    * tail takes each group's FINAL estimate, which is well-defined
+    * without sequence numbers because the KMV estimate is MONOTONE
+    * non-decreasing in the element set (below saturation it IS the
+    * exact count; at saturation the k-th minimum only shrinks), so
+    * `max` over the update-mode emissions is the last one. The gate
+    * also reports the exact distinct count and the estimator's error
+    * in basis points — the accuracy contract (±1/√k) as data, not
+    * prose. The oracle recomputes the sketch from scratch: same
+    * portable hash, DISTINCT HASH VALUES (the sketch is a set of
+    * hashes — a colliding pair of user ids contributes one entry),
+    * same (k−1)·M / h_k integer estimator.
+    *
+    * Scale: state is k longs per group regardless of cardinality;
+    * per-trigger work ∝ arriving rows; the tail reads the emission
+    * log — groups × batches rows, never events.
+    */
+  def q210StreamKmv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.ops.Tables
+      .events(s, dir)
+      .select(col("event_type"), col("user_id"))
+    val root = gateTempRoot("graft-q210")
+    val feed = new java.io.File(root, "feed")
+    val out = new java.io.File(root, "out")
+    val ckpt = new java.io.File(root, "ckpt")
+    (0 to 2).foreach { i =>
+      ev.filter(col("user_id") % 3 === i)
+        .coalesce(1)
+        .write
+        .mode("append")
+        .parquet(feed.getAbsolutePath)
+    }
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    providerConfLock.synchronized {
+      val prevProv = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val in = s.readStream
+          .schema("event_type STRING, user_id BIGINT")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(feed.getAbsolutePath)
+          .select(col("event_type").as("_1"), col("user_id").as("_2"))
+          .as[(String, Long)]
+        val q = streamingDistinctCountGate(in, 128).writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (ests: Dataset[DistinctEst], _: Long) =>
+            ests.write.mode("append").parquet(out.getAbsolutePath)
+          }
+          .start()
+        q.awaitTermination()
+      } finally prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+    }
+    val exact = ev
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users_exact"))
+    s.read
+      .parquet(out.getAbsolutePath)
+      .groupBy(col("group").as("event_type"))
+      .agg(
+        max(col("n_est")).as("n_users_est"),
+        max(col("sketch_n")).cast("long").as("sketch_n"))
+      .join(exact, "event_type")
+      .select(
+        col("event_type"),
+        col("n_users_est"),
+        col("sketch_n"),
+        col("n_users_exact"),
+        expr("abs(n_users_est - n_users_exact) * 10000 div n_users_exact")
+          .as("err_bp"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_stream_kmv" -> q210StreamKmv,
+    "q207_stream_sessionize" -> q207StreamSessionize,
     "q204_stream_neardup" -> q204StreamNeardup,
     "q193_stream_wallet" -> q193StreamWallet,
     "q164_stream_interval_join" -> q164StreamIntervalJoin,
@@ -1970,6 +2139,61 @@ object Streams {
     * final state.
     */
   val oracles: Map[String, String] = Map(
+    // the KMV sketch recomputed from scratch: same portable hash,
+    // DISTINCT hash values (the state is a set of hashes), same
+    // (k-1)*M // h_k integer estimator and exact-below-k fallback
+    "q210_stream_kmv" ->
+      """WITH pc AS (
+        |  SELECT DISTINCT event_type AS g, user_id AS u FROM events),
+        |hd AS (
+        |  SELECT DISTINCT g,
+        |    ((u % 1000000007) * 1103515245 + 12345) % 1000000007 AS h
+        |  FROM pc),
+        |r AS (SELECT g, h,
+        |        row_number() OVER (PARTITION BY g ORDER BY h) AS r FROM hd),
+        |kmv AS (SELECT g, max(h) AS theta, count(*) AS kn
+        |        FROM r WHERE r <= 128 GROUP BY 1),
+        |ex AS (SELECT g, count(*) AS n FROM pc GROUP BY 1),
+        |est AS (
+        |  SELECT kmv.g,
+        |    CASE WHEN kn < 128 THEN kn
+        |         ELSE 127::BIGINT * 1000000007 // theta END AS e,
+        |    kn, ex.n
+        |  FROM kmv JOIN ex ON ex.g = kmv.g)
+        |SELECT g AS event_type,
+        |  CAST(e AS BIGINT) AS n_users_est,
+        |  CAST(kn AS BIGINT) AS sketch_n,
+        |  CAST(n AS BIGINT) AS n_users_exact,
+        |  CAST(abs(e - n) * 10000 // n AS BIGINT) AS err_bp
+        |FROM est ORDER BY event_type""".stripMargin,
+    // q65's verified gap>30min session assignment (a gap of exactly
+    // 30 minutes stays in-session), the same non-final filter
+    // (session_end < the user's max event time), the same rollup
+    "q207_stream_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                   OR us - lag(us) OVER w > 1800000000
+        |                 THEN 1 ELSE 0 END AS chg
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |i AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY us
+        |                           ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM f),
+        |sessions AS (
+        |  SELECT user_id, sess, min(us) AS s_us, max(us) AS e_us,
+        |    count(*) AS n
+        |  FROM i GROUP BY 1, 2),
+        |umax AS (SELECT user_id, max(us) AS mx FROM ev GROUP BY 1)
+        |SELECT user_id % 10 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(e_us - s_us) AS BIGINT) AS dur_us_total,
+        |  CAST(max(n) AS BIGINT) AS max_session_events
+        |FROM sessions JOIN umax USING (user_id)
+        |WHERE e_us < mx
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
     // d2's exhaustive exact-Jaccard SQL (no minhash replication —
     // the gate's verified flag set equals truth per the recall
     // argument in the scaladoc), rolled up to per-lang flag counts

@@ -175,4 +175,17 @@ class MultimodalSpec extends SparkSpec {
       assert(scale >= 1 && n >= 0)
     }
   }
+
+  test("m19 size sanity: flags partition assets, fill ratio consistent with byte totals") {
+    val rows = Multimodal.m19SizeSanity(spark, Sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("jpeg", "png", "webp"))
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.ops.Tables.documents(spark, Sf).count())
+    rows.foreach { r =>
+      val (n, trunc, bloat, act, exp, fill) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(trunc + bloat <= n, "a single asset cannot be both suspect classes")
+      assert(act > 0L && exp > 0L && fill == act * 10000L / exp)
+    }
+  }
 }

@@ -3448,4 +3448,137 @@ class OpsSpec extends SparkSpec {
         s"${r.getString(0)}: ranked winner is not the brute-force minimum")
     }
   }
+
+  test("q206 bootstrap: CI brackets the point mean, covers every order, positive width") {
+    val out = Relational.q206PoissonBootstrap(spark, Sf).collect()
+    assert(out.nonEmpty)
+    val nOrders = Tables.orders(spark, Sf).count()
+    assert(out.map(_.getLong(1)).sum == nOrders, "groups must partition orders")
+    out.foreach { r =>
+      val (mean, lo, hi) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(lo <= mean && mean <= hi,
+        s"${r.getString(0)}: point mean $mean outside bootstrap CI [$lo, $hi]")
+      assert(hi > lo, s"${r.getString(0)}: degenerate CI")
+      assert(r.getLong(5) == hi - lo)
+    }
+  }
+
+  test("q206 bootstrap: replicate weights are pure row functions — rerun is bit-identical") {
+    val a = Relational.q206PoissonBootstrap(spark, Sf).collect().map(_.toString).sorted
+    val b = Relational.q206PoissonBootstrap(spark, Sf).collect().map(_.toString).sorted
+    assert(a.sameElements(b), "bootstrap must be deterministic across runs")
+  }
+
+  test("d34 spans: doc set equals d11's, spans are window-consistent per doc") {
+    val spans = Dedup.d34DupSpans(spark, Sf).collect()
+    assert(spans.nonEmpty)
+    val d11Docs = Dedup.d11PassageDedup(spark, Sf).collect().map(_.getLong(0)).toSet
+    assert(spans.map(_.getLong(0)).toSet == d11Docs,
+      "a doc has a duplicated span iff it has a duplicated window (same df>=2 test)")
+    spans.foreach { r =>
+      val (nTok, nSpans, dupTok, longest, bp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nSpans >= 1L && longest >= 8L, "every span covers at least one 8-window")
+      assert(dupTok >= longest && dupTok <= nTok,
+        s"doc ${r.getLong(0)}: span mass $dupTok outside [longest=$longest, n_tokens=$nTok]")
+      assert(dupTok >= 8L * nSpans, "every span is at least window-sized")
+      assert(bp == dupTok * 10000L / nTok)
+    }
+  }
+
+  test("s28 calibration: bins partition the hold-out, confidence is exact votes/9") {
+    val out = Similarity.s28VoteCalibration(spark, Sf).collect()
+    assert(out.nonEmpty)
+    val nHoldout = Tables.embeddings(spark, Sf).filter(col("vec_id") % 5 === 0).count()
+    assert(out.map(_.getLong(1)).sum == nHoldout, "every hold-out query lands in one bin")
+    out.foreach { r =>
+      val (votes, n, correct, acc, conf, gap) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(votes >= 1L && votes <= 9L, "winner vote count is within 1..9")
+      assert(correct <= n && acc == correct * 10000L / n)
+      assert(conf == votes * 10000L / 9L && gap == math.abs(acc - conf))
+    }
+  }
+
+  test("q208 link prediction: imperative RA replay over the knn edge list matches") {
+    val edges = Relational
+      .knnEdges(spark, Sf, 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.flatMap { case (x, y) => Seq(x -> y, y -> x) }
+      .groupBy(_._1).map { case (v, ns) => v -> ns.map(_._2).toSet }
+    val deg = adj.map { case (v, ns) => v -> ns.size.toLong }
+    val edgeSet = edges.toSet
+    val scores = adj.toSeq
+      .flatMap { case (v, ns) =>
+        val sorted = ns.toSeq.sorted
+        for { a <- sorted; b <- sorted if a < b } yield ((a, b), deg(v))
+      }
+      .groupBy(_._1)
+      .collect { case (pair, vias) if !edgeSet.contains(pair) =>
+        (pair, vias.size.toLong, vias.map(d => 1000000L / d._2).sum)
+      }
+      .toSeq
+    val expected = scores
+      .sortBy { case ((a, b), cn, ra) => (-ra, -cn, a, b) }
+      .take(50)
+      .map { case ((a, b), cn, ra) => (a, b, cn, ra) }
+    val got = Relational.q208LinkPrediction(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.sameElements(expected),
+      s"RA replay mismatch; got=${got.take(3).mkString(",")} expected=${expected.take(3).mkString(",")}")
+  }
+
+  test("q209 Mann-Kendall: imperative pairwise replay per event type matches") {
+    val daily = Tables
+      .events(spark, Sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay, r.getLong(2)))
+    val expected = daily.groupBy(_._1).map { case (et, rows) =>
+      val xs = rows.sortBy(_._2).map(_._3)
+      val n = xs.length.toLong
+      val s = (for { i <- xs.indices; j <- (i + 1) until xs.length }
+        yield java.lang.Long.signum(xs(j) - xs(i)).toLong).sum
+      val tsum = xs.groupBy(identity).values.map(_.size.toLong)
+        .filter(_ >= 2).map(t => t * (t - 1) * (2 * t + 5)).sum
+      et -> (n, n * (n - 1) / 2, s, n * (n - 1) * (2 * n + 5) - tsum)
+    }
+    val got = Relational.q209MannKendall(spark, Sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    }.toMap
+    assert(got == expected, s"MK replay mismatch: got=$got expected=$expected")
+  }
+
+  test("q210 KMV gate: below saturation the estimate is exact, error within the bound") {
+    graft.streaming.Streams.q210StreamKmv(spark, Sf).collect().foreach { r =>
+      val (est, kn, exact, err) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(kn <= 128L)
+      assert(err == math.abs(est - exact) * 10000L / exact)
+      if (kn < 128L)
+        assert(est == exact,
+          s"${r.getString(0)}: unsaturated sketch must be the exact count ($est vs $exact)")
+      else
+        assert(err <= 3000L, s"${r.getString(0)}: saturated KMV error $err bp beyond ~3/sqrt(k)")
+    }
+  }
+
+  test("p21 epoch mix: greedy identities — budget exhausted, epochs within 0..4") {
+    val out = Corpus.p21EpochMix(spark, Sf).collect()
+    assert(out.nonEmpty)
+    val totalTok = out.map(_.getLong(1)).sum
+    val b = 2L * totalTok
+    out.foreach { r =>
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 4L, "full epochs within 0..4")
+      assert(r.getLong(4) >= 0L && r.getLong(4) < 10000L, "partial share is a proper fraction")
+      assert(!(r.getLong(3) == 4L && r.getLong(4) > 0L), "no partial beyond the 4-epoch cap")
+    }
+    val alloc = out.map(_.getLong(5)).sum
+    val maxTok = out.map(_.getLong(1)).max
+    assert(alloc <= b, "allocation never exceeds the budget")
+    assert(b - alloc <= maxTok / 10000L + 1L || out.map(_.getLong(3)).forall(_ == 4L),
+      s"budget must be exhausted up to the one fractional unit's floor loss: b=$b alloc=$alloc")
+  }
 }

@@ -1505,6 +1505,35 @@ class StreamBatchParitySpec extends SparkSpec {
       }
     }
   }
+
+  test("q207 gate: the run-to-completion sessionize rollup equals its batch twin") {
+    val gapUs = 30L * 60L * 1000000L
+    val byTime = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"))
+    val sessions = graft.ops.Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(byTime))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("us") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        byTime.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("s"), max(col("us")).as("e"), count(lit(1)).as("n"))
+    val umax = sessions.groupBy(col("user_id")).agg(max(col("e")).as("mx"))
+    val expected = sessions
+      .join(umax, "user_id")
+      .filter(col("e") < col("mx")) // the gate's non-final filter
+      .groupBy((col("user_id") % 10L).as("bucket"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"),
+        sum(col("e") - col("s")).as("dur_us_total"), max(col("n")).as("max_session_events"))
+      .orderBy("bucket")
+      .collect().map(_.toString)
+    val got = graft.streaming.Streams.q207StreamSessionize(spark, Sf)
+      .collect().map(_.toString)
+    assert(got.nonEmpty, "gate emitted no non-final sessions on the fixture")
+    assert(got.sameElements(expected),
+      s"gate rollup != batch twin; got=${got.take(3).mkString(";")} expected=${expected.take(3).mkString(";")}")
+  }
 }
 
 /** Companion buffer for the gate-restart test: foreachBatch closures
