@@ -1048,7 +1048,70 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** p22 — sequence-packing EFFICIENCY SWEEP over the context-length
+    * ladder {256, 512, 1024, 2048}: for each candidate capacity, the
+    * padding waste (in tokens and basis points of the packed volume)
+    * and how many documents straddle a sequence boundary — the two
+    * costs a context-length decision trades (shorter sequences waste
+    * less tail padding but split more documents; longer ones the
+    * reverse). p7 WRITES the packing index for one chosen capacity;
+    * this is the measurement that chooses it — the d21/d27/s24
+    * operating-curve doctrine applied to the packing stage.
+    *
+    * The shard-local cumulative sum (p7's (lang, doc_id div 100)
+    * partitioning — bounded window partitions by construction) is
+    * computed ONCE, capacity-independent; the 4-way capacity fan-out
+    * explodes AFTER it, so the sweep costs one window pass plus a
+    * 4×-rows aggregate, not 4 packings. Boundary arithmetic is pure
+    * integer div on the cumsum: a doc straddles iff its first and last
+    * token land in different cap-blocks. At 100 TB: same plan — one
+    * bounded-partition window over narrow (id, count) rows, then
+    * shard-sized aggregates; nothing data-sized crosses an
+    * unpartitioned boundary.
+    */
+  def p22PackingSweep(s: SparkSession, dir: String): DataFrame = {
+    val caps = Seq(256L, 512L, 1024L, 2048L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+    val packed = Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        expr("doc_id div 100").as("shard"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .withColumn("cum", sum(col("nt")).over(w))
+    val perCap = packed
+      .select(
+        col("lang"),
+        col("shard"),
+        col("nt"),
+        col("cum"),
+        explode(array(caps.map(lit): _*)).as("cap"))
+      .withColumn(
+        "sp",
+        when(expr("(cum - 1) div cap > (cum - nt) div cap"), 1L).otherwise(0L))
+    perCap
+      .groupBy(col("cap"), col("lang"), col("shard"))
+      .agg(
+        max(col("cum")).as("t"),
+        sum(col("sp")).as("n_spanning"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("seqs", expr("(t + cap - 1) div cap"))
+      .groupBy(col("cap"))
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("t")).as("total_tokens"),
+        sum(col("seqs")).as("n_seqs"),
+        sum(col("seqs") * col("cap") - col("t")).as("waste_tokens"),
+        sum(col("n_spanning")).as("n_spanning_docs"))
+      .withColumn("waste_bp", expr("waste_tokens * 10000 div (n_seqs * cap)"))
+      .orderBy("cap")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p22_packing_sweep" -> p22PackingSweep,
     "p21_epoch_mix" -> p21EpochMix,
     "p20_dedup_holdout" -> p20DedupHoldout,
     "p19_data_card" -> p19DataCard,
@@ -1073,6 +1136,37 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same shard-local ROWS cumsum, cap-block straddle test and
+    // ceil-division sequence count, fanned over the capacity ladder
+    "p22_packing_sweep" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, doc_id // 100 AS shard,
+        |    len(string_split(text, ' '))::BIGINT AS nt
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(nt) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+        |caps(cap) AS (VALUES (256::BIGINT), (512), (1024), (2048)),
+        |pc AS (
+        |  SELECT cap, lang, shard, nt, cum,
+        |    CASE WHEN (cum - 1) // cap > (cum - nt) // cap
+        |         THEN 1 ELSE 0 END AS sp
+        |  FROM c, caps),
+        |ss AS (
+        |  SELECT cap, lang, shard, max(cum) AS t, sum(sp) AS n_spanning,
+        |    count(*) AS n_docs
+        |  FROM pc GROUP BY 1, 2, 3),
+        |sq AS (
+        |  SELECT cap, n_docs, t, (t + cap - 1) // cap AS seqs, n_spanning
+        |  FROM ss)
+        |SELECT cap, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(t) AS BIGINT) AS total_tokens,
+        |  CAST(sum(seqs) AS BIGINT) AS n_seqs,
+        |  CAST(sum(seqs * cap - t) AS BIGINT) AS waste_tokens,
+        |  CAST(sum(n_spanning) AS BIGINT) AS n_spanning_docs,
+        |  CAST(sum(seqs * cap - t) * 10000 // (sum(seqs) * cap) AS BIGINT)
+        |    AS waste_bp
+        |FROM sq GROUP BY cap ORDER BY cap""".stripMargin,
     // same type-token quality, same decay ladder, same greedy line
     // (value desc, source, epoch) and the same fractional boundary
     "p21_epoch_mix" ->

@@ -8280,7 +8280,265 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q212 — CALENDAR-ALIGNED period-over-period growth (MoM + YoY):
+    * monthly revenue with month-over-month and year-over-year deltas
+    * in exact basis points — the reporting staple every drift/forecast
+    * query here ultimately feeds. Alignment is by CALENDAR self-join
+    * (`prev_month = add_months(month, −1)`, `prev_year =
+    * add_months(month, −12)`), NOT by `lag()` row adjacency: a lag
+    * over the month series silently mis-aligns the moment one month
+    * has no orders (lag(12) would read "12 rows back", not "the same
+    * month last year"), which is exactly the gap regime a 100-TB
+    * multi-tenant rollup hits per-tenant. Missing comparator months
+    * surface as NULL growth, never as a wrong pairing. Growth is
+    * integer `((cur − prev) · 10000) div prev` over exact cents —
+    * both engines truncate toward zero, and revenue is positive, so
+    * the bp values hash exactly.
+    *
+    * Plan: ONE data-sized exchange (the (month) hash aggregate, map-
+    * side combined); both self-joins then run on the calendar-bounded
+    * monthly table (~80 rows per 6-fixture-years — rows ∝ months, not
+    * data), which AQE broadcasts. At 100 TB the plan is identical:
+    * aggregate once, join calendars.
+    */
+  def q212PeriodGrowth(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables
+      .orders(s, dir)
+      .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .localCheckpoint() // three consumers (cur + two comparator sides)
+    val prevM = monthly.select(
+      add_months(col("month"), 1).as("month"),
+      col("cents").as("mom_prev"))
+    val prevY = monthly.select(
+      add_months(col("month"), 12).as("month"),
+      col("cents").as("yoy_prev"))
+    monthly
+      .join(prevM, Seq("month"), "left")
+      .join(prevY, Seq("month"), "left")
+      .select(
+        col("month"),
+        col("n_orders"),
+        col("cents"),
+        expr("(cents - mom_prev) * 10000 div mom_prev").as("mom_bp"),
+        expr("(cents - yoy_prev) * 10000 div yoy_prev").as("yoy_bp"))
+      .orderBy("month")
+  }
+
+  /** q213 — MERGEABLE bottom-k-by-hash sample quantiles with a
+    * measured error audit: the distributed quantile-sketch answer
+    * when the q70 exact histogram is too wide (a truly high-cardinality
+    * metric domain). The sample is the k=1024 rows with the SMALLEST
+    * md5 hash of their unique key — a uniform sample that is (a)
+    * deterministic, (b) MERGEABLE (bottom-k of a union = bottom-k of
+    * the two bottom-k's — the KMV property q79/q106 exploit, applied
+    * to quantiles), and (c) plans as TakeOrderedAndProject: per-
+    * partition k-heaps, one k-row driver merge, never a global sort.
+    * Estimates are order statistics of the sample (rank ⌈p·k⌉); the
+    * EXACT comparators come from the repo's own q70 histogram kernel
+    * ([[ExactNtile.cumulativeRanks]] — bounded-state, domain-sized),
+    * so the report prices the sketch against ground truth in basis
+    * points: the d25/s23 calibration doctrine (accuracy as DATA, not
+    * prose) pointed at quantile estimation. Expected |err| ~
+    * p(1−p)/√k of the value SPREAD at the quantile — single-digit bp
+    * on the fixture's smooth price distribution.
+    *
+    * Plan: the sample side is scan → TakeOrderedAndProject(1024) →
+    * one-row sort_array aggregate; the exact side is the q70 shape
+    * (histogram hash exchange + block-sum windows). Nothing else
+    * touches data-sized rows; the final report is 4 rows.
+    */
+  def q213SampleQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val k = 1024
+    val base = Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
+        expr("CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), ':', " +
+          "CAST(l_linenumber AS STRING))), 1, 8), 16, 10) AS BIGINT)").as("h"))
+    // bottom-k by (h, key): per-partition heaps via TakeOrderedAndProject
+    val sample = base
+      .orderBy(col("h").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(k)
+      .agg(array_sort(collect_list(col("cents"))).as("sc"))
+    val probes = Seq(25, 50, 75, 90)
+    val est = sample.select(
+      explode(
+        array(probes.map { p =>
+          val r = (p * k + 99) / 100 // ceil(p·k/100), exact integers
+          struct(lit(p).as("p"), element_at(col("sc"), r).as("est_cents"))
+        }: _*)).as("e"))
+      .select(col("e.p").as("p"), col("e.est_cents").as("est_cents"))
+    // exact: q70's bounded-state cumulative-rank kernel over the value
+    // histogram; the p-quantile is the smallest value whose cumulative
+    // count reaches ceil(p·n/100)
+    val hist = base.groupBy(col("cents").as("m")).agg(count(lit(1)).as("freq"))
+    val cum = ExactNtile
+      .cumulativeRanks(hist, m => expr("m div 131072"))
+      .localCheckpoint() // four probe consumers; domain-sized input
+    val n = hist.agg(sum(col("freq")).as("n"))
+    val exact = cum
+      .crossJoin(broadcast(n))
+      .select(
+        col("m"),
+        col("hi_rank"),
+        explode(array(probes.map(p => lit(p)): _*)).as("p"))
+      .filter(col("hi_rank") >= expr("(p * n + 99) div 100"))
+      .groupBy(col("p"))
+      .agg(min(col("m")).as("exact_cents"))
+    est
+      .join(exact, "p")
+      .select(
+        col("p"),
+        col("est_cents"),
+        col("exact_cents"),
+        expr("abs(est_cents - exact_cents) * 10000 div exact_cents").as("err_bp"))
+      .orderBy("p")
+  }
+
+  /** q214 — TIME-DECAY attribution: each purchase's value splits over
+    * ALL click/view touches in its 7-day lookback with exponentially
+    * decaying credit (half-life = 1 day) — the standard middle ground
+    * between q122's winner-takes-all last-touch and q200's exact
+    * Shapley. Weights are EXACT DYADIC RATIONALS: a touch aged d whole
+    * days (d ∈ [0,6]) weighs 2^(6−d), so per-purchase credit is
+    * `cents · 10^6 · w div Σw` — pure integer arithmetic, no float at
+    * any boundary (contrast the usual e^(−λ·age) which would hash-
+    * diverge across engines). Untouched purchases credit 'none' in
+    * full, so the column sums conserve value up to the documented
+    * per-purchase div truncation (< Σw micro-cents).
+    *
+    * Plan: purchases ⨝ touches is a per-user interval join — both
+    * sides exchange ONCE on user_id and the time predicate prunes
+    * within the key group (q24/q164's shape; never a cross join). The
+    * per-purchase Σw rollup and the credit fan-out reuse the same
+    * user_id partitioning; the channel rollup is 3 rows. A mega-user
+    * is the skew failure mode and gets the d13 cap treatment; fixture
+    * users carry ≲ dozens of events.
+    */
+  def q214TimeDecayAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val touches = ev
+      .filter(col("event_type").isin("click", "view"))
+      .select(
+        col("user_id"),
+        col("ts").as("tts"),
+        col("event_type").as("channel"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("ts").as("pts"),
+        col("event_id").as("purchase_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val pt = purchases
+      .join(
+        touches,
+        Seq("user_id"))
+      // strictly inside the 7-day window, so the whole-day age is in
+      // [0,6] by construction and the dyadic weight ladder never
+      // shifts negative; age is integer `div` over micros — a float
+      // division could misplace an exact-day-boundary touch
+      .filter(
+        col("tts") < col("pts") &&
+          col("tts") > col("pts") - expr("INTERVAL 7 DAYS"))
+      .withColumn(
+        "w",
+        expr("shiftleft(CAST(1 AS BIGINT), 6 - CAST(" +
+          "(unix_micros(pts) - unix_micros(tts)) div 86400000000 AS INT))"))
+    val wsum = pt
+      .groupBy(col("purchase_id"))
+      .agg(sum(col("w")).as("tw"))
+    val touched = pt
+      .join(wsum, "purchase_id")
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n_touches"),
+        countDistinct(col("purchase_id")).as("n_purchases"),
+        sum(expr("cents * 1000000L * w div tw")).as("credited_micro"))
+    val none = purchases
+      .join(wsum, Seq("purchase_id"), "left_anti")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        coalesce(sum(col("cents") * 1000000L), lit(0L)).as("credited_micro"))
+      .select(
+        lit("none").as("channel"),
+        lit(0L).as("n_touches"),
+        col("n_purchases"),
+        col("credited_micro"))
+    touched
+      .select(col("channel"), col("n_touches"), col("n_purchases"), col("credited_micro"))
+      .unionAll(none)
+      .orderBy("channel")
+  }
+
+  /** q215 — BITEMPORAL as-of reporting: monthly revenue along the
+    * VALID-time axis (o_orderdate — when the business event happened)
+    * under two TRANSACTION-time views (what the system knew after
+    * correction batch 1 vs after all corrections) — the two-time-axis
+    * reconstruction behind restatements, late-arriving-fact audits and
+    * "reproduce last quarter's report exactly" (Snodgrass's bitemporal
+    * model; q110's PIT snapshot walks ONE axis, SCD2 versions ONE
+    * dimension — this query answers both axes at once). A deterministic
+    * correction log (seq 1: +111 cents on k%10=1; seq 2: +222 on
+    * k%20=2; seq 3: +999 on k%40=22) layers on the booked seq-0 facts;
+    * `restated_cents` is the per-month drift between the two views.
+    *
+    * The txn-time as-of is computed WITHOUT a window: versions per key
+    * are log-bounded (≤4), so `max(seq·10^11 + cents)` per view — an
+    * integer PACKED argmax, exact because cents < 10^11 — resolves
+    * "latest version ≤ T" inside the same per-key aggregate that the
+    * valid-time rollup then consumes. Plan: union the bounded
+    * correction branches (each a filtered scan), ONE orderkey hash
+    * aggregate, then a calendar-sized month rollup. At 100 TB: version
+    * logs join-partition by key; no version window, no skew surface.
+    */
+  def q215BitemporalAsof(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderkey").as("k"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("month"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .localCheckpoint() // four version branches read it
+    val log = o
+      .select(col("k"), lit(0L).as("seq"), col("cents"))
+      .unionAll(o.filter(pmod(col("k"), lit(10)) === 1)
+        .select(col("k"), lit(1L).as("seq"), (col("cents") + 111L).as("cents")))
+      .unionAll(o.filter(pmod(col("k"), lit(20)) === 2)
+        .select(col("k"), lit(2L).as("seq"), (col("cents") + 222L).as("cents")))
+      .unionAll(o.filter(pmod(col("k"), lit(40)) === 22)
+        .select(col("k"), lit(3L).as("seq"), (col("cents") + 999L).as("cents")))
+    val packed = log
+      .groupBy(col("k"))
+      .agg(
+        max(when(col("seq") <= 1L, col("seq") * 100000000000L + col("cents")))
+          .as("p_t1"),
+        max(col("seq") * 100000000000L + col("cents")).as("p_latest"))
+      .select(
+        col("k"),
+        pmod(col("p_t1"), lit(100000000000L)).as("cents_t1"),
+        pmod(col("p_latest"), lit(100000000000L)).as("cents_latest"))
+    o.select(col("k"), col("month"))
+      .join(packed, "k")
+      .groupBy(col("month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("cents_t1")).as("cents_known_t1"),
+        sum(col("cents_latest")).as("cents_latest"))
+      .withColumn("restated_cents", col("cents_latest") - col("cents_known_t1"))
+      .orderBy("month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_bitemporal_asof" -> q215BitemporalAsof,
+    "q214_time_decay_attribution" -> q214TimeDecayAttribution,
+    "q213_sample_quantiles" -> q213SampleQuantiles,
+    "q212_period_growth" -> q212PeriodGrowth,
     "q209_mann_kendall" -> q209MannKendall,
     "q208_link_prediction" -> q208LinkPrediction,
     "q206_poisson_bootstrap" -> q206PoissonBootstrap,
@@ -8484,6 +8742,111 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // calendar self-joins (never lag-row adjacency); both engines'
+    // integer division truncates toward zero, so negative growth bp
+    // agree exactly
+    "q212_period_growth" ->
+      """WITH m AS (
+        |  SELECT date_trunc('month', o_orderdate)::DATE AS month,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT c.month, c.n_orders, c.cents,
+        |  CAST((c.cents - pm.cents) * 10000 // pm.cents AS BIGINT) AS mom_bp,
+        |  CAST((c.cents - py.cents) * 10000 // py.cents AS BIGINT) AS yoy_bp
+        |FROM m c
+        |LEFT JOIN m pm ON (pm.month + INTERVAL 1 MONTH)::DATE = c.month
+        |LEFT JOIN m py ON (py.month + INTERVAL 12 MONTH)::DATE = c.month
+        |ORDER BY c.month""".stripMargin,
+    // same bottom-1024-by-md5 sample, same ceil-rank order statistics,
+    // same smallest-value-reaching-ceil(p*n/100) exact comparator
+    "q213_sample_quantiles" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    ('0x' || substr(md5(l_orderkey::VARCHAR || ':' ||
+        |       l_linenumber::VARCHAR), 1, 8))::BIGINT AS h
+        |  FROM lineitem),
+        |samp AS (
+        |  SELECT cents FROM (
+        |    SELECT cents, row_number() OVER (
+        |      ORDER BY h, l_orderkey, l_linenumber) AS rn FROM base)
+        |  WHERE rn <= 1024),
+        |sr AS (
+        |  SELECT cents, row_number() OVER (ORDER BY cents) AS r FROM samp),
+        |probes(p, rs) AS (VALUES (25, 256), (50, 512), (75, 768), (90, 922)),
+        |est AS (
+        |  SELECT p, cents AS est_cents FROM probes JOIN sr ON sr.r = probes.rs),
+        |t AS (SELECT count(*) AS n FROM base),
+        |cum AS (
+        |  SELECT cents AS m, count(*) AS freq,
+        |    sum(count(*)) OVER (ORDER BY cents) AS hi_rank
+        |  FROM base GROUP BY cents),
+        |ex AS (
+        |  SELECT p, min(m) AS exact_cents
+        |  FROM probes, cum, t
+        |  WHERE hi_rank >= (p * n + 99) // 100
+        |  GROUP BY p)
+        |SELECT CAST(est.p AS INTEGER) AS p, est.est_cents, ex.exact_cents,
+        |  CAST(abs(est.est_cents - ex.exact_cents) * 10000 // ex.exact_cents
+        |       AS BIGINT) AS err_bp
+        |FROM est JOIN ex USING (p) ORDER BY p""".stripMargin,
+    // the same strict (0,7d) window, whole-day integer age, dyadic
+    // 2^(6-age) weights and per-purchase truncating micro split
+    "q214_time_decay_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, ts AS tts, event_type AS channel
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |p AS (
+        |  SELECT user_id, ts AS pts, event_id AS purchase_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |pt AS (
+        |  SELECT p.purchase_id, p.cents, t.channel,
+        |    (1::BIGINT << (6 - CAST((epoch_us(p.pts) - epoch_us(t.tts))
+        |       // 86400000000 AS INT))) AS w
+        |  FROM p JOIN t ON t.user_id = p.user_id
+        |    AND t.tts < p.pts
+        |    AND t.tts > p.pts - INTERVAL 7 DAY),
+        |ws AS (SELECT purchase_id, sum(w) AS tw FROM pt GROUP BY 1),
+        |touched AS (
+        |  SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |    CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+        |    CAST(sum(cents * 1000000 * w // tw) AS BIGINT) AS credited_micro
+        |  FROM pt JOIN ws USING (purchase_id) GROUP BY channel),
+        |untouched AS (
+        |  SELECT 'none' AS channel, 0::BIGINT AS n_touches,
+        |    CAST(count(*) AS BIGINT) AS n_purchases,
+        |    CAST(coalesce(sum(cents * 1000000), 0) AS BIGINT) AS credited_micro
+        |  FROM p WHERE purchase_id NOT IN (SELECT purchase_id FROM ws))
+        |SELECT * FROM touched UNION ALL SELECT * FROM untouched
+        |ORDER BY channel""".stripMargin,
+    // the same packed seq*1e11+cents argmax per transaction-time view,
+    // the same valid-time month rollup
+    "q215_bitemporal_asof" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    date_trunc('month', o_orderdate)::DATE AS month,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |log AS (
+        |  SELECT k, 0::BIGINT AS seq, cents FROM o
+        |  UNION ALL SELECT k, 1, cents + 111 FROM o WHERE k % 10 = 1
+        |  UNION ALL SELECT k, 2, cents + 222 FROM o WHERE k % 20 = 2
+        |  UNION ALL SELECT k, 3, cents + 999 FROM o WHERE k % 40 = 22),
+        |packed AS (
+        |  SELECT k,
+        |    max(CASE WHEN seq <= 1 THEN seq * 100000000000 + cents END)
+        |      % 100000000000 AS cents_t1,
+        |    max(seq * 100000000000 + cents) % 100000000000 AS cents_latest
+        |  FROM log GROUP BY k)
+        |SELECT o.month, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents_t1) AS BIGINT) AS cents_known_t1,
+        |  CAST(sum(cents_latest) AS BIGINT) AS cents_latest,
+        |  CAST(sum(cents_latest) - sum(cents_t1) AS BIGINT) AS restated_cents
+        |FROM o JOIN packed USING (k)
+        |GROUP BY o.month ORDER BY o.month""".stripMargin,
     // same daily cents rollup, same sign-pair sum and the same
     // tie-corrected 18*Var(S) integer numerator
     "q209_mann_kendall" ->

@@ -1338,7 +1338,104 @@ object Similarity {
       .orderBy("conf_votes")
   }
 
+  /** s29 — MULTI-PROBE LSH (Lv, Josephson, Wang, Charikar & Li, VLDB
+    * 2007): instead of probing only the query's own sign-bucket in
+    * each table, also probe the PlanesPerTable Hamming-1 buckets (one
+    * plane's sign flipped) — the buckets a near-miss neighbor most
+    * likely fell into. The trade is the paper's headline: probes
+    * (compute) substitute for tables (index memory) — here 3 tables ×
+    * 5 probes reach the recall regime of many more single-probe
+    * tables while storing a QUARTER of s2's 12-table index. The
+    * report measures exactly that on this corpus: per query,
+    * candidate count and truth-top-5 hits for single-probe-3-tables
+    * vs multi-probe-3-tables, side by side (the d26/s22 "efficiency
+    * audit as data" doctrine; s14 already prices 12-table
+    * single-probe).
+    *
+    * Plan: buckets come from the fused [[tableBucketsFor]] kernel
+    * over the FIRST 3 hyperplane tables only (never computes the 9
+    * unused); the probe fan-out is a literal 5-way explode on the
+    * 20-query side, which stays broadcast; candidate joins are
+    * (t, bucket) equi-joins against the same banded corpus layout s2
+    * uses. Everything after candidate generation is query-count-sized.
+    * At 100 TB the index is hash-partitioned by (t, bucket) and a
+    * query touches 15 buckets instead of 3 — bounded fan-out, no new
+    * shuffle shape.
+    */
+  def s29MultiprobeLsh(s: SparkSession, dir: String): DataFrame = {
+    val nT = 3
+    val all = vecs(s, dir)
+    val banded = all
+      .select(
+        col("vec_id"),
+        col("v"),
+        col("norm"),
+        explode(tableBucketsFor(col("v"), hyperplanes.take(nT))).as("tb"))
+      .select(
+        col("vec_id"),
+        col("v"),
+        col("norm"),
+        col("tb.t").as("t"),
+        col("tb.b").as("b"))
+      .localCheckpoint() // corpus side + query side + two candidate joins
+    val qb = banded
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("t"), col("b"))
+    // probe -1 = the query's own bucket; probes 0..k-1 flip one plane
+    val probes = qb
+      .select(
+        col("q_id"),
+        col("t"),
+        col("b"),
+        explode(array((-1 until PlanesPerTable).map(lit): _*)).as("j"))
+      .select(
+        col("q_id"),
+        col("t"),
+        when(col("j") === -1, col("b"))
+          .otherwise(expr("b ^ shiftleft(1, j)")).as("b"))
+    def candidates(probeSide: DataFrame): DataFrame =
+      banded
+        .join(broadcast(probeSide), Seq("t", "b"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"))
+        .distinct()
+    val qv = all
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    def top5(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+      cand
+        .join(all.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+        .join(broadcast(qv), "q_id")
+        .withColumn("cos", dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"))
+    }
+    val truth = s1KnnBruteForce(s, dir).select(col("q_id"), col("neighbor_id"))
+    def hitsOf(ap: DataFrame, name: String): DataFrame =
+      truth
+        .join(ap, Seq("q_id", "neighbor_id"))
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as(name))
+    val single = candidates(qb)
+    val multi = candidates(probes)
+    qv.select(col("q_id"))
+      .join(single.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand_single")), Seq("q_id"), "left")
+      .join(multi.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand_multi")), Seq("q_id"), "left")
+      .join(hitsOf(top5(single), "hits_single"), Seq("q_id"), "left")
+      .join(hitsOf(top5(multi), "hits_multi"), Seq("q_id"), "left")
+      .select(
+        col("q_id"),
+        coalesce(col("n_cand_single"), lit(0L)).as("n_cand_single"),
+        coalesce(col("n_cand_multi"), lit(0L)).as("n_cand_multi"),
+        coalesce(col("hits_single"), lit(0L)).as("hits_single"),
+        coalesce(col("hits_multi"), lit(0L)).as("hits_multi"))
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s29_multiprobe_lsh" -> s29MultiprobeLsh,
     "s28_vote_calibration" -> s28VoteCalibration,
     "s22_recall_curve" -> s22RecallCurve,
     "s21_embedding_drift" -> s21EmbeddingDrift,
@@ -2102,6 +2199,91 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** s29's DuckDB oracle: s2's literal-plane machinery restricted to
+    * the first 3 tables, the Hamming-1 probe expansion via xor, both
+    * candidate tiers ranked and scored against the inline brute-force
+    * truth — the full side-by-side report recomputed from scratch.
+    */
+  private def s29OracleSql: String = {
+    val planeRows = hyperplanes
+      .take(3)
+      .zipWithIndex
+      .flatMap { case (tbl, t) =>
+        tbl.zipWithIndex.map { case (plane, j) =>
+          s"($t, $j, [${plane.map(_.toString).mkString(", ")}]::DOUBLE[])"
+        }
+      }
+      .mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm FROM e),
+       |planes(t, j, pv) AS (VALUES $planeRows),
+       |bkt AS (
+       |  SELECT n.vec_id, p.t,
+       |    CAST(sum(CASE WHEN list_inner_product(n.v, p.pv) > 0
+       |             THEN 1 << p.j ELSE 0 END) AS INTEGER) AS bk
+       |  FROM n, planes p GROUP BY n.vec_id, p.t),
+       |qb AS (SELECT vec_id AS q_id, t, bk FROM bkt WHERE vec_id < 20),
+       |pr AS (
+       |  SELECT q_id, t, bk AS pb FROM qb
+       |  UNION ALL
+       |  SELECT q_id, t, xor(bk, (1 << j)::INTEGER) AS pb
+       |  FROM qb, (SELECT unnest(range(0, 4)) AS j)),
+       |cs AS (
+       |  SELECT DISTINCT q.q_id, c.vec_id
+       |  FROM qb q JOIN bkt c ON c.t = q.t AND c.bk = q.bk
+       |  WHERE c.vec_id <> q.q_id),
+       |cm AS (
+       |  SELECT DISTINCT p.q_id, c.vec_id
+       |  FROM pr p JOIN bkt c ON c.t = p.t AND c.bk = p.pb
+       |  WHERE c.vec_id <> p.q_id),
+       |truth AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_inner_product(q.v, c.v) / (q.norm * c.norm) DESC,
+       |                 c.vec_id ASC) AS rank
+       |    FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
+       |  WHERE rank <= 5),
+       |t5s AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT cs.q_id, cs.vec_id,
+       |      row_number() OVER (PARTITION BY cs.q_id
+       |        ORDER BY list_inner_product(qn.v, cn.v) / (qn.norm * cn.norm)
+       |          DESC, cs.vec_id ASC) AS rank
+       |    FROM cs JOIN n qn ON cs.q_id = qn.vec_id
+       |            JOIN n cn ON cs.vec_id = cn.vec_id)
+       |  WHERE rank <= 5),
+       |t5m AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT cm.q_id, cm.vec_id,
+       |      row_number() OVER (PARTITION BY cm.q_id
+       |        ORDER BY list_inner_product(qn.v, cn.v) / (qn.norm * cn.norm)
+       |          DESC, cm.vec_id ASC) AS rank
+       |    FROM cm JOIN n qn ON cm.q_id = qn.vec_id
+       |            JOIN n cn ON cm.vec_id = cn.vec_id)
+       |  WHERE rank <= 5),
+       |hs AS (
+       |  SELECT truth.q_id, count(*) AS hits
+       |  FROM truth JOIN t5s ON t5s.q_id = truth.q_id
+       |    AND t5s.vec_id = truth.neighbor_id GROUP BY 1),
+       |hm AS (
+       |  SELECT truth.q_id, count(*) AS hits
+       |  FROM truth JOIN t5m ON t5m.q_id = truth.q_id
+       |    AND t5m.vec_id = truth.neighbor_id GROUP BY 1),
+       |ncs AS (SELECT q_id, count(*) AS nc FROM cs GROUP BY 1),
+       |ncm AS (SELECT q_id, count(*) AS nc FROM cm GROUP BY 1),
+       |qs AS (SELECT vec_id AS q_id FROM e WHERE vec_id < 20)
+       |SELECT qs.q_id,
+       |  CAST(coalesce(ncs.nc, 0) AS BIGINT) AS n_cand_single,
+       |  CAST(coalesce(ncm.nc, 0) AS BIGINT) AS n_cand_multi,
+       |  CAST(coalesce(hs.hits, 0) AS BIGINT) AS hits_single,
+       |  CAST(coalesce(hm.hits, 0) AS BIGINT) AS hits_multi
+       |FROM qs LEFT JOIN ncs USING (q_id) LEFT JOIN ncm USING (q_id)
+       |  LEFT JOIN hs USING (q_id) LEFT JOIN hm USING (q_id)
+       |ORDER BY qs.q_id""".stripMargin
+  }
+
   /** s10's DuckDB oracle: three unrolled Lloyd rounds. d2 uses the
     * inner-product identity ‖v‖²−2v·c+‖c‖² — algebraically different
     * from Spark's (vi−ci)² fold but EQUAL here because every
@@ -2185,6 +2367,7 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "s29_multiprobe_lsh" -> s29OracleSql,
     // s12's cosine/vote/tie-break replay on the %5 hold-out, rolled
     // up per winning-vote bin with the same integer basis points
     "s28_vote_calibration" ->

@@ -2125,7 +2125,102 @@ object Streams {
       .orderBy("event_type")
   }
 
+  /** q211 — streaming EXACTLY-ONCE dedup gate RUN TO COMPLETION under
+    * the oracle (streaming gate #8, and the first to put Spark's
+    * built-in `dropDuplicatesWithinWatermark` state operator — the
+    * at-least-once-delivery repair every production event feed needs —
+    * under the DuckDB hash gate; the seven earlier gates all exercise
+    * CUSTOM state). The feed replays the at-least-once regime
+    * deliberately: file 1 carries every event, files 2 and 3 re-deliver
+    * two overlapping shards (id%7=0, id%11=3 — ids hit by both arrive
+    * THREE times). With `maxFilesPerTrigger=1` each re-delivery lands
+    * in a LATER micro-batch, so suppression must come from dedup state
+    * persisted across RocksDB checkpoint commits, not from within-batch
+    * distinct. The batch tail reports fed vs emitted vs suppressed per
+    * event type — the gate proves the dedup did exactly its job, as
+    * data.
+    *
+    * The watermark delay (365 days) deliberately exceeds the fixture's
+    * span so NO event is ever late and state never evicts mid-run —
+    * that keeps the run-to-completion output deterministic (a tight
+    * delay makes late-duplicate suppression best-effort, the operator's
+    * documented contract). In production the delay is the re-delivery
+    * horizon (minutes), which is exactly what bounds the state: one
+    * compact key row per event inside the horizon, evicted by the
+    * advancing watermark — state ∝ arrival rate × horizon, not stream
+    * length. Emitted copies are byte-identical to their originals, so
+    * which arrival survives is immaterial to the output.
+    */
+  def q211StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.ops.Tables
+      .events(s, dir)
+      .select(
+        col("event_id"),
+        col("ts"),
+        col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val root = gateTempRoot("graft-q211")
+    val feed = new java.io.File(root, "feed")
+    val out = new java.io.File(root, "out")
+    val ckpt = new java.io.File(root, "ckpt")
+    ev.coalesce(1).write.mode("append").parquet(feed.getAbsolutePath)
+    ev.filter(pmod(col("event_id"), lit(7)) === 0)
+      .coalesce(1).write.mode("append").parquet(feed.getAbsolutePath)
+    ev.filter(pmod(col("event_id"), lit(11)) === 3)
+      .coalesce(1).write.mode("append").parquet(feed.getAbsolutePath)
+
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    providerConfLock.synchronized {
+      val prevProv = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val in = s.readStream
+          .schema("event_id BIGINT, ts TIMESTAMP, event_type STRING, cents BIGINT")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(feed.getAbsolutePath)
+        val q = in
+          .withWatermark("ts", "365 days")
+          .dropDuplicatesWithinWatermark("event_id")
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(out.getAbsolutePath)
+          }
+          .start()
+        q.awaitTermination()
+      } finally prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+    }
+    // batch tail: distinct() guards a retried micro-batch's re-appended
+    // parquet (q204's convention); fed counts fold in as a bounded
+    // per-type aggregate of the same three feed branches
+    val fed = ev
+      .unionAll(ev.filter(pmod(col("event_id"), lit(7)) === 0))
+      .unionAll(ev.filter(pmod(col("event_id"), lit(11)) === 3))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_fed"))
+    s.read
+      .parquet(out.getAbsolutePath)
+      .distinct()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_emitted"), sum(col("cents")).as("cents_total"))
+      .join(fed, "event_type")
+      .select(
+        col("event_type"),
+        col("n_fed"),
+        col("n_emitted"),
+        (col("n_fed") - col("n_emitted")).as("n_suppressed"),
+        col("cents_total"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_stream_dedup" -> q211StreamDedup,
     "q210_stream_kmv" -> q210StreamKmv,
     "q207_stream_sessionize" -> q207StreamSessionize,
     "q204_stream_neardup" -> q204StreamNeardup,
@@ -2139,6 +2234,30 @@ object Streams {
     * final state.
     */
   val oracles: Map[String, String] = Map(
+    // event_id is unique in the fixture, so the deduped stream IS the
+    // base table; fed counts replay the three feed branches
+    "q211_stream_dedup" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |fed AS (
+        |  SELECT event_type, count(*) AS n_fed FROM (
+        |    SELECT event_id, event_type FROM e
+        |    UNION ALL SELECT event_id, event_type FROM e WHERE event_id % 7 = 0
+        |    UNION ALL SELECT event_id, event_type FROM e WHERE event_id % 11 = 3)
+        |  GROUP BY 1),
+        |uniq AS (
+        |  SELECT event_type, count(*) AS n_emitted,
+        |    CAST(sum(cents) AS BIGINT) AS cents_total
+        |  FROM e GROUP BY 1)
+        |SELECT event_type,
+        |  CAST(n_fed AS BIGINT) AS n_fed,
+        |  CAST(n_emitted AS BIGINT) AS n_emitted,
+        |  CAST(n_fed - n_emitted AS BIGINT) AS n_suppressed,
+        |  cents_total
+        |FROM uniq JOIN fed USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // the KMV sketch recomputed from scratch: same portable hash,
     // DISTINCT hash values (the state is a set of hashes), same
     // (k-1)*M // h_k integer estimator and exact-below-k fallback

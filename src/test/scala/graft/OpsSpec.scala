@@ -3581,4 +3581,182 @@ class OpsSpec extends SparkSpec {
     assert(b - alloc <= maxTok / 10000L + 1L || out.map(_.getLong(3)).forall(_ == 4L),
       s"budget must be exhausted up to the one fractional unit's floor loss: b=$b alloc=$alloc")
   }
+
+  test("p22 packing sweep: imperative replay of all four capacities") {
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = Seq(256L, 512L, 1024L, 2048L).map { cap =>
+      var (nSeqs, waste, spanning, total) = (0L, 0L, 0L, 0L)
+      docs.groupBy(d => (d._2, d._1 / 100)).values.foreach { shard =>
+        var cum = 0L
+        shard.sortBy(_._1).foreach { case (_, _, nt) =>
+          val start = cum; cum += nt
+          if ((cum - 1) / cap > start / cap) spanning += 1
+        }
+        val seqs = (cum + cap - 1) / cap
+        nSeqs += seqs; waste += seqs * cap - cum; total += cum
+      }
+      (cap, docs.length.toLong, total, nSeqs, waste, spanning,
+        waste * 10000L / (nSeqs * cap))
+    }
+    val out = Corpus.p22PackingSweep(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(out == expected, s"got=$out expected=$expected")
+  }
+
+  test("s29 multiprobe: superset dominance and the recall-for-probes trade") {
+    val out = Similarity.s29MultiprobeLsh(spark, Sf).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"q${r.getLong(0)}: multi-probe candidates must contain single-probe's")
+      // a truth neighbor present among candidates always survives the
+      // candidate top-5 (at most 4 vectors beat it globally), so hits
+      // are monotone in the candidate set
+      assert(r.getLong(4) >= r.getLong(3),
+        s"q${r.getLong(0)}: multi-probe hits dropped below single-probe")
+      assert(r.getLong(3) <= 5L && r.getLong(4) <= 5L)
+    }
+    val meanMulti = out.map(_.getLong(4)).sum.toDouble / (5.0 * out.length)
+    val meanSingle = out.map(_.getLong(3)).sum.toDouble / (5.0 * out.length)
+    assert(meanMulti >= 0.6, s"multi-probe recall floor: $meanMulti")
+    assert(meanMulti > meanSingle,
+      "the probes must buy recall on this corpus, not just candidates")
+  }
+
+  test("q211 stream dedup: suppressed count equals the planted re-deliveries exactly") {
+    val ev = Tables.events(spark, Sf)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byType = ev.groupBy(_._2)
+    val out = graft.streaming.Streams.q211StreamDedup(spark, Sf).collect()
+    assert(out.map(_.getString(0)).toSet == byType.keySet)
+    out.foreach { r =>
+      val rows = byType(r.getString(0))
+      val planted = rows.count(_._1 % 7 == 0) + rows.count(_._1 % 11 == 3)
+      assert(r.getLong(2) == rows.length.toLong,
+        s"${r.getString(0)}: every unique event emitted exactly once")
+      assert(r.getLong(3) == planted.toLong,
+        s"${r.getString(0)}: suppressed must equal the planted re-deliveries")
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3))
+      assert(r.getLong(4) == rows.map(_._3).sum)
+    }
+  }
+
+  test("q212 growth: calendar-aligned imperative replay, null iff comparator month absent") {
+    val monthly = Tables
+      .orders(spark, Sf)
+      .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("m"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("c"))
+      .collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1))
+      .toMap
+    val got = Relational.q212PeriodGrowth(spark, Sf).collect()
+    assert(got.length == monthly.size, "one row per observed month")
+    got.foreach { r =>
+      val m = r.getDate(0).toLocalDate
+      val c = r.getLong(2)
+      assert(c == monthly(m))
+      Seq(1L -> 3, 12L -> 4).foreach { case (back, idx) =>
+        monthly.get(m.minusMonths(back)) match {
+          case Some(prev) =>
+            assert(!r.isNullAt(idx) && r.getLong(idx) == (c - prev) * 10000L / prev,
+              s"$m: growth bp vs $back months back")
+          case None => assert(r.isNullAt(idx), s"$m: no comparator $back months back")
+        }
+      }
+    }
+  }
+
+  test("q213 sample quantiles: full imperative replay of sample and exact ranks") {
+    val rows = Tables
+      .lineitem(spark, Sf)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long"),
+        expr("CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), ':', " +
+          "CAST(l_linenumber AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val k = 1024
+    val sample = rows.sortBy(t => (t._4, t._1, t._2)).take(k).map(_._3).sorted
+    val all = rows.map(_._3).sorted
+    val expected = Seq(25, 50, 75, 90).map { p =>
+      val est = sample((p * k + 99) / 100 - 1)
+      val exact = all(((p.toLong * all.length + 99) / 100 - 1).toInt)
+      (p, est, exact, math.abs(est - exact) * 10000L / exact)
+    }
+    val got = Relational.q213SampleQuantiles(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
+  test("q214 time decay: value conservation and per-channel replay") {
+    val ev = Tables.events(spark, Sf).collect().map { r =>
+      (r.getLong(2), r.getTimestamp(1).toInstant, r.getString(3),
+        math.floor(r.getDouble(4) * 100 + 0.5).toLong, r.getLong(0))
+    }
+    val touches = ev.filter(e => e._3 == "click" || e._3 == "view")
+    val purchases = ev.filter(_._3 == "purchase")
+    val sevenDaysUs = 7L * 86400000000L
+    def us(i: java.time.Instant) = i.getEpochSecond * 1000000L + i.getNano / 1000L
+    val perPurchase = purchases.map { p =>
+      val ts = touches.filter(t =>
+        t._1 == p._1 && us(t._2) < us(p._2) && us(t._2) > us(p._2) - sevenDaysUs)
+        .map(t => (t._3, 1L << (6 - (us(p._2) - us(t._2)) / 86400000000L).toInt))
+      (p._5, p._4, ts)
+    }
+    val expected = scala.collection.mutable.Map[String, (Long, Set[Long], Long)]()
+      .withDefaultValue((0L, Set.empty, 0L))
+    perPurchase.foreach { case (pid, cents, ts) =>
+      if (ts.isEmpty) {
+        val (n, ps, c) = expected("none")
+        expected("none") = (n, ps + pid, c + cents * 1000000L)
+      } else {
+        val tw = ts.map(_._2).sum
+        ts.foreach { case (ch, w) =>
+          val (n, ps, c) = expected(ch)
+          expected(ch) = (n + 1, ps + pid, c + cents * 1000000L * w / tw)
+        }
+      }
+    }
+    val got = Relational.q214TimeDecayAttribution(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (ch, (n, ps, c)) =>
+      assert(got(ch) == ((n, ps.size.toLong, c)), s"channel $ch mismatch")
+    }
+    // conservation: credits never exceed purchase value; truncation loss
+    // is bounded by one micro-cent per (purchase, touch)
+    val totalMicro = purchases.map(_._4).sum * 1000000L
+    val credited = got.values.map(_._3).sum
+    val nPt = perPurchase.map(_._3.size.toLong).sum
+    assert(credited <= totalMicro && totalMicro - credited <= nPt,
+      s"conservation: $credited vs $totalMicro (loss bound $nPt)")
+  }
+
+  test("q215 bitemporal: restatement equals the planted seq-2/3 corrections exactly") {
+    val keys = Tables.orders(spark, Sf).select(col("o_orderkey")).collect().map(_.getLong(0))
+    // k%40==22 and k%20==2 imply k%10==2, so the seq-1 branch (k%10==1)
+    // is disjoint from both and contributes nothing to the restatement
+    val expectedRestated = keys.map { k =>
+      if (k % 40 == 22) 999L else if (k % 20 == 2) 222L else 0L
+    }.sum
+    val expectedT1Lift = 111L * keys.count(_ % 10 == 1)
+    val out = Relational.q215BitemporalAsof(spark, Sf).collect()
+    assert(out.map(_.getLong(1)).sum == keys.length.toLong, "months partition orders")
+    assert(out.map(_.getLong(4)).sum == expectedRestated, "total restatement")
+    val booked = Tables.orders(spark, Sf)
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))).head().getLong(0)
+    assert(out.map(_.getLong(2)).sum == booked + expectedT1Lift,
+      "t1 view = booked + seq-1 corrections")
+    out.foreach(r => assert(r.getLong(4) == r.getLong(3) - r.getLong(2)))
+  }
 }
