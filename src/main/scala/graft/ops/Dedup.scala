@@ -2288,7 +2288,81 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d35 — IDF-WEIGHTED shingle-cosine near-dup: d4's 3-shingle space
+    * under TF-IDF weights — the production lexical near-dup scorer
+    * when boilerplate shingles (headers, license blocks, navigation)
+    * would otherwise dominate unweighted Jaccard. A shingle shared by
+    * many documents carries weight tf·ln(1 + N/df) → ≈ 0, so two docs
+    * agreeing only on furniture score near 0 while docs sharing RARE
+    * content score high — the failure mode d4/d13 (set-semantics)
+    * cannot express because they count every shared shingle equally.
+    *
+    * Determinism across engines: every ln() argument is one correctly-
+    * rounded division of exact integer counts (the t19/t26 doctrine),
+    * products/sums are IEEE doubles of those, and the cosine rounds at
+    * 4 well away from the 0.6 threshold for this corpus's pair mass.
+    *
+    * Scale: the vector space is df-capped at 64 (d11's stop-shingle
+    * doctrine — ultra-common shingles leave BOTH the numerator and the
+    * norms, so the score stays an exact cosine in the pruned space);
+    * pair generation is the inverted-posting self-join with work
+    * Σ df² bounded by the cap (q199's measured envelope), df=1
+    * postings never enter the join. Everything after the (a,b) rollup
+    * is candidate-sized. At 100 TB: hash-partition postings by
+    * shingle; no doc×doc surface anywhere.
+    */
+  def d35TfidfCosine(s: SparkSession, dir: String): DataFrame = {
+    val theta = 0.6
+    val dfCap = 64
+    val toks = Tables
+      .spread(Tables.documents(s, dir))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+    val tf = toks
+      .select(
+        col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, size(t) - 3), " +
+            "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("sh"))
+      .groupBy(col("doc_id"), col("sh"))
+      .agg(count(lit(1)).as("c"))
+    val dfr = tf
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    val nDocs = toks.agg(count(lit(1)).as("n"))
+    val weighted = tf
+      .join(dfr, "sh")
+      .crossJoin(broadcast(nDocs))
+      .withColumn(
+        "w",
+        col("c").cast("double") *
+          log(lit(1.0) + col("n").cast("double") / col("df").cast("double")))
+      .select(col("doc_id"), col("sh"), col("df"), col("w"))
+      .localCheckpoint() // norms + both posting sides
+    val norms = weighted
+      .groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val postings = weighted.filter(col("df") >= 2)
+    postings
+      .as("a")
+      .join(
+        postings.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("num"))
+      .join(
+        norms.select(col("doc_id").as("id_a"), col("nrm").as("na")), "id_a")
+      .join(
+        norms.select(col("doc_id").as("id_b"), col("nrm").as("nb")), "id_b")
+      .withColumn("cos", col("num") / (col("na") * col("nb")))
+      .filter(col("cos") >= theta)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d35_tfidf_cosine" -> d35TfidfCosine,
     "d34_dup_spans" -> d34DupSpans,
     "d33_fuzzy_join" -> d33FuzzyJoin,
     "d32_lsh_tuner" -> d32LshTuner,
@@ -2766,6 +2840,38 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same 3-shingle tf table, same df<=64 vector space, same
+    // tf*ln(1 + N/df) weights and pruned-space cosine at theta=0.6
+    "d35_tfidf_cosine" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tf AS (
+        |  SELECT doc_id, sh, count(*) AS c FROM (
+        |    SELECT doc_id,
+        |      unnest([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+        |        FOR i IN range(1, len(t) - 1)]) AS sh
+        |    FROM tok)
+        |  GROUP BY 1, 2),
+        |dfr AS (
+        |  SELECT sh, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 64),
+        |nd AS (SELECT count(*) AS n FROM tok),
+        |w AS (
+        |  SELECT doc_id, tf.sh, df,
+        |    c::DOUBLE * ln(1.0 + n::DOUBLE / df::DOUBLE) AS w
+        |  FROM tf JOIN dfr USING (sh), nd),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS num
+        |  FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  WHERE a.df >= 2 AND b.df >= 2
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(num / (na.nrm * nb.nrm), 4) AS cosine
+        |FROM pairs
+        |JOIN nrm na ON na.doc_id = id_a
+        |JOIN nrm nb ON nb.doc_id = id_b
+        |WHERE num / (na.nrm * nb.nrm) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
     // d11's rolling-fingerprint arithmetic with POSITIONS kept, the
     // same df>=2 distinct-doc dup test, and the same gap>8 island merge
     "d34_dup_spans" ->

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1002,7 +1002,150 @@ object Multimodal {
         expr("actual_bytes * 10000 div expected_bytes").as("fill_bp"))
       .orderBy("format")
 
+  /** m20 — CDC DELTA-SYNC cost report (rsync/LBFS applied to corpus
+    * re-ingestion): a new corpus version arrives in which one doc in
+    * ten carries an early insertion (a " PATCHv2 " segment spliced in
+    * at offset 40); the question is how many bytes actually need to
+    * move when the chunk store already holds version 1. Because m5's
+    * boundaries are CONTENT-defined, the insertion disturbs only the
+    * chunk it lands in (plus at most the one boundary it shifts) and
+    * every later chunk RE-SYNCS to its v1 fingerprint — so the new
+    * bytes per edited doc are a couple of chunks, not the whole doc.
+    * The per-source report prices exactly that: v2 chunk volume, how
+    * much of it is absent from the v1 store, and the reuse ratio in
+    * basis points — the incremental-ingest transfer bill, as data
+    * (and the measured justification for chunk-level — not doc-level —
+    * fingerprinting in the ingest path).
+    *
+    * Plan: both versions chunk through the O(len) native cut-point
+    * kernel (m5's stage); the v1 store participates ONLY as its
+    * distinct fingerprint set (m12's GC posture — incrementally
+    * maintainable, one row per distinct chunk); novelty is one
+    * left-anti-shaped join on the fingerprint hash; rollups are
+    * source-sized. At 100 TB: chunk rows (id, fp, len — ~50 bytes)
+    * are the only thing shuffled, never payloads.
+    */
+  def m20ChunkDelta(s: SparkSession, dir: String): DataFrame = {
+    val w = 8
+    val modulus = 32
+    def chunksOf(docs: DataFrame, textCol: Column): DataFrame =
+      docs
+        .select(col("doc_id"), col("source"), textCol.as("text"))
+        .filter(length(col("text")) >= w)
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("text"),
+          graft.functions.CdcCutPoints
+            .cdcCutPoints(col("text"), w, modulus)
+            .as("cuts"))
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("text"),
+          explode(
+            array(
+              struct(
+                concat(array(lit(1)), col("cuts")).as("starts"),
+                concat(col("cuts"), array(length(col("text")) + 1)).as("ends"))))
+            .as("se"))
+        .select(
+          col("doc_id"),
+          col("source"),
+          explode(
+            transform(
+              sequence(lit(1), size(col("se.starts"))),
+              j =>
+                struct(
+                  md5(
+                    col("text").substr(
+                      element_at(col("se.starts"), j),
+                      element_at(col("se.ends"), j) - element_at(col("se.starts"), j)))
+                    .as("fp"),
+                  (element_at(col("se.ends"), j) - element_at(col("se.starts"), j))
+                    .as("clen"))))
+            .as("c"))
+        .select(col("doc_id"), col("source"), col("c.fp").as("fp"), col("c.clen").as("clen"))
+    val docs = Tables.documents(s, dir)
+    val edited = docs.withColumn(
+      "text2",
+      when(
+        pmod(col("doc_id"), lit(10)) === 5,
+        concat(
+          col("text").substr(lit(1), lit(40)),
+          lit(" PATCHv2 "),
+          col("text").substr(lit(41), length(col("text")))))
+        .otherwise(col("text")))
+    val store = chunksOf(docs, col("text")).select(col("fp")).distinct()
+      .withColumn("known", lit(1))
+    chunksOf(edited, col("text2"))
+      .join(store, Seq("fp"), "left")
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(when(pmod(col("doc_id"), lit(10)) === 5, col("doc_id")))
+          .as("n_changed"),
+        count(lit(1)).as("n_chunks_v2"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_new_chunks"),
+        sum(col("clen").cast("long")).as("total_bytes"),
+        sum(when(col("known").isNull, col("clen").cast("long")).otherwise(0L))
+          .as("new_bytes"))
+      .withColumn(
+        "reuse_bp",
+        expr("(total_bytes - new_bytes) * 10000 div total_bytes"))
+      .orderBy("source")
+  }
+
+  /** m21 — KEYFRAME selection per scene: m8's cut detection followed
+    * by an argmax-energy representative frame per scene (ties to the
+    * EARLIEST frame) — the frame a thumbnailer or a frame-embedding
+    * stage actually decodes, so the video pipeline ships one frame per
+    * scene instead of one per second (m2's uniform sampling is the
+    * fallback when no scene structure exists). The argmax is the
+    * packed-integer trick (`max(e·10⁶ + (999999 − i))`) so the
+    * energy-then-earliest total order never touches a float or a
+    * second window. Plan: identical to m8 — decode once, narrow
+    * (doc, i, e) frame rows through one doc-partitioned window, then
+    * the per-scene aggregate; output is scene-count-sized.
+    */
+  def m21SceneKeyframes(
+      s: SparkSession,
+      dir: String,
+      codecs: Codec.Provider = Codec.Stub): DataFrame = {
+    import s.implicits._
+    val theta = 1000L
+    val ds = media(s, dir).select(col("doc_id"), col("payload")).as[AudioRow]
+    val energies = ds.mapPartitions { rows =>
+      val dec = codecs.openAudioAnalyzer(frameLen = 200, silenceMeanByte = 92)
+      rows.map(r => FrameEnergies(r.doc_id, dec.frameEnergies(r.payload)))
+    }.toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy("i")
+    energies
+      .select(col("doc_id"), posexplode(col("energies")).as(Seq("i", "e")))
+      .withColumn("prev", lag(col("e"), 1).over(w))
+      .withColumn(
+        "cut",
+        (col("prev").isNotNull && abs(col("e") - col("prev")) > theta)
+          .cast("long"))
+      .withColumn("scene", sum(col("cut")).over(w))
+      .groupBy(col("doc_id"), col("scene"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        max(expr("e * 1000000 + (999999 - i)")).as("pk"))
+      .select(
+        col("doc_id"),
+        col("scene"),
+        col("n_frames"),
+        expr("999999 - pk % 1000000").as("keyframe_i"),
+        expr("pk div 1000000").as("key_energy"))
+      .orderBy("doc_id", "scene")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m21_scene_keyframes" -> ((s, d) => m21SceneKeyframes(s, d)),
+    "m20_chunk_delta" -> m20ChunkDelta,
     "m19_size_sanity" -> m19SizeSanity,
     "m18_dhash_neardup" -> ((s, d) => m18DhashNearDup(s, d)),
     "m17_loudness_audit" -> ((s, d) => m17LoudnessAudit(s, d)),
@@ -1025,6 +1168,115 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // m8's energy/cut/scene CTEs, then the identical packed-integer
+    // argmax per scene (oracle's i is 1-based; keyframe is 0-based)
+    "m21_scene_keyframes" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)
+        |      AS bytes,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, nb + 1, 200),
+        |      s -> list_sum(bytes[s : least(s + 199, nb)])) AS energies
+        |  FROM m),
+        |fr AS (
+        |  SELECT doc_id, i - 1 AS i, energies[i] AS e
+        |  FROM f, LATERAL (SELECT unnest(range(1, len(energies) + 1)) AS i)),
+        |c AS (
+        |  SELECT doc_id, i, e,
+        |    CASE WHEN lag(e) OVER (PARTITION BY doc_id ORDER BY i)
+        |           IS NOT NULL
+        |         AND abs(e - lag(e) OVER (PARTITION BY doc_id ORDER BY i))
+        |           > 1000
+        |    THEN 1 ELSE 0 END AS cut
+        |  FROM fr),
+        |sc AS (
+        |  SELECT doc_id, i, e,
+        |    sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS UNBOUNDED PRECEDING) AS scene
+        |  FROM c)
+        |SELECT doc_id, CAST(scene AS BIGINT) AS scene,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(999999 - max(e * 1000000 + (999999 - i)) % 1000000 AS BIGINT)
+        |    AS keyframe_i,
+        |  CAST(max(e * 1000000 + (999999 - i)) // 1000000 AS BIGINT)
+        |    AS key_energy
+        |FROM sc GROUP BY doc_id, scene
+        |ORDER BY doc_id, scene""".stripMargin,
+    // m5's cut-point CTEs run over BOTH versions (v2 = the same
+    // spliced-insertion expression), store = v1's distinct fps,
+    // novelty by left join, per-source byte accounting
+    "m20_chunk_delta" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, source, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 10 = 5
+        |         THEN substr(text, 1, 40) || ' PATCHv2 ' || substr(text, 41)
+        |         ELSE text END AS text
+        |  FROM documents),
+        |h1 AS (
+        |  SELECT doc_id, source, text,
+        |    list_transform(range(1, length(text) - 6),
+        |      i -> list_reduce(list_prepend(0::BIGINT,
+        |             list_transform(string_split(text, '')[i:i+7],
+        |               c -> ascii(c)::BIGINT)),
+        |           (a, b) -> (a * 131 + b) % 1000000007)) AS hs
+        |  FROM v1 WHERE length(text) >= 8),
+        |h2 AS (
+        |  SELECT doc_id, source, text,
+        |    list_transform(range(1, length(text) - 6),
+        |      i -> list_reduce(list_prepend(0::BIGINT,
+        |             list_transform(string_split(text, '')[i:i+7],
+        |               c -> ascii(c)::BIGINT)),
+        |           (a, b) -> (a * 131 + b) % 1000000007)) AS hs
+        |  FROM v2 WHERE length(text) >= 8),
+        |c1 AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(list_transform(hs, (x, i) ->
+        |      CASE WHEN x % 32 = 0 AND i + 8 <= length(text)
+        |           THEN i + 8 ELSE -1 END), x -> x <> -1) AS cuts
+        |  FROM h1),
+        |c2 AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(list_transform(hs, (x, i) ->
+        |      CASE WHEN x % 32 = 0 AND i + 8 <= length(text)
+        |           THEN i + 8 ELSE -1 END), x -> x <> -1) AS cuts
+        |  FROM h2),
+        |ch1 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(starts) + 1),
+        |    j -> md5(substr(text, starts[j]::INT,
+        |              (ends[j] - starts[j])::INT)))) AS fp
+        |  FROM (SELECT doc_id, text, list_prepend(1, cuts) AS starts,
+        |          list_append(cuts, length(text) + 1) AS ends FROM c1)),
+        |ch2 AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(1, len(starts) + 1),
+        |      j -> struct_pack(fp := md5(substr(text, starts[j]::INT,
+        |               (ends[j] - starts[j])::INT)),
+        |             clen := ends[j] - starts[j]))) AS c
+        |  FROM (SELECT doc_id, source, text, list_prepend(1, cuts) AS starts,
+        |          list_append(cuts, length(text) + 1) AS ends FROM c2)),
+        |flat2 AS (
+        |  SELECT doc_id, source, c.fp AS fp, c.clen AS clen FROM ch2),
+        |store AS (SELECT DISTINCT fp FROM ch1)
+        |SELECT f.source,
+        |  CAST(count(DISTINCT f.doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT CASE WHEN f.doc_id % 10 = 5 THEN f.doc_id END)
+        |       AS BIGINT) AS n_changed,
+        |  CAST(count(*) AS BIGINT) AS n_chunks_v2,
+        |  CAST(sum(CASE WHEN s.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new_chunks,
+        |  CAST(sum(f.clen) AS BIGINT) AS total_bytes,
+        |  CAST(sum(CASE WHEN s.fp IS NULL THEN f.clen ELSE 0 END) AS BIGINT)
+        |    AS new_bytes,
+        |  CAST((sum(f.clen) - sum(CASE WHEN s.fp IS NULL THEN f.clen ELSE 0 END))
+        |       * 10000 // sum(f.clen) AS BIGINT) AS reuse_bp
+        |FROM flat2 f LEFT JOIN store s USING (fp)
+        |GROUP BY f.source ORDER BY f.source""".stripMargin,
     // same media-view replay, same compression priors, same pure
     // multiplicative suspect gates and non-negative fill division
     "m19_size_sanity" ->

@@ -8534,7 +8534,296 @@ object Relational {
       .orderBy("month")
   }
 
+  /** q216 — SPRT sequential monitor (Wald 1945): per event type, the
+    * sequential probability ratio test H0: conversion rate p = 0.35 vs
+    * H1: p = 0.45 walked over the DAILY series in calendar order, with
+    * Wald's α = β = 0.05 boundaries ±ln(19) — the always-valid
+    * monitoring complement to the fixed-horizon tests already here
+    * (q124 Welch, q143 Mann–Whitney, q198 CUPED): it reports the first
+    * day a decision became justified, not just the end-state verdict,
+    * which is what an experiment-stopping or drift-alarm pipeline
+    * actually consumes (q167's CUSUM is the known-shift-size
+    * changepoint cousin; SPRT is the two-simple-hypotheses decision
+    * rule with guaranteed error rates).
+    *
+    * Exactness: the two per-observation log-likelihood increments and
+    * the two boundaries are each ONE ln() of a literal ratio,
+    * quantized to integer micro-nats once (the t33/d29 doctrine) —
+    * the cumulative LLR walk is then pure integer arithmetic, so
+    * crossing days are exact in both engines, no float at any
+    * decision boundary.
+    *
+    * Plan: one (type, day) aggregate is the only data-sized exchange;
+    * the cumsum window partitions by type over the calendar-bounded
+    * daily series (q167's allowed shape); crossings collapse in the
+    * same bounded aggregate. A conversion definition (`value ≥ 50`,
+    * observed rate ≈ 0.40 — between the hypotheses, the hard regime)
+    * keeps the walk genuinely near-boundary on this fixture.
+    */
+  def q216SprtMonitor(s: SparkSession, dir: String): DataFrame = {
+    // micro-nat constants: one ln() per literal ratio, floor(x+0.5)
+    val l1 = "CAST(floor(ln(0.45 / 0.35) * 1000000 + 0.5) AS BIGINT)"
+    val l0 = "CAST(floor(ln(0.55 / 0.65) * 1000000 + 0.5) AS BIGINT)"
+    val bndA = "CAST(floor(ln(19.0) * 1000000 + 0.5) AS BIGINT)"
+    val daily = Tables
+      .events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") >= 50.0, 1L).otherwise(0L)).as("k"))
+      .withColumn("llr_day", expr(s"k * $l1 + (n - k) * $l0"))
+    val w = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum", sum(col("llr_day")).over(w))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("n")).as("n_events"),
+        sum(col("k")).as("n_conv"),
+        min(when(expr(s"cum >= $bndA"), col("day"))).as("d1"),
+        min(when(expr(s"cum <= -($bndA)"), col("day"))).as("d0"),
+        expr("max_by(cum, day)").as("llr_final_micro"))
+      .select(
+        col("event_type"),
+        col("n_days"),
+        col("n_events"),
+        col("n_conv"),
+        when(col("d1").isNull && col("d0").isNull, lit("continue"))
+          .when(col("d0").isNull || (col("d1").isNotNull && col("d1") <= col("d0")),
+            lit("accept_h1"))
+          .otherwise(lit("accept_h0")).as("decision"),
+        // string-typed so an undecided type is 'running', never a
+        // cross-engine NULL-DATE rendering boundary
+        coalesce(least(col("d1"), col("d0")).cast("string"), lit("running"))
+          .as("decision_day"),
+        col("llr_final_micro"))
+      .orderBy("event_type")
+  }
+
+  /** q218 — Hive-PARTITIONED layout write → partition-PRUNED read: the
+    * fact is laid out `partitionBy(month)` (the universal warehouse
+    * layout decision) and the reader's month predicate then prunes at
+    * the DIRECTORY level — files of excluded months are never listed
+    * into the scan, the pruning every time-ranged query at 100 TB
+    * lives or dies by (PlanSpec pins `PartitionFilters` on this exact
+    * read; q108/q109 pin the complementary row-group-level min/max
+    * skipping INSIDE files). The write repartitions BY the partition
+    * column first, so each month directory receives ONE file instead
+    * of one per task — the aligned-shuffle posture that keeps a
+    * 1000-executor write from emitting executors×months small files
+    * (the file-count explosion that kills listing at scale).
+    *
+    * The month key is written as 'yyyy-MM' TEXT deliberately: it
+    * round-trips the directory encoding identically in every engine
+    * and stays lexicographically ordered, so the range predicate is a
+    * plain string compare on both sides of the oracle.
+    */
+  def q218PartitionedLayout(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q218-part").toFile
+    tmp.deleteOnExit()
+    Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .repartition(col("ym"))
+      .write
+      .partitionBy("ym")
+      .mode("overwrite")
+      .parquet(tmp.getAbsolutePath)
+    s.read
+      .parquet(tmp.getAbsolutePath)
+      .filter(col("ym") >= "2000-01")
+      .groupBy(col("ym"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("cents"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .select(col("ym").cast("string").as("ym"), col("n_orders"), col("cents"), col("key_sum"))
+      .orderBy("ym")
+  }
+
+  /** q219 — DYNAMIC partition overwrite (the incremental-restatement
+    * write): a monthly-partitioned fact is first laid down in full,
+    * then a correction batch for exactly TWO months is written with
+    * `partitionOverwriteMode=dynamic` — only the partitions present in
+    * the incoming batch are replaced, every other month's files are
+    * untouched (STATIC overwrite would truncate the whole table — the
+    * classic production data-loss foot-gun this mode exists to fix;
+    * the restated batch here drops k%3=0 orders and lifts the rest by
+    * 50 cents so both row counts and sums must move). The read-back
+    * rollup proves exactly the two target months changed and every
+    * other month survived byte-identically — the oracle recomputes the
+    * expected post-restatement state from the base table alone.
+    *
+    * Scale: the overwrite's cost is the corrected months' data plus
+    * O(affected files) commit metadata — independent of table size,
+    * which is the entire point of partition-granular restatement at
+    * 100 TB. Session config is set-and-restored around the single
+    * write (the q148 provider-override discipline).
+    */
+  def q219DynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q219-dyn").toFile
+    tmp.deleteOnExit()
+    val base = Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+    base
+      .repartition(col("ym"))
+      .write
+      .partitionBy("ym")
+      .mode("overwrite")
+      .parquet(tmp.getAbsolutePath)
+    val restated = base
+      .filter(col("ym").isin("2000-03", "2000-04") && pmod(col("k"), lit(3)) =!= 0)
+      .withColumn("cents", col("cents") + 50L)
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(modeKey)
+    try {
+      s.conf.set(modeKey, "dynamic")
+      restated
+        .repartition(col("ym"))
+        .write
+        .partitionBy("ym")
+        .mode("overwrite")
+        .parquet(tmp.getAbsolutePath)
+    } finally prev match {
+      case Some(v) => s.conf.set(modeKey, v)
+      case None    => s.conf.unset(modeKey)
+    }
+    s.read
+      .parquet(tmp.getAbsolutePath)
+      .filter(col("ym") >= "2000-01" && col("ym") <= "2000-06")
+      .groupBy(col("ym"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("cents"),
+        sum(col("k")).as("key_sum"))
+      .select(col("ym").cast("string").as("ym"), col("n_orders"), col("cents"), col("key_sum"))
+      .orderBy("ym")
+  }
+
+  /** q220 — SCHEMA-EVOLUTION read (`mergeSchema`): two generations of
+    * a fact share one directory — generation 1 lacks the
+    * `discount_cents` column that generation 2 added — and one merged
+    * read reconciles them, surfacing the missing column as NULL for
+    * old files (the additive-evolution contract every long-lived
+    * parquet table depends on; q58 handles drift when both frames are
+    * in memory — this is the STORAGE-side counterpart where the reader
+    * discovers the union schema from footers). The rollup separates
+    * generations so the gate pins both the null-backfill and that
+    * gen-2 values survive the merge bit-exactly.
+    *
+    * Scale note: `mergeSchema` reads every file footer at planning
+    * time — fine per-partition, pathological across a 100-TB table's
+    * million files; production pins the table schema in a catalog and
+    * pays the merge ONCE per evolution. The scaladoc'd posture: merge
+    * to DISCOVER, catalog to SERVE.
+    */
+  def q220SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q220-evo").toFile
+    tmp.deleteOnExit()
+    val base = Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderkey").as("k"),
+        col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    // generation 1: the first half of the key space, no discount column
+    base
+      .filter(pmod(col("k"), lit(2)) === 0)
+      .coalesce(2)
+      .write
+      .mode("append")
+      .parquet(tmp.getAbsolutePath)
+    // generation 2: the other half, with the evolved column
+    base
+      .filter(pmod(col("k"), lit(2)) === 1)
+      .withColumn("discount_cents", pmod(col("k"), lit(97)))
+      .coalesce(2)
+      .write
+      .mode("append")
+      .parquet(tmp.getAbsolutePath)
+    s.read
+      .option("mergeSchema", "true")
+      .parquet(tmp.getAbsolutePath)
+      .groupBy(col("prio"), pmod(col("k"), lit(2)).as("gen"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("cents_total"),
+        sum(col("discount_cents")).as("discount_total"),
+        sum(when(col("discount_cents").isNull, 1L).otherwise(0L))
+          .as("n_null_discount"))
+      .orderBy("prio", "gen")
+  }
+
+  /** q221 — CSV write→read ROUND-TRIP under the gate, with the
+    * delimiter/quote/escape edge cases that actually corrupt CSV
+    * interchange: a text column is deliberately salted with embedded
+    * commas, double quotes and newline-adjacent content per key-class,
+    * written through Spark's CSV sink (quoting kicks in exactly where
+    * needed), read back with an explicit schema (never inference —
+    * the q186 doctrine), and checksummed per priority class including
+    * an md5-of-text integer so ANY mangling of quoting or escaping
+    * breaks the hash. The oracle regenerates the same salted strings
+    * straight from the base table — it never touches the CSV — so the
+    * round-trip itself is the thing under test.
+    *
+    * Scale: CSV is the interchange format, not the analytics format —
+    * one pass in, checksum, land in parquet. Write and read are both
+    * embarrassingly parallel (splittable only without embedded
+    * newlines; this fixture embeds quotes/commas but keeps rows on
+    * one line, the common interchange contract).
+    */
+  def q221CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q221-csv").toFile
+    tmp.deleteOnExit()
+    Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderkey").as("k"),
+        col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn(
+        "note",
+        expr("""CASE k % 4
+                 WHEN 0 THEN concat('plain-', CAST(k AS STRING))
+                 WHEN 1 THEN concat('comma,inside,', CAST(k AS STRING))
+                 WHEN 2 THEN concat('quote"mid"', CAST(k AS STRING))
+                 ELSE concat('both",",', CAST(k AS STRING)) END"""))
+      .coalesce(4)
+      .write
+      .option("header", "true")
+      .mode("overwrite")
+      .csv(tmp.getAbsolutePath)
+    s.read
+      .schema("k BIGINT, prio STRING, cents BIGINT, note STRING")
+      .option("header", "true")
+      .csv(tmp.getAbsolutePath)
+      .groupBy(col("prio"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("cents_total"),
+        sum(col("k")).as("key_sum"),
+        sum(expr(
+          "CAST(conv(substring(md5(note), 1, 8), 16, 10) AS BIGINT)"))
+          .as("note_md5_sum"))
+      .orderBy("prio")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_csv_roundtrip" -> q221CsvRoundtrip,
+    "q220_schema_evolution" -> q220SchemaEvolution,
+    "q219_dynamic_overwrite" -> q219DynamicOverwrite,
+    "q218_partitioned_layout" -> q218PartitionedLayout,
+    "q216_sprt_monitor" -> q216SprtMonitor,
     "q215_bitemporal_asof" -> q215BitemporalAsof,
     "q214_time_decay_attribution" -> q214TimeDecayAttribution,
     "q213_sample_quantiles" -> q213SampleQuantiles,
@@ -8742,6 +9031,105 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // generation membership and the evolved column recomputed from the
+    // base table: gen 1 (k even) contributes NULL discounts
+    "q220_schema_evolution" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT prio, k % 2 AS gen,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_total,
+        |  CAST(sum(CASE WHEN k % 2 = 1 THEN k % 97 END) AS BIGINT)
+        |    AS discount_total,
+        |  CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_discount
+        |FROM base GROUP BY 1, 2 ORDER BY prio, gen""".stripMargin,
+    // the oracle regenerates the salted strings from the base table and
+    // never reads the CSV — the round-trip is the thing under test
+    "q221_csv_roundtrip" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    CASE k % 4
+        |      WHEN 0 THEN 'plain-' || k::VARCHAR
+        |      WHEN 1 THEN 'comma,inside,' || k::VARCHAR
+        |      WHEN 2 THEN 'quote"mid"' || k::VARCHAR
+        |      ELSE 'both",",' || k::VARCHAR END AS note
+        |  FROM orders)
+        |SELECT prio, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_total,
+        |  CAST(sum(k) AS BIGINT) AS key_sum,
+        |  CAST(sum(('0x' || substr(md5(note), 1, 8))::BIGINT) AS BIGINT)
+        |    AS note_md5_sum
+        |FROM base GROUP BY prio ORDER BY prio""".stripMargin,
+    // the pruned-range rollup straight off the base table; strftime
+    // produces the identical 'yyyy-MM' text key the directory encodes
+    "q218_partitioned_layout" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m') >= '2000-01'
+        |GROUP BY 1 ORDER BY ym""".stripMargin,
+    // expected post-restatement state from the base table alone: the
+    // two target months carry the corrected batch, all others the base
+    "q219_dynamic_overwrite" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    strftime(o_orderdate, '%Y-%m') AS ym
+        |  FROM orders),
+        |fin AS (
+        |  SELECT k, cents, ym FROM base
+        |  WHERE ym NOT IN ('2000-03', '2000-04')
+        |  UNION ALL
+        |  SELECT k, cents + 50, ym FROM base
+        |  WHERE ym IN ('2000-03', '2000-04') AND k % 3 <> 0)
+        |SELECT ym, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM fin WHERE ym >= '2000-01' AND ym <= '2000-06'
+        |GROUP BY 1 ORDER BY ym""".stripMargin,
+    // the same once-quantized micro-nat increments and ln(19)
+    // boundaries, the same integer cumsum and first-crossing days
+    "q216_sprt_monitor" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+        |    sum(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) AS k
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT *,
+        |    sum(k * CAST(floor(ln(0.45 / 0.35) * 1000000 + 0.5) AS BIGINT)
+        |      + (n - k) * CAST(floor(ln(0.55 / 0.65) * 1000000 + 0.5) AS BIGINT))
+        |      OVER (PARTITION BY event_type ORDER BY day
+        |            ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM daily),
+        |agg AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(n) AS BIGINT) AS n_events,
+        |    CAST(sum(k) AS BIGINT) AS n_conv,
+        |    min(CASE WHEN cum >= CAST(floor(ln(19.0) * 1000000 + 0.5) AS BIGINT)
+        |             THEN day END) AS d1,
+        |    min(CASE WHEN cum <= -CAST(floor(ln(19.0) * 1000000 + 0.5) AS BIGINT)
+        |             THEN day END) AS d0,
+        |    CAST(arg_max(cum, day) AS BIGINT) AS llr_final_micro
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, n_days, n_events, n_conv,
+        |  CASE WHEN d1 IS NULL AND d0 IS NULL THEN 'continue'
+        |       WHEN d0 IS NULL OR (d1 IS NOT NULL AND d1 <= d0)
+        |         THEN 'accept_h1'
+        |       ELSE 'accept_h0' END AS decision,
+        |  coalesce(CAST(CASE WHEN d1 IS NULL THEN d0
+        |                     WHEN d0 IS NULL THEN d1
+        |                     WHEN d1 <= d0 THEN d1 ELSE d0 END AS VARCHAR),
+        |           'running') AS decision_day,
+        |  llr_final_micro
+        |FROM agg ORDER BY event_type""".stripMargin,
     // calendar self-joins (never lag-row adjacency); both engines'
     // integer division truncates toward zero, so negative growth bp
     // agree exactly

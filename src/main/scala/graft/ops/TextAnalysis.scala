@@ -1847,7 +1847,79 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** t39 — TOPIC SEGMENTATION, TextTiling-lite (Hearst 1997): cut each
+    * document where lexical cohesion between adjacent 10-token blocks
+    * collapses — the preprocessing split a long-document training
+    * pipeline runs so a pack/chunk boundary (p7/p22) lands at a topic
+    * shift instead of mid-thought, and the retrieval-chunking split a
+    * RAG indexer needs. Cohesion is the Dice coefficient of adjacent
+    * blocks' DISTINCT term sets in integer basis points
+    * (`2·|∩|·10⁴ div (|A|+|B|)`), and a gap is a cut when its dice
+    * falls below HALF the document's mean gap dice — compared by
+    * integer cross-multiplication (`dice·n_gaps·2 < Σdice`), so no
+    * float touches the boundary decision (Hearst's smoothed-valley
+    * depth scoring is the refinement; the block/dice/threshold
+    * skeleton is hers).
+    *
+    * Plan: one doc-keyed exchange builds block term sets; the
+    * adjacent-block join and both rollups stay inside the same doc
+    * partitioning (every window/join group is one document's blocks —
+    * bounded by doc length at any corpus scale). Output is doc-sized.
+    */
+  def t39TopicSegments(s: SparkSession, dir: String): DataFrame = {
+    val blockLen = 10
+    val blocks = Tables
+      .spread(Tables.documents(s, dir))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .select(col("doc_id"), expr(s"pos div $blockLen").as("blk"), col("w"))
+      .distinct() // block term SETS: dedup inside the (doc, blk) layout
+      .localCheckpoint() // both sides of the adjacent join + sizes
+    val sizes = blocks
+      .groupBy(col("doc_id"), col("blk"))
+      .agg(count(lit(1)).as("nset"))
+    val shared = blocks
+      .as("a")
+      .join(
+        blocks.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("a.blk") + 1 === col("b.blk") && col("a.w") === col("b.w"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("a.blk").as("blk"))
+      .agg(count(lit(1)).as("shared"))
+    val gaps = sizes
+      .as("x")
+      .join(
+        sizes
+          .as("y")
+          .select(col("doc_id"), (col("blk") - 1).as("blk"), col("nset").as("nnext")),
+        Seq("doc_id", "blk"))
+      .join(shared, Seq("doc_id", "blk"), "left")
+      .select(
+        col("doc_id"),
+        col("blk"),
+        expr("coalesce(shared, 0L) * 20000 div (nset + nnext)").as("dice_bp"))
+    gaps
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("dice_bp")).as("dice_sum"),
+        min(col("dice_bp")).as("min_dice_bp"))
+      .join(gaps, "doc_id")
+      .groupBy(col("doc_id"), col("n_gaps"), col("dice_sum"), col("min_dice_bp"))
+      .agg(
+        sum(when(expr("dice_bp * n_gaps * 2 < dice_sum"), 1L).otherwise(0L))
+          .as("n_cuts"))
+      .select(
+        col("doc_id"),
+        (col("n_gaps") + 1L).as("n_blocks"),
+        col("n_gaps"),
+        col("n_cuts"),
+        (col("n_cuts") + 1L).as("n_segments"),
+        col("min_dice_bp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t39_topic_segments" -> t39TopicSegments,
     "t38_repetition_signals" -> t38RepetitionSignals,
     "t37_contamination_rank" -> t37ContaminationRank,
     "t36_source_jsd" -> t36SourceJsd,
@@ -1947,6 +2019,42 @@ object TextAnalysis {
         |LIMIT 15""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the same distinct block sets, Dice bp, and cross-multiplied
+    // half-mean cut rule; single-block docs have no gaps on either side
+    "t39_topic_segments" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |b AS (
+        |  SELECT DISTINCT doc_id, (i - 1) // 10 AS blk, t[i] AS w
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)),
+        |sizes AS (SELECT doc_id, blk, count(*) AS nset FROM b GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT a.doc_id, a.blk, count(*) AS shared
+        |  FROM b a JOIN b c ON a.doc_id = c.doc_id AND a.blk + 1 = c.blk
+        |    AND a.w = c.w
+        |  GROUP BY 1, 2),
+        |gaps AS (
+        |  SELECT x.doc_id, x.blk,
+        |    coalesce(s.shared, 0) * 20000 // (x.nset + y.nset) AS dice_bp
+        |  FROM sizes x
+        |  JOIN sizes y ON y.doc_id = x.doc_id AND y.blk = x.blk + 1
+        |  LEFT JOIN sh s ON s.doc_id = x.doc_id AND s.blk = x.blk),
+        |ds AS (
+        |  SELECT doc_id, count(*) AS n_gaps, sum(dice_bp) AS dice_sum,
+        |    min(dice_bp) AS min_dice_bp
+        |  FROM gaps GROUP BY 1),
+        |cuts AS (
+        |  SELECT g.doc_id,
+        |    sum(CASE WHEN g.dice_bp * ds.n_gaps * 2 < ds.dice_sum
+        |             THEN 1 ELSE 0 END) AS n_cuts
+        |  FROM gaps g JOIN ds USING (doc_id) GROUP BY 1)
+        |SELECT ds.doc_id,
+        |  CAST(ds.n_gaps + 1 AS BIGINT) AS n_blocks,
+        |  CAST(ds.n_gaps AS BIGINT) AS n_gaps,
+        |  CAST(cuts.n_cuts AS BIGINT) AS n_cuts,
+        |  CAST(cuts.n_cuts + 1 AS BIGINT) AS n_segments,
+        |  CAST(ds.min_dice_bp AS BIGINT) AS min_dice_bp
+        |FROM ds JOIN cuts USING (doc_id) ORDER BY ds.doc_id""".stripMargin,
     // same tokenization, same 2-/5-gram enumeration, same bp floor
     // division and the same literal thresholds (2000 / 3000 bp)
     "t38_repetition_signals" ->

@@ -2219,7 +2219,86 @@ object Streams {
       .orderBy("event_type")
   }
 
+  /** q217 — STREAM-STATIC dimension join run to completion under the
+    * oracle (streaming gate #9): the event stream enriches against the
+    * static customer dimension (user → market segment) INSIDE the
+    * stream, then a per-segment streaming aggregate accumulates across
+    * micro-batches — the canonical "enrich with a dim table, then
+    * aggregate" production topology, and the one join flavor the gate
+    * suite hadn't exercised (q164 is stream-STREAM; the batch surface
+    * joins are all batch-batch). The feed arrives in three user-keyed
+    * shards (`maxFilesPerTrigger=1`), so the static side is re-planned
+    * and re-broadcast per micro-batch and the aggregate's RocksDB
+    * state must carry partial (segment) sums across three commits.
+    *
+    * Complete-mode memory sink (q155's pattern — the rollup is
+    * segment-count-sized, so the driver sink is bounded by the DIM
+    * domain, not the stream); the tail re-orders and types the final
+    * table and DuckDB recomputes the whole enrich-join + rollup
+    * relationally. Scale: the static side is a broadcast dim (segment
+    * projection of customer — at 100 TB the dim is the small side by
+    * construction or it isn't a dim); state is one row per segment.
+    */
+  def q217StreamDimJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.ops.Tables
+      .events(s, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val dim = graft.ops.Tables
+      .customer(s, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val feed = gateTempRoot("graft-q217")
+    (0 to 2).foreach { i =>
+      ev.filter(pmod(col("user_id"), lit(3)) === i)
+        .coalesce(1)
+        .write
+        .mode("append")
+        .parquet(feed.getAbsolutePath)
+    }
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val qname = "q217_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    providerConfLock.synchronized {
+      val prevProv = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val in = s.readStream
+          .schema("event_id BIGINT, user_id BIGINT, event_type STRING, cents BIGINT")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(feed.getAbsolutePath)
+        val q = in
+          .join(broadcast(dim), "user_id") // stream-static enrich
+          .groupBy(col("segment"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("cents")).as("cents_total"),
+            sum(when(col("event_type") === "purchase", col("cents"))
+              .otherwise(0L)).as("purchase_cents"))
+          .writeStream
+          .format("memory")
+          .queryName(qname)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+    }
+    val rows = s.table(qname).orderBy("segment")
+    val out = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows.collect(): _*)),
+      rows.schema)
+    s.catalog.dropTempView(qname)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_stream_dim_join" -> q217StreamDimJoin,
     "q211_stream_dedup" -> q211StreamDedup,
     "q210_stream_kmv" -> q210StreamKmv,
     "q207_stream_sessionize" -> q207StreamSessionize,
@@ -2234,6 +2313,17 @@ object Streams {
     * final state.
     */
   val oracles: Map[String, String] = Map(
+    // the whole enrich-join + segment rollup recomputed relationally
+    "q217_stream_dim_join" ->
+      """SELECT c.c_mktsegment AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS cents_total,
+        |  CAST(sum(CASE WHEN e.event_type = 'purchase'
+        |                THEN CAST(floor(e.value * 100 + 0.5) AS BIGINT)
+        |                ELSE 0 END) AS BIGINT) AS purchase_cents
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
     // event_id is unique in the fixture, so the deduped stream IS the
     // base table; fed counts replay the three feed branches
     "q211_stream_dedup" ->

@@ -188,4 +188,30 @@ class MultimodalSpec extends SparkSpec {
       assert(act > 0L && exp > 0L && fill == act * 10000L / exp)
     }
   }
+
+  test("m20 chunk delta: only edited docs cost bytes, and far less than their volume") {
+    val rows = Multimodal.m20ChunkDelta(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nChanged, nNew, total, newB, reuse) =
+        (r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      if (nChanged == 0L)
+        assert(nNew == 0L && newB == 0L,
+          s"${r.getString(0)}: unchanged sources must be fully chunk-reused")
+      assert(reuse == (total - newB) * 10000L / total)
+      // CDC re-sync: an edit disturbs the chunk it lands in plus at
+      // most a shifted boundary — a bounded constant per edited doc
+      // (avg chunk ≈ 32 bytes + the 9-byte splice), never per-doc
+      // volume. The fixture's source keying puts ALL of a source's
+      // docs in the edit class (doc_id ≡ 5 mod 10 vs mod-20 sources),
+      // so the bound must be per changed doc, not per source volume.
+      assert(newB <= nChanged * 200L,
+        s"${r.getString(0)}: new bytes $newB exceed the re-sync bound for $nChanged edits")
+    }
+    val changed = rows.map(_.getLong(2)).sum
+    val expected = graft.ops.Tables.documents(spark, Sf)
+      .filter(pmod(col("doc_id"), lit(10)) === 5 && length(col("text")) >= 8)
+      .count()
+    assert(changed == expected, "changed-doc accounting covers exactly the planted edits")
+  }
 }

@@ -3582,6 +3582,241 @@ class OpsSpec extends SparkSpec {
       s"budget must be exhausted up to the one fractional unit's floor loss: b=$b alloc=$alloc")
   }
 
+  test("q220 schema evolution: old generation null-backfills, new generation exact") {
+    val out = Relational.q220SchemaEvolution(spark, Sf).collect()
+    assert(out.map(_.getLong(2)).sum == Tables.orders(spark, Sf).count(),
+      "generations partition the fact")
+    out.foreach { r =>
+      val (gen, n, nNull) = (r.getLong(1), r.getLong(2), r.getLong(5))
+      if (gen == 0L) {
+        assert(nNull == n, "gen-1 files must surface the evolved column as NULL")
+        assert(r.isNullAt(4), "no discount mass can appear for the old generation")
+      } else {
+        assert(nNull == 0L && !r.isNullAt(4),
+          "gen-2 rows must carry their discounts through the merge")
+      }
+    }
+  }
+
+  test("q221 csv roundtrip: equals the batch twin that never touches CSV") {
+    val twin = Tables.orders(spark, Sf)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn(
+        "note",
+        expr("""CASE k % 4
+                 WHEN 0 THEN concat('plain-', CAST(k AS STRING))
+                 WHEN 1 THEN concat('comma,inside,', CAST(k AS STRING))
+                 WHEN 2 THEN concat('quote"mid"', CAST(k AS STRING))
+                 ELSE concat('both",",', CAST(k AS STRING)) END"""))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)), sum(col("cents")), sum(col("k")),
+        sum(expr("CAST(conv(substring(md5(note), 1, 8), 16, 10) AS BIGINT)")))
+      .orderBy("prio")
+      .collect().map(_.toString)
+    val got = Relational.q221CsvRoundtrip(spark, Sf).collect().map(_.toString)
+    assert(got.sameElements(twin),
+      "CSV quoting/escaping must round-trip the salted strings byte-exactly")
+  }
+
+  test("t39 topic segments: imperative replay of block sets, dice and the cut rule") {
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), split(col("text"), " "))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+    val expected = docs.flatMap { case (id, t) =>
+      val sets = t.zipWithIndex
+        .groupBy(_._2 / 10)
+        .map { case (b, ws) => b -> ws.map(_._1).toSet }
+      val nb = sets.size
+      if (nb < 2) None
+      else {
+        val dice = (0 until nb - 1).map { b =>
+          val (a, c) = (sets(b), sets(b + 1))
+          (a & c).size.toLong * 20000L / (a.size + c.size)
+        }
+        val (sum, min) = (dice.sum, dice.min)
+        val cuts = dice.count(d => d * dice.length * 2 < sum).toLong
+        Some(id -> ((nb.toLong, (nb - 1).toLong, cuts, cuts + 1, min)))
+      }
+    }.toMap
+    val got = TextAnalysis.t39TopicSegments(spark, Sf).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    }.toMap
+    assert(got == expected, s"replay mismatch on ${
+      (got.keySet ++ expected.keySet).find(k => got.get(k) != expected.get(k))
+    }")
+  }
+
+  test("m21 keyframes: scenes agree with m8 and the argmax replay holds per doc") {
+    val byDocScenes = Multimodal.m21SceneKeyframes(spark, Sf).collect()
+      .groupBy(_.getLong(0))
+    val m8 = Multimodal.m8SceneCuts(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDocScenes.keySet == m8.keySet)
+    byDocScenes.foreach { case (id, rows) =>
+      assert(rows.length.toLong == m8(id), s"doc $id: scene count differs from m8")
+    }
+    // full replay on a sample: frame energies from the ASCII payload
+    val texts = Tables.documents(spark, Sf)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    texts.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8").map(_.toLong & 0xff)
+      val energies = bytes.grouped(200).map(_.sum).toArray
+      var scene = 0L
+      val frames = energies.zipWithIndex.map { case (e, i) =>
+        if (i > 0 && math.abs(e - energies(i - 1)) > 1000L) scene += 1
+        (scene, i, e)
+      }
+      val expected = frames.groupBy(_._1).toSeq.sortBy(_._1).map { case (sc, fs) =>
+        val best = fs.maxBy(f => (f._3, -f._2))
+        (id, sc, fs.length.toLong, best._2.toLong, best._3)
+      }
+      val got = byDocScenes(id).sortBy(_.getLong(1)).map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(got == expected, s"doc $id keyframe replay mismatch")
+    }
+  }
+
+  test("q218 partitioned layout: the pruned read-back equals the source rollup") {
+    val expected = Tables.orders(spark, Sf)
+      .filter(date_format(col("o_orderdate"), "yyyy-MM") >= "2000-01")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .agg(count(lit(1)), sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")),
+        sum(col("o_orderkey")))
+      .orderBy("ym")
+      .collect().map(_.toString)
+    val got = Relational.q218PartitionedLayout(spark, Sf).collect().map(_.toString)
+    assert(got.sameElements(expected), "layout round-trip must lose nothing in range")
+  }
+
+  test("q219 dynamic overwrite: exactly the two target months restate, others survive") {
+    val out = Relational.q219DynamicOverwrite(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val base = Tables.orders(spark, Sf)
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long"),
+        date_format(col("o_orderdate"), "yyyy-MM"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .filter(t => t._3 >= "2000-01" && t._3 <= "2000-06")
+      .groupBy(_._3)
+    base.foreach { case (ym, rows) =>
+      val expected =
+        if (ym == "2000-03" || ym == "2000-04") {
+          val kept = rows.filter(_._1 % 3 != 0)
+          (kept.length.toLong, kept.map(_._2 + 50L).sum, kept.map(_._1).sum)
+        } else (rows.length.toLong, rows.map(_._2).sum, rows.map(_._1).sum)
+      assert(out(ym) == expected, s"$ym: got ${out(ym)} expected $expected")
+    }
+    assert(out.keySet == base.keySet)
+  }
+
+  test("d35 tfidf cosine: imperative replay of weights, norms and the pair set") {
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), split(col("text"), " "))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+      .filter(_._2.length >= 3)
+    val shingles = docs.map { case (id, t) =>
+      id -> t.sliding(3).map(_.mkString(" ")).toSeq
+    }
+    val tf = shingles.flatMap { case (id, sh) =>
+      sh.groupBy(identity).map { case (s2, g) => ((id, s2), g.size.toLong) }
+    }.toMap
+    val dfm = tf.keys.groupBy(_._2).map { case (s2, ks) => s2 -> ks.size.toLong }
+      .filter(_._2 <= 64)
+    val n = docs.length.toDouble
+    val w = tf.collect { case ((id, s2), c) if dfm.contains(s2) =>
+      (id, s2) -> c.toDouble * math.log(1.0 + n / dfm(s2).toDouble)
+    }
+    val byDoc = w.groupBy(_._1._1)
+    val nrm = byDoc.map { case (id, m) => id -> math.sqrt(m.values.map(x => x * x).sum) }
+    val postings = w.toSeq.collect { case ((id, s2), x) if dfm(s2) >= 2 => (s2, id, x) }
+    val num = postings.groupBy(_._1).values.flatMap { g =>
+      for (a <- g; b <- g if a._2 < b._2) yield ((a._2, b._2), a._3 * b._3)
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    val replay = num.map { case ((a, b), s2) => (a, b) -> s2 / (nrm(a) * nrm(b)) }
+    val got = Dedup.d35TfidfCosine(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // float-sum order differs between the replay and the distributed
+    // aggregate, so compare with an ulp-scale guard band at both the
+    // threshold and the round-4 boundary
+    replay.foreach { case (p, c) =>
+      if (c >= 0.6 + 1e-9)
+        assert(got.contains(p), s"replay pair $p (cos=$c) missing from output")
+      got.get(p).foreach(g => assert(math.abs(g - c) <= 1e-4 + 1e-9, s"$p: $g vs $c"))
+    }
+    got.keys.foreach { p =>
+      assert(replay.get(p).exists(_ >= 0.6 - 1e-9), s"output pair $p not in replay")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("q216 SPRT: imperative replay of the integer LLR walk and first crossings") {
+    val daily = Tables.events(spark, Sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") >= 50.0, 1L).otherwise(0L)).as("k"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3)))
+    val l1 = math.floor(math.log(0.45 / 0.35) * 1000000 + 0.5).toLong
+    val l0 = math.floor(math.log(0.55 / 0.65) * 1000000 + 0.5).toLong
+    val a = math.floor(math.log(19.0) * 1000000 + 0.5).toLong
+    val expected = daily.groupBy(_._1).map { case (et, rows) =>
+      val ordered = rows.sortBy(_._2)
+      var cum = 0L
+      var d1: Option[String] = None
+      var d0: Option[String] = None
+      ordered.foreach { case (_, day, n, k) =>
+        cum += k * l1 + (n - k) * l0
+        if (cum >= a && d1.isEmpty) d1 = Some(day)
+        if (cum <= -a && d0.isEmpty) d0 = Some(day)
+      }
+      val decision =
+        if (d1.isEmpty && d0.isEmpty) "continue"
+        else if (d0.isEmpty || (d1.nonEmpty && d1.get <= d0.get)) "accept_h1"
+        else "accept_h0"
+      val day = (d1, d0) match {
+        case (Some(x), Some(y)) => if (x <= y) x else y
+        case (Some(x), None)    => x
+        case (None, Some(y))    => y
+        case _                  => "running"
+      }
+      et -> ((ordered.length.toLong, ordered.map(_._3).sum, ordered.map(_._4).sum,
+        decision, day, cum))
+    }
+    val got = Relational.q216SprtMonitor(spark, Sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5), r.getLong(6)))
+    }.toMap
+    assert(got == expected, s"SPRT replay mismatch: got=$got expected=$expected")
+  }
+
+  test("q217 stream-static gate: equals its batch twin exactly") {
+    val twin = Tables.events(spark, Sf)
+      .join(
+        Tables.customer(spark, Sf)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment")),
+        "user_id")
+      .groupBy(col("segment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents_total"),
+        sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L))
+          .as("purchase_cents"))
+      .orderBy("segment")
+      .collect()
+      .map(_.toString)
+    val got = graft.streaming.Streams.q217StreamDimJoin(spark, Sf)
+      .collect().map(_.toString)
+    assert(got.sameElements(twin), "streamed enrich-join must equal the batch join")
+  }
+
   test("p22 packing sweep: imperative replay of all four capacities") {
     val docs = Tables.documents(spark, Sf)
       .select(col("doc_id"), col("lang"),

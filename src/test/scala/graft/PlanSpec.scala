@@ -670,6 +670,30 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "touches join purchases on user_id")
   }
 
+  test("q218 partition pruning: the month predicate prunes directories, not rows") {
+    // build the layout once, then audit the reader's plan directly
+    val tmp = java.nio.file.Files.createTempDirectory("graft-planspec-part").toFile
+    tmp.deleteOnExit()
+    Tables
+      .orders(spark, Sf)
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .repartition(col("ym"))
+      .write
+      .partitionBy("ym")
+      .mode("overwrite")
+      .parquet(tmp.getAbsolutePath)
+    val read = spark.read
+      .parquet(tmp.getAbsolutePath)
+      .filter(col("ym") >= "2000-01")
+    val plan = explainFormatted(read)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("ym"), s"month predicate must land in PartitionFilters:\n$pf")
+    assert(!plan.contains("PushedFilters: [IsNotNull(ym)"),
+      "ym must be a partition column, never a data filter")
+  }
+
   test("spread parallelizes derived compute beyond the single input split") {
     val parts = Tables
       .spread(Tables.documents(spark, Sf))
