@@ -1110,7 +1110,60 @@ object Corpus {
       .orderBy("cap")
   }
 
+  /** p23 — quality-filter frontier: the tokens-retained vs
+    * threshold operating curve for a lexical-diversity admission
+    * gate. Every corpus build ultimately picks ONE cut on a quality
+    * signal; this is the table that pick is read off — for each
+    * type-token-ratio threshold τ in a fixed ladder, how many docs
+    * and tokens survive "keep docs with ttr_bp ≥ τ", as counts and
+    * basis-point shares. Completes the operating-curve family
+    * (d21/d27/s22/s24/p22) for the ADMISSION decision p1/p8 apply at
+    * a single hard-coded point. All integer: ttr_bp = n_distinct·10⁴
+    * div n_tokens per doc, shares in bp over exact token sums.
+    *
+    * Plan: one scan computes per-doc (ttr_bp, n_tokens); ONE
+    * data-sized hash exchange aggregates onto the ttr_bp domain —
+    * BOUNDED by construction at ≤ 10001 values — and every
+    * ladder×domain comparison after it is a broadcast join on that
+    * bounded histogram (the q70 doctrine: cumulate on the domain,
+    * never window the data). The ladder is 6 literal rows. At 100 TB
+    * the same plan holds; the frontier never re-scans per threshold.
+    */
+  def p23FilterFrontier(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables
+      .documents(s, dir)
+      .select(split(col("text"), " ").as("t"))
+      .select(
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct"))
+      .select(
+        col("n_tokens"),
+        expr("n_distinct * 10000 div n_tokens").as("ttr_bp"))
+    val hist = perDoc
+      .groupBy(col("ttr_bp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_toks"))
+    val totals = hist.agg(
+      sum(col("n_docs")).as("tot_docs"),
+      sum(col("n_toks")).as("tot_toks"))
+    val ladder = s.range(0, 6).select((col("id") * 1500 + 2500).as("tau"))
+    ladder
+      .join(broadcast(hist), col("ttr_bp") >= col("tau"), "left")
+      .groupBy(col("tau"))
+      .agg(
+        coalesce(sum(col("n_docs")), lit(0L)).as("docs_kept"),
+        coalesce(sum(col("n_toks")), lit(0L)).as("tokens_kept"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("tau"),
+        col("docs_kept"),
+        col("tokens_kept"),
+        expr("docs_kept * 10000 div tot_docs").as("docs_share_bp"),
+        expr("tokens_kept * 10000 div tot_toks").as("tokens_share_bp"))
+      .orderBy("tau")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p23_filter_frontier" -> p23FilterFrontier,
     "p22_packing_sweep" -> p22PackingSweep,
     "p21_epoch_mix" -> p21EpochMix,
     "p20_dedup_holdout" -> p20DedupHoldout,
@@ -1136,6 +1189,36 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical per-doc ttr_bp, the same 6-step ladder and integer
+    // bp shares over exact totals
+    "p23_filter_frontier" ->
+      """WITH pd AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS n_distinct
+        |  FROM documents),
+        |pd2 AS (
+        |  SELECT n_tokens, n_distinct * 10000 // n_tokens AS ttr_bp FROM pd),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS tot_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS tot_toks
+        |  FROM pd2),
+        |ladder AS (
+        |  SELECT CAST(i * 1500 + 2500 AS BIGINT) AS tau
+        |  FROM range(0, 6) t(i)),
+        |kept AS (
+        |  SELECT tau,
+        |    CAST(coalesce(sum(CASE WHEN ttr_bp >= tau THEN 1 END), 0)
+        |      AS BIGINT) AS docs_kept,
+        |    CAST(coalesce(sum(CASE WHEN ttr_bp >= tau THEN n_tokens END), 0)
+        |      AS BIGINT) AS tokens_kept
+        |  FROM ladder LEFT JOIN pd2 ON TRUE
+        |  GROUP BY 1)
+        |SELECT tau, docs_kept, tokens_kept,
+        |  docs_kept * 10000 // tot_docs AS docs_share_bp,
+        |  tokens_kept * 10000 // tot_toks AS tokens_share_bp
+        |FROM kept, tot
+        |ORDER BY tau""".stripMargin,
     // the same shard-local ROWS cumsum, cap-block straddle test and
     // ceil-division sequence count, fanned over the capacity ladder
     "p22_packing_sweep" ->

@@ -8818,7 +8818,176 @@ object Relational {
       .orderBy("prio")
   }
 
+  /** q223 — market-basket association rules: top co-occurring part
+    * pairs across order baskets with exact integer confidence and
+    * lift in basis points — the classic affinity report
+    * (recommendation candidates, cross-sell audits) the suite's
+    * similarity family approaches from the vector side (q199/q203)
+    * but never from the transactional side. A basket is an order's
+    * DISTINCT part set; support(a,b) counts baskets containing both;
+    * conf(a→b) = n_ab·10⁴ div n_a; lift = n_ab·N·10⁴ div (n_a·n_b)
+    * — all integer arithmetic over exact counts, truncation shared by
+    * both engines on positive values.
+    *
+    * Plan: pair enumeration is a SELF-EQUI-JOIN on the basket key,
+    * never a cross join — per-basket fan-out is C(k,2) where k is
+    * lines-per-order, SCHEMA-bounded (≤ 7 in TPC-H, ≤ 13 in this
+    * fixture), so pair volume is a constant multiple of lineitem and
+    * shuffles hash-partitioned on the order key. The top-100 cut
+    * (count desc, then the pair key — count ties are the norm at
+    * fixture scale, so the key tiebreak carries determinism) plans as
+    * TakeOrderedAndProject: per-partition heaps, a 100-row driver
+    * merge, never a global sort. Dimension stats join AFTER the cut,
+    * onto 100 rows, with the basket total broadcast as one row. At
+    * 100 TB the same plan holds — the only data-sized exchanges are
+    * the basket-distinct and the pair-count hash aggregates; a
+    * df-cap on pathological hub parts (the q199 doctrine) is the
+    * escape hatch if a catalog had million-order items, not needed
+    * while k is bounded by basket width.
+    */
+  def q223MarketBasket(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_orderkey").cast("long").as("ok"),
+        col("l_partkey").cast("long").as("pk"))
+      .distinct()
+      .localCheckpoint() // three consumers: basket total, df, both pair sides
+    val nBaskets = items.agg(count_distinct(col("ok")).as("n_baskets"))
+    val df = items.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
+    val top = items
+      .select(col("ok"), col("pk").as("pk_a"))
+      .join(items.select(col("ok"), col("pk").as("pk_b")), Seq("ok"))
+      .filter(col("pk_a") < col("pk_b"))
+      .groupBy(col("pk_a"), col("pk_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .orderBy(col("n_ab").desc, col("pk_a").asc, col("pk_b").asc)
+      .limit(100)
+    top
+      .join(df.select(col("pk").as("pk_a"), col("n_p").as("n_a")), Seq("pk_a"))
+      .join(df.select(col("pk").as("pk_b"), col("n_p").as("n_b")), Seq("pk_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(
+        col("pk_a"),
+        col("pk_b"),
+        col("n_ab"),
+        col("n_a"),
+        col("n_b"),
+        expr("n_ab * 10000 div n_a").as("conf_bp"),
+        expr("n_ab * n_baskets * 10000 div (n_a * n_b)").as("lift_bp"))
+      .orderBy(col("n_ab").desc, col("pk_a").asc, col("pk_b").asc)
+  }
+
+  /** q224 — PageRank over the nation-level trade graph: edges are
+    * customer-nation → supplier-nation lineitem counts, three power
+    * iterations at damping 0.85 — the canonical graph-centrality
+    * missing from the BFS/k-core/LPA/assortativity family (q111/q126/
+    * q127/q160). Cross-engine exactness by the t33/d29/q216 doctrine:
+    * ranks live in integer MICRO-probability units (start 10⁶/25 =
+    * 40000 per nation) and every iteration is pure integer arithmetic
+    * — contrib(u→v) = (r_u·w_uv) div W_u, r'_v = 6000 +
+    * (85·Σ contrib) div 100 — so DuckDB's unrolled CTE replays the
+    * identical recurrence bit-for-bit. Truncation drops ≤ 1 micro-unit
+    * per edge per iteration (mass is NOT conserved, exactly equally in
+    * both engines); dangling mass would be dropped too, though the
+    * fixture graph has none.
+    *
+    * Plan: ONE data-sized shape builds the graph — lineitem ⋈ orders
+    * ⋈ customer ⋈ supplier with AQE-broadcast key dims, then a hash
+    * aggregate onto ≤ 25×25 = 625 edge rows (nation count is SCHEMA
+    * -bounded, so the graph never scales with data). The three
+    * iterations run entirely on broadcast-sized tables (625 edges ×
+    * 25 ranks), localCheckpoint'd once to cut the lineage. At 100 TB
+    * the plan is identical: the aggregate absorbs all scale; iteration
+    * cost is constant.
+    */
+  def q224NationPagerank(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey").as("u")),
+        col("o_custkey") === col("c_custkey"))
+      .join(
+        Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey").as("v")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("w"))
+    val wout = base.groupBy(col("u")).agg(sum(col("w")).as("wu"))
+    val edges = base.join(wout, Seq("u")).localCheckpoint() // ≤ 625 rows
+    val nations = Tables
+      .nation(s, dir)
+      .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
+    var ranks = nations.select(col("node"), lit(40000L).as("r"))
+    (1 to 3).foreach { _ =>
+      val contrib = edges
+        .join(broadcast(ranks), edges("u") === ranks("node"))
+        .select(col("v").as("node"), expr("r * w div wu").as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("cin"))
+      ranks = nations
+        .select(col("node"))
+        .join(contrib, Seq("node"), "left")
+        .select(
+          col("node"),
+          expr("6000 + 85 * coalesce(cin, CAST(0 AS BIGINT)) div 100").as("r"))
+    }
+    nations
+      .join(broadcast(ranks), Seq("node"))
+      .select(col("n_name"), col("r").as("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("n_name").asc)
+  }
+
+  /** q225 — first-order Markov transition matrix over the event-type
+    * alphabet: for every consecutive event pair WITHIN a user's
+    * timeline, count (from → to) transitions and row-normalize to
+    * basis points — the behavioral model behind q105's path mining
+    * and q174's next-purchase gap, reduced to its sufficient
+    * statistic. The matrix is ALPHABET-bounded (5 event types → ≤ 25
+    * rows + 5 terminal rows), so everything after the per-user
+    * sequencing is broadcast-sized. Terminal states (a user's last
+    * event) are counted explicitly as to_type = '∅' so each row's
+    * outgoing mass is exactly the user's event count — the
+    * conservation identity the spec pins — and p_bp = n·10⁴ div
+    * row_total over exact integer counts.
+    *
+    * Plan: ONE window partitioned by user_id (per-user sequences,
+    * never a global order — the q105/q177 shape) feeds a hash
+    * aggregate onto the bounded (from, to) domain. At 100 TB the
+    * window's partition key is the natural data distribution and the
+    * aggregate is map-side combined onto ≤ 30 groups.
+    */
+  def q225MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val trans = Tables
+      .events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", coalesce(lead(col("event_type"), 1).over(w), lit("∅")))
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = trans
+      .groupBy(col("from_type"))
+      .agg(sum(col("n")).as("row_total"))
+    trans
+      .join(broadcast(rowTot), Seq("from_type"))
+      .select(
+        col("from_type"),
+        col("to_type"),
+        col("n"),
+        col("row_total"),
+        expr("n * 10000 div row_total").as("p_bp"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_markov_transitions" -> q225MarkovTransitions,
+    "q224_nation_pagerank" -> q224NationPagerank,
+    "q223_market_basket" -> q223MarketBasket,
     "q221_csv_roundtrip" -> q221CsvRoundtrip,
     "q220_schema_evolution" -> q220SchemaEvolution,
     "q219_dynamic_overwrite" -> q219DynamicOverwrite,
@@ -9031,6 +9200,83 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same per-user (ts, event_id) sequencing, explicit terminal
+    // marker, and integer bp normalization
+    "q225_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    coalesce(lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id), '∅') AS to_type
+        |  FROM events),
+        |trans AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+        |  FROM trans GROUP BY 1)
+        |SELECT trans.from_type, to_type, n, row_total,
+        |  n * 10000 // row_total AS p_bp
+        |FROM trans JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+    // identical basket-distinct → pair-count → (count desc, pair key)
+    // top-100 cut, then integer bp confidence/lift over exact counts
+    "q223_market_basket" ->
+      """WITH items AS (
+        |  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS ok,
+        |    CAST(l_partkey AS BIGINT) AS pk
+        |  FROM lineitem),
+        |nb AS (SELECT count(DISTINCT ok) AS n_baskets FROM items),
+        |df AS (SELECT pk, count(*) AS n_p FROM items GROUP BY 1),
+        |top AS (
+        |  SELECT a.pk AS pk_a, b.pk AS pk_b, count(*) AS n_ab
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2
+        |  ORDER BY n_ab DESC, pk_a ASC, pk_b ASC
+        |  LIMIT 100)
+        |SELECT pk_a, pk_b, CAST(n_ab AS BIGINT) AS n_ab,
+        |  CAST(da.n_p AS BIGINT) AS n_a,
+        |  CAST(db.n_p AS BIGINT) AS n_b,
+        |  CAST(n_ab * 10000 // da.n_p AS BIGINT) AS conf_bp,
+        |  CAST(n_ab * nb.n_baskets * 10000 // (da.n_p * db.n_p) AS BIGINT)
+        |    AS lift_bp
+        |FROM top
+        |JOIN df da ON da.pk = top.pk_a
+        |JOIN df db ON db.pk = top.pk_b
+        |CROSS JOIN nb
+        |ORDER BY n_ab DESC, pk_a ASC, pk_b ASC""".stripMargin,
+    // the identical integer micro-prob recurrence unrolled three
+    // times: contrib = (r*w) // wu, r' = 6000 + 85*Σ // 100
+    "q224_nation_pagerank" ->
+      """WITH base AS (
+        |  SELECT c.c_nationkey AS u, s.s_nationkey AS v,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  GROUP BY 1, 2),
+        |wout AS (SELECT u, CAST(sum(w) AS BIGINT) AS wu FROM base GROUP BY 1),
+        |e AS (SELECT base.u, base.v, w, wu FROM base JOIN wout USING (u)),
+        |r0 AS (SELECT CAST(n_nationkey AS BIGINT) AS node,
+        |         CAST(40000 AS BIGINT) AS r FROM nation),
+        |c1 AS (SELECT e.v AS node, CAST(sum(r0.r * e.w // e.wu) AS BIGINT) AS cin
+        |       FROM e JOIN r0 ON r0.node = e.u GROUP BY 1),
+        |r1 AS (SELECT n.node,
+        |         CAST(6000 + 85 * coalesce(c1.cin, 0) // 100 AS BIGINT) AS r
+        |       FROM r0 n LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT e.v AS node, CAST(sum(r1.r * e.w // e.wu) AS BIGINT) AS cin
+        |       FROM e JOIN r1 ON r1.node = e.u GROUP BY 1),
+        |r2 AS (SELECT n.node,
+        |         CAST(6000 + 85 * coalesce(c2.cin, 0) // 100 AS BIGINT) AS r
+        |       FROM r0 n LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT e.v AS node, CAST(sum(r2.r * e.w // e.wu) AS BIGINT) AS cin
+        |       FROM e JOIN r2 ON r2.node = e.u GROUP BY 1),
+        |r3 AS (SELECT n.node,
+        |         CAST(6000 + 85 * coalesce(c3.cin, 0) // 100 AS BIGINT) AS r
+        |       FROM r0 n LEFT JOIN c3 USING (node))
+        |SELECT nn.n_name, r3.r AS rank_micro
+        |FROM r3 JOIN nation nn ON nn.n_nationkey = r3.node
+        |ORDER BY rank_micro DESC, n_name ASC""".stripMargin,
     // generation membership and the evolved column recomputed from the
     // base table: gen 1 (k even) contributes NULL discounts
     "q220_schema_evolution" ->

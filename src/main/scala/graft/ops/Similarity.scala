@@ -1434,7 +1434,62 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** s30 — kNN-GRAPH construction + reciprocity audit: every corpus
+    * vector's exact top-5 cosine neighbors as a directed graph, then
+    * per-node in-degree and reciprocal-edge count — the structure
+    * underneath graph-ANN indexes (NSW/HNSW build on exactly this
+    * graph's navigability) and the standard hubness diagnostic: a
+    * high-in-degree "hub" vector appears in everyone's lists while
+    * contributing few reciprocal edges (Radovanović et al. 2010),
+    * which s7's PQ and s2's LSH both degrade on. Out-degree is 5 by
+    * construction; in-degree and reciprocity are the data. Integer
+    * outputs only — cosine is used solely for RANKING through the
+    * bit-identical fused dot kernel with the (cos desc, vec_id)
+    * tie-break, so no float ever crosses the hash.
+    *
+    * Plan: the corpus×corpus scored join is the s1 exact-control
+    * posture on the FIXED 500-vector embeddings table (oracle-scale
+    * control, like d26's exhaustive arm); the scale path is s2/s29's
+    * banded candidates feeding this same rank → in-degree →
+    * reciprocity tail, which is two hash aggregates and one
+    * edge-edge self-join on the (≤ 5·n)-row edge set — all linear in
+    * nodes. Reciprocity joins on the reversed edge key; no window
+    * touches more than one query's candidate list.
+    */
+  def s30KnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val w = Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val edges = all
+      .join(
+        all.select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm")),
+        col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id").as("src"), col("vec_id").as("dst"))
+      .localCheckpoint() // three consumers: in-degree, both reciprocity sides
+    val indeg = edges.groupBy(col("dst").as("vec_id")).agg(count(lit(1)).as("in_degree"))
+    val recip = edges
+      .join(
+        edges.select(col("src").as("dst"), col("dst").as("src")),
+        Seq("src", "dst"))
+      .groupBy(col("src").as("vec_id"))
+      .agg(count(lit(1)).as("n_reciprocal"))
+    all
+      .select(col("vec_id"))
+      .join(indeg, Seq("vec_id"), "left")
+      .join(recip, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+        coalesce(col("n_reciprocal"), lit(0L)).as("n_reciprocal"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s30_knn_graph" -> s30KnnGraph,
     "s29_multiprobe_lsh" -> s29MultiprobeLsh,
     "s28_vote_calibration" -> s28VoteCalibration,
     "s22_recall_curve" -> s22RecallCurve,
@@ -2367,6 +2422,34 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the same exact top-5 edge set ((cos desc, vec_id) tie-break),
+    // reversed-key reciprocity join, zero-filled isolates
+    "s30_knn_graph" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm FROM e),
+        |scored AS (
+        |  SELECT q.vec_id AS src, c.vec_id AS dst,
+        |    row_number() OVER (
+        |      PARTITION BY q.vec_id
+        |      ORDER BY list_inner_product(q.v, c.v) / (q.norm * c.norm) DESC,
+        |               c.vec_id ASC) AS rank
+        |  FROM n q JOIN n c ON c.vec_id <> q.vec_id),
+        |edges AS (SELECT src, dst FROM scored WHERE rank <= 5),
+        |indeg AS (
+        |  SELECT dst AS vec_id, CAST(count(*) AS BIGINT) AS in_degree
+        |  FROM edges GROUP BY 1),
+        |recip AS (
+        |  SELECT a.src AS vec_id, CAST(count(*) AS BIGINT) AS n_reciprocal
+        |  FROM edges a JOIN edges b ON b.src = a.dst AND b.dst = a.src
+        |  GROUP BY 1)
+        |SELECT e.vec_id,
+        |  coalesce(indeg.in_degree, 0) AS in_degree,
+        |  coalesce(recip.n_reciprocal, 0) AS n_reciprocal
+        |FROM e
+        |LEFT JOIN indeg ON indeg.vec_id = e.vec_id
+        |LEFT JOIN recip ON recip.vec_id = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
     "s29_multiprobe_lsh" -> s29OracleSql,
     // s12's cosine/vote/tie-break replay on the %5 hold-out, rolled
     // up per winning-vote bin with the same integer basis points

@@ -1918,7 +1918,134 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t40 — interpolated Kneser–Ney bigram perplexity: the modern
+    * smoothing (Kneser & Ney 1995, Chen & Goodman 1998) next to t28's
+    * add-one baseline and t17's backoff — absolute discount D = 0.75
+    * moved from observed bigrams onto a CONTINUATION unigram
+    * distribution (how many distinct left contexts a word completes,
+    * not how often it occurs), the fix for add-one's pathology of
+    * over-rewarding frequent-but-fixed collocates. p(w|u) =
+    * (c(uw) − D)/c(u·) + (D·N₁₊(u·)/c(u·)) · (N₁₊(·w)/T) with c(u·)
+    * the CONTEXT total, N₁₊ the distinct-completion counts and T the
+    * bigram-type total; scored on the training corpus every c(uw) ≥ 1
+    * > D so the max(·,0) clamp never binds and the formula stays a
+    * single expression. Per-doc ln-sums under round(3) with doc_id
+    * ordering — the module's accepted double convention (t19/t28),
+    * with the expression tree mirrored TOKEN-FOR-TOKEN in the oracle
+    * so both engines evaluate the identical IEEE sequence.
+    *
+    * Plan: the LM is three aggregates off one bigram stream — bigram
+    * counts on a (w1,w2) exchange, context totals + left-fanout as a
+    * REAGGREGATION of that vocabulary-sized table (never a second
+    * data-sized exchange), right-fanout likewise — joined back to the
+    * doc bigram stream; the type total broadcasts as one row.
+    * Training and scoring in one pass, no per-doc model state; at
+    * 100 TB the only data-sized exchanges are the bigram stream's
+    * two (count, then score-join) hash shuffles.
+    */
+  def t40KneserNey(s: SparkSession, dir: String): DataFrame = {
+    val tk = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val seqW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("pos"))
+    val bi = tk
+      .withColumn("w2", lead(col("w"), 1).over(seqW))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w").as("w1"), col("w2"))
+    val lmBi = bi
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint() // four consumers: ctx, cont, type total, score join
+    val ctx = lmBi
+      .groupBy(col("w1"))
+      .agg(sum(col("c_ab")).as("c_u"), count(lit(1)).as("n1u"))
+    val cont = lmBi.groupBy(col("w2")).agg(count(lit(1)).as("n1w"))
+    val tt = lmBi.agg(count(lit(1)).as("t_types"))
+    bi.join(lmBi, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(tt))
+      .withColumn(
+        "lnp",
+        expr("ln((CAST(c_ab AS DOUBLE) - 0.75) / CAST(c_u AS DOUBLE) + " +
+          "((0.75 * CAST(n1u AS DOUBLE)) / CAST(c_u AS DOUBLE)) * " +
+          "(CAST(n1w AS DOUBLE) / CAST(t_types AS DOUBLE)))"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lnp")).as("sl"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        round(exp(-col("sl") / col("n_bigrams")), 3).as("kn_perplexity"))
+      .orderBy("doc_id")
+  }
+
+  /** t41 — Gopher-style admission rules (Rae et al. 2021 §A1.1): the
+    * rule-set formulation of quality filtering — each doc passes or
+    * fails FOUR independent structural gates, and the report is the
+    * per-language failure profile plus the all-rules pass rate. This
+    * is the composition layer above the raw signals (t2's ratios, t9's
+    * repetition): a production corpus build applies hard rules first
+    * and score thresholds (p23's frontier) second. Rules, all in
+    * EXACT integer arithmetic (cross-multiplied, never a ratio):
+    * r_len 50 ≤ words ≤ 100000; r_wordlen mean word length in [3,10]
+    * via 3·nw ≤ wchars ≤ 10·nw with wchars = chars − (nw − 1);
+    * r_stop both function words present (the ∧ a — the fixture's
+    * stopword alphabet, [[FunctionWords]]); r_rep top token ≤ 20% of
+    * the doc (maxn·5 ≤ nw).
+    *
+    * Plan: one scan explodes tokens into a (doc, word) count
+    * aggregate — the SAME data-sized exchange every LM op here pays —
+    * reaggregated per doc (vocabulary-fanout bounded), joined back to
+    * the doc-level char count, then a bounded per-lang rollup. No
+    * per-doc quadratic array HOFs; at 100 TB the explode path
+    * map-side combines and the rule evaluation is scan-side codegen.
+    */
+  def t41GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val perTok = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), explode(toks).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = perTok
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("nw"),
+        max(col("c")).as("maxn"),
+        max(when(col("w") === "the", 1L).otherwise(0L)).as("has_the"),
+        max(when(col("w") === "a", 1L).otherwise(0L)).as("has_a"))
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("chars"))
+      .join(perDoc, Seq("doc_id"))
+      .withColumn("wchars", col("chars") - (col("nw") - 1L))
+      .select(
+        col("lang"),
+        when(col("nw") < 50L || col("nw") > 100000L, 1L).otherwise(0L).as("f_len"),
+        when(col("wchars") < lit(3L) * col("nw") ||
+          col("wchars") > lit(10L) * col("nw"), 1L).otherwise(0L).as("f_wordlen"),
+        when(col("has_the") + col("has_a") < 2L, 1L).otherwise(0L).as("f_stop"),
+        when(col("maxn") * 5L > col("nw"), 1L).otherwise(0L).as("f_rep"))
+      .withColumn(
+        "pass",
+        when(col("f_len") + col("f_wordlen") + col("f_stop") + col("f_rep") === 0L, 1L)
+          .otherwise(0L))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("f_len")).as("fail_len"),
+        sum(col("f_wordlen")).as("fail_wordlen"),
+        sum(col("f_stop")).as("fail_stop"),
+        sum(col("f_rep")).as("fail_rep"),
+        sum(col("pass")).as("n_pass"))
+      .withColumn("pass_bp", expr("n_pass * 10000 div n_docs"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t41_gopher_rules" -> t41GopherRules,
+    "t40_kneser_ney" -> t40KneserNey,
     "t39_topic_segments" -> t39TopicSegments,
     "t38_repetition_signals" -> t38RepetitionSignals,
     "t37_contamination_rank" -> t37ContaminationRank,
@@ -2019,6 +2146,68 @@ object TextAnalysis {
         |LIMIT 15""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the same four cross-multiplied integer rules and per-lang rollup
+    "t41_gopher_rules" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |pt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |pd AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS nw,
+        |    CAST(max(c) AS BIGINT) AS maxn,
+        |    max(CASE WHEN w = 'the' THEN 1 ELSE 0 END) AS has_the,
+        |    max(CASE WHEN w = 'a' THEN 1 ELSE 0 END) AS has_a
+        |  FROM pt GROUP BY 1),
+        |rules AS (
+        |  SELECT d.lang,
+        |    CASE WHEN nw < 50 OR nw > 100000 THEN 1 ELSE 0 END AS f_len,
+        |    CASE WHEN (len(text) - (nw - 1)) < 3 * nw
+        |           OR (len(text) - (nw - 1)) > 10 * nw
+        |         THEN 1 ELSE 0 END AS f_wordlen,
+        |    CASE WHEN has_the + has_a < 2 THEN 1 ELSE 0 END AS f_stop,
+        |    CASE WHEN maxn * 5 > nw THEN 1 ELSE 0 END AS f_rep
+        |  FROM documents d JOIN pd USING (doc_id)),
+        |agg AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(f_len) AS BIGINT) AS fail_len,
+        |    CAST(sum(f_wordlen) AS BIGINT) AS fail_wordlen,
+        |    CAST(sum(f_stop) AS BIGINT) AS fail_stop,
+        |    CAST(sum(f_rep) AS BIGINT) AS fail_rep,
+        |    CAST(sum(CASE WHEN f_len + f_wordlen + f_stop + f_rep = 0
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |  FROM rules GROUP BY 1)
+        |SELECT lang, n_docs, fail_len, fail_wordlen, fail_stop, fail_rep,
+        |  n_pass, n_pass * 10000 // n_docs AS pass_bp
+        |FROM agg ORDER BY lang""".stripMargin,
+    // the identical KN expression tree token-for-token (discount
+    // 0.75, context totals, continuation counts, bigram-type total),
+    // ln sums per doc under round(3)
+    "t40_kneser_ney" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bi AS (
+        |  SELECT doc_id,
+        |    unnest([t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]) AS bg
+        |  FROM tok WHERE len(t) >= 2),
+        |bs AS (
+        |  SELECT doc_id, string_split(bg, ' ')[1] AS w1,
+        |    string_split(bg, ' ')[2] AS w2
+        |  FROM bi),
+        |lmb AS (SELECT w1, w2, count(*) AS c_ab FROM bs GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(c_ab) AS c_u, count(*) AS n1u
+        |        FROM lmb GROUP BY 1),
+        |cont AS (SELECT w2, count(*) AS n1w FROM lmb GROUP BY 1),
+        |tt AS (SELECT count(*) AS t_types FROM lmb)
+        |SELECT bs.doc_id, count(*) AS n_bigrams,
+        |  round(exp(-sum(ln((CAST(lmb.c_ab AS DOUBLE) - 0.75) /
+        |                      CAST(ctx.c_u AS DOUBLE) +
+        |                    ((0.75 * CAST(ctx.n1u AS DOUBLE)) /
+        |                      CAST(ctx.c_u AS DOUBLE)) *
+        |                    (CAST(cont.n1w AS DOUBLE) /
+        |                      CAST(tt.t_types AS DOUBLE))))
+        |            / count(*)), 3) AS kn_perplexity
+        |FROM bs JOIN lmb USING (w1, w2) JOIN ctx USING (w1)
+        |JOIN cont USING (w2), tt
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // the same distinct block sets, Dice bp, and cross-multiplied
     // half-mean cut rule; single-block docs have no gaps on either side
     "t39_topic_segments" ->

@@ -2297,7 +2297,347 @@ object Streams {
     out
   }
 
+  final case class SlaEvent(user_id: Long, ts: Timestamp, kind: String)
+
+  final case class SlaOutcome(user_id: Long, kind: String, at_us: Long)
+
+  /** Conversion-SLA horizon in exact micros (24 h): a user's first
+    * signup opens a window; a purchase strictly inside (s, s+H]
+    * converts, the event-time watermark passing s+H without one
+    * breaches.
+    */
+  private val SlaHorizonUs = 86400000000L
+
+  /** Per-user conversion-SLA state machine — the tenth gate's
+    * processor and the suite's first use of EVENT-TIME TIMERS
+    * (`registerTimer`/`deleteTimer`/`handleExpiredTimer`): absence
+    * detection is the one stateful shape input-driven operators
+    * cannot express, because the interesting row is the one that
+    * NEVER arrives — only the watermark clock can emit it. State is
+    * one (signup_us, deadline_us, phase) triple per user
+    * (phase 0 pending / 1 converted / 2 breached), kept after
+    * resolution so duplicate signups and late purchases stay no-ops;
+    * production would put a TTL on resolved keys. Rows within a
+    * trigger fold in (ts, kind) order, so intra-batch arrival order
+    * cannot diverge from event-time order; across triggers the feed
+    * is event-time ordered (the wallet/funnel delivery contract).
+    * Timers are registered at ceil-millis AFTER the deadline
+    * ([[timerMsAfter]]) — micros truncation could fire a timer
+    * eligible at deadline−ε — and deleted on conversion; a timer
+    * racing a same-batch conversion is additionally guarded by the
+    * phase check in [[handleExpiredTimer]].
+    */
+  class SlaProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long,
+        SlaEvent,
+        SlaOutcome] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode => OM, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: ValueState[(Long, Long, Int)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Int)](
+        "sla",
+        Encoders.product[(Long, Long, Int)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[SlaEvent],
+        timerValues: TimerValues): Iterator[SlaOutcome] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[SlaOutcome]
+      rows.toSeq.sortBy(e => (usOf(e.ts), e.kind)).foreach { e =>
+        val us = usOf(e.ts)
+        if (e.kind == "signup") {
+          if (!st.exists()) {
+            val dl = us + SlaHorizonUs
+            st.update((us, dl, 0))
+            getHandle.registerTimer(timerMsAfter(dl))
+          }
+        } else if (st.exists()) {
+          val (sUs, dl, ph) = st.get()
+          if (ph == 0 && us > sUs && us <= dl) {
+            out += SlaOutcome(key, "convert", us)
+            getHandle.deleteTimer(timerMsAfter(dl))
+            st.update((sUs, dl, 1))
+          }
+        }
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SlaOutcome] = {
+      if (st.exists()) {
+        val (sUs, dl, ph) = st.get()
+        if (ph == 0) {
+          st.update((sUs, dl, 2))
+          return Iterator.single(SlaOutcome(key, "breach", dl))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  final case class TopkEvent(user_id: Long, event_id: Long, cents: Long)
+
+  final case class TopkState(
+      user_id: Long,
+      n_seen: Long,
+      top1_cents: Long,
+      top2_cents: Long,
+      top3_cents: Long)
+
+  /** Per-user streaming top-3 purchase amounts — the suite's first use
+    * of LIST STATE (`getListState`/`put`), alongside a ValueState
+    * counter: the canonical bounded-collection shape (leaderboards,
+    * best-k offers, k-cache) where the state is a k-row SET a single
+    * ValueState tuple can't naturally grow and a MapState over-keys.
+    * The list holds at most k=3 (cents, event_id) entries, kept in
+    * (cents desc, event_id asc) order on every write — merge k with
+    * the trigger's rows, cut to k, `put` back: state is O(k) per user
+    * forever, and absent entries surface as −1 sentinels (the fixture
+    * has no negative cents) so the snapshot row is fixed-width.
+    * Emission is one snapshot per touched user per trigger; the LAST
+    * snapshot (max n_seen) is the answer, exactly q193's update-mode
+    * contract.
+    */
+  class TopkProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long,
+        TopkEvent,
+        TopkState] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode => OM, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var top: ListState[(Long, Long)] = _
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+      top = getHandle.getListState[(Long, Long)](
+        "top",
+        Encoders.product[(Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seen = getHandle.getValueState[Long](
+        "seen",
+        Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[TopkEvent],
+        timerValues: TimerValues): Iterator[TopkState] = {
+      val incoming = rows.map(e => (e.cents, e.event_id)).toSeq
+      val merged = (top.get().toSeq ++ incoming)
+        .sortBy { case (c, id) => (-c, id) }
+        .take(3)
+      top.put(merged.toArray)
+      val n = (if (seen.exists()) seen.get() else 0L) + incoming.length
+      seen.update(n)
+      def at(i: Int): Long = if (i < merged.length) merged(i)._1 else -1L
+      Iterator.single(TopkState(key, n, at(0), at(1), at(2)))
+    }
+  }
+
+  /** q226 — streaming per-user top-k RUN TO COMPLETION under the
+    * oracle: the ELEVENTH gate, exercising [[TopkProcessor]]'s
+    * ListState across RocksDB commits. Purchases feed in three
+    * event-time-ordered files one per micro-batch, so a user's top-3
+    * genuinely accumulates across commits (the spec plants a
+    * cross-batch displacement to prove a later batch evicts an
+    * earlier batch's entry). The tail keeps each user's last snapshot
+    * (max n_seen — q193's pattern) and the DuckDB oracle recomputes
+    * the ranked top-3 with the same (cents desc, event_id asc)
+    * tie-break and −1 fill.
+    *
+    * Scale: O(k) list + one counter per user; per-trigger work ∝
+    * arriving rows · log k. The tail is one max_by aggregate over the
+    * snapshot log.
+    */
+  def q226StreamUserTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val evs = graft.ops.Tables
+      .events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+        col("ts"))
+      .withColumn("fidx", ntile(3).over(w))
+    val root = gateTempRoot("graft-q226")
+    val feed = new java.io.File(root, "feed")
+    val out = new java.io.File(root, "out")
+    val ckpt = new java.io.File(root, "ckpt")
+    (1 to 3).foreach { i =>
+      evs
+        .filter(col("fidx") === i)
+        .drop("fidx", "ts")
+        .coalesce(1)
+        .write
+        .mode("append")
+        .parquet(feed.getAbsolutePath)
+    }
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    providerConfLock.synchronized {
+      val prevProv = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val in = s.readStream
+          .schema("user_id BIGINT, event_id BIGINT, cents BIGINT")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(feed.getAbsolutePath)
+          .as[TopkEvent]
+        val q = in
+          .groupByKey(_.user_id)
+          .transformWithState(
+            new TopkProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update())
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (snaps: Dataset[TopkState], _: Long) =>
+            snaps.write.mode("append").parquet(out.getAbsolutePath)
+          }
+          .start()
+        q.awaitTermination()
+      } finally prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+    }
+    s.read
+      .parquet(out.getAbsolutePath)
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(
+          struct(
+            col("n_seen"),
+            col("top1_cents"),
+            col("top2_cents"),
+            col("top3_cents")),
+          col("n_seen")).as("last"))
+      .select(
+        col("user_id"),
+        col("last.n_seen").as("n_purchases"),
+        col("last.top1_cents").as("top1_cents"),
+        col("last.top2_cents").as("top2_cents"),
+        col("last.top3_cents").as("top3_cents"))
+      .orderBy("user_id")
+  }
+
+  /** q222 — streaming conversion-SLA monitor RUN TO COMPLETION under
+    * the oracle: the TENTH gate, and the first driven by EVENT-TIME
+    * TIMERS rather than arriving rows. Each user's first signup arms
+    * a 24 h deadline timer; a qualifying purchase (strictly after the
+    * signup, within the horizon) cancels it and emits a `convert`
+    * row with the purchase instant; the watermark passing an
+    * uncancelled deadline fires [[SlaProcessor.handleExpiredTimer]]
+    * in a NO-DATA micro-batch — state the nine input-driven gates
+    * never exercise — emitting a `breach` row carrying the deadline.
+    * The feed is the signup/purchase event stream split into three
+    * event-time-ordered files fed one per micro-batch (RocksDB state
+    * and timers genuinely cross commits); the batch tail keeps every
+    * convert but only breaches with deadlines at least three days
+    * before the final fed instant — two full days below the final
+    * watermark (delay 1 day), so the oracle never encodes the
+    * watermark's exact resting position or the timer comparison's
+    * open/closed boundary (the q207 doctrine). The DuckDB oracle
+    * recomputes first-signup windows, first qualifying purchases and
+    * the same deadline cutoff relationally.
+    *
+    * Scale: one state triple + at most one live timer per user; both
+    * resolve to tombstones as the watermark advances (production
+    * TTLs them); per-trigger work ∝ arriving rows plus expiring
+    * timers. The tail is one bounded aggregate over the emitted
+    * outcome log.
+    */
+  def q222StreamSlaTimeout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val evs = graft.ops.Tables
+      .events(s, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(
+        col("user_id").cast("long").as("user_id"),
+        col("ts"),
+        col("event_type").as("kind"),
+        col("event_id"))
+      .withColumn("fidx", ntile(3).over(w))
+    val root = gateTempRoot("graft-q222")
+    val feed = new java.io.File(root, "feed")
+    val out = new java.io.File(root, "out")
+    val ckpt = new java.io.File(root, "ckpt")
+    (1 to 3).foreach { i =>
+      evs
+        .filter(col("fidx") === i)
+        .drop("fidx", "event_id")
+        .coalesce(1)
+        .sortWithinPartitions(col("ts"))
+        .write
+        .mode("append")
+        .parquet(feed.getAbsolutePath)
+    }
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    providerConfLock.synchronized {
+      val prevProv = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val in = s.readStream
+          .schema("user_id BIGINT, ts TIMESTAMP, kind STRING")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(feed.getAbsolutePath)
+          .withWatermark("ts", "1 day")
+          .as[SlaEvent]
+        val q = in
+          .groupByKey(_.user_id)
+          .transformWithState(
+            new SlaProcessor,
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            OutputMode.Update())
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (o: Dataset[SlaOutcome], _: Long) =>
+            o.write.mode("append").parquet(out.getAbsolutePath)
+          }
+          .start()
+        q.awaitTermination()
+      } finally prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+    }
+    val cut = evs.agg(
+      (max(unix_micros(col("ts"))) - lit(3L * 86400000000L)).as("c"))
+    s.read
+      .parquet(out.getAbsolutePath)
+      .crossJoin(broadcast(cut))
+      .filter(col("kind") === "convert" || col("at_us") <= col("c"))
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("user_id")).as("id_sum"),
+        sum(col("at_us")).as("at_us_sum"))
+      .orderBy("kind")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_stream_user_topk" -> q226StreamUserTopk,
+    "q222_stream_sla_timeout" -> q222StreamSlaTimeout,
     "q217_stream_dim_join" -> q217StreamDimJoin,
     "q211_stream_dedup" -> q211StreamDedup,
     "q210_stream_kmv" -> q210StreamKmv,
@@ -2313,6 +2653,54 @@ object Streams {
     * final state.
     */
   val oracles: Map[String, String] = Map(
+    // ranked top-3 per user with the same (cents desc, event_id)
+    // tie-break and -1 fill for absent ranks
+    "q226_stream_user_topk" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    row_number() OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT) DESC,
+        |               event_id ASC) AS r
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  coalesce(max(CASE WHEN r = 1 THEN cents END), -1) AS top1_cents,
+        |  coalesce(max(CASE WHEN r = 2 THEN cents END), -1) AS top2_cents,
+        |  coalesce(max(CASE WHEN r = 3 THEN cents END), -1) AS top3_cents
+        |FROM p GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // first-signup windows, first qualifying purchase inside (s, s+24h],
+    // breach deadlines gated at max(fed ts) - 3 days — the same cutoff
+    // the gate's tail applies, two days below the final watermark
+    "q222_stream_sla_timeout" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+        |  WHERE event_type IN ('signup', 'purchase')),
+        |cutoff AS (SELECT max(us) - 259200000000 AS c FROM ev),
+        |su AS (
+        |  SELECT user_id, min(us) AS s_us FROM ev
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |conv AS (
+        |  SELECT su.user_id, min(e.us) AS p_us
+        |  FROM su JOIN ev e ON e.user_id = su.user_id
+        |    AND e.event_type = 'purchase'
+        |    AND e.us > su.s_us AND e.us <= su.s_us + 86400000000
+        |  GROUP BY 1),
+        |outc AS (
+        |  SELECT su.user_id,
+        |    CASE WHEN conv.user_id IS NOT NULL THEN 'convert'
+        |         ELSE 'breach' END AS kind,
+        |    CASE WHEN conv.user_id IS NOT NULL THEN conv.p_us
+        |         ELSE su.s_us + 86400000000 END AS at_us
+        |  FROM su LEFT JOIN conv USING (user_id)),
+        |filt AS (
+        |  SELECT * FROM outc, cutoff
+        |  WHERE kind = 'convert' OR at_us <= c)
+        |SELECT kind, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(user_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(at_us) AS BIGINT) AS at_us_sum
+        |FROM filt GROUP BY 1 ORDER BY kind""".stripMargin,
     // the whole enrich-join + segment rollup recomputed relationally
     "q217_stream_dim_join" ->
       """SELECT c.c_mktsegment AS segment,

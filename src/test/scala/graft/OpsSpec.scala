@@ -3994,4 +3994,239 @@ class OpsSpec extends SparkSpec {
       "t1 view = booked + seq-1 corrections")
     out.foreach(r => assert(r.getLong(4) == r.getLong(3) - r.getLong(2)))
   }
+
+  test("q222 SLA-timer gate: equals its batch twin, both outcome kinds present") {
+    // the twin recomputes first-signup windows, first qualifying
+    // purchases, and the same deadline cutoff relationally in Spark —
+    // the timer machinery must add or lose nothing vs set logic
+    val h = 86400000000L
+    val ev = Tables.events(spark, Sf)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id").cast("long").as("u"),
+        unix_micros(col("ts")).as("us"), col("event_type").as("k"))
+    val su = ev.filter(col("k") === "signup").groupBy(col("u"))
+      .agg(min(col("us")).as("s_us"))
+    val conv = su.join(ev.filter(col("k") === "purchase").select(
+        col("u"), col("us").as("p")), "u")
+      .filter(col("p") > col("s_us") && col("p") <= col("s_us") + h)
+      .groupBy(col("u")).agg(min(col("p")).as("p_us"))
+    val cut = ev.agg((max(col("us")) - 3L * h).as("c"))
+    val twin = su.join(conv, Seq("u"), "left")
+      .select(col("u"),
+        when(col("p_us").isNotNull, "convert").otherwise("breach").as("kind"),
+        coalesce(col("p_us"), col("s_us") + h).as("at_us"))
+      .crossJoin(broadcast(cut))
+      .filter(col("kind") === "convert" || col("at_us") <= col("c"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_users"), sum(col("u")).as("id_sum"),
+        sum(col("at_us")).as("at_us_sum"))
+      .orderBy("kind").collect().map(_.toString)
+    val got = graft.streaming.Streams.q222StreamSlaTimeout(spark, Sf)
+      .collect()
+    assert(got.map(_.getString(0)).toSet == Set("breach", "convert"),
+      "fixture must exercise both the fired-timer and cancelled-timer paths")
+    assert(got.map(_.toString).sameElements(twin),
+      "timer-driven outcomes must equal the batch set logic")
+  }
+
+  test("q223 market basket: full imperative replay of pairs, cut, and bp stats") {
+    val items = Tables.lineitem(spark, Sf)
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = items.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val nB = baskets.size.toLong
+    val df = items.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairs = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    baskets.valuesIterator.foreach { ps =>
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        pairs((ps(i), ps(j))) = pairs.getOrElse((ps(i), ps(j)), 0L) + 1L
+    }
+    val top = pairs.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(100)
+    val expected = top.map { case ((a, b), n) =>
+      val (na, nb2) = (df(a), df(b))
+      (a, b, n, na, nb2, n * 10000 / na, n * nB * 10000 / (na * nb2))
+    }
+    val got = Relational.q223MarketBasket(spark, Sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(got.sameElements(expected), "pair mining replay must match")
+  }
+
+  test("q224 pagerank: imperative integer recurrence replay, mass bounds hold") {
+    val edges = Tables.lineitem(spark, Sf)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, Sf).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, Sf).select(col("c_custkey"),
+        col("c_nationkey").cast("long").as("u")), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, Sf).select(col("s_suppkey"),
+        col("s_nationkey").cast("long").as("v")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nations = Tables.nation(spark, Sf)
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val wout = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var r = nations.map(n => n._1 -> 40000L).toMap
+    (1 to 3).foreach { _ =>
+      val cin = scala.collection.mutable.Map.empty[Long, Long]
+      edges.foreach { case (u, v, w) =>
+        cin(v) = cin.getOrElse(v, 0L) + r(u) * w / wout(u)
+      }
+      r = nations.map { case (n, _) =>
+        n -> (6000L + 85L * cin.getOrElse(n, 0L) / 100L)
+      }.toMap
+    }
+    val expected = nations
+      .map { case (k, name) => (name, r(k)) }
+      .sortBy { case (name, rm) => (-rm, name) }
+    val got = Relational.q224NationPagerank(spark, Sf).collect()
+      .map(row => (row.getString(0), row.getLong(1)))
+    assert(got.sameElements(expected), "integer recurrence replay must match")
+    // truncation only ever LOSES mass: total ≤ 10^6, and every node
+    // keeps at least the teleport floor
+    assert(r.values.sum <= 1000000L && r.values.forall(_ >= 6000L))
+  }
+
+  test("t40 kneser-ney: replay within half an output ulp; mass identity holds") {
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(row => (row.getLong(0), row.getString(1).split(" ", -1).toSeq))
+    val bi = docs.flatMap { case (id, t) => t.sliding(2).collect {
+      case Seq(a, b) => (id, a, b) } }
+    val cAb = bi.groupBy(x => (x._2, x._3)).view.mapValues(_.length.toLong).toMap
+    val cU = cAb.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1u = cAb.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1w = cAb.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val t = cAb.size.toDouble
+    // per-context KN mass identity: observed discounted mass +
+    // redistributed continuation mass = 1 exactly (rational algebra)
+    cU.keysIterator.take(50).foreach { u =>
+      val obs = cAb.collect { case ((a, _), c) if a == u => c - 0.75 }.sum / cU(u)
+      val cont = 0.75 * n1u(u) / cU(u)
+      assert(math.abs(obs + cont - 1.0) < 1e-9, s"KN mass at context $u")
+    }
+    val expected = docs.collect { case (id, toks) if toks.length >= 2 =>
+      val lps = toks.sliding(2).collect { case Seq(a, b) =>
+        math.log((cAb((a, b)) - 0.75) / cU(a) +
+          ((0.75 * n1u(a)) / cU(a)) * (n1w(b) / t))
+      }.toSeq
+      id -> math.exp(-lps.sum / lps.length)
+    }.toMap
+    val out = graft.ops.TextAnalysis.t40KneserNey(spark, Sf).collect()
+    assert(out.length == expected.size)
+    out.foreach { row =>
+      val (id, ppl) = (row.getLong(0), row.getDouble(2))
+      assert(math.abs(ppl - expected(id)) <= 0.0005 + 1e-9,
+        s"doc $id: got $ppl expected ~${expected(id)}")
+    }
+  }
+
+  test("q225 markov: outgoing mass conservation and bp row sums") {
+    val out = Relational.q225MarkovTransitions(spark, Sf).collect()
+    val totalEvents = Tables.events(spark, Sf).count()
+    val nUsers = Tables.events(spark, Sf).select(col("user_id")).distinct().count()
+    assert(out.map(_.getLong(2)).sum == totalEvents,
+      "every event emits exactly one transition (terminal included)")
+    assert(out.filter(_.getString(1) == "∅").map(_.getLong(2)).sum == nUsers,
+      "exactly one terminal transition per user")
+    // truncated bp rows sum to ≤ 10000 and miss < one cell per entry
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val s = rows.map(_.getLong(4)).sum
+      assert(s <= 10000L && s > 10000L - rows.length)
+    }
+  }
+
+  test("q226 top-k gate: equals batch ranks and displaces across feed batches") {
+    val ranked = Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").cast("long").as("u"),
+        col("event_id").cast("long").as("eid"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = ranked.groupBy(_._1).view.mapValues(
+      _.sortBy { case (_, eid, c) => (-c, eid) }.map(_._3)).toMap
+    val got = graft.streaming.Streams.q226StreamUserTopk(spark, Sf).collect()
+    got.foreach { r =>
+      val tops = byUser(r.getLong(0))
+      assert(r.getLong(1) == tops.length.toLong)
+      def want(i: Int): Long = if (i < tops.length) tops(i) else -1L
+      assert(r.getLong(2) == want(0) && r.getLong(3) == want(1) &&
+        r.getLong(4) == want(2), s"user ${r.getLong(0)} top-3 mismatch")
+    }
+    // the feed splits by global ts-ntile(3): at least one user's final
+    // top-3 must draw from more than one feed file, or the list state
+    // never proved cross-commit merging
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts").asc, col("eid").asc)
+    val fidx = Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").cast("long").as("u"),
+        col("event_id").cast("long").as("eid"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"), col("ts"))
+      .withColumn("f", ntile(3).over(w))
+      .collect().map(r => (r.getLong(1), r.getInt(4))).toMap
+    val spans = ranked.groupBy(_._1).values.exists { es =>
+      es.sortBy { case (_, eid, c) => (-c, eid) }.take(3)
+        .map { case (_, eid, _) => fidx(eid) }.distinct.length >= 2
+    }
+    assert(spans, "no user's top-3 spans two micro-batches — fixture degenerate")
+  }
+
+  test("t41 gopher rules: imperative replay of all four gates per doc") {
+    val docs = Tables.documents(spark, Sf)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).view.mapValues { ds =>
+      val rules = ds.map { case (_, text) =>
+        val t = text.split(" ", -1)
+        val nw = t.length.toLong
+        val counts = t.groupBy(identity).view.mapValues(_.length.toLong)
+        val wchars = text.length.toLong - (nw - 1)
+        val fLen = if (nw < 50 || nw > 100000) 1L else 0L
+        val fWl = if (wchars < 3 * nw || wchars > 10 * nw) 1L else 0L
+        val fStop = if (counts.contains("the") && counts.contains("a")) 0L else 1L
+        val fRep = if (counts.values.max * 5 > nw) 1L else 0L
+        (fLen, fWl, fStop, fRep)
+      }
+      (ds.length.toLong, rules.map(_._1).sum, rules.map(_._2).sum,
+        rules.map(_._3).sum, rules.map(_._4).sum,
+        rules.count(r => r._1 + r._2 + r._3 + r._4 == 0).toLong)
+    }.toMap
+    graft.ops.TextAnalysis.t41GopherRules(spark, Sf).collect().foreach { r =>
+      val e = expected(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)) == e, s"lang ${r.getString(0)}")
+      assert(r.getLong(7) == e._6 * 10000 / e._1)
+    }
+  }
+
+  test("s30 knn graph: degree conservation, reciprocity symmetry, s1 agreement") {
+    val out = Similarity.s30KnnGraph(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = out.length.toLong
+    assert(out.map(_._2).sum == 5L * n, "every out-edge lands as an in-edge")
+    assert(out.map(_._3).sum % 2 == 0, "reciprocal edges pair up")
+    assert(out.forall(r => r._3 <= 5L && r._2 >= 0L))
+    // hubness: the fixture should show in-degree spread (max > 5 > min)
+    assert(out.map(_._2).max > 5L, "no hubs — corpus suspiciously uniform")
+  }
+
+  test("p23 frontier: monotone in tau and equal to a direct filter at one cut") {
+    val out = Corpus.p23FilterFrontier(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._1).toSeq == Seq(2500L, 4000L, 5500L, 7000L, 8500L, 10000L))
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2 && a._3 >= b._3, "kept counts must fall as tau rises")
+    }
+    val direct = Tables.documents(spark, Sf)
+      .select(split(col("text"), " ").as("t"))
+      .select(size(col("t")).cast("long").as("n"),
+        size(array_distinct(col("t"))).cast("long").as("d"))
+      .filter(expr("d * 10000 div n") >= 5500)
+      .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).head()
+    val at5500 = out.find(_._1 == 5500L).get
+    assert(at5500._2 == direct.getLong(0) && at5500._3 == direct.getLong(1))
+  }
 }
