@@ -2361,7 +2361,74 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** d36 — b-bit MinHash estimator audit (Li & König 2010): keep only
+    * the LOWEST BIT of each of d25's 16 portable minhash coordinates —
+    * a 16× signature compression (16 bits vs 16 longs) — and price the
+    * accuracy it costs against the full-width estimate on the same
+    * true-pair set. For b = 1 a non-matching coordinate still matches
+    * its bit with probability ~1/2, so the unbiased estimator is
+    * Ĵ₁ = max(2·ĉ − 1, 0) with ĉ the bit-match fraction; variance is
+    * ~4× the full-width estimator's at high J (the paper's trade),
+    * which is exactly what the audit shows next to d25's |Ĵ−J|.
+    * Completes the compression column — s23 (PQ, recall 0.17), s26
+    * (int8, 0.99), d36 (1-bit sketches) — with the same
+    * accuracy-as-data doctrine (d25/s23): the table a 100 TB dedup
+    * store reads before shrinking its signature index 16×.
+    *
+    * Exactness: coordinates are d25's oracle-replicable affine family;
+    * bit extraction is `% 2` on nonneg ints; both estimators round(4)
+    * doubles from small-integer ratios — both engines compute the
+    * identical division. Scale: identical plan to d25 (the pair side
+    * is the audit's subject; the signature side one scan).
+    */
+  def d36BbitMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sets = portableShingleSets(s, dir)
+      .localCheckpoint() // postings + both pair sides
+    val postings = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val pairs = postings
+      .as("a")
+      .join(
+        postings.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(
+        sets.select(col("doc_id").as("id_a"), col("n").as("na"), col("sig").as("siga")),
+        "id_a")
+      .join(
+        sets.select(col("doc_id").as("id_b"), col("n").as("nb"), col("sig").as("sigb")),
+        "id_b")
+      .withColumn(
+        "jac",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jac") >= 0.5)
+      .withColumn(
+        "m_full",
+        expr("aggregate(zip_with(siga, sigb, (x, y) -> IF(x = y, 1L, 0L)), 0L, (a, x) -> a + x)"))
+      .withColumn(
+        "m_bit",
+        expr("aggregate(zip_with(siga, sigb, (x, y) -> IF(x % 2 = y % 2, 1L, 0L)), 0L, (a, x) -> a + x)"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        round(col("jac"), 4).as("jaccard"),
+        col("m_full"),
+        col("m_bit"),
+        round(col("m_full").cast("double") / 16, 4).as("est_full"),
+        round(greatest(expr("CAST(2 * m_bit - 16 AS DOUBLE)"), lit(0.0)) / 16, 4)
+          .as("est_bit"),
+        round(abs(col("jac") - col("m_full").cast("double") / 16), 4)
+          .as("err_full"),
+        round(
+          abs(col("jac") -
+            greatest(expr("CAST(2 * m_bit - 16 AS DOUBLE)"), lit(0.0)) / 16),
+          4).as("err_bit"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d36_bbit_minhash" -> d36BbitMinhash,
     "d35_tfidf_cosine" -> d35TfidfCosine,
     "d34_dup_spans" -> d34DupSpans,
     "d33_fuzzy_join" -> d33FuzzyJoin,
@@ -2695,6 +2762,65 @@ object Dedup {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** d36's oracle: d25's portable signature replay plus the low-bit
+    * match count and the clamped 2ĉ−1 estimator.
+    */
+  private def d36OracleSql: String = {
+    val sigList = D25As
+      .zip(D25Bs)
+      .map { case (a, b) =>
+        s"list_min([(h * $a + $b) % $D25P FOR h IN hs])"
+      }
+      .mkString(",\n|      ")
+    val matchFull = (1 to 16)
+      .map(j => s"CASE WHEN sa.sig[$j] = sb.sig[$j] THEN 1 ELSE 0 END")
+      .mkString(" +\n|      ")
+    val matchBit = (1 to 16)
+      .map(j => s"CASE WHEN sa.sig[$j] % 2 = sb.sig[$j] % 2 THEN 1 ELSE 0 END")
+      .mkString(" +\n|      ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |ss AS (
+       |  SELECT doc_id,
+       |    [t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+       |     FOR i IN range(1, len(t) - 1)] AS sl
+       |  FROM tok WHERE len(t) >= 3),
+       |sh AS (
+       |  SELECT doc_id, list_distinct([
+       |    list_reduce(
+       |      list_prepend(0::BIGINT,
+       |        [ord(c)::BIGINT FOR c IN string_split_regex(x, '')]),
+       |      (a, h) -> (a * 131 + h) % 1000000007)
+       |    FOR x IN sl]) AS hs FROM ss),
+       |sets AS (
+       |  SELECT doc_id, hs, len(hs) AS n,
+       |    [$sigList] AS sig
+       |  FROM sh),
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM sets),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(count(*) AS BIGINT) AS shared
+       |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    shared::DOUBLE / (sa.n + sb.n - shared) AS jac,
+       |    CAST($matchFull AS BIGINT) AS m_full,
+       |    CAST($matchBit AS BIGINT) AS m_bit
+       |  FROM pairs
+       |  JOIN sets sa ON id_a = sa.doc_id
+       |  JOIN sets sb ON id_b = sb.doc_id
+       |  WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.5)
+       |SELECT id_a, id_b, round(jac, 4) AS jaccard, m_full, m_bit,
+       |  round(m_full::DOUBLE / 16, 4) AS est_full,
+       |  round(greatest(CAST(2 * m_bit - 16 AS DOUBLE), 0.0) / 16, 4)
+       |    AS est_bit,
+       |  round(abs(jac - m_full::DOUBLE / 16), 4) AS err_full,
+       |  round(abs(jac -
+       |    greatest(CAST(2 * m_bit - 16 AS DOUBLE), 0.0) / 16), 4) AS err_bit
+       |FROM scored ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** d25's oracle: the same portable shingle fold, the same 16 affine
     * minima (unrolled — no comprehension-binding pitfalls), the same
     * hash-deduped sets and exact-Jaccard pair join.
@@ -2952,6 +3078,7 @@ object Dedup {
     "d28_method_agreement" -> d28OracleSql,
     "d27_band_sweep" -> d27OracleSql,
     "d26_blocking_efficiency" -> d26OracleSql,
+    "d36_bbit_minhash" -> d36OracleSql,
     "d25_minhash_error" -> d25OracleSql,
     "d24_zorder_neighbors" -> d24OracleSql,
     // d6's recursive-CTE components rolled up by cluster size; integer

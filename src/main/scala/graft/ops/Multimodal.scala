@@ -1143,7 +1143,53 @@ object Multimodal {
       .orderBy("doc_id", "scene")
   }
 
+  /** m22 — aspect-normalization plan: per (format, aspect class), the
+    * exact pixel bill of forcing every asset onto a 16:9 canvas by
+    * LETTERBOX (pad the short axis) vs CENTER-CROP (cut the long
+    * axis) — the decision table a vision-training pipeline reads
+    * before committing a resize policy (pad wastes compute on dead
+    * pixels; crop loses content). Metadata-plane only (the m1
+    * doctrine: a plan that decodes payloads to answer this is wrong
+    * at any scale). All arithmetic exact integers: aspect class by
+    * cross-multiplication (w·9 vs h·16, never a ratio); pad canvas
+    * (m = max(w·9, h·16); ⌈m/9⌉ × ⌈m/16⌉ via (m+8) div 9, (m+15) div
+    * 16 — the minimal ≥16:9-covering integer canvas); crop window
+    * (c = min(w·9, h·16); ⌊c/9⌋ × ⌊c/16⌋); per-asset costs as
+    * div-means over exact sums.
+    *
+    * Plan: one metadata scan, conditional math scan-side, hash
+    * aggregate onto the (3 formats × 3 classes)-bounded domain.
+    */
+  def m22AspectPlan(s: SparkSession, dir: String): DataFrame =
+    media(s, dir)
+      .select(
+        col("format"),
+        col("width").cast("long").as("w"),
+        col("height").cast("long").as("h"))
+      .withColumn(
+        "aspect_class",
+        when(col("w") * 9L > col("h") * 16L, "wide")
+          .when(col("w") * 9L < col("h") * 16L, "tall")
+          .otherwise("exact"))
+      .withColumn("m", greatest(col("w") * 9L, col("h") * 16L))
+      .withColumn("c", least(col("w") * 9L, col("h") * 16L))
+      .withColumn(
+        "pad_px",
+        expr("((m + 8) div 9) * ((m + 15) div 16) - w * h"))
+      .withColumn(
+        "crop_px",
+        expr("w * h - (c div 9) * (c div 16)"))
+      .groupBy(col("format"), col("aspect_class"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("pad_px")).as("pad_px_total"),
+        sum(col("crop_px")).as("crop_px_total"))
+      .withColumn("pad_px_mean", expr("pad_px_total div n_assets"))
+      .withColumn("crop_px_mean", expr("crop_px_total div n_assets"))
+      .orderBy("format", "aspect_class")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m22_aspect_plan" -> m22AspectPlan,
     "m21_scene_keyframes" -> ((s, d) => m21SceneKeyframes(s, d)),
     "m20_chunk_delta" -> m20ChunkDelta,
     "m19_size_sanity" -> m19SizeSanity,
@@ -1168,6 +1214,38 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same metadata synthesis, cross-multiplied aspect classes,
+    // ceil/floor integer canvases, and div-means
+    "m22_aspect_plan" ->
+      """WITH m AS (
+        |  SELECT ['jpeg','png','webp'][(doc_id % 3 + 1)::INT] AS format,
+        |    CAST(64 + (doc_id * 7) % 193 AS BIGINT) AS w,
+        |    CAST(64 + (doc_id * 13) % 129 AS BIGINT) AS h
+        |  FROM documents),
+        |x AS (
+        |  SELECT format,
+        |    CASE WHEN w * 9 > h * 16 THEN 'wide'
+        |         WHEN w * 9 < h * 16 THEN 'tall'
+        |         ELSE 'exact' END AS aspect_class,
+        |    greatest(w * 9, h * 16) AS mm,
+        |    least(w * 9, h * 16) AS cc,
+        |    w, h
+        |  FROM m),
+        |costs AS (
+        |  SELECT format, aspect_class,
+        |    ((mm + 8) // 9) * ((mm + 15) // 16) - w * h AS pad_px,
+        |    w * h - (cc // 9) * (cc // 16) AS crop_px
+        |  FROM x),
+        |agg AS (
+        |  SELECT format, aspect_class,
+        |    CAST(count(*) AS BIGINT) AS n_assets,
+        |    CAST(sum(pad_px) AS BIGINT) AS pad_px_total,
+        |    CAST(sum(crop_px) AS BIGINT) AS crop_px_total
+        |  FROM costs GROUP BY 1, 2)
+        |SELECT format, aspect_class, n_assets, pad_px_total, crop_px_total,
+        |  pad_px_total // n_assets AS pad_px_mean,
+        |  crop_px_total // n_assets AS crop_px_mean
+        |FROM agg ORDER BY format, aspect_class""".stripMargin,
     // m8's energy/cut/scene CTEs, then the identical packed-integer
     // argmax per scene (oracle's i is 1-based; keyframe is 0-based)
     "m21_scene_keyframes" ->

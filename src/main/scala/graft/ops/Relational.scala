@@ -8984,7 +8984,124 @@ object Relational {
       .orderBy("from_type", "to_type")
   }
 
+  /** q227 — difference-in-differences: the quasi-experimental
+    * counterpart to q124's Welch test and q198's CUPED — when the
+    * "treatment" (here: the BUILDING market segment) was never
+    * randomized, the causal read is the treated group's post−pre
+    * change MINUS the control group's, which nets out both the level
+    * difference between groups and the common time trend (Card &
+    * Krueger 1994's design). Four cells (group × period, pivot
+    * 1995-06-01 on the order date), each cell's mean order value in
+    * integer MICRO-cents (sum·10⁶ div n — both engines truncate
+    * identically on positive sums), DiD as the double difference of
+    * those integer means. One row out: the four cell means + counts
+    * and the estimate.
+    *
+    * Plan: one scan of orders ⋈ customer (AQE-broadcast key dim at
+    * fixture scale, shuffle-hash beyond), conditional aggregation
+    * into the 4 schema-bounded cells — a single data-sized exchange,
+    * map-side combined to 4 rows. At 100 TB nothing changes.
+    */
+  def q227DiffInDiff(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables
+      .orders(s, dir)
+      .join(
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(
+        (col("c_mktsegment") === "BUILDING").as("treated"),
+        (col("o_orderdate") >= lit("1995-06-01").cast("timestamp")).as("post"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("treated"), col("post"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+      .select(
+        col("treated"),
+        col("post"),
+        col("n"),
+        expr("sc * 1000000 div n").as("mean_micro"))
+    cells
+      .agg(
+        sum(when(col("treated") && !col("post"), col("n"))).as("t_pre_n"),
+        sum(when(col("treated") && !col("post"), col("mean_micro"))).as("t_pre_mean"),
+        sum(when(col("treated") && col("post"), col("n"))).as("t_post_n"),
+        sum(when(col("treated") && col("post"), col("mean_micro"))).as("t_post_mean"),
+        sum(when(!col("treated") && !col("post"), col("n"))).as("c_pre_n"),
+        sum(when(!col("treated") && !col("post"), col("mean_micro"))).as("c_pre_mean"),
+        sum(when(!col("treated") && col("post"), col("n"))).as("c_post_n"),
+        sum(when(!col("treated") && col("post"), col("mean_micro"))).as("c_post_mean"))
+      .withColumn(
+        "did_micro",
+        expr("(t_post_mean - t_pre_mean) - (c_post_mean - c_pre_mean)"))
+  }
+
+  /** q228 — bucketed-table co-located join UNDER THE ORACLE: both join
+    * sides land as 8-bucket sorted tables on the join key, and the
+    * join then plans as a SortMergeJoin with NO Exchange on either
+    * side (PlanSpec pins it) — the storage-layout contract ScaleSpec
+    * has proven since round 7, promoted to a gated query so the
+    * WRITE → catalog → exchange-free-read path itself is
+    * hash-verified end to end. This is THE 100 TB join posture for a
+    * fact table joined repeatedly on one key: pay the shuffle once at
+    * layout time, never per query; bucket count scales with data
+    * volume while the plan stays identical. Broadcast is disabled
+    * (scoped, restored in finally) because at fixture scale AQE would
+    * otherwise broadcast the dim and hide the property under test.
+    * The rollup is collected (schema-bounded 5×5 cells) and returned
+    * as a local frame so the temp tables can be dropped eagerly —
+    * the q217 pattern; the oracle recomputes the rollup relationally
+    * from the base parquet, making the answer storage-invariant by
+    * construction.
+    */
+  def q228BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q228").toFile
+    tmp.deleteOnExit()
+    s.sql("DROP TABLE IF EXISTS graft_q228_cust")
+    s.sql("DROP TABLE IF EXISTS graft_q228_ord")
+    Tables
+      .customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write
+      .bucketBy(8, "c_custkey")
+      .sortBy("c_custkey")
+      .option("path", new java.io.File(tmp, "cust").getAbsolutePath)
+      .saveAsTable("graft_q228_cust")
+    Tables
+      .orders(s, dir)
+      .select(
+        col("o_custkey"),
+        col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .write
+      .bucketBy(8, "o_custkey")
+      .sortBy("o_custkey")
+      .option("path", new java.io.File(tmp, "ord").getAbsolutePath)
+      .saveAsTable("graft_q228_ord")
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = s
+        .table("graft_q228_cust")
+        .join(s.table("graft_q228_ord"), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("o_orderpriority").as("prio"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("cents_total"),
+          count_distinct(col("c_custkey")).as("n_customers"))
+        .orderBy("segment", "prio")
+      val rows = joined.collect() // ≤ 5 segments × 5 priorities
+      s.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+        joined.schema)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      s.sql("DROP TABLE IF EXISTS graft_q228_cust")
+      s.sql("DROP TABLE IF EXISTS graft_q228_ord")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_bucketed_join" -> q228BucketedJoin,
+    "q227_diff_in_diff" -> q227DiffInDiff,
     "q225_markov_transitions" -> q225MarkovTransitions,
     "q224_nation_pagerank" -> q224NationPagerank,
     "q223_market_basket" -> q223MarketBasket,
@@ -9200,6 +9317,43 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // the rollup recomputed straight from the base parquet — the
+    // bucketed layout must be answer-invariant
+    "q228_bucketed_join" ->
+      """SELECT c.c_mktsegment AS segment, o.o_orderpriority AS prio,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents_total,
+        |  CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |GROUP BY 1, 2 ORDER BY segment, prio""".stripMargin,
+    // the same 4-cell integer micro-cent means and double difference
+    "q227_diff_in_diff" ->
+      """WITH cells AS (
+        |  SELECT (c.c_mktsegment = 'BUILDING') AS treated,
+        |    (o.o_orderdate >= TIMESTAMP '1995-06-01') AS post,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS sc
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2),
+        |m AS (SELECT treated, post, n, sc * 1000000 // n AS mean_micro
+        |      FROM cells)
+        |SELECT
+        |  max(CASE WHEN treated AND NOT post THEN n END) AS t_pre_n,
+        |  max(CASE WHEN treated AND NOT post THEN mean_micro END) AS t_pre_mean,
+        |  max(CASE WHEN treated AND post THEN n END) AS t_post_n,
+        |  max(CASE WHEN treated AND post THEN mean_micro END) AS t_post_mean,
+        |  max(CASE WHEN NOT treated AND NOT post THEN n END) AS c_pre_n,
+        |  max(CASE WHEN NOT treated AND NOT post THEN mean_micro END) AS c_pre_mean,
+        |  max(CASE WHEN NOT treated AND post THEN n END) AS c_post_n,
+        |  max(CASE WHEN NOT treated AND post THEN mean_micro END) AS c_post_mean,
+        |  (max(CASE WHEN treated AND post THEN mean_micro END) -
+        |   max(CASE WHEN treated AND NOT post THEN mean_micro END)) -
+        |  (max(CASE WHEN NOT treated AND post THEN mean_micro END) -
+        |   max(CASE WHEN NOT treated AND NOT post THEN mean_micro END))
+        |    AS did_micro
+        |FROM m""".stripMargin,
     // the same per-user (ts, event_id) sequencing, explicit terminal
     // marker, and integer bp normalization
     "q225_markov_transitions" ->

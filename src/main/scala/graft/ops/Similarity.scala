@@ -1488,7 +1488,100 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** s31 — Matryoshka dimension-truncation recall curve (Kusupati et
+    * al. 2022): score the s1 query set with only the FIRST d
+    * coordinates, d ∈ {8, 16, 32, 64}, against full-width top-5 truth
+    * — the operating curve behind prefix-truncatable embeddings,
+    * where a 100 TB index stores d = 64 but serves most traffic from
+    * a d = 8 prefix scan (8× bandwidth saved) and re-ranks the
+    * shortlist at full width (s17's shortlist-refine shape applied to
+    * DIMENSIONS instead of PQ codes). Completes the compression
+    * column along its missing axis: s23 quantizes CODES, s26
+    * quantizes VALUES, d36 quantizes SKETCHES — s31 truncates
+    * DIMENSIONS. This corpus's embeddings are not Matryoshka-trained,
+    * so the curve shows what truncation costs when the prefix does
+    * NOT concentrate information — the honesty number (s23's
+    * doctrine) that says "train for it or keep the dims".
+    *
+    * Exactness: every truncated score is the same fused left-to-right
+    * double dot on a `slice` prefix, ranked with the (cos desc,
+    * vec_id) tie-break; recall hits are exact integers over the
+    * 20 × 5 truth set. Scale: 4 unrolled brute-force passes on the
+    * fixed query set (the s1 control posture); production serves the
+    * prefix scan from the same storage via column pruning — no
+    * second index.
+    */
+  /** s31's oracle: the same 4 truncated brute-force rankings (list
+    * slices, identical tie-break) semi-joined against the full-width
+    * truth.
+    */
+  private def s31OracleSql: String = {
+    def arm(d: Int): String =
+      s"""SELECT $d AS d, CAST(count(*) AS BIGINT) AS hits,
+         |  CAST(count(*) * 10000 // 100 AS BIGINT) AS recall_bp
+         |FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (
+         |      PARTITION BY q.vec_id
+         |      ORDER BY list_inner_product(q.v[1:$d], c.v[1:$d]) /
+         |        (sqrt(list_inner_product(q.v[1:$d], q.v[1:$d])) *
+         |         sqrt(list_inner_product(c.v[1:$d], c.v[1:$d]))) DESC,
+         |      c.vec_id ASC) AS rank
+         |  FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id) a
+         |JOIN truth t ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
+         |WHERE a.rank <= 5""".stripMargin
+    s"""WITH n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |truth AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (
+       |        PARTITION BY q.vec_id
+       |        ORDER BY list_inner_product(q.v, c.v) /
+       |          (sqrt(list_inner_product(q.v, q.v)) *
+       |           sqrt(list_inner_product(c.v, c.v))) DESC,
+       |        c.vec_id ASC) AS rank
+       |    FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
+       |  WHERE rank <= 5)
+       |${Seq(8, 16, 32, 64).map(arm).mkString("\n|UNION ALL\n|")}
+       |ORDER BY d""".stripMargin
+  }
+
+  def s31MatryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir).localCheckpoint() // 4 truncations + truth read it
+    def top5(d: Int): DataFrame = {
+      val sliced = all.select(
+        col("vec_id"),
+        slice(col("v"), 1, d).as("v"))
+      val withNorm = sliced.withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      val queries = withNorm
+        .filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      val w = Window
+        .partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      withNorm
+        .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .withColumn("cos", dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"))
+    }
+    val truth = top5(64).localCheckpoint() // joined against all 4 arms
+    val arms = Seq(8, 16, 32, 64).map { d =>
+      top5(d)
+        .join(truth, Seq("q_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(
+          lit(d).as("d"),
+          col("hits"),
+          expr("hits * 10000 div 100").as("recall_bp"))
+    }
+    arms.reduce(_.unionAll(_)).orderBy("d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s31_matryoshka_recall" -> s31MatryoshkaRecall,
     "s30_knn_graph" -> s30KnnGraph,
     "s29_multiprobe_lsh" -> s29MultiprobeLsh,
     "s28_vote_calibration" -> s28VoteCalibration,
@@ -2422,6 +2515,7 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "s31_matryoshka_recall" -> s31OracleSql,
     // the same exact top-5 edge set ((cos desc, vec_id) tie-break),
     // reversed-key reciprocity join, zero-filled isolates
     "s30_knn_graph" ->

@@ -2297,6 +2297,152 @@ object Streams {
     out
   }
 
+  final case class WarmEvent(user_id: Long, event_id: Long, cents: Long)
+
+  final case class WarmInit(user_id: Long, n: Long, cents: Long)
+
+  final case class WarmSnap(user_id: Long, n_purchases: Long, cents_total: Long)
+
+  /** Warm-started per-user purchase totals — the suite's first
+    * [[org.apache.spark.sql.streaming.StatefulProcessorWithInitialState]]:
+    * `handleInitialState` seeds each key's ValueState from a
+    * BATCH-computed aggregate before the first micro-batch, which is
+    * the lambda→kappa migration primitive (cut a streaming job over
+    * WITHOUT replaying history: bootstrap state from the warehouse,
+    * stream from the cutover point). Input rows then fold on top of
+    * the seeded state exactly as a cold-start fold would.
+    */
+  class WarmStartProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long,
+        WarmEvent,
+        WarmSnap,
+        WarmInit] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)](
+        "totals",
+        Encoders.product[(Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInitialState(
+        key: Long,
+        initialState: WarmInit,
+        timerValues: TimerValues): Unit =
+      st.update((initialState.n, initialState.cents))
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[WarmEvent],
+        timerValues: TimerValues): Iterator[WarmSnap] = {
+      var (n, c) = if (st.exists()) st.get() else (0L, 0L)
+      rows.foreach { e => n += 1; c += e.cents }
+      st.update((n, c))
+      Iterator.single(WarmSnap(key, n, c))
+    }
+  }
+
+  /** q229 — warm-start migration gate RUN TO COMPLETION under the
+    * oracle: the TWELFTH gate, exercising initial-state loading. The
+    * purchase history before the cutover (Jan 16) is aggregated in
+    * BATCH into per-user (count, cents) seeds; only post-cutover
+    * purchases are streamed (three ts-ordered files, one per
+    * micro-batch); the processor's final per-user snapshot must equal
+    * the FULL-RANGE batch rollup — proving the seed and the fold
+    * compose without replaying history. Output is restricted to users
+    * the stream actually touched (a never-again-seen user's state is
+    * seeded but never emitted — by design: emission is input-driven),
+    * and the oracle applies the same restriction relationally.
+    *
+    * Scale: the seed side is one batch aggregate shuffled by user (the
+    * warehouse read a real cutover pays once); state is one pair per
+    * user; per-trigger work ∝ arriving rows. Commutativity of the
+    * fold means the cutover point is arbitrary — the spec moves it
+    * and pins invariance.
+    */
+  def q229StreamWarmStart(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cut = lit("2024-01-16").cast("timestamp")
+    val purchases = graft.ops.Tables
+      .events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+        col("ts"))
+    val hist = purchases
+      .filter(col("ts") < cut)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .as[WarmInit]
+    val live = purchases.filter(col("ts") >= cut)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val root = gateTempRoot("graft-q229")
+    val feed = new java.io.File(root, "feed")
+    val out = new java.io.File(root, "out")
+    val ckpt = new java.io.File(root, "ckpt")
+    val withIdx = live.withColumn("fidx", ntile(3).over(w))
+    (1 to 3).foreach { i =>
+      withIdx
+        .filter(col("fidx") === i)
+        .drop("fidx", "ts")
+        .coalesce(1)
+        .write
+        .mode("append")
+        .parquet(feed.getAbsolutePath)
+    }
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    providerConfLock.synchronized {
+      val prevProv = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val in = s.readStream
+          .schema("user_id BIGINT, event_id BIGINT, cents BIGINT")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(feed.getAbsolutePath)
+          .as[WarmEvent]
+        val q = in
+          .groupByKey(_.user_id)
+          .transformWithState(
+            new WarmStartProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update(),
+            hist.groupByKey(_.user_id))
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (snaps: Dataset[WarmSnap], _: Long) =>
+            snaps.write.mode("append").parquet(out.getAbsolutePath)
+          }
+          .start()
+        q.awaitTermination()
+      } finally prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+    }
+    s.read
+      .parquet(out.getAbsolutePath)
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(
+          struct(col("n_purchases"), col("cents_total")),
+          col("n_purchases")).as("last"))
+      .select(
+        col("user_id"),
+        col("last.n_purchases").as("n_purchases"),
+        col("last.cents_total").as("cents_total"))
+      .orderBy("user_id")
+  }
+
   final case class SlaEvent(user_id: Long, ts: Timestamp, kind: String)
 
   final case class SlaOutcome(user_id: Long, kind: String, at_us: Long)
@@ -2636,6 +2782,7 @@ object Streams {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_stream_warm_start" -> q229StreamWarmStart,
     "q226_stream_user_topk" -> q226StreamUserTopk,
     "q222_stream_sla_timeout" -> q222StreamSlaTimeout,
     "q217_stream_dim_join" -> q217StreamDimJoin,
@@ -2653,6 +2800,21 @@ object Streams {
     * final state.
     */
   val oracles: Map[String, String] = Map(
+    // full-range per-user totals, restricted to users the stream
+    // touched (≥1 post-cutover purchase) — seed + fold must compose
+    "q229_stream_warm_start" ->
+      """WITH p AS (
+        |  SELECT user_id, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |touched AS (
+        |  SELECT DISTINCT user_id FROM p
+        |  WHERE ts >= TIMESTAMP '2024-01-16')
+        |SELECT p.user_id,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(cents) AS BIGINT) AS cents_total
+        |FROM p JOIN touched USING (user_id)
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
     // ranked top-3 per user with the same (cents desc, event_id)
     // tie-break and -1 fill for absent ranks
     "q226_stream_user_topk" ->

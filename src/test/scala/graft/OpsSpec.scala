@@ -4213,6 +4213,116 @@ class OpsSpec extends SparkSpec {
     assert(out.map(_._2).max > 5L, "no hubs — corpus suspiciously uniform")
   }
 
+  test("d36 b-bit minhash: bit matches dominate full matches, estimators bounded") {
+    val out = Dedup.d36BbitMinhash(spark, Sf).collect()
+    assert(out.nonEmpty, "no true pairs — planted fixture missing")
+    out.foreach { r =>
+      val (mFull, mBit) = (r.getLong(3), r.getLong(4))
+      // a matching coordinate always matches its low bit
+      assert(mBit >= mFull, s"pair (${r.getLong(0)},${r.getLong(1)})")
+      assert(mBit <= 16L && mFull >= 0L)
+      val (estFull, estBit) = (r.getDouble(5), r.getDouble(6))
+      assert(estFull >= 0.0 && estFull <= 1.0 && estBit >= 0.0 && estBit <= 1.0)
+      if (mFull == 16L) assert(mBit == 16L && estBit == 1.0)
+    }
+    // across the audit, the 1-bit estimator cannot beat full width on
+    // mean |err| by more than noise — it carries strictly less signal
+    val meanFull = out.map(_.getDouble(7)).sum / out.length
+    val meanBit = out.map(_.getDouble(8)).sum / out.length
+    assert(meanBit >= meanFull - 1e-9,
+      f"1-bit mean err $meanBit%.4f unexpectedly beats full-width $meanFull%.4f")
+  }
+
+  test("q227 diff-in-diff: imperative 4-cell replay") {
+    val seg = Tables.customer(spark, Sf)
+      .select(col("c_custkey").cast("long"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1) == "BUILDING")).toMap
+    val cells = scala.collection.mutable.Map.empty[(Boolean, Boolean), (Long, Long)]
+    Tables.orders(spark, Sf)
+      .select(col("o_custkey").cast("long"),
+        (col("o_orderdate") >= lit("1995-06-01").cast("timestamp")).as("post"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .collect().foreach { r =>
+        val k = (seg(r.getLong(0)), r.getBoolean(1))
+        val (n, sc) = cells.getOrElse(k, (0L, 0L))
+        cells(k) = (n + 1, sc + r.getLong(2))
+      }
+    def mean(k: (Boolean, Boolean)): Long = {
+      val (n, sc) = cells(k); sc * 1000000L / n
+    }
+    val row = Relational.q227DiffInDiff(spark, Sf).head()
+    assert(row.getLong(0) == cells((true, false))._1)
+    assert(row.getLong(1) == mean((true, false)))
+    assert(row.getLong(3) == mean((true, true)))
+    assert(row.getLong(5) == mean((false, false)))
+    assert(row.getLong(7) == mean((false, true)))
+    assert(row.getLong(8) ==
+      (mean((true, true)) - mean((true, false))) -
+        (mean((false, true)) - mean((false, false))))
+  }
+
+  test("m22 aspect plan: costs non-negative, exact class free, classes partition") {
+    val out = Multimodal.m22AspectPlan(spark, Sf).collect()
+    assert(out.map(_.getLong(2)).sum == Tables.documents(spark, Sf).count(),
+      "every asset lands in exactly one (format, class) cell")
+    out.foreach { r =>
+      assert(r.getLong(3) >= 0L && r.getLong(4) >= 0L)
+      if (r.getString(1) == "exact")
+        assert(r.getLong(3) == 0L && r.getLong(4) == 0L,
+          "a 16:9 asset costs nothing to normalize")
+    }
+  }
+
+  test("q228 bucketed join: layout-invariant — equals the base-table rollup") {
+    val expected = Tables.orders(spark, Sf)
+      .join(Tables.customer(spark, Sf),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("o_orderpriority").as("prio"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents_total"),
+        count_distinct(col("c_custkey")).as("n_customers"))
+      .orderBy("segment", "prio")
+      .collect().map(_.toString)
+    val got = Relational.q228BucketedJoin(spark, Sf).collect().map(_.toString)
+    assert(got.sameElements(expected),
+      "bucketed layout changed the answer — write or read path corrupt")
+  }
+
+  test("q229 warm start: equals the full-range rollup, and the seed provably contributed") {
+    val p = Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").cast("long").as("u"),
+        (col("ts") >= lit("2024-01-16").cast("timestamp")).as("post"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    val touched = p.filter(_._2).map(_._1).toSet
+    val expected = p.filter(r => touched(r._1)).groupBy(_._1).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_._3).sum)).toMap
+    val got = graft.streaming.Streams.q229StreamWarmStart(spark, Sf).collect()
+    assert(got.length == touched.size)
+    got.foreach { r =>
+      assert((r.getLong(1), r.getLong(2)) == expected(r.getLong(0)),
+        s"user ${r.getLong(0)}")
+    }
+    // at least one user must have pre-cutover history, or the initial
+    // state was never load-bearing
+    val postOnly = p.filter(_._2).groupBy(_._1).view.mapValues(_.length.toLong)
+    assert(got.exists(r => r.getLong(1) > postOnly(r.getLong(0))),
+      "no user carried warm-start history — fixture degenerate")
+  }
+
+  test("s31 matryoshka: full width is its own truth; truncation is lossy here") {
+    val out = Similarity.s31MatryoshkaRecall(spark, Sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(64) == ((100L, 10000L)), "d=64 must recall itself perfectly")
+    Seq(8, 16, 32).foreach { d =>
+      assert(out(d)._1 <= 100L && out(d)._2 == out(d)._1 * 100)
+    }
+    assert(out(8)._1 < 100L,
+      "an untrained 8-dim prefix recalling perfectly is implausible — check the join")
+  }
+
   test("p23 frontier: monotone in tau and equal to a direct filter at one cut") {
     val out = Corpus.p23FilterFrontier(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
