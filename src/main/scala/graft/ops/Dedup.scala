@@ -2427,7 +2427,90 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** d37 — SimHash estimator calibration (Charikar 2002): for the same
+    * true near-dup pair set d25/d36 audit, how well does the 60-bit
+    * SimHash HAMMING DISTANCE recover the exact token-frequency
+    * COSINE via the hyperplane identity P[bit agree] = 1 − θ/π, i.e.
+    * ĉos = cos(π·hamming/60)? Closes the estimator-audit triptych —
+    * d25 prices MinHash against Jaccard, d36 prices its 1-bit
+    * compression, d37 prices SimHash against cosine — so the dedup
+    * family's THREE signature types all carry measured error tables
+    * (the d25/s23 accuracy-as-data doctrine), not just recall folklore.
+    * The exact side is the tf-weighted cosine over per-doc token
+    * counts (integer dot and squared norms; ONE double division +
+    * sqrt at the end, expression tree mirrored token-for-token).
+    *
+    * Scale: the pair set is the audit's subject (tiny by definition);
+    * signatures are one scan each; the exact-cosine join expands only
+    * true pairs × their shared vocabulary. The fixture's near-dup
+    * pairs sit at cosine ≈ 0.99 where the arccos derivative explodes
+    * — hamming 0–3 of 60 — so the audit also SHOWS why banded
+    * Hamming (d3's ≤ 3 cut) beats trying to estimate cosine values
+    * at the top of the range: the measured |err| IS that resolution
+    * floor.
+    */
+  def d37SimhashError(s: SparkSession, dir: String): DataFrame = {
+    val sets = portableShingleSets(s, dir)
+      .localCheckpoint() // postings + both pair sides
+    val postings = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val truePairs = postings
+      .as("a")
+      .join(
+        postings.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sets.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn(
+        "jac",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jac") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("jac"))
+      .localCheckpoint() // simhash join + two token-count joins
+    val sk = Tables
+      .spread(Tables.documents(s, dir))
+      .select(col("doc_id"), simhash60(split(col("text"), " ")).as("sh"))
+    val pt = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // both pair sides + norms
+    val norms = pt
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("c")).as("n2"))
+    val dots = truePairs
+      .join(pt.select(col("doc_id").as("id_a"), col("w"), col("c").as("ca")), "id_a")
+      .join(
+        pt.select(col("doc_id").as("id_b"), col("w"), col("c").as("cb")),
+        Seq("id_b", "w"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("ca") * col("cb")).as("dot"))
+    truePairs
+      .join(dots, Seq("id_a", "id_b"))
+      .join(norms.select(col("doc_id").as("id_a"), col("n2").as("na2")), "id_a")
+      .join(norms.select(col("doc_id").as("id_b"), col("n2").as("nb2")), "id_b")
+      .join(sk.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(sk.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
+      .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
+      .withColumn(
+        "cos_exact",
+        expr("CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))"))
+      .withColumn("cos_est", expr("cos(pi() * CAST(hamming AS DOUBLE) / 60)"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        round(col("jac"), 4).as("jaccard"),
+        col("hamming"),
+        round(col("cos_exact"), 4).as("cos_exact"),
+        round(col("cos_est"), 4).as("cos_est"),
+        round(abs(col("cos_exact") - col("cos_est")), 4).as("abs_err"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d37_simhash_error" -> d37SimhashError,
     "d36_bbit_minhash" -> d36BbitMinhash,
     "d35_tfidf_cosine" -> d35TfidfCosine,
     "d34_dup_spans" -> d34DupSpans,
@@ -2821,6 +2904,98 @@ object Dedup {
        |FROM scored ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** d37's oracle: d25's exact-Jaccard truth pairs + d3's full SimHash
+    * replay + the tf-cosine exact side, identical expression trees.
+    */
+  private def d37OracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ss AS (
+      |  SELECT doc_id,
+      |    [t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+      |     FOR i IN range(1, len(t) - 1)] AS sl
+      |  FROM tok WHERE len(t) >= 3),
+      |sh AS (
+      |  SELECT doc_id, list_distinct([
+      |    list_reduce(
+      |      list_prepend(0::BIGINT,
+      |        [ord(c)::BIGINT FOR c IN string_split_regex(x, '')]),
+      |      (a, h) -> (a * 131 + h) % 1000000007)
+      |    FOR x IN sl]) AS hs FROM ss),
+      |sets AS (SELECT doc_id, hs, len(hs) AS n FROM sh),
+      |ex AS (SELECT doc_id, unnest(hs) AS h FROM sets),
+      |tp AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(count(*) AS BIGINT) AS shared
+      |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |truep AS (
+      |  SELECT id_a, id_b,
+      |    shared::DOUBLE / (sa.n + sb.n - shared) AS jac
+      |  FROM tp
+      |  JOIN sets sa ON id_a = sa.doc_id
+      |  JOIN sets sb ON id_b = sb.doc_id
+      |  WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.5),
+      |toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |th AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(0::BIGINT,
+      |        [ord(c)::BIGINT FOR c IN string_split_regex(t, '')]),
+      |      (a, x) -> (a * 131 + x) % 1000000007) AS h1,
+      |    list_reduce(
+      |      list_prepend(0::BIGINT,
+      |        [ord(c)::BIGINT FOR c IN string_split_regex(t, '')]),
+      |      (a, x) -> (a * 137 + x) % 998244353) AS h2
+      |  FROM toks),
+      |bits AS (
+      |  SELECT doc_id, r.b,
+      |    sum(CASE WHEN r.b < 30
+      |             THEN CASE WHEN (h1 >> r.b) & 1 = 1 THEN 1 ELSE -1 END
+      |             ELSE CASE WHEN (h2 >> (r.b - 30)) & 1 = 1 THEN 1 ELSE -1 END
+      |        END) AS cnt
+      |  FROM th, (SELECT unnest(range(60)) AS b) r
+      |  GROUP BY 1, 2),
+      |sk AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN cnt > 0
+      |                  THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)
+      |      AS BIGINT) AS sh
+      |  FROM bits GROUP BY 1),
+      |pt AS (
+      |  SELECT doc_id, t AS w, CAST(count(*) AS BIGINT) AS c
+      |  FROM toks GROUP BY 1, 2),
+      |norms AS (
+      |  SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM pt GROUP BY 1),
+      |dots AS (
+      |  SELECT truep.id_a, truep.id_b,
+      |    CAST(sum(pa.c * pb.c) AS BIGINT) AS dot
+      |  FROM truep
+      |  JOIN pt pa ON pa.doc_id = truep.id_a
+      |  JOIN pt pb ON pb.doc_id = truep.id_b AND pb.w = pa.w
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT truep.id_a, truep.id_b, truep.jac,
+      |    CAST(bit_count(xor(ka.sh, kb.sh)) AS INT) AS hamming,
+      |    CAST(dot AS DOUBLE) /
+      |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+      |      AS cos_exact,
+      |    cos(pi() * CAST(bit_count(xor(ka.sh, kb.sh)) AS DOUBLE) / 60)
+      |      AS cos_est
+      |  FROM truep
+      |  JOIN dots ON dots.id_a = truep.id_a AND dots.id_b = truep.id_b
+      |  JOIN norms na ON na.doc_id = truep.id_a
+      |  JOIN norms nb ON nb.doc_id = truep.id_b
+      |  JOIN sk ka ON ka.doc_id = truep.id_a
+      |  JOIN sk kb ON kb.doc_id = truep.id_b)
+      |SELECT id_a, id_b, round(jac, 4) AS jaccard, hamming,
+      |  round(cos_exact, 4) AS cos_exact,
+      |  round(cos_est, 4) AS cos_est,
+      |  round(abs(cos_exact - cos_est), 4) AS abs_err
+      |FROM scored ORDER BY id_a, id_b""".stripMargin
+
   /** d25's oracle: the same portable shingle fold, the same 16 affine
     * minima (unrolled — no comprehension-binding pitfalls), the same
     * hash-deduped sets and exact-Jaccard pair join.
@@ -3078,6 +3253,7 @@ object Dedup {
     "d28_method_agreement" -> d28OracleSql,
     "d27_band_sweep" -> d27OracleSql,
     "d26_blocking_efficiency" -> d26OracleSql,
+    "d37_simhash_error" -> d37OracleSql,
     "d36_bbit_minhash" -> d36OracleSql,
     "d25_minhash_error" -> d25OracleSql,
     "d24_zorder_neighbors" -> d24OracleSql,

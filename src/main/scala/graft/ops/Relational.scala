@@ -9099,7 +9099,116 @@ object Relational {
     }
   }
 
+  /** q230 — snapshot DIFF (change-data-feed derivation): given two
+    * versions of a keyed table, emit the insert/update/delete/
+    * unchanged change-type census with per-type integer checksums —
+    * the INVERSE of q102 (which APPLIES a change log): backfill
+    * validation, replication audit, and "what did this batch touch"
+    * all reduce to diffing snapshots when no CDC feed exists. The two
+    * versions are derived deterministically from orders (v2 updates
+    * keys ≡ 2 mod 20 by +222 cents, deletes keys ≡ 3 mod 50, inserts
+    * a synthetic key k + 10⁹ for k ≡ 7 mod 100 — the q215 planted-
+    * corrections style), so the oracle rebuilds both sides exactly.
+    *
+    * Plan: ONE full-outer hash join on the key (the only shape that
+    * sees all three change classes in one pass — two anti-joins plus
+    * an inner join would scan both sides twice), change class by NULL
+    * pattern + value comparison scan-side, then a 4-row census
+    * aggregate. Checksums sum key and cents per class so a
+    * misclassified row can't hash-hide. At 100 TB the join
+    * partitions on the key; nothing else is data-sized.
+    */
+  def q230SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderkey").cast("long").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .localCheckpoint() // both snapshot derivations read it
+    val v1 = base
+    val v2 = base
+      .filter(col("k") % 50 =!= 3)
+      .select(
+        col("k"),
+        when(col("k") % 20 === 2, col("cents") + 222L).otherwise(col("cents")).as("cents"))
+      .unionAll(
+        base
+          .filter(col("k") % 100 === 7)
+          .select((col("k") + 1000000000L).as("k"), col("cents")))
+    v1.select(col("k"), col("cents").as("c1"))
+      .join(v2.select(col("k"), col("cents").as("c2")), Seq("k"), "full_outer")
+      .select(
+        col("k"),
+        when(col("c1").isNull, "insert")
+          .when(col("c2").isNull, "delete")
+          .when(col("c1") =!= col("c2"), "update")
+          .otherwise("unchanged").as("change_type"),
+        coalesce(col("c2"), col("c1")).as("cents"))
+      .groupBy(col("change_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("k")).as("key_sum"),
+        sum(col("cents")).as("cents_sum"))
+      .orderBy("change_type")
+  }
+
+  /** q231 — NOT IN under NULLs, three ways, through the SQL-TEXT
+    * surface (`spark.sql` over registered views — the one API face
+    * the DataFrame-built suite never exercised): the classic
+    * three-valued-logic trap, AS DATA. Arm `not_in` runs
+    * `key NOT IN (subquery)` where the subquery is salted with NULLs
+    * (orders with key ≡ 0 mod 7 emit NULL) — SQL says the predicate is
+    * UNKNOWN for every row, so the correct answer is ZERO rows, and
+    * Spark plans it as a null-aware anti join to get that right at
+    * scale. Arm `not_exists` is the correlated NOT EXISTS — the
+    * null-immune formulation (plain anti join). Arm
+    * `not_in_filtered` guards the subquery with IS NOT NULL,
+    * restoring the anti-join answer. Both engines implement ANSI 3VL,
+    * so all three arms hash — and the report IS the migration advice
+    * ("rewrite NOT IN to NOT EXISTS") that every engine's tuning
+    * guide buries in prose.
+    *
+    * Scale: not_in's null-aware anti join requires a broadcast of the
+    * subquery side in Spark (the null check is inherently
+    * all-partitions) — the in-source reason the filtered/exists arms
+    * are THE production shapes; the arms differ only in the subquery,
+    * each one scan + one (anti) join.
+    */
+  def q231NotInNulls(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_q231_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_q231_orders")
+    s.sql("""
+      SELECT 'not_in' AS arm, count(*) AS n_customers,
+        coalesce(sum(c_custkey), 0L) AS key_sum
+      FROM graft_q231_customer
+      WHERE c_custkey NOT IN
+        (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+         FROM graft_q231_orders WHERE o_orderpriority = '1-URGENT')
+      UNION ALL
+      SELECT 'not_exists' AS arm, count(*) AS n_customers,
+        coalesce(sum(c_custkey), 0L) AS key_sum
+      FROM graft_q231_customer c
+      WHERE NOT EXISTS
+        (SELECT 1 FROM graft_q231_orders o
+         WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+           AND o.o_orderkey % 7 <> 0)
+      UNION ALL
+      SELECT 'not_in_filtered' AS arm, count(*) AS n_customers,
+        coalesce(sum(c_custkey), 0L) AS key_sum
+      FROM graft_q231_customer
+      WHERE c_custkey NOT IN
+        (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+         FROM graft_q231_orders
+         WHERE o_orderpriority = '1-URGENT'
+           AND CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_custkey END IS NOT NULL)
+      ORDER BY arm
+    """)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_not_in_nulls" -> q231NotInNulls,
+    "q230_snapshot_diff" -> q230SnapshotDiff,
     "q228_bucketed_join" -> q228BucketedJoin,
     "q227_diff_in_diff" -> q227DiffInDiff,
     "q225_markov_transitions" -> q225MarkovTransitions,
@@ -9317,6 +9426,58 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same planted v1/v2 derivation and full-outer change census
+    "q230_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT k,
+        |    CASE WHEN k % 20 = 2 THEN cents + 222 ELSE cents END AS cents
+        |  FROM base WHERE k % 50 <> 3
+        |  UNION ALL
+        |  SELECT k + 1000000000 AS k, cents FROM base WHERE k % 100 = 7),
+        |d AS (
+        |  SELECT coalesce(v1.k, v2.k) AS k,
+        |    CASE WHEN v1.k IS NULL THEN 'insert'
+        |         WHEN v2.k IS NULL THEN 'delete'
+        |         WHEN v1.cents <> v2.cents THEN 'update'
+        |         ELSE 'unchanged' END AS change_type,
+        |    coalesce(v2.cents, v1.cents) AS cents
+        |  FROM base v1 FULL OUTER JOIN v2 ON v2.k = v1.k)
+        |SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(k) AS BIGINT) AS key_sum,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM d GROUP BY 1 ORDER BY change_type""".stripMargin,
+    // ANSI 3VL is shared law: the null-poisoned NOT IN arm must be
+    // EMPTY in both engines, the other two arms equal the anti join
+    "q231_not_in_nulls" ->
+      """SELECT 'not_in' AS arm, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(coalesce(sum(c_custkey), 0) AS BIGINT) AS key_sum
+        |FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+        |   FROM orders WHERE o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT 'not_exists' AS arm, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(coalesce(sum(c_custkey), 0) AS BIGINT) AS key_sum
+        |FROM customer c
+        |WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        |     AND o.o_orderkey % 7 <> 0)
+        |UNION ALL
+        |SELECT 'not_in_filtered' AS arm, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(coalesce(sum(c_custkey), 0) AS BIGINT) AS key_sum
+        |FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+        |   FROM orders
+        |   WHERE o_orderpriority = '1-URGENT'
+        |     AND CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |              ELSE o_custkey END IS NOT NULL)
+        |ORDER BY arm""".stripMargin,
     // the rollup recomputed straight from the base parquet — the
     // bucketed layout must be answer-invariant
     "q228_bucketed_join" ->

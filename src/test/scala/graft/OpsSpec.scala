@@ -4323,6 +4323,46 @@ class OpsSpec extends SparkSpec {
       "an untrained 8-dim prefix recalling perfectly is implausible — check the join")
   }
 
+  test("d37 simhash calibration: hyperplane identity replay, banded-regime hamming") {
+    val out = Dedup.d37SimhashError(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val h = r.getInt(3)
+      assert(h >= 0 && h <= 12, s"true near-dup with hamming $h — signature broken")
+      val est = BigDecimal(math.cos(math.Pi * h / 60))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(5) - est) <= 1e-9, "cos_est must be the Charikar map")
+      assert(r.getDouble(4) > 0.5 && r.getDouble(4) <= 1.0, "tf-cosine of a near-dup")
+    }
+  }
+
+  test("q230 snapshot diff: census equals the planted mutation counts exactly") {
+    val keys = Tables.orders(spark, Sf)
+      .select(col("o_orderkey").cast("long")).collect().map(_.getLong(0))
+    val out = Relational.q230SnapshotDiff(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ins = keys.filter(_ % 100 == 7)
+    val del = keys.filter(_ % 50 == 3)
+    val upd = keys.filter(k => k % 20 == 2 && k % 50 != 3)
+    assert(out("insert")._1 == ins.length.toLong)
+    assert(out("insert")._2 == ins.map(_ + 1000000000L).sum)
+    assert(out("delete") == ((del.length.toLong, del.sum)))
+    assert(out("update") == ((upd.length.toLong, upd.sum)))
+    assert(out("unchanged")._1 ==
+      keys.length.toLong - del.length - upd.length)
+  }
+
+  test("q231: the null-poisoned NOT IN arm is empty; rewrites agree and are non-trivial") {
+    val out = Relational.q231NotInNulls(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("not_in") == ((0L, 0L)),
+      "a NULL in the NOT IN subquery must poison every row to UNKNOWN")
+    assert(out("not_exists") == out("not_in_filtered"),
+      "NOT EXISTS and the IS NOT NULL guard are the same anti join")
+    assert(out("not_exists")._1 > 0L,
+      "fixture must contain customers without qualifying orders")
+  }
+
   test("p23 frontier: monotone in tau and equal to a direct filter at one cut") {
     val out = Corpus.p23FilterFrontier(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
