@@ -1162,7 +1162,56 @@ object Corpus {
       .orderBy("tau")
   }
 
+  /** p24 — ANNEALED mixture schedule: per-epoch source weights that
+    * interpolate linearly from UNIFORM (epoch 0 — maximize early
+    * diversity) to SIZE-PROPORTIONAL (epoch E — match the natural
+    * distribution late), with exact integer token allocations per
+    * (epoch, source) — the curriculum-over-sources complement to p9's
+    * static temperature (one exponent, all epochs) and p11's
+    * within-source difficulty ladder. w_e = ((E−e)·u + e·p) div E in
+    * basis points with u = 10⁴ div S and p = tokens·10⁴ div total;
+    * the epoch's 1M-token budget splits by largest-remainder-free
+    * floor allocation (budget·w div Σw — Σw re-derived per epoch so
+    * truncation in the weights can't misallocate the budget).
+    *
+    * Plan: ONE data-sized exchange (per-source token aggregate, rows
+    * ∝ the source alphabet), then a 5-epoch literal grid cross join
+    * on the broadcast source table — (E+1)·S bounded rows out. At
+    * 100 TB nothing changes; the schedule is metadata.
+    */
+  def p24MixAnneal(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables
+      .documents(s, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(sum(col("nt")).as("toks"))
+    val tot = perSrc.agg(
+      sum(col("toks")).as("total"),
+      count(lit(1)).as("n_sources"))
+    val weighted = perSrc
+      .crossJoin(broadcast(tot))
+      .select(
+        col("source"),
+        col("toks"),
+        expr("10000 div n_sources").as("u_bp"),
+        expr("toks * 10000 div total").as("p_bp"))
+      .crossJoin(s.range(0, 5).select(col("id").as("epoch")))
+      .withColumn("w_bp", expr("((4 - epoch) * u_bp + epoch * p_bp) div 4"))
+    val epochTot = weighted
+      .groupBy(col("epoch"))
+      .agg(sum(col("w_bp")).as("sw"))
+    weighted
+      .join(broadcast(epochTot), Seq("epoch"))
+      .select(
+        col("epoch"),
+        col("source"),
+        col("w_bp"),
+        expr("1000000 * w_bp div sw").as("alloc_tokens"))
+      .orderBy("epoch", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p24_mix_anneal" -> p24MixAnneal,
     "p23_filter_frontier" -> p23FilterFrontier,
     "p22_packing_sweep" -> p22PackingSweep,
     "p21_epoch_mix" -> p21EpochMix,
@@ -1189,6 +1238,29 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same uniform→proportional integer interpolation and
+    // per-epoch floor allocation over the re-derived weight sum
+    "p24_mix_anneal" ->
+      """WITH ps AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(toks) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS n_sources
+        |  FROM ps),
+        |wgt AS (
+        |  SELECT e.epoch, ps.source, ps.toks,
+        |    ((4 - e.epoch) * (10000 // tot.n_sources) +
+        |     e.epoch * (ps.toks * 10000 // tot.total)) // 4 AS w_bp
+        |  FROM ps, tot,
+        |    (SELECT CAST(i AS BIGINT) AS epoch FROM range(0, 5) t(i)) e),
+        |et AS (SELECT epoch, CAST(sum(w_bp) AS BIGINT) AS sw
+        |       FROM wgt GROUP BY 1)
+        |SELECT wgt.epoch, wgt.source, CAST(w_bp AS BIGINT) AS w_bp,
+        |  CAST(1000000 * w_bp // sw AS BIGINT) AS alloc_tokens
+        |FROM wgt JOIN et USING (epoch)
+        |ORDER BY epoch, source""".stripMargin,
     // identical per-doc ttr_bp, the same 6-step ladder and integer
     // bp shares over exact totals
     "p23_filter_frontier" ->

@@ -9206,7 +9206,55 @@ object Relational {
     """)
   }
 
+  /** q232 — accounts-receivable AGING: outstanding (non-finalized)
+    * order value bucketed by invoice age at the ledger's own
+    * reference instant — the finance-ops staple (0–30 / 31–60 /
+    * 61–90 / 90+) that q132's cycle-time and q178's revenue
+    * recognition bracket but never produce. Age is EXACT integer
+    * floor-days, (epoch_us(ref) − epoch_us(o_orderdate)) div 86400·10⁶
+    * — never an engine date-diff, whose day-boundary conventions
+    * differ across engines and timezones; ref = max(o_orderdate)
+    * over the table, so the report is self-contained and
+    * regeneration-proof. Shares in integer bp of outstanding cents.
+    *
+    * Plan: one scan, the max-ref as a 1-row broadcast, bucket math
+    * scan-side, hash aggregate onto 4 schema-bounded rows. At 100 TB
+    * the aggregate map-side combines; the ref at production would be
+    * a literal close-of-books date (the broadcast disappears).
+    */
+  def q232ArAging(s: SparkSession, dir: String): DataFrame = {
+    val ref = Tables
+      .orders(s, dir)
+      .agg(max(unix_micros(col("o_orderdate"))).as("ref_us"))
+    val aged = Tables
+      .orders(s, dir)
+      .filter(col("o_orderstatus").isin("O", "P"))
+      .select(
+        unix_micros(col("o_orderdate")).as("us"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .crossJoin(broadcast(ref))
+      .withColumn("age_days", expr("(ref_us - us) div 86400000000"))
+      .withColumn(
+        "bucket",
+        when(col("age_days") <= 30L, "a_0_30")
+          .when(col("age_days") <= 60L, "b_31_60")
+          .when(col("age_days") <= 90L, "c_61_90")
+          .otherwise("d_over_90"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents_total"))
+    val tot = aged.agg(sum(col("cents_total")).as("t"))
+    aged
+      .crossJoin(broadcast(tot))
+      .select(
+        col("bucket"),
+        col("n_orders"),
+        col("cents_total"),
+        expr("cents_total * 10000 div t").as("share_bp"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_ar_aging" -> q232ArAging,
     "q231_not_in_nulls" -> q231NotInNulls,
     "q230_snapshot_diff" -> q230SnapshotDiff,
     "q228_bucketed_join" -> q228BucketedJoin,
@@ -9426,6 +9474,30 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same integer floor-day ages against the table's own max
+    // instant, the same 4 buckets and bp shares
+    "q232_ar_aging" ->
+      """WITH ref AS (SELECT max(epoch_us(o_orderdate)) AS ref_us FROM orders),
+        |aged AS (
+        |  SELECT (ref.ref_us - epoch_us(o_orderdate)) // 86400000000
+        |      AS age_days,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders, ref WHERE o_orderstatus IN ('O', 'P')),
+        |b AS (
+        |  SELECT CASE WHEN age_days <= 30 THEN 'a_0_30'
+        |              WHEN age_days <= 60 THEN 'b_31_60'
+        |              WHEN age_days <= 90 THEN 'c_61_90'
+        |              ELSE 'd_over_90' END AS bucket,
+        |    cents
+        |  FROM aged),
+        |agg AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(cents) AS BIGINT) AS cents_total
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cents_total) AS BIGINT) AS t FROM agg)
+        |SELECT bucket, n_orders, cents_total,
+        |  cents_total * 10000 // t AS share_bp
+        |FROM agg, tot ORDER BY bucket""".stripMargin,
     // the same planted v1/v2 derivation and full-outer change census
     "q230_snapshot_diff" ->
       """WITH base AS (

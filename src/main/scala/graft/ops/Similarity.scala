@@ -1580,7 +1580,124 @@ object Similarity {
     arms.reduce(_.unionAll(_)).orderBy("d")
   }
 
+  /** s32 — Matryoshka SHORTLIST-REFINE recall: the production arm s31
+    * motivates — scan with the cheap d = 8 prefix to a shortlist of K,
+    * re-rank the shortlist at full width, keep top-5; recall vs exact
+    * truth per K ∈ {5, 10, 25, 50}. s31 measured raw truncation at
+    * 900 bp recall; this curve shows how much of it a K-deep refine
+    * buys back — the same shortlist-refine economics as s17 (PQ → ADC
+    * → exact) applied to prefix DIMENSIONS, where the scan reads 8/64
+    * of the bytes and the refine pays full cost on only K rows per
+    * query. The K where the curve saturates IS the operating point.
+    *
+    * One scored candidate frame serves all four arms: rank once at
+    * d = 8 (keep rank ≤ 50), join the full-width vectors of exactly
+    * those candidates, then each K is a filter + per-query re-rank of
+    * ≤ K rows — never a second corpus scan. Exactness: both ranks use
+    * the fused left-to-right double dot with the (cos desc, vec_id)
+    * tie-break; hits are exact integers over the 20 × 5 truth set.
+    */
+  /** s32's oracle: the same d=8 rank-50 candidates, full-width
+    * re-rank per shortlist K, identical tie-breaks.
+    */
+  private def s32OracleSql: String = {
+    def arm(k: Int): String =
+      s"""SELECT $k AS shortlist_k, CAST(count(*) AS BIGINT) AS hits,
+         |  CAST(count(*) * 10000 // 100 AS BIGINT) AS recall_bp
+         |FROM (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (
+         |      PARTITION BY q_id ORDER BY cos64 DESC, vec_id ASC) AS rr
+         |  FROM scored WHERE rank8 <= $k) a
+         |JOIN truth t ON t.q_id = a.q_id AND t.neighbor_id = a.vec_id
+         |WHERE a.rr <= 5""".stripMargin
+    s"""WITH n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cand AS (
+       |  SELECT q_id, vec_id, rank8 FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |      row_number() OVER (
+       |        PARTITION BY q.vec_id
+       |        ORDER BY list_inner_product(q.v[1:8], c.v[1:8]) /
+       |          (sqrt(list_inner_product(q.v[1:8], q.v[1:8])) *
+       |           sqrt(list_inner_product(c.v[1:8], c.v[1:8]))) DESC,
+       |        c.vec_id ASC) AS rank8
+       |    FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
+       |  WHERE rank8 <= 50),
+       |scored AS (
+       |  SELECT cand.q_id, cand.vec_id, cand.rank8,
+       |    list_inner_product(q.v, c.v) /
+       |      (sqrt(list_inner_product(q.v, q.v)) *
+       |       sqrt(list_inner_product(c.v, c.v))) AS cos64
+       |  FROM cand
+       |  JOIN n q ON q.vec_id = cand.q_id
+       |  JOIN n c ON c.vec_id = cand.vec_id),
+       |truth AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (
+       |        PARTITION BY q.vec_id
+       |        ORDER BY list_inner_product(q.v, c.v) /
+       |          (sqrt(list_inner_product(q.v, q.v)) *
+       |           sqrt(list_inner_product(c.v, c.v))) DESC,
+       |        c.vec_id ASC) AS rank
+       |    FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
+       |  WHERE rank <= 5)
+       |${Seq(5, 10, 25, 50).map(arm).mkString("\n|UNION ALL\n|")}
+       |ORDER BY shortlist_k""".stripMargin
+  }
+
+  def s32MatryoshkaRefine(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir).localCheckpoint() // prefix arm + full arm + truth
+    val pre = all.select(
+      col("vec_id"),
+      slice(col("v"), 1, 8).as("v8"))
+      .withColumn("norm8", sqrt(dot(col("v8"), col("v8"))))
+    val queries8 = pre
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v8").as("qv8"), col("norm8").as("qnorm8"))
+    val w8 = Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos8").desc, col("vec_id").asc)
+    val cand = pre
+      .join(broadcast(queries8), col("vec_id") =!= col("q_id"))
+      .withColumn("cos8", dot(col("qv8"), col("v8")) / (col("qnorm8") * col("norm8")))
+      .withColumn("rank8", row_number().over(w8))
+      .filter(col("rank8") <= 50)
+      .select(col("q_id"), col("vec_id"), col("rank8"))
+    val fullQ = all
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = cand
+      .join(all, "vec_id")
+      .join(broadcast(fullQ), "q_id")
+      .withColumn("cos64", dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+      .select(col("q_id"), col("vec_id"), col("rank8"), col("cos64"))
+      .localCheckpoint() // four K arms re-rank it
+    val truth = s1KnnBruteForce(s, dir)
+      .select(col("q_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val arms = Seq(5, 10, 25, 50).map { k =>
+      val wk = Window
+        .partitionBy(col("q_id"))
+        .orderBy(col("cos64").desc, col("vec_id").asc)
+      scored
+        .filter(col("rank8") <= k)
+        .withColumn("rr", row_number().over(wk))
+        .filter(col("rr") <= 5)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"))
+        .join(truth, Seq("q_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(
+          lit(k).as("shortlist_k"),
+          col("hits"),
+          expr("hits * 10000 div 100").as("recall_bp"))
+    }
+    arms.reduce(_.unionAll(_)).orderBy("shortlist_k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s32_matryoshka_refine" -> s32MatryoshkaRefine,
     "s31_matryoshka_recall" -> s31MatryoshkaRecall,
     "s30_knn_graph" -> s30KnnGraph,
     "s29_multiprobe_lsh" -> s29MultiprobeLsh,
@@ -2515,6 +2632,7 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "s32_matryoshka_refine" -> s32OracleSql,
     "s31_matryoshka_recall" -> s31OracleSql,
     // the same exact top-5 edge set ((cos desc, vec_id) tie-break),
     // reversed-key reciprocity join, zero-filled isolates

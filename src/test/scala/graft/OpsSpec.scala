@@ -4363,6 +4363,53 @@ class OpsSpec extends SparkSpec {
       "fixture must contain customers without qualifying orders")
   }
 
+  test("q232 aging: buckets partition the outstanding set; shares sum within truncation") {
+    val out = Relational.q232ArAging(spark, Sf).collect()
+    val outstanding = Tables.orders(spark, Sf)
+      .filter(col("o_orderstatus").isin("O", "P")).count()
+    assert(out.map(_.getLong(1)).sum == outstanding)
+    val shares = out.map(_.getLong(3))
+    assert(shares.sum <= 10000L && shares.sum > 10000L - out.length)
+    assert(out.map(_.getString(0)).toSeq == out.map(_.getString(0)).sorted.toSeq)
+  }
+
+  test("s32 refine: monotone in K, dominates raw d=8 recall, saturates to truth at 50") {
+    val refine = Similarity.s32MatryoshkaRefine(spark, Sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // more shortlist can only help: hits non-decreasing in K
+    assert(refine(5) <= refine(10) && refine(10) <= refine(25) &&
+      refine(25) <= refine(50))
+    val raw8 = Similarity.s31MatryoshkaRecall(spark, Sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // K=5 refine re-ranks exactly the raw top-5 — same set, so equal
+    // hits; beyond K=5 the refine must strictly recover
+    assert(refine(5) == raw8(8), "K=5 re-rank of 5 candidates is the raw arm")
+    assert(refine(50) > raw8(8), "a 50-deep shortlist must recover recall")
+  }
+
+  test("p24 anneal: epoch 0 is uniform, epoch 4 proportional, budgets conserve") {
+    val out = Corpus.p24MixAnneal(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val e0 = out.filter(_._1 == 0L).map(_._3).distinct
+    assert(e0.length == 1, "epoch 0 must weight every source identically")
+    val nSources = out.map(_._2).distinct.length.toLong
+    assert(e0.head == 10000L / nSources)
+    // epoch 4 weight = size-proportional bp
+    val toks = Tables.documents(spark, Sf)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = toks.values.sum
+    out.filter(_._1 == 4L).foreach { case (_, src, w, _) =>
+      assert(w == toks(src) * 10000 / total, s"epoch-4 weight of $src")
+    }
+    // every epoch's allocation lands within one truncation of 1M
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val a = rows.map(_._4).sum
+      assert(a <= 1000000L && a > 1000000L - rows.length)
+    }
+  }
+
   test("p23 frontier: monotone in tau and equal to a direct filter at one cut") {
     val out = Corpus.p23FilterFrontier(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
