@@ -2509,7 +2509,75 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** d38 — leave-one-band-out STABILITY audit: band the portable
+    * 16-hash signature 8×2 (d2's shape on d25's oracle-replicable
+    * family) and ask, for each band, how many candidate pairs are
+    * UNIQUELY held by it — the jackknife that prices the band
+    * count's safety margin. A pair held by one band is one hash
+    * perturbation away from being lost; a candidate set where most
+    * pairs are multiply-held survives re-hashing, sharding drift and
+    * per-band corruption. Complements d26 (which scheme) and d27
+    * (how many bands in EXPECTATION) with the realized per-band
+    * redundancy census: uniquely-held share in bp per band, plus
+    * each band's total match count — the table that says whether
+    * dropping from 8 to 7 bands loses 2% or 40% of candidates.
+    *
+    * All integer: candidate pairs from 8 equi-joins on two-coordinate
+    * band keys (one shuffle keyed by (band, k1, k2) — the d2
+    * production shape), per-pair matching-band count by hash
+    * aggregate, uniquely-held pairs attributed to their single band.
+    * Scale: work ∝ band-bucket co-occupancy exactly like d2; the
+    * census output is 8 rows.
+    */
+  def d38BandStability(s: SparkSession, dir: String): DataFrame = {
+    val sets = portableShingleSets(s, dir)
+    val banded = sets.select(
+      col("doc_id"),
+      explode(array((0 until 8).map { b =>
+        struct(
+          lit(b).as("band"),
+          element_at(col("sig"), 2 * b + 1).as("k1"),
+          element_at(col("sig"), 2 * b + 2).as("k2"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.k1"), col("bk.k2"))
+    val bandPairs = banded
+      .as("a")
+      .join(
+        banded.as("b"),
+        col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
+          col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"),
+        col("b.doc_id").as("id_b"),
+        col("a.band").as("band"))
+      .distinct()
+      .localCheckpoint() // per-band totals + uniqueness census
+    val perPair = bandPairs
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_bands"), min(col("band")).as("only_band"))
+    val full = perPair.agg(count(lit(1)).as("n_full"))
+    val held = bandPairs.groupBy(col("band")).agg(count(lit(1)).as("n_matching"))
+    val unique = perPair
+      .filter(col("n_bands") === 1L)
+      .groupBy(col("only_band").as("band"))
+      .agg(count(lit(1)).as("n_unique"))
+    s.range(0, 8)
+      .select(col("id").cast("int").as("band"))
+      .join(held, Seq("band"), "left")
+      .join(unique, Seq("band"), "left")
+      .crossJoin(broadcast(full))
+      .select(
+        col("band"),
+        coalesce(col("n_matching"), lit(0L)).as("n_matching"),
+        coalesce(col("n_unique"), lit(0L)).as("n_uniquely_held"),
+        col("n_full"),
+        expr("coalesce(n_unique, CAST(0 AS BIGINT)) * 10000 div n_full")
+          .as("churn_bp"))
+      .orderBy("band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d38_band_stability" -> d38BandStability,
     "d37_simhash_error" -> d37SimhashError,
     "d36_bbit_minhash" -> d36BbitMinhash,
     "d35_tfidf_cosine" -> d35TfidfCosine,
@@ -2904,6 +2972,64 @@ object Dedup {
        |FROM scored ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** d38's oracle: the same 16-coordinate signature replay, 8×2 band
+    * keys, per-pair matching-band census and uniquely-held attribution.
+    */
+  private def d38OracleSql: String = {
+    val sigList = D25As
+      .zip(D25Bs)
+      .map { case (a, b) => s"list_min([(h * $a + $b) % $D25P FOR h IN hs])" }
+      .mkString(",\n|      ")
+    val bandArms = (0 until 8)
+      .map { b =>
+        s"SELECT doc_id, $b AS band, sig[${2 * b + 1}] AS k1, sig[${2 * b + 2}] AS k2 FROM sets"
+      }
+      .mkString("\n|  UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |ss AS (
+       |  SELECT doc_id,
+       |    [t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+       |     FOR i IN range(1, len(t) - 1)] AS sl
+       |  FROM tok WHERE len(t) >= 3),
+       |sh AS (
+       |  SELECT doc_id, list_distinct([
+       |    list_reduce(
+       |      list_prepend(0::BIGINT,
+       |        [ord(c)::BIGINT FOR c IN string_split_regex(x, '')]),
+       |      (a, h) -> (a * 131 + h) % 1000000007)
+       |    FOR x IN sl]) AS hs FROM ss),
+       |sets AS (
+       |  SELECT doc_id, [$sigList] AS sig FROM sh),
+       |banded AS (
+       |  $bandArms),
+       |bp AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.band
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+       |   AND a.doc_id < b.doc_id),
+       |pp AS (
+       |  SELECT id_a, id_b, count(*) AS n_bands, min(band) AS only_band
+       |  FROM bp GROUP BY 1, 2),
+       |fullc AS (SELECT CAST(count(*) AS BIGINT) AS n_full FROM pp),
+       |held AS (
+       |  SELECT band, CAST(count(*) AS BIGINT) AS n_matching
+       |  FROM bp GROUP BY 1),
+       |uniq AS (
+       |  SELECT only_band AS band, CAST(count(*) AS BIGINT) AS n_unique
+       |  FROM pp WHERE n_bands = 1 GROUP BY 1)
+       |SELECT CAST(g.band AS INT) AS band,
+       |  coalesce(held.n_matching, 0) AS n_matching,
+       |  coalesce(uniq.n_unique, 0) AS n_uniquely_held,
+       |  fullc.n_full,
+       |  coalesce(uniq.n_unique, 0) * 10000 // fullc.n_full AS churn_bp
+       |FROM (SELECT unnest(range(8)) AS band) g
+       |LEFT JOIN held ON held.band = g.band
+       |LEFT JOIN uniq ON uniq.band = g.band
+       |CROSS JOIN fullc
+       |ORDER BY band""".stripMargin
+  }
+
   /** d37's oracle: d25's exact-Jaccard truth pairs + d3's full SimHash
     * replay + the tf-cosine exact side, identical expression trees.
     */
@@ -3253,6 +3379,7 @@ object Dedup {
     "d28_method_agreement" -> d28OracleSql,
     "d27_band_sweep" -> d27OracleSql,
     "d26_blocking_efficiency" -> d26OracleSql,
+    "d38_band_stability" -> d38OracleSql,
     "d37_simhash_error" -> d37OracleSql,
     "d36_bbit_minhash" -> d36OracleSql,
     "d25_minhash_error" -> d25OracleSql,

@@ -4410,6 +4410,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("d38 band stability: census identities over the banded candidate set") {
+    val out = Dedup.d38BandStability(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == (0 until 8))
+    val nFull = out.head._4
+    assert(out.forall(_._4 == nFull), "n_full is one global census")
+    // uniquely-held pairs sum to the pairs with exactly one band;
+    // every unique pair is also a matching pair of its band
+    out.foreach { case (_, matching, unique, _) =>
+      assert(unique <= matching && matching <= nFull)
+    }
+    assert(out.map(_._3).sum <= nFull,
+      "uniquely-held pairs across bands cannot exceed the candidate set")
+    // Σ per-band matches = Σ per-pair band counts ≥ n_full (each pair
+    // matches at least one band, by construction of the candidate set)
+    assert(out.map(_._2).sum >= nFull)
+  }
+
   test("p23 frontier: monotone in tau and equal to a direct filter at one cut") {
     val out = Corpus.p23FilterFrontier(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
