@@ -8818,71 +8818,17 @@ object Relational {
       .orderBy("prio")
   }
 
-  /** q223 — market-basket association rules: top co-occurring part
-    * pairs across order baskets with exact integer confidence and
-    * lift in basis points — the classic affinity report
-    * (recommendation candidates, cross-sell audits) the suite's
-    * similarity family approaches from the vector side (q199/q203)
-    * but never from the transactional side. A basket is an order's
-    * DISTINCT part set; support(a,b) counts baskets containing both;
-    * conf(a→b) = n_ab·10⁴ div n_a; lift = n_ab·N·10⁴ div (n_a·n_b)
-    * — all integer arithmetic over exact counts, truncation shared by
-    * both engines on positive values.
-    *
-    * Plan: pair enumeration is a SELF-EQUI-JOIN on the basket key,
-    * never a cross join — per-basket fan-out is C(k,2) where k is
-    * lines-per-order, SCHEMA-bounded (≤ 7 in TPC-H, ≤ 13 in this
-    * fixture), so pair volume is a constant multiple of lineitem and
-    * shuffles hash-partitioned on the order key. The top-100 cut
-    * (count desc, then the pair key — count ties are the norm at
-    * fixture scale, so the key tiebreak carries determinism) plans as
-    * TakeOrderedAndProject: per-partition heaps, a 100-row driver
-    * merge, never a global sort. Dimension stats join AFTER the cut,
-    * onto 100 rows, with the basket total broadcast as one row. At
-    * 100 TB the same plan holds — the only data-sized exchanges are
-    * the basket-distinct and the pair-count hash aggregates; a
-    * df-cap on pathological hub parts (the q199 doctrine) is the
-    * escape hatch if a catalog had million-order items, not needed
-    * while k is bounded by basket width.
-    */
-  def q223MarketBasket(s: SparkSession, dir: String): DataFrame = {
-    val items = Tables
-      .lineitem(s, dir)
-      .select(
-        col("l_orderkey").cast("long").as("ok"),
-        col("l_partkey").cast("long").as("pk"))
-      .distinct()
-      .localCheckpoint() // three consumers: basket total, df, both pair sides
-    val nBaskets = items.agg(count_distinct(col("ok")).as("n_baskets"))
-    val df = items.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
-    val top = items
-      .select(col("ok"), col("pk").as("pk_a"))
-      .join(items.select(col("ok"), col("pk").as("pk_b")), Seq("ok"))
-      .filter(col("pk_a") < col("pk_b"))
-      .groupBy(col("pk_a"), col("pk_b"))
-      .agg(count(lit(1)).as("n_ab"))
-      .orderBy(col("n_ab").desc, col("pk_a").asc, col("pk_b").asc)
-      .limit(100)
-    top
-      .join(df.select(col("pk").as("pk_a"), col("n_p").as("n_a")), Seq("pk_a"))
-      .join(df.select(col("pk").as("pk_b"), col("n_p").as("n_b")), Seq("pk_b"))
-      .crossJoin(broadcast(nBaskets))
-      .select(
-        col("pk_a"),
-        col("pk_b"),
-        col("n_ab"),
-        col("n_a"),
-        col("n_b"),
-        expr("n_ab * 10000 div n_a").as("conf_bp"),
-        expr("n_ab * n_baskets * 10000 div (n_a * n_b)").as("lift_bp"))
-      .orderBy(col("n_ab").desc, col("pk_a").asc, col("pk_b").asc)
-  }
-
-  /** q224 — PageRank over the nation-level trade graph: edges are
-    * customer-nation → supplier-nation lineitem counts, three power
-    * iterations at damping 0.85 — the canonical graph-centrality
-    * missing from the BFS/k-core/LPA/assortativity family (q111/q126/
-    * q127/q160). Cross-engine exactness by the t33/d29/q216 doctrine:
+  /** q224 — WEIGHTED PageRank on the nation-level QUOTIENT graph:
+    * edges are customer-nation → supplier-nation lineitem counts,
+    * three power iterations at damping 0.85. q90/q97 rank the
+    * data-scaled customer↔supplier node graph (per-round edge
+    * shuffle); q224 is the other production posture — coarsen first
+    * (the 25-nation aggregate absorbs ALL data scale), then iterate
+    * on the schema-bounded weighted quotient where every round is
+    * broadcast-only, zero shuffles. Also the family's first
+    * WEIGHTED rank: q90 treats edges as 0/1 distinct pairs, here
+    * contribution is volume-proportional ((r·w) div W_u).
+    * Cross-engine exactness by the t33/d29/q216 doctrine:
     * ranks live in integer MICRO-probability units (start 10⁶/25 =
     * 40000 per nation) and every iteration is pure integer arithmetic
     * — contrib(u→v) = (r_u·w_uv) div W_u, r'_v = 6000 +
@@ -9261,7 +9207,6 @@ object Relational {
     "q227_diff_in_diff" -> q227DiffInDiff,
     "q225_markov_transitions" -> q225MarkovTransitions,
     "q224_nation_pagerank" -> q224NationPagerank,
-    "q223_market_basket" -> q223MarketBasket,
     "q221_csv_roundtrip" -> q221CsvRoundtrip,
     "q220_schema_evolution" -> q220SchemaEvolution,
     "q219_dynamic_overwrite" -> q219DynamicOverwrite,
@@ -9605,32 +9550,6 @@ object Relational {
         |  n * 10000 // row_total AS p_bp
         |FROM trans JOIN tot USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
-    // identical basket-distinct → pair-count → (count desc, pair key)
-    // top-100 cut, then integer bp confidence/lift over exact counts
-    "q223_market_basket" ->
-      """WITH items AS (
-        |  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS ok,
-        |    CAST(l_partkey AS BIGINT) AS pk
-        |  FROM lineitem),
-        |nb AS (SELECT count(DISTINCT ok) AS n_baskets FROM items),
-        |df AS (SELECT pk, count(*) AS n_p FROM items GROUP BY 1),
-        |top AS (
-        |  SELECT a.pk AS pk_a, b.pk AS pk_b, count(*) AS n_ab
-        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
-        |  GROUP BY 1, 2
-        |  ORDER BY n_ab DESC, pk_a ASC, pk_b ASC
-        |  LIMIT 100)
-        |SELECT pk_a, pk_b, CAST(n_ab AS BIGINT) AS n_ab,
-        |  CAST(da.n_p AS BIGINT) AS n_a,
-        |  CAST(db.n_p AS BIGINT) AS n_b,
-        |  CAST(n_ab * 10000 // da.n_p AS BIGINT) AS conf_bp,
-        |  CAST(n_ab * nb.n_baskets * 10000 // (da.n_p * db.n_p) AS BIGINT)
-        |    AS lift_bp
-        |FROM top
-        |JOIN df da ON da.pk = top.pk_a
-        |JOIN df db ON db.pk = top.pk_b
-        |CROSS JOIN nb
-        |ORDER BY n_ab DESC, pk_a ASC, pk_b ASC""".stripMargin,
     // the identical integer micro-prob recurrence unrolled three
     // times: contrib = (r*w) // wu, r' = 6000 + 85*Σ // 100
     "q224_nation_pagerank" ->

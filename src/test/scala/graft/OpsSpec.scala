@@ -4029,30 +4029,6 @@ class OpsSpec extends SparkSpec {
       "timer-driven outcomes must equal the batch set logic")
   }
 
-  test("q223 market basket: full imperative replay of pairs, cut, and bp stats") {
-    val items = Tables.lineitem(spark, Sf)
-      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
-      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
-    val baskets = items.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
-    val nB = baskets.size.toLong
-    val df = items.groupBy(_._2).view.mapValues(_.length.toLong).toMap
-    val pairs = scala.collection.mutable.Map.empty[(Long, Long), Long]
-    baskets.valuesIterator.foreach { ps =>
-      for (i <- ps.indices; j <- (i + 1) until ps.length)
-        pairs((ps(i), ps(j))) = pairs.getOrElse((ps(i), ps(j)), 0L) + 1L
-    }
-    val top = pairs.toSeq
-      .sortBy { case ((a, b), n) => (-n, a, b) }.take(100)
-    val expected = top.map { case ((a, b), n) =>
-      val (na, nb2) = (df(a), df(b))
-      (a, b, n, na, nb2, n * 10000 / na, n * nB * 10000 / (na * nb2))
-    }
-    val got = Relational.q223MarketBasket(spark, Sf).collect().map(r =>
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-        r.getLong(5), r.getLong(6)))
-    assert(got.sameElements(expected), "pair mining replay must match")
-  }
-
   test("q224 pagerank: imperative integer recurrence replay, mass bounds hold") {
     val edges = Tables.lineitem(spark, Sf)
       .select(col("l_orderkey"), col("l_suppkey"))
