@@ -2043,7 +2043,57 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** t42 — vocabulary COVERAGE curve: what share of all corpus token
+    * OCCURRENCES the top-k types capture, k ∈ {10, 100, 1000} — the
+    * operating curve that sizes a tokenizer vocabulary (the
+    * out-of-vocabulary rate at cut k is its complement), reading
+    * t15's frequency spectrum and t23's Heaps exponent as ONE
+    * decision table: pick the k where coverage saturates. Exact
+    * integers: occurrence counts, rank by (count desc, word) with
+    * the word tie-break, conditional sums, shares in bp.
+    *
+    * Plan: ONE data-sized exchange (the token-count hash aggregate,
+    * map-side combined); the rank window's input is that aggregate —
+    * vocabulary-sized, the standing gate's bounded class — and the
+    * three cuts are conditional sums over it, never re-scans. At
+    * 100 TB the vocabulary aggregate is the same one every LM op
+    * here pays; everything after it is vocab-sized.
+    */
+  def t42VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables
+      .documents(s, dir)
+      .select(explode(toks).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+    val ranked = counts.withColumn(
+      "r",
+      row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("w").asc)))
+    val tot = counts.agg(
+      sum(col("c")).as("total_tokens"),
+      count(lit(1)).as("vocab_size"))
+    s.range(0, 3)
+      .select(pow(lit(10.0), col("id") + 1).cast("long").as("k"))
+      .join(broadcast(ranked), col("r") <= col("k"), "left")
+      .groupBy(col("k"))
+      .agg(
+        count(col("w")).as("types_used"),
+        coalesce(sum(col("c")), lit(0L)).as("covered_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("k"),
+        col("types_used"),
+        col("covered_tokens"),
+        col("total_tokens"),
+        col("vocab_size"),
+        expr("covered_tokens * 10000 div total_tokens").as("coverage_bp"),
+        expr("10000 - covered_tokens * 10000 div total_tokens").as("oov_bp"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t42_vocab_coverage" -> t42VocabCoverage,
     "t41_gopher_rules" -> t41GopherRules,
     "t40_kneser_ney" -> t40KneserNey,
     "t39_topic_segments" -> t39TopicSegments,
@@ -2146,6 +2196,33 @@ object TextAnalysis {
         |LIMIT 15""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the same (count desc, word) rank, three cuts, integer bp shares
+    "t42_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |counts AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |           FROM tok GROUP BY 1),
+        |ranked AS (
+        |  SELECT w, c,
+        |    row_number() OVER (ORDER BY c DESC, w ASC) AS r
+        |  FROM counts),
+        |tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS total_tokens,
+        |    CAST(count(*) AS BIGINT) AS vocab_size
+        |  FROM counts),
+        |ks AS (SELECT CAST(power(10, i + 1) AS BIGINT) AS k
+        |       FROM range(0, 3) t(i)),
+        |cov AS (
+        |  SELECT k,
+        |    CAST(count(ranked.w) AS BIGINT) AS types_used,
+        |    CAST(coalesce(sum(ranked.c), 0) AS BIGINT) AS covered_tokens
+        |  FROM ks LEFT JOIN ranked ON ranked.r <= ks.k
+        |  GROUP BY 1)
+        |SELECT k, types_used, covered_tokens, tot.total_tokens,
+        |  tot.vocab_size,
+        |  covered_tokens * 10000 // tot.total_tokens AS coverage_bp,
+        |  10000 - covered_tokens * 10000 // tot.total_tokens AS oov_bp
+        |FROM cov, tot ORDER BY k""".stripMargin,
     // the same four cross-multiplied integer rules and per-lang rollup
     "t41_gopher_rules" ->
       """WITH tok AS (

@@ -4404,6 +4404,26 @@ class OpsSpec extends SparkSpec {
     assert(out.map(_._2).sum >= nFull)
   }
 
+  test("t42 coverage: monotone in k, saturates at full vocab, replay at k=10") {
+    val rows = graft.ops.TextAnalysis.t42VocabCoverage(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(10L, 100L, 1000L))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2 && a._3 <= b._3, "coverage must grow with k")
+    }
+    val toks = Tables.documents(spark, Sf)
+      .select(col("text")).collect().flatMap(_.getString(0).split(" ", -1))
+    val counts = toks.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (w, c) => (-c, w) }
+    val top10 = counts.take(10).map(_._2).sum
+    val k10 = rows.find(_._1 == 10L).get
+    assert(k10._3 == top10 && k10._2 == math.min(10, counts.length).toLong)
+    rows.foreach { r =>
+      assert(r._4 == toks.length.toLong && r._5 == counts.length.toLong)
+      if (r._1 >= r._5) assert(r._3 == r._4, "k ≥ vocab must cover everything")
+    }
+  }
+
   test("p23 frontier: monotone in tau and equal to a direct filter at one cut") {
     val out = Corpus.p23FilterFrontier(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
