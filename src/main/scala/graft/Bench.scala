@@ -47,30 +47,39 @@ object Bench {
           -1.0
       }
     }
-    // Pass 1 (untimed): JVM JIT + whole-stage-codegen compilation +
-    // shuffle-service warmup. Then SPARK_GRAFT_PASSES (default 3) warm
-    // passes; the reported per-query number is the MEDIAN so a single
-    // GC pause or JIT deopt can't masquerade as a plan regression —
-    // single-pass numbers swing ±25% run-to-run, which round 2's q12
-    // "regression" turned out to be. `queries_min` carries the
-    // best-case floor for reference.
+    def envInt(key: String, default: Int): Int =
+      sys.env.get(key).flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(default)
+    // ---- Budget-aware schedule ------------------------------------------
+    // Round 10 shipped with NO driver bench numbers: 388 queries ×
+    // (cold + 5 warm + an 89-query floor sweep) overran the driver's
+    // time budget and the run was killed at rc=124. The schedule is now
+    // sized from its OWN cold-pass measurements against an explicit
+    // wall-clock budget instead of assuming the fixed round-3 shape:
+    //   * cold pass (always, measures every query once),
+    //   * warm passes = clamp((budget − spent − floor reserve) / pass
+    //     cost, 1, 5) — SPARK_GRAFT_PASSES still caps it for A/B runs,
+    //   * a between-pass deadline check stops the sweep early if the
+    //     box is slower than the cold pass predicted,
+    //   * floor set is rank-K ONLY (the "∪ every query ≥ 2 s" rule had
+    //     grown to 89 queries), skipped per-query once the budget is
+    //     spent.
+    // The budget covers THIS main()'s wall only; sbt/JVM startup is the
+    // caller's overhead, so the default leaves ~10% headroom under the
+    // round-9 measured 2,770 s sbt envelope.
+    val budgetS = envInt("SPARK_GRAFT_BUDGET_S", 2500).max(60)
+    val benchT0 = System.nanoTime()
+    def spentS: Double = (System.nanoTime() - benchT0) / 1e9
+    // Run-to-completion streaming gates are deterministic micro-batch
+    // JOBS (feed write → checkpointed query → sink), not plans being
+    // JIT-warmed: pass-to-pass variance is dominated by file-system and
+    // RocksDB setup that re-runs identically every time, and at
+    // 75.9 s/pass they were a third of round 10's sweep. Measure them
+    // ONCE in the cold pass and reuse that number as their median;
+    // SPARK_GRAFT_STREAM_REWARM=1 restores the old behavior for A/B.
+    val streamNames: Set[String] = graft.streaming.Streams.queries.keySet
+    val rewarmStreams = sys.env.get("SPARK_GRAFT_STREAM_REWARM").contains("1")
     // Optional comma-separated filter for fast single-query iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // Non-numeric/absurd values fall back to the default instead of
-    // aborting the whole bench with a NumberFormatException (the same
-    // hardening the SPARK_GRAFT_CONF parser above has).
-    // Default 5 passes since round 5: the round-4 record showed a broad
-    // ~30% median inflation on queries no commit touched (m4_resize
-    // 0.53→0.97 s) that a same-code re-run could not reproduce (1.02×
-    // round-3 on the 46 recoverable shared queries) — ambient load
-    // during the driver session, not plan regressions. More passes +
-    // the recorded load average below make that attribution readable
-    // straight from the bench artifact next time.
-    val passes = sys.env
-      .get("SPARK_GRAFT_PASSES")
-      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
-      .getOrElse(5)
-      .max(1)
     // 1-minute system load average, sampled before and after the run:
     // distinguishes "the plans regressed" from "the box was busy" when
     // comparing rounds (load ≈ cpus when this bench is the only tenant).
@@ -79,9 +88,32 @@ object Bench {
       catch { case _: Exception => -1.0 }
     val loadStart = loadAvg()
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // Pass 1: cold — JVM JIT + whole-stage-codegen compilation + shuffle
+    // warmup, and the sole measurement for streaming gates.
     val cold = selected.map { case (n, f) => n -> run(n, f) }
-    val warm: Seq[Map[String, Double]] =
-      (1 to passes).map(_ => selected.map { case (n, f) => n -> run(n, f) }.toMap)
+    val warmSelected = if (rewarmStreams) selected else selected.filter { case (n, _) => !streamNames(n) }
+    val passCost = warmSelected.keys.map(cold(_)).filter(_ >= 0).sum
+    val floorK = envInt("SPARK_GRAFT_FLOOR_K", 10).max(0)
+    // Reserve for the floor pass before committing to warm passes: two
+    // quiesced runs of the top-K, estimated from cold times.
+    val floorReserve =
+      if (floorK == 0) 0.0
+      else 2.2 * cold.values.filter(_ >= 0).toSeq.sorted.takeRight(floorK).sum
+    val passCap = envInt("SPARK_GRAFT_PASSES", 5).max(1)
+    val passesPlanned =
+      if (passCost <= 0) 1
+      else math.max(1, math.min(passCap, ((budgetS - spentS - floorReserve) / passCost).toInt))
+    // Warm passes: the reported per-query number is the MEDIAN of these
+    // so a single GC pause or JIT deopt can't masquerade as a plan
+    // regression — single-pass numbers swing ±25% run-to-run, which
+    // round 2's q12 "regression" turned out to be.
+    val warm = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    var p = 0
+    while (p < passesPlanned && (p == 0 || spentS + passCost + floorReserve <= budgetS)) {
+      warm += warmSelected.map { case (n, f) => n -> run(n, f) }.toMap
+      p += 1
+    }
+    val passesRun = warm.size
     def medianOf(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0).sorted
       if (ok.isEmpty) -1.0
@@ -89,46 +121,45 @@ object Bench {
       else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0 // true median, not upper-middle
     }
     val names = selected.keys.toSeq
-    val med = names.map(n => n -> medianOf(warm.map(_(n)))).toMap
+    def samples(n: String): Seq[Double] =
+      if (warmSelected.contains(n)) warm.toSeq.map(_(n)) else Seq(cold(n))
+    val med = names.map(n => n -> medianOf(samples(n))).toMap
     val mn = names.map(n => n -> {
-      val ok = warm.map(_(n)).filter(_ >= 0)
+      val ok = samples(n).filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min
     }).toMap
     // Solo floor pass: the warm medians are taken mid-sweep, under the
-    // heap/GC residue of 140+ other queries — round 5's audit measured
+    // heap/GC residue of 380+ other queries — round 5's audit measured
     // q90 at 3.19 s in-sweep vs 2.28 s solo, and attributing that gap
     // cost a manual re-run. Approximate the solo number in-run: for the
     // K most expensive queries (the ones a plan audit reads), take the
     // best of two extra runs behind an aggressive quiesce (double GC +
-    // settle). K stays small so the contract line stays within the
-    // driver's stdout-tail capture budget; the full floor map would
-    // re-create round 3's truncation.
-    // Coverage: the top-K by median, UNIONED with every query whose
-    // median is ≥ 2 s — the round-7 audit had to do manual forensics on
-    // t17 (the slowest query) because rank-based top-10 happened to
-    // capture it in one round and not the next; the absolute threshold
-    // makes "every query a plan audit reads has a floor" a stable
-    // contract. FLOOR_K=0 still disables the pass entirely.
-    val floorK = sys.env
-      .get("SPARK_GRAFT_FLOOR_K")
-      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
-      .getOrElse(10)
-      .max(0)
-    val ranked = names.filter(med(_) >= 0).sortBy(-med(_))
-    val floorNames =
-      if (floorK == 0) Seq.empty
-      else (ranked.take(floorK) ++ ranked.filter(med(_) >= 2.0)).distinct
-    val floor = floorNames.map { n =>
-      val runs = (1 to 2).map { _ =>
-        System.gc(); System.gc()
-        Thread.sleep(200)
-        run(n, selected(n))
-      }.filter(_ >= 0)
-      n -> (if (runs.isEmpty) -1.0 else runs.min)
+    // settle). Rank-K only — bounded coverage is what keeps this pass
+    // inside the budget now that 89 queries sit above the old 2 s
+    // threshold. FLOOR_K=0 disables the pass entirely.
+    // Streaming gates are deterministic jobs (see above): under
+    // measure-once they are excluded here too — a quiesced re-run would
+    // just repeat the same feed-write + checkpoint work, not reveal a
+    // cleaner plan number.
+    val ranked = names
+      .filter(n => med(n) >= 0 && (rewarmStreams || !streamNames(n)))
+      .sortBy(-med(_))
+    val floorNames = ranked.take(floorK)
+    var floorSkipped = List.empty[String]
+    val floor = floorNames.flatMap { n =>
+      if (spentS + 2.2 * med(n) > budgetS) { floorSkipped ::= n; None }
+      else {
+        val runs = (1 to 2).map { _ =>
+          System.gc(); System.gc()
+          Thread.sleep(200)
+          run(n, selected(n))
+        }.filter(_ >= 0)
+        Some(n -> (if (runs.isEmpty) -1.0 else runs.min))
+      }
     }.toMap
     def jmapOf(ks: Seq[String], m: Map[String, Double]): String =
       ks.map(k => s"\"" + k + "\":" + m(k)).mkString("{", ",", "}")
-    val floorJson = jmapOf(floorNames, floor)
+    val floorJson = jmapOf(floorNames.filter(floor.contains), floor)
     def jmap(m: Map[String, Double]): String =
       names.map(k => s"\"" + k + "\":" + m(k)).mkString("{", ",", "}")
     val total = med.values.filter(_ >= 0).sum
@@ -142,10 +173,12 @@ object Bench {
     // the driver's capture window.
     val loadEnd = loadAvg()
     val loadJson = s""""load_1m_start":$loadStart,"load_1m_end":$loadEnd"""
+    val schedJson =
+      s""""budget_s":$budgetS,"spent_s":${math.round(spentS)},"passes":$passesRun,"passes_planned":$passesPlanned,"stream_measure_once":${!rewarmStreams},"floor_skipped":${floorSkipped.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"passes":$passes,$loadJson,"failed":$failedJson,"queries_floor_topk":$floorJson,"queries":${jmap(med)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,$schedJson,$loadJson,"failed":$failedJson,"queries_floor_topk":$floorJson,"queries":${jmap(med)},"sf":"$sfDir"}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"passes":$passes,$loadJson,"storage_bytes_peak_residual":$storagePeakResidual,"failed":$failedJson,"queries":${jmap(med)},"queries_min":${jmap(mn)},"queries_cold":${jmap(cold.toMap)},"queries_floor_topk":$floorJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,$schedJson,$loadJson,"storage_bytes_peak_residual":$storagePeakResidual,"failed":$failedJson,"queries":${jmap(med)},"queries_min":${jmap(mn)},"queries_cold":${jmap(cold.toMap)},"queries_floor_topk":$floorJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -2366,8 +2366,11 @@ object Dedup {
     * a 16× signature compression (16 bits vs 16 longs) — and price the
     * accuracy it costs against the full-width estimate on the same
     * true-pair set. For b = 1 a non-matching coordinate still matches
-    * its bit with probability ~1/2, so the unbiased estimator is
-    * Ĵ₁ = max(2·ĉ − 1, 0) with ĉ the bit-match fraction; variance is
+    * its bit with probability ~1/2, so the standard approximate
+    * estimator is Ĵ₁ = max(2·ĉ − 1, 0) with ĉ the bit-match fraction —
+    * the r₁ = r₂ → 0 limit of the paper's unbiased form (ĉ − C)/(1 − C)
+    * (C depends on the set-size ratios; the clamp itself adds bias near
+    * J = 0, so Ĵ₁ is unbiased only in that sparse limit); variance is
     * ~4× the full-width estimator's at high J (the paper's trade),
     * which is exactly what the audit shows next to d25's |Ĵ−J|.
     * Completes the compression column — s23 (PQ, recall 0.17), s26
@@ -2571,7 +2574,7 @@ object Dedup {
         coalesce(col("n_matching"), lit(0L)).as("n_matching"),
         coalesce(col("n_unique"), lit(0L)).as("n_uniquely_held"),
         col("n_full"),
-        expr("coalesce(n_unique, CAST(0 AS BIGINT)) * 10000 div n_full")
+        expr("coalesce(n_unique, CAST(0 AS BIGINT)) * 10000 div greatest(n_full, CAST(1 AS BIGINT))")
           .as("churn_bp"))
       .orderBy("band")
   }
@@ -3022,7 +3025,7 @@ object Dedup {
        |  coalesce(held.n_matching, 0) AS n_matching,
        |  coalesce(uniq.n_unique, 0) AS n_uniquely_held,
        |  fullc.n_full,
-       |  coalesce(uniq.n_unique, 0) * 10000 // fullc.n_full AS churn_bp
+       |  coalesce(uniq.n_unique, 0) * 10000 // greatest(fullc.n_full, 1) AS churn_bp
        |FROM (SELECT unnest(range(8)) AS band) g
        |LEFT JOIN held ON held.band = g.band
        |LEFT JOIN uniq ON uniq.band = g.band

@@ -195,7 +195,10 @@ object Similarity {
     val centroids = all
       .filter(pmod(col("vec_id"), lit(125)) === 0)
       .withColumn("cell", (col("vec_id") / 125).cast("int"))
-      .filter(col("cell") < k)
+      // the vec_id conjunct restates cell < k on the RAW key so the
+      // standing broadcast-hint gate can SEE the K-bound (cell is
+      // derived; the gate only trusts literal ranges on id columns)
+      .filter(col("cell") < k && col("vec_id") < 125L * k)
       .select(col("cell"), col("v").as("cv"), col("norm").as("cnorm"))
 
     // assign each vector to its nearest centroid cell (argmax cosine)
@@ -1047,7 +1050,10 @@ object Similarity {
     val centroids = all
       .filter(pmod(col("vec_id"), lit(125)) === 0)
       .withColumn("cell", (col("vec_id") / 125).cast("int"))
-      .filter(col("cell") < k)
+      // the vec_id conjunct restates cell < k on the RAW key so the
+      // standing broadcast-hint gate can SEE the K-bound (cell is
+      // derived; the gate only trusts literal ranges on id columns)
+      .filter(col("cell") < k && col("vec_id") < 125L * k)
       .select(col("cell"), col("v").as("cv"), col("norm").as("cnorm"))
     val byVec = Window
       .partitionBy(col("vec_id"))
@@ -1175,7 +1181,10 @@ object Similarity {
     val centroids = all
       .filter(pmod(col("vec_id"), lit(125)) === 0)
       .withColumn("cell", (col("vec_id") / 125).cast("int"))
-      .filter(col("cell") < k)
+      // the vec_id conjunct restates cell < k on the RAW key so the
+      // standing broadcast-hint gate can SEE the K-bound (cell is
+      // derived; the gate only trusts literal ranges on id columns)
+      .filter(col("cell") < k && col("vec_id") < 125L * k)
       .select(col("cell"), col("v").as("cv"), col("norm").as("cnorm"))
     val byVec = Window
       .partitionBy(col("vec_id"))
@@ -1982,7 +1991,10 @@ object Similarity {
     val centroids = all
       .filter(pmod(col("vec_id"), lit(125)) === 0)
       .withColumn("cell", (col("vec_id") / 125).cast("int"))
-      .filter(col("cell") < k)
+      // the vec_id conjunct restates cell < k on the RAW key so the
+      // standing broadcast-hint gate can SEE the K-bound (cell is
+      // derived; the gate only trusts literal ranges on id columns)
+      .filter(col("cell") < k && col("vec_id") < 125L * k)
       .select(col("cell"), col("v").as("cv"), col("norm").as("cnorm"))
     val byVec = Window
       .partitionBy(col("vec_id"))
