@@ -4639,10 +4639,17 @@ object Relational {
     * (metric, then user_id — no float boundary, no tie ambiguity),
     * then rolled up per R·100+F·10+M segment — the
     * customer-segmentation primitive behind "champions vs at-risk"
-    * dashboards. Plan: one user-sized aggregate, three ntile windows
-    * over the SAME user-count-sized relation (single partition-less
-    * sorts of id+three-int rows), a ≤125-group rollup. At 100 TB the
-    * user table is the only sorted set — never the fact table.
+    * dashboards. Plan: one user-sized aggregate, then three CHAINED
+    * [[ExactNtile]] passes (round 11 — the q201 shape replacing the
+    * previous three unpartitioned ntile(5) windows, which each moved
+    * the whole user-cardinality aggregate through ONE task): each
+    * pass shuffles only a domain-bounded metric histogram, runs the
+    * two-phase prefix sum over block totals, and assigns quintiles
+    * scan-side against 4 broadcast boundary keys. Block widths match
+    * each metric's range (recency is a ≤ calendar-span day count,
+    * frequency a per-user event count, money div 131072 cents).
+    * Finishes with a ≤125-group rollup. At 100 TB nothing is globally
+    * sorted — not even the user table.
     */
   def q135RfmSegments(s: SparkSession, dir: String): DataFrame = {
     val maxDay = Tables
@@ -4661,16 +4668,14 @@ object Relational {
         sum(col("cents")).as("money"))
       .crossJoin(broadcast(maxDay))
       .withColumn("recency_days", datediff(col("max_day"), col("last_day")).cast("long"))
-    val scored = u
-      .withColumn(
-        "r",
-        ntile(5).over(Window.orderBy(col("recency_days").asc, col("user_id").asc)))
-      .withColumn(
-        "f",
-        ntile(5).over(Window.orderBy(col("freq").desc, col("user_id").asc)))
-      .withColumn(
-        "m",
-        ntile(5).over(Window.orderBy(col("money").desc, col("user_id").asc)))
+    val dayBlk = (m: org.apache.spark.sql.Column) => floor(m / lit(64.0)).cast("long")
+    val cntBlk = (m: org.apache.spark.sql.Column) => floor(m / lit(1024.0)).cast("long")
+    val centsBlk = (m: org.apache.spark.sql.Column) => floor(m / lit(131072.0)).cast("long")
+    val scored = ExactNtile.withBucket(
+      ExactNtile.withBucket(
+        ExactNtile.withBucket(u, 5, "recency_days", "user_id", dayBlk, "r"),
+        5, "freq", "user_id", cntBlk, "f", metricDesc = true),
+      5, "money", "user_id", centsBlk, "m", metricDesc = true)
     scored
       .groupBy((col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
       .agg(
@@ -9000,9 +9005,12 @@ object Relational {
     */
   def q228BucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-q228").toFile
-    tmp.deleteOnExit()
-    s.sql("DROP TABLE IF EXISTS graft_q228_cust")
-    s.sql("DROP TABLE IF EXISTS graft_q228_ord")
+    // per-invocation unique table names (ADVICE closure): fixed names
+    // with DROP-then-create let two concurrent sessions sharing a
+    // metastore corrupt each other's run
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val custT = s"graft_q228_cust_$tag"
+    val ordT = s"graft_q228_ord_$tag"
     Tables
       .customer(s, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
@@ -9010,7 +9018,7 @@ object Relational {
       .bucketBy(8, "c_custkey")
       .sortBy("c_custkey")
       .option("path", new java.io.File(tmp, "cust").getAbsolutePath)
-      .saveAsTable("graft_q228_cust")
+      .saveAsTable(custT)
     Tables
       .orders(s, dir)
       .select(
@@ -9021,13 +9029,13 @@ object Relational {
       .bucketBy(8, "o_custkey")
       .sortBy("o_custkey")
       .option("path", new java.io.File(tmp, "ord").getAbsolutePath)
-      .saveAsTable("graft_q228_ord")
+      .saveAsTable(ordT)
     val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val joined = s
-        .table("graft_q228_cust")
-        .join(s.table("graft_q228_ord"), col("c_custkey") === col("o_custkey"))
+        .table(custT)
+        .join(s.table(ordT), col("c_custkey") === col("o_custkey"))
         .groupBy(col("c_mktsegment").as("segment"), col("o_orderpriority").as("prio"))
         .agg(
           count(lit(1)).as("n_orders"),
@@ -9040,8 +9048,18 @@ object Relational {
         joined.schema)
     } finally {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      s.sql("DROP TABLE IF EXISTS graft_q228_cust")
-      s.sql("DROP TABLE IF EXISTS graft_q228_ord")
+      s.sql(s"DROP TABLE IF EXISTS $custT")
+      s.sql(s"DROP TABLE IF EXISTS $ordT")
+      // recursive delete NOW (ADVICE closure): deleteOnExit is a no-op
+      // on non-empty directories, so every verify/bench pass would
+      // otherwise accumulate the bucketed parquet trees under /tmp.
+      // The rollup above is already collected, so nothing reads tmp
+      // after this point.
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(tmp)
     }
   }
 
@@ -9195,11 +9213,163 @@ object Relational {
         col("bucket"),
         col("n_orders"),
         col("cents_total"),
-        expr("cents_total * 10000 div t").as("share_bp"))
+        expr("cents_total * 10000 div greatest(t, CAST(1 AS BIGINT))").as("share_bp"))
       .orderBy("bucket")
   }
 
+  /** q233 — Benford first-digit audit of order totals: the leading
+    * significant digit's observed distribution against Benford's law,
+    * with the per-digit chi-square contribution — the classic
+    * fabricated-amounts screen an auditor runs before trusting a
+    * ledger. Cross-engine float discipline: the Benford expectation is
+    * FROZEN to integer basis points first (floor(log10(1+1/d)·10⁴+0.5)
+    * — no value sits near a rounding boundary, so both engines' log10
+    * agree after rounding), and every chi-square term is then derived
+    * from that integer with identical formula text, so the only
+    * doubles are exactly-rounded IEEE products/quotients of integers.
+    * Plan: scan-side digit extraction (substring of the cents string),
+    * a ≤9-group aggregate, one broadcast 1-row total — nothing
+    * data-sized after the map-side combine; at 100 TB the shuffle
+    * carries 9 rows per partition.
+    */
+  def q233BenfordDigits(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .orders(s, dir)
+      .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_orders"))
+    val tot = d.agg(sum(col("n_orders")).as("n"))
+    d.crossJoin(broadcast(tot))
+      .withColumn(
+        "benford_bp",
+        expr("CAST(floor(log10(1.0 + 1.0 / digit) * 10000 + 0.5) AS BIGINT)"))
+      .select(
+        col("digit"),
+        col("n_orders"),
+        expr("n_orders * 10000 div greatest(n, CAST(1 AS BIGINT))").as("share_bp"),
+        col("benford_bp"),
+        expr("""round((n_orders - n * benford_bp / CAST(10000 AS DOUBLE))
+                * (n_orders - n * benford_bp / CAST(10000 AS DOUBLE))
+                / (n * benford_bp / CAST(10000 AS DOUBLE)), 4)""").as("chi2_contrib"))
+      .orderBy("digit")
+  }
+
+  /** q234 — Kaplan–Meier survival curve over user lifetimes: duration
+    * = days between a user's first and last event; users whose last
+    * activity sits ≥ 4 days before the corpus horizon count as churned
+    * (deaths), the rest are right-censored — the product-limit
+    * estimator behind every retention curve. S(t) = Π_{t'≤t}
+    * (n_risk−n_deaths)/n_risk over ascending distinct durations, with
+    * censored users leaving the risk set without contributing a death
+    * factor (the estimator's defining property vs naive survival).
+    *
+    * Cross-engine float discipline (the q196 doctrine): both engines
+    * fold the SAME factor sequence in the same ascending-duration
+    * order — Spark as a codegen'd `aggregate` HOF over the packed
+    * histogram, DuckDB as a recursive CTE — and every step is an
+    * exactly-rounded IEEE divide/multiply of integer-valued state, so
+    * the doubles agree bit-for-bit before round(4).
+    *
+    * Plan: one user-sized aggregate (the only data-sized exchange),
+    * then a DURATION histogram (calendar-bounded domain) carries
+    * everything: the at-risk suffix sum rides a window over the
+    * histogram (bounded input — the standing gate's domain-bounded
+    * Aggregate class), and the fold runs over one collected
+    * calendar-sized array. At 100 TB nothing after the per-user
+    * aggregate scales with data.
+    */
+  def q234KaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables
+      .events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val mx = days.agg(max(col("day")).as("md"))
+    val life = days
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("fd"), max(col("day")).as("ld"))
+      .crossJoin(broadcast(mx))
+      .select(
+        datediff(col("ld"), col("fd")).cast("long").as("duration_days"),
+        when(col("ld") <= date_sub(col("md"), 4), 1L).otherwise(0L).as("dead"))
+    val hist = life
+      .groupBy(col("duration_days"))
+      .agg(count(lit(1)).as("n_all"), sum(col("dead")).as("n_deaths"))
+    val risk = hist.withColumn(
+      "n_risk",
+      sum(col("n_all")).over(Window.orderBy(col("duration_days").desc)))
+    risk
+      .agg(sort_array(
+        collect_list(struct(
+          col("duration_days"), col("n_all"), col("n_deaths"), col("n_risk"))))
+        .as("a"))
+      .select(posexplode(col("a")).as(Seq("i0", "r")), col("a"))
+      .select(
+        col("r.duration_days").as("duration_days"),
+        col("r.n_all").as("n_all"),
+        col("r.n_deaths").as("n_deaths"),
+        col("r.n_risk").as("n_risk"),
+        expr("""round(aggregate(slice(a, 1, i0 + 1), CAST(1.0 AS DOUBLE),
+                (acc, x) -> acc * (CAST(x.n_risk - x.n_deaths AS DOUBLE)
+                                   / CAST(x.n_risk AS DOUBLE))), 4)""")
+          .as("survival"))
+      .orderBy("duration_days")
+  }
+
+  /** q235 — CUSUM changepoint monitor on the daily revenue series:
+    * one-sided cumulative sums S⁺_t = max(0, S⁺_{t−1} + dev_t − slack)
+    * and S⁻_t (deviations below target) against the series' own mean,
+    * alarm when either sum crosses m/2 — the sequential
+    * drift-detection primitive (Page 1954) that a pipeline health
+    * monitor runs on ingest volumes. Distinct from q196's smoothing
+    * backtest: this is the reset-at-zero ALARM recurrence, not a
+    * forecaster. All-integer state (cents, integer mean via div,
+    * slack = m div 20, threshold = m div 2): the fold is exact on
+    * both engines by construction — Spark as an `aggregate` HOF per
+    * output row over the packed day series, DuckDB as a recursive CTE
+    * stepping the same max(0, ·) recurrence in the same day order.
+    * Plan: one (day) aggregate — calendar-bounded — then array-sized
+    * work; the per-row prefix folds are O(days²) on a ≤ calendar-span
+    * array, constant at any data scale.
+    */
+  def q235CusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .events(s, dir)
+      .select(
+        to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("day"))
+      .agg(sum(col("cents")).as("c"))
+    d.agg(sort_array(collect_list(struct(col("day"), col("c")))).as("a"))
+      .withColumn(
+        "m",
+        expr("aggregate(a, CAST(0 AS BIGINT), (acc, x) -> acc + x.c) div size(a)"))
+      .select(posexplode(col("a")).as(Seq("i0", "r")), col("a"), col("m"))
+      .select(
+        col("r.day").as("day"),
+        col("r.c").as("cents"),
+        (col("r.c") - col("m")).as("dev"),
+        expr("""aggregate(slice(a, 1, i0 + 1), CAST(0 AS BIGINT),
+                (acc, x) -> greatest(CAST(0 AS BIGINT), acc + (x.c - m) - m div 20))""")
+          .as("cusum_pos"),
+        expr("""aggregate(slice(a, 1, i0 + 1), CAST(0 AS BIGINT),
+                (acc, x) -> greatest(CAST(0 AS BIGINT), acc + (m - x.c) - m div 20))""")
+          .as("cusum_neg"),
+        col("m"))
+      .select(
+        col("day"),
+        col("cents"),
+        col("dev"),
+        col("cusum_pos"),
+        col("cusum_neg"),
+        (col("cusum_pos") > expr("m div 2")).cast("int").as("alarm_pos"),
+        (col("cusum_neg") > expr("m div 2")).cast("int").as("alarm_neg"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_cusum_changepoint" -> q235CusumChangepoint,
+    "q234_kaplan_meier" -> q234KaplanMeier,
+    "q233_benford_digits" -> q233BenfordDigits,
     "q232_ar_aging" -> q232ArAging,
     "q231_not_in_nulls" -> q231NotInNulls,
     "q230_snapshot_diff" -> q230SnapshotDiff,
@@ -9419,6 +9589,85 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical digit extraction, frozen integer Benford bp, and the
+    // same chi-square formula text over those integers
+    "q233_benford_digits" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |d AS (
+        |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n FROM d),
+        |b AS (
+        |  SELECT digit, n_orders, n,
+        |    CAST(floor(log10(1.0 + 1.0 / digit) * 10000 + 0.5) AS BIGINT)
+        |      AS benford_bp
+        |  FROM d, t)
+        |SELECT digit, n_orders,
+        |  n_orders * 10000 // greatest(n, 1) AS share_bp,
+        |  benford_bp,
+        |  round((n_orders - n * benford_bp / CAST(10000 AS DOUBLE))
+        |        * (n_orders - n * benford_bp / CAST(10000 AS DOUBLE))
+        |        / (n * benford_bp / CAST(10000 AS DOUBLE)), 4) AS chi2_contrib
+        |FROM b ORDER BY digit""".stripMargin,
+    // the same duration histogram, desc-suffix risk set, and the same
+    // ascending product-limit fold replayed as a recursive CTE
+    "q234_kaplan_meier" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS fd, max(CAST(ts AS DATE)) AS ld
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(CAST(ts AS DATE)) AS md FROM events),
+        |lif AS (
+        |  SELECT CAST(date_diff('day', fd, ld) AS BIGINT) AS dur,
+        |    CASE WHEN ld <= md - INTERVAL 4 DAY THEN 1 ELSE 0 END AS dead
+        |  FROM u, mx),
+        |h AS (
+        |  SELECT dur, CAST(count(*) AS BIGINT) AS n_all,
+        |    CAST(sum(dead) AS BIGINT) AS n_deaths
+        |  FROM lif GROUP BY 1),
+        |r AS (
+        |  SELECT dur, n_all, n_deaths,
+        |    CAST(sum(n_all) OVER (ORDER BY dur DESC) AS BIGINT) AS n_risk,
+        |    row_number() OVER (ORDER BY dur ASC) AS rn
+        |  FROM h),
+        |km AS (
+        |  SELECT rn, dur, n_all, n_deaths, n_risk,
+        |    1.0 * (CAST(n_risk - n_deaths AS DOUBLE) / CAST(n_risk AS DOUBLE)) AS s
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.rn, r.dur, r.n_all, r.n_deaths, r.n_risk,
+        |    km.s * (CAST(r.n_risk - r.n_deaths AS DOUBLE)
+        |            / CAST(r.n_risk AS DOUBLE))
+        |  FROM km JOIN r ON r.rn = km.rn + 1)
+        |SELECT dur AS duration_days, n_all, n_deaths, n_risk,
+        |  round(s, 4) AS survival
+        |FROM km ORDER BY duration_days""".stripMargin,
+    // the same integer mean/slack/threshold and the same max(0, .)
+    // recurrence stepped in day order by a recursive CTE
+    "q235_cusum_changepoint" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT day, c, row_number() OVER (ORDER BY day) AS rn FROM d),
+        |st AS (
+        |  SELECT CAST(sum(c) AS BIGINT) // CAST(count(*) AS BIGINT) AS m FROM d),
+        |k AS (
+        |  SELECT rn, day, c,
+        |    greatest(CAST(0 AS BIGINT), (c - m) - m // 20) AS sp,
+        |    greatest(CAST(0 AS BIGINT), (m - c) - m // 20) AS sn
+        |  FROM p, st WHERE rn = 1
+        |  UNION ALL
+        |  SELECT p.rn, p.day, p.c,
+        |    greatest(CAST(0 AS BIGINT), k.sp + (p.c - st.m) - st.m // 20),
+        |    greatest(CAST(0 AS BIGINT), k.sn + (st.m - p.c) - st.m // 20)
+        |  FROM k JOIN p ON p.rn = k.rn + 1 CROSS JOIN st)
+        |SELECT day, c AS cents, c - m AS dev, sp AS cusum_pos, sn AS cusum_neg,
+        |  CAST(sp > m // 2 AS INT) AS alarm_pos,
+        |  CAST(sn > m // 2 AS INT) AS alarm_neg
+        |FROM k, st ORDER BY day""".stripMargin,
     // the same integer floor-day ages against the table's own max
     // instant, the same 4 buckets and bp shares
     "q232_ar_aging" ->
@@ -9441,7 +9690,7 @@ object Relational {
         |  FROM b GROUP BY 1),
         |tot AS (SELECT CAST(sum(cents_total) AS BIGINT) AS t FROM agg)
         |SELECT bucket, n_orders, cents_total,
-        |  cents_total * 10000 // t AS share_bp
+        |  cents_total * 10000 // greatest(t, 1) AS share_bp
         |FROM agg, tot ORDER BY bucket""".stripMargin,
     // the same planted v1/v2 derivation and full-outer change census
     "q230_snapshot_diff" ->

@@ -2087,12 +2087,86 @@ object TextAnalysis {
         col("covered_tokens"),
         col("total_tokens"),
         col("vocab_size"),
-        expr("covered_tokens * 10000 div total_tokens").as("coverage_bp"),
-        expr("10000 - covered_tokens * 10000 div total_tokens").as("oov_bp"))
+        expr("covered_tokens * 10000 div greatest(total_tokens, CAST(1 AS BIGINT))").as("coverage_bp"),
+        expr("10000 - covered_tokens * 10000 div greatest(total_tokens, CAST(1 AS BIGINT))").as("oov_bp"))
       .orderBy("k")
   }
 
+  /** t43 — Burrows' Delta stylometric distance between sources: the
+    * authorship-attribution classic — z-score each source's
+    * relative frequency of the corpus's top-10 function words against
+    * the across-source mean/sd, then Delta(a,b) = mean |z_a − z_b|.
+    * Distinct from t36's JSD matrix (distributional divergence over
+    * the WHOLE vocabulary): Delta deliberately restricts to the most
+    * frequent words — the ones authors use unconsciously — and
+    * normalizes per word, which is what makes it a STYLE signal
+    * rather than a topic signal.
+    *
+    * Exactness: relative frequencies are integer ppm (count·10⁶ div
+    * source tokens) including explicit ZEROS from the source×word
+    * grid (a source missing a function word is a strong style
+    * signal); mean/sd derive from integer sums with identical formula
+    * text (no order-dependent double accumulation anywhere), sqrt is
+    * exactly rounded IEEE, and each |Δz| is frozen to integer
+    * micro-units BEFORE the per-pair mean — so the final integers
+    * match bit-for-bit.
+    *
+    * Plan: one (source, word) token-count shuffle feeds everything
+    * (totals, top-10 ranking, the grid); the rank window rides the
+    * vocabulary-sized aggregate (the standing gate's bounded class);
+    * grid, stats and the pair join are all source²- or
+    * 10-word-bounded — at 100 TB only the token count scales, and it
+    * partial-aggregates map-side.
+    */
+  def t43BurrowsDelta(s: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables
+      .documents(s, dir)
+      .select(col("source"), explode(toks).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // three consumers: top-10 rank, totals, grid
+    val top = cnt
+      .groupBy(col("w"))
+      .agg(sum(col("c")).as("n"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("w").asc)))
+      .filter(col("rk") <= 10)
+      .select(col("w"))
+    val stot = cnt.groupBy(col("source")).agg(sum(col("c")).as("nt"))
+    val rf = stot
+      .crossJoin(broadcast(top))
+      .join(cnt, Seq("source", "w"), "left")
+      .select(
+        col("source"),
+        col("w"),
+        expr("coalesce(c, CAST(0 AS BIGINT)) * 1000000 div nt").as("rf"))
+    val stats = rf
+      .groupBy(col("w"))
+      .agg(
+        count(lit(1)).as("n_src"),
+        sum(col("rf")).as("s1"),
+        sum(col("rf") * col("rf")).as("s2"))
+    val z = rf
+      .join(broadcast(stats), "w")
+      .select(
+        col("source"),
+        col("w"),
+        expr("""CASE WHEN s2 * n_src - s1 * s1 > 0
+                THEN (rf - CAST(s1 AS DOUBLE) / n_src)
+                     / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n_src) / (n_src - 1))
+                ELSE CAST(0.0 AS DOUBLE) END""").as("z"))
+    z.as("a")
+      .join(z.as("b"), col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .select(
+        col("a.source").as("src_a"),
+        col("b.source").as("src_b"),
+        floor(abs(col("a.z") - col("b.z")) * 1000000 + 0.5).cast("long").as("dz"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_words"), expr("sum(dz) div count(1)").as("delta_micro"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t43_burrows_delta" -> t43BurrowsDelta,
     "t42_vocab_coverage" -> t42VocabCoverage,
     "t41_gopher_rules" -> t41GopherRules,
     "t40_kneser_ney" -> t40KneserNey,
@@ -2196,6 +2270,41 @@ object TextAnalysis {
         |LIMIT 15""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the same top-10 rank, zero-filled source×word ppm grid, integer
+    // moment sums, and micro-unit |dz| freeze before the pair mean
+    "t43_burrows_delta" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |cnt AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+        |top AS (
+        |  SELECT w FROM (
+        |    SELECT w, row_number() OVER (ORDER BY sum(c) DESC, w ASC) AS rk
+        |    FROM cnt GROUP BY w)
+        |  WHERE rk <= 10),
+        |stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS nt FROM cnt GROUP BY 1),
+        |rf AS (
+        |  SELECT stot.source, top.w,
+        |    coalesce(cnt.c, 0) * 1000000 // stot.nt AS rf
+        |  FROM stot CROSS JOIN top
+        |  LEFT JOIN cnt ON cnt.source = stot.source AND cnt.w = top.w),
+        |stats AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS n_src,
+        |    CAST(sum(rf) AS BIGINT) AS s1, CAST(sum(rf * rf) AS BIGINT) AS s2
+        |  FROM rf GROUP BY 1),
+        |z AS (
+        |  SELECT rf.source, rf.w,
+        |    CASE WHEN s2 * n_src - s1 * s1 > 0
+        |    THEN (rf - CAST(s1 AS DOUBLE) / n_src)
+        |         / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n_src) / (n_src - 1))
+        |    ELSE CAST(0.0 AS DOUBLE) END AS z
+        |  FROM rf JOIN stats ON rf.w = stats.w)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(CAST(floor(abs(a.z - b.z) * 1000000 + 0.5) AS BIGINT))
+        |       AS BIGINT) // CAST(count(*) AS BIGINT) AS delta_micro
+        |FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
     // the same (count desc, word) rank, three cuts, integer bp shares
     "t42_vocab_coverage" ->
       """WITH tok AS (
@@ -2220,8 +2329,8 @@ object TextAnalysis {
         |  GROUP BY 1)
         |SELECT k, types_used, covered_tokens, tot.total_tokens,
         |  tot.vocab_size,
-        |  covered_tokens * 10000 // tot.total_tokens AS coverage_bp,
-        |  10000 - covered_tokens * 10000 // tot.total_tokens AS oov_bp
+        |  covered_tokens * 10000 // greatest(tot.total_tokens, 1) AS coverage_bp,
+        |  10000 - covered_tokens * 10000 // greatest(tot.total_tokens, 1) AS oov_bp
         |FROM cov, tot ORDER BY k""".stripMargin,
     // the same four cross-multiplied integer rules and per-lang rollup
     "t41_gopher_rules" ->

@@ -2725,6 +2725,15 @@ object Streams {
     val feed = new java.io.File(root, "feed")
     val out = new java.io.File(root, "out")
     val ckpt = new java.io.File(root, "ckpt")
+    // ADVICE closure: FileStreamSource orders files by MODIFICATION
+    // TIME with a nondeterministic tie-break on the random part names,
+    // and the SLA processor is order-sensitive ACROSS batches — a
+    // purchase batch surfacing before its signup batch is silently
+    // dropped, flipping a convert into a breach. Stamp each append's
+    // files with a strictly increasing mtime so the three micro-batch
+    // files always ingest in write order (q226/q229 are commutative
+    // and don't need this).
+    val stamped = scala.collection.mutable.Set.empty[String]
     (1 to 3).foreach { i =>
       evs
         .filter(col("fidx") === i)
@@ -2734,6 +2743,14 @@ object Streams {
         .write
         .mode("append")
         .parquet(feed.getAbsolutePath)
+      val mtime = 1700000000000L + i * 60000L
+      feed
+        .listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !stamped.contains(f.getName))
+        .foreach { f =>
+          require(f.setLastModified(mtime), s"could not stamp feed mtime on $f")
+          stamped += f.getName
+        }
     }
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     providerConfLock.synchronized {
@@ -2781,7 +2798,99 @@ object Streams {
       .orderBy("kind")
   }
 
+  /** q237 — stream-stream LEFT OUTER interval join run to completion
+    * under the DuckDB oracle (streaming gate #13, and the first to
+    * exercise the OUTER side of the join state machine): clicks LEFT
+    * JOIN purchases by the same user within [click, click + 30 min],
+    * where an unmatched click is emitted null-extended only once the
+    * WATERMARK proves no matching purchase can still arrive — the
+    * "which impressions never converted" stream every attribution
+    * pipeline runs next to its inner join (q164).
+    *
+    * Order discipline: unlike q164's inner join (content-commutative),
+    * outer-join EVICTION is order-sensitive — if a later feed file
+    * surfaced first, the watermark would jump and the earlier file's
+    * clicks would be dropped as late. The feed therefore uses the
+    * q222 contract: three ts-ordered ntile files with strictly
+    * increasing forced mtimes, so micro-batches ingest in event-time
+    * order. Watermark delay 2 days (intentionally INSIDE the fixture
+    * span, unlike q164's 45 days — null emission requires the
+    * watermark to actually move); the batch tail and the oracle both
+    * cut at a literal ≥ 2 days below the final watermark resting
+    * position, so the answer never encodes where the watermark
+    * stopped or whether a final no-data batch flushed the tail
+    * (the q207/q222 doctrine).
+    *
+    * The oracle is the PLAIN relational left join with the same
+    * interval predicate and cutoff — the streamed pair multiplicities
+    * and orphan rows must land on it exactly. Scale: join state is
+    * watermark-bounded on both sides; per-trigger work ∝ arriving
+    * rows; the tail is one bucket rollup.
+    */
+  def q237StreamLeftJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val ev = graft.ops.Tables
+      .events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("fidx", ntile(3).over(w))
+    val root = gateTempRoot("graft-q237")
+    val feed = new java.io.File(root, "feed")
+    val out = new java.io.File(root, "out")
+    val ckpt = new java.io.File(root, "ckpt")
+    val stamped = scala.collection.mutable.Set.empty[String]
+    (1 to 3).foreach { i =>
+      ev
+        .filter(col("fidx") === i)
+        .drop("fidx")
+        .coalesce(1)
+        .sortWithinPartitions(col("ts"))
+        .write
+        .mode("append")
+        .parquet(feed.getAbsolutePath)
+      val mtime = 1700000000000L + i * 60000L
+      feed
+        .listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !stamped.contains(f.getName))
+        .foreach { f =>
+          require(f.setLastModified(mtime), s"could not stamp feed mtime on $f")
+          stamped += f.getName
+        }
+    }
+    val raw = s.readStream
+      .schema("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed.getAbsolutePath)
+    val pairs = clickAttribution(
+      clicks = raw.filter(col("event_type") === "click"),
+      purchases = raw.filter(col("event_type") === "purchase"),
+      watermarkDelay = "2 days",
+      attributionWindow = "30 minutes",
+      joinType = "leftOuter")
+    val q = pairs.writeStream
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(out.getAbsolutePath)
+      }
+      .start()
+    q.awaitTermination()
+
+    s.read
+      .parquet(out.getAbsolutePath)
+      .filter(col("click_ts") <= lit(java.sql.Timestamp.valueOf("2024-01-24 00:00:00")))
+      .groupBy((col("user_id") % 10L).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("purchase_id").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        countDistinct(col("click_id")).as("n_clicks"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_stream_left_join" -> q237StreamLeftJoin,
     "q229_stream_warm_start" -> q229StreamWarmStart,
     "q226_stream_user_topk" -> q226StreamUserTopk,
     "q222_stream_sla_timeout" -> q222StreamSlaTimeout,
@@ -2800,6 +2909,34 @@ object Streams {
     * final state.
     */
   val oracles: Map[String, String] = Map(
+    // the plain relational left join with the identical interval
+    // predicate and pre-watermark cutoff — pair multiplicities and
+    // orphan rows must match the streamed outer join exactly
+    "q237_stream_left_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, ts FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |c AS (
+        |  SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM e WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id AS p_user_id, event_id AS purchase_id,
+        |    ts AS purchase_ts
+        |  FROM e WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT c.user_id, c.click_id, p.purchase_id
+        |  FROM c LEFT JOIN p ON c.user_id = p.p_user_id
+        |    AND p.purchase_ts >= c.click_ts
+        |    AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+        |  WHERE c.click_ts <= TIMESTAMP '2024-01-24 00:00:00')
+        |SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN purchase_id IS NOT NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_matched,
+        |  CAST(count(DISTINCT click_id) AS BIGINT) AS n_clicks,
+        |  CAST(sum(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_orphans
+        |FROM j GROUP BY 1 ORDER BY bucket""".stripMargin,
     // full-range per-user totals, restricted to users the stream
     // touched (≥1 post-cutover purchase) — seed + fold must compose
     "q229_stream_warm_start" ->

@@ -4440,4 +4440,68 @@ class OpsSpec extends SparkSpec {
     val at5500 = out.find(_._1 == 5500L).get
     assert(at5500._2 == direct.getLong(0) && at5500._3 == direct.getLong(1))
   }
+
+  test("q233 benford: digit counts partition orders, frozen bp table replays, chi2 nonneg") {
+    val out = Relational.q233BenfordDigits(spark, Sf).collect()
+    val nOrders = Tables.orders(spark, Sf).count()
+    assert(out.map(_.getLong(1)).sum == nOrders, "digit groups must partition the orders")
+    // the frozen Benford table is a pure function of the digit
+    out.foreach { r =>
+      val d = r.getInt(0)
+      val expect = math.floor(math.log10(1.0 + 1.0 / d) * 10000 + 0.5).toLong
+      assert(r.getLong(3) == expect, s"benford_bp for digit $d")
+    }
+    val shares = out.map(_.getLong(2))
+    assert(shares.sum <= 10000L && shares.sum > 10000L - out.length, "bp shares sum within truncation")
+    assert(out.forall(r => r.getDouble(4) >= 0.0), "chi-square contributions are nonnegative")
+  }
+
+  test("q234 kaplan-meier: risk set telescopes, survival is a non-increasing product-limit replay") {
+    val out = Relational.q234KaplanMeier(spark, Sf).collect()
+    val users = Tables.events(spark, Sf).select(col("user_id")).distinct().count()
+    assert(out.map(_.getLong(1)).sum == users, "duration histogram must partition the users")
+    assert(out.head.getLong(3) == users, "everyone is at risk at the smallest duration")
+    // n_risk telescopes: risk(t) - n_all(t) = risk(next t)
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(3) - a.getLong(1) == b.getLong(3), "risk-set telescope")
+      case _           => ()
+    }
+    // imperative product-limit replay
+    var s = 1.0
+    out.foreach { r =>
+      s *= (r.getLong(3) - r.getLong(2)).toDouble / r.getLong(3).toDouble
+      assert(math.abs(r.getDouble(4) - math.round(s * 10000.0) / 10000.0) < 1e-9, "fold replay")
+    }
+    assert(out.map(_.getDouble(4)).sliding(2).forall { case Array(a, b) => b <= a; case _ => true },
+      "survival never increases")
+  }
+
+  test("q235 cusum: imperative recurrence replay, alarms match thresholds") {
+    val out = Relational.q235CusumChangepoint(spark, Sf).collect()
+    val m = {
+      val tot = out.map(_.getLong(1)).sum
+      tot / out.length
+    }
+    var sp = 0L
+    var sn = 0L
+    out.foreach { r =>
+      val c = r.getLong(1)
+      assert(r.getLong(2) == c - m, "dev is cents minus the integer mean")
+      sp = math.max(0L, sp + (c - m) - m / 20)
+      sn = math.max(0L, sn + (m - c) - m / 20)
+      assert(r.getLong(3) == sp && r.getLong(4) == sn, "recurrence replay")
+      assert(r.getInt(5) == (if (sp > m / 2) 1 else 0), "alarm_pos flag")
+      assert(r.getInt(6) == (if (sn > m / 2) 1 else 0), "alarm_neg flag")
+    }
+  }
+
+  test("t43 burrows delta: full pair grid, 10 words per pair, deltas nonneg, self-consistency") {
+    val out = graft.ops.TextAnalysis.t43BurrowsDelta(spark, Sf).collect()
+    val nSrc = Tables.documents(spark, Sf).select(col("source")).distinct().count()
+    assert(out.length == nSrc * (nSrc - 1) / 2, "one row per unordered source pair")
+    assert(out.forall(_.getLong(2) == 10L), "each pair scored over exactly the top-10 words")
+    assert(out.forall(_.getLong(3) >= 0L), "delta is a mean of absolute z gaps")
+    assert(out.map(r => (r.getString(0), r.getString(1))).distinct.length == out.length)
+  }
+
 }

@@ -1534,6 +1534,37 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(got.sameElements(expected),
       s"gate rollup != batch twin; got=${got.take(3).mkString(";")} expected=${expected.take(3).mkString(";")}")
   }
+
+  test("q237 gate: the streamed left-outer rollup equals the batch left join exactly") {
+    val out = graft.streaming.Streams.q237StreamLeftJoin(spark, Sf).collect()
+    val ev = graft.ops.Tables.events(spark, Sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .filter(col("click_ts") <= lit(java.sql.Timestamp.valueOf("2024-01-24 00:00:00")))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+    val batch = c.join(p,
+        col("user_id") === col("pu") && col("pts") >= col("click_ts") &&
+          col("pts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"), "left")
+      .groupBy((col("user_id") % 10L).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("purchase_id").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        countDistinct(col("click_id")).as("n_clicks"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .orderBy("bucket")
+      .collect()
+    assert(out.length == batch.length, "bucket sets must agree")
+    out.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0) && s.getLong(1) == b.getLong(1) &&
+        s.getLong(2) == b.getLong(2) && s.getLong(3) == b.getLong(3) &&
+        s.getLong(4) == b.getLong(4), s"bucket ${s.getLong(0)} stream/batch divergence")
+    }
+    // the outer path must actually fire on the fixture
+    assert(out.map(_.getLong(4)).sum > 0L, "expected unmatched clicks")
+  }
 }
 
 /** Companion buffer for the gate-restart test: foreachBatch closures
@@ -1541,4 +1572,5 @@ class StreamBatchParitySpec extends SparkSpec {
   */
 object StreamsSpecGateBuf {
   val hits = scala.collection.mutable.ArrayBuffer.empty[graft.streaming.Streams.BandHit]
+
 }
