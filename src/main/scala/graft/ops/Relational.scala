@@ -9366,7 +9366,65 @@ object Relational {
       .orderBy("day")
   }
 
+  /** q238 — k-anonymity / l-diversity census over the customer table:
+    * treat (nation, account-balance band of 100 currency units) as the
+    * quasi-identifier an attacker plausibly knows, market segment as
+    * the sensitive attribute, and report the equivalence-class size
+    * distribution — how many classes (and what share of ROWS) sit at
+    * k = 1, 2–4, 5–9, ≥ 10, with each band's worst-case l (distinct
+    * sensitive values) and integer-centi mean l. This is the
+    * re-identification risk screen a privacy review runs before a
+    * table ships into a training corpus; no other query touches the
+    * anonymity surface (q166 audits referential integrity, q119/q150
+    * outliers). All integers: cents div 10000 banding, counts,
+    * bp shares and centi-l by non-negative div.
+    *
+    * Plan: one (nation, band) hash aggregate — the only data-sized
+    * exchange, map-side combined; the census over ≤ |nation|·|bands|
+    * classes is domain-bounded, the totals row broadcasts. At 100 TB
+    * class COUNTS grow with the balance domain, not the row count,
+    * and everything after the first aggregate is class-sized.
+    */
+  def q238KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val cls = Tables
+      .customer(s, dir)
+      .select(
+        col("c_nationkey"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) div 10000").as("bal_band"),
+        col("c_mktsegment"))
+      .groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(
+        count(lit(1)).as("k"),
+        countDistinct(col("c_mktsegment")).as("l"))
+    val banded = cls.withColumn(
+      "band",
+      when(col("k") === 1L, "a_k1")
+        .when(col("k") <= 4L, "b_k2_4")
+        .when(col("k") <= 9L, "c_k5_9")
+        .otherwise("d_k10plus"))
+    val tot = banded.agg(sum(col("k")).as("n"))
+    banded
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(col("k")).as("n_rows"),
+        min(col("k")).as("min_k"),
+        min(col("l")).as("min_l"),
+        sum(col("l")).as("sum_l"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("band"),
+        col("n_classes"),
+        col("n_rows"),
+        expr("n_rows * 10000 div greatest(n, CAST(1 AS BIGINT))").as("rows_bp"),
+        col("min_k"),
+        col("min_l"),
+        expr("sum_l * 100 div greatest(n_classes, CAST(1 AS BIGINT))").as("avg_l_centi"))
+      .orderBy("band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_k_anonymity" -> q238KAnonymity,
     "q235_cusum_changepoint" -> q235CusumChangepoint,
     "q234_kaplan_meier" -> q234KaplanMeier,
     "q233_benford_digits" -> q233BenfordDigits,
@@ -9589,6 +9647,34 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same quasi-identifier banding, class census and integer
+    // bp/centi-l shares
+    "q238_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) // 10000 AS bal_band,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
+        |  FROM customer GROUP BY 1, 2),
+        |b AS (
+        |  SELECT CASE WHEN k = 1 THEN 'a_k1'
+        |              WHEN k <= 4 THEN 'b_k2_4'
+        |              WHEN k <= 9 THEN 'c_k5_9'
+        |              ELSE 'd_k10plus' END AS band, k, l
+        |  FROM cls),
+        |t AS (SELECT CAST(sum(k) AS BIGINT) AS n FROM b),
+        |g AS (
+        |  SELECT band, CAST(count(*) AS BIGINT) AS n_classes,
+        |    CAST(sum(k) AS BIGINT) AS n_rows,
+        |    CAST(min(k) AS BIGINT) AS min_k,
+        |    CAST(min(l) AS BIGINT) AS min_l,
+        |    CAST(sum(l) AS BIGINT) AS sum_l
+        |  FROM b GROUP BY 1)
+        |SELECT band, n_classes, n_rows,
+        |  n_rows * 10000 // greatest(n, 1) AS rows_bp,
+        |  min_k, min_l,
+        |  sum_l * 100 // greatest(n_classes, 1) AS avg_l_centi
+        |FROM g, t ORDER BY band""".stripMargin,
     // identical digit extraction, frozen integer Benford bp, and the
     // same chi-square formula text over those integers
     "q233_benford_digits" ->

@@ -2858,24 +2858,40 @@ object Streams {
           stamped += f.getName
         }
     }
-    val raw = s.readStream
-      .schema("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(feed.getAbsolutePath)
-    val pairs = clickAttribution(
-      clicks = raw.filter(col("event_type") === "click"),
-      purchases = raw.filter(col("event_type") === "purchase"),
-      watermarkDelay = "2 days",
-      attributionWindow = "30 minutes",
-      joinType = "leftOuter")
-    val q = pairs.writeStream
-      .option("checkpointLocation", ckpt.getAbsolutePath)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").parquet(out.getAbsolutePath)
-      }
-      .start()
-    q.awaitTermination()
+    // 8 shuffle partitions, scoped: a stream-stream OUTER join keeps
+    // FOUR state stores per partition per micro-batch, so the
+    // session's 32 partitions × 3 batches meant ~384 store
+    // open/commit cycles dominating the gate's wall (36.9 s cold in
+    // the round-11 sweep; the join itself touches a few thousand
+    // rows). Results are partition-count independent — only the
+    // constant factor moves. Restored in finally; gates run
+    // sequentially (the providerConfLock discipline).
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = s.conf.get(partKey)
+    val q = providerConfLock.synchronized {
+      try {
+        s.conf.set(partKey, "8")
+        val raw = s.readStream
+          .schema("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(feed.getAbsolutePath)
+        val pairs = clickAttribution(
+          clicks = raw.filter(col("event_type") === "click"),
+          purchases = raw.filter(col("event_type") === "purchase"),
+          watermarkDelay = "2 days",
+          attributionWindow = "30 minutes",
+          joinType = "leftOuter")
+        val qq = pairs.writeStream
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.write.mode("append").parquet(out.getAbsolutePath)
+          }
+          .start()
+        qq.awaitTermination()
+        qq
+      } finally s.conf.set(partKey, prevParts)
+    }
 
     s.read
       .parquet(out.getAbsolutePath)

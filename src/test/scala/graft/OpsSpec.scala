@@ -4504,4 +4504,26 @@ class OpsSpec extends SparkSpec {
     assert(out.map(r => (r.getString(0), r.getString(1))).distinct.length == out.length)
   }
 
+
+  test("q238 k-anonymity: bands partition classes and rows, l bounded by k and segments") {
+    val out = Relational.q238KAnonymity(spark, Sf).collect()
+    val nCust = Tables.customer(spark, Sf).count()
+    assert(out.map(_.getLong(2)).sum == nCust, "band row counts must partition the customers")
+    val bp = out.map(_.getLong(3))
+    assert(bp.sum <= 10000L && bp.sum > 10000L - out.length, "bp shares sum within truncation")
+    out.foreach { r =>
+      val band = r.getString(0)
+      val minK = r.getLong(4)
+      band match {
+        case "a_k1"      => assert(minK == 1L)
+        case "b_k2_4"    => assert(minK >= 2L && minK <= 4L)
+        case "c_k5_9"    => assert(minK >= 5L && minK <= 9L)
+        case "d_k10plus" => assert(minK >= 10L)
+      }
+      // l is between 1 and min(k, 5 market segments); centi-mean obeys the same bounds
+      assert(r.getLong(5) >= 1L && r.getLong(5) <= math.min(minK, 5L).max(1L))
+      assert(r.getLong(6) >= 100L && r.getLong(6) <= 500L)
+    }
+  }
+
 }
