@@ -9423,7 +9423,74 @@ object Relational {
       .orderBy("band")
   }
 
+  /** q239 — out-of-orderness census / watermark sizing: the lateness
+    * distribution a streaming architect reads BEFORE choosing a
+    * watermark delay. Arrival time is event time plus a PLANTED
+    * deterministic per-device clock skew (`(user_id % 7) · 10 min`,
+    * 0–60 min — the q215/q230 planted-derivation style, since the
+    * fixture's own feed is perfectly ordered), and lateness is
+    * measured against the watermark as a stream would see it: the
+    * max event-time among everything that already ARRIVED. The
+    * census buckets per-event lateness and reports shares plus the
+    * cumulative coverage curve — "a 10-minute delay covers X bp of
+    * events" is read straight off cum_bp.
+    *
+    * Scale design — the two-phase watermark simulation: computing
+    * each event's preceding-arrival max directly would be ONE global
+    * window over the fact table; instead arrivals bucket into
+    * 10-minute EPOCHS, the watermark series is a prefix-max over the
+    * epoch aggregate (calendar-bounded — the standing gate's bounded
+    * class), and events join their epoch's prior-epoch watermark
+    * back by broadcast. Lateness is then watermark-granular at epoch
+    * resolution, exactly how a production lag audit runs at 100 TB:
+    * one event-sized epoch aggregate, everything else bounded.
+    * All-integer (µs, div, bp).
+    */
+  def q239OutOfOrderCensus(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        unix_micros(col("ts")).as("us"),
+        (unix_micros(col("ts")) + (col("user_id") % 7L) * 600000000L).as("aus"))
+      .withColumn("epoch", expr("aus div 600000000"))
+    val wm = ev
+      .groupBy(col("epoch"))
+      .agg(max(col("us")).as("emax"))
+      .withColumn(
+        "wm_prev",
+        max(col("emax")).over(
+          Window.orderBy(col("epoch")).rowsBetween(Window.unboundedPreceding, -1)))
+    val buckets = ev
+      .join(broadcast(wm.select(col("epoch"), col("wm_prev"))), "epoch")
+      .select(
+        expr("""CASE WHEN wm_prev IS NULL OR wm_prev <= us THEN CAST(0 AS BIGINT)
+                ELSE (wm_prev - us) div 1000000 END""").as("late_s"))
+      .select(
+        expr("""CASE WHEN late_s = 0 THEN 'a_inorder'
+                WHEN late_s <= 60 THEN 'b_le_1m'
+                WHEN late_s <= 600 THEN 'c_le_10m'
+                WHEN late_s <= 1800 THEN 'd_le_30m'
+                WHEN late_s <= 3600 THEN 'e_le_1h'
+                ELSE 'f_over_1h' END""").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = buckets.agg(sum(col("n_events")).as("n"))
+    buckets
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "cum_n",
+        sum(col("n_events")).over(
+          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, 0)))
+      .select(
+        col("bucket"),
+        col("n_events"),
+        expr("n_events * 10000 div greatest(n, CAST(1 AS BIGINT))").as("share_bp"),
+        expr("cum_n * 10000 div greatest(n, CAST(1 AS BIGINT))").as("cum_bp"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_out_of_order_census" -> q239OutOfOrderCensus,
     "q238_k_anonymity" -> q238KAnonymity,
     "q235_cusum_changepoint" -> q235CusumChangepoint,
     "q234_kaplan_meier" -> q234KaplanMeier,
@@ -9647,6 +9714,43 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same planted skew, epoch prefix-max watermark series, and
+    // integer lateness buckets / shares / coverage curve
+    "q239_out_of_order_census" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS us,
+        |    (epoch_us(ts) + (user_id % 7) * 600000000) // 600000000 AS epoch
+        |  FROM events),
+        |wm AS (
+        |  SELECT epoch,
+        |    max(max(us)) OVER (ORDER BY epoch
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_prev
+        |  FROM e GROUP BY epoch),
+        |late AS (
+        |  SELECT CASE WHEN wm.wm_prev IS NULL OR wm.wm_prev <= e.us
+        |              THEN CAST(0 AS BIGINT)
+        |              ELSE (wm.wm_prev - e.us) // 1000000 END AS late_s
+        |  FROM e JOIN wm ON e.epoch = wm.epoch),
+        |b AS (
+        |  SELECT CASE WHEN late_s = 0 THEN 'a_inorder'
+        |              WHEN late_s <= 60 THEN 'b_le_1m'
+        |              WHEN late_s <= 600 THEN 'c_le_10m'
+        |              WHEN late_s <= 1800 THEN 'd_le_30m'
+        |              WHEN late_s <= 3600 THEN 'e_le_1h'
+        |              ELSE 'f_over_1h' END AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM late GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS n FROM b),
+        |c AS (
+        |  SELECT bucket, n_events,
+        |    CAST(sum(n_events) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_n
+        |  FROM b)
+        |SELECT bucket, n_events,
+        |  n_events * 10000 // greatest(n, 1) AS share_bp,
+        |  cum_n * 10000 // greatest(n, 1) AS cum_bp
+        |FROM c, t ORDER BY bucket""".stripMargin,
     // the same quasi-identifier banding, class census and integer
     // bp/centi-l shares
     "q238_k_anonymity" ->

@@ -4526,4 +4526,19 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+
+  test("q239 out-of-order census: events partition, coverage curve monotone to 10000 bp") {
+    val out = Relational.q239OutOfOrderCensus(spark, Sf).collect()
+    val nEv = Tables.events(spark, Sf).count()
+    assert(out.map(_.getLong(1)).sum == nEv, "buckets must partition the events")
+    val cum = out.map(_.getLong(3))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b }, "coverage is cumulative")
+    assert(cum.last == 10000L, "the last bucket covers everything")
+    // planted skew is capped at 60 min, so nothing can be later than 1 h
+    assert(!out.exists(_.getString(0) == "f_over_1h"), "skew cap bounds lateness at 1h")
+    // and the zero-skew device class guarantees genuine out-of-orderness
+    assert(out.exists(r => r.getString(0) != "a_inorder" && r.getLong(1) > 0L),
+      "planted skew must produce late events")
+  }
+
 }
