@@ -2579,7 +2579,123 @@ object Dedup {
       .orderBy("band")
   }
 
+  /** d39 — threshold-stability curve of the near-dup CLUSTERING: the
+    * connected-component census of the embedding cosine graph at
+    * θ ∈ {0.30, 0.40, 0.50, 0.60} — edges, linked nodes, component
+    * count, largest component, isolated vectors per cut. d27/d38
+    * answer "how stable is the CANDIDATE set under band choice";
+    * this answers the next question a dedup owner asks: how stable
+    * are the CLUSTERS themselves under the similarity threshold —
+    * a cliff between adjacent cuts (one giant component swallowing
+    * the corpus) is the classic over-merge failure, visible here as
+    * max_cluster jumping toward n_linked.
+    *
+    * One fixpoint for the whole sweep: every pair is computed ONCE
+    * (exact doubles, the d5 regime — the embedding table is a
+    * dimension; no broadcast hint, AQE picks the build side), frozen
+    * to integer bp, then replicated to each θ it survives, and a
+    * single Hash-Min label propagation runs over the COMPOSITE
+    * (θ, node) graph — the d6 loop, 4 clusterings for one driver
+    * loop's latency. Edges nest across θ so the replicated graph is
+    * ≤ 4× the loosest cut. Oracle: the d6 transitive-closure
+    * recursion keyed by (θ, node).
+    */
+  def d39ThresholdStability(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .spread(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val pairs = e
+      .as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn(
+        "cos",
+        Similarity.dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
+      .select(
+        col("a.vec_id").as("id_a"),
+        col("b.vec_id").as("id_b"),
+        expr("CAST(floor(cos * 10000 + 0.5) AS BIGINT)").as("cos_bp"))
+      .filter(col("cos_bp") >= 3000L)
+      .localCheckpoint() // the sweep, the census and every CC round reuse it
+    val edgesT = pairs
+      .select(
+        col("id_a"),
+        col("id_b"),
+        col("cos_bp"),
+        explode(expr(
+          "array(CAST(3000 AS BIGINT), CAST(4000 AS BIGINT), CAST(5000 AS BIGINT), CAST(6000 AS BIGINT))"))
+          .as("theta_bp"))
+      .filter(col("cos_bp") >= col("theta_bp"))
+      .select(col("theta_bp"), col("id_a"), col("id_b"))
+    val edges = edgesT
+      .union(edgesT.select(col("theta_bp"), col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint()
+
+    var labels = edges
+      .select(col("theta_bp"), col("id_a").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(
+          labels,
+          edges("theta_bp") === labels("theta_bp") && edges("id_b") === labels("id"))
+        .groupBy(edges("theta_bp").as("t"), edges("id_a").as("nid"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels
+        .join(
+          nbrMin,
+          labels("theta_bp") === nbrMin("t") && labels("id") === nbrMin("nid"),
+          "left")
+        .select(
+          labels("theta_bp"),
+          col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("nl"),
+          col("label").as("old"))
+        .select(
+          col("theta_bp"),
+          col("id"),
+          col("nl").as("label"),
+          (col("nl") =!= col("old")).as("moved"))
+        .localCheckpoint()
+      changed = next.filter(col("moved")).count()
+      labels = next.select(col("theta_bp"), col("id"), col("label"))
+    }
+
+    val comp = labels
+      .groupBy(col("theta_bp"), col("label"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("theta_bp"))
+      .agg(
+        count(lit(1)).as("n_components"),
+        sum(col("sz")).as("n_linked"),
+        max(col("sz")).as("max_cluster"))
+    val ne = edgesT.groupBy(col("theta_bp")).agg(count(lit(1)).as("n_edges"))
+    val tot = e.agg(count(lit(1)).as("n_vecs"))
+    // anchor on the θ list itself: a cut with NO surviving edges must
+    // still report a row (zero edges, everything isolated), not vanish
+    // through an inner join
+    tot
+      .select(explode(expr(
+        "array(CAST(3000 AS BIGINT), CAST(4000 AS BIGINT), CAST(5000 AS BIGINT), CAST(6000 AS BIGINT))"))
+        .as("theta_bp"))
+      .join(ne, Seq("theta_bp"), "left")
+      .join(comp, Seq("theta_bp"), "left")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("theta_bp"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("n_linked"), lit(0L)).as("n_linked"),
+        coalesce(col("n_components"), lit(0L)).as("n_components"),
+        coalesce(col("max_cluster"), lit(0L)).as("max_cluster"),
+        (col("n_vecs") - coalesce(col("n_linked"), lit(0L))).as("n_isolated"))
+      .orderBy("theta_bp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d39_threshold_stability" -> d39ThresholdStability,
     "d38_band_stability" -> d38BandStability,
     "d37_simhash_error" -> d37SimhashError,
     "d36_bbit_minhash" -> d36BbitMinhash,
@@ -3382,6 +3498,52 @@ object Dedup {
     "d28_method_agreement" -> d28OracleSql,
     "d27_band_sweep" -> d27OracleSql,
     "d26_blocking_efficiency" -> d26OracleSql,
+    // the same bp-frozen cosine pairs, the same nested θ replication,
+    // components via the d6 transitive-closure recursion keyed by
+    // (θ, node)
+    "d39_threshold_stability" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm FROM e),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(floor(list_inner_product(a.v, b.v) / (a.norm * b.norm)
+        |               * 10000 + 0.5) AS BIGINT) AS cos_bp
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id),
+        |pq AS (SELECT * FROM p WHERE cos_bp >= 3000),
+        |th AS (
+        |  SELECT CAST(unnest([3000, 4000, 5000, 6000]) AS BIGINT) AS theta_bp),
+        |et AS (
+        |  SELECT th.theta_bp, id_a, id_b FROM pq, th
+        |  WHERE cos_bp >= th.theta_bp),
+        |edges AS (
+        |  SELECT theta_bp, id_a AS a, id_b AS b FROM et
+        |  UNION ALL SELECT theta_bp, id_b AS a, id_a AS b FROM et),
+        |reach(t, id, r) AS (
+        |  SELECT theta_bp, a, a FROM edges
+        |  UNION
+        |  SELECT reach.t, reach.id, e2.b
+        |  FROM reach JOIN edges e2 ON reach.t = e2.theta_bp AND reach.r = e2.a),
+        |comp AS (SELECT t, id, min(r) AS label FROM reach GROUP BY 1, 2),
+        |cs AS (
+        |  SELECT t, label, CAST(count(*) AS BIGINT) AS sz FROM comp GROUP BY 1, 2),
+        |census AS (
+        |  SELECT t AS theta_bp, CAST(count(*) AS BIGINT) AS n_components,
+        |    CAST(sum(sz) AS BIGINT) AS n_linked,
+        |    CAST(max(sz) AS BIGINT) AS max_cluster
+        |  FROM cs GROUP BY 1),
+        |ne AS (
+        |  SELECT theta_bp, CAST(count(*) AS BIGINT) AS n_edges FROM et GROUP BY 1),
+        |tv AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM e)
+        |SELECT th.theta_bp,
+        |  coalesce(ne.n_edges, 0) AS n_edges,
+        |  coalesce(census.n_linked, 0) AS n_linked,
+        |  coalesce(census.n_components, 0) AS n_components,
+        |  coalesce(census.max_cluster, 0) AS max_cluster,
+        |  tv.n_vecs - coalesce(census.n_linked, 0) AS n_isolated
+        |FROM th LEFT JOIN ne ON th.theta_bp = ne.theta_bp
+        |LEFT JOIN census ON th.theta_bp = census.theta_bp
+        |CROSS JOIN tv ORDER BY th.theta_bp""".stripMargin,
     "d38_band_stability" -> d38OracleSql,
     "d37_simhash_error" -> d37OracleSql,
     "d36_bbit_minhash" -> d36OracleSql,

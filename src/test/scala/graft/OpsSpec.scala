@@ -4541,4 +4541,24 @@ class OpsSpec extends SparkSpec {
       "planted skew must produce late events")
   }
 
+
+  test("d39 threshold stability: edges and clusters shrink monotonically as theta tightens") {
+    val out = Dedup.d39ThresholdStability(spark, Sf).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(3000L, 4000L, 5000L, 6000L), "one row per cut")
+    val nVecs = Tables.embeddings(spark, Sf).count()
+    out.foreach { r =>
+      assert(r.getLong(2) + r.getLong(5) == nVecs, "linked + isolated partition the corpus")
+      assert(r.getLong(4) <= r.getLong(2), "largest component bounded by linked nodes")
+      // a component needs at least 2 nodes and at least 1 edge
+      assert(r.getLong(1) == 0L || (r.getLong(3) >= 1L && r.getLong(2) >= 2L))
+    }
+    // nested cuts: tightening theta can only remove edges and linked nodes
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(1) <= a.getLong(1), "edges shrink with theta")
+        assert(b.getLong(2) <= a.getLong(2), "linked nodes shrink with theta")
+      case _ => ()
+    }
+  }
+
 }
