@@ -2627,42 +2627,22 @@ object Dedup {
           .as("theta_bp"))
       .filter(col("cos_bp") >= col("theta_bp"))
       .select(col("theta_bp"), col("id_a"), col("id_b"))
-    val edges = edgesT
-      .union(edgesT.select(col("theta_bp"), col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .localCheckpoint()
-
-    var labels = edges
-      .select(col("theta_bp"), col("id_a").as("id"))
-      .distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val nbrMin = edges
-        .join(
-          labels,
-          edges("theta_bp") === labels("theta_bp") && edges("id_b") === labels("id"))
-        .groupBy(edges("theta_bp").as("t"), edges("id_a").as("nid"))
-        .agg(min(col("label")).as("nlabel"))
-      val next = labels
-        .join(
-          nbrMin,
-          labels("theta_bp") === nbrMin("t") && labels("id") === nbrMin("nid"),
-          "left")
-        .select(
-          labels("theta_bp"),
-          col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("nl"),
-          col("label").as("old"))
-        .select(
-          col("theta_bp"),
-          col("id"),
-          col("nl").as("label"),
-          (col("nl") =!= col("old")).as("moved"))
-        .localCheckpoint()
-      changed = next.filter(col("moved")).count()
-      labels = next.select(col("theta_bp"), col("id"), col("label"))
-    }
+    // ONE two-star fixpoint for all four cuts: (θ, vec_id) encodes
+    // into a single long (θ·2⁴⁴ + id — ids share a θ prefix, so the
+    // component min decodes back to the θ-local min id), turning the
+    // composite graph into four disjoint subgraphs of one plain graph
+    // that [[twoStarLabels]] collapses in O(log n) rounds — the
+    // Hash-Min loop this replaced needed O(component diameter) rounds
+    // and measured 14.6 s solo at sf0.1 against 2.6 s for the
+    // two-star shape on a comparable graph (d30).
+    val shift = 17592186044416L // 2^44; vec_id must stay below it
+    val (enc, _) = Dedup.twoStarLabels(
+      edgesT.select(
+        (col("theta_bp") * shift + col("id_a")).as("id_a"),
+        (col("theta_bp") * shift + col("id_b")).as("id_b")))
+    val labels = enc.select(
+      expr(s"id div ${shift}L").as("theta_bp"),
+      expr(s"label % ${shift}L").as("label"))
 
     val comp = labels
       .groupBy(col("theta_bp"), col("label"))
