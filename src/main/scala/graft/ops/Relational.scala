@@ -5238,8 +5238,7 @@ object Relational {
       .name("tags").`type`().array().items(tagS).noDefault()
       .name("attrs").`type`().map().values().longType().noDefault()
       .endRecord()
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q147-avro").toFile
-    tmp.deleteOnExit()
+    val tmp = Tables.scratchDir("graft-q147-avro")
     val nations = Tables
       .nation(s, dir)
       .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
@@ -5541,8 +5540,7 @@ object Relational {
     * the O(files) metadata pass every file-format job commit pays.
     */
   def q154AvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q154-avro").toFile
-    tmp.deleteOnExit()
+    val tmp = Tables.scratchDir("graft-q154-avro")
     Tables
       .orders(s, dir)
       .select(
@@ -6976,8 +6974,7 @@ object Relational {
     * plus the planted-corruption literal. Exact integers everywhere.
     */
   def q186JsonlQuarantine(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q186-jsonl").toFile
-    tmp.deleteOnExit()
+    val tmp = Tables.scratchDir("graft-q186-jsonl")
     Tables
       .documents(s, dir)
       .write
@@ -7891,8 +7888,7 @@ object Relational {
     * event-id-keyed join whose both sides are the same fact.
     */
   def q202AvroLogicalTypes(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q202-avro").toFile
-    tmp.deleteOnExit()
+    val tmp = Tables.scratchDir("graft-q202-avro")
     Tables
       .events(s, dir)
       .select(
@@ -8627,8 +8623,7 @@ object Relational {
     * plain string compare on both sides of the oracle.
     */
   def q218PartitionedLayout(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q218-part").toFile
-    tmp.deleteOnExit()
+    val tmp = Tables.scratchDir("graft-q218-part")
     Tables
       .orders(s, dir)
       .select(
@@ -8672,8 +8667,7 @@ object Relational {
     * write (the q148 provider-override discipline).
     */
   def q219DynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q219-dyn").toFile
-    tmp.deleteOnExit()
+    val tmp = Tables.scratchDir("graft-q219-dyn")
     val base = Tables
       .orders(s, dir)
       .select(
@@ -8733,8 +8727,7 @@ object Relational {
     * to DISCOVER, catalog to SERVE.
     */
   def q220SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q220-evo").toFile
-    tmp.deleteOnExit()
+    val tmp = Tables.scratchDir("graft-q220-evo")
     val base = Tables
       .orders(s, dir)
       .select(
@@ -8788,8 +8781,7 @@ object Relational {
     * one line, the common interchange contract).
     */
   def q221CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q221-csv").toFile
-    tmp.deleteOnExit()
+    val tmp = Tables.scratchDir("graft-q221-csv")
     Tables
       .orders(s, dir)
       .select(

@@ -978,8 +978,7 @@ object Similarity {
       .agg(min(struct(col("d2"), col("cell"))).as("m"))
       .select(col("vec_id"), col("m.cell").as("cell"))
 
-    val tmp = java.nio.file.Files.createTempDirectory("graft-s18-ivf").toFile
-    tmp.deleteOnExit()
+    val tmp = Tables.scratchDir("graft-s18-ivf")
     val centPath = new java.io.File(tmp, "centroids").getAbsolutePath
     val asgPath = new java.io.File(tmp, "assignments").getAbsolutePath
     cents

@@ -11,6 +11,30 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
+  /** Scratch directory for operators that materialize a fixture
+    * artifact (an Avro envelope, a partitioned layout, a CSV
+    * round-trip) and RETURN a DataFrame that lazily re-reads it —
+    * eager deletion would break the returned plan, and
+    * `File.deleteOnExit` is a no-op on non-empty directories, so
+    * repeated verify/bench passes were accumulating hundreds of temp
+    * trees under /tmp (the q228 ADVICE class at nine more sites).
+    * Same contract as the streaming gates' temp root: RECURSIVE
+    * delete on JVM exit — /tmp is flat across passes because every
+    * Verify/Bench invocation is its own JVM.
+    */
+  private[graft] def scratchDir(prefix: String): java.io.File = {
+    val root = java.nio.file.Files.createTempDirectory(prefix).toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles()
+        if (cs != null) cs.foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }))
+    root
+  }
+
   /** Canonical column types every query in the library is written
     * against. The driver regenerates the fixture parquet between
     * rounds and its physical types have drifted before (TIMESTAMP
