@@ -9368,8 +9368,12 @@ object Relational {
     * re-identification risk screen a privacy review runs before a
     * table ships into a training corpus; no other query touches the
     * anonymity surface (q166 audits referential integrity, q119/q150
-    * outliers). All integers: cents div 10000 banding, counts,
-    * bp shares and centi-l by non-negative div.
+    * outliers). All integers: cents FLOOR-div 10000 banding (plain
+    * `div` truncates toward zero, which would fold every balance in
+    * (−100, 100) currency units into one band 0 and silently merge
+    * negative with small-positive balances — ADVICE round 11; the
+    * floor correction keeps negative balances in their own negative
+    * bands), counts, bp shares and centi-l by non-negative div.
     *
     * Plan: one (nation, band) hash aggregate — the only data-sized
     * exchange, map-side combined; the census over ≤ |nation|·|bands|
@@ -9382,7 +9386,9 @@ object Relational {
       .customer(s, dir)
       .select(
         col("c_nationkey"),
-        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) div 10000").as("bal_band"),
+        expr("""CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) div 10000
+                - (CASE WHEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) % 10000 < 0
+                   THEN 1 ELSE 0 END)""").as("bal_band"),
         col("c_mktsegment"))
       .groupBy(col("c_nationkey"), col("bal_band"))
       .agg(
@@ -9748,7 +9754,9 @@ object Relational {
     "q238_k_anonymity" ->
       """WITH cls AS (
         |  SELECT c_nationkey,
-        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) // 10000 AS bal_band,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) // 10000
+        |      - (CASE WHEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) % 10000 < 0
+        |         THEN 1 ELSE 0 END) AS bal_band,
         |    CAST(count(*) AS BIGINT) AS k,
         |    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
         |  FROM customer GROUP BY 1, 2),

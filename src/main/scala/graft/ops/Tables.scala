@@ -20,18 +20,30 @@ object Tables {
     * trees under /tmp (the q228 ADVICE class at nine more sites).
     * Same contract as the streaming gates' temp root: RECURSIVE
     * delete on JVM exit — /tmp is flat across passes because every
-    * Verify/Bench invocation is its own JVM.
+    * Verify/Bench invocation is its own JVM. ONE shutdown hook for
+    * the whole JVM, appending roots to a shared list: the nine call
+    * sites re-run across a cold pass + warm passes + floors in one
+    * bench JVM, and a hook THREAD per invocation was accumulating
+    * dozens of registered threads per run (ADVICE round 11).
     */
-  private[graft] def scratchDir(prefix: String): java.io.File = {
-    val root = java.nio.file.Files.createTempDirectory(prefix).toFile
+  private val scratchRoots =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[java.io.File]())
+  private lazy val scratchHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         val cs = f.listFiles()
         if (cs != null) cs.foreach(rm)
         f.delete(); ()
       }
-      rm(root)
+      scratchRoots.synchronized {
+        scratchRoots.forEach(rm(_))
+      }
     }))
+  }
+  private[graft] def scratchDir(prefix: String): java.io.File = {
+    val root = java.nio.file.Files.createTempDirectory(prefix).toFile
+    scratchHook
+    scratchRoots.add(root)
     root
   }
 

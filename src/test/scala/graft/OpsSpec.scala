@@ -4561,4 +4561,43 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("share_bp family survives an EMPTY fixture (denominator guards)") {
+    // Round-11 ADVICE class: census queries divide by corpus totals
+    // (`x * 10000 div greatest(n, 1)`). A regenerated fixture that
+    // drifts a filter predicate to zero rows must fail HERE in sbt
+    // test — as a clean empty/anchored result — not in the driver as a
+    // divide-by-zero. Build a schema-identical all-empty fixture slice
+    // and run every share/coverage census end-to-end against it.
+    val root = java.nio.file.Files.createTempDirectory("graft-empty-fixture").toFile
+    try {
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+        spark.read
+          .parquet(s"$Sf/$t.parquet")
+          .limit(0)
+          .write
+          .mode("overwrite")
+          .parquet(new java.io.File(root, s"$t.parquet").getAbsolutePath)
+      }
+      val dir = root.getAbsolutePath
+      val d38 = Dedup.d38BandStability(spark, dir).collect()
+      assert(d38.length == 8, "d38 anchors on the 8-band domain even with no docs")
+      assert(d38.forall(r => r.getLong(4) == 0L), "empty corpus: churn_bp guarded to 0")
+      assert(Relational.q232ArAging(spark, dir).collect().isEmpty,
+        "no orders -> no aging buckets, not a div-by-zero")
+      assert(Relational.q238KAnonymity(spark, dir).collect().isEmpty,
+        "no customers -> no anonymity bands, not a div-by-zero")
+      assert(Relational.q233BenfordDigits(spark, dir).collect().isEmpty,
+        "no orders -> no digit rows, not a div-by-zero")
+      assert(Relational.q239OutOfOrderCensus(spark, dir).collect().isEmpty,
+        "no events -> no lateness census, not a div-by-zero")
+      TextAnalysis.t42VocabCoverage(spark, dir).collect()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+
 }

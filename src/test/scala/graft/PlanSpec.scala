@@ -856,7 +856,10 @@ private[graft] object StandingGates {
     case GreaterThan(l, a)         => keyVsLit(a, l)
     case GreaterThanOrEqual(l, a)  => keyVsLit(a, l)
     case EqualTo(a, l)             => keyVsLit(a, l) || keyVsLit(l, a)
-    case In(a, vs) if vs.forall(_.foldable) => keyVsLit(a, vs.head)
+    // vs.nonEmpty guards the head: an empty IN list (`col.isin()`)
+    // satisfies forall vacuously and would crash the whole gate sweep
+    // with NoSuchElementException instead of reporting an offender.
+    case In(a, vs) if vs.nonEmpty && vs.forall(_.foldable) => keyVsLit(a, vs.head)
     case _                         => false
   }
 
