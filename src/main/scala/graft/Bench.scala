@@ -52,14 +52,17 @@ object Bench {
     // ---- Budget-aware schedule ------------------------------------------
     // Round 10 shipped with NO driver bench numbers: 388 queries ×
     // (cold + 5 warm + an 89-query floor sweep) overran the driver's
-    // time budget and the run was killed at rc=124. The schedule is now
-    // sized from its OWN cold-pass measurements against an explicit
-    // wall-clock budget instead of assuming the fixed round-3 shape:
+    // time budget and the run was killed at rc=124. The schedule is
+    // sized from its OWN measurements against an explicit wall-clock
+    // budget instead of assuming the fixed round-3 shape:
     //   * cold pass (always, measures every query once),
-    //   * warm passes = clamp((budget − spent − floor reserve) / pass
-    //     cost, 1, 5) — SPARK_GRAFT_PASSES still caps it for A/B runs,
-    //   * a between-pass deadline check stops the sweep early if the
-    //     box is slower than the cold pass predicted,
+    //   * warm passes planned ADAPTIVELY: the first plan divides the
+    //     remaining budget by the COLD pass cost, then each completed
+    //     warm pass replaces the estimate with its own measured wall —
+    //     cold includes JIT/codegen warmup and overestimates a warm
+    //     pass by ~30%, which is exactly why round 11 planned only ONE
+    //     warm pass and its medians degenerated to single samples.
+    //     SPARK_GRAFT_PASSES still caps the count for A/B runs,
     //   * floor set is rank-K ONLY (the "∪ every query ≥ 2 s" rule had
     //     grown to 89 queries), skipped per-query once the budget is
     //     spent.
@@ -88,30 +91,43 @@ object Bench {
       catch { case _: Exception => -1.0 }
     val loadStart = loadAvg()
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // Prior committed detail run at the SAME sf, when present: the
+    // cross-run partner the outlier guard uses for measure-once
+    // streaming gates, which have no same-run partner of their own.
+    val prior: Map[String, Double] = priorDetailQueries(sfDir)
     // Pass 1: cold — JVM JIT + whole-stage-codegen compilation + shuffle
     // warmup, and the sole measurement for streaming gates.
     val cold = selected.map { case (n, f) => n -> run(n, f) }
     val warmSelected = if (rewarmStreams) selected else selected.filter { case (n, _) => !streamNames(n) }
-    val passCost = warmSelected.keys.map(cold(_)).filter(_ >= 0).sum
     val floorK = envInt("SPARK_GRAFT_FLOOR_K", 10).max(0)
     // Reserve for the floor pass before committing to warm passes: two
-    // quiesced runs of the top-K, estimated from cold times.
+    // quiesced runs of the top-K FLOOR-ELIGIBLE queries, estimated from
+    // cold times. Round-11 ADVICE: taking the top-K of ALL queries let
+    // the (floor-excluded) streaming gates inflate the reserve and
+    // understate the affordable warm passes.
+    val eligibleCold = warmSelected.keys.map(cold(_)).filter(_ >= 0).toSeq
     val floorReserve =
       if (floorK == 0) 0.0
-      else 2.2 * cold.values.filter(_ >= 0).toSeq.sorted.takeRight(floorK).sum
+      else 2.2 * eligibleCold.sorted.takeRight(floorK).sum
     val passCap = envInt("SPARK_GRAFT_PASSES", 5).max(1)
-    val passesPlanned =
-      if (passCost <= 0) 1
-      else math.max(1, math.min(passCap, ((budgetS - spentS - floorReserve) / passCost).toInt))
     // Warm passes: the reported per-query number is the MEDIAN of these
     // so a single GC pause or JIT deopt can't masquerade as a plan
     // regression — single-pass numbers swing ±25% run-to-run, which
     // round 2's q12 "regression" turned out to be.
     val warm = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    var passCostEst = eligibleCold.sum
+    def affordable: Int =
+      if (passCostEst <= 0) 0
+      else ((budgetS - spentS - floorReserve) / passCostEst).toInt
+    var passesPlanned = math.max(1, math.min(passCap, affordable))
     var p = 0
-    while (p < passesPlanned && (p == 0 || spentS + passCost + floorReserve <= budgetS)) {
+    while (p < passesPlanned) {
+      val t0 = spentS
       warm += warmSelected.map { case (n, f) => n -> run(n, f) }.toMap
       p += 1
+      // replan from the measured pass wall, never below what already ran
+      passCostEst = spentS - t0
+      passesPlanned = math.max(p, math.min(passCap, p + affordable))
     }
     val passesRun = warm.size
     def medianOf(xs: Seq[Double]): Double = {
@@ -157,17 +173,50 @@ object Bench {
         Some(n -> (if (runs.isEmpty) -1.0 else runs.min))
       }
     }.toMap
-    def jmapOf(ks: Seq[String], m: Map[String, Double]): String =
+    // ---- Outlier re-measure guard (round-11 VERDICT) --------------------
+    // A single disk-stalled sample must not be the number of record —
+    // round 11 committed q164 at 107.5 s where a solo re-measure said
+    // 22.1 s. Any query whose official number exceeds 3× its best
+    // same-run partner (solo floor, or the min of ≥2 sweep samples) or
+    // — for measure-once streaming gates, which have only one sample —
+    // 3× the previous committed detail run at the same sf, gets ONE
+    // quiesced re-run. BOTH numbers are recorded: the raw outlier in
+    // `queries_outlier_raw`, the better number as official.
+    val outlierX = 3.0
+    val official = scala.collection.mutable.Map(med.toSeq: _*)
+    val outlierRaw = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def partnerOf(n: String): Option[Double] = {
+      val multi = { val ok = samples(n).filter(_ >= 0); if (ok.size >= 2) Some(ok.min) else None }
+      val cands = (floor.get(n).toSeq ++ multi.toSeq ++ prior.get(n).toSeq).filter(_ > 0)
+      if (cands.isEmpty) None else Some(cands.min)
+    }
+    names
+      .filter(n => official(n) >= 0 && partnerOf(n).exists(pv => official(n) > outlierX * pv))
+      .sortBy(-official(_))
+      .take(10) // bounded: the guard exists for a handful of stalls, not a re-sweep
+      .foreach { n =>
+        if (spentS + 1.3 * official(n) <= budgetS) {
+          System.gc(); System.gc()
+          Thread.sleep(200)
+          val r = run(n, selected(n))
+          if (r >= 0) {
+            outlierRaw(n) = official(n)
+            official(n) = math.min(official(n), r)
+          }
+        }
+      }
+    def jmapOf(ks: Seq[String], m: collection.Map[String, Double]): String =
       ks.map(k => s"\"" + k + "\":" + m(k)).mkString("{", ",", "}")
     val floorJson = jmapOf(floorNames.filter(floor.contains), floor)
-    def jmap(m: Map[String, Double]): String =
+    val outlierJson = jmapOf(outlierRaw.keys.toSeq, outlierRaw)
+    def jmap(m: collection.Map[String, Double]): String =
       names.map(k => s"\"" + k + "\":" + m(k)).mkString("{", ",", "}")
-    val total = med.values.filter(_ >= 0).sum
+    val total = names.map(official(_)).filter(_ >= 0).sum
     val coldTotal = cold.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The driver captures a bounded TAIL of stdout, so the contract
-    // line must stay small: per-query MEDIANS only. The full detail
-    // (medians + mins + cold pass) goes to bench_detail.json next to
+    // line must stay small: per-query numbers only. The full detail
+    // (officials + mins + cold pass) goes to bench_detail.json next to
     // the build for offline analysis — round 3's emitted line carried
     // both maps and was long enough that its head got truncated out of
     // the driver's capture window.
@@ -176,14 +225,57 @@ object Bench {
     val schedJson =
       s""""budget_s":$budgetS,"spent_s":${math.round(spentS)},"passes":$passesRun,"passes_planned":$passesPlanned,"stream_measure_once":${!rewarmStreams},"floor_skipped":${floorSkipped.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,$schedJson,$loadJson,"failed":$failedJson,"queries_floor_topk":$floorJson,"queries":${jmap(med)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,$schedJson,$loadJson,"failed":$failedJson,"queries_outlier_raw":$outlierJson,"queries_floor_topk":$floorJson,"queries":${jmap(official)},"sf":"$sfDir"}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,$schedJson,$loadJson,"storage_bytes_peak_residual":$storagePeakResidual,"failed":$failedJson,"queries":${jmap(med)},"queries_min":${jmap(mn)},"queries_cold":${jmap(cold.toMap)},"queries_floor_topk":$floorJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,$schedJson,$loadJson,"storage_bytes_peak_residual":$storagePeakResidual,"failed":$failedJson,"queries_outlier_raw":$outlierJson,"queries":${jmap(official)},"queries_min":${jmap(mn)},"queries_cold":${jmap(cold.toMap)},"queries_floor_topk":$floorJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     println(line)
+    // The LAST stdout line is a SMALL machine-readable summary: the
+    // driver keeps a bounded tail of stdout, and round 11's ~15 KB
+    // single contract line put the headline "value" field at the HEAD
+    // — truncated out of the capture, so BENCH_r11.json carried
+    // rc=0 but parsed:null. The tail-capture always keeps the last
+    // line; the full per-query map stays on the big line above.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"passes":$passesRun,"failed_n":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** `queries` map of the previously committed bench_detail.json when
+    * it exists in the working directory AND records the same sf dir;
+    * empty otherwise. Hand-rolled extraction (no JSON lib on the
+    * classpath): the file is machine-written by this object, so the
+    * `"queries":{...}` span is flat `"name":number` pairs.
+    */
+  private def priorDetailQueries(sfDir: String): Map[String, Double] =
+    try {
+      val p = java.nio.file.Paths.get("bench_detail.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val s = new String(java.nio.file.Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
+        if (!s.contains(s""""sf":"$sfDir"""")) Map.empty
+        else {
+          val key = "\"queries\":{"
+          val i = s.indexOf(key)
+          if (i < 0) Map.empty
+          else {
+            val body = s.substring(i + key.length, s.indexOf('}', i + key.length))
+            body
+              .split(",")
+              .flatMap { kv =>
+                kv.split(":") match {
+                  case Array(k, v) =>
+                    scala.util.Try(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble).toOption
+                  case _ => None
+                }
+              }
+              .filter(_._2 >= 0)
+              .toMap
+          }
+        }
+      }
+    } catch { case _: Exception => Map.empty }
 }

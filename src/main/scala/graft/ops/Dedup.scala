@@ -2599,6 +2599,14 @@ object Dedup {
     * loop's latency. Edges nest across θ so the replicated graph is
     * ≤ 4× the loosest cut. Oracle: the d6 transitive-closure
     * recursion keyed by (θ, node).
+    *
+    * The triangular pair stage is this sweep's CONTROL ARM (the
+    * d4/d26/s30 doctrine: every exhaustive arm names its scale twin):
+    * at 100 TB embeddings are corpus-sized, not a dimension, and the
+    * sweep runs on [[d40BandedThresholdSweep]]'s hyperplane-banded
+    * candidates instead — same θ replication, same two-star fixpoint
+    * — with THIS query's census as the recall reference d40 measures
+    * itself against.
     */
   def d39ThresholdStability(s: SparkSession, dir: String): DataFrame = {
     val e = Tables
@@ -2674,7 +2682,127 @@ object Dedup {
       .orderBy("theta_bp")
   }
 
+  /** d40 — the BANDED scale arm of [[d39ThresholdStability]]'s
+    * threshold sweep: the same θ ∈ {0.30, 0.40, 0.50, 0.60} cluster
+    * census, but with candidate pairs from random-hyperplane LSH
+    * (d10's generator on s2's 12-table × 4-plane deterministic LCG
+    * set) instead of the exact triangular join — the shape that
+    * survives a corpus-sized embedding table, where work is bucket
+    * co-occupancy, never n². Both arms run side by side and the
+    * output IS the price sheet: per θ, exact vs banded edge counts
+    * with edge-recall in bp, and the downstream cluster census both
+    * ways (components, linked nodes, largest cluster) — so the cut
+    * a dedup owner reads off d39 comes annotated with exactly what
+    * the sub-quadratic path would have told them instead. At these
+    * mid-range thresholds hyperplane recall is genuinely partial
+    * (p = 1 − θ_angle/π ≈ 0.6–0.7, p⁴ per table — the d10 honest
+    * limit), which is the POINT: the recall column is the measured
+    * cost of going banded, not folklore.
+    *
+    * Determinism makes the whole report oracle-checkable: fixed LCG
+    * planes (literal-embedded in the SQL, the s2 discipline), exact
+    * cosine frozen to bp, and ONE two-star fixpoint over the
+    * composite (θ, arm, node)-encoded graph — 8 disjoint subgraphs,
+    * one O(log n)-round job. Scale: the banded arm shuffles narrow
+    * (vec_id, table, bucket) rows; the exact arm is the declared
+    * fixture-scale control exactly as in d39.
+    */
+  def d40BandedThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .spread(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(Similarity.dot(col("v"), col("v"))))
+      .localCheckpoint() // pair sides + banding reuse one materialization
+    val pairs = e
+      .as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn(
+        "cos",
+        Similarity.dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
+      .select(
+        col("a.vec_id").as("id_a"),
+        col("b.vec_id").as("id_b"),
+        expr("CAST(floor(cos * 10000 + 0.5) AS BIGINT)").as("cos_bp"))
+      .filter(col("cos_bp") >= 3000L)
+      .localCheckpoint() // both arms, every census and the CC rounds reuse it
+    val banded = e.select(
+      col("vec_id"),
+      explode(Similarity.tableBucketsFor(col("v"), Similarity.hyperplanes)).as("tb"))
+    val cand = banded
+      .as("a")
+      .join(banded.as("b"), col("a.tb") === col("b.tb") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val bq = pairs.join(cand, Seq("id_a", "id_b"), "left_semi")
+    val thetas =
+      "array(CAST(3000 AS BIGINT), CAST(4000 AS BIGINT), CAST(5000 AS BIGINT), CAST(6000 AS BIGINT))"
+    val et = pairs
+      .select(lit(0L).as("arm"), col("id_a"), col("id_b"), col("cos_bp"))
+      .unionAll(bq.select(lit(1L).as("arm"), col("id_a"), col("id_b"), col("cos_bp")))
+      .select(
+        col("arm"),
+        col("id_a"),
+        col("id_b"),
+        col("cos_bp"),
+        explode(expr(thetas)).as("theta_bp"))
+      .filter(col("cos_bp") >= col("theta_bp"))
+      .select(col("arm"), col("theta_bp"), col("id_a"), col("id_b"))
+    // (θ, arm, vec_id) → one long: prefix θ·2 + arm, ids share a
+    // prefix so the component min decodes to the subgraph-local min
+    // (d39's encoding with one more bit).
+    val shift = 17592186044416L // 2^44; vec_id must stay below it
+    val (enc, _) = Dedup.twoStarLabels(
+      et.select(
+        ((col("theta_bp") * 2L + col("arm")) * shift + col("id_a")).as("id_a"),
+        ((col("theta_bp") * 2L + col("arm")) * shift + col("id_b")).as("id_b")))
+    val census = enc
+      .select(
+        expr(s"(id div ${shift}L) div 2").as("theta_bp"),
+        expr(s"(id div ${shift}L) % 2").as("arm"),
+        expr(s"label % ${shift}L").as("label"))
+      .groupBy(col("theta_bp"), col("arm"), col("label"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("theta_bp"), col("arm"))
+      .agg(
+        count(lit(1)).as("n_components"),
+        sum(col("sz")).as("n_linked"),
+        max(col("sz")).as("max_cluster"))
+      .groupBy(col("theta_bp"))
+      .agg(
+        max(when(col("arm") === 0L, col("n_components"))).as("comp_e"),
+        max(when(col("arm") === 1L, col("n_components"))).as("comp_b"),
+        max(when(col("arm") === 0L, col("n_linked"))).as("link_e"),
+        max(when(col("arm") === 1L, col("n_linked"))).as("link_b"),
+        max(when(col("arm") === 0L, col("max_cluster"))).as("mc_e"),
+        max(when(col("arm") === 1L, col("max_cluster"))).as("mc_b"))
+    val ne = et
+      .groupBy(col("theta_bp"))
+      .agg(
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("ne_e"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("ne_b"))
+    // anchor on the θ list: a cut with no banded (or no) edges still
+    // reports a row with zeros, not a vanished join
+    val one = pairs.sparkSession.range(1).select(explode(expr(thetas)).as("theta_bp"))
+    one
+      .join(ne, Seq("theta_bp"), "left")
+      .join(census, Seq("theta_bp"), "left")
+      .select(
+        col("theta_bp"),
+        coalesce(col("ne_e"), lit(0L)).as("n_edges_exact"),
+        coalesce(col("ne_b"), lit(0L)).as("n_edges_banded"),
+        expr("coalesce(ne_b, CAST(0 AS BIGINT)) * 10000 div greatest(coalesce(ne_e, CAST(0 AS BIGINT)), CAST(1 AS BIGINT))")
+          .as("edge_recall_bp"),
+        coalesce(col("comp_e"), lit(0L)).as("n_components_exact"),
+        coalesce(col("comp_b"), lit(0L)).as("n_components_banded"),
+        coalesce(col("link_e"), lit(0L)).as("n_linked_exact"),
+        coalesce(col("link_b"), lit(0L)).as("n_linked_banded"),
+        coalesce(col("mc_e"), lit(0L)).as("max_cluster_exact"),
+        coalesce(col("mc_b"), lit(0L)).as("max_cluster_banded"))
+      .orderBy("theta_bp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d40_banded_threshold_sweep" -> d40BandedThresholdSweep,
     "d39_threshold_stability" -> d39ThresholdStability,
     "d38_band_stability" -> d38BandStability,
     "d37_simhash_error" -> d37SimhashError,
@@ -3481,6 +3609,83 @@ object Dedup {
     // the same bp-frozen cosine pairs, the same nested θ replication,
     // components via the d6 transitive-closure recursion keyed by
     // (θ, node)
+    // d40: the same transitive-closure recursion as d39, keyed by
+    // (arm, θ, node); the banded arm's candidates replay s2's
+    // literal-embedded hyperplanes (planeRowsSql) in SQL
+    "d40_banded_threshold_sweep" ->
+      s"""WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm FROM e),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(floor(list_inner_product(a.v, b.v) / (a.norm * b.norm)
+        |               * 10000 + 0.5) AS BIGINT) AS cos_bp
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id),
+        |pq AS (SELECT * FROM p WHERE cos_bp >= 3000),
+        |planes(t, j, pv) AS (VALUES ${graft.ops.Similarity.planeRowsSql}),
+        |bkt AS (
+        |  SELECT n.vec_id, pl.t,
+        |    CAST(sum(CASE WHEN list_inner_product(n.v, pl.pv) > 0
+        |             THEN 1 << pl.j ELSE 0 END) AS INTEGER) AS bk
+        |  FROM n, planes pl GROUP BY n.vec_id, pl.t),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bkt a JOIN bkt b ON a.t = b.t AND a.bk = b.bk
+        |  WHERE a.vec_id < b.vec_id),
+        |bq AS (SELECT pq.* FROM pq JOIN cand USING (id_a, id_b)),
+        |th AS (
+        |  SELECT CAST(unnest([3000, 4000, 5000, 6000]) AS BIGINT) AS theta_bp),
+        |et AS (
+        |  SELECT 0 AS arm, th.theta_bp, id_a, id_b FROM pq, th
+        |  WHERE cos_bp >= th.theta_bp
+        |  UNION ALL
+        |  SELECT 1 AS arm, th.theta_bp, id_a, id_b FROM bq, th
+        |  WHERE cos_bp >= th.theta_bp),
+        |edges AS (
+        |  SELECT arm, theta_bp, id_a AS a, id_b AS b FROM et
+        |  UNION ALL SELECT arm, theta_bp, id_b AS a, id_a AS b FROM et),
+        |reach(m, t, id, r) AS (
+        |  SELECT arm, theta_bp, a, a FROM edges
+        |  UNION
+        |  SELECT reach.m, reach.t, reach.id, e2.b
+        |  FROM reach JOIN edges e2
+        |    ON reach.m = e2.arm AND reach.t = e2.theta_bp AND reach.r = e2.a),
+        |comp AS (SELECT m, t, id, min(r) AS label FROM reach GROUP BY 1, 2, 3),
+        |cs AS (
+        |  SELECT m, t, label, CAST(count(*) AS BIGINT) AS sz FROM comp GROUP BY 1, 2, 3),
+        |per_arm AS (
+        |  SELECT m, t, CAST(count(*) AS BIGINT) AS n_components,
+        |    CAST(sum(sz) AS BIGINT) AS n_linked,
+        |    CAST(max(sz) AS BIGINT) AS max_cluster
+        |  FROM cs GROUP BY 1, 2),
+        |census AS (
+        |  SELECT t AS theta_bp,
+        |    max(CASE WHEN m = 0 THEN n_components END) AS comp_e,
+        |    max(CASE WHEN m = 1 THEN n_components END) AS comp_b,
+        |    max(CASE WHEN m = 0 THEN n_linked END) AS link_e,
+        |    max(CASE WHEN m = 1 THEN n_linked END) AS link_b,
+        |    max(CASE WHEN m = 0 THEN max_cluster END) AS mc_e,
+        |    max(CASE WHEN m = 1 THEN max_cluster END) AS mc_b
+        |  FROM per_arm GROUP BY 1),
+        |ne AS (
+        |  SELECT theta_bp,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ne_e,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ne_b
+        |  FROM et GROUP BY 1)
+        |SELECT th.theta_bp,
+        |  coalesce(ne.ne_e, 0) AS n_edges_exact,
+        |  coalesce(ne.ne_b, 0) AS n_edges_banded,
+        |  coalesce(ne.ne_b, 0) * 10000 // greatest(coalesce(ne.ne_e, 0), 1)
+        |    AS edge_recall_bp,
+        |  coalesce(census.comp_e, 0) AS n_components_exact,
+        |  coalesce(census.comp_b, 0) AS n_components_banded,
+        |  coalesce(census.link_e, 0) AS n_linked_exact,
+        |  coalesce(census.link_b, 0) AS n_linked_banded,
+        |  coalesce(census.mc_e, 0) AS max_cluster_exact,
+        |  coalesce(census.mc_b, 0) AS max_cluster_banded
+        |FROM th LEFT JOIN ne ON th.theta_bp = ne.theta_bp
+        |LEFT JOIN census ON th.theta_bp = census.theta_bp
+        |ORDER BY th.theta_bp""".stripMargin,
     "d39_threshold_stability" ->
       """WITH RECURSIVE e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

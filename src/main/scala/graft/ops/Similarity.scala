@@ -2439,14 +2439,21 @@ object Similarity {
     * exactly — the oracle checks the full approximate OUTPUT, not just
     * row counts.
     */
-  private def s2OracleSql: String = {
-    val planeRows = hyperplanes.zipWithIndex
+  /** The session's 12×4 hyperplane set as DuckDB VALUES rows
+    * `(t, j, pv)` — shared by every oracle that replays the sign
+    * buckets in SQL (s2, s29, and d40's banded threshold-sweep arm).
+    */
+  private[ops] def planeRowsSql: String =
+    hyperplanes.zipWithIndex
       .flatMap { case (tbl, t) =>
         tbl.zipWithIndex.map { case (plane, j) =>
           s"($t, $j, [${plane.map(_.toString).mkString(", ")}]::DOUBLE[])"
         }
       }
       .mkString(", ")
+
+  private def s2OracleSql: String = {
+    val planeRows = planeRowsSql
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm FROM e),

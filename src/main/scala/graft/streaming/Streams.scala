@@ -49,17 +49,57 @@ object Streams {
     * deletion is not an option — the gates RETURN DataFrames that
     * lazily re-read their `out` directory.
     */
-  private def gateTempRoot(prefix: String): java.io.File = {
-    val root = java.nio.file.Files.createTempDirectory(prefix).toFile
+  private val gateRoots =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[java.io.File]())
+  private lazy val gateHook: Unit = {
+    // ONE hook thread for every gate root (the Tables.scratchDir
+    // ADVICE class): a bench JVM re-runs 13 gates across passes, and a
+    // hook thread per invocation accumulated dozens of registered
+    // threads per run.
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         val cs = f.listFiles()
         if (cs != null) cs.foreach(rm)
         f.delete(); ()
       }
-      rm(root)
+      gateRoots.synchronized { gateRoots.forEach(rm(_)) }
     }))
+  }
+  private def gateTempRoot(prefix: String): java.io.File = {
+    val root = java.nio.file.Files.createTempDirectory(prefix).toFile
+    gateHook
+    gateRoots.add(root)
     root
+  }
+
+  /** 3-way CHRONOLOGICAL feed split WITHOUT a global sort, replacing
+    * the round-11 `ntile(3)` builders — an unpartitioned Window over
+    * the data-scaled events fact that moved the whole feed through ONE
+    * task (round-11 VERDICT). The property every order-sensitive gate
+    * actually needs from `maxFilesPerTrigger=1` is file-level
+    * chronology: every event time in file k strictly precedes every
+    * event time in file k+1, so the watermark never passes a
+    * still-unfed event and cross-batch state transitions replay in
+    * event-time order. Value-based RANGE bucketing gives exactly that
+    * — `fidx = 1 + min(2, (us − min) · 3 div (max − min + 1))` with
+    * the min/max from one map-side-combined aggregate broadcast back —
+    * while staying embarrassingly parallel at any scale. Equal
+    * timestamps land in one file by construction, so no ordering
+    * contract crosses a file boundary (ntile split ties by row
+    * number). Row-count balance is only approximate where ntile's was
+    * exact; balance never mattered, chronology did. Oracle-invariant:
+    * gate answers are pinned ≥ 2 days below the final watermark (the
+    * q207/q222 doctrine), and the final watermark — max event time −
+    * delay — does not depend on where file boundaries fall.
+    */
+  private def chronoFidx(df: DataFrame, tsUs: org.apache.spark.sql.Column): DataFrame = {
+    val mm = df.agg(min(tsUs).as("__mn"), max(tsUs).as("__mx"))
+    df.withColumn("__us", tsUs)
+      .crossJoin(broadcast(mm))
+      .withColumn(
+        "fidx",
+        expr("CAST(1 + least(2, (__us - __mn) * 3 div (__mx - __mn + 1)) AS INT)"))
+      .drop("__us", "__mn", "__mx")
   }
 
   /** Serializes the gated queries' session-conf mutation of the
@@ -1761,8 +1801,8 @@ object Streams {
     * state is an ORDER-DEPENDENT fold rather than a commutative
     * aggregate — the hardest parity class). The batch twin's exact
     * input (signup/click credits, purchase debits) is written as a
-    * 3-file CHRONOLOGICAL parquet feed — ntile(3) over the global
-    * (ts_us, event_id) order, each file internally sorted — so
+    * 3-file CHRONOLOGICAL parquet feed — [[chronoFidx]] event-time
+    * range buckets, each file internally sorted — so
     * `maxFilesPerTrigger=1` delivers three micro-batches that honor
     * the per-key event-time contract across state-store commits (and
     * [[WalletProcessor]] sorts within each batch, so intra-batch file
@@ -1776,19 +1816,18 @@ object Streams {
     */
   def q193StreamWallet(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("ts_us").asc, col("event_id").asc)
-    val evs = graft.ops.Tables
-      .events(s, dir)
-      .filter(col("event_type").isin("signup", "click", "purchase"))
-      .select(
-        col("user_id"),
-        unix_micros(col("ts")).as("ts_us"),
-        col("event_id"),
-        when(col("event_type") === "purchase",
-          -floor(col("value") * 100 + 0.5).cast("long"))
-          .otherwise(floor(col("value") * 100 + 0.5).cast("long")).as("delta"))
-      .withColumn("fidx", ntile(3).over(w))
+    val evs = chronoFidx(
+      graft.ops.Tables
+        .events(s, dir)
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+        .select(
+          col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          when(col("event_type") === "purchase",
+            -floor(col("value") * 100 + 0.5).cast("long"))
+            .otherwise(floor(col("value") * 100 + 0.5).cast("long")).as("delta")),
+      col("ts_us"))
     val root = gateTempRoot("graft-q193")
     val feed = new java.io.File(root, "feed")
     val out = new java.io.File(root, "out")
@@ -2381,13 +2420,11 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
       .as[WarmInit]
     val live = purchases.filter(col("ts") >= cut)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("ts").asc, col("event_id").asc)
     val root = gateTempRoot("graft-q229")
     val feed = new java.io.File(root, "feed")
     val out = new java.io.File(root, "out")
     val ckpt = new java.io.File(root, "ckpt")
-    val withIdx = live.withColumn("fidx", ntile(3).over(w))
+    val withIdx = chronoFidx(live, unix_micros(col("ts")))
     (1 to 3).foreach { i =>
       withIdx
         .filter(col("fidx") === i)
@@ -2607,17 +2644,16 @@ object Streams {
     */
   def q226StreamUserTopk(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("ts").asc, col("event_id").asc)
-    val evs = graft.ops.Tables
-      .events(s, dir)
-      .filter(col("event_type") === "purchase")
-      .select(
-        col("user_id").cast("long").as("user_id"),
-        col("event_id").cast("long").as("event_id"),
-        floor(col("value") * 100 + 0.5).cast("long").as("cents"),
-        col("ts"))
-      .withColumn("fidx", ntile(3).over(w))
+    val evs = chronoFidx(
+      graft.ops.Tables
+        .events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("user_id").cast("long").as("user_id"),
+          col("event_id").cast("long").as("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+          col("ts")),
+      unix_micros(col("ts")))
     val root = gateTempRoot("graft-q226")
     val feed = new java.io.File(root, "feed")
     val out = new java.io.File(root, "out")
@@ -2710,17 +2746,16 @@ object Streams {
     */
   def q222StreamSlaTimeout(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("ts").asc, col("event_id").asc)
-    val evs = graft.ops.Tables
-      .events(s, dir)
-      .filter(col("event_type").isin("signup", "purchase"))
-      .select(
-        col("user_id").cast("long").as("user_id"),
-        col("ts"),
-        col("event_type").as("kind"),
-        col("event_id"))
-      .withColumn("fidx", ntile(3).over(w))
+    val evs = chronoFidx(
+      graft.ops.Tables
+        .events(s, dir)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(
+          col("user_id").cast("long").as("user_id"),
+          col("ts"),
+          col("event_type").as("kind"),
+          col("event_id")),
+      unix_micros(col("ts")))
     val root = gateTempRoot("graft-q222")
     val feed = new java.io.File(root, "feed")
     val out = new java.io.File(root, "out")
@@ -2811,9 +2846,9 @@ object Streams {
     * outer-join EVICTION is order-sensitive — if a later feed file
     * surfaced first, the watermark would jump and the earlier file's
     * clicks would be dropped as late. The feed therefore uses the
-    * q222 contract: three ts-ordered ntile files with strictly
-    * increasing forced mtimes, so micro-batches ingest in event-time
-    * order. Watermark delay 2 days (intentionally INSIDE the fixture
+    * q222 contract: three [[chronoFidx]] event-time range files with
+    * strictly increasing forced mtimes, so micro-batches ingest in
+    * event-time order. Watermark delay 2 days (intentionally INSIDE the fixture
     * span, unlike q164's 45 days — null emission requires the
     * watermark to actually move); the batch tail and the oracle both
     * cut at a literal ≥ 2 days below the final watermark resting
@@ -2828,13 +2863,12 @@ object Streams {
     * rows; the tail is one bucket rollup.
     */
   def q237StreamLeftJoin(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("ts").asc, col("event_id").asc)
-    val ev = graft.ops.Tables
-      .events(s, dir)
-      .filter(col("event_type").isin("click", "purchase"))
-      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
-      .withColumn("fidx", ntile(3).over(w))
+    val ev = chronoFidx(
+      graft.ops.Tables
+        .events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts")),
+      unix_micros(col("ts")))
     val root = gateTempRoot("graft-q237")
     val feed = new java.io.File(root, "feed")
     val out = new java.io.File(root, "out")

@@ -4561,6 +4561,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("d40 banded sweep: banded arm is a subgraph of the exact arm at every cut") {
+    val out = Dedup.d40BandedThresholdSweep(spark, Sf).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(3000L, 4000L, 5000L, 6000L), "one row per cut")
+    out.foreach { r =>
+      val (ee, eb, recall) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(eb <= ee, "banded candidates can only lose edges, never invent them")
+      assert(recall == eb * 10000L / math.max(ee, 1L), "recall is the measured ratio")
+      assert(r.getLong(7) <= r.getLong(6), "banded linked nodes bounded by exact")
+      assert(r.getLong(9) <= r.getLong(8), "a banded cluster lives inside an exact cluster")
+    }
+    // the sweep must exercise the banded arm for real: at least one cut
+    // with edges on both arms (the fixture's cosine mass sits in-range)
+    assert(out.exists(r => r.getLong(1) > 0L && r.getLong(2) > 0L),
+      "fixture must produce edges on both arms somewhere in the sweep")
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(1) <= a.getLong(1), "exact edges shrink with theta")
+        assert(b.getLong(2) <= a.getLong(2), "banded edges shrink with theta")
+      case _ => ()
+    }
+  }
+
   test("share_bp family survives an EMPTY fixture (denominator guards)") {
     // Round-11 ADVICE class: census queries divide by corpus totals
     // (`x * 10000 div greatest(n, 1)`). A regenerated fixture that
