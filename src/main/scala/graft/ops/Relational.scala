@@ -9487,7 +9487,187 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** The q240 harmonic-weight table, computed ONCE in Scala and
+    * embedded as integer literals in BOTH engines (the s2/d40
+    * literal-planes discipline, applied to trigonometry): neither
+    * engine evaluates cos/sin at query time, so libm-vs-StrictMath
+    * ULP drift cannot exist. Micro-unit weights
+    * `floor(cos(2πr/p)·10⁶ + 0.5)` for r ∈ [0, p).
+    */
+  private val q240Periods = Seq(7, 14, 30, 91)
+  private lazy val q240Weights: Seq[(Long, Long, Long, Long)] =
+    q240Periods.flatMap { p =>
+      (0 until p).map { r =>
+        val a = 2.0 * math.Pi * r / p
+        (p.toLong, r.toLong,
+          math.floor(math.cos(a) * 1e6 + 0.5).toLong,
+          math.floor(math.sin(a) * 1e6 + 0.5).toLong)
+      }
+    }
+
+  /** q240 — periodogram / harmonic energy scan of the daily-revenue
+    * series: the Fourier projection of the mean-centered daily order
+    * totals onto candidate cycles of 7, 14, 30 and 91 days, reporting
+    * each period's share of series variance in ppm. This is the
+    * frequency-domain DISCOVERY tool next to the existing lag/calendar
+    * diagnostics — q121's ACF measures lag-k persistence and q123
+    * confirms a KNOWN weekly shape via ISO-weekday group means;
+    * neither can surface an arbitrary (non-calendar) cycle like a
+    * 10-day replenishment rhythm, which is exactly what a harmonic
+    * scan is for. TPC-H-ish order dates are uniform, so the expected
+    * report is "no dominant harmonic" — the operator's value is the
+    * deterministic machinery, priced and oracle-gated.
+    *
+    * Cross-engine float discipline: the trig table is FROZEN to
+    * integer micro-units in Scala and literal-embedded in both plans
+    * ([[q240Weights]]) — query-time arithmetic is integer dot
+    * products of KILO-cent deviations × micro-unit weights (raw-cent
+    * Σ dev² overflows 2⁶³ already at sf0.01) plus ONE double ratio
+    * with identical formula text.
+    *
+    * Plan: one (day) aggregate of the fact — the only data-sized
+    * exchange, map-side combined; the day series is calendar-bounded
+    * (the standing gate's bounded class), so the explode-by-period ×
+    * weight equi-join and the per-period rollup are bounded work. At
+    * 100 TB the kilo-cent deviations keep Σ dev² under 2⁶³ up to
+    * ~10¹² cents/day over 10⁴ days — widen the dev truncation (or
+    * narrow the weights) before that regime.
+    */
+  def q240Periodogram(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+    val anchor = daily.agg(
+      min(col("day")).as("d0"),
+      count(lit(1)).as("n_days"),
+      sum(col("cents")).as("total"))
+    val dev = daily
+      .crossJoin(broadcast(anchor))
+      .select(
+        expr("CAST(datediff(day, d0) AS BIGINT)").as("t"),
+        // deviations in KILO-cents: Σ dev² overflows 2⁶³ already at
+        // sf0.01 in raw cents (measured 1.75e20); the div-1000 trunc
+        // is identical in both engines and a ppm share does not feel
+        // the dropped sub-kilocent digits
+        expr("(cents - total div n_days) div 1000").as("dev"),
+        col("n_days"))
+    val w = s.createDataFrame(q240Weights).toDF("p", "r", "wc", "ws")
+    dev
+      .select(col("t"), col("dev"), col("n_days"),
+        explode(expr(s"array(${q240Periods.map(p => s"CAST($p AS BIGINT)").mkString(", ")})")).as("p"))
+      .withColumn("r", col("t") % col("p"))
+      .join(broadcast(w), Seq("p", "r"))
+      .groupBy(col("p"))
+      .agg(
+        max(col("n_days")).as("n_days"),
+        sum(col("dev") * col("wc")).as("proj_cos_u"),
+        sum(col("dev") * col("ws")).as("proj_sin_u"),
+        sum(col("dev") * col("dev")).as("ss_dev"))
+      .select(
+        col("p").as("period_days"),
+        col("n_days"),
+        col("proj_cos_u"),
+        col("proj_sin_u"),
+        expr("""CAST(floor((CAST(proj_cos_u AS DOUBLE) * proj_cos_u
+                 + CAST(proj_sin_u AS DOUBLE) * proj_sin_u)
+                / (CAST(1000000 AS DOUBLE) * 1000000
+                   * greatest(CAST(n_days AS DOUBLE) * ss_dev, CAST(1 AS DOUBLE)))
+                * 1000000 + 0.5) AS BIGINT)""").as("power_share_ppm"))
+      .orderBy("period_days")
+  }
+
+  /** q241 — shuffle-skew census of the fact table's candidate join
+    * keys: for each of lineitem's three foreign keys, hash every key
+    * into 32 virtual reducers (first 8 md5 hex digits — the q206/d1
+    * portable-hash convention, so both engines and any future
+    * partitioner agree) and report the partition-occupancy profile:
+    * rows and distinct keys, occupied reducers, the heaviest/lightest
+    * reducer, the IMBALANCE factor in bp of perfect balance
+    * (max_part · 32 · 10⁴ div n — 10000 means the slowest reducer
+    * got exactly 1/32), and the single heaviest key's row share.
+    * This is the pre-shuffle audit that decides between a plain hash
+    * join, q47-style salting, or a broadcast BEFORE launching a
+    * 1000-executor exchange; no existing query owns it (q139 censuses
+    * GRAPH degrees, q68 value outliers, ops/Skew.scala is the salting
+    * mechanism itself, not its sizing report).
+    *
+    * Plan: per key, one map-side-combined (key → count) aggregate of
+    * a single pruned column — the only data-sized exchange — then a
+    * 32-row bucket rollup and a 1-row census; three narrow scans
+    * total. All integers. At 100 TB this is exactly the sketch a
+    * planner would persist per fact/key pair.
+    */
+  /** One q241 census block in DuckDB: same bucketing hash, same
+    * integer rollups, same guard text as the Spark plan.
+    */
+  private def q241CensusSql(keyCol: String): String =
+    s"""SELECT '$keyCol' AS shuffle_key, n_rows, n_keys, n_parts_occupied,
+       |  max_part_rows, min_part_rows,
+       |  max_part_rows * 32 * 10000 // greatest(n_rows, 1) AS imbalance_bp,
+       |  max_key_rows,
+       |  max_key_rows * 10000 // greatest(n_rows, 1) AS max_key_share_bp
+       |FROM (
+       |  SELECT CAST(sum(rows_in_part) AS BIGINT) AS n_rows,
+       |    CAST(sum(keys_in_part) AS BIGINT) AS n_keys,
+       |    CAST(count(*) AS BIGINT) AS n_parts_occupied,
+       |    CAST(max(rows_in_part) AS BIGINT) AS max_part_rows,
+       |    CAST(min(rows_in_part) AS BIGINT) AS min_part_rows,
+       |    CAST(max(max_key_rows_p) AS BIGINT) AS max_key_rows
+       |  FROM (
+       |    SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT % 32
+       |        AS part,
+       |      CAST(sum(c) AS BIGINT) AS rows_in_part,
+       |      CAST(count(*) AS BIGINT) AS keys_in_part,
+       |      CAST(max(c) AS BIGINT) AS max_key_rows_p
+       |    FROM (SELECT CAST($keyCol AS BIGINT) AS k, count(*) AS c
+       |          FROM lineitem GROUP BY 1)
+       |    GROUP BY 1))""".stripMargin
+
+  def q241ShuffleSkewCensus(s: SparkSession, dir: String): DataFrame = {
+    def census(keyCol: String): DataFrame = {
+      val parts = Tables
+        .lineitem(s, dir)
+        .groupBy(col(keyCol).cast("long").as("k"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn(
+          "part",
+          expr("CAST(conv(substring(md5(CAST(k AS STRING)), 1, 8), 16, 10) AS BIGINT) % 32"))
+        .groupBy(col("part"))
+        .agg(
+          sum(col("c")).as("rows_in_part"),
+          count(lit(1)).as("keys_in_part"),
+          max(col("c")).as("max_key_rows_p"))
+      parts
+        .agg(
+          sum(col("rows_in_part")).as("n_rows"),
+          sum(col("keys_in_part")).as("n_keys"),
+          count(lit(1)).as("n_parts_occupied"),
+          max(col("rows_in_part")).as("max_part_rows"),
+          min(col("rows_in_part")).as("min_part_rows"),
+          max(col("max_key_rows_p")).as("max_key_rows"))
+        .select(
+          lit(keyCol).as("shuffle_key"),
+          col("n_rows"),
+          col("n_keys"),
+          col("n_parts_occupied"),
+          col("max_part_rows"),
+          col("min_part_rows"),
+          expr("max_part_rows * 32 * 10000 div greatest(n_rows, CAST(1 AS BIGINT))")
+            .as("imbalance_bp"),
+          col("max_key_rows"),
+          expr("max_key_rows * 10000 div greatest(n_rows, CAST(1 AS BIGINT))")
+            .as("max_key_share_bp"))
+    }
+    census("l_orderkey")
+      .unionAll(census("l_partkey"))
+      .unionAll(census("l_suppkey"))
+      .orderBy("shuffle_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_shuffle_skew_census" -> q241ShuffleSkewCensus,
+    "q240_periodogram" -> q240Periodogram,
     "q239_out_of_order_census" -> q239OutOfOrderCensus,
     "q238_k_anonymity" -> q238KAnonymity,
     "q235_cusum_changepoint" -> q235CusumChangepoint,
@@ -9751,6 +9931,47 @@ object Relational {
         |FROM c, t ORDER BY bucket""".stripMargin,
     // the same quasi-identifier banding, class census and integer
     // bp/centi-l shares
+    // the same literal-frozen trig table (q240Weights) interpolated
+    // into the SQL text — no query-time cos/sin in either engine
+    "q240_periodogram" ->
+      s"""WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |a AS (
+        |  SELECT min(day) AS d0, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(cents) AS BIGINT) AS total
+        |  FROM daily),
+        |dev AS (
+        |  SELECT CAST(datediff('day', a.d0, daily.day) AS BIGINT) AS t,
+        |    (cents - total // n_days) // 1000 AS dev, n_days
+        |  FROM daily, a),
+        |w(p, r, wc, ws) AS (VALUES ${q240Weights
+             .map { case (p, r, wc, ws) => s"($p, $r, $wc, $ws)" }
+             .mkString(", ")}),
+        |j AS (
+        |  SELECT w.p, dev.n_days, dev.dev, w.wc, w.ws
+        |  FROM dev JOIN w ON dev.t % w.p = w.r),
+        |g AS (
+        |  SELECT CAST(p AS BIGINT) AS period_days,
+        |    CAST(max(n_days) AS BIGINT) AS n_days,
+        |    CAST(sum(dev * wc) AS BIGINT) AS proj_cos_u,
+        |    CAST(sum(dev * ws) AS BIGINT) AS proj_sin_u,
+        |    CAST(sum(dev * dev) AS BIGINT) AS ss_dev
+        |  FROM j GROUP BY 1)
+        |SELECT period_days, n_days, proj_cos_u, proj_sin_u,
+        |  CAST(floor((CAST(proj_cos_u AS DOUBLE) * proj_cos_u
+        |       + CAST(proj_sin_u AS DOUBLE) * proj_sin_u)
+        |      / (CAST(1000000 AS DOUBLE) * 1000000
+        |         * greatest(CAST(n_days AS DOUBLE) * ss_dev, CAST(1 AS DOUBLE)))
+        |      * 1000000 + 0.5) AS BIGINT) AS power_share_ppm
+        |FROM g ORDER BY period_days""".stripMargin,
+    // one census block per candidate key, identical formula text
+    "q241_shuffle_skew_census" ->
+      Seq("l_orderkey", "l_partkey", "l_suppkey")
+        .map(q241CensusSql)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY shuffle_key"),
     "q238_k_anonymity" ->
       """WITH cls AS (
         |  SELECT c_nationkey,

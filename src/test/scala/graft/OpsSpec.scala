@@ -4561,6 +4561,36 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q240 periodogram: frozen-weight harmonics, power share bounded by variance") {
+    val out = Relational.q240Periodogram(spark, Sf).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(7L, 14L, 30L, 91L), "one row per period")
+    val nDays = out.head.getLong(1)
+    assert(nDays > 0L)
+    out.foreach { r =>
+      assert(r.getLong(1) == nDays, "every harmonic sees the same series")
+      // Cauchy–Schwarz in micro-units: |proj|^2 <= ss * n * 1e12, so the
+      // ppm share is <= 1e6 up to weight-rounding slack
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1100000L,
+        s"power share ppm out of range: ${r.getLong(4)}")
+    }
+  }
+
+  test("q241 shuffle skew census: occupancy bounded, imbalance >= perfect balance") {
+    val out = Relational.q241ShuffleSkewCensus(spark, Sf).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    out.foreach { r =>
+      val (n, keys, occ) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n > 0L && keys > 0L && occ >= 1L && occ <= 32L)
+      assert(keys >= occ, "a reducer needs at least one key to be occupied")
+      assert(r.getLong(5) <= r.getLong(4), "min partition bounded by max")
+      assert(r.getLong(6) >= 10000L, "the heaviest reducer is at least the average")
+      assert(r.getLong(7) <= r.getLong(4), "heaviest key lives inside some partition")
+    }
+    val byKey = out.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(byKey("l_orderkey") >= byKey("l_suppkey"),
+      "orders outnumber suppliers at every SF")
+  }
+
   test("d40 banded sweep: banded arm is a subgraph of the exact arm at every cut") {
     val out = Dedup.d40BandedThresholdSweep(spark, Sf).collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(3000L, 4000L, 5000L, 6000L), "one row per cut")
