@@ -72,9 +72,13 @@ object Bench {
     //     grown to 89 queries), skipped per-query once the budget is
     //     spent.
     // The budget covers THIS main()'s wall only; sbt/JVM startup is the
-    // caller's overhead, so the default leaves ~10% headroom under the
-    // round-9 measured 2,770 s sbt envelope.
-    val budgetS = envInt("SPARK_GRAFT_BUDGET_S", 2500).max(60)
+    // caller's overhead (measured ~20 s in round 12). 2,650 keeps the
+    // worst-case sbt wall under the round-9 measured 2,770 s envelope
+    // while affording cold + 3 warm passes on a loaded box (round 12
+    // measured a pass at ~620 s under ambient load 13 vs ~500 quiet);
+    // the scheduler stops early when the box is fast, so the higher
+    // ceiling costs nothing on quiet runs.
+    val budgetS = envInt("SPARK_GRAFT_BUDGET_S", 2650).max(60)
     val benchT0 = System.nanoTime()
     def spentS: Double = (System.nanoTime() - benchT0) / 1e9
     // Run-to-completion streaming gates are deterministic micro-batch

@@ -9665,7 +9665,115 @@ object Relational {
       .orderBy("shuffle_key")
   }
 
+  /** q242 — decision-stump scan (the CART/C4.5 root-split primitive):
+    * for each bounded-domain lineitem feature (quantity 1–50,
+    * discount and tax in integer percent), the exhaustive
+    * one-threshold split that minimizes weighted Gini impurity for
+    * predicting a returned line (l_returnflag = 'R'), with the split
+    * census and both sides' positive counts. This is the feature-
+    * screening pass a training pipeline runs before fitting anything
+    * — "which single column carries signal, and where does it cut" —
+    * and the registry's first supervised-split primitive (s20
+    * evaluates a FITTED NB classifier; t-family entropies are
+    * unsupervised; q139's Gini is the inequality coefficient, not
+    * impurity).
+    *
+    * Integer determinism: class proportions freeze to MILLI units
+    * (`pos·1000 div n`, 0–1000) so the squared terms stay within
+    * 10⁶ — raw pos²·10⁶ would overflow 2⁶³ at a few million rows —
+    * and weighted Gini is `(nL·gL + nR·gR) div N` micro-units. The
+    * argmin tie-break is the LOWEST threshold, total order both
+    * engines.
+    *
+    * Plan: per feature, ONE map-side-combined (value → n, pos)
+    * aggregate of the fact — the only data-sized exchange; the
+    * threshold scan is a prefix-sum window over the ≤51-row
+    * value histogram (domain-bounded, the standing gate's bounded
+    * class) and the argmin is a 1-row-per-feature selection. At
+    * 100 TB: three narrow scans, bounded everything after.
+    */
+  /** One q242 stump block in DuckDB: same histogram, prefix sums,
+    * milli-freeze, micro Gini and lowest-threshold argmin.
+    */
+  private def q242StumpSql(feature: String, valueExpr: String): String =
+    s"""SELECT '$feature' AS feature, threshold, gini_micro,
+       |  nl AS n_left, pl AS pos_left, nr AS n_right, pr AS pos_right
+       |FROM (
+       |  SELECT threshold, gini_micro, nl, pl, nr, pr,
+       |    row_number() OVER (ORDER BY gini_micro ASC, threshold ASC) AS rk
+       |  FROM (
+       |    SELECT v AS threshold, nl, pl, nr, pr,
+       |      CAST((nl * (1000000 - plm * plm - (1000 - plm) * (1000 - plm))
+       |       + nr * (1000000 - prm * prm - (1000 - prm) * (1000 - prm)))
+       |        // nt AS BIGINT) AS gini_micro
+       |    FROM (
+       |      SELECT v, nl, pl, nr, pr, nt,
+       |        pl * 1000 // nl AS plm, pr * 1000 // nr AS prm
+       |      FROM (
+       |        SELECT v, nl, pl, nt - nl AS nr, pt - pl AS pr, nt
+       |        FROM (
+       |          SELECT v,
+       |            CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS nl,
+       |            CAST(sum(p) OVER (ORDER BY v) AS BIGINT) AS pl,
+       |            CAST(sum(n) OVER () AS BIGINT) AS nt,
+       |            CAST(sum(p) OVER () AS BIGINT) AS pt
+       |          FROM (
+       |            SELECT $valueExpr AS v, CAST(count(*) AS BIGINT) AS n,
+       |              CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+       |                   AS BIGINT) AS p
+       |            FROM lineitem GROUP BY 1))
+       |        WHERE nl < nt))))
+       |WHERE rk = 1""".stripMargin
+
+  def q242DecisionStump(s: SparkSession, dir: String): DataFrame = {
+    def stump(feature: String, valueExpr: String): DataFrame = {
+      val hist = Tables
+        .lineitem(s, dir)
+        .select(
+          expr(valueExpr).cast("long").as("v"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("pos"))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+      val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+      val scan = hist
+        .crossJoin(broadcast(hist.agg(
+          sum(col("n")).as("nt"), sum(col("p")).as("pt"))))
+        .withColumn("nl", sum(col("n")).over(w))
+        .withColumn("pl", sum(col("p")).over(w))
+        .filter(col("nl") < col("nt")) // a split must leave the right side non-empty
+        .select(
+          col("v").as("threshold"),
+          col("nl"), col("pl"),
+          (col("nt") - col("nl")).as("nr"),
+          (col("pt") - col("pl")).as("pr"),
+          col("nt"))
+        .withColumn("plm", expr("pl * 1000 div nl"))
+        .withColumn("prm", expr("pr * 1000 div nr"))
+        .withColumn("gl", expr("CAST(1000000 AS BIGINT) - plm * plm - (1000 - plm) * (1000 - plm)"))
+        .withColumn("gr", expr("CAST(1000000 AS BIGINT) - prm * prm - (1000 - prm) * (1000 - prm)"))
+        .withColumn("gini_micro", expr("(nl * gl + nr * gr) div nt"))
+      scan
+        .withColumn(
+          "rk",
+          row_number().over(Window.orderBy(col("gini_micro").asc, col("threshold").asc)))
+        .filter(col("rk") === 1)
+        .select(
+          lit(feature).as("feature"),
+          col("threshold"),
+          col("gini_micro"),
+          col("nl").as("n_left"),
+          col("pl").as("pos_left"),
+          col("nr").as("n_right"),
+          col("pr").as("pos_right"))
+    }
+    stump("disc_pct", "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)")
+      .unionAll(stump("quantity", "CAST(floor(l_quantity) AS BIGINT)"))
+      .unionAll(stump("tax_pct", "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)"))
+      .orderBy("feature")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q242_decision_stump" -> q242DecisionStump,
     "q241_shuffle_skew_census" -> q241ShuffleSkewCensus,
     "q240_periodogram" -> q240Periodogram,
     "q239_out_of_order_census" -> q239OutOfOrderCensus,
@@ -9967,6 +10075,16 @@ object Relational {
         |         * greatest(CAST(n_days AS DOUBLE) * ss_dev, CAST(1 AS DOUBLE)))
         |      * 1000000 + 0.5) AS BIGINT) AS power_share_ppm
         |FROM g ORDER BY period_days""".stripMargin,
+    // one stump block per bounded-domain feature, identical integer
+    // milli/micro Gini text; floor() before the BIGINT cast because
+    // DuckDB's numeric->int cast ROUNDS where Spark's truncates
+    "q242_decision_stump" ->
+      Seq(
+        ("disc_pct", "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"),
+        ("quantity", "CAST(floor(l_quantity) AS BIGINT)"),
+        ("tax_pct", "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)"))
+        .map { case (f, v) => q242StumpSql(f, v) }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY feature"),
     // one census block per candidate key, identical formula text
     "q241_shuffle_skew_census" ->
       Seq("l_orderkey", "l_partkey", "l_suppkey")

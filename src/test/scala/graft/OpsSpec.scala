@@ -4591,6 +4591,21 @@ class OpsSpec extends SparkSpec {
       "orders outnumber suppliers at every SF")
   }
 
+  test("q242 decision stump: split partitions the fact, Gini in the binary range") {
+    val out = Relational.q242DecisionStump(spark, Sf).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("disc_pct", "quantity", "tax_pct"))
+    val li = Tables.lineitem(spark, Sf)
+    val n = li.count()
+    val nR = li.filter(col("l_returnflag") === "R").count()
+    out.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 500000L,
+        "binary Gini impurity lives in [0, 0.5] micro")
+      assert(r.getLong(3) + r.getLong(5) == n, "split partitions the rows")
+      assert(r.getLong(4) + r.getLong(6) == nR, "split partitions the positives")
+      assert(r.getLong(3) >= 1L && r.getLong(5) >= 1L, "both sides non-empty")
+    }
+  }
+
   test("d40 banded sweep: banded arm is a subgraph of the exact arm at every cut") {
     val out = Dedup.d40BandedThresholdSweep(spark, Sf).collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(3000L, 4000L, 5000L, 6000L), "one row per cut")
