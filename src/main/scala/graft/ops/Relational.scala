@@ -8105,9 +8105,13 @@ object Relational {
     * and a weight is a pure function of the row, so ALL R replicates
     * compute in ONE pass with map-side combine and no shuffle beyond
     * the (segment × replicate) partial aggregate). Determinism is the
-    * whole design: the per-(row, replicate) uniform is the first 8
-    * md5 hex digits (the q203/d1 portable-hash convention — both
-    * engines produce identical digests), the Poisson(1) inverse CDF
+    * whole design: the per-(row, replicate) uniform is an 8-hex-digit
+    * slice of md5 (the q203/d1 portable-hash convention — both
+    * engines produce identical digests), with each digest feeding
+    * FOUR replicates (32 hex chars = 4 independent 8-hex lanes —
+    * round 12: digest evaluation was the query's entire cost, and
+    * 32 → 8 per row roughly halves the wall), and the Poisson(1)
+    * inverse CDF
     * is a fixed integer threshold table (floor(2³² · P(X ≤ i)),
     * literals shared with the oracle — no exp/transcendentals at eval
     * time), and replicate means are integer hundredth-of-a-cent
@@ -8140,11 +8144,18 @@ object Relational {
     // floor(2^32 * P(X <= i)) for i = 0..7, mass beyond 8 (~1e-9) capped.
     val boot = base
       .select(col("k"), col("prio"), col("cents"),
-        explode(sequence(lit(0), lit(reps - 1))).as("r"))
+        explode(sequence(lit(0), lit(reps / 4 - 1))).as("g"))
       .withColumn(
-        "h",
-        expr("CAST(conv(substring(md5(concat(CAST(k AS STRING), ':', " +
-          "CAST(r AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+        "m",
+        expr("md5(concat(CAST(k AS STRING), ':', CAST(g AS STRING)))"))
+      .select(col("k"), col("prio"), col("cents"), col("g"),
+        posexplode(expr(
+          "array(substring(m, 1, 8), substring(m, 9, 8), substring(m, 17, 8), substring(m, 25, 8))"))
+          .as(Seq("j", "hx")))
+      .select(
+        col("prio"), col("cents"),
+        (col("g") * 4 + col("j")).as("r"),
+        expr("CAST(conv(hx, 16, 10) AS BIGINT)").as("h"))
       .withColumn(
         "w",
         expr("""CASE WHEN h < 1580030168 THEN 0 WHEN h < 3160060337 THEN 1
@@ -10635,9 +10646,11 @@ object Relational {
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
         |  FROM orders),
         |rep AS (
-        |  SELECT prio, r, cents,
-        |    ('0x' || substr(md5(k::VARCHAR || ':' || r::VARCHAR), 1, 8))::BIGINT AS h
-        |  FROM base, (SELECT unnest(range(0, 32)) AS r)),
+        |  SELECT prio, g * 4 + j AS r, cents,
+        |    ('0x' || substr(md5(k::VARCHAR || ':' || g::VARCHAR), 1 + 8 * j, 8))::BIGINT
+        |      AS h
+        |  FROM base, (SELECT unnest(range(0, 8)) AS g),
+        |       (SELECT unnest(range(0, 4)) AS j)),
         |wtab AS (
         |  SELECT prio, r, cents,
         |    CASE WHEN h < 1580030168 THEN 0 WHEN h < 3160060337 THEN 1
