@@ -92,7 +92,7 @@ object Streams {
     * q207/q222 doctrine), and the final watermark — max event time −
     * delay — does not depend on where file boundaries fall.
     */
-  private def chronoFidx(df: DataFrame, tsUs: org.apache.spark.sql.Column): DataFrame = {
+  private[graft] def chronoFidx(df: DataFrame, tsUs: org.apache.spark.sql.Column): DataFrame = {
     val mm = df.agg(min(tsUs).as("__mn"), max(tsUs).as("__mx"))
     df.withColumn("__us", tsUs)
       .crossJoin(broadcast(mm))

@@ -1565,6 +1565,39 @@ class StreamBatchParitySpec extends SparkSpec {
     // the outer path must actually fire on the fixture
     assert(out.map(_.getLong(4)).sum > 0L, "expected unmatched clicks")
   }
+
+  test("chronoFidx: file-level chronology without any Window in the plan") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.ops.Tables
+      .events(spark, Sf)
+      .select(col("event_id"), col("ts"))
+    val split = graft.streaming.Streams.chronoFidx(ev, unix_micros(col("ts")))
+    // the round-11 feed builders planned an unpartitioned ntile Window
+    // over the events fact — the replacement must plan NO Window at all
+    val hasWindow = split.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(hasWindow.isEmpty, "chronoFidx must not plan a Window")
+    // every row lands in a bucket, buckets partition the input
+    val perBucket = split
+      .groupBy(col("fidx"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx"))
+      .orderBy("fidx")
+      .collect()
+    assert(perBucket.map(_.getInt(0)).toSeq == Seq(1, 2, 3), "three buckets, all occupied")
+    assert(perBucket.map(_.getLong(1)).sum == ev.count(), "buckets partition the feed")
+    // THE contract the order-sensitive gates rely on: every event time
+    // in file k strictly precedes every event time in file k+1
+    perBucket.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(3) < b.getLong(2),
+          s"file ${a.getInt(0)} max ts must precede file ${b.getInt(0)} min ts")
+      case _ => ()
+    }
+  }
 }
 
 /** Companion buffer for the gate-restart test: foreachBatch closures
