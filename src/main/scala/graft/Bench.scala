@@ -91,7 +91,12 @@ object Bench {
     val streamNames: Set[String] = graft.streaming.Streams.queries.keySet
     val rewarmStreams = sys.env.get("SPARK_GRAFT_STREAM_REWARM").contains("1")
     // Optional comma-separated filter for fast single-query iteration.
+    // Subset runs write their detail to bench_detail_subset.json so a
+    // tiny A/B sweep can never clobber the full-map cross-run prior —
+    // round 12's close session lost the q210 stall guard exactly that
+    // way (a 9-query audit run had just replaced bench_detail.json).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val detailFile = detailFileNameFor(subset = only.isDefined)
     // 1-minute system load average, sampled before and after the run:
     // distinguishes "the plans regressed" from "the box was busy" when
     // comparing rounds (load ≈ cpus when this bench is the only tenant).
@@ -103,7 +108,10 @@ object Bench {
     // Prior committed detail run at the SAME sf, when present: the
     // cross-run partner the outlier guard uses for measure-once
     // streaming gates, which have no same-run partner of their own.
-    val prior: Map[String, Double] = priorDetailQueries(sfDir)
+    // Trusted only when format-stamped AND covering >=90% of the
+    // current query set (round-12 verdict: a subset detail file or a
+    // stale pre-format file must not seed the guard).
+    val prior: Map[String, Double] = priorDetailQueries(sfDir, selected.keySet)
     // Pass 1: cold — JVM JIT + whole-stage-codegen compilation + shuffle
     // warmup, and the sole measurement for streaming gates.
     val cold = selected.map { case (n, f) => n -> run(n, f) }
@@ -207,10 +215,16 @@ object Bench {
     // 22.1 s. Any query whose official number exceeds 3× its best
     // same-run partner (solo floor, or the min of ≥2 sweep samples) or
     // — for measure-once streaming gates, which have only one sample —
-    // 3× the previous committed detail run at the same sf, gets ONE
-    // quiesced re-run. BOTH numbers are recorded: the raw outlier in
-    // `queries_outlier_raw`, the better number as official.
-    val outlierX = 3.0
+    // 2× the previous committed detail run at the same sf, gets ONE
+    // quiesced re-run. The tighter streaming threshold is the round-12
+    // verdict's mandate: q229/q204 shipped at 2.44×/1.60× their true
+    // cost, under the old uniform 3× bar — and streaming gates always
+    // have the cross-run prior as partner now, so 2× is safe from
+    // false positives (the guard records both numbers anyway). BOTH
+    // numbers are recorded: the raw outlier in `queries_outlier_raw`,
+    // the better number as official.
+    def outlierXFor(n: String): Double =
+      outlierThreshold(measureOnceStream = streamNames(n) && !rewarmStreams)
     val official = scala.collection.mutable.Map(med.toSeq: _*)
     val outlierRaw = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def partnerOf(n: String): Option[Double] = {
@@ -219,7 +233,7 @@ object Bench {
       if (cands.isEmpty) None else Some(cands.min)
     }
     names
-      .filter(n => official(n) >= 0 && partnerOf(n).exists(pv => official(n) > outlierX * pv))
+      .filter(n => official(n) >= 0 && partnerOf(n).exists(pv => official(n) > outlierXFor(n) * pv))
       .sortBy(-official(_))
       .take(10) // bounded: the guard exists for a handful of stalls, not a re-sweep
       .foreach { n =>
@@ -254,10 +268,31 @@ object Bench {
       s""""budget_s":$budgetS,"spent_s":${math.round(spentS)},"passes":$passesRun,"passes_planned":$passesPlanned,"stream_measure_once":${!rewarmStreams},"floor_skipped":${floorSkipped.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,$schedJson,$loadJson,"failed":$failedJson,"queries_outlier_raw":$outlierJson,"queries_floor_topk":$floorJson,"queries":${jmap(official)},"sf":"$sfDir"}"""
+    // Full runs MERGE the three per-query maps over the existing
+    // same-sf detail file: keys this run didn't measure (a failed
+    // query, or an older full map after a partial sweep) survive, so
+    // the outlier guard's cross-run prior can only grow, never shrink.
+    // Subset runs never reach here with the full filename (routed
+    // above), so a tiny A/B sweep cannot clobber the prior either way.
+    val existingDetail: Option[String] =
+      if (only.isDefined) None
+      else
+        try {
+          val p0 = java.nio.file.Paths.get(detailFile)
+          if (java.nio.file.Files.exists(p0))
+            Some(new String(java.nio.file.Files.readAllBytes(p0), java.nio.charset.StandardCharsets.UTF_8))
+          else None
+        } catch { case _: Exception => None }
+    val mergedOfficial = mergeMap(existingDetail, sfDir, "queries", names.map(n => n -> official(n)).toMap)
+    val mergedMin = mergeMap(existingDetail, sfDir, "queries_min", names.map(n => n -> mn(n)).toMap)
+    val mergedCold = mergeMap(existingDetail, sfDir, "queries_cold", cold.toMap)
+    val mergedPriorN = (mergedOfficial.keySet -- names.toSet).size
+    def jmapAll(m: Map[String, Double]): String =
+      m.keys.toSeq.sorted.map(k => "\"" + k + "\":" + m(k)).mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,$schedJson,$loadJson,"storage_bytes_peak_residual":$storagePeakResidual,"failed":$failedJson,"queries_outlier_raw":$outlierJson,"queries":${jmap(official)},"queries_min":${jmap(mn)},"queries_cold":${jmap(cold.toMap)},"queries_floor_topk":$floorJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","detail_format":$DetailFormat,"merged_prior_n":$mergedPriorN,"value":$total,"unit":"sec","cold_total":$coldTotal,$schedJson,$loadJson,"storage_bytes_peak_residual":$storagePeakResidual,"failed":$failedJson,"queries_outlier_raw":$outlierJson,"queries":${jmapAll(mergedOfficial)},"queries_min":${jmapAll(mergedMin)},"queries_cold":${jmapAll(mergedCold)},"queries_floor_topk":$floorJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_detail.json"),
+      java.nio.file.Paths.get(detailFile),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     println(line)
@@ -272,38 +307,95 @@ object Bench {
     spark.stop()
   }
 
-  /** `queries` map of the previously committed bench_detail.json when
-    * it exists in the working directory AND records the same sf dir;
-    * empty otherwise. Hand-rolled extraction (no JSON lib on the
-    * classpath): the file is machine-written by this object, so the
-    * `"queries":{...}` span is flat `"name":number` pairs.
+  /** Format marker stamped into bench_detail.json. Bumped whenever the
+    * file's semantics change; [[priorFromJson]] refuses files without
+    * the CURRENT marker, so a stale detail written by an older code
+    * version can never seed the outlier guard with obsolete partner
+    * times (round-12 ADVICE).
     */
-  private def priorDetailQueries(sfDir: String): Map[String, Double] =
+  private[graft] val DetailFormat = 2
+
+  /** Detail runs are routed by scope: a `SPARK_GRAFT_ONLY` subset A/B
+    * run must never overwrite the full-map cross-run prior.
+    */
+  private[graft] def detailFileNameFor(subset: Boolean): String =
+    if (subset) "bench_detail_subset.json" else "bench_detail.json"
+
+  /** Outlier-guard threshold: 3× for queries with same-run partners,
+    * 2× for measure-once streaming gates (single cold sample; their
+    * partner is the cross-run prior — round-12 verdict mandate).
+    */
+  private[graft] def outlierThreshold(measureOnceStream: Boolean): Double =
+    if (measureOnceStream) 2.0 else 3.0
+
+  /** Flat `"name":number` map at `"key":{...}` inside a machine-written
+    * detail JSON (hand-rolled: no JSON lib on the classpath). Negative
+    * values (failed measurements) are dropped.
+    */
+  private[graft] def extractFlatMap(s: String, key: String): Map[String, Double] = {
+    val marker = "\"" + key + "\":{"
+    val i = s.indexOf(marker)
+    if (i < 0) Map.empty
+    else {
+      val body = s.substring(i + marker.length, s.indexOf('}', i + marker.length))
+      body
+        .split(",")
+        .flatMap { kv =>
+          kv.split(":") match {
+            case Array(k, v) =>
+              scala.util.Try(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble).toOption
+            case _ => None
+          }
+        }
+        .filter(_._2 >= 0)
+        .toMap
+    }
+  }
+
+  /** Cross-run prior from a detail JSON string, or empty unless ALL of:
+    * same sf dir, current [[DetailFormat]] stamp, and coverage of at
+    * least 90% of the currently selected query names. The coverage bar
+    * is the round-12 mandate: a 9-query audit subset had replaced the
+    * prior and q210's 50.6 s stall went unguarded.
+    */
+  private[graft] def priorFromJson(json: String, sfDir: String, selected: Set[String]): Map[String, Double] =
+    if (!json.contains(s""""sf":"$sfDir"""")) Map.empty
+    else if (!json.contains(s""""detail_format":$DetailFormat""")) Map.empty
+    else {
+      val m = extractFlatMap(json, "queries")
+      val covered = selected.count(m.contains)
+      if (selected.nonEmpty && covered * 10 < selected.size * 9) Map.empty else m
+    }
+
+  /** Merge a current per-query map over the same-named map of an
+    * existing same-sf detail file: existing keys survive, current
+    * values win. Cross-sf or unparseable files merge nothing.
+    */
+  private[graft] def mergeMap(
+      existingJson: Option[String],
+      sfDir: String,
+      key: String,
+      cur: Map[String, Double]): Map[String, Double] = {
+    val prior = existingJson
+      .filter(_.contains(s""""sf":"$sfDir""""))
+      .map(extractFlatMap(_, key))
+      .getOrElse(Map.empty)
+    prior ++ cur
+  }
+
+  /** `queries` map of the previously committed bench_detail.json when
+    * it exists in the working directory, records the same sf dir,
+    * carries the current format stamp, and covers ≥90% of `selected`;
+    * empty otherwise (see [[priorFromJson]]).
+    */
+  private def priorDetailQueries(sfDir: String, selected: Set[String]): Map[String, Double] =
     try {
       val p = java.nio.file.Paths.get("bench_detail.json")
       if (!java.nio.file.Files.exists(p)) Map.empty
-      else {
-        val s = new String(java.nio.file.Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
-        if (!s.contains(s""""sf":"$sfDir"""")) Map.empty
-        else {
-          val key = "\"queries\":{"
-          val i = s.indexOf(key)
-          if (i < 0) Map.empty
-          else {
-            val body = s.substring(i + key.length, s.indexOf('}', i + key.length))
-            body
-              .split(",")
-              .flatMap { kv =>
-                kv.split(":") match {
-                  case Array(k, v) =>
-                    scala.util.Try(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble).toOption
-                  case _ => None
-                }
-              }
-              .filter(_._2 >= 0)
-              .toMap
-          }
-        }
-      }
+      else
+        priorFromJson(
+          new String(java.nio.file.Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8),
+          sfDir,
+          selected)
     } catch { case _: Exception => Map.empty }
 }

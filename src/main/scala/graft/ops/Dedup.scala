@@ -17,6 +17,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** d39/d40's composite (θ[, arm], vec_id) → long encodings pack the
+    * id into the low 44 bits; an id at or above 2⁴⁴ (or negative)
+    * would silently corrupt the θ/arm decode and merge unrelated
+    * components. [[checkedVecId]] fails fast instead (round-12
+    * ADVICE): the guard rides the encode expression itself — no extra
+    * driver action, one comparison per edge endpoint.
+    */
+  private[graft] val CompositeShift = 17592186044416L // 2^44
+
+  private[graft] def checkedVecId(c: Column): Column =
+    when(
+      c < lit(0L) || c >= lit(CompositeShift),
+      raise_error(concat(lit("composite-encoding vec_id outside [0, 2^44): "), c.cast("string"))))
+      .otherwise(c)
+
   /** Tokens of the space-separated text column. */
   private def toks: Column = split(col("text"), " ")
 
@@ -2643,11 +2658,11 @@ object Dedup {
     // Hash-Min loop this replaced needed O(component diameter) rounds
     // and measured 14.6 s solo at sf0.1 against 2.6 s for the
     // two-star shape on a comparable graph (d30).
-    val shift = 17592186044416L // 2^44; vec_id must stay below it
+    val shift = CompositeShift // 2^44; checkedVecId enforces id < 2^44
     val (enc, _) = Dedup.twoStarLabels(
       edgesT.select(
-        (col("theta_bp") * shift + col("id_a")).as("id_a"),
-        (col("theta_bp") * shift + col("id_b")).as("id_b")))
+        (col("theta_bp") * shift + checkedVecId(col("id_a"))).as("id_a"),
+        (col("theta_bp") * shift + checkedVecId(col("id_b"))).as("id_b")))
     val labels = enc.select(
       expr(s"id div ${shift}L").as("theta_bp"),
       expr(s"label % ${shift}L").as("label"))
@@ -2680,6 +2695,39 @@ object Dedup {
         coalesce(col("max_cluster"), lit(0L)).as("max_cluster"),
         (col("n_vecs") - coalesce(col("n_linked"), lit(0L))).as("n_isolated"))
       .orderBy("theta_bp")
+  }
+
+  /** d40's banded arm, end-to-end INDEPENDENT of the exact control arm
+    * (round-12 verdict mandate #3): candidate pairs come from
+    * hyperplane-LSH bucket co-occupancy (an equi-join on the
+    * (table, bucket) key), and their cosines are computed by joining
+    * the candidate ids back to the vector table — never by consulting
+    * the O(n²) triangular join. The dot/norm/bp-freeze expression text
+    * is identical to the exact arm's, so a pair surviving both paths
+    * carries a bit-identical cos_bp and d40's output hash is unchanged
+    * by this rewrite; what changed is that the sub-quadratic path now
+    * runs (and scales) without the control arm existing at all. The
+    * spec pins the plan shape: equi-joins only — no cartesian, no
+    * nested-loop — anywhere in this arm.
+    */
+  private[graft] def d40BandedEdges(e: DataFrame): DataFrame = {
+    val banded = e.select(
+      col("vec_id"),
+      explode(Similarity.tableBucketsFor(col("v"), Similarity.hyperplanes)).as("tb"))
+    val cand = banded
+      .as("a")
+      .join(banded.as("b"), col("a.tb") === col("b.tb") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("norm").as("na")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("norm").as("nb")), Seq("id_b"))
+      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        expr("CAST(floor(cos * 10000 + 0.5) AS BIGINT)").as("cos_bp"))
+      .filter(col("cos_bp") >= 3000L)
   }
 
   /** d40 — the BANDED scale arm of [[d39ThresholdStability]]'s
@@ -2724,16 +2772,8 @@ object Dedup {
         col("b.vec_id").as("id_b"),
         expr("CAST(floor(cos * 10000 + 0.5) AS BIGINT)").as("cos_bp"))
       .filter(col("cos_bp") >= 3000L)
-      .localCheckpoint() // both arms, every census and the CC rounds reuse it
-    val banded = e.select(
-      col("vec_id"),
-      explode(Similarity.tableBucketsFor(col("v"), Similarity.hyperplanes)).as("tb"))
-    val cand = banded
-      .as("a")
-      .join(banded.as("b"), col("a.tb") === col("b.tb") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
-    val bq = pairs.join(cand, Seq("id_a", "id_b"), "left_semi")
+      .localCheckpoint() // exact arm: the censuses and CC rounds reuse it
+    val bq = d40BandedEdges(e)
     val thetas =
       "array(CAST(3000 AS BIGINT), CAST(4000 AS BIGINT), CAST(5000 AS BIGINT), CAST(6000 AS BIGINT))"
     val et = pairs
@@ -2750,11 +2790,11 @@ object Dedup {
     // (θ, arm, vec_id) → one long: prefix θ·2 + arm, ids share a
     // prefix so the component min decodes to the subgraph-local min
     // (d39's encoding with one more bit).
-    val shift = 17592186044416L // 2^44; vec_id must stay below it
+    val shift = CompositeShift // 2^44; checkedVecId enforces id < 2^44
     val (enc, _) = Dedup.twoStarLabels(
       et.select(
-        ((col("theta_bp") * 2L + col("arm")) * shift + col("id_a")).as("id_a"),
-        ((col("theta_bp") * 2L + col("arm")) * shift + col("id_b")).as("id_b")))
+        ((col("theta_bp") * 2L + col("arm")) * shift + checkedVecId(col("id_a"))).as("id_a"),
+        ((col("theta_bp") * 2L + col("arm")) * shift + checkedVecId(col("id_b"))).as("id_b")))
     val census = enc
       .select(
         expr(s"(id div ${shift}L) div 2").as("theta_bp"),

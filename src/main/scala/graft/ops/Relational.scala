@@ -9519,7 +9519,15 @@ object Relational {
   /** q240 — periodogram / harmonic energy scan of the daily-revenue
     * series: the Fourier projection of the mean-centered daily order
     * totals onto candidate cycles of 7, 14, 30 and 91 days, reporting
-    * each period's share of series variance in ppm. This is the
+    * each period's share of series variance in ppm. NOTE on the
+    * convention (round-12 ADVICE): the ratio omits the factor 2 a
+    * one-sided periodogram conventionally folds in, so a PURE
+    * sinusoid at an exactly-resolved period reports ~500 000 ppm, not
+    * ~10⁶ — the share saturates at ~0.5 for a pure tone. Both engines
+    * share the formula text, so the number is deterministic and
+    * oracle-matched; read it as "projection energy / total variance",
+    * comparable ACROSS periods, not as an absolute fraction of
+    * explainable variance. This is the
     * frequency-domain DISCOVERY tool next to the existing lag/calendar
     * diagnostics — q121's ACF measures lag-k persistence and q123
     * confirms a KNOWN weekly shape via ISO-weekday group means;
@@ -9783,7 +9791,168 @@ object Relational {
       .orderBy("feature")
   }
 
+  /** q243 — census-driven salt planner: closes the loop from q241's
+    * sizing report to an acted-on partitioning decision (round-12
+    * verdict mandate #4). Its inputs are exactly q241's columns — the
+    * per-key `imbalance_bp` (max-partition rows × 32 × 10000 / total
+    * rows over the same 32-virtual-reducer md5 bucketing) and
+    * `max_key_share_bp` — and the rule is the one a planner would
+    * ship: leave the exchange alone while imbalance_bp ≤ 2× perfect
+    * (20 000 bp), otherwise SALT with fan-out
+    * `clamp(imbalance_bp div 10000, 2, 32)` — the measured
+    * max-part/avg-part ratio, i.e. just enough lanes to level the
+    * heaviest partition, never more than the reducer count.
+    *
+    * The decision is then EXECUTED, not just reported: rows re-group
+    * by (key, salt) with a deterministic row-level salt (line number
+    * for the order key, order key for the others — never an
+    * expression that is constant on a heavy key's rows), and the same
+    * census re-runs under the salted layout, reporting
+    * `imbalance_bp_after` next to the before numbers. Four keys: the
+    * three natural lineitem keys q241 censuses, plus a planted hot
+    * key (`quantity ≤ 25` collapses roughly half the fact onto key 0
+    * — the classic default-value/null-surrogate skew) that forces the
+    * salt path at every sf so the after-census demonstrates the fix.
+    *
+    * Division of labor: ops/Skew.scala owns the salting MECHANISM
+    * (q47 runs the salted aggregate, saltedHotJoin the degree-aware
+    * join variant), q241 owns the sizing report; this op owns the
+    * decision rule between them. Plan: per key, two data-sized
+    * map-side-combined aggregates (the before histogram and the
+    * salted re-histogram — the re-census reads the 1-row decision by
+    * broadcast) and bounded everything downstream; all integer
+    * arithmetic. At 100 TB this is the dry-run a planner persists
+    * before committing a 1000-executor exchange.
+    */
+  def q243CensusSaltPlanner(s: SparkSession, dir: String): DataFrame = {
+    def planner(name: String, keyExpr: String, saltExpr: String): DataFrame = {
+      val li = Tables.lineitem(s, dir)
+      val parts = li
+        .select(expr(keyExpr).cast("long").as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn(
+          "part",
+          expr("CAST(conv(substring(md5(CAST(k AS STRING)), 1, 8), 16, 10) AS BIGINT) % 32"))
+        .groupBy(col("part"))
+        .agg(sum(col("c")).as("rows_in_part"), max(col("c")).as("max_key_rows_p"))
+      val decision = parts
+        .agg(
+          sum(col("rows_in_part")).as("n_rows"),
+          max(col("rows_in_part")).as("max_part_rows"),
+          max(col("max_key_rows_p")).as("max_key_rows"))
+        .select(
+          col("n_rows"),
+          expr("max_part_rows * 32 * 10000 div greatest(n_rows, CAST(1 AS BIGINT))")
+            .as("imbalance_bp"),
+          expr("max_key_rows * 10000 div greatest(n_rows, CAST(1 AS BIGINT))")
+            .as("max_key_share_bp"))
+        .select(
+          col("n_rows"),
+          col("imbalance_bp"),
+          col("max_key_share_bp"),
+          when(col("imbalance_bp") > 20000L, lit("salt")).otherwise(lit("hash")).as("strategy"),
+          when(
+            col("imbalance_bp") > 20000L,
+            least(lit(32L), greatest(lit(2L), expr("imbalance_bp div 10000"))))
+            .otherwise(lit(1L))
+            .as("salt_fanout"))
+      val after = li
+        .select(expr(keyExpr).cast("long").as("k"), expr(saltExpr).cast("long").as("sv"))
+        .crossJoin(broadcast(decision.select(col("salt_fanout"))))
+        .select(col("k"), expr("sv % salt_fanout").as("salt"))
+        .groupBy(col("k"), col("salt"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn(
+          "part",
+          expr(
+            "CAST(conv(substring(md5(concat(CAST(k AS STRING), '#', CAST(salt AS STRING))), 1, 8), 16, 10) AS BIGINT) % 32"))
+        .groupBy(col("part"))
+        .agg(sum(col("c")).as("rows_in_part"))
+        .agg(
+          sum(col("rows_in_part")).as("n_rows_a"),
+          max(col("rows_in_part")).as("max_part_rows_after"))
+        .select(
+          col("max_part_rows_after"),
+          expr("max_part_rows_after * 32 * 10000 div greatest(n_rows_a, CAST(1 AS BIGINT))")
+            .as("imbalance_bp_after"))
+      decision
+        .crossJoin(broadcast(after))
+        .select(
+          lit(name).as("shuffle_key"),
+          col("n_rows"),
+          col("imbalance_bp"),
+          col("max_key_share_bp"),
+          col("strategy"),
+          col("salt_fanout"),
+          col("max_part_rows_after"),
+          col("imbalance_bp_after"))
+    }
+    q243Keys
+      .map { case (n, k, sv) => planner(n, k, sv) }
+      .reduce(_.unionAll(_))
+      .orderBy("shuffle_key")
+  }
+
+  /** q243's (name, key expression, row-level salt expression) triples —
+    * shared verbatim between the Spark plan and the DuckDB oracle.
+    */
+  private val q243Keys: Seq[(String, String, String)] = Seq(
+    (
+      "hot_orderkey",
+      "CASE WHEN CAST(l_quantity AS BIGINT) <= 25 THEN CAST(0 AS BIGINT) ELSE l_orderkey END",
+      "l_orderkey"),
+    ("l_orderkey", "l_orderkey", "l_linenumber"),
+    ("l_partkey", "l_partkey", "l_orderkey"),
+    ("l_suppkey", "l_suppkey", "l_orderkey"))
+
+  /** One q243 key's CTE chain in DuckDB: q241's census text, the same
+    * threshold/clamp decision, and the salted re-census.
+    */
+  private def q243Ctes(name: String, keyExpr: String, saltExpr: String): String =
+    s"""parts_$name AS (
+       |  SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT % 32 AS part,
+       |    CAST(sum(c) AS BIGINT) AS rows_in_part,
+       |    CAST(max(c) AS BIGINT) AS max_key_rows_p
+       |  FROM (SELECT CAST($keyExpr AS BIGINT) AS k, count(*) AS c
+       |        FROM lineitem GROUP BY 1)
+       |  GROUP BY 1),
+       |dec_$name AS (
+       |  SELECT n_rows, imbalance_bp, max_key_share_bp,
+       |    CASE WHEN imbalance_bp > 20000 THEN 'salt' ELSE 'hash' END AS strategy,
+       |    CASE WHEN imbalance_bp > 20000
+       |      THEN least(CAST(32 AS BIGINT), greatest(CAST(2 AS BIGINT), imbalance_bp // 10000))
+       |      ELSE CAST(1 AS BIGINT) END AS salt_fanout
+       |  FROM (
+       |    SELECT CAST(sum(rows_in_part) AS BIGINT) AS n_rows,
+       |      CAST(max(rows_in_part) AS BIGINT) * 32 * 10000
+       |        // greatest(CAST(sum(rows_in_part) AS BIGINT), 1) AS imbalance_bp,
+       |      CAST(max(max_key_rows_p) AS BIGINT) * 10000
+       |        // greatest(CAST(sum(rows_in_part) AS BIGINT), 1) AS max_key_share_bp
+       |    FROM parts_$name)),
+       |after_$name AS (
+       |  SELECT CAST(sum(rows_in_part) AS BIGINT) AS n_rows_a,
+       |    CAST(max(rows_in_part) AS BIGINT) AS max_part_rows_after
+       |  FROM (
+       |    SELECT ('0x' || substr(md5(CAST(k AS VARCHAR) || '#' || CAST(salt AS VARCHAR)), 1, 8))::BIGINT % 32 AS part,
+       |      CAST(sum(c) AS BIGINT) AS rows_in_part
+       |    FROM (
+       |      SELECT CAST($keyExpr AS BIGINT) AS k,
+       |        CAST($saltExpr AS BIGINT) % d.salt_fanout AS salt,
+       |        count(*) AS c
+       |      FROM lineitem, dec_$name d GROUP BY 1, 2)
+       |    GROUP BY 1))""".stripMargin
+
+  /** q243's final per-key row in DuckDB. */
+  private def q243SelectSql(name: String): String =
+    s"""SELECT '$name' AS shuffle_key, d.n_rows, d.imbalance_bp, d.max_key_share_bp,
+       |  d.strategy, d.salt_fanout, a.max_part_rows_after,
+       |  a.max_part_rows_after * 32 * 10000 // greatest(a.n_rows_a, 1)
+       |    AS imbalance_bp_after
+       |FROM dec_$name d, after_$name a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_census_salt_planner" -> q243CensusSaltPlanner,
     "q242_decision_stump" -> q242DecisionStump,
     "q241_shuffle_skew_census" -> q241ShuffleSkewCensus,
     "q240_periodogram" -> q240Periodogram,
@@ -10086,6 +10255,14 @@ object Relational {
         |         * greatest(CAST(n_days AS DOUBLE) * ss_dev, CAST(1 AS DOUBLE)))
         |      * 1000000 + 0.5) AS BIGINT) AS power_share_ppm
         |FROM g ORDER BY period_days""".stripMargin,
+    // q241's census text + the threshold/clamp decision + the salted
+    // re-census, one CTE chain per key (identical key/salt expression
+    // text on both engines via q243Keys)
+    "q243_census_salt_planner" -> (
+      "WITH\n" + q243Keys.map((q243Ctes _).tupled).mkString(",\n") + "\n" +
+        q243Keys
+          .map { case (n, _, _) => q243SelectSql(n) }
+          .mkString("", "\nUNION ALL\n", "\nORDER BY shuffle_key")),
     // one stump block per bounded-domain feature, identical integer
     // milli/micro Gini text; floor() before the BIGINT cast because
     // DuckDB's numeric->int cast ROUNDS where Spark's truncates

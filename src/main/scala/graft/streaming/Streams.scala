@@ -87,7 +87,18 @@ object Streams {
     * timestamps land in one file by construction, so no ordering
     * contract crosses a file boundary (ntile split ties by row
     * number). Row-count balance is only approximate where ntile's was
-    * exact; balance never mattered, chronology did. Oracle-invariant:
+    * exact; balance never mattered, chronology did. Degenerate case
+    * (round-12 ADVICE): under a sufficiently skewed event-time
+    * distribution a value-range bucket can be EMPTY, collapsing the
+    * feed to fewer than 3 non-empty files — every gate stays correct
+    * (chronology and the final watermark are bucket-boundary
+    * invariant; an empty file just means one fewer micro-batch), but
+    * the 3-micro-batch replay depth and StreamsSpec's "all three
+    * buckets occupied" pin are FIXTURE-dependent, not contract. The
+    * events fixture's uniform timestamps occupy all three; if a
+    * future fixture skews, switch the boundaries to the q213-style
+    * sample quantiles — the correctness argument needs no change.
+    * Oracle-invariant:
     * gate answers are pinned ≥ 2 days below the final watermark (the
     * q207/q222 doctrine), and the final watermark — max event time −
     * delay — does not depend on where file boundaries fall.

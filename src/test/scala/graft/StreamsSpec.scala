@@ -1587,6 +1587,13 @@ class StreamBatchParitySpec extends SparkSpec {
         max(unix_micros(col("ts"))).as("mx"))
       .orderBy("fidx")
       .collect()
+    // FIXTURE-dependent pin, not contract (round-12 ADVICE): a skewed
+    // event-time distribution could legally leave a value-range bucket
+    // empty (gates stay correct — chronology and the final watermark
+    // are bucket-boundary invariant). This asserts the CURRENT uniform
+    // fixture still exercises the full 3-micro-batch replay depth; if
+    // it ever fails on a regenerated fixture, deepen chronoFidx to
+    // quantile boundaries rather than weakening the check.
     assert(perBucket.map(_.getInt(0)).toSeq == Seq(1, 2, 3), "three buckets, all occupied")
     assert(perBucket.map(_.getLong(1)).sum == ev.count(), "buckets partition the feed")
     // THE contract the order-sensitive gates rely on: every event time
