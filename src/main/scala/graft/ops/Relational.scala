@@ -9894,6 +9894,229 @@ object Relational {
       .orderBy("shuffle_key")
   }
 
+  /** q244 — AQE-style shuffle-partition coalescing planner: the
+    * contiguous greedy grouping Spark's adaptive execution applies to
+    * post-shuffle partitions (ShufflePartitionsUtil semantics — walk
+    * reducer slots IN ORDER, merge neighbors while the running group
+    * stays within the target size, let a single oversized partition
+    * stand alone), expressed as an oracle-checkable query over the
+    * q241 census's 32-virtual-reducer md5 bucketing. This completes
+    * the exchange-planner trio: q241 is the sizing REPORT, q243 acts
+    * on the too-HOT end (salt fan-out), q244 on the too-COLD end —
+    * many small partitions that would each pay a task's fixed cost at
+    * 1000 executors (the small-task flood AQE coalescing exists to
+    * prevent). Target group size is `total_rows div 8` (the advisory
+    * size expressed in rows — widths cancel on a single table), so a
+    * uniformly-hashed key coalesces 32 slots into ~8 groups of ~4
+    * while a low-cardinality key (l_suppkey: empty and lumpy slots)
+    * produces variable-width groups around its lumps.
+    *
+    * Contiguity makes the grouping a SEQUENTIAL recurrence, not a
+    * bin-packing: state (group id, running rows) folds over the 32
+    * ordered slots — the q235 ordered-fold doctrine (Spark
+    * `aggregate(slice(...))` over a collected 32-struct array ↔ a
+    * DuckDB recursive CTE stepping the same formula), with empty
+    * slots anchored in so both engines walk all 32. Output: one row
+    * per coalesced group with its slot range, member count, rows and
+    * fill ratio against the target in bp.
+    *
+    * Plan: ONE data-sized map-side-combined (key → count) aggregate
+    * per lane — identical to q241's only exchange; everything after
+    * is ≤ 32 rows. At 100 TB the walk is over map-output statistics
+    * (#partitions entries), exactly what AQE's driver-side pass
+    * reads; the query form makes the decision auditable offline.
+    */
+  def q244PartitionCoalescer(s: SparkSession, dir: String): DataFrame = {
+    def lane(keyCol: String): DataFrame = {
+      val hist = Tables
+        .lineitem(s, dir)
+        .groupBy(col(keyCol).cast("long").as("k"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn(
+          "part",
+          expr("CAST(conv(substring(md5(CAST(k AS STRING)), 1, 8), 16, 10) AS BIGINT) % 32"))
+        .groupBy(col("part"))
+        .agg(sum(col("c")).as("rows_in_part"))
+      val slots = s
+        .range(32)
+        .select(col("id").as("part"))
+        .join(hist, Seq("part"), "left")
+        .select(col("part"), coalesce(col("rows_in_part"), lit(0L)).as("rows_in_part"))
+      slots
+        .agg(sort_array(collect_list(struct(col("part"), col("rows_in_part")))).as("a"))
+        .withColumn(
+          "t",
+          expr(
+            "greatest(aggregate(a, CAST(0 AS BIGINT), (acc, x) -> acc + x.rows_in_part) div 8, CAST(1 AS BIGINT))"))
+        .select(posexplode(col("a")).as(Seq("i0", "r")), col("a"), col("t"))
+        .select(
+          col("r.part").as("part"),
+          col("r.rows_in_part").as("rows_in_part"),
+          col("t"),
+          expr("""aggregate(slice(a, 1, i0 + 1),
+                 named_struct('gid', CAST(-1 AS BIGINT), 'acc', CAST(0 AS BIGINT)),
+                 (st, x) -> IF(st.gid = CAST(-1 AS BIGINT) OR st.acc + x.rows_in_part > t,
+                   named_struct('gid', st.gid + CAST(1 AS BIGINT), 'acc', x.rows_in_part),
+                   named_struct('gid', st.gid, 'acc', st.acc + x.rows_in_part))).gid""")
+            .as("group_id"))
+        .groupBy(col("group_id"))
+        .agg(
+          min(col("part")).as("part_lo"),
+          max(col("part")).as("part_hi"),
+          count(lit(1)).as("n_parts"),
+          sum(col("rows_in_part")).as("group_rows"),
+          max(col("t")).as("t"))
+        .select(
+          lit(keyCol).as("shuffle_key"),
+          col("group_id"),
+          col("part_lo"),
+          col("part_hi"),
+          col("n_parts"),
+          col("group_rows"),
+          expr("group_rows * 10000 div t").as("fill_bp"))
+    }
+    lane("l_orderkey").unionAll(lane("l_suppkey")).orderBy("shuffle_key", "group_id")
+  }
+
+  /** One q244 lane's CTE chain in DuckDB: the same census bucketing,
+    * 32 anchored slots, and the same greedy fold stepped by a
+    * recursive CTE.
+    */
+  private def q244Ctes(key: String): String =
+    s"""hist_$key AS (
+       |  SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT % 32 AS part,
+       |    CAST(sum(c) AS BIGINT) AS rows_in_part
+       |  FROM (SELECT CAST($key AS BIGINT) AS k, count(*) AS c
+       |        FROM lineitem GROUP BY 1)
+       |  GROUP BY 1),
+       |slots_$key AS (
+       |  SELECT g.part, coalesce(h.rows_in_part, 0) AS rows_in_part
+       |  FROM (SELECT CAST(range AS BIGINT) AS part FROM range(32)) g
+       |  LEFT JOIN hist_$key h ON h.part = g.part),
+       |tgt_$key AS (
+       |  SELECT greatest(CAST(sum(rows_in_part) AS BIGINT) // 8, 1) AS t
+       |  FROM slots_$key),
+       |p_$key AS (
+       |  SELECT part, rows_in_part, row_number() OVER (ORDER BY part) AS rn
+       |  FROM slots_$key),
+       |w_$key AS (
+       |  SELECT rn, part, rows_in_part, CAST(0 AS BIGINT) AS gid,
+       |    rows_in_part AS acc
+       |  FROM p_$key WHERE rn = 1
+       |  UNION ALL
+       |  SELECT p.rn, p.part, p.rows_in_part,
+       |    CASE WHEN w.acc + p.rows_in_part > t.t THEN w.gid + 1 ELSE w.gid END,
+       |    CASE WHEN w.acc + p.rows_in_part > t.t THEN p.rows_in_part
+       |         ELSE w.acc + p.rows_in_part END
+       |  FROM w_$key w JOIN p_$key p ON p.rn = w.rn + 1 CROSS JOIN tgt_$key t)""".stripMargin
+
+  /** q244's final per-lane rollup in DuckDB. */
+  private def q244SelectSql(key: String): String =
+    s"""SELECT '$key' AS shuffle_key, gid AS group_id,
+       |  CAST(min(part) AS BIGINT) AS part_lo, CAST(max(part) AS BIGINT) AS part_hi,
+       |  CAST(count(*) AS BIGINT) AS n_parts,
+       |  CAST(sum(rows_in_part) AS BIGINT) AS group_rows,
+       |  CAST(sum(rows_in_part) AS BIGINT) * 10000
+       |    // (SELECT t FROM tgt_$key) AS fill_bp
+       |FROM w_$key GROUP BY 1, 2""".stripMargin
+
+  /** q245 — cost-based join-order + broadcast advisor (Selinger /
+    * System-R cardinality estimation as a query): for the canonical
+    * customer ⋈ orders ⋈ lineitem FK chain, estimate both join orders
+    * from MEASURED stats — table counts and exact join-key NDVs, three
+    * narrow scans — with the textbook formula |A ⋈ B| = |A|·|B| /
+    * max(ndv_A(k), ndv_B(k)), declared-literal row widths (pruned-
+    * column estimates: customer 200 B, orders 150 B, lineitem 120 B,
+    * intermediates the sum of their inputs) and the 10 MiB broadcast
+    * threshold. Output: one row per (plan, step) with build/probe
+    * rows, estimated output rows, build-side bytes, the
+    * broadcast-vs-shuffle call, and a `chosen` flag on the plan with
+    * the smaller materialized intermediate.
+    *
+    * On FK joins the estimator is exactly right (ndv of the FK side
+    * ≤ the PK side's row count, so both plans' FINAL estimates equal
+    * the true join size — the spec pins this), which is the point:
+    * the op demonstrates the estimation machinery on ground truth it
+    * can be audited against. Completes the planner family at the
+    * LOGICAL level — q241/q243/q244 decide exchange shape; this op
+    * decides join order and build side BEFORE any exchange exists;
+    * no other query owns cardinality estimation (q228 is the
+    * bucketed-join mechanism, ops/Skew the salted variants).
+    *
+    * Plan: three map-side-combined count/NDV scans crossJoin-
+    * broadcast into one stats row; the four output rows are literal
+    * selections over it. At 100 TB exact NDVs become sketch NDVs
+    * (q112's HLL is the drop-in), the formula text unchanged.
+    */
+  def q245JoinOrderAdvisor(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables
+      .customer(s, dir)
+      .agg(count(lit(1)).as("c_rows"))
+      .crossJoin(broadcast(Tables
+        .orders(s, dir)
+        .agg(
+          count(lit(1)).as("o_rows"),
+          countDistinct(col("o_custkey")).as("o_cust_ndv"),
+          countDistinct(col("o_orderkey")).as("o_ok_ndv"))))
+      .crossJoin(broadcast(Tables
+        .lineitem(s, dir)
+        .agg(
+          count(lit(1)).as("l_rows"),
+          countDistinct(col("l_orderkey")).as("l_ok_ndv"))))
+      .withColumn(
+        "s1_co",
+        expr("o_rows * c_rows div greatest(greatest(o_cust_ndv, c_rows), CAST(1 AS BIGINT))"))
+      .withColumn(
+        "s1_ol",
+        expr("o_rows * l_rows div greatest(greatest(o_ok_ndv, l_ok_ndv), CAST(1 AS BIGINT))"))
+      .withColumn(
+        "s2_co",
+        expr("s1_co * l_rows div greatest(greatest(s1_co, l_ok_ndv), CAST(1 AS BIGINT))"))
+      .withColumn(
+        "s2_ol",
+        expr("s1_ol * c_rows div greatest(greatest(o_cust_ndv, c_rows), CAST(1 AS BIGINT))"))
+      .withColumn("chosen_co", when(col("s1_co") <= col("s1_ol"), 1L).otherwise(0L))
+    def strat(bytesExpr: String) =
+      when(expr(bytesExpr) < 10485760L, lit("broadcast")).otherwise(lit("shuffle"))
+    val r1 = st.select(
+      lit("plan_co_l").as("plan_name"),
+      lit(1L).as("step"),
+      col("c_rows").as("build_rows"),
+      col("o_rows").as("probe_rows"),
+      col("s1_co").as("est_out_rows"),
+      expr("c_rows * 200").as("build_bytes"),
+      strat("c_rows * 200").as("strategy"),
+      col("chosen_co").as("chosen"))
+    val r2 = st.select(
+      lit("plan_co_l").as("plan_name"),
+      lit(2L).as("step"),
+      col("s1_co").as("build_rows"),
+      col("l_rows").as("probe_rows"),
+      col("s2_co").as("est_out_rows"),
+      expr("s1_co * 350").as("build_bytes"),
+      strat("s1_co * 350").as("strategy"),
+      col("chosen_co").as("chosen"))
+    val r3 = st.select(
+      lit("plan_ol_c").as("plan_name"),
+      lit(1L).as("step"),
+      col("o_rows").as("build_rows"),
+      col("l_rows").as("probe_rows"),
+      col("s1_ol").as("est_out_rows"),
+      expr("o_rows * 150").as("build_bytes"),
+      strat("o_rows * 150").as("strategy"),
+      (lit(1L) - col("chosen_co")).as("chosen"))
+    val r4 = st.select(
+      lit("plan_ol_c").as("plan_name"),
+      lit(2L).as("step"),
+      col("c_rows").as("build_rows"),
+      col("s1_ol").as("probe_rows"),
+      col("s2_ol").as("est_out_rows"),
+      expr("c_rows * 200").as("build_bytes"),
+      strat("c_rows * 200").as("strategy"),
+      (lit(1L) - col("chosen_co")).as("chosen"))
+    r1.unionAll(r2).unionAll(r3).unionAll(r4).orderBy("plan_name", "step")
+  }
+
   /** q243's (name, key expression, row-level salt expression) triples —
     * shared verbatim between the Spark plan and the DuckDB oracle.
     */
@@ -9952,6 +10175,8 @@ object Relational {
        |FROM dec_$name d, after_$name a""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q245_join_order_advisor" -> q245JoinOrderAdvisor,
+    "q244_partition_coalescer" -> q244PartitionCoalescer,
     "q243_census_salt_planner" -> q243CensusSaltPlanner,
     "q242_decision_stump" -> q242DecisionStump,
     "q241_shuffle_skew_census" -> q241ShuffleSkewCensus,
@@ -10255,6 +10480,58 @@ object Relational {
         |         * greatest(CAST(n_days AS DOUBLE) * ss_dev, CAST(1 AS DOUBLE)))
         |      * 1000000 + 0.5) AS BIGINT) AS power_share_ppm
         |FROM g ORDER BY period_days""".stripMargin,
+    // the same measured counts/NDVs, estimation formulas, literal
+    // widths and broadcast threshold; scalar subqueries stand in for
+    // the broadcast stats row
+    "q245_join_order_advisor" ->
+      """WITH st AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM customer) AS c_rows,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS o_rows,
+        |    (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders) AS o_cust_ndv,
+        |    (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS o_ok_ndv,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS l_rows,
+        |    (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS l_ok_ndv),
+        |e1 AS (
+        |  SELECT *,
+        |    o_rows * c_rows // greatest(greatest(o_cust_ndv, c_rows), 1) AS s1_co,
+        |    o_rows * l_rows // greatest(greatest(o_ok_ndv, l_ok_ndv), 1) AS s1_ol
+        |  FROM st),
+        |e2 AS (
+        |  SELECT *,
+        |    s1_co * l_rows // greatest(greatest(s1_co, l_ok_ndv), 1) AS s2_co,
+        |    s1_ol * c_rows // greatest(greatest(o_cust_ndv, c_rows), 1) AS s2_ol,
+        |    CASE WHEN s1_co <= s1_ol THEN CAST(1 AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS chosen_co
+        |  FROM e1)
+        |SELECT 'plan_co_l' AS plan_name, CAST(1 AS BIGINT) AS step,
+        |  c_rows AS build_rows, o_rows AS probe_rows, s1_co AS est_out_rows,
+        |  c_rows * 200 AS build_bytes,
+        |  CASE WHEN c_rows * 200 < 10485760 THEN 'broadcast' ELSE 'shuffle' END AS strategy,
+        |  chosen_co AS chosen FROM e2
+        |UNION ALL
+        |SELECT 'plan_co_l', CAST(2 AS BIGINT), s1_co, l_rows, s2_co,
+        |  s1_co * 350,
+        |  CASE WHEN s1_co * 350 < 10485760 THEN 'broadcast' ELSE 'shuffle' END,
+        |  chosen_co FROM e2
+        |UNION ALL
+        |SELECT 'plan_ol_c', CAST(1 AS BIGINT), o_rows, l_rows, s1_ol,
+        |  o_rows * 150,
+        |  CASE WHEN o_rows * 150 < 10485760 THEN 'broadcast' ELSE 'shuffle' END,
+        |  1 - chosen_co FROM e2
+        |UNION ALL
+        |SELECT 'plan_ol_c', CAST(2 AS BIGINT), c_rows, s1_ol, s2_ol,
+        |  c_rows * 200,
+        |  CASE WHEN c_rows * 200 < 10485760 THEN 'broadcast' ELSE 'shuffle' END,
+        |  1 - chosen_co FROM e2
+        |ORDER BY plan_name, step""".stripMargin,
+    // the same census bucketing, 32 anchored slots and greedy
+    // contiguous fold, stepped by a recursive CTE per lane
+    "q244_partition_coalescer" -> (
+      "WITH RECURSIVE\n" +
+        Seq("l_orderkey", "l_suppkey").map(q244Ctes).mkString(",\n") + "\n" +
+        Seq("l_orderkey", "l_suppkey")
+          .map(q244SelectSql)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY shuffle_key, group_id")),
     // q241's census text + the threshold/clamp decision + the salted
     // re-census, one CTE chain per key (identical key/salt expression
     // text on both engines via q243Keys)

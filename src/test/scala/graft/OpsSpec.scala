@@ -4627,6 +4627,52 @@ class OpsSpec extends SparkSpec {
       "executing the derived fan-out must measurably level the exchange")
   }
 
+  test("q244 coalescer: contiguous groups partition all 32 slots within target") {
+    val out = Relational.q244PartitionCoalescer(spark, Sf).collect()
+    val n = Tables.lineitem(spark, Sf).count()
+    out.groupBy(_.getString(0)).foreach { case (lane, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == sorted.indices.map(_.toLong),
+        s"$lane: group ids must be consecutive from 0")
+      assert(sorted.head.getLong(2) == 0L && sorted.last.getLong(3) == 31L,
+        s"$lane: groups must span slot 0..31")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(2) == a.getLong(3) + 1, s"$lane: groups must be contiguous")
+        case _ => ()
+      }
+      assert(sorted.map(_.getLong(4)).sum == 32L, s"$lane: member counts cover 32 slots")
+      assert(sorted.map(_.getLong(5)).sum == n, s"$lane: group rows partition the fact")
+      sorted.foreach { g =>
+        // a group only exceeds the target when a single slot is oversized
+        assert(g.getLong(6) <= 10000L || g.getLong(4) == 1L,
+          s"$lane: multi-slot group ${g.getLong(1)} exceeds the target")
+      }
+    }
+  }
+
+  test("q245 advisor: FK-chain estimates are exact and the cheaper order is chosen") {
+    val out = Relational.q245JoinOrderAdvisor(spark, Sf).collect()
+    assert(out.length == 4)
+    val l = Tables.lineitem(spark, Sf).count()
+    // on an FK chain the final cardinality estimate is exactly right,
+    // for BOTH orders — the auditable ground truth the op exists for
+    out.filter(_.getLong(1) == 2L).foreach { r =>
+      assert(r.getLong(4) == l, s"${r.getString(0)}: final estimate must equal |lineitem|")
+    }
+    val byPlan = out.groupBy(_.getString(0))
+    assert(byPlan.keySet == Set("plan_co_l", "plan_ol_c"))
+    val chosen = byPlan.filter(_._2.forall(_.getLong(7) == 1L)).keys.toSeq
+    assert(chosen.size == 1, "exactly one plan is chosen")
+    val inter = byPlan.map { case (p, rows) => p -> rows.find(_.getLong(1) == 1L).get.getLong(4) }
+    assert(inter(chosen.head) == inter.values.min,
+      "the chosen plan materializes the smaller intermediate")
+    out.foreach { r =>
+      val expected = if (r.getLong(5) < 10485760L) "broadcast" else "shuffle"
+      assert(r.getString(6) == expected, "strategy must follow the build-bytes threshold")
+    }
+  }
+
   test("d40 banded sweep: banded arm is a subgraph of the exact arm at every cut") {
     val out = Dedup.d40BandedThresholdSweep(spark, Sf).collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(3000L, 4000L, 5000L, 6000L), "one row per cut")
