@@ -2165,7 +2165,84 @@ object TextAnalysis {
       .orderBy("src_a", "src_b")
   }
 
+  /** t44 — MTLD lexical diversity (McCarthy & Jarvis 2010, forward
+    * pass): the length-ROBUST diversity measure the raw type-token
+    * ratios already in the registry cannot give — t2's per-doc TTR and
+    * t8's per-language TTR shrink mechanically with length (t23's
+    * Heaps fit is the corpus-level statement of exactly that bias),
+    * so two docs of different lengths can't be compared on TTR at
+    * all. MTLD walks the token SEQUENCE, counts how many maximal
+    * "factors" keep their running TTR above 0.72 (factor completes
+    * and state resets the moment the running TTR dips below), credits
+    * the tail remainder fractionally as (1 − TTR_rem)/(1 − 0.72), and
+    * reports tokens-per-factor: a per-token diversity RATE, invariant
+    * to document length. Training-data relevance: repetitive spam
+    * scores low MTLD at any length, which is precisely the screen a
+    * quality gate wants next to t9/t38's repetition counters.
+    *
+    * Integer determinism: the dip test is cross-multiplied
+    * (`types·100 < tokens·72` — no division), the remainder TTR
+    * freezes to bp by truncating div, the fractional factor to milli
+    * via `(10000 − ttr_bp)·1000 div 2800`, and MTLD itself to milli
+    * (`n_tokens·10⁶ div factors_milli`). A doc whose single factor
+    * never completes and whose remainder is fully distinct (TTR = 1)
+    * yields factors_milli = 0 → guarded div; the standard caveat that
+    * MTLD is unstable on short fully-diverse docs, recorded rather
+    * than hidden.
+    *
+    * Plan: ONE ordered fold per document — `aggregate` over the
+    * token array with (seen-set, types, tokens, factors) struct state
+    * (the q235 doctrine state-machine, per-doc instead of global) —
+    * embarrassingly parallel across docs, NO shuffle until the final
+    * sort; the seen-set is bounded by factor length (TTR ≥ 0.72 caps
+    * it near the dip point), so the per-token cost stays O(factor),
+    * not O(doc). DuckDB mirrors with a recursive CTE stepping every
+    * doc's state in lockstep on the token index.
+    */
+  def t44Mtld(s: SparkSession, dir: String): DataFrame = {
+    val step =
+      """aggregate(t,
+        |  named_struct(
+        |    'seen', CAST(array() AS ARRAY<STRING>),
+        |    'types', CAST(0 AS BIGINT), 'tk', CAST(0 AS BIGINT),
+        |    'f', CAST(0 AS BIGINT)),
+        |  (st, w) -> IF(
+        |    (st.types + IF(array_contains(st.seen, w), CAST(0 AS BIGINT), CAST(1 AS BIGINT))) * 100
+        |      < (st.tk + 1) * 72,
+        |    named_struct(
+        |      'seen', CAST(array() AS ARRAY<STRING>),
+        |      'types', CAST(0 AS BIGINT), 'tk', CAST(0 AS BIGINT),
+        |      'f', st.f + 1),
+        |    named_struct(
+        |      'seen', IF(array_contains(st.seen, w), st.seen, array_append(st.seen, w)),
+        |      'types', st.types + IF(array_contains(st.seen, w), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+        |      'tk', st.tk + 1,
+        |      'f', st.f)))""".stripMargin
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("st", expr(step))
+      .select(
+        col("doc_id"),
+        expr("CAST(size(t) AS BIGINT)").as("n_tokens"),
+        expr("IF(st.tk = 0, CAST(0 AS BIGINT), st.types * 10000 div st.tk)").as("ttr_rem_bp"),
+        col("st.f").as("f"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        expr("f * 1000 + IF(ttr_rem_bp = 0, CAST(0 AS BIGINT), (10000 - ttr_rem_bp) * 1000 div 2800)")
+          .as("factors_milli"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("factors_milli"),
+        expr("n_tokens * 1000000 div greatest(factors_milli, CAST(1 AS BIGINT))")
+          .as("mtld_milli"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t44_mtld" -> t44Mtld,
     "t43_burrows_delta" -> t43BurrowsDelta,
     "t42_vocab_coverage" -> t42VocabCoverage,
     "t41_gopher_rules" -> t41GopherRules,
@@ -2270,6 +2347,53 @@ object TextAnalysis {
         |LIMIT 15""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the same empty-start state machine (seen set, types, tokens,
+    // factors) stepped per token by a recursive CTE in lockstep
+    // across docs; identical cross-multiplied dip test and integer
+    // bp/milli freezes
+    "t44_mtld" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, t, n, 1 AS i,
+        |    [t[1]] AS seen, CAST(1 AS BIGINT) AS types,
+        |    CAST(1 AS BIGINT) AS tk, CAST(0 AS BIGINT) AS f
+        |  FROM d
+        |  UNION ALL
+        |  SELECT s.doc_id, s.t, s.n, s.i + 1,
+        |    CASE WHEN (s.types + CASE WHEN list_contains(s.seen, s.t[s.i + 1])
+        |                THEN 0 ELSE 1 END) * 100 < (s.tk + 1) * 72
+        |         THEN []::VARCHAR[]
+        |         ELSE CASE WHEN list_contains(s.seen, s.t[s.i + 1]) THEN s.seen
+        |                   ELSE list_append(s.seen, s.t[s.i + 1]) END END,
+        |    CASE WHEN (s.types + CASE WHEN list_contains(s.seen, s.t[s.i + 1])
+        |                THEN 0 ELSE 1 END) * 100 < (s.tk + 1) * 72
+        |         THEN CAST(0 AS BIGINT)
+        |         ELSE s.types + CASE WHEN list_contains(s.seen, s.t[s.i + 1])
+        |                             THEN 0 ELSE 1 END END,
+        |    CASE WHEN (s.types + CASE WHEN list_contains(s.seen, s.t[s.i + 1])
+        |                THEN 0 ELSE 1 END) * 100 < (s.tk + 1) * 72
+        |         THEN CAST(0 AS BIGINT) ELSE s.tk + 1 END,
+        |    CASE WHEN (s.types + CASE WHEN list_contains(s.seen, s.t[s.i + 1])
+        |                THEN 0 ELSE 1 END) * 100 < (s.tk + 1) * 72
+        |         THEN s.f + 1 ELSE s.f END
+        |  FROM st s WHERE s.i < s.n),
+        |fin AS (
+        |  SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |    CASE WHEN tk = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE types * 10000 // tk END AS ttr_rem_bp,
+        |    f
+        |  FROM st WHERE i = n),
+        |fm AS (
+        |  SELECT doc_id, n_tokens,
+        |    f * 1000 + CASE WHEN ttr_rem_bp = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE (10000 - ttr_rem_bp) * 1000 // 2800 END AS factors_milli
+        |  FROM fin)
+        |SELECT doc_id, n_tokens, factors_milli,
+        |  n_tokens * 1000000 // greatest(factors_milli, 1) AS mtld_milli
+        |FROM fm ORDER BY doc_id""".stripMargin,
     // the same top-10 rank, zero-filled source×word ppm grid, integer
     // moment sums, and micro-unit |dz| freeze before the pair mean
     "t43_burrows_delta" ->

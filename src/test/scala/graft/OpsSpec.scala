@@ -4627,6 +4627,33 @@ class OpsSpec extends SparkSpec {
       "executing the derived fan-out must measurably level the exchange")
   }
 
+  test("t44 MTLD: imperative replay matches the fold on every doc") {
+    val out = TextAnalysis
+      .t44Mtld(spark, Sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+    assert(docs.length == out.size)
+    docs.foreach { d =>
+      val toks = d.getString(1).split(" ", -1)
+      var seen = Set.empty[String]; var tk = 0L; var f = 0L
+      toks.foreach { w =>
+        val types2 = seen.size + (if (seen(w)) 0 else 1)
+        if (types2 * 100 < (tk + 1) * 72) { seen = Set.empty; tk = 0; f += 1 }
+        else { seen += w; tk += 1 }
+      }
+      val ttr = if (tk == 0) 0L else seen.size.toLong * 10000 / tk
+      val fm = f * 1000 + (if (ttr == 0) 0L else (10000 - ttr) * 1000 / 2800)
+      val mtld = toks.length.toLong * 1000000 / math.max(fm, 1L)
+      assert(out(d.getLong(0)) == ((toks.length.toLong, fm, mtld)), s"doc ${d.getLong(0)}")
+    }
+    // the fixture must exercise both regimes: completed factors AND
+    // fractional remainders (else the fold's reset path is untested)
+    assert(out.values.exists(_._2 >= 1000L), "some doc must complete a factor")
+    assert(out.values.exists(v => v._2 % 1000 != 0L), "some doc must carry a fractional tail")
+  }
+
   test("q244 coalescer: contiguous groups partition all 32 slots within target") {
     val out = Relational.q244PartitionCoalescer(spark, Sf).collect()
     val n = Tables.lineitem(spark, Sf).count()
