@@ -8013,10 +8013,17 @@ object Relational {
             md5(concat(col("part").cast("string"), lit("_"), col("h").cast("string"))),
             1, 1).isin("0", "2", "4", "6", "8", "a", "c", "e"),
           1L).otherwise(-1L))
-    val sig = basket
+    // the width filter lives on the CATALOG-sized signs table, not on
+    // basket×signs: `h < width·bits` references bits (from nb) and h
+    // (from signs), so placed after the data-sized join Catalyst
+    // cannot push it below — it was trimming 144 → ~60 hash rows per
+    // part AFTER materializing all 144 per basket row (round-13 plan
+    // audit: ~2.4× the sig-stage join output for nothing)
+    val signsW = signs
       .crossJoin(broadcast(nb))
-      .join(signs, "part")
       .filter(col("h") < expr("greatest(4, 16 - bits) * bits"))
+    val sig = basket
+      .join(signsW, "part")
       .groupBy(col("cust"), col("bits"), col("h"))
       .agg(sum(col("q") * col("r")).as("proj"))
       .select(col("cust"), col("bits"), col("h"),
@@ -8038,6 +8045,11 @@ object Relational {
         Seq("cb", "part"))
       .groupBy(col("ca"), col("cb"))
       .agg(count(lit(1)).as("shared_parts"), sum(col("qa") * col("qb")).as("dot"))
+      // checkpointed: the symmetrization below references half TWICE,
+      // and without a materialization both union branches re-run the
+      // whole candidate-verify join pipeline (round-13 stage probe:
+      // ~3 s of the query's wall was this duplicated subtree)
+      .localCheckpoint()
     val sym = half.unionAll(
       half.select(col("cb").as("ca"), col("ca").as("cb"), col("shared_parts"), col("dot")))
     val w = Window.partitionBy(col("ca")).orderBy(col("cos").desc, col("cb").asc)
