@@ -10186,7 +10186,294 @@ object Relational {
        |    AS imbalance_bp_after
        |FROM dec_$name d, after_$name a""".stripMargin
 
+  /** q246's iteration count: 12 updates, 13 reported rows (iter 0 is
+    * the zero-weight model). Fixed and small — the plan is static and
+    * the oracle unrolls exactly this many steps.
+    */
+  private val Q246Iters = 12
+
+  /** q246 — full-batch gradient-descent logistic classifier, the
+    * suite's first ITERATIVE optimizer (q242's stump is a single
+    * exhaustive split, q125's OLS is closed-form, t33's NB is
+    * counting): predict `l_returnflag = 'R'` from (quantity,
+    * discount-pct, price-band) with [[Q246Iters]] frozen full-batch
+    * updates. Everything is integer micro-units so the trajectory is
+    * bit-identical in any engine regardless of aggregation order: the
+    * logistic link is the division-only fast sigmoid
+    * p_ppm = 500000 + 500000·z/(10⁶+|z|) (no exp —
+    * libm-vs-JVM transcendentals are NOT reproducible across
+    * engines), gradients are exact integer sums of (p−y)·x, and the
+    * update w ← w − Σg/(n·1000) is one integer division per feature.
+    * Output: one row per iteration with the weights USED that step,
+    * the sum of absolute residuals (ppm) and the 0.5-threshold
+    * correct count — the loss curve is part of the contract, not just
+    * the final model.
+    *
+    * Plan: the feature projection (4 ints) localCheckpoints once;
+    * each iteration is ONE map-side-combined aggregate over it with
+    * the 1-row weight state broadcast-crossJoined in — exactly
+    * MLlib's GD shape (per-iteration treeAggregate, driver-held
+    * weights), with k fixed at 12 so the lineage is bounded. At
+    * 100 TB each step is a single pruned columnar scan + partial
+    * aggregate; the state that moves is 4 longs.
+    */
+  def q246LogisticGd(s: SparkSession, dir: String): DataFrame = {
+    val feats = Tables
+      .lineitem(s, dir)
+      .select(
+        expr("CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS BIGINT)").as("y"),
+        col("l_quantity").cast("long").as("x1"),
+        expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").as("x2"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) div 1000000").as("x3"))
+      .localCheckpoint()
+    var w: DataFrame = s
+      .range(1)
+      .select(
+        lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"), lit(0L).as("w3"))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (k <- 0 to Q246Iters) {
+      // one pass: metrics of the CURRENT weights + the four gradient
+      // sums the next step needs; 1-row result checkpoints so the
+      // trajectory union replays nothing
+      val g = feats
+        .crossJoin(broadcast(w))
+        .withColumn("z", expr("w0 + w1 * x1 + w2 * x2 + w3 * x3"))
+        .withColumn("p", expr("500000 + (500000 * z) div (1000000 + abs(z))"))
+        .withColumn("r", expr("p - y * 1000000"))
+        .agg(
+          max(col("w0")).as("w0"),
+          max(col("w1")).as("w1"),
+          max(col("w2")).as("w2"),
+          max(col("w3")).as("w3"),
+          count(lit(1)).as("nn"),
+          sum(col("r")).as("g0s"),
+          sum(expr("r * x1")).as("g1s"),
+          sum(expr("r * x2")).as("g2s"),
+          sum(expr("r * x3")).as("g3s"),
+          sum(expr("abs(r)")).as("sae"),
+          sum(expr("CASE WHEN (p >= 500000) = (y = 1) THEN 1 ELSE 0 END"))
+            .as("correct"))
+        .localCheckpoint()
+      rows += g.select(
+        lit(k.toLong).as("iter"),
+        col("w0"), col("w1"), col("w2"), col("w3"),
+        col("sae"), col("correct"))
+      w = g.select(
+        expr("w0 - g0s div (greatest(nn, CAST(1 AS BIGINT)) * 1000)").as("w0"),
+        expr("w1 - g1s div (greatest(nn, CAST(1 AS BIGINT)) * 1000)").as("w1"),
+        expr("w2 - g2s div (greatest(nn, CAST(1 AS BIGINT)) * 1000)").as("w2"),
+        expr("w3 - g3s div (greatest(nn, CAST(1 AS BIGINT)) * 1000)").as("w3"))
+    }
+    rows.reduce(_ unionAll _).orderBy("iter")
+  }
+
+  /** q247's predicate sheet, shared by the Spark plan and the oracle:
+    * (column, id, lo, hi) inclusive integer ranges — price in cents,
+    * quantity in units. pred 2 of each column is bucket-ALIGNED, so
+    * its histogram estimate must be exact (err_bp = 0; the spec pins
+    * it), the rest straddle bucket edges and exercise interpolation.
+    */
+  private val q247Preds: Seq[(String, Long, Long, Long)] = Seq(
+    ("price", 1L, 100000L, 1500000L),
+    ("price", 2L, 131072L, 262143L),
+    ("price", 3L, 5000000L, 10500000L),
+    ("qty", 1L, 1L, 24L),
+    ("qty", 2L, 10L, 40L),
+    ("qty", 3L, 48L, 50L))
+
+  /** q247 — histogram selectivity estimator with a ground-truth
+    * audit: the SCAN-side half of a cost-based optimizer, next to
+    * q245's JOIN-side NDV estimates (q40 emits a histogram as its
+    * RESULT, q70 builds exact equi-depth deciles; this op USES a
+    * histogram to price predicates, then measures how wrong it was).
+    * Equi-width bucket counts per column (price: 2¹⁷-cent blocks,
+    * ~80 buckets; quantity: width-4 blocks, 13 buckets) estimate each
+    * [[q247Preds]] range by uniform-within-bucket interpolation —
+    * est = Σ freq·overlap, one integer division by the bucket width
+    * at the end — and an exact conditional-count arm supplies the
+    * truth; the output row is (est, true, error in bp). Bucket-
+    * aligned predicates must come back err_bp = 0 by construction.
+    *
+    * Plan: two single-column map-side-combined histogram scans (the
+    * ANALYZE pass — at 100 TB this is the table-stats build, tiny
+    * state, prunable to one column each), one scan for all six true
+    * counts via a broadcast 6-row predicate sheet (K-bounded literal
+    * build side), and the estimates join histogram-to-sheet entirely
+    * in broadcast-land (~90 × 6 rows). Pricing a NEW predicate
+    * touches no data at all — that is the point of the op.
+    */
+  def q247SelectivityEstimator(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val preds = q247Preds.toDF("col_name", "pred_id", "lo", "hi")
+    val li = Tables
+      .lineitem(s, dir)
+      .select(
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("xc"),
+        col("l_quantity").cast("long").as("xq"))
+    val histPrice = li
+      .groupBy(expr("xc div 131072").as("b"))
+      .agg(count(lit(1)).as("freq"))
+      .select(
+        lit("price").as("col_name"),
+        expr("b * 131072").as("blo"),
+        expr("b * 131072 + 131071").as("bhi"),
+        col("freq"),
+        lit(131072L).as("w"))
+    val histQty = li
+      .groupBy(expr("(xq - 1) div 4").as("b"))
+      .agg(count(lit(1)).as("freq"))
+      .select(
+        lit("qty").as("col_name"),
+        expr("b * 4 + 1").as("blo"),
+        expr("b * 4 + 4").as("bhi"),
+        col("freq"),
+        lit(4L).as("w"))
+    val est = histPrice
+      .unionAll(histQty)
+      .join(
+        broadcast(preds),
+        Seq("col_name"))
+      .filter(col("bhi") >= col("lo") && col("blo") <= col("hi"))
+      .withColumn(
+        "ov",
+        expr("greatest(CAST(0 AS BIGINT), least(hi, bhi) - greatest(lo, blo) + 1)"))
+      .groupBy(col("col_name"), col("pred_id"), col("w"))
+      .agg(sum(expr("freq * ov")).as("num"))
+      .select(
+        col("col_name"),
+        col("pred_id"),
+        expr("num div w").as("est_rows"))
+    val truth = li
+      .join(
+        broadcast(preds),
+        (col("col_name") === "price" && col("xc").between(col("lo"), col("hi"))) ||
+          (col("col_name") === "qty" && col("xq").between(col("lo"), col("hi"))))
+      .groupBy(col("col_name"), col("pred_id"))
+      .agg(count(lit(1)).as("true_rows"))
+    preds
+      .join(est, Seq("col_name", "pred_id"), "left")
+      .join(truth, Seq("col_name", "pred_id"), "left")
+      .select(
+        col("col_name"),
+        col("pred_id"),
+        col("lo"),
+        col("hi"),
+        coalesce(col("est_rows"), lit(0L)).as("est_rows"),
+        coalesce(col("true_rows"), lit(0L)).as("true_rows"))
+      .withColumn(
+        "err_bp",
+        expr(
+          "abs(est_rows - true_rows) * 10000 div greatest(true_rows, CAST(1 AS BIGINT))"))
+      .orderBy("col_name", "pred_id")
+  }
+
+  /** q246's oracle: the identical integer recursion unrolled as
+    * [[Q246Iters]] chained CTE steps — same z/p/r/update formula text
+    * (`div` ↔ `//`), HUGEINT sums cast back to BIGINT.
+    */
+  private def q246OracleSql: String = {
+    val steps = (0 to Q246Iters)
+      .map { k =>
+        s"""z$k AS (
+           |  SELECT y, x1, x2, x3, w0, w1, w2, w3,
+           |    w0 + w1 * x1 + w2 * x2 + w3 * x3 AS z
+           |  FROM li, s$k),
+           |p$k AS (
+           |  SELECT *, 500000 + (500000 * z) // (1000000 + abs(z)) AS p FROM z$k),
+           |r$k AS (SELECT *, p - y * 1000000 AS r FROM p$k),
+           |g$k AS (
+           |  SELECT max(w0) AS w0, max(w1) AS w1, max(w2) AS w2, max(w3) AS w3,
+           |    CAST(count(*) AS BIGINT) AS nn,
+           |    CAST(sum(r) AS BIGINT) AS g0s,
+           |    CAST(sum(r * x1) AS BIGINT) AS g1s,
+           |    CAST(sum(r * x2) AS BIGINT) AS g2s,
+           |    CAST(sum(r * x3) AS BIGINT) AS g3s,
+           |    CAST(sum(abs(r)) AS BIGINT) AS sae,
+           |    CAST(sum(CASE WHEN (p >= 500000) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS correct
+           |  FROM r$k),
+           |s${k + 1} AS (
+           |  SELECT w0 - g0s // (greatest(nn, CAST(1 AS BIGINT)) * 1000) AS w0,
+           |    w1 - g1s // (greatest(nn, CAST(1 AS BIGINT)) * 1000) AS w1,
+           |    w2 - g2s // (greatest(nn, CAST(1 AS BIGINT)) * 1000) AS w2,
+           |    w3 - g3s // (greatest(nn, CAST(1 AS BIGINT)) * 1000) AS w3
+           |  FROM g$k)""".stripMargin
+      }
+      .mkString(",\n")
+    val out = (0 to Q246Iters)
+      .map(k =>
+        s"SELECT CAST($k AS BIGINT) AS iter, w0, w1, w2, w3, sae, correct FROM g$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH li AS (
+       |  SELECT CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS BIGINT) AS y,
+       |    CAST(l_quantity AS BIGINT) AS x1,
+       |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+       |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) // 1000000 AS x3
+       |  FROM lineitem),
+       |s0 AS (
+       |  SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+       |    CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+       |$steps
+       |$out
+       |ORDER BY iter""".stripMargin
+  }
+
+  /** q247's oracle: the same two equi-width histograms, the same
+    * predicate sheet as a VALUES list, the same overlap/interpolation
+    * and exact-count arms.
+    */
+  private def q247OracleSql: String = {
+    val values = q247Preds
+      .map { case (c, i, lo, hi) =>
+        s"('$c', CAST($i AS BIGINT), CAST($lo AS BIGINT), CAST($hi AS BIGINT))"
+      }
+      .mkString(",\n    ")
+    s"""WITH li AS (
+       |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS xc,
+       |    CAST(l_quantity AS BIGINT) AS xq
+       |  FROM lineitem),
+       |preds(col_name, pred_id, lo, hi) AS (
+       |  VALUES $values),
+       |hist AS (
+       |  SELECT 'price' AS col_name, b * 131072 AS blo, b * 131072 + 131071 AS bhi,
+       |    freq, CAST(131072 AS BIGINT) AS w
+       |  FROM (SELECT xc // 131072 AS b, CAST(count(*) AS BIGINT) AS freq
+       |        FROM li GROUP BY 1)
+       |  UNION ALL
+       |  SELECT 'qty', b * 4 + 1, b * 4 + 4, freq, CAST(4 AS BIGINT)
+       |  FROM (SELECT (xq - 1) // 4 AS b, CAST(count(*) AS BIGINT) AS freq
+       |        FROM li GROUP BY 1)),
+       |est AS (
+       |  SELECT col_name, pred_id,
+       |    CAST(sum(freq * ov) AS BIGINT) // w AS est_rows
+       |  FROM (
+       |    SELECT h.col_name, p.pred_id, h.w, h.freq,
+       |      greatest(CAST(0 AS BIGINT), least(p.hi, h.bhi) - greatest(p.lo, h.blo) + 1) AS ov
+       |    FROM hist h JOIN preds p
+       |      ON h.col_name = p.col_name AND h.bhi >= p.lo AND h.blo <= p.hi)
+       |  GROUP BY col_name, pred_id, w),
+       |tru AS (
+       |  SELECT p.col_name, p.pred_id, CAST(count(*) AS BIGINT) AS true_rows
+       |  FROM li JOIN preds p
+       |    ON (p.col_name = 'price' AND li.xc BETWEEN p.lo AND p.hi)
+       |    OR (p.col_name = 'qty' AND li.xq BETWEEN p.lo AND p.hi)
+       |  GROUP BY 1, 2)
+       |SELECT p.col_name, p.pred_id, p.lo, p.hi,
+       |  coalesce(e.est_rows, CAST(0 AS BIGINT)) AS est_rows,
+       |  coalesce(t.true_rows, CAST(0 AS BIGINT)) AS true_rows,
+       |  abs(coalesce(e.est_rows, CAST(0 AS BIGINT))
+       |      - coalesce(t.true_rows, CAST(0 AS BIGINT))) * 10000
+       |    // greatest(coalesce(t.true_rows, CAST(0 AS BIGINT)), CAST(1 AS BIGINT))
+       |    AS err_bp
+       |FROM preds p
+       |LEFT JOIN est e ON e.col_name = p.col_name AND e.pred_id = p.pred_id
+       |LEFT JOIN tru t ON t.col_name = p.col_name AND t.pred_id = p.pred_id
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_logistic_gd" -> q246LogisticGd,
+    "q247_selectivity_estimator" -> q247SelectivityEstimator,
     "q245_join_order_advisor" -> q245JoinOrderAdvisor,
     "q244_partition_coalescer" -> q244PartitionCoalescer,
     "q243_census_salt_planner" -> q243CensusSaltPlanner,
@@ -10417,6 +10704,10 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // the identical integer fast-sigmoid GD recursion, unrolled
+    "q246_logistic_gd" -> q246OracleSql,
+    // the same histograms, predicate sheet, interpolation and audit
+    "q247_selectivity_estimator" -> q247OracleSql,
     // the same planted skew, epoch prefix-max watermark series, and
     // integer lateness buckets / shares / coverage curve
     "q239_out_of_order_census" ->

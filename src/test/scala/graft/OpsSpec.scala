@@ -4796,4 +4796,103 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q246 logistic GD: imperative integer replay matches every iteration") {
+    val out = Relational.q246LogisticGd(spark, Sf).collect()
+    assert(out.length == 13, "iter 0 (zero weights) through iter 12")
+    // replay the frozen integer recursion row-for-row in plain Scala:
+    // same truncating-toward-zero division, same fast sigmoid, same
+    // gradient sums — a second, independent implementation of the
+    // contract next to the DuckDB oracle
+    val feats = Tables
+      .lineitem(spark, Sf)
+      .select(
+        col("l_returnflag"),
+        col("l_quantity").cast("long"),
+        expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+      .collect()
+      .map(r =>
+        (
+          if (r.getString(0) == "R") 1L else 0L,
+          r.getLong(1),
+          r.getLong(2),
+          r.getLong(3) / 1000000L))
+    val w = Array(0L, 0L, 0L, 0L)
+    for (k <- 0 to 12) {
+      var g0 = 0L; var g1 = 0L; var g2 = 0L; var g3 = 0L
+      var sae = 0L; var correct = 0L
+      feats.foreach { case (y, x1, x2, x3) =>
+        val z = w(0) + w(1) * x1 + w(2) * x2 + w(3) * x3
+        val p = 500000L + (500000L * z) / (1000000L + math.abs(z))
+        val r = p - y * 1000000L
+        g0 += r; g1 += r * x1; g2 += r * x2; g3 += r * x3
+        sae += math.abs(r)
+        if ((p >= 500000L) == (y == 1L)) correct += 1L
+      }
+      val row = out(k)
+      assert(row.getLong(0) == k.toLong)
+      assert(Seq(row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+        .sameElements(w.toSeq), s"iter $k weights")
+      assert(row.getLong(5) == sae, s"iter $k sum of absolute residuals")
+      assert(row.getLong(6) == correct, s"iter $k correct count")
+      val d = math.max(feats.length.toLong, 1L) * 1000L
+      w(0) -= g0 / d; w(1) -= g1 / d; w(2) -= g2 / d; w(3) -= g3 / d
+    }
+    // the run must LEARN on the fixture, not just iterate: absolute
+    // residuals strictly improve start to end
+    assert(out(12).getLong(5) < out(0).getLong(5),
+      "final-iteration loss must beat the zero-weight model")
+  }
+
+  test("q247 selectivity: aligned predicates exact, estimate and truth replay") {
+    val out = Relational.q247SelectivityEstimator(spark, Sf).collect()
+    assert(out.length == 6)
+    // the predicate sheet is part of the contract — pin it verbatim
+    val preds = Seq(
+      ("price", 1L, 100000L, 1500000L),
+      ("price", 2L, 131072L, 262143L),
+      ("price", 3L, 5000000L, 10500000L),
+      ("qty", 1L, 1L, 24L),
+      ("qty", 2L, 10L, 40L),
+      ("qty", 3L, 48L, 50L))
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      == preds, "output carries the predicate sheet in order")
+    val vals = Tables
+      .lineitem(spark, Sf)
+      .select(
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"),
+        col("l_quantity").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // independent replay of BOTH arms: exact counts, and the
+    // equi-width histogram interpolation with one trailing division
+    preds.zip(out).foreach { case ((c, _, lo, hi), row) =>
+      val xs = vals.map(v => if (c == "price") v._1 else v._2)
+      val truth = xs.count(x => x >= lo && x <= hi).toLong
+      assert(row.getLong(5) == truth, s"$c true_rows")
+      val width = if (c == "price") 131072L else 4L
+      val base = if (c == "price") 0L else 1L
+      val num = xs
+        .groupBy(x => (x - base) / width)
+        .map { case (b, g) =>
+          val (blo, bhi) = (base + b * width, base + b * width + width - 1)
+          g.length.toLong * math.max(0L, math.min(hi, bhi) - math.max(lo, blo) + 1)
+        }
+        .sum
+      assert(row.getLong(4) == num / width, s"$c est_rows")
+      assert(row.getLong(6) ==
+        math.abs(row.getLong(4) - truth) * 10000L / math.max(truth, 1L), s"$c err_bp")
+    }
+    // bucket-aligned predicates (price#2, qty#1) must be EXACT — the
+    // uniformity assumption is vacuous when the range covers whole
+    // buckets, so any error there is an implementation bug
+    out.filter(r =>
+      (r.getString(0) == "price" && r.getLong(1) == 2L) ||
+        (r.getString(0) == "qty" && r.getLong(1) == 1L))
+      .foreach { r =>
+        assert(r.getLong(4) == r.getLong(5), "aligned estimate equals truth")
+        assert(r.getLong(6) == 0L, "aligned err_bp is zero")
+      }
+  }
+
 }
