@@ -4893,6 +4893,23 @@ class OpsSpec extends SparkSpec {
         assert(r.getLong(4) == r.getLong(5), "aligned estimate equals truth")
         assert(r.getLong(6) == 0L, "aligned err_bp is zero")
       }
+    // the ANALYZE-scan claim in the scaladoc is a plan property: every
+    // lineitem scan in the plan prunes to the two stat columns — no
+    // branch drags the full row width through a histogram build
+    val scans = Relational
+      .q247SelectivityEstimator(spark, Sf)
+      .queryExecution
+      .executedPlan
+      .toString
+      .linesIterator
+      .filter(_.contains("ReadSchema"))
+      .toSeq
+    assert(scans.nonEmpty, "expected parquet scans in the plan")
+    scans.foreach { s =>
+      assert(!s.contains("l_comment") && !s.contains("l_shipmode") &&
+        !s.contains("l_orderkey"),
+        s"histogram/truth scan reads unneeded columns: $s")
+    }
   }
 
 }
