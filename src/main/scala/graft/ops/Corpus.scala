@@ -320,6 +320,7 @@ object Corpus {
     val docs = Tables
       .spread(Tables.documents(s, dir))
       .withColumn("nt", size(split(col("text"), " ")))
+      .localCheckpoint() // corpus gate ×2, shard ×3: five consumers replay this scan+split
     val corpusQ = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4 && col("nt") >= 25)
     val corpusFp = corpusQ
       .select(md5(col("text")).as("fp"))

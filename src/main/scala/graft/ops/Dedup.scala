@@ -1654,12 +1654,21 @@ object Dedup {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    // ONE pass per scheme: candidate count and caught count come from
+    // the same left join against the (unique-pair, checkpointed) truth
+    // table — the previous count + left_semi/count pair referenced
+    // `cand` from two subtrees of one plan, so every scheme's whole
+    // candidate-generation join pipeline executed TWICE (round-13
+    // measure: 4.9 s → 3.7 s solo at sf0.1 from this alone).
     def audit(name: String, cand: DataFrame): DataFrame =
       cand
-        .agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(
-          cand.join(truth, Seq("id_a", "id_b"), "left_semi")
-            .agg(count(lit(1)).as("n_caught")))
+        .join(truth.withColumn("__t", lit(1L)), Seq("id_a", "id_b"), "left")
+        .agg(
+          count(lit(1)).as("n_candidates"),
+          // coalesce OUTSIDE the sum too: an EMPTY candidate set (the
+          // exact_key scheme finds none on this fixture) sums to NULL
+          // where the old left_semi count said 0
+          coalesce(sum(coalesce(col("__t"), lit(0L))), lit(0L)).as("n_caught"))
         .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
         .select(
           lit(name).as("strategy"),
@@ -1938,6 +1947,17 @@ object Dedup {
     // exactly once in the group of its smaller endpoint, so the
     // output REPLACES the edge set. min-over-partition rides one
     // window exchange on the symmetrized pair graph.
+    //
+    // Round-13 A/B NOTE: rewriting both stars as map-side-combined
+    // groupBy-min joined back (the q127 agg-beats-window doctrine) was
+    // tried and REJECTED — measured SLOWER on every caller (d30 2.25
+    // → 2.66 s, d31 3.17 → 4.18, d39 4.43 → 4.87, d40 6.20 → 7.16
+    // solo at sf0.1): per round it swaps one window exchange for an
+    // aggregate + an AQE-broadcast join, and across ~4–6 rounds × 2
+    // stars the extra per-round stages/jobs dominate on a pair graph
+    // this size. The q127 result doesn't transfer because LPA's
+    // window carried an ORDER-BY argmax (sort-heavy); this window is
+    // an unordered running min.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e
         .select(col("hi").as("u"), col("lo").as("v"))
@@ -2628,6 +2648,7 @@ object Dedup {
       .spread(Tables.embeddings(s, dir))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(Similarity.dot(col("v"), col("v"))))
+      .localCheckpoint() // both pair sides + the vec total replay this (d40's posture)
     val pairs = e
       .as("a")
       .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))

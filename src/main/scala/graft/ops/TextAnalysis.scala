@@ -676,6 +676,7 @@ object TextAnalysis {
     val docs = Tables
       .spread(Tables.documents(s, dir))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .localCheckpoint() // trigram pass + the two train-side n-gram passes replay this
     val triDoc = docs
       .select(
         col("doc_id"),
@@ -1529,9 +1530,13 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("doc_id"), col("lang"), col("w"))
       .agg(count(lit(1)).as("m"))
+      .localCheckpoint() // train (×2 consumers) and test both replay this
     val train = tm.filter(pmod(col("doc_id"), lit(5)) =!= 4)
     val test = tm.filter(pmod(col("doc_id"), lit(5)) === 4)
-    val counts = train.groupBy(col("lang"), col("w")).agg(sum(col("m")).as("c"))
+    val counts = train
+      .groupBy(col("lang"), col("w"))
+      .agg(sum(col("m")).as("c"))
+      .localCheckpoint() // model size, vocab count and the scoring table all replay this
     val nLang = counts.groupBy(col("lang")).agg(sum(col("c")).as("n_tok"))
     val v = counts.select(col("w")).distinct().agg(count(lit(1)).as("v"))
     val priors = train
@@ -1592,6 +1597,7 @@ object TextAnalysis {
       .spread(Tables.documents(s, dir))
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .distinct()
+      .localCheckpoint() // sizes + both self-join sides replay this
     val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("n"))
     vocab
       .as("a")

@@ -72,6 +72,47 @@ object Streams {
     root
   }
 
+  /** Append each frame to `feed` as ONE parquet file per element, in
+    * order, each append's files stamped with a strictly increasing
+    * mtime. Callers pass frames that share one `localCheckpoint()`ed
+    * parent: before round 13 every per-file `coalesce(1)` append
+    * collapsed its WHOLE scan+filter pipeline into a single task (the
+    * coalesce reaches up to the source), so a 3-file feed paid three
+    * single-threaded fact-table scans — and the chronoFidx gates
+    * re-ran the min/max aggregate scan per file on top. With the
+    * parent checkpointed, the parallel scan runs once and the
+    * per-file jobs drain memory blocks.
+    *
+    * The mtime stamp generalizes the q222/q237 ADVICE closure:
+    * FileStreamSource replays files by MODIFICATION TIME with a
+    * nondeterministic tie-break on the random part names, and
+    * checkpoint-fed appends land fast enough to share a clock tick —
+    * so strict write-order replay (which the order-sensitive gates'
+    * cross-batch state transitions rely on) must be forced, not
+    * assumed, for every multi-file feed. `sortCols`, when non-empty,
+    * reproduces the per-file `coalesce(1).sortWithinPartitions`
+    * bytes of the gates that sort their files.
+    */
+  private def appendFeedFiles(
+      feed: java.io.File,
+      parts: Seq[DataFrame],
+      sortCols: Seq[org.apache.spark.sql.Column] = Nil): Unit = {
+    val stamped = scala.collection.mutable.Set.empty[String]
+    parts.zipWithIndex.foreach { case (df, i) =>
+      val one = df.coalesce(1)
+      val shaped = if (sortCols.isEmpty) one else one.sortWithinPartitions(sortCols: _*)
+      shaped.write.mode("append").parquet(feed.getAbsolutePath)
+      val mtime = 1700000000000L + (i + 1) * 60000L
+      val fs = feed.listFiles()
+      if (fs != null)
+        fs.filter(f => f.getName.endsWith(".parquet") && !stamped.contains(f.getName))
+          .foreach { f =>
+            require(f.setLastModified(mtime), s"could not stamp feed mtime on $f")
+            stamped += f.getName
+          }
+    }
+  }
+
   /** 3-way CHRONOLOGICAL feed split WITHOUT a global sort, replacing
     * the round-11 `ntile(3)` builders — an unpartitioned Window over
     * the data-scaled events fact that moved the whole feed through ONE
@@ -1614,6 +1655,7 @@ object Streams {
       .select(
         col("o_orderkey").as("k"),
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .localCheckpoint() // feed batches ×4 and the base/untouched tail all replay this
     val base = o.filter(col("k") % 4 =!= 0)
     def batch(seq: Long, op: String, rows: DataFrame): DataFrame =
       rows.select(col("k"), lit(seq).as("seq"), lit(op).as("op"), col("cents"))
@@ -1628,7 +1670,7 @@ object Streams {
     val out = new java.io.File(root, "out")
     val ckpt = new java.io.File(root, "ckpt")
     // one file per log batch => one micro-batch per log batch below
-    batches.foreach(_.coalesce(1).write.mode("append").parquet(feed.getAbsolutePath))
+    appendFeedFiles(feed, batches)
 
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     providerConfLock.synchronized {
@@ -1763,14 +1805,16 @@ object Streams {
       .events(s, dir)
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"), col("value"))
+      .localCheckpoint() // both feed halves and the batch-tail cents replay this
     // deterministic midpoint split into two time-ordered feed files
     val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
     val root = gateTempRoot("graft-q164")
     val feed = new java.io.File(root, "feed")
     val out = new java.io.File(root, "out")
     val ckpt = new java.io.File(root, "ckpt")
-    ev.filter(col("ts") < lit(cut)).coalesce(1).write.mode("append").parquet(feed.getAbsolutePath)
-    ev.filter(col("ts") >= lit(cut)).coalesce(1).write.mode("append").parquet(feed.getAbsolutePath)
+    appendFeedFiles(
+      feed,
+      Seq(ev.filter(col("ts") < lit(cut)), ev.filter(col("ts") >= lit(cut))))
 
     val raw = s.readStream
       .schema("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP, value DOUBLE")
@@ -1839,20 +1883,15 @@ object Streams {
             -floor(col("value") * 100 + 0.5).cast("long"))
             .otherwise(floor(col("value") * 100 + 0.5).cast("long")).as("delta")),
       col("ts_us"))
+      .localCheckpoint() // the three per-file writes replay this, not the fact scan
     val root = gateTempRoot("graft-q193")
     val feed = new java.io.File(root, "feed")
     val out = new java.io.File(root, "out")
     val ckpt = new java.io.File(root, "ckpt")
-    (1 to 3).foreach { i =>
-      evs
-        .filter(col("fidx") === i)
-        .drop("fidx")
-        .coalesce(1)
-        .sortWithinPartitions(col("ts_us"), col("event_id"))
-        .write
-        .mode("append")
-        .parquet(feed.getAbsolutePath)
-    }
+    appendFeedFiles(
+      feed,
+      (1 to 3).map(i => evs.filter(col("fidx") === i).drop("fidx")),
+      sortCols = Seq(col("ts_us"), col("event_id")))
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     providerConfLock.synchronized {
     val prevProv = s.conf.getOption(provKey)
@@ -1931,18 +1970,12 @@ object Streams {
     val docs = graft.ops.Tables
       .documents(s, dir)
       .select(col("doc_id"), col("lang"), col("text"))
+      .localCheckpoint() // feed shards ×3 and the lang rollup replay this
     val root = gateTempRoot("graft-q204")
     val feed = new java.io.File(root, "feed")
     val out = new java.io.File(root, "out")
     val ckpt = new java.io.File(root, "ckpt")
-    (0 to 2).foreach { i =>
-      docs
-        .filter(col("doc_id") % 3 === i)
-        .coalesce(1)
-        .write
-        .mode("append")
-        .parquet(feed.getAbsolutePath)
-    }
+    appendFeedFiles(feed, (0 to 2).map(i => docs.filter(col("doc_id") % 3 === i)))
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     providerConfLock.synchronized {
       val prevProv = s.conf.getOption(provKey)
@@ -2037,13 +2070,15 @@ object Streams {
     val ev = graft.ops.Tables
       .events(s, dir)
       .select(col("user_id"), col("ts"), col("event_type"))
+      .localCheckpoint() // both feed halves replay this, not the fact scan
     val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
     val root = gateTempRoot("graft-q207")
     val feed = new java.io.File(root, "feed")
     val out = new java.io.File(root, "out")
     val ckpt = new java.io.File(root, "ckpt")
-    ev.filter(col("ts") < lit(cut)).coalesce(1).write.mode("append").parquet(feed.getAbsolutePath)
-    ev.filter(col("ts") >= lit(cut)).coalesce(1).write.mode("append").parquet(feed.getAbsolutePath)
+    appendFeedFiles(
+      feed,
+      Seq(ev.filter(col("ts") < lit(cut)), ev.filter(col("ts") >= lit(cut))))
 
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     providerConfLock.synchronized {
@@ -2118,17 +2153,12 @@ object Streams {
     val ev = graft.ops.Tables
       .events(s, dir)
       .select(col("event_type"), col("user_id"))
+      .localCheckpoint() // feed shards ×3 (and the exact tail) replay this
     val root = gateTempRoot("graft-q210")
     val feed = new java.io.File(root, "feed")
     val out = new java.io.File(root, "out")
     val ckpt = new java.io.File(root, "ckpt")
-    (0 to 2).foreach { i =>
-      ev.filter(col("user_id") % 3 === i)
-        .coalesce(1)
-        .write
-        .mode("append")
-        .parquet(feed.getAbsolutePath)
-    }
+    appendFeedFiles(feed, (0 to 2).map(i => ev.filter(col("user_id") % 3 === i)))
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     providerConfLock.synchronized {
       val prevProv = s.conf.getOption(provKey)
@@ -2209,15 +2239,17 @@ object Streams {
         col("ts"),
         col("event_type"),
         floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .localCheckpoint() // the full copy + two replay shards all replay this
     val root = gateTempRoot("graft-q211")
     val feed = new java.io.File(root, "feed")
     val out = new java.io.File(root, "out")
     val ckpt = new java.io.File(root, "ckpt")
-    ev.coalesce(1).write.mode("append").parquet(feed.getAbsolutePath)
-    ev.filter(pmod(col("event_id"), lit(7)) === 0)
-      .coalesce(1).write.mode("append").parquet(feed.getAbsolutePath)
-    ev.filter(pmod(col("event_id"), lit(11)) === 3)
-      .coalesce(1).write.mode("append").parquet(feed.getAbsolutePath)
+    appendFeedFiles(
+      feed,
+      Seq(
+        ev,
+        ev.filter(pmod(col("event_id"), lit(7)) === 0),
+        ev.filter(pmod(col("event_id"), lit(11)) === 3)))
 
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     providerConfLock.synchronized {
@@ -2297,17 +2329,12 @@ object Streams {
         col("user_id"),
         col("event_type"),
         floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .localCheckpoint() // feed shards ×3 replay this, not the fact scan
     val dim = graft.ops.Tables
       .customer(s, dir)
       .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
     val feed = gateTempRoot("graft-q217")
-    (0 to 2).foreach { i =>
-      ev.filter(pmod(col("user_id"), lit(3)) === i)
-        .coalesce(1)
-        .write
-        .mode("append")
-        .parquet(feed.getAbsolutePath)
-    }
+    appendFeedFiles(feed, (0 to 2).map(i => ev.filter(pmod(col("user_id"), lit(3)) === i)))
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val qname = "q217_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
     providerConfLock.synchronized {
@@ -2436,15 +2463,10 @@ object Streams {
     val out = new java.io.File(root, "out")
     val ckpt = new java.io.File(root, "ckpt")
     val withIdx = chronoFidx(live, unix_micros(col("ts")))
-    (1 to 3).foreach { i =>
-      withIdx
-        .filter(col("fidx") === i)
-        .drop("fidx", "ts")
-        .coalesce(1)
-        .write
-        .mode("append")
-        .parquet(feed.getAbsolutePath)
-    }
+      .localCheckpoint() // the three per-file writes replay this, not the fact scan
+    appendFeedFiles(
+      feed,
+      (1 to 3).map(i => withIdx.filter(col("fidx") === i).drop("fidx", "ts")))
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     providerConfLock.synchronized {
       val prevProv = s.conf.getOption(provKey)
@@ -2665,19 +2687,14 @@ object Streams {
           floor(col("value") * 100 + 0.5).cast("long").as("cents"),
           col("ts")),
       unix_micros(col("ts")))
+      .localCheckpoint() // the three per-file writes replay this, not the fact scan
     val root = gateTempRoot("graft-q226")
     val feed = new java.io.File(root, "feed")
     val out = new java.io.File(root, "out")
     val ckpt = new java.io.File(root, "ckpt")
-    (1 to 3).foreach { i =>
-      evs
-        .filter(col("fidx") === i)
-        .drop("fidx", "ts")
-        .coalesce(1)
-        .write
-        .mode("append")
-        .parquet(feed.getAbsolutePath)
-    }
+    appendFeedFiles(
+      feed,
+      (1 to 3).map(i => evs.filter(col("fidx") === i).drop("fidx", "ts")))
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     providerConfLock.synchronized {
       val prevProv = s.conf.getOption(provKey)
@@ -2767,37 +2784,19 @@ object Streams {
           col("event_type").as("kind"),
           col("event_id")),
       unix_micros(col("ts")))
+      .localCheckpoint() // the three per-file writes replay this, not the fact scan
     val root = gateTempRoot("graft-q222")
     val feed = new java.io.File(root, "feed")
     val out = new java.io.File(root, "out")
     val ckpt = new java.io.File(root, "ckpt")
-    // ADVICE closure: FileStreamSource orders files by MODIFICATION
-    // TIME with a nondeterministic tie-break on the random part names,
-    // and the SLA processor is order-sensitive ACROSS batches — a
-    // purchase batch surfacing before its signup batch is silently
-    // dropped, flipping a convert into a breach. Stamp each append's
-    // files with a strictly increasing mtime so the three micro-batch
-    // files always ingest in write order (q226/q229 are commutative
-    // and don't need this).
-    val stamped = scala.collection.mutable.Set.empty[String]
-    (1 to 3).foreach { i =>
-      evs
-        .filter(col("fidx") === i)
-        .drop("fidx", "event_id")
-        .coalesce(1)
-        .sortWithinPartitions(col("ts"))
-        .write
-        .mode("append")
-        .parquet(feed.getAbsolutePath)
-      val mtime = 1700000000000L + i * 60000L
-      feed
-        .listFiles()
-        .filter(f => f.getName.endsWith(".parquet") && !stamped.contains(f.getName))
-        .foreach { f =>
-          require(f.setLastModified(mtime), s"could not stamp feed mtime on $f")
-          stamped += f.getName
-        }
-    }
+    // The SLA processor is order-sensitive ACROSS batches — a purchase
+    // batch surfacing before its signup batch is silently dropped,
+    // flipping a convert into a breach; appendFeedFiles' forced
+    // strictly-increasing mtimes guarantee write-order replay.
+    appendFeedFiles(
+      feed,
+      (1 to 3).map(i => evs.filter(col("fidx") === i).drop("fidx", "event_id")),
+      sortCols = Seq(col("ts")))
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     providerConfLock.synchronized {
       val prevProv = s.conf.getOption(provKey)
@@ -2880,29 +2879,15 @@ object Streams {
         .filter(col("event_type").isin("click", "purchase"))
         .select(col("user_id"), col("event_id"), col("event_type"), col("ts")),
       unix_micros(col("ts")))
+      .localCheckpoint() // the three per-file writes replay this, not the fact scan
     val root = gateTempRoot("graft-q237")
     val feed = new java.io.File(root, "feed")
     val out = new java.io.File(root, "out")
     val ckpt = new java.io.File(root, "ckpt")
-    val stamped = scala.collection.mutable.Set.empty[String]
-    (1 to 3).foreach { i =>
-      ev
-        .filter(col("fidx") === i)
-        .drop("fidx")
-        .coalesce(1)
-        .sortWithinPartitions(col("ts"))
-        .write
-        .mode("append")
-        .parquet(feed.getAbsolutePath)
-      val mtime = 1700000000000L + i * 60000L
-      feed
-        .listFiles()
-        .filter(f => f.getName.endsWith(".parquet") && !stamped.contains(f.getName))
-        .foreach { f =>
-          require(f.setLastModified(mtime), s"could not stamp feed mtime on $f")
-          stamped += f.getName
-        }
-    }
+    appendFeedFiles(
+      feed,
+      (1 to 3).map(i => ev.filter(col("fidx") === i).drop("fidx")),
+      sortCols = Seq(col("ts")))
     // 8 shuffle partitions, scoped: a stream-stream OUTER join keeps
     // FOUR state stores per partition per micro-batch, so the
     // session's 32 partitions × 3 batches meant ~384 store
