@@ -766,6 +766,7 @@ object Corpus {
     val d = Tables
       .spread(Tables.documents(s, dir))
       .withColumn("nt", size(split(col("text"), " ")).cast("long"))
+      .localCheckpoint() // stage-1 rollup, the gate and the dedup chain all replay this
     val quality = d.filter(col("nt") >= 25)
     val surv = quality
       .groupBy(col("lang"), md5(col("text")).as("fp"))
@@ -773,6 +774,7 @@ object Corpus {
         min(col("doc_id")).as("doc_id"),
         first(col("text")).as("text"),
         first(col("nt")).as("nt"))
+      .localCheckpoint() // stage-3 rollup, the near-dup pass and the final anti-join replay this
     val removed = Dedup
       .nearDupPairs(
         Dedup.shingled(surv.select(col("doc_id"), col("lang"), col("text")), 3),
