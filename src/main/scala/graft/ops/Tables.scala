@@ -123,6 +123,19 @@ object Tables {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
+  /** Resolved base frame per (session, path) — the other half of the
+    * catalog role: even with the schema supplied, every
+    * `spark.read.schema(sch).parquet(path)` construct re-lists the
+    * path and rebuilds the relation (~12 ms — ~10 s per 400-query
+    * sweep pass). A DataFrame is an immutable unexecuted plan, so
+    * handing every caller the same base relation is exactly what a
+    * registered table does (Spark itself caches the resolved relation
+    * + FileIndex per catalog table). Weak session keys: test suites
+    * build many short-lived sessions and must not pin them.
+    */
+  private val frameCache =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
   private def read(s: SparkSession, dir: String, name: String): DataFrame = {
     // Both legacy knobs matter only for drifted fixture generations;
     // set defensively for sessions built without GraftSession. NTZ
@@ -133,8 +146,19 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val path = s"$dir/$name.parquet"
-    val sch = schemaCache.computeIfAbsent(path, p => s.read.parquet(p).schema)
-    conform(s.read.schema(sch).parquet(path), name)
+    val perSession = frameCache.synchronized {
+      var m = frameCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        frameCache.put(s, m)
+      }
+      m
+    }
+    val base = perSession.computeIfAbsent(path, { p =>
+      val sch = schemaCache.computeIfAbsent(p, q => s.read.parquet(q).schema)
+      s.read.schema(sch).parquet(p)
+    })
+    conform(base, name)
   }
 
   /** Round-robin spread of a COMPACT derived table across the cluster.
