@@ -93,7 +93,7 @@ object Streams {
     * reproduces the per-file `coalesce(1).sortWithinPartitions`
     * bytes of the gates that sort their files.
     */
-  private def appendFeedFiles(
+  private[graft] def appendFeedFiles(
       feed: java.io.File,
       parts: Seq[DataFrame],
       sortCols: Seq[org.apache.spark.sql.Column] = Nil): Unit = {

@@ -397,4 +397,39 @@ class WordNgramHashesSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(out == Seq("a b", "b c"))
   }
+
+  test("VectorSumLong: element-wise integer sum equals the per-index groupBy formulation") {
+    // the q203 signature-stage contract (round 13): grouping scaled
+    // sign vectors through the aggregator must reproduce the
+    // per-(key, index) sum(x) formulation bit-for-bit
+    val rows = Seq(
+      (1L, Array(1L, -2L, 3L)),
+      (1L, Array(10L, 20L, -30L)),
+      (2L, Array(5L, 5L, 5L)),
+      (1L, Array(0L, 0L, 0L))).toDF("k", "xs")
+    val vsum = udaf(graft.functions.VectorSumLong)
+    val got = rows
+      .groupBy(col("k"))
+      .agg(vsum(col("xs")).as("s"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
+      .toMap
+    val want = rows
+      .select(col("k"), posexplode(col("xs")).as(Seq("i", "x")))
+      .groupBy(col("k"), col("i"))
+      .agg(sum(col("x")).as("s"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(got == want)
+    // merge semantics directly: empty buffers are identities and
+    // mismatched lengths are a corpus invariant violation, not data
+    val z = graft.functions.VectorSumLong.zero
+    val b = graft.functions.VectorSumLong.reduce(z, Array(1L, 2L))
+    assert(graft.functions.VectorSumLong.merge(graft.functions.VectorSumLong.zero, b).sums.toSeq == Seq(1L, 2L))
+    assert(graft.functions.VectorSumLong.merge(b, graft.functions.VectorSumLong.zero).sums.toSeq == Seq(1L, 2L))
+    intercept[IllegalArgumentException] {
+      graft.functions.VectorSumLong.reduce(b, Array(1L, 2L, 3L))
+    }
+  }
 }

@@ -1605,6 +1605,47 @@ class StreamBatchParitySpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("appendFeedFiles: one file per part, strictly increasing mtimes, contents and sort preserved") {
+    import spark.implicits._
+    val feed = Files.createTempDirectory("graft-feedspec").toFile
+    // checkpoint-fed parts land within one clock tick — exactly the
+    // regime the round-13 helper must force write-order replay for
+    val parts = Seq(
+      Seq((5L, "c"), (1L, "a"), (3L, "b")).toDF("k", "v").localCheckpoint(),
+      Seq((9L, "z")).toDF("k", "v").localCheckpoint(),
+      Seq((7L, "y"), (6L, "x")).toDF("k", "v").localCheckpoint())
+    Streams.appendFeedFiles(feed, parts, sortCols = Seq(col("k")))
+    val files = feed.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 3, "exactly one parquet file per part")
+    // mtime order must be strict — FileStreamSource tiebreaks
+    // nondeterministically on the random part names
+    val byM = files.sortBy(_.lastModified)
+    assert(byM.sliding(2).forall { case Array(a, b) => a.lastModified < b.lastModified },
+      "mtimes strictly increase in write order")
+    // the k-th oldest file holds exactly the k-th part, sorted by k
+    val want = Seq(Seq(1L, 3L, 5L), Seq(9L), Seq(6L, 7L))
+    byM.zip(want).foreach { case (f, ks) =>
+      val got = spark.read.parquet(f.getAbsolutePath).collect().map(_.getLong(0)).toSeq
+      assert(got == ks, s"file ${f.getName} rows in sorted order: got $got want $ks")
+    }
+    // a streaming read over the feed replays the parts in write order
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val q = spark.readStream
+      .schema("k BIGINT, v STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed.getAbsolutePath)
+      .writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen.synchronized { seen += b.collect().map(_.getLong(0)).sorted.toSeq; () }
+      }
+      .start()
+    q.awaitTermination()
+    assert(seen.toSeq == Seq(Seq(1L, 3L, 5L), Seq(9L), Seq(6L, 7L)),
+      "micro-batches arrive in forced-mtime write order")
+  }
 }
 
 /** Companion buffer for the gate-restart test: foreachBatch closures
