@@ -7964,6 +7964,12 @@ object Relational {
     * high-cosine pairs it exists for, and moderate-cos top-k stays
     * with q199's exact postings arm — the regime rule this pair of
     * queries documents.
+    *
+    * Round-13 optimization: the signature stage is ONE
+    * [[graft.functions.VectorSumLong]] array-state aggregate over
+    * h-ordered per-part sign vectors (see the inline note below);
+    * official sweep number 8.7 s at sf0.1 (was 12.2 solo / 11.75
+    * committed close before the round's trims).
     */
   def q203UserSimilarityLsh(s: SparkSession, dir: String): DataFrame = {
     val basket = Tables
