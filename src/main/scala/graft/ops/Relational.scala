@@ -4652,10 +4652,12 @@ object Relational {
     * sorted — not even the user table.
     */
   def q135RfmSegments(s: SparkSession, dir: String): DataFrame = {
-    val maxDay = Tables
-      .events(s, dir)
-      .agg(max(to_date(col("ts"))).as("max_day"))
-    val u = Tables
+    // round 13: the anchor day is max(last_day) OVER THE PER-USER
+    // AGGREGATE — identical by associativity of max to the previous
+    // separate full-scan `events.agg(max(to_date(ts)))`, so the
+    // second data-sized events pass drops out (one user-sized
+    // checkpoint feeds both the anchor and the scoring pipeline)
+    val u0 = Tables
       .events(s, dir)
       .select(
         col("user_id"),
@@ -4666,6 +4668,9 @@ object Relational {
         max(col("day")).as("last_day"),
         count(lit(1)).as("freq"),
         sum(col("cents")).as("money"))
+      .localCheckpoint()
+    val maxDay = u0.agg(max(col("last_day")).as("max_day"))
+    val u = u0
       .crossJoin(broadcast(maxDay))
       .withColumn("recency_days", datediff(col("max_day"), col("last_day")).cast("long"))
     val dayBlk = (m: org.apache.spark.sql.Column) => floor(m / lit(64.0)).cast("long")
@@ -8003,35 +8008,26 @@ object Relational {
           |     ELSE 12 END""".stripMargin).as("bits"))
     // hyperplane signs from one md5 hex digit — the d1/p18 portable
     // family — computed ONCE PER (part, h) on the distinct-part
-    // table (catalog-sized × 144, ~30× fewer hashes than per basket
-    // row) and joined back on part. Integer-hash sign families were
+    // table (catalog-sized, ~30× fewer hashes than per basket row)
+    // and joined back on part. Integer-hash sign families were
     // tried and REJECTED here: the p10/p12 split-multiply map is
     // affine, so consecutive h produce ~60–99% correlated top bits
     // (one layout collapsed every signature into two buckets — an
     // all-pairs hang); md5's digit has no such structure.
-    val signs = basket
-      .select(col("part"))
-      .distinct()
-      .select(col("part"), explode(sequence(lit(0), lit(143))).as("h"))
-      .withColumn(
-        "r",
-        when(
-          substring(
-            md5(concat(col("part").cast("string"), lit("_"), col("h").cast("string"))),
-            1, 1).isin("0", "2", "4", "6", "8", "a", "c", "e"),
-          1L).otherwise(-1L))
-    // the width filter lives on the CATALOG-sized signs table, not on
-    // basket×signs: `h < width·bits` references bits (from nb) and h
-    // (from signs), so placed after the data-sized join Catalyst
-    // cannot push it below — it was trimming 144 → ~60 hash rows per
-    // part AFTER materializing all 144 per basket row (round-13 plan
-    // audit: ~2.4× the sig-stage join output for nothing)
-    val signsW = signs
-      .crossJoin(broadcast(nb))
-      .filter(col("h") < expr("greatest(4, 16 - bits) * bits"))
-    // Signature stage as ONE array-state aggregate (round 13): the
-    // per-part sign rows first collapse to an h-ordered ±1 vector
-    // (catalog-sized), each basket row scales it by q, and
+    //
+    // Round-13 optimization, second pass: the per-part sign VECTOR is
+    // emitted whole by [[graft.functions.Md5SignVector]] (byte-level
+    // digests, sign = bit 4 of digest byte 0 — provably the SQL
+    // spelling's first-hex-digit-even test, pinned by
+    // Md5SignVectorSpec), and only width·bits ≤ 64 lanes are ever
+    // hashed. This replaces the previous explode(0..143) → string
+    // md5 per (part, h) → width filter → collect_list/array_sort
+    // group-back: catalog × 144 string-hash rows, one Generate and
+    // the two-phase collect_list aggregate drop out of the plan
+    // (sig-stage final plan: 2 Generate → 1, 10 HashAggregate → 8;
+    // solo A/B at sf0.1: sa 2.5 → 0.8 s, sig stage 3.0 → 2.1 s).
+    // Signature stage as ONE array-state aggregate (round 13): each
+    // basket row scales its part's h-ordered ±1 vector by q, and
     // [[graft.functions.VectorSumLong]] sums the vectors per customer
     // — replacing the (basket × width)-row join that fed a 36M-probe
     // hash aggregate on (cust, bits, h). Integer sums are
@@ -8040,11 +8036,14 @@ object Relational {
     // exceptAll diff = 0 rows at sf0.1); measured 3.0 → 1.5 s for
     // the stage, 12.8 → ~10.5 s for the query.
     val vsum = udaf(graft.functions.VectorSumLong)
-    val sa = signsW
-      .groupBy(col("part"), col("bits"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("h"), col("r")))),
-        x => x.getField("r")).as("rs"))
+    val sa = basket
+      .select(col("part"))
+      .distinct()
+      .crossJoin(broadcast(nb))
+      .select(col("part"), col("bits"),
+        graft.functions.Md5SignVector
+          .md5SignVector(col("part"), expr("greatest(4, 16 - bits) * bits"))
+          .as("rs"))
     val sig = basket
       .join(sa, "part")
       .select(col("cust"), col("bits"), transform(col("rs"), r => r * col("q")).as("qr"))
@@ -8147,7 +8146,13 @@ object Relational {
     * engines produce identical digests), with each digest feeding
     * FOUR replicates (32 hex chars = 4 independent 8-hex lanes —
     * round 12: digest evaluation was the query's entire cost, and
-    * 32 → 8 per row roughly halves the wall), and the Poisson(1)
+    * 32 → 8 per row roughly halves the wall; round 13: the Spark side
+    * evaluates the SAME function via [[graft.functions.Md5Lanes]],
+    * byte-level digests + integer lane slicing instead of
+    * concat→hex→substring→conv string round-trips — provably
+    * element-identical to the SQL spelling the oracle keeps, pinned by
+    * Md5LanesSpec, and removes the allocation storm behind q206's
+    * documented in-sweep GC sensitivity), and the Poisson(1)
     * inverse CDF
     * is a fixed integer threshold table (floor(2³² · P(X ≤ i)),
     * literals shared with the oracle — no exp/transcendentals at eval
@@ -8181,19 +8186,9 @@ object Relational {
     // Poisson(1) inverse-CDF thresholds at 32-bit integer resolution:
     // floor(2^32 * P(X <= i)) for i = 0..7, mass beyond 8 (~1e-9) capped.
     val boot = base
-      .select(col("k"), col("prio"), col("cents"),
-        explode(sequence(lit(0), lit(reps / 4 - 1))).as("g"))
-      .withColumn(
-        "m",
-        expr("md5(concat(CAST(k AS STRING), ':', CAST(g AS STRING)))"))
-      .select(col("k"), col("prio"), col("cents"), col("g"),
-        posexplode(expr(
-          "array(substring(m, 1, 8), substring(m, 9, 8), substring(m, 17, 8), substring(m, 25, 8))"))
-          .as(Seq("j", "hx")))
-      .select(
-        col("prio"), col("cents"),
-        (col("g") * 4 + col("j")).as("r"),
-        expr("CAST(conv(hx, 16, 10) AS BIGINT)").as("h"))
+      .select(col("prio"), col("cents"),
+        posexplode(graft.functions.Md5Lanes.md5Lanes(col("k"), reps / 4))
+          .as(Seq("r", "h")))
       .withColumn(
         "w",
         expr("""CASE WHEN h < 1580030168 THEN 0 WHEN h < 3160060337 THEN 1
@@ -8408,8 +8403,13 @@ object Relational {
         col("l_orderkey"),
         col("l_linenumber"),
         floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
-        expr("CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), ':', " +
-          "CAST(l_linenumber AS STRING))), 1, 8), 16, 10) AS BIGINT)").as("h"))
+        // the oracle keeps the conv(substring(md5)) spelling; Spark
+        // evaluates the same 32-bit lane natively (Md5Hex32 — identity
+        // pinned by Md5Hex32Spec), skipping the hex round-trip per row
+        graft.functions.Md5Hex32
+          .md5hex32(expr(
+            "concat(CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING))"))
+          .as("h"))
     // bottom-k by (h, key): per-partition heaps via TakeOrderedAndProject
     val sample = base
       .orderBy(col("h").asc, col("l_orderkey").asc, col("l_linenumber").asc)
@@ -9689,7 +9689,10 @@ object Relational {
         .agg(count(lit(1)).as("c"))
         .withColumn(
           "part",
-          expr("CAST(conv(substring(md5(CAST(k AS STRING)), 1, 8), 16, 10) AS BIGINT) % 32"))
+          // the oracle keeps the conv(substring(md5)) spelling; the
+          // Spark side evaluates the same 32-bit lane natively
+          // (Md5Hex32 — identity pinned by Md5Hex32Spec)
+          graft.functions.Md5Hex32.md5hex32(col("k").cast("string")) % 32)
         .groupBy(col("part"))
         .agg(
           sum(col("c")).as("rows_in_part"),
@@ -9871,7 +9874,10 @@ object Relational {
         .agg(count(lit(1)).as("c"))
         .withColumn(
           "part",
-          expr("CAST(conv(substring(md5(CAST(k AS STRING)), 1, 8), 16, 10) AS BIGINT) % 32"))
+          // the oracle keeps the conv(substring(md5)) spelling; the
+          // Spark side evaluates the same 32-bit lane natively
+          // (Md5Hex32 — identity pinned by Md5Hex32Spec)
+          graft.functions.Md5Hex32.md5hex32(col("k").cast("string")) % 32)
         .groupBy(col("part"))
         .agg(sum(col("c")).as("rows_in_part"), max(col("c")).as("max_key_rows_p"))
       val decision = parts
@@ -9903,8 +9909,8 @@ object Relational {
         .agg(count(lit(1)).as("c"))
         .withColumn(
           "part",
-          expr(
-            "CAST(conv(substring(md5(concat(CAST(k AS STRING), '#', CAST(salt AS STRING))), 1, 8), 16, 10) AS BIGINT) % 32"))
+          graft.functions.Md5Hex32.md5hex32(
+            expr("concat(CAST(k AS STRING), '#', CAST(salt AS STRING))")) % 32)
         .groupBy(col("part"))
         .agg(sum(col("c")).as("rows_in_part"))
         .agg(
@@ -9972,7 +9978,10 @@ object Relational {
         .agg(count(lit(1)).as("c"))
         .withColumn(
           "part",
-          expr("CAST(conv(substring(md5(CAST(k AS STRING)), 1, 8), 16, 10) AS BIGINT) % 32"))
+          // the oracle keeps the conv(substring(md5)) spelling; the
+          // Spark side evaluates the same 32-bit lane natively
+          // (Md5Hex32 — identity pinned by Md5Hex32Spec)
+          graft.functions.Md5Hex32.md5hex32(col("k").cast("string")) % 32)
         .groupBy(col("part"))
         .agg(sum(col("c")).as("rows_in_part"))
       val slots = s

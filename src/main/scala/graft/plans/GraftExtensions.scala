@@ -64,7 +64,14 @@ object GraftExtensions {
       graft.functions.MeanThresholdBits(
         es.head,
         es(1).eval().asInstanceOf[Number].intValue)
-    }
+    },
+    "md5hex32" -> { es => graft.functions.Md5Hex32(es.head) },
+    "md5_lanes" -> { es =>
+      graft.functions.Md5Lanes(
+        es.head,
+        es(1).eval().asInstanceOf[Number].intValue)
+    },
+    "md5_sign_vector" -> { es => graft.functions.Md5SignVector(es.head, es(1)) }
   )
 
   /** Install on an already-built session: the rewrite rule goes into
