@@ -165,6 +165,35 @@ object Streams {
     */
   private val providerConfLock = new Object
 
+  /** Shuffle-partition scope for a whole oracle gate (round 13,
+    * generalizing q237's round-11 finding): every stateful streaming
+    * operator opens/commits ONE state-store instance per shuffle
+    * partition per micro-batch, so a gate's wall carries a constant
+    * factor of `partitions × stateful operators × micro-batches` that
+    * has nothing to do with its data (a few thousand rows here) —
+    * measured at the session's 32 partitions vs 8, same JVM,
+    * alternating, sf0.1: q164 11.2 → 4.3 s, q148 7.6 → 4.2,
+    * q226 7.1 → 4.1, q222 5.9 → 3.7, q211 4.8 → 2.9, with `collect()`
+    * results bit-identical (state is key-partitioned; values are
+    * partition-count independent — only the constant moves, exactly
+    * q237's documented argument). The count is a DEPLOYMENT parameter,
+    * not a constant: production sizes state partitions to stream
+    * volume/parallelism via `spark.graft.stream.statePartitions`; the
+    * local default 8 is the q237 value, applied uniformly at every
+    * core count so the driver's low-core bench stays comparable.
+    * Restores the previous value in `finally`; gates already serialize
+    * their session-conf mutation (providerConfLock discipline), and
+    * the scope wraps the WHOLE gate — q229's two checkpoint-sharing
+    * runs see one consistent value (streaming aggregation bakes the
+    * partition count into the checkpoint at first run).
+    */
+  private def withGateParts[T](s: SparkSession)(body: => T): T = {
+    val k = "spark.sql.shuffle.partitions"
+    val n = s.conf.getOption("spark.graft.stream.statePartitions").getOrElse("8")
+    val prev = s.conf.get(k)
+    try { s.conf.set(k, n); body } finally s.conf.set(k, prev)
+  }
+
   /** Incremental ingestion: the streaming version of the reference's
     * staged-JSON → normalize → parquet pipeline
     * (reference: src/processor.rs:17-97). New JSON envelope files
@@ -2935,20 +2964,26 @@ object Streams {
       .orderBy("bucket")
   }
 
+  // Every gate runs under [[withGateParts]] (the state-store
+  // constant-factor scope); q237 keeps its inner scope too — it
+  // restores to the outer scoped value, same discipline.
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q237_stream_left_join" -> q237StreamLeftJoin,
-    "q229_stream_warm_start" -> q229StreamWarmStart,
-    "q226_stream_user_topk" -> q226StreamUserTopk,
-    "q222_stream_sla_timeout" -> q222StreamSlaTimeout,
-    "q217_stream_dim_join" -> q217StreamDimJoin,
-    "q211_stream_dedup" -> q211StreamDedup,
-    "q210_stream_kmv" -> q210StreamKmv,
-    "q207_stream_sessionize" -> q207StreamSessionize,
-    "q204_stream_neardup" -> q204StreamNeardup,
-    "q193_stream_wallet" -> q193StreamWallet,
-    "q164_stream_interval_join" -> q164StreamIntervalJoin,
-    "q155_stream_window_agg" -> q155StreamWindowAgg,
-    "q148_stream_cdc_latest" -> q148StreamCdcLatest)
+    "q237_stream_left_join" -> q237StreamLeftJoin _,
+    "q229_stream_warm_start" -> q229StreamWarmStart _,
+    "q226_stream_user_topk" -> q226StreamUserTopk _,
+    "q222_stream_sla_timeout" -> q222StreamSlaTimeout _,
+    "q217_stream_dim_join" -> q217StreamDimJoin _,
+    "q211_stream_dedup" -> q211StreamDedup _,
+    "q210_stream_kmv" -> q210StreamKmv _,
+    "q207_stream_sessionize" -> q207StreamSessionize _,
+    "q204_stream_neardup" -> q204StreamNeardup _,
+    "q193_stream_wallet" -> q193StreamWallet _,
+    "q164_stream_interval_join" -> q164StreamIntervalJoin _,
+    "q155_stream_window_agg" -> q155StreamWindowAgg _,
+    "q148_stream_cdc_latest" -> q148StreamCdcLatest _
+  ).map { case (name, fn) =>
+    name -> ((s: SparkSession, dir: String) => withGateParts(s)(fn(s, dir)))
+  }
 
   /** q148's oracle IS the batch q102 formulation: the streamed
     * latest-image view must compact the identical log to the identical

@@ -1646,6 +1646,28 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(seen.toSeq == Seq(Seq(1L, 3L, 5L), Seq(9L), Seq(6L, 7L)),
       "micro-batches arrive in forced-mtime write order")
   }
+
+  test("gate state-partition scope: results partition-count independent, conf restored") {
+    // the withGateParts contract behind every Streams.queries entry
+    // (round 13): the scoped shuffle-partition count is a pure
+    // constant factor — gate VALUES must be identical at any setting
+    // — and the session's previous value must survive the gate.
+    val k = "spark.sql.shuffle.partitions"
+    val kk = "spark.graft.stream.statePartitions"
+    val before = spark.conf.get(k)
+    def runAt(n: String): Seq[String] = {
+      spark.conf.set(kk, n)
+      try graft.streaming.Streams
+        .queries("q155_stream_window_agg")(spark, Sf)
+        .collect().map(_.toString).toSeq
+      finally spark.conf.unset(kk)
+    }
+    val a = runAt("3")
+    val b = runAt("5")
+    assert(a.nonEmpty, "gate emitted nothing on the fixture")
+    assert(a == b, s"gate rollup depends on the state-partition count: ${a.take(2)} vs ${b.take(2)}")
+    assert(spark.conf.get(k) == before, "shuffle partitions not restored after the gate scope")
+  }
 }
 
 /** Companion buffer for the gate-restart test: foreachBatch closures
